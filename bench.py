@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from polardbx_cdc_spark import queries as Q  # noqa: E402
+from polardbx_cdc_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "cdc_replay_state",
+    "cdc_last_image",
+    "cdc_txn_assemble",
+    "cdc_stream_routing",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "checksum_lineitem",
+    "events_sessionize",
+    "events_daily_rollup",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("polardbx_cdc_spark-bench")
+    registry = Q.queries()
+
+    # warm the JVM + parquet footer caches with one tiny action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()  # force full execution
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

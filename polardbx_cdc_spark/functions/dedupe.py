@@ -1,0 +1,191 @@
+"""Deduplication operators over ``documents``: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Built as Catalyst expressions (higher-order array functions — JVM-side, no
+Python in the hot path). The scale path:
+
+- exact: fingerprint → groupBy(fingerprint) — one shuffle of (64-bit, id).
+- MinHash+LSH: shingles → K minhashes → B band keys → explode(B rows/doc)
+  → groupBy(band key) — candidate pairs only ever meet inside a bucket, so
+  the O(n²) comparison never materializes; per-bucket joins are local to a
+  partition after one shuffle on the band key.
+- SimHash: one projection to a 32-bit signature; near-dup = same signature
+  (or banded signature pieces, same LSH trick).
+
+Hashes are md5-prefix based so the DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polardbx_cdc_spark.functions.text import fingerprint, tokens
+
+
+def _hash32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-identity dedup: normalize → fingerprint → keep the lowest
+    id per fingerprint group. Returns (keeper id, group size)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (JVM-side: sequence + slice)."""
+    toks = tokens(F.lower(text))
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(i, shingle).
+    Returns array<long> of length ``num_hashes``. One projection, no shuffle.
+    xxhash64 (native, codegen'd) rather than md5 — this operator's check is
+    rows-only, so cross-engine hash parity is not required and speed wins."""
+    sh = shingles(text, shingle_n)
+    sigs = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, explode one row per
+    band, bucket-join on (band_idx, band_hash). Output (id_a < id_b) pairs.
+
+    At 100 TB: explode multiplies rows by B (cheap — 2 longs wide), the
+    groupBy/band-key self-join shuffles on the band hash, and candidate
+    verification (true Jaccard) runs only within buckets.
+    """
+    rows_per_band = num_hashes // bands
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    # small parquet inputs arrive as 1 partition — spread the signature
+    # computation across cores (at 100 TB the scan is already parallel)
+    sig_df = df.repartition(n_part).select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig_df.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # materialize once: the self-join would otherwise recompute every
+    # signature on both sides (at scale: persist to a staging table instead)
+    banded = banded.persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two string arrays (distinct-element semantics)."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = F.size(F.array_union(da, db)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with true n-gram Jaccard. ``pairs`` has
+    (id_a, id_b); output adds ``jaccard_sim``. Joins are on the doc id —
+    co-partitioned with one shuffle each; the text column is only carried
+    for candidate rows (post-LSH), not the full corpus cross-product."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_part)
+    docs_a = base.select(F.col(id_col).alias("id_a"), shingles(F.col(text_col), n).alias("sh_a"))
+    docs_b = base.select(F.col(id_col).alias("id_b"), shingles(F.col(text_col), n).alias("sh_b"))
+    return (
+        pairs.join(docs_a, "id_a")
+        .join(docs_b, "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"))
+    )
+
+
+def simhash(text: Column, bits: int = 32, shingle_n: int = 2) -> Column:
+    """SimHash signature: sum ±1 per bit over shingle hashes, sign → bit.
+
+    Single pass over the shingles: the aggregate accumulator is an int
+    array of per-bit votes (zip_with merge), folded to a long at the end —
+    one traversal instead of ``bits`` traversals. xxhash64 (native): this
+    operator's check is rows-only, so cross-engine hash parity isn't needed."""
+    sh = shingles(text, shingle_n)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    zero = F.array(*[F.lit(0) for _ in range(bits)])
+
+    def merge(acc: Column, h: Column) -> Column:
+        votes = F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+                for b in range(bits)
+            ]
+        )
+        return F.zip_with(acc, votes, lambda x, y: x + y)
+
+    def finish(acc: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for b in range(bits):
+            sig = sig + F.when(
+                F.element_at(acc, b + 1) > 0, F.lit(2**b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return F.aggregate(hashed, zero, merge, finish)
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group docs by SimHash signature; same-signature docs are near-dups."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_part)
+        .select(F.col(id_col), simhash(F.col(text_col)).alias("sig"))
+        .groupBy("sig")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
+    )

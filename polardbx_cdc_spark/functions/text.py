@@ -1,0 +1,98 @@
+"""Text analysis over the ``documents`` table: tokenization, quality
+scoring, language ID, fingerprinting.
+
+All pure Catalyst expressions (no Python UDFs): at 100 TB these run inside
+whole-stage codegen on the scan, shuffle nothing, and the projected columns
+prune to (doc_id, text) at the parquet reader.
+
+Each function has an ``oracle_*`` twin emitting the equivalent DuckDB SQL
+expression so the driver's correctness gate can verify values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small fixed stopword list per language — the n-gram/stopword-ratio
+# language-ID heuristic (public fastText/cld-style trick reduced to SQL).
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def oracle_token_count(expr: str) -> str:
+    return f"len(regexp_split_to_array(trim({expr}), '\\s+'))"
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are english stopwords."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return (hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"))
+
+
+def oracle_stopword_ratio(expr: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    return (
+        f"CAST(len(list_filter({toks}, t -> t IN ({words}))) AS DOUBLE)"
+        f" / CAST(greatest(len({toks}), 1) AS DOUBLE)"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: mean-word-length
+    band + stopword presence + length band. Deterministic integer/decimal
+    arithmetic so the oracle reproduces it exactly."""
+    n_tok = token_count(text).cast("double")
+    n_chr = char_count(text).cast("double")
+    mean_word = n_chr / F.greatest(n_tok, F.lit(1.0))
+    len_ok = ((n_chr >= 64) & (n_chr <= 8192)).cast("int")
+    word_ok = ((mean_word >= 3.0) & (mean_word <= 12.0)).cast("int")
+    stop_ok = (stopword_ratio(text) >= 0.05).cast("int")
+    return ((len_ok + word_ok + stop_ok).cast("double") / F.lit(3.0))
+
+
+def oracle_quality_score(expr: str) -> str:
+    n_tok = f"CAST({oracle_token_count(expr)} AS DOUBLE)"
+    n_chr = f"CAST(length({expr}) AS DOUBLE)"
+    mean_word = f"({n_chr} / greatest({n_tok}, 1.0))"
+    len_ok = f"CAST(({n_chr} >= 64 AND {n_chr} <= 8192) AS INT)"
+    word_ok = f"CAST(({mean_word} >= 3.0 AND {mean_word} <= 12.0) AS INT)"
+    stop_ok = f"CAST(({oracle_stopword_ratio(expr)} >= 0.05) AS INT)"
+    return f"CAST(({len_ok} + {word_ok} + {stop_ok}) AS DOUBLE) / 3.0"
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language ID: 'en' when english stopword ratio clears the
+    bar, else 'other'. (The real-world version swaps in per-language n-gram
+    tables; the Spark shape — pure projection — is identical.)"""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+
+
+def oracle_lang_id(expr: str) -> str:
+    return f"CASE WHEN {oracle_stopword_ratio(expr)} >= 0.08 THEN 'en' ELSE 'other' END"
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit document fingerprint: md5-prefix of whitespace-normalized,
+    lowercased text (rolling-hash equivalent; deterministic cross-engine)."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+
+
+def oracle_fingerprint(expr: str) -> str:
+    norm = f"regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
+    return f"CAST(('0x' || substr(md5({norm}), 1, 15)) AS BIGINT)"

@@ -1,0 +1,132 @@
+"""Filter-chain operators.
+
+Reference chain (installed at polardbx-cdc-task/.../extractor/BinlogExtractor.java:189-236):
+EventAcceptFilter → TransactionBufferEventFilter → RebuildEventLogFilter → MinTSOFilter.
+Plus the RPL-side replication filter (rpl/filter/ReplicaFilter.java:38-208), the table
+blacklist (extractor/log/processor/FilterBlacklistTableFilter.java), and the
+flashback/recovery window filters (rpl/filter/FlashBackFilter.java:35-98,
+rpl/filter/RecoveryFilter.java).
+
+All are plain Catalyst predicates: they push down to the parquet scan, so at
+100 TB the filtered columns/row-groups are never read.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def accept_filter(
+    df: DataFrame,
+    actions: list[str] | None = None,
+    dbs: list[str] | None = None,
+    tbls: list[str] | None = None,
+) -> DataFrame:
+    """Event-type + schema whitelist (EventAcceptFilter.java; whitelist built
+    at BinlogExtractor.java:203-224). ``isin`` predicates push to the scan."""
+    out = df
+    if actions:
+        out = out.filter(F.col("action").isin(actions))
+    if dbs:
+        out = out.filter(F.col("db").isin(dbs))
+    if tbls:
+        out = out.filter(F.col("tbl").isin(tbls))
+    return out
+
+
+def blacklist_filter(df: DataFrame, patterns: list[str]) -> DataFrame:
+    """Drop rows whose ``db.tbl`` matches any regex (FilterBlacklistTableFilter;
+    also the system-table drop in extractor/log/Transaction.java:497-515)."""
+    if not patterns:
+        return df
+    full = F.concat_ws(".", F.col("db"), F.col("tbl"))
+    pred = None
+    for p in patterns:
+        m = full.rlike(p)
+        pred = m if pred is None else (pred | m)
+    return df.filter(~pred)
+
+
+def min_tso_filter(df: DataFrame, start_tso: str) -> DataFrame:
+    """Drop events before the start position (extractor/filter/MinTSOFilter.java:135).
+    TSO is lexicographically ordered, so this is a plain range predicate."""
+    return df.filter(F.col("tso") >= F.lit(start_tso))
+
+
+def tso_window_filter(df: DataFrame, start_tso: str, end_tso: str) -> DataFrame:
+    """Recovery/flashback window [start, end] (rpl/filter/RecoveryFilter.java)."""
+    return df.filter(F.col("tso").between(F.lit(start_tso), F.lit(end_tso)))
+
+
+def _mysql_wildcard_to_regex(pattern: str) -> str:
+    """MySQL replication wildcards: ``%`` = any run, ``_`` = one char."""
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch in r"\.^$*+?{}[]|()":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + "$"
+
+
+@dataclass
+class ReplicaFilterConfig:
+    """MySQL-compatible replication filter config (Rpl_filter port —
+    rpl/filter/ReplicaFilter.java:38-208)."""
+
+    do_dbs: list[str] = field(default_factory=list)
+    ignore_dbs: list[str] = field(default_factory=list)
+    do_tables: list[str] = field(default_factory=list)  # "db.tbl" exact
+    ignore_tables: list[str] = field(default_factory=list)
+    wild_do_tables: list[str] = field(default_factory=list)  # "db.t%" wildcards
+    wild_ignore_tables: list[str] = field(default_factory=list)
+    rewrite_dbs: dict[str, str] = field(default_factory=dict)  # src db -> dst db
+
+
+def _any_wild_match(col: Column, patterns: list[str]) -> Column:
+    pred = F.lit(False)
+    for p in patterns:
+        pred = pred | col.rlike(_mysql_wildcard_to_regex(p))
+    return pred
+
+
+def replica_filter(df: DataFrame, cfg: ReplicaFilterConfig) -> DataFrame:
+    """Apply do/ignore db+table rules (MySQL precedence: do-lists win when
+    non-empty, else ignore-lists; ReplicaFilter.java:79-105), then the db
+    rewrite map (getRewriteDb). All broadcast-free literal predicates."""
+    out = df
+    if cfg.do_dbs:
+        out = out.filter(F.col("db").isin(cfg.do_dbs))
+    elif cfg.ignore_dbs:
+        out = out.filter(~F.col("db").isin(cfg.ignore_dbs))
+
+    full = F.concat_ws(".", F.col("db"), F.col("tbl"))
+    if cfg.do_tables or cfg.wild_do_tables:
+        keep = F.lit(False)
+        if cfg.do_tables:
+            keep = keep | full.isin(cfg.do_tables)
+        if cfg.wild_do_tables:
+            keep = keep | _any_wild_match(full, cfg.wild_do_tables)
+        out = out.filter(keep)
+    else:
+        if cfg.ignore_tables:
+            out = out.filter(~full.isin(cfg.ignore_tables))
+        if cfg.wild_ignore_tables:
+            out = out.filter(~_any_wild_match(full, cfg.wild_ignore_tables))
+
+    if cfg.rewrite_dbs:
+        mapping = F.create_map(*[F.lit(x) for kv in cfg.rewrite_dbs.items() for x in kv])
+        out = out.withColumn("db", F.coalesce(mapping[F.col("db")], F.col("db")))
+    return out
+
+
+def flashback_filter(df: DataFrame, db: str, tbl: str) -> DataFrame:
+    """Keep only the recovery-target table (rpl/filter/FlashBackFilter.java:35-98)."""
+    return df.filter((F.col("db") == db) & (F.col("tbl") == tbl))

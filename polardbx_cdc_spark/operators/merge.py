@@ -1,0 +1,96 @@
+"""Global TSO merge, transaction reassembly, heartbeat epochs.
+
+Reference: the k-way TSO merge tree (merge/LogEventMerger.java:54-391,
+MergeSource.java:34-120, MergeGroupFactory.java:28-87), disorder detection
+(LogEventMerger.java:136-141), XA reassembly (merge/MergeBarrier.java:30-142,
+XaTransaction.java:30-123), and the heartbeat window gate
+(merge/HeartBeatWindow.java:30-102).
+
+Spark disposition: the merge tree, its bounded queues and PriorityQueue
+controller are replaced by a shuffle + range-partitioned sort on the TSO key
+— Tungsten sort, whole-stage codegen, spill-safe. At 100 TB the global sort
+is `orderBy(tso)`: Spark samples range bounds so no single node sorts the
+world; within a streaming epoch the per-batch sort is small by construction.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def k_way_merge(*sources: DataFrame) -> DataFrame:
+    """Union N per-source streams and order by TSO (LogEventMerger.java:122-168).
+
+    The reference's merge-group tree with bounded fan-in exists to avoid an
+    O(N) peek per poll; Spark's shuffle exchange + sort gives the same
+    result with range partitioning (no driver-side bottleneck).
+    """
+    merged = reduce(lambda a, b: a.unionByName(b), sources)
+    return merged.orderBy("tso")
+
+
+def disorder_report(df: DataFrame) -> DataFrame:
+    """Per-source TSO monotonicity audit (disorder ⇒ hard error in the
+    reference, LogEventMerger.java:136-141). Returns one row per source with
+    the count of inversions (must be 0) — usable as a foreachBatch assertion."""
+    w = Window.partitionBy("source_id").orderBy("tso", "seq")
+    lagged = df.withColumn("prev_tso", F.lag("tso").over(w))
+    return (
+        lagged.groupBy("source_id")
+        .agg(
+            F.sum(
+                F.when(F.col("prev_tso").isNotNull() & (F.col("tso") < F.col("prev_tso")), 1).otherwise(0)
+            ).alias("inversions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("source_id")
+    )
+
+
+def assemble_transactions(df: DataFrame) -> DataFrame:
+    """Reassemble events into transaction tokens (TxnToken — TxnStream.proto:95-135;
+    XA merge MergeBarrier.java:30-142).
+
+    groupBy(txn_id) with purely associative aggregates → map-side partial
+    aggregation, single shuffle. ``complete`` checks seq contiguity
+    (0..n-1), the reference's allParties-complete condition.
+    """
+    return (
+        df.groupBy("txn_id")
+        .agg(
+            F.min("tso").alias("start_tso"),
+            F.max("tso").alias("commit_tso"),
+            F.count(F.lit(1)).alias("txn_size"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+            F.countDistinct("source_id").alias("n_parties"),
+            ((F.max("seq") - F.min("seq") + 1) == F.count(F.lit(1))).alias("complete"),
+        )
+    )
+
+
+def heartbeat_epochs(df: DataFrame, epoch: str = "1 hour") -> DataFrame:
+    """Epoch alignment report (HeartBeatWindow.java:30-71; emission gated on
+    all sources reaching the epoch — LogEventMerger.checkHeartbeatWindow:203-236).
+
+    Batch form: tumbling window per epoch × source; ``sources_seen`` per epoch
+    is the completeness condition (streaming form = the watermark itself:
+    Spark's global watermark is min over sources, exactly the reference's
+    gate)."""
+    epoch_col = F.window(F.col("ts"), epoch).start.alias("epoch_start")
+    per_epoch = df.groupBy(F.window(F.col("ts"), epoch)).agg(
+        F.countDistinct("source_id").alias("sources_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tso").alias("min_tso"),
+        F.max("tso").alias("max_tso"),
+    )
+    return per_epoch.select(
+        F.col("window.start").alias("epoch_start"),
+        "sources_seen",
+        "n_events",
+        "min_tso",
+        "max_tso",
+    )

@@ -1,0 +1,876 @@
+"""Query registry: every implemented operator exposed as a
+(spark_callable, oracle_sql) pair for the driver's correctness gate.
+
+Cross-engine determinism rules used throughout (Spark ⟷ DuckDB 1.0):
+
+- hashes: md5-prefix → BIGINT (``conv(substr(md5(x),1,8),16,10)`` ⟷
+  ``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``).
+- money/double sums: per-row ``round(x*100)`` to integer cents, summed as
+  BIGINT, divided back at the end — decimal-exact, order-independent, and
+  immune to double→decimal cast differences (DuckDB truncates, Spark
+  rounds half-up).
+- doubles passed through untouched (parquet bits identical on both sides).
+- doubles in checksum payloads: ``%.6f`` fixed formatting on both sides.
+- every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polardbx_cdc_spark.functions import dedupe, multimodal, similarity, text
+from polardbx_cdc_spark.model import derive_cdc_stream, oracle_cdc_query
+from polardbx_cdc_spark.operators import apply as apply_ops
+from polardbx_cdc_spark.operators import filters, flashback, merge, routing, validation
+from polardbx_cdc_spark.session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# --------------------------------------------------------------------------
+# CDC spine: filters (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+_MIN_TSO = "0001705276800000000" + "0" * 29  # 2024-01-15 00:00 UTC
+
+
+@register(
+    "cdc_accept_filter",
+    oracle_cdc_query(
+        """
+        SELECT action, db, count(*) AS n
+        FROM cdc
+        WHERE action IN ('INSERT', 'UPDATE') AND db IN ('db0', 'db1')
+        GROUP BY action, db
+        """
+    ),
+)
+def cdc_accept_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventAcceptFilter: type+schema whitelist (EventAcceptFilter.java)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    kept = filters.accept_filter(cdc, actions=["INSERT", "UPDATE"], dbs=["db0", "db1"])
+    return kept.groupBy("action", "db").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "cdc_min_tso_filter",
+    oracle_cdc_query(
+        f"""
+        SELECT count(*) AS n, min(tso) AS min_tso, max(tso) AS max_tso
+        FROM cdc WHERE tso >= '{_MIN_TSO}'
+        """
+    ),
+)
+def cdc_min_tso_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinTSOFilter: start-position predicate (MinTSOFilter.java:135)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    kept = filters.min_tso_filter(cdc, _MIN_TSO)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("tso").alias("min_tso"),
+        F.max("tso").alias("max_tso"),
+    )
+
+
+@register(
+    "cdc_blacklist_filter",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, count(*) AS n FROM cdc
+        WHERE NOT (regexp_matches(db || '.' || tbl, 'db0\\..*')
+                OR regexp_matches(db || '.' || tbl, 'db1\\.t3'))
+        GROUP BY db, tbl
+        """
+    ),
+)
+def cdc_blacklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blacklist-table filter (FilterBlacklistTableFilter.java)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    kept = filters.blacklist_filter(cdc, [r"db0\..*", r"db1\.t3"])
+    return kept.groupBy("db", "tbl").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "cdc_replica_filter",
+    oracle_cdc_query(
+        """
+        SELECT CASE WHEN db = 'db0' THEN 'dst0' ELSE db END AS db, tbl, count(*) AS n
+        FROM cdc
+        WHERE db IN ('db0', 'db1')
+          AND NOT regexp_matches(db || '.' || tbl, '^db1\\.t1.*$')
+        GROUP BY 1, tbl
+        """
+    ),
+)
+def cdc_replica_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL-compatible replication filter + db rewrite
+    (ReplicaFilter.java:38-208)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    cfg = filters.ReplicaFilterConfig(
+        do_dbs=["db0", "db1"],
+        wild_ignore_tables=["db1.t1%"],
+        rewrite_dbs={"db0": "dst0"},
+    )
+    kept = filters.replica_filter(cdc, cfg)
+    return kept.groupBy("db", "tbl").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Merge / transaction semantics (SURVEY §2.4, §2.6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_txn_assemble",
+    oracle_cdc_query(
+        """
+        SELECT txn_id,
+               min(tso) AS start_tso,
+               max(tso) AS commit_tso,
+               count(*) AS txn_size,
+               min(seq) AS min_seq,
+               max(seq) AS max_seq,
+               count(DISTINCT source_id) AS n_parties,
+               (max(seq) - min(seq) + 1 = count(*)) AS complete
+        FROM cdc GROUP BY txn_id
+        """
+    ),
+)
+def cdc_txn_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction reassembly → TxnToken frame (MergeBarrier.java:30-142,
+    TxnStream.proto:95-135)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    return merge.assemble_transactions(cdc)
+
+
+@register(
+    "cdc_disorder_report",
+    oracle_cdc_query(
+        """
+        SELECT source_id,
+               coalesce(sum(CASE WHEN prev_tso IS NOT NULL AND tso < prev_tso
+                                 THEN 1 ELSE 0 END), 0) AS inversions,
+               count(*) AS n_events
+        FROM (
+          SELECT source_id, tso,
+                 lag(tso) OVER (PARTITION BY source_id ORDER BY tso, seq) AS prev_tso
+          FROM cdc
+        ) t
+        GROUP BY source_id ORDER BY source_id
+        """
+    ),
+)
+def cdc_disorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSO disorder audit (LogEventMerger.java:136-141)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    return merge.disorder_report(cdc)
+
+
+@register(
+    "cdc_heartbeat_epochs",
+    oracle_cdc_query(
+        """
+        SELECT date_trunc('hour', ts) AS epoch_start,
+               count(DISTINCT source_id) AS sources_seen,
+               count(*) AS n_events,
+               min(tso) AS min_tso,
+               max(tso) AS max_tso
+        FROM cdc GROUP BY 1
+        """
+    ),
+)
+def cdc_heartbeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat/epoch alignment report (HeartBeatWindow.java:30-71)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    return merge.heartbeat_epochs(cdc, "1 hour")
+
+
+@register(
+    "cdc_kway_merge_head",
+    oracle_cdc_query(
+        """
+        SELECT tso, source_id, txn_id, seq, action, db, tbl, pk
+        FROM cdc ORDER BY tso LIMIT 1000
+        """
+    ),
+)
+def cdc_kway_merge_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-way TSO merge: union of the 4 per-source streams, globally ordered
+    (LogEventMerger.java:122-168). TSO is unique ⇒ LIMIT is deterministic."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    srcs = [cdc.filter(F.col("source_id") == f"dn-{i}") for i in range(4)]
+    merged = merge.k_way_merge(*srcs)
+    return merged.select("tso", "source_id", "txn_id", "seq", "action", "db", "tbl", "pk").limit(1000)
+
+
+# --------------------------------------------------------------------------
+# Appliers: last-image merge, replay (SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_last_image",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, pk,
+               max(tso) AS last_tso,
+               CASE WHEN arg_max(action, tso) = 'DELETE' THEN 'DELETE'
+                    WHEN arg_min(action, tso) = 'INSERT' THEN 'INSERT'
+                    ELSE 'UPDATE' END AS op,
+               arg_max(value, tso) AS value,
+               count(*) AS n_changes
+        FROM cdc GROUP BY db, tbl, pk
+        """
+    ),
+)
+def cdc_last_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-PK chain collapse (MergeTransactionApplier.java:50-105)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    return apply_ops.collapse_ops(cdc)
+
+
+@register(
+    "cdc_replay_state",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, pk, last_tso, value FROM (
+          SELECT db, tbl, pk, max(tso) AS last_tso,
+                 arg_max(action, tso) AS last_action,
+                 arg_max(value, tso) AS value
+          FROM cdc GROUP BY db, tbl, pk
+        ) WHERE last_action <> 'DELETE'
+        """
+    ),
+)
+def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the stream → surviving final state (REPLACE/MERGE applier
+    semantics, ApplyHelper.java:553-601)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    return apply_ops.replay_to_state(cdc)
+
+
+# --------------------------------------------------------------------------
+# Binlog-X stream routing (SURVEY §2.10)
+# --------------------------------------------------------------------------
+
+_ROUTE_CFG = routing.StreamRoutingConfig(
+    stream_count=4,
+    default_level="TABLE",
+    record_level_tables=["db1.t1"],
+    db_level_dbs=["db2"],
+    table_stream_pinning={"db0.t2": 3},
+)
+
+
+@register(
+    "cdc_stream_routing",
+    oracle_cdc_query(
+        """
+        SELECT stream_id, count(*) AS n, count(DISTINCT db || '.' || tbl) AS n_tables
+        FROM (
+          SELECT db, tbl, CASE
+            WHEN db || '.' || tbl = 'db0.t2' THEN 3
+            ELSE CAST(
+              CAST(('0x' || substr(md5(
+                CASE
+                  WHEN db || '.' || tbl = 'db1.t1' THEN db || '.' || tbl || '.' || pk
+                  WHEN db = 'db2' THEN db
+                  ELSE db || '.' || tbl
+                END), 1, 8)) AS BIGINT) % 4 AS INT)
+          END AS stream_id
+          FROM cdc
+        ) t GROUP BY stream_id
+        """
+    ),
+)
+def cdc_stream_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashConfig stream assignment (HashConfig.java:208-255)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    routed = routing.assign_stream(cdc, _ROUTE_CFG)
+    return routed.groupBy("stream_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.concat_ws(".", "db", "tbl")).alias("n_tables"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flashback (SURVEY §2.11 RecoveryApplier)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_flashback_sql",
+    oracle_cdc_query(
+        """
+        SELECT tso, db, tbl, pk,
+               CASE WHEN action = 'INSERT' THEN 'DELETE'
+                    WHEN action = 'DELETE' THEN 'INSERT'
+                    ELSE 'UPDATE' END AS inv_action,
+               CASE WHEN action = 'INSERT' THEN
+                      'DELETE FROM ' || db || '.' || tbl || ' WHERE pk = ' || pk
+                    WHEN action = 'DELETE' THEN
+                      'INSERT INTO ' || db || '.' || tbl || ' (pk, value) VALUES (' || pk || ', ' || CAST(value AS VARCHAR) || ')'
+                    ELSE
+                      'UPDATE ' || db || '.' || tbl || ' SET value = ' || CAST(value AS VARCHAR) || ' WHERE pk = ' || pk
+               END AS sql_text
+        FROM cdc WHERE db = 'db0' AND tbl = 't0'
+        """
+    ),
+)
+def cdc_flashback_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-SQL flashback over one table
+    (RecoveryApplier.reverseSQL:371-385)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    target = filters.flashback_filter(cdc, "db0", "t0")
+    return flashback.flashback_sql(target)
+
+
+# --------------------------------------------------------------------------
+# Validation / checksums (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+_LI_COLS_SQL = (
+    "CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), "
+    "CAST(l_linenumber AS VARCHAR), printf('%.6f', l_quantity), printf('%.6f', l_extendedprice), "
+    "printf('%.6f', l_discount), printf('%.6f', l_tax), l_returnflag, l_linestatus, "
+    "CAST(l_shipdate AS VARCHAR)"
+)
+
+
+def _li_row_checksum_spark() -> F.Column:
+    parts = [
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.format_string("%.6f", F.col("l_quantity")),
+        F.format_string("%.6f", F.col("l_extendedprice")),
+        F.format_string("%.6f", F.col("l_discount")),
+        F.format_string("%.6f", F.col("l_tax")),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.col("l_shipdate").cast("string"),
+    ]
+    payload = F.concat_ws(",", *parts)
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+@register(
+    "checksum_lineitem",
+    f"""
+    SELECT count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(concat_ws(',', {_LI_COLS_SQL})), 1, 8)) AS BIGINT)) AS checksum
+    FROM lineitem
+    """,
+)
+def checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table checksum (ValSQLGenerator.java:75-222 shape; md5 for
+    cross-engine determinism — DuckDB lacks crc32). lineitem has no nulls,
+    so the null mask is omitted here (see checksum_orders_chunked for the
+    masked form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(_li_row_checksum_spark().alias("_rc")).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(_rc)").alias("checksum")
+    )
+
+
+@register(
+    "checksum_orders_chunked",
+    """
+    SELECT o_orderkey // 1000 AS chunk_id,
+           count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(concat_ws(',',
+             coalesce(CAST(o_orderkey AS VARCHAR), '\\N'),
+             coalesce(CAST(o_custkey AS VARCHAR), '\\N'),
+             coalesce(o_orderstatus, '\\N'),
+             coalesce(printf('%.6f', o_totalprice), '\\N'),
+             coalesce(CAST(o_orderdate AS VARCHAR), '\\N'),
+             coalesce(o_orderpriority, '\\N'),
+             CAST(CAST(o_orderkey IS NULL AS INT) AS VARCHAR)
+               || CAST(CAST(o_custkey IS NULL AS INT) AS VARCHAR)
+               || CAST(CAST(o_orderstatus IS NULL AS INT) AS VARCHAR)
+               || CAST(CAST(o_totalprice IS NULL AS INT) AS VARCHAR)
+               || CAST(CAST(o_orderdate IS NULL AS INT) AS VARCHAR)
+               || CAST(CAST(o_orderpriority IS NULL AS INT) AS VARCHAR)
+           )), 1, 8)) AS BIGINT)) AS checksum
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def checksum_orders_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked checksum with null mask (TableValidator.java:65-198)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    parts = []
+    for c in cols:
+        base = F.col(c)
+        if c == "o_totalprice":
+            base = F.format_string("%.6f", F.col(c))
+        else:
+            base = base.cast("string")
+        parts.append(F.coalesce(base, F.lit("\\N")))
+    nullmask = F.concat(*[F.isnull(F.col(c)).cast("int").cast("string") for c in cols])
+    rc = F.conv(F.substring(F.md5(F.concat_ws(",", *parts, nullmask)), 1, 8), 16, 10).cast("long")
+    return (
+        o.select(F.expr("o_orderkey div 1000").alias("chunk_id"), rc.alias("_rc"))
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(_rc)").alias("checksum"))
+        .orderBy("chunk_id")
+    )
+
+
+@register(
+    "checksum_diff_drilldown",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS pk,
+             CAST(('0x' || substr(md5(concat_ws(',', CAST(o_orderkey AS VARCHAR),
+               printf('%.6f', o_totalprice), o_orderstatus)), 1, 8)) AS BIGINT) AS src_sum
+      FROM orders
+    ), dst AS (
+      SELECT o_orderkey AS pk,
+             CAST(('0x' || substr(md5(concat_ws(',', CAST(o_orderkey AS VARCHAR),
+               printf('%.6f', CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END),
+               o_orderstatus)), 1, 8)) AS BIGINT) AS dst_sum
+      FROM orders WHERE o_orderkey % 499 <> 0
+    )
+    SELECT src.pk AS pk, src_sum, dst_sum
+    FROM src FULL OUTER JOIN dst ON src.pk = dst.pk
+    WHERE src_sum IS NULL OR dst_sum IS NULL OR src_sum <> dst_sum
+    """,
+)
+def checksum_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level drill-down diff (TableValidator.findDiffOneByOne): the
+    'dst' side simulates a corrupted/missing-row replica of orders."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def rc(price_col):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.col("o_orderkey").cast("string"),
+                        F.format_string("%.6f", price_col),
+                        F.col("o_orderstatus"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    src = o.select(F.col("o_orderkey").alias("pk"), rc(F.col("o_totalprice")).alias("src_sum"))
+    dst_price = F.when(F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") + 1.0).otherwise(
+        F.col("o_totalprice")
+    )
+    dst = o.filter(F.col("o_orderkey") % 499 != 0).select(
+        F.col("o_orderkey").alias("pk"), rc(dst_price).alias("dst_sum")
+    )
+    j = src.join(dst, "pk", "full_outer")
+    return j.filter(
+        F.col("src_sum").isNull() | F.col("dst_sum").isNull() | (F.col("src_sum") != F.col("dst_sum"))
+    ).select("pk", "src_sum", "dst_sum")
+
+
+@register(
+    "full_copy_chunks",
+    """
+    WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
+    SELECT least((o_orderkey - lo) // (((hi - lo + 16) // 16)), 15) AS chunk_id,
+           min(o_orderkey) AS chunk_min, max(o_orderkey) AS chunk_max, count(*) AS n_rows
+    FROM orders, b GROUP BY 1 ORDER BY 1
+    """,
+)
+def full_copy_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-copy chunk planning (MysqlFullProcessor.java:162-244)."""
+    o = load_table(spark, sf_dir, "orders")
+    return validation.full_copy_chunks(o, "o_orderkey", 16)
+
+
+# --------------------------------------------------------------------------
+# Relational capability queries (bench headliners)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Money sums via integer cents
+    (order-independent, cross-engine exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cents(col):
+        return F.sum(F.round(col * 100, 0).cast("long"))
+
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (cents(F.col("l_quantity")).cast("double") / 100).alias("sum_qty"),
+            (cents(F.col("l_extendedprice")).cast("double") / 100).alias("sum_base_price"),
+            (cents(disc).cast("double") / 100).alias("sum_disc_price"),
+            (cents(charge).cast("double") / 100).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style join+agg+topN. customer side is broadcast (small dim)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-01-01")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")).cast("double")
+                / 100
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'AMERICA', 'EUROPE', 'AFRICA', 'MIDDLE EAST')
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join rollup; all dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "AMERICA", "EUROPE", "AFRICA", "MIDDLE EAST")
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")).cast("double")
+            / 100
+        ).alias("revenue")
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+    SELECT n_name, c_custkey, c_acctbal, rnk FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) t WHERE rnk <= 3
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (the reference's only analytic shape — last-image
+    dedup — generalized; MergeTransactionApplier.java:50-105)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    SELECT user_id, count(*) AS n_events,
+           sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                    THEN 1 ELSE 0 END) AS n_sessions
+    FROM (
+      SELECT user_id, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ) t GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands; 30-min inactivity gap) — the batch
+    twin of a streaming session window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = gap.isNull() | (gap > 1800 * 1000 * 1000)
+    return (
+        ev.withColumn("new_session", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("new_session").cast("int")).alias("n_sessions"),
+        )
+    )
+
+
+@register(
+    "events_daily_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type rollup over the event stream (batch twin of the
+    windowed streaming aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (north-star: training-data pipeline)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           {text.oracle_token_count('text')} AS n_tokens,
+           length(text) AS n_chars_measured,
+           round({text.oracle_stopword_ratio('text')}, 6) AS stop_ratio,
+           {text.oracle_quality_score('text')} AS quality,
+           {text.oracle_lang_id('text')} AS lang_pred,
+           {text.oracle_fingerprint('text')} AS fp
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count, quality score, language-ID, fingerprint — one projection
+    pass over documents (pure Catalyst, no UDFs)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.token_count(t).cast("long").alias("n_tokens"),
+        text.char_count(t).cast("long").alias("n_chars_measured"),
+        F.round(text.stopword_ratio(t), 6).alias("stop_ratio"),
+        text.quality_score(t).alias("quality"),
+        text.lang_id(t).alias("lang_pred"),
+        text.fingerprint(t).alias("fp"),
+    )
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS group_size
+    FROM (SELECT doc_id, {text.oracle_fingerprint('text')} AS fp FROM documents) t
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized fingerprint hash-groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.exact_dedup(d)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')
+             ) AS g
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(
+             CAST(len(list_intersect(list_distinct(a.g), list_distinct(b.g))) AS DOUBLE)
+             / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 6) AS jaccard_sim
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True 3-gram Jaccard over candidate pairs (here: adjacent doc ids, a
+    deterministic stand-in for LSH candidates so the oracle can verify the
+    similarity math; the LSH candidate generator itself is
+    ``dedup_minhash_lsh`` below)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")).join(
+        d.select(F.col("doc_id").alias("id_b")), "id_b"
+    )
+    return dedupe.ngram_jaccard_pairs(d, pairs)
+
+
+@register("dedup_minhash_lsh", None)  # band-hash join not SQL-practical → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with true Jaccard ≥ 0.5.
+    16 hashes × 4 bands; candidates only meet inside band buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = dedupe.minhash_lsh_candidates(d)
+    verified = dedupe.ngram_jaccard_pairs(d, cands)
+    return verified.filter(F.col("jaccard_sim") >= 0.5).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash", None)  # 32 bit-vote sums — rows-only check in r1
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature groups (near-dup = identical 32-bit signature)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.simhash_dedup(d)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (north-star)
+# --------------------------------------------------------------------------
+
+_QUERY_IDS = list(range(10))
+
+
+@register(
+    "embed_cosine_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+      FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS nbr_id,
+             round(
+               list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6)
+             AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, rank, nbr_id, cos_sim FROM (
+      SELECT query_id, nbr_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (ANN correctness baseline). Query side
+    broadcast; corpus scanned once."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, _QUERY_IDS, k=5)
+
+
+@register("embed_lsh_topk", None)  # approximate variant → rows-only check
+def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB scale path: candidates
+    restricted to the query's hyperplane bucket)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(e, _QUERY_IDS, k=5)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (north-star; decode stubbed, dataflow real)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "media_stats",
+    """
+    SELECT 'image' AS kind, count(*) AS n_items,
+           sum(strlen(text)) AS total_bytes, max(strlen(text)) AS max_bytes
+    FROM documents
+    """,
+)
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column stats (payload synthesized from documents;
+    octet_length needs no decode)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(d)
+    return multimodal.media_stats(media)
+
+
+@register("media_features", None)  # mapInPandas + stub decoder → rows-only
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas;
+    decoder stubbed deterministically)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(d)
+    return multimodal.extract_features(media)

@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test harness; the configs are chosen so the same code
+scales to a multi-executor cluster: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), shuffle partitions sized to the core
+count rather than the 200 default, Arrow enabled for the Pandas-UDF paths,
+and a fixed UTC session timezone so timestamp arithmetic matches the
+DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "polardbx_cdc_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (fallback: all cores). Shuffle
+    partitions follow the core count — on a real cluster this would be
+    ~2-3x total executor cores; AQE coalesces down when partitions run
+    small, and splits skewed ones.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # driver testdata writes events.ts as TIMESTAMP(NANOS); Spark has no
+        # nanos type — read as long and convert (µs truncation matches DuckDB)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # streaming state at scale: RocksDB spills state off-heap
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated parquet table. ``events.ts`` arrives as
+    nanos-since-epoch (see nanosAsLong above); convert to a true timestamp
+    with µs truncation — bit-identical to DuckDB's ns→µs read."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
