@@ -41,12 +41,15 @@ def get_spark(app_name: str = "polardbx_cdc_spark", cpus: int | None = None) -> 
         # driver testdata writes events.ts as TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long and convert (µs truncation matches DuckDB)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # streaming state at scale: RocksDB spills state off-heap
-        .config(
+    )
+    # streaming state at scale: RocksDB spills state off-heap. Opt-in via
+    # env because the RocksDB provider mis-handles .crc files on bare local
+    # filesystems (fine on HDFS/S3/DBFS, where clusters run).
+    if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "") == "1":
+        builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-    )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

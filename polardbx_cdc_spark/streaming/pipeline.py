@@ -1,0 +1,206 @@
+"""Streaming pipelines: watermark-gated merge, stateful transaction
+assembly, and the epoch-ordered binlog-style sink.
+
+Reference mapping:
+- global merge + heartbeat gate (LogEventMerger.java:54-391,
+  HeartBeatWindow.java:30-102) → watermark + per-epoch sort in foreachBatch.
+- transaction assembly with completeness + leak TTL
+  (TransactionBufferEventFilter.java:75-188, XaTransaction.java:30-123,
+  TransactionMemoryLeakDectorManager) → applyInPandasWithState with a
+  processing-time timeout.
+- binlog file writer with rotation + recovery-by-last-TSO
+  (LogFileGenerator.java:121,339,510-545,624-804) → foreachBatch writing
+  ordered parquet partitioned by file_seq; recovery = max TSO already in
+  the sink (seekLastTso), dedup on replay = idempotent micro-batch.
+
+Scale notes: per-epoch sort touches only the watermark-closed slice (small
+by construction); state is keyed by txn_id and bounded by the TTL; the sink
+write is a partitioned append — no global single-writer bottleneck except
+the intentional per-stream ordering (the reference's Final/Dumper stage is
+single-threaded too, LogEventMerger.java:107).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_last_image(cdc_stream: DataFrame, epoch: str = "1 hour") -> DataFrame:
+    """Watermark-gated last-image merge per (epoch, db, tbl, pk): the
+    streaming twin of apply.last_image. In append mode, a group emits only
+    after the watermark passes its epoch end — the reference's
+    heartbeat-complete gate (HeartBeatWindow.java:30-71)."""
+    return (
+        cdc_stream.groupBy(F.window("ts", epoch).alias("epoch"), "db", "tbl", "pk")
+        .agg(
+            F.max("tso").alias("last_tso"),
+            F.max_by("action", F.col("tso")).alias("last_action"),
+            F.max_by("value", F.col("tso")).alias("value"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+        .select(F.col("epoch.start").alias("epoch_start"), "db", "tbl", "pk", "last_tso", "last_action", "value", "n_changes")
+    )
+
+
+_TXN_OUT_SCHEMA = (
+    "txn_id long, start_tso string, commit_tso string, txn_size long, complete boolean"
+)
+_TXN_STATE_SCHEMA = "cnt long, min_seq long, max_seq long, min_tso string, max_tso string"
+
+
+def assemble_transactions_stateful(cdc_stream: DataFrame, ttl_ms: int = 30_000) -> DataFrame:
+    """Stateful streaming transaction assembly (TxnBuffer + MergeBarrier
+    semantics). Emits a token when the txn's seq range is contiguous from 0
+    (allParties-complete analogue); incomplete transactions are flushed as
+    ``complete=false`` when the TTL expires — the reference polices exactly
+    this leak class (TransactionMemoryLeakDectorManager)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (txn_id,) = key
+        if state.hasTimedOut:
+            cnt, mns, mxs, mnt, mxt = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "txn_id": txn_id,
+                        "start_tso": mnt,
+                        "commit_tso": mxt,
+                        "txn_size": cnt,
+                        "complete": False,
+                    }
+                ]
+            )
+            return
+        cnt, mns, mxs, mnt, mxt = (0, None, None, None, None)
+        if state.exists:
+            cnt, mns, mxs, mnt, mxt = state.get
+        for pdf in pdfs:
+            cnt += len(pdf)
+            mns = int(pdf["seq"].min()) if mns is None else min(mns, int(pdf["seq"].min()))
+            mxs = int(pdf["seq"].max()) if mxs is None else max(mxs, int(pdf["seq"].max()))
+            bmin, bmax = pdf["tso"].min(), pdf["tso"].max()
+            mnt = bmin if mnt is None else min(mnt, bmin)
+            mxt = bmax if mxt is None else max(mxt, bmax)
+        if mns == 0 and (mxs - mns + 1) == cnt:
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "txn_id": txn_id,
+                        "start_tso": mnt,
+                        "commit_tso": mxt,
+                        "txn_size": cnt,
+                        "complete": True,
+                    }
+                ]
+            )
+        else:
+            state.update((cnt, mns, mxs, mnt, mxt))
+            state.setTimeoutDuration(ttl_ms)
+
+    return cdc_stream.select("txn_id", "seq", "tso").groupBy("txn_id").applyInPandasWithState(
+        fn,
+        _TXN_OUT_SCHEMA,
+        _TXN_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+class BinlogSink:
+    """Epoch-ordered parquet sink with file rotation — the global binlog
+    writer (LogFileGenerator) re-expressed.
+
+    Each micro-batch: sort by TSO, assign a monotonically increasing global
+    offset, rotate ``file_seq`` every ``rotate_rows`` rows, append parquet
+    partitioned by file_seq. Recovery: on restart the writer resumes from
+    the sink's max offset/TSO (seekLastTso — LogFileGenerator.java:545);
+    batches already written are skipped (idempotent by batch_id).
+    """
+
+    def __init__(self, out_dir: str, rotate_rows: int = 10_000) -> None:
+        self.out_dir = out_dir
+        self.rotate_rows = rotate_rows
+        self._offset = 0
+        self._last_tso = ""
+        self._seen_batches: set[int] = set()
+        self.disorder_errors: list[str] = []
+
+    def recover(self, spark) -> None:
+        """seekLastTso: resume offset/tso from what is already durable."""
+        if os.path.isdir(self.out_dir) and any(
+            f.endswith(".parquet") or f.startswith("file_seq=") for f in os.listdir(self.out_dir)
+        ):
+            existing = spark.read.parquet(self.out_dir)
+            row = existing.agg(
+                F.count(F.lit(1)).alias("n"), F.max("tso").alias("mx")
+            ).collect()[0]
+            self._offset = row["n"]
+            self._last_tso = row["mx"] or ""
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen_batches:
+            return
+        self._seen_batches.add(batch_id)
+        # seekLastTso recovery semantics (LogFileGenerator.java:510-545):
+        # anything at or below the last durable TSO was already written —
+        # a replay after checkpoint loss resumes, never duplicates.
+        filtered = (
+            batch_df.filter(F.col("tso") > self._last_tso) if self._last_tso else batch_df
+        )
+        # watermark-closed slice: sort is per-epoch, not global history
+        ordered = filtered.orderBy("tso")
+        w_off = F.row_number().over(Window.orderBy("tso")) - 1
+        out = (
+            ordered.withColumn("offset", (w_off + F.lit(self._offset)).cast("long"))
+            .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))
+        )
+        # disorder check on the raw batch, against what was already emitted
+        # (hard error in the reference — LogEventMerger.java:136-141). A
+        # recovery replay also trips this; its rows are deduped above.
+        stats = batch_df.agg(
+            F.min("tso").alias("raw_mn"), F.count(F.lit(1)).alias("raw_n")
+        ).collect()[0]
+        if self._last_tso and stats["raw_n"] > 0 and stats["raw_mn"] < self._last_tso:
+            self.disorder_errors.append(
+                f"batch {batch_id}: min tso {stats['raw_mn']} < last emitted {self._last_tso}"
+            )
+        ostats = out.agg(F.max("tso").alias("mx"), F.count(F.lit(1)).alias("n")).collect()[0]
+        if ostats["n"] == 0:
+            return
+        stats = {"n": ostats["n"], "mx": ostats["mx"]}
+        out.write.mode("append").partitionBy("file_seq").parquet(self.out_dir)
+        self._offset += stats["n"]
+        self._last_tso = max(self._last_tso, stats["mx"])
+
+
+def run_binlog_pipeline(
+    cdc_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    rotate_rows: int = 10_000,
+):
+    """The flagship streaming query: CDC stream → epoch-ordered rotated
+    binlog sink, Trigger.AvailableNow (bounded replay in tests; remove the
+    trigger for continuous mode). Returns (query, sink)."""
+    sink = BinlogSink(out_dir, rotate_rows)
+    sink.recover(cdc_stream.sparkSession)
+    q = (
+        cdc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink

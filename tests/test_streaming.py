@@ -1,0 +1,118 @@
+"""Streaming pipeline tests: bounded replay (Trigger.AvailableNow) of the
+events parquet through the streaming operators, verified against their
+batch twins — the strongest equivalence check streaming can get."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from polardbx_cdc_spark.model import derive_cdc_stream
+from polardbx_cdc_spark.operators import apply as apply_ops
+from polardbx_cdc_spark.operators import merge as merge_ops
+from polardbx_cdc_spark.streaming import pipeline, source
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="cdc_stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_last_image_matches_batch(spark, tmpdir):
+    stream = source.cdc_stream(spark, SF, watermark="1 minute")
+    out = pipeline.streaming_last_image(stream, epoch="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("li_stream")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("li_stream")
+    cdc = derive_cdc_stream(spark, SF)
+    expected = (
+        cdc.groupBy(F.window("ts", "1 hour").alias("epoch"), "db", "tbl", "pk")
+        .agg(
+            F.max("tso").alias("last_tso"),
+            F.max_by("action", F.col("tso")).alias("last_action"),
+            F.max_by("value", F.col("tso")).alias("value"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+        .select(F.col("epoch.start").alias("epoch_start"), "db", "tbl", "pk", "last_tso", "last_action", "value", "n_changes")
+    )
+    # append mode emits only watermark-closed epochs; every emitted row must
+    # match the batch computation exactly, and most epochs must have closed
+    assert got.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    closed_ratio = got.count() / expected.count()
+    assert closed_ratio > 0.9, f"only {closed_ratio:.0%} of epochs emitted"
+
+
+def test_stateful_txn_assembly_matches_batch(spark, tmpdir):
+    stream = source.cdc_stream(spark, SF)
+    tokens = pipeline.assemble_transactions_stateful(stream)
+    q = (
+        tokens.writeStream.format("memory")
+        .queryName("txn_stream")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("txn_stream").select(
+        "txn_id",
+        F.col("txn_size").alias("got_size"),
+        F.col("commit_tso").alias("got_commit"),
+        "complete",
+    )
+    batch = merge_ops.assemble_transactions(derive_cdc_stream(spark, SF))
+    n_complete_batch = batch.filter(F.col("complete") & (F.col("min_seq") == 0)).count()
+    # AvailableNow delivers everything in one batch → all contiguous txns complete
+    assert got.filter(F.col("complete")).count() == n_complete_batch
+    joined = got.join(batch, "txn_id")
+    assert joined.filter(F.col("got_size") != F.col("txn_size")).count() == 0
+    assert joined.filter(F.col("got_commit") != F.col("commit_tso")).count() == 0
+
+
+def test_binlog_sink_order_rotation_recovery(spark, tmpdir):
+    out_dir = tmpdir + "/binlog"
+    ckpt = tmpdir + "/ckpt"
+    stream = source.cdc_stream(spark, SF)
+    q, sink = pipeline.run_binlog_pipeline(stream, out_dir, ckpt, rotate_rows=100)
+    q.awaitTermination(120)
+    assert not sink.disorder_errors
+
+    written = spark.read.parquet(out_dir)
+    n = written.count()
+    assert n == derive_cdc_stream(spark, SF).count()
+
+    # offsets are a dense 0..n-1 sequence following TSO order
+    chk = written.select("offset", "tso").orderBy("offset").collect()
+    assert [r["offset"] for r in chk] == list(range(n))
+    tsos = [r["tso"] for r in chk]
+    assert tsos == sorted(tsos), "sink violates global TSO order"
+
+    # rotation: every file_seq holds <= rotate_rows rows
+    per_file = written.groupBy("file_seq").count().collect()
+    assert all(r["count"] <= 100 for r in per_file)
+    assert len(per_file) == (n + 99) // 100
+
+    # recovery: restart from the same checkpoint → no duplicates (seekLastTso)
+    q2, sink2 = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, SF), out_dir, ckpt, rotate_rows=100
+    )
+    q2.awaitTermination(120)
+    assert sink2._offset >= n
+    assert spark.read.parquet(out_dir).count() == n, "replay duplicated rows"
