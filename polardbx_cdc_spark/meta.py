@@ -1,0 +1,170 @@
+"""Schema registry with time travel — TableMetaTSDB semantics.
+
+Reference: polardbx-cdc-canal/.../ddl/tsdb/TableMetaTSDB.java:28-58
+(``find(schema, table)``, ``apply(position, ddl)``, ``rollback(position)``,
+``snapshot()``) with the in-memory implementation MemoryTableMeta.java; the
+logical/physical mapping consumed by the rebuild projection is
+LogicTableMeta (polardbx-cdc-meta/.../LogicTableMeta.java:25-107) and
+PolarDbXTableMetaManager.compare (PolarDbXTableMetaManager.java:225-275).
+
+Design: versions are an append-only, TSO-keyed log per (db, table) kept as
+small driver-side state (broadcastable; at scale this is a Delta dim table
+read once per micro-batch). DDL events arriving in-stream call ``apply`` —
+serialized per epoch, the reference's DDL-as-stream-barrier
+(LogFileGenerator.writeMetaDdl:411).
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class TableSchema:
+    """One schema version: ordered column list + pk set + the
+    physical→logical column mapping (phyIndex → logicIndex)."""
+
+    columns: tuple[str, ...]
+    pks: tuple[str, ...] = ()
+    hidden_pks: tuple[str, ...] = ()  # implicit PK columns to drop on rebuild
+
+
+@dataclass
+class _TableHistory:
+    tsos: list[str] = field(default_factory=list)
+    schemas: list[TableSchema] = field(default_factory=list)
+
+
+class SchemaRegistry:
+    """TSO-versioned table metadata with apply / find / rollback / snapshot."""
+
+    def __init__(self) -> None:
+        self._tables: dict[tuple[str, str], _TableHistory] = {}
+
+    # -- TableMetaTSDB.apply(position, ddl) --------------------------------
+    def apply(self, tso: str, db: str, tbl: str, ddl: dict) -> None:
+        """Apply a DDL at a TSO. ``ddl`` is a dict op:
+        {op: create, columns: [...], pks: [...], hidden_pks: [...]}
+        {op: add_column, column: c}   {op: drop_column, column: c}
+        {op: rename_column, from: a, to: b}   {op: truncate}   {op: drop}
+        Out-of-order apply (tso <= last) is rejected — DDL is a serialized
+        stream barrier."""
+        hist = self._tables.setdefault((db, tbl), _TableHistory())
+        if hist.tsos and tso <= hist.tsos[-1]:
+            raise ValueError(f"DDL at {tso} not after last version {hist.tsos[-1]}")
+        cur = hist.schemas[-1] if hist.schemas else None
+        op = ddl["op"]
+        if op == "create":
+            new = TableSchema(
+                tuple(ddl["columns"]),
+                tuple(ddl.get("pks", ())),
+                tuple(ddl.get("hidden_pks", ())),
+            )
+        elif op == "drop":
+            new = TableSchema((), (), ())
+        elif op == "truncate":
+            if cur is None:
+                raise KeyError(f"{db}.{tbl} does not exist at {tso}")
+            new = cur
+        else:
+            if cur is None or not cur.columns:
+                raise KeyError(f"{db}.{tbl} does not exist at {tso}")
+            cols = list(cur.columns)
+            if op == "add_column":
+                cols.append(ddl["column"])
+            elif op == "drop_column":
+                cols.remove(ddl["column"])
+            elif op == "rename_column":
+                cols[cols.index(ddl["from"])] = ddl["to"]
+            else:
+                raise ValueError(f"unknown ddl op {op}")
+            new = TableSchema(tuple(cols), cur.pks, cur.hidden_pks)
+        hist.tsos.append(tso)
+        hist.schemas.append(new)
+
+    # -- TableMetaTSDB.find(schema, table) at a position --------------------
+    def find(self, db: str, tbl: str, tso: str) -> TableSchema | None:
+        """Schema in effect at ``tso`` (latest version with tso <= arg)."""
+        hist = self._tables.get((db, tbl))
+        if hist is None:
+            return None
+        i = bisect.bisect_right(hist.tsos, tso) - 1
+        if i < 0:
+            return None
+        s = hist.schemas[i]
+        return s if s.columns else None
+
+    # -- TableMetaTSDB.rollback(position) -----------------------------------
+    def rollback(self, tso: str) -> None:
+        """Discard every version after ``tso`` (recover to a position)."""
+        for hist in self._tables.values():
+            i = bisect.bisect_right(hist.tsos, tso)
+            del hist.tsos[i:]
+            del hist.schemas[i:]
+        self._tables = {k: h for k, h in self._tables.items() if h.tsos}
+
+    # -- TableMetaTSDB.snapshot() -------------------------------------------
+    def snapshot(self, tso: str | None = None) -> dict[tuple[str, str], TableSchema]:
+        """All live tables (optionally as of a TSO)."""
+        out: dict[tuple[str, str], TableSchema] = {}
+        for (db, tbl), hist in self._tables.items():
+            s = (
+                self.find(db, tbl, tso)
+                if tso is not None
+                else (hist.schemas[-1] if hist.schemas else None)
+            )
+            if s is not None and s.columns:
+                out[(db, tbl)] = s
+        return out
+
+
+@dataclass
+class LogicalTopology:
+    """Physical→logical table mapping (the sharded-table topology that the
+    rebuild projection collapses — RebuildEventLogFilter.java:87-190)."""
+
+    #: physical "db.tbl" -> logical (db, tbl)
+    phys_to_logic: dict[str, tuple[str, str]] = field(default_factory=dict)
+
+    def add_shards(self, logic_db: str, logic_tbl: str, shards: list[str]) -> None:
+        for s in shards:
+            self.phys_to_logic[s] = (logic_db, logic_tbl)
+
+
+def rebuild_events(df, topo: LogicalTopology, registry: SchemaRegistry, at_tso: str):
+    """The central physical→logical projection (SURVEY §2.3 'rebuild'):
+    map physical table names to logical ones, prune the after/before images
+    to the logical column set at ``at_tso``, drop hidden PKs.
+
+    Pure Catalyst: one CASE projection for the rename + map_filter for the
+    column prune — no shuffle, safe at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    full = F.concat_ws(".", F.col("db"), F.col("tbl"))
+    ldb, ltbl = F.col("db"), F.col("tbl")
+    for phys, (to_db, to_tbl) in topo.phys_to_logic.items():
+        ldb = F.when(full == phys, F.lit(to_db)).otherwise(ldb)
+        ltbl = F.when(full == phys, F.lit(to_tbl)).otherwise(ltbl)
+
+    out = df.withColumn("logical_db", ldb).withColumn("logical_tbl", ltbl)
+
+    # column prune per logical table: keep only registry columns minus
+    # hidden PKs (PolarDbXTableMetaManager.compare:246-262 hidden-PK drop)
+    def prune(map_col):
+        expr = map_col
+        for (db, tbl), schema in registry.snapshot(at_tso).items():
+            keep = [c for c in schema.columns if c not in schema.hidden_pks]
+            keep_arr = F.array(*[F.lit(c) for c in keep])
+            expr = F.when(
+                (F.col("logical_db") == db) & (F.col("logical_tbl") == tbl),
+                F.map_filter(map_col, lambda k, _v: F.array_contains(keep_arr, k)),
+            ).otherwise(expr)
+        return expr
+
+    if "after" in df.columns:
+        out = out.withColumn("after", prune(F.col("after")))
+    if "before" in df.columns:
+        out = out.withColumn("before", prune(F.col("before")))
+    return out
