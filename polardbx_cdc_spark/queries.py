@@ -271,6 +271,84 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_ops.replay_to_state(cdc)
 
 
+_T0 = "0001705276800000000" + "0" * 29  # snapshot/incremental split point
+
+
+@register(
+    "cdc_apply_snapshot",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, pk, value FROM (
+          SELECT db, tbl, pk, arg_max(action, tso) AS last_action,
+                 arg_max(value, tso) AS value
+          FROM cdc GROUP BY db, tbl, pk
+        ) WHERE last_action <> 'DELETE'
+        """
+    ),
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL_COPY → INC_COPY pipeline (DataImportTransitions.java:34-94):
+    snapshot = state replayed up to T0, then the incremental tail applied on
+    top via apply_to_snapshot. Must equal a straight full replay — the
+    fixed-point law the reference's import FSM guarantees."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    snap = apply_ops.replay_to_state(cdc.filter(F.col("tso") < _T0)).select(
+        "db", "tbl", "pk", "value"
+    )
+    inc = cdc.filter(F.col("tso") >= _T0)
+    final = apply_ops.apply_to_snapshot(snap, inc, keys=("db", "tbl", "pk"))
+    return final.select("db", "tbl", "pk", "value")
+
+
+@register(
+    "cdc_xa_parties",
+    oracle_cdc_query(
+        """
+        SELECT txn_id,
+               array_to_string(list_sort(list(DISTINCT source_id)), ',') AS parties,
+               count(DISTINCT source_id) > 1 AS is_xa
+        FROM cdc GROUP BY txn_id
+        """
+    ),
+)
+def cdc_xa_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA participant collection (allParties — XaTransaction.java:30-123,
+    TxnStream.proto allParties field)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    return cdc.groupBy("txn_id").agg(
+        F.array_join(F.array_sort(F.collect_set("source_id")), ",").alias("parties"),
+        (F.countDistinct("source_id") > 1).alias("is_xa"),
+    )
+
+
+@register(
+    "cdc_logical_rebuild",
+    oracle_cdc_query(
+        """
+        SELECT CASE WHEN db IN ('db0','db1','db2') THEN 'app' ELSE db END AS logical_db,
+               CASE WHEN db IN ('db0','db1','db2') THEN 'sharded_' || tbl ELSE tbl END AS logical_tbl,
+               count(*) AS n, count(DISTINCT db || '.' || tbl) AS n_physical_shards
+        FROM cdc GROUP BY 1, 2
+        """
+    ),
+)
+def cdc_logical_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical→logical shard collapse (RebuildEventLogFilter.java:87-190):
+    every dbN.tK shard maps onto logical app.sharded_tK."""
+    from polardbx_cdc_spark.meta import LogicalTopology, SchemaRegistry, rebuild_events
+
+    cdc = derive_cdc_stream(spark, sf_dir)
+    topo = LogicalTopology()
+    for t in range(5):
+        topo.add_shards("app", f"sharded_t{t}", [f"db{d}.t{t}" for d in range(3)])
+    reg = SchemaRegistry()  # no column-level DDL in this fixture
+    rebuilt = rebuild_events(cdc, topo, reg, at_tso="9" * 48)
+    return rebuilt.groupBy("logical_db", "logical_tbl").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.concat_ws(".", "db", "tbl")).alias("n_physical_shards"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Binlog-X stream routing (SURVEY §2.10)
 # --------------------------------------------------------------------------
@@ -703,6 +781,156 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS → left-semi join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "parts_never_shipped",
+    """
+    SELECT p_brand, count(*) AS n_parts
+    FROM part WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    GROUP BY p_brand
+    """,
+)
+def parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: parts with no lineitem (NOT EXISTS → left_anti)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    anti = p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+    return anti.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 150 * 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style groupBy + HAVING over a join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(cents.alias("_c"))
+        .filter(F.col("_c") > 150 * 100)
+        .select("o_orderkey", (F.col("_c").cast("double") / 100).alias("total_qty"))
+    )
+
+
+@register(
+    "events_rollup_hierarchy",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id % 4 AS VARCHAR), 'ALL') AS user_bucket,
+           count(*) AS n
+    FROM events GROUP BY ROLLUP (event_type, (CAST(user_id % 4 AS VARCHAR)))
+    """,
+)
+def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (free from Spark — SURVEY §2.5 notes the
+    reference has no grouping sets; we surface them anyway)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 4).cast("string"))
+        .rollup("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_bucket"), F.lit("ALL")).alias("user_bucket"),
+            "n",
+        )
+    )
+
+
+@register(
+    "events_type_pivot",
+    """
+    SELECT user_id % 10 AS user_mod,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events GROUP BY 1
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts to columns."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.withColumn("user_mod", F.col("user_id") % 10)
+        .groupBy("user_mod")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return piv.select(
+        "user_mod",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+@register(
+    "events_signup_funnel",
+    """
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL AS signed_up,
+           count(CASE WHEN event_type = 'purchase'
+                      AND ts > (SELECT min(e2.ts) FROM events e2
+                                WHERE e2.user_id = events.user_id AND e2.event_type = 'signup')
+                 THEN 1 END) AS purchases_after_signup
+    FROM events GROUP BY user_id
+    """,
+)
+def events_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral funnel: purchases after first signup, per user (window
+    min + conditional count — no self-join on the Spark side)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("first_signup", first_signup)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("first_signup").isNotNull()).alias("signed_up"),
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_signup")),
+                    1,
+                )
+            ).alias("purchases_after_signup"),
         )
     )
 
