@@ -812,17 +812,19 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "parts_never_shipped",
+    "parts_never_bulk_shipped",
     """
     SELECT p_brand, count(*) AS n_parts
-    FROM part WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    FROM part WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                                WHERE l_partkey = p_partkey AND l_quantity >= 48)
     GROUP BY p_brand
     """,
 )
-def parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join: parts with no lineitem (NOT EXISTS → left_anti)."""
+def parts_never_bulk_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: parts with no bulk (qty ≥ 48) lineitem (NOT EXISTS →
+    left_anti with the predicate pushed into the build side)."""
     p = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
     anti = p.join(li, p.p_partkey == li.l_partkey, "left_anti")
     return anti.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
 
