@@ -393,6 +393,123 @@ def cdc_stream_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_render_dml_sql",
+    oracle_cdc_query(
+        """
+        , li AS (
+          SELECT db, tbl, pk,
+                 max(tso) AS last_tso,
+                 CASE WHEN arg_max(action, tso) = 'DELETE' THEN 'DELETE'
+                      WHEN arg_min(action, tso) = 'INSERT' THEN 'INSERT'
+                      ELSE 'UPDATE' END AS op,
+                 arg_max(value, tso) AS value
+          FROM cdc GROUP BY db, tbl, pk
+        )
+        SELECT db, tbl, pk, op,
+               CASE WHEN op = 'DELETE' THEN
+                      'DELETE FROM ' || db || '.' || tbl || ' WHERE pk = ''' || replace(pk, '''', '''''') || ''''
+                    WHEN op = 'INSERT' THEN
+                      'REPLACE INTO ' || db || '.' || tbl || ' (pk, value) VALUES (''' || replace(pk, '''', '''''') || ''', ' || CAST(value AS VARCHAR) || ')'
+                    ELSE
+                      'UPDATE ' || db || '.' || tbl || ' SET value = ' || CAST(value AS VARCHAR) || ' WHERE pk = ''' || replace(pk, '''', '''''') || ''''
+               END AS sql_text
+        FROM li
+        """
+    ),
+)
+def cdc_render_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsed ops rendered as downstream DML (ApplyHelper.java:553-601,
+    REPLACE mode — MergeApplier.java:94)."""
+    from polardbx_cdc_spark.operators import appliers
+
+    cdc = derive_cdc_stream(spark, sf_dir)
+    ops = apply_ops.collapse_ops(cdc)
+    return appliers.render_dml(ops, insert_mode="REPLACE").select(
+        "db", "tbl", "pk", "op", "sql_text"
+    )
+
+
+@register(
+    "cdc_position_seek",
+    oracle_cdc_query(
+        """
+        SELECT min(tso) AS start_tso, count(*) AS n_from_position
+        FROM cdc WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        """
+    ),
+)
+def cdc_position_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start-position seek by timestamp (SearchTsoEventHandleV2.java:41-67):
+    the binary-search-then-scan becomes a range predicate the parquet
+    reader answers with row-group pruning."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    return cdc.filter(F.col("ts") >= "2024-01-20 00:00:00").agg(
+        F.min("tso").alias("start_tso"), F.count(F.lit(1)).alias("n_from_position")
+    )
+
+
+@register(
+    "cdc_txn_apply_order",
+    oracle_cdc_query(
+        """
+        , commit AS (
+          SELECT txn_id, max(tso) AS commit_tso FROM cdc GROUP BY txn_id
+        )
+        SELECT c.txn_id, dense_rank() OVER (ORDER BY c.commit_tso) AS apply_order,
+               n.n_events
+        FROM commit c JOIN (SELECT txn_id, count(*) AS n_events FROM cdc GROUP BY txn_id) n
+          ON c.txn_id = n.txn_id
+        """
+    ),
+)
+def cdc_txn_apply_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-boundary-preserving apply order (TransactionApplier.java):
+    dense rank over commit TSO = the serial schedule the writer follows."""
+    from polardbx_cdc_spark.operators import appliers
+
+    cdc = derive_cdc_stream(spark, sf_dir)
+    with_order = appliers.txn_serial_batches(cdc)
+    return with_order.groupBy("txn_id", "apply_order").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "cdc_stream_ordered_head",
+    oracle_cdc_query(
+        """
+        SELECT stream_id, rnk, tso, txn_id FROM (
+          SELECT stream_id, tso, txn_id,
+                 row_number() OVER (PARTITION BY stream_id ORDER BY tso) AS rnk
+          FROM (
+            SELECT tso, txn_id, CASE
+              WHEN db || '.' || tbl = 'db0.t2' THEN 3
+              ELSE CAST(CAST(('0x' || substr(md5(
+                CASE WHEN db || '.' || tbl = 'db1.t1' THEN db || '.' || tbl || '.' || pk
+                     WHEN db = 'db2' THEN db
+                     ELSE db || '.' || tbl END), 1, 8)) AS BIGINT) % 4 AS INT)
+            END AS stream_id
+            FROM cdc
+          ) r
+        ) t WHERE rnk <= 5
+        """
+    ),
+)
+def cdc_stream_ordered_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog-X per-stream ordered emission (BinlogKWayMerger.java:63-83):
+    after routing, each output stream re-merges to TSO order; the head of
+    each stream is deterministic."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    routed = routing.assign_stream(cdc, _ROUTE_CFG)
+    w = Window.partitionBy("stream_id").orderBy("tso")
+    return (
+        routed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("stream_id", "rnk", "tso", "txn_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Flashback (SURVEY §2.11 RecoveryApplier)
 # --------------------------------------------------------------------------

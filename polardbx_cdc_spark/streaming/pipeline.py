@@ -154,6 +154,15 @@ class BinlogSink:
         if batch_id in self._seen_batches:
             return
         self._seen_batches.add(batch_id)
+        # one materialization: the sink takes several actions (stats, write)
+        # — without a persist each one would recompute the whole batch plan
+        batch_df.persist()
+        try:
+            self._write_batch(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # seekLastTso recovery semantics (LogFileGenerator.java:510-545):
         # anything at or below the last durable TSO was already written —
         # a replay after checkpoint loss resumes, never duplicates.
@@ -186,21 +195,42 @@ class BinlogSink:
         self._last_tso = max(self._last_tso, stats["mx"])
 
 
+def with_stream_metrics(cdc_stream: DataFrame, name: str = "cdc_metrics") -> DataFrame:
+    """Per-batch counters + delay gauge via the observe() API — the
+    reference's stage metrics (MergeMetrics; delay computed at
+    LogEventMerger.java:347-350, EPS counters in dumper StreamMetrics).
+    Values surface in every StreamingQueryProgress under
+    ``observedMetrics[name]`` with zero extra passes over the data."""
+    return cdc_stream.observe(
+        name,
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("max_event_time"),
+        F.approx_count_distinct("txn_id").alias("approx_txns"),
+    )
+
+
 def run_binlog_pipeline(
     cdc_stream: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
     rotate_rows: int = 10_000,
+    max_files_per_trigger: int | None = None,
 ):
     """The flagship streaming query: CDC stream → epoch-ordered rotated
     binlog sink, Trigger.AvailableNow (bounded replay in tests; remove the
-    trigger for continuous mode). Returns (query, sink)."""
+    trigger for continuous mode). Returns (query, sink).
+
+    Rate limiting (FlowLimiter/TPSLimiter — §2.11): ``max_files_per_trigger``
+    bounds per-batch intake; on a Kafka source the same knob is
+    ``maxOffsetsPerTrigger``. Backpressure beyond that is the engine's job.
+    """
     sink = BinlogSink(out_dir, rotate_rows)
     sink.recover(cdc_stream.sparkSession)
-    q = (
-        cdc_stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    observed = with_stream_metrics(cdc_stream)
+    writer = observed.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if max_files_per_trigger is not None:
+        writer = writer.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    q = writer.trigger(availableNow=True).start()
     return q, sink

@@ -86,6 +86,20 @@ def test_stateful_txn_assembly_matches_batch(spark, tmpdir):
     assert joined.filter(F.col("got_commit") != F.col("commit_tso")).count() == 0
 
 
+def test_stream_metrics_observed(spark, tmpdir):
+    """observe() metrics must appear in the query progress (MergeMetrics
+    parity: counters + event-time gauge per micro-batch)."""
+    stream = source.cdc_stream(spark, SF)
+    q, sink = pipeline.run_binlog_pipeline(stream, tmpdir + "/out", tmpdir + "/ckpt")
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p.get("observedMetrics", {}).get("cdc_metrics")]
+    assert progresses, "no observed metrics in any progress"
+    m = progresses[-1]["observedMetrics"]["cdc_metrics"]
+    assert m["n_events"] == 1000
+    assert m["approx_txns"] > 150
+    assert str(m["max_event_time"]).startswith("2024-01-")
+
+
 def test_binlog_sink_order_rotation_recovery(spark, tmpdir):
     out_dir = tmpdir + "/binlog"
     ckpt = tmpdir + "/ckpt"
