@@ -1,0 +1,72 @@
+"""SQL command surface over the binlog sink — metadata DataFrames.
+
+Reference: the dumper serves `SHOW MASTER STATUS`, `SHOW BINARY LOGS`,
+`SHOW BINLOG EVENTS`, `SHOW BINARY STREAMS` over gRPC
+(docs/zh_CN/binlog-commands-intro.md:7,53,103,169; CdcServer.java:154-286).
+Here the "files" are the sink's ``file_seq`` partitions; the commands are
+small aggregations over sink metadata — consumers that would speak the
+MySQL wire protocol instead read these frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def show_binary_logs(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """One row per binlog 'file' (file_seq partition): name, event count,
+    TSO range — `SHOW BINARY LOGS` (binlog-commands-intro.md:53)."""
+    df = spark.read.parquet(sink_dir)
+    return (
+        df.groupBy("file_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tso").alias("min_tso"),
+            F.max("tso").alias("max_tso"),
+            F.min("offset").alias("start_offset"),
+            F.max("offset").alias("end_offset"),
+        )
+        .withColumn("log_name", F.format_string("binlog.%06d", F.col("file_seq")))
+        .orderBy("file_seq")
+    )
+
+
+def show_master_status(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Current head position: latest file + offset + TSO —
+    `SHOW MASTER STATUS` (binlog-commands-intro.md:7)."""
+    df = spark.read.parquet(sink_dir)
+    return df.agg(
+        F.max("file_seq").alias("file_seq"),
+        F.max("offset").alias("position"),
+        F.max("tso").alias("last_tso"),
+    ).withColumn("log_name", F.format_string("binlog.%06d", F.col("file_seq")))
+
+
+def show_binlog_events(
+    spark: SparkSession, sink_dir: str, file_seq: int, limit: int = 100
+) -> DataFrame:
+    """Events of one 'file' in offset order — `SHOW BINLOG EVENTS IN ...`
+    (binlog-commands-intro.md:103). Partition pruning serves this from one
+    directory."""
+    df = spark.read.parquet(sink_dir)
+    return (
+        df.filter(F.col("file_seq") == file_seq)
+        .orderBy("offset")
+        .select("offset", "tso", "txn_id", "seq", "action", "db", "tbl", "pk")
+        .limit(limit)
+    )
+
+
+def show_binary_streams(spark: SparkSession, routed: DataFrame) -> DataFrame:
+    """Per-stream summary of a Binlog-X routed frame —
+    `SHOW BINARY STREAMS` (binlog-commands-intro.md:169)."""
+    return (
+        routed.groupBy("stream_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.concat_ws(".", "db", "tbl")).alias("n_tables"),
+            F.max("tso").alias("head_tso"),
+        )
+        .orderBy("stream_id")
+    )

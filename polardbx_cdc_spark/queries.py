@@ -970,6 +970,66 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap): F.session_window — the
+    streaming-capable session operator; oracle = gaps-and-islands SQL with
+    identical boundary semantics (new session when gap >= 30 min)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@register(
+    "cdc_backfill_union",
+    oracle_cdc_query(
+        """
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'archive' ELSE 'live' END AS origin,
+               count(*) AS n, min(tso) AS min_tso, max(tso) AS max_tso
+        FROM cdc GROUP BY 1
+        """
+    ),
+)
+def cdc_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archived-binlog backfill (RdsBinlogExtractor / download pkg):
+    batch-read the archive range, unionByName with the live tail, tag
+    origin — one frame downstream operators never distinguish."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    archive = cdc.filter(F.col("ts") < "2024-01-15 00:00:00").withColumn(
+        "origin", F.lit("archive")
+    )
+    live = cdc.filter(F.col("ts") >= "2024-01-15 00:00:00").withColumn(
+        "origin", F.lit("live")
+    )
+    unioned = archive.unionByName(live)
+    return unioned.groupBy("origin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("tso").alias("min_tso"),
+        F.max("tso").alias("max_tso"),
+    )
+
+
+@register(
     "events_rollup_hierarchy",
     """
     SELECT coalesce(event_type, 'ALL') AS event_type,

@@ -100,6 +100,53 @@ def test_stream_metrics_observed(spark, tmpdir):
     assert str(m["max_event_time"]).startswith("2024-01-")
 
 
+def test_catalog_commands_over_sink(spark, tmpdir):
+    """SHOW MASTER STATUS / BINARY LOGS / BINLOG EVENTS served from the
+    sink (CdcServer.java:154-286 parity)."""
+    from polardbx_cdc_spark import catalog
+
+    out = tmpdir + "/binlog"
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, SF), out, tmpdir + "/ckpt", rotate_rows=300
+    )
+    q.awaitTermination(120)
+
+    logs = catalog.show_binary_logs(spark, out).collect()
+    assert [r["log_name"] for r in logs] == [f"binlog.{i:06d}" for i in range(4)]
+    assert sum(r["n_events"] for r in logs) == 1000
+    # files partition the offset space contiguously
+    for prev, cur in zip(logs, logs[1:]):
+        assert prev["end_offset"] + 1 == cur["start_offset"]
+        assert prev["max_tso"] < cur["min_tso"]
+
+    status = catalog.show_master_status(spark, out).collect()[0]
+    assert status["position"] == 999 and status["log_name"] == "binlog.000003"
+    assert status["last_tso"] == max(r["max_tso"] for r in logs)
+
+    head = catalog.show_binlog_events(spark, out, file_seq=1, limit=10).collect()
+    assert [r["offset"] for r in head] == list(range(300, 310))
+
+
+def test_streaming_exactly_once_dedup(spark, tmpdir):
+    """dropDuplicatesWithinWatermark: replaying the same event_ids through
+    the stream yields each key once (idempotent ingest — the dedup the
+    relay store gives the reference)."""
+    ev = source.read_events_stream(spark, SF)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.table("dedup_stream").count()
+    assert n == 1000
+    assert spark.table("dedup_stream").select("event_id").distinct().count() == 1000
+
+
 def test_binlog_sink_order_rotation_recovery(spark, tmpdir):
     out_dir = tmpdir + "/binlog"
     ckpt = tmpdir + "/ckpt"
