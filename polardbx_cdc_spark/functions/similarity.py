@@ -18,7 +18,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -75,14 +75,14 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+def _hyperplanes(num_planes: int, dim: int, salt: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: components in [-1, 1) derived
-    from md5(plane, dim) — reproducible everywhere, no RNG state."""
+    from md5(salt, plane, dim) — reproducible everywhere, no RNG state."""
     planes = []
     for p in range(num_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8]
+            h = hashlib.md5(f"{salt}:{p}:{d}".encode()).hexdigest()[:8]
             row.append((int(h, 16) / 2**31) - 1.0)
         planes.append(row)
     return planes
@@ -93,44 +93,145 @@ def lsh_buckets(
     num_planes: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket id = sign-bit string of ``num_planes``
-    projections. One projection pass; bucketing key for ANN joins."""
-    planes = _hyperplanes(num_planes, dim)
+    """Random-hyperplane LSH. With ``num_tables`` > 1 the output has one row
+    per (vector, table) — multi-table LSH: a pair is a candidate if it
+    collides in ANY table, the standard recall amplifier (recall ≈
+    1-(1-p^planes)^tables). One projection pass; explode is 2 small columns."""
     v = _as_double(F.col(vec_col))
-    bits = []
-    for row in planes:
-        plane = F.array(*[F.lit(c) for c in row])
-        bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.withColumn("bucket", F.concat(*bits))
+    table_buckets = []
+    for t in range(num_tables):
+        planes = _hyperplanes(num_planes, dim, salt=t)
+        bits = []
+        for row in planes:
+            plane = F.array(*[F.lit(c) for c in row])
+            bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        table_buckets.append(F.concat(F.lit(f"{t}:"), *bits))
+    if num_tables == 1:
+        return df.withColumn("bucket", table_buckets[0])
+    return df.withColumn("bucket", F.explode(F.array(*table_buckets)))
+
+
+def embed_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Exact form (optionally bounded to ids < max_id for the oracle); the
+    scale path swaps the self-join for ``lsh_buckets`` bucketing so pairs
+    only meet inside a bucket — same downstream contract.
+    """
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into KMeans cells, search only
+    the ``n_probe`` cells nearest each query (by centroid distance).
+
+    The index build is one ML fit (sampled at scale) + one assignment
+    projection; the search joins the query only against its probed cells —
+    corpus scanned once, candidates ∝ n_probe/n_centroids. Deterministic
+    seed; approximate recall is the dial (same contract as cosine_topk).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    vecs = df.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+    )
+    km = KMeans(k=n_centroids, seed=42, maxIter=10)
+    model = km.fit(vecs.select("features"))
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
+
+    # centroid table (tiny) → each query picks its n_probe nearest cells
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    queries = assigned.filter(F.col("nbr_id").isin(query_ids)).select(
+        F.col("nbr_id").alias("query_id"), F.col("nbr_vec").alias("q_vec")
+    )
+    q_cells = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("dist", -cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = assigned.join(
+        F.broadcast(q_cells),
+        (assigned.cell == q_cells.cell) & (F.col("nbr_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "nbr_id",
+        F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cos_sim")
+    )
 
 
 def lsh_bucket_topk(
     df: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-    Same output shape as ``cosine_topk`` (may differ in recall — that is the
-    accuracy/throughput dial)."""
-    bucketed = lsh_buckets(df, num_planes, dim, vec_col)
+    """Approximate top-k: candidates restricted to the query's LSH buckets
+    across ``num_tables`` hash tables (multi-table OR-amplification — one
+    collision anywhere makes a candidate). Same output shape as
+    ``cosine_topk``; recall/cost dial = (num_planes, num_tables)."""
+    bucketed = lsh_buckets(df, num_planes, dim, vec_col, num_tables=num_tables)
     corpus = bucketed.select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"), F.col("bucket")
     )
     queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), F.col("bucket").alias("q_bucket")
     )
-    scored = corpus.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("nbr_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        "nbr_id",
-        F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cos_sim"),
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("nbr_id") != F.col("query_id")),
+        )
+        .select("query_id", "nbr_id", "q_vec", "nbr_vec")
+        .distinct()  # collided in >1 table → one candidate
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cos_sim"),
+        )
     )
     from pyspark.sql import Window
 

@@ -1245,6 +1245,35 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, _QUERY_IDS, k=5)
 
 
+@register(
+    "dedup_embed_cosine",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, bounded corpus for the
+    oracle; the LSH-bucketed form is the scale path). Threshold 0.35 sits
+    at ~p99.9 of the synthetic corpus' similarity distribution — real
+    dedup corpora use ~0.9, but these embeddings are near-orthogonal."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embed_near_dup_pairs(e, threshold=0.35, max_id=200)
+
+
+@register("embed_ivf_topk", None)  # KMeans-cell ANN → rows-only check
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans cells + n_probe nearest-cell search (the
+    index-backed scale path; recall vs cost dial)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, _QUERY_IDS, k=5)
+
+
 @register("embed_lsh_topk", None)  # approximate variant → rows-only check
 def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB scale path: candidates
