@@ -36,6 +36,28 @@ HEADLINE = [
 ]
 
 
+def _bench_streaming_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end streaming CDC pipeline throughput: events parquet →
+    watermarked CDC stream → ordered rotated binlog sink (AvailableNow)."""
+    import shutil
+    import tempfile
+
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    work = tempfile.mkdtemp(prefix="bench_binlog_")
+    try:
+        t0 = time.perf_counter()
+        q, sink = pipeline.run_binlog_pipeline(
+            source.cdc_stream(spark, sf_dir), work + "/out", work + "/ckpt"
+        )
+        q.awaitTermination(400)
+        dt = time.perf_counter() - t0
+        n = spark.read.parquet(work + "/out").count()
+        return dt, n
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -55,6 +77,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    dt, n = _bench_streaming_pipeline(spark, sf_dir)
+    timings["stream_binlog_pipeline"] = round(dt, 3)
+    total += dt
+    print(f"# stream_binlog_pipeline: {dt:.3f}s ({n} events sunk)", file=sys.stderr)
 
     print(
         json.dumps(

@@ -169,12 +169,35 @@ class BinlogSink:
         filtered = (
             batch_df.filter(F.col("tso") > self._last_tso) if self._last_tso else batch_df
         )
-        # watermark-closed slice: sort is per-epoch, not global history
-        ordered = filtered.orderBy("tso")
-        w_off = F.row_number().over(Window.orderBy("tso")) - 1
+        # Dense global offsets WITHOUT a single-task global sort: range-
+        # partition on TSO (sampled bounds → partition i entirely precedes
+        # partition i+1), sort within partitions in parallel, then shift
+        # each partition by the cumulative count of its predecessors. The
+        # only serial step is a tiny per-partition-count collect.
+        spark = batch_df.sparkSession
+        n_part = spark.sparkContext.defaultParallelism
+        ranged = filtered.repartitionByRange(n_part, "tso").sortWithinPartitions("tso")
+        with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+        counts = dict(
+            (r["_pid"], r["cnt"])
+            for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        )
+        base, acc = {}, self._offset
+        for pid in sorted(counts):
+            base[pid] = acc
+            acc += counts[pid]
+        base_map = (
+            F.create_map(*[F.lit(x) for kv in base.items() for x in kv])
+            if base
+            else F.create_map()
+        )
+        w_off = F.row_number().over(Window.partitionBy("_pid").orderBy("tso")) - 1
         out = (
-            ordered.withColumn("offset", (w_off + F.lit(self._offset)).cast("long"))
+            with_pid.withColumn(
+                "offset", (w_off + F.coalesce(base_map[F.col("_pid")], F.lit(0))).cast("long")
+            )
             .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))
+            .drop("_pid")
         )
         # disorder check on the raw batch, against what was already emitted
         # (hard error in the reference — LogEventMerger.java:136-141). A
@@ -186,13 +209,15 @@ class BinlogSink:
             self.disorder_errors.append(
                 f"batch {batch_id}: min tso {stats['raw_mn']} < last emitted {self._last_tso}"
             )
-        ostats = out.agg(F.max("tso").alias("mx"), F.count(F.lit(1)).alias("n")).collect()[0]
-        if ostats["n"] == 0:
-            return
-        stats = {"n": ostats["n"], "mx": ostats["mx"]}
-        out.write.mode("append").partitionBy("file_seq").parquet(self.out_dir)
-        self._offset += stats["n"]
-        self._last_tso = max(self._last_tso, stats["mx"])
+        try:
+            ostats = out.agg(F.max("tso").alias("mx"), F.count(F.lit(1)).alias("n")).collect()[0]
+            if ostats["n"] == 0:
+                return
+            out.write.mode("append").partitionBy("file_seq").parquet(self.out_dir)
+            self._offset += ostats["n"]
+            self._last_tso = max(self._last_tso, ostats["mx"])
+        finally:
+            with_pid.unpersist()
 
 
 def with_stream_metrics(cdc_stream: DataFrame, name: str = "cdc_metrics") -> DataFrame:
