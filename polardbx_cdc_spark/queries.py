@@ -1030,6 +1030,53 @@ def cdc_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling (§1.2: JSON transported as string, typed on
+    demand via get_json_object — JsonField.java / JsonRepairUtil.java)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k_mod", k % 10)
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_date_format_roundtrip",
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour_str,
+           count(*) AS n,
+           min(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS parsed_back
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def events_date_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date parse/format surface (rpl/common/DateParseUtil.java,
+    CalendarUtil.java): format → group → parse back."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.withColumn("hour_str", F.date_format("ts", "yyyy-MM-dd HH"))
+        .groupBy("hour_str")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.date_trunc("hour", F.col("ts"))).alias("parsed_back"),
+        )
+    )
+
+
+@register(
     "events_rollup_hierarchy",
     """
     SELECT coalesce(event_type, 'ALL') AS event_type,
