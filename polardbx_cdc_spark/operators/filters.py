@@ -130,3 +130,21 @@ def replica_filter(df: DataFrame, cfg: ReplicaFilterConfig) -> DataFrame:
 def flashback_filter(df: DataFrame, db: str, tbl: str) -> DataFrame:
     """Keep only the recovery-target table (rpl/filter/FlashBackFilter.java:35-98)."""
     return df.filter((F.col("db") == db) & (F.col("tbl") == tbl))
+
+
+def data_import_filter(df: DataFrame, import_map: dict[str, tuple[str, str]]) -> DataFrame:
+    """Data-import routing filter (rpl/filter/DataImportFilter.java:126):
+    keep only tables in the import map and rewrite each to its target
+    (db, tbl). ``import_map``: "src_db.src_tbl" -> (dst_db, dst_tbl)."""
+    full = F.concat_ws(".", F.col("db"), F.col("tbl"))
+    kept = df.filter(full.isin(list(import_map)))
+    dst_db, dst_tbl = F.col("db"), F.col("tbl")
+    for src, (ddb, dtbl) in import_map.items():
+        dst_db = F.when(full == src, F.lit(ddb)).otherwise(dst_db)
+        dst_tbl = F.when(full == src, F.lit(dtbl)).otherwise(dst_tbl)
+    # single projection: both rewrites must see the ORIGINAL db/tbl
+    cols = [
+        dst_db.alias("db") if c == "db" else dst_tbl.alias("tbl") if c == "tbl" else F.col(c)
+        for c in df.columns
+    ]
+    return kept.select(*cols)

@@ -137,6 +137,30 @@ def cdc_replica_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("db", "tbl").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "cdc_data_import_filter",
+    oracle_cdc_query(
+        """
+        SELECT CASE WHEN db || '.' || tbl IN ('db0.t0', 'db1.t2') THEN 'dst' ELSE db END AS db,
+               CASE WHEN db || '.' || tbl = 'db0.t0' THEN 'orders_imported'
+                    WHEN db || '.' || tbl = 'db1.t2' THEN 'events_imported'
+                    ELSE tbl END AS tbl,
+               count(*) AS n
+        FROM cdc
+        WHERE db || '.' || tbl IN ('db0.t0', 'db1.t2')
+        GROUP BY 1, 2
+        """
+    ),
+)
+def cdc_data_import_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-import map routing (rpl/filter/DataImportFilter.java:126)."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    routed = filters.data_import_filter(
+        cdc, {"db0.t0": ("dst", "orders_imported"), "db1.t2": ("dst", "events_imported")}
+    )
+    return routed.groupBy("db", "tbl").agg(F.count(F.lit(1)).alias("n"))
+
+
 # --------------------------------------------------------------------------
 # Merge / transaction semantics (SURVEY §2.4, §2.6)
 # --------------------------------------------------------------------------
