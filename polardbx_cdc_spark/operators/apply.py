@@ -44,6 +44,47 @@ def last_image(df: DataFrame, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> Da
     )
 
 
+def last_image_salted(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("db", "tbl", "pk"),
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant last-image collapse for zipf-hot PKs.
+
+    The plain groupBy sends every event of a hot key to ONE reducer. The
+    collapse is associative (max/max_by/min_by/count all are), so it splits
+    into two stages: stage 1 groups by (keys, salt) — a hot key fans out
+    across ``salt_buckets`` reducers — stage 2 merges the tiny per-salt
+    partials. Same result as ``last_image`` (asserted in tests), bounded
+    reducer load at any skew.
+    """
+    ord_col = F.col(_ORD)
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*[F.col(k) for k in keys], F.col("_salt"))
+        .agg(
+            F.max(_ORD).alias("p_last_tso"),
+            F.max_by("action", ord_col).alias("p_last_action"),
+            F.min_by("action", ord_col).alias("p_first_action"),
+            F.min(_ORD).alias("p_first_tso"),
+            F.count(F.lit(1)).alias("p_n"),
+            F.max_by("value", ord_col).alias("p_value"),
+        )
+    )
+    p_ord = F.col("p_last_tso")
+    return (
+        stage1.groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.max("p_last_tso").alias("last_tso"),
+            F.max_by("p_last_action", p_ord).alias("last_action"),
+            F.min_by("p_first_action", F.col("p_first_tso")).alias("first_action"),
+            F.sum("p_n").alias("n_changes"),
+            F.max_by("p_value", p_ord).alias("value"),
+        )
+    )
+
+
 def collapse_ops(df: DataFrame, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> DataFrame:
     """Last-image merge with action rewrite (MergeTransactionApplier.java:50-105):
     chain ends in DELETE → one DELETE; chain started with INSERT → one

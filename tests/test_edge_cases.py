@@ -1,0 +1,112 @@
+"""Edge-case suites (SURVEY §5 item 5: BigEventTest / BigTransTest /
+special-characters flavor) + skew-path equivalence."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import duckdb
+from pyspark.sql import functions as F
+
+from polardbx_cdc_spark.operators import apply as apply_ops
+from polardbx_cdc_spark.operators import appliers
+from polardbx_cdc_spark.tso import make_tso
+
+
+def _mk_cdc(spark, rows):
+    df = spark.createDataFrame(
+        rows, "phys long, txn_id long, seq long, action string, db string, tbl string, pk string, value double"
+    )
+    return (
+        df.withColumn("tso", make_tso(F.col("phys"), F.col("txn_id"), F.col("seq")))
+        .withColumn("source_id", F.concat(F.lit("dn-"), (F.col("txn_id") % 2).cast("string")))
+        .drop("phys")
+    )
+
+
+def test_big_transaction_collapse(spark):
+    """BigTransTest flavor: one 100k-row transaction on one PK collapses
+    correctly (the hot-key path) and the salted variant agrees exactly."""
+    n = 100_000
+    rows = [(1_000_000, 0, s, "UPDATE" if s else "INSERT", "d", "t", "hot", float(s)) for s in range(n)]
+    rows += [(2_000_000, 1, 0, "UPDATE", "d", "t", "cold", 42.0)]
+    df = _mk_cdc(spark, rows).repartition(16)
+
+    plain = {tuple(r[k] for k in ("db", "tbl", "pk")): r.asDict() for r in apply_ops.last_image(df).collect()}
+    salted = {tuple(r[k] for k in ("db", "tbl", "pk")): r.asDict() for r in apply_ops.last_image_salted(df).collect()}
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert plain[k] == salted[k], k
+    hot = plain[("d", "t", "hot")]
+    assert hot["n_changes"] == n
+    assert hot["first_action"] == "INSERT" and hot["last_action"] == "UPDATE"
+    assert hot["value"] == float(n - 1)
+
+
+def test_big_transaction_assembly(spark):
+    """One transaction spanning 100k events assembles into one complete
+    token (TxnBuffer spill path in the reference; a counter here)."""
+    from polardbx_cdc_spark.operators import merge
+
+    n = 100_000
+    rows = [(1_000_000, 7, s, "INSERT", "d", "t", str(s), 0.0) for s in range(n)]
+    df = _mk_cdc(spark, rows).repartition(16)
+    tok = merge.assemble_transactions(df).collect()
+    assert len(tok) == 1
+    t = tok[0]
+    assert t["txn_size"] == n and t["complete"] and t["n_parties"] == 1
+
+
+def test_special_characters_end_to_end(spark):
+    """Unicode / quotes / separators survive checksum parity (vs DuckDB on
+    the same parquet) and DML rendering escapes correctly."""
+    texts = [
+        "naïve — café ☕ 中文 🚀",
+        "O'Brien said \"hi\"",
+        "comma,separated|pipe\\backslash",
+        "line\nbreak\ttab",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, s string")
+    d = tempfile.mkdtemp(prefix="special_chars_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        spark_sums = {
+            r["id"]: r["h"]
+            for r in df.select(
+                "id",
+                F.conv(F.substring(F.md5(F.concat_ws(",", F.col("s"))), 1, 8), 16, 10)
+                .cast("long")
+                .alias("h"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        duck_sums = dict(
+            con.execute(
+                f"SELECT id, CAST(('0x' || substr(md5(concat_ws(',', s)), 1, 8)) AS BIGINT) "
+                f"FROM read_parquet('{d}/*.parquet')"
+            ).fetchall()
+        )
+        assert spark_sums == duck_sums
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # DML rendering: quotes escaped, unicode passes through
+    ops = spark.createDataFrame(
+        [("d", "t", "O'Brien", "INSERT", 1.0), ("d", "t", "中文'😀", "DELETE", 0.0)],
+        "db string, tbl string, pk string, op string, value double",
+    )
+    sqls = {r["pk"]: r["sql_text"] for r in appliers.render_dml(ops).collect()}
+    assert "VALUES ('O''Brien', 1.0)" in sqls["O'Brien"]
+    assert "WHERE pk = '中文''😀'" in sqls["中文'😀"]
+
+
+def test_empty_and_single_row_inputs(spark):
+    """Boundary sizes: empty frame and single event through the collapse."""
+    empty = _mk_cdc(spark, []).filter(F.lit(False))
+    assert apply_ops.collapse_ops(empty).count() == 0
+    one = _mk_cdc(spark, [(1, 0, 0, "DELETE", "d", "t", "x", 1.0)])
+    out = apply_ops.collapse_ops(one).collect()
+    assert len(out) == 1 and out[0]["op"] == "DELETE"
+    assert apply_ops.replay_to_state(one).count() == 0
