@@ -20,10 +20,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: replay the CDC stream (derived from ``events``) to its
-    surviving final state — source → filter chain → last-image merge →
-    applied state, the reference's core pipeline in one DataFrame plan."""
-    return Q.cdc_replay_state(spark, SMOKE_SF_DIR)
+    """Flagship: the complete replica pipeline in one DataFrame plan —
+    source → accept/blacklist/replica filters + db rewrite → last-image
+    merge → rendered downstream DML (SURVEY §3.3)."""
+    return Q.cdc_full_pipeline(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

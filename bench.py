@@ -19,6 +19,7 @@ from polardbx_cdc_spark import queries as Q  # noqa: E402
 from polardbx_cdc_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    "cdc_full_pipeline",
     "cdc_replay_state",
     "cdc_last_image",
     "cdc_txn_assemble",

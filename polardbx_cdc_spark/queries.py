@@ -566,6 +566,59 @@ def cdc_flashback_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flashback.flashback_sql(target)
 
 
+@register(
+    "cdc_full_pipeline",
+    oracle_cdc_query(
+        """
+        , kept AS (
+          SELECT * FROM cdc
+          WHERE action IN ('INSERT', 'UPDATE', 'DELETE')
+            AND db IN ('db0', 'db1')
+            AND NOT regexp_matches(db || '.' || tbl, '^db1\\.t4$')
+        ), rewritten AS (
+          SELECT CASE WHEN db = 'db0' THEN 'replica0' ELSE db END AS db,
+                 tbl, pk, tso, action, value
+          FROM kept
+        ), li AS (
+          SELECT db, tbl, pk,
+                 CASE WHEN arg_max(action, tso) = 'DELETE' THEN 'DELETE'
+                      WHEN arg_min(action, tso) = 'INSERT' THEN 'INSERT'
+                      ELSE 'UPDATE' END AS op,
+                 arg_max(value, tso) AS value
+          FROM rewritten GROUP BY db, tbl, pk
+        )
+        SELECT db, tbl, pk, op,
+               CASE WHEN op = 'DELETE' THEN
+                      'DELETE FROM ' || db || '.' || tbl || ' WHERE pk = ''' || replace(pk, '''', '''''') || ''''
+                    WHEN op = 'INSERT' THEN
+                      'REPLACE INTO ' || db || '.' || tbl || ' (pk, value) VALUES (''' || replace(pk, '''', '''''') || ''', ' || CAST(value AS VARCHAR) || ')'
+                    ELSE
+                      'UPDATE ' || db || '.' || tbl || ' SET value = ' || CAST(value AS VARCHAR) || ' WHERE pk = ''' || replace(pk, '''', '''''') || ''''
+               END AS sql_text
+        FROM li
+        """
+    ),
+)
+def cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition — the complete RPL replica pipeline in one plan
+    (SURVEY §3.3): accept filter → blacklist → replica filter + db rewrite
+    → last-image merge → rendered downstream DML. One shuffle total (the
+    collapse); everything else stays in the scan's codegen stage."""
+    from polardbx_cdc_spark.operators import appliers
+
+    cdc = derive_cdc_stream(spark, sf_dir)
+    kept = filters.accept_filter(
+        cdc, actions=["INSERT", "UPDATE", "DELETE"], dbs=["db0", "db1"]
+    )
+    kept = filters.blacklist_filter(kept, [r"^db1\.t4$"])
+    cfg = filters.ReplicaFilterConfig(rewrite_dbs={"db0": "replica0"})
+    rewritten = filters.replica_filter(kept, cfg)
+    ops = apply_ops.collapse_ops(rewritten)
+    return appliers.render_dml(ops, insert_mode="REPLACE").select(
+        "db", "tbl", "pk", "op", "sql_text"
+    )
+
+
 # --------------------------------------------------------------------------
 # Validation / checksums (SURVEY §2.5)
 # --------------------------------------------------------------------------
@@ -990,6 +1043,49 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(cents.alias("_c"))
         .filter(F.col("_c") > 150 * 100)
         .select("o_orderkey", (F.col("_c").cast("double") / 100).alias("total_qty"))
+    )
+
+
+@register(
+    "cheapest_part_per_type",
+    """
+    SELECT p_type, p_partkey, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_type = p.p_type)
+    """,
+)
+def cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated min-subquery (Spark side: broadcast the
+    per-group min back — no correlated re-execution)."""
+    p = load_table(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_type").alias("t")).agg(F.min("p_retailprice").alias("m"))
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_type == mins.t) & (p.p_retailprice == mins.m),
+        )
+        .select("p_type", "p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "events_distinct_stats",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def events_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates in one pass (Expand operator)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
