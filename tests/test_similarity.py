@@ -1,0 +1,38 @@
+"""Similarity-search internal consistency: the three ANN paths against the
+exact baseline, and the Arrow/NumPy path against the expression path."""
+
+from __future__ import annotations
+
+from polardbx_cdc_spark.functions import similarity
+from polardbx_cdc_spark.session import load_table
+
+SF = "/root/testdata/sf0.01"
+QIDS = list(range(10))
+
+
+def _pairs(rows):
+    return {(r["query_id"], r["rank"], r["nbr_id"]) for r in rows}
+
+
+def test_pandas_matmul_path_equals_expression_path(spark):
+    """Same exact algorithm, two engines (Catalyst expr vs NumPy BLAS):
+    identical ranked neighbors; sims equal to 1e-6 (rounding grain)."""
+    e = load_table(spark, SF, "embeddings")
+    expr = similarity.cosine_topk(e, QIDS, k=5).collect()
+    pnd = similarity.cosine_topk_pandas(e, QIDS, k=5).collect()
+    assert _pairs(expr) == _pairs(pnd)
+    sims_e = {(r["query_id"], r["nbr_id"]): r["cos_sim"] for r in expr}
+    sims_p = {(r["query_id"], r["nbr_id"]): r["cos_sim"] for r in pnd}
+    for key in sims_e:
+        assert abs(sims_e[key] - sims_p[key]) <= 1e-6, key
+
+
+def test_ann_paths_recall_floor(spark):
+    """IVF and multi-table LSH must each keep recall@5 above a floor on the
+    real embeddings (guards against silently broken bucketing)."""
+    e = load_table(spark, SF, "embeddings")
+    exact = {(r["query_id"], r["nbr_id"]) for r in similarity.cosine_topk(e, QIDS, k=5).collect()}
+    ivf = {(r["query_id"], r["nbr_id"]) for r in similarity.ivf_topk(e, QIDS, k=5).collect()}
+    lsh = {(r["query_id"], r["nbr_id"]) for r in similarity.lsh_bucket_topk(e, QIDS, k=5).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.4, "IVF recall collapsed"
+    assert len(exact & lsh) / len(exact) >= 0.4, "LSH recall collapsed"
