@@ -10,11 +10,17 @@ thin driver-facing adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from polardbx_cdc_spark import queries as Q
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:  # loadable from any cwd
+    sys.path.insert(0, _REPO_ROOT)
+
+from polardbx_cdc_spark import queries as Q  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
