@@ -220,6 +220,110 @@ class BinlogSink:
             with_pid.unpersist()
 
 
+class BinlogXSink:
+    """Binlog-X multi-stream final stage: per-stream ordered, rotated
+    output (BinlogKWayMerger.java:63-83 + per-stream dumpers writing
+    group1_stream_N_binlog.* — docs binlog-commands-intro.md:169).
+
+    Input batches carry ``stream_id``; each stream gets independent dense
+    offsets and file rotation, written in one pass partitioned by
+    (stream_id, file_seq). Ordering is per-stream (the reference's relaxed
+    guarantee), so all streams proceed in parallel — no global sort at all.
+    """
+
+    def __init__(self, out_dir: str, rotate_rows: int = 10_000) -> None:
+        self.out_dir = out_dir
+        self.rotate_rows = rotate_rows
+        self._offsets: dict[int, int] = {}
+        self._last_tso: dict[int, str] = {}
+        self.disorder_errors: list[str] = []
+
+    def recover(self, spark) -> None:
+        import os
+
+        if os.path.isdir(self.out_dir) and any(
+            f.startswith("stream_id=") for f in os.listdir(self.out_dir)
+        ):
+            existing = spark.read.parquet(self.out_dir)
+            for r in (
+                existing.groupBy("stream_id")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("tso").alias("mx"))
+                .collect()
+            ):
+                self._offsets[r["stream_id"]] = r["n"]
+                self._last_tso[r["stream_id"]] = r["mx"]
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            # per-stream seekLastTso dedup
+            if self._last_tso:
+                spark = batch_df.sparkSession
+                wm = spark.createDataFrame(
+                    [(k, v) for k, v in self._last_tso.items()], "stream_id int, _wm string"
+                )
+                filtered = (
+                    batch_df.join(F.broadcast(wm), "stream_id", "left")
+                    .filter(F.col("_wm").isNull() | (F.col("tso") > F.col("_wm")))
+                    .drop("_wm")
+                )
+            else:
+                filtered = batch_df
+            # per-stream dense offsets: one window partitioned by stream —
+            # parallel across streams (each stream is one reducer, the
+            # reference's per-stream single-threaded dumper)
+            w = Window.partitionBy("stream_id").orderBy("tso")
+            if self._offsets:
+                base = F.create_map(*[F.lit(x) for kv in self._offsets.items() for x in kv])
+                shift = F.coalesce(base[F.col("stream_id")], F.lit(0))
+            else:
+                shift = F.lit(0)
+            out = (
+                filtered.withColumn(
+                    "offset",
+                    (F.row_number().over(w) - 1 + shift).cast("long"),
+                )
+                .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))
+            )
+            stats = (
+                out.groupBy("stream_id")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("tso").alias("mx"))
+                .collect()
+            )
+            if not stats:
+                return
+            out.write.mode("append").partitionBy("stream_id", "file_seq").parquet(self.out_dir)
+            for r in stats:
+                sid = r["stream_id"]
+                self._offsets[sid] = self._offsets.get(sid, 0) + r["n"]
+                self._last_tso[sid] = max(self._last_tso.get(sid, ""), r["mx"])
+        finally:
+            batch_df.unpersist()
+
+
+def run_binlog_x_pipeline(
+    cdc_stream: DataFrame,
+    routing_cfg,
+    out_dir: str,
+    checkpoint_dir: str,
+    rotate_rows: int = 10_000,
+):
+    """Binlog-X: route the CDC stream to N output streams, sink each with
+    independent per-stream ordering + rotation. Returns (query, sink)."""
+    from polardbx_cdc_spark.operators import routing
+
+    routed = routing.assign_stream(cdc_stream, routing_cfg)
+    sink = BinlogXSink(out_dir, rotate_rows)
+    sink.recover(cdc_stream.sparkSession)
+    q = (
+        routed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink
+
+
 def with_stream_metrics(cdc_stream: DataFrame, name: str = "cdc_metrics") -> DataFrame:
     """Per-batch counters + delay gauge via the observe() API — the
     reference's stage metrics (MergeMetrics; delay computed at

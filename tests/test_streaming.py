@@ -370,6 +370,38 @@ def test_split_parallel_apply_partitioning(spark):
     assert pk_changed.filter(F.col("apply_partition") != 0).count() == 0
 
 
+def test_binlog_x_per_stream_order(spark, tmpdir):
+    """Binlog-X final stage: each output stream gets dense 0..n_s-1 offsets
+    in TSO order, independently rotated files; union of streams == input."""
+    from polardbx_cdc_spark.operators import routing
+
+    cfg = routing.StreamRoutingConfig(stream_count=4)
+    q, sink = pipeline.run_binlog_x_pipeline(
+        source.cdc_stream(spark, SF), cfg, tmpdir + "/out", tmpdir + "/ckpt", rotate_rows=100
+    )
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(tmpdir + "/out")
+    assert written.count() == 1000
+    for sid_row in written.select("stream_id").distinct().collect():
+        sid = sid_row["stream_id"]
+        rows = written.filter(F.col("stream_id") == sid).orderBy("offset").collect()
+        assert [r["offset"] for r in rows] == list(range(len(rows))), f"stream {sid} offsets"
+        tsos = [r["tso"] for r in rows]
+        assert tsos == sorted(tsos), f"stream {sid} order"
+        assert all(r["file_seq"] == r["offset"] // 100 for r in rows), f"stream {sid} rotation"
+
+    # recovery with checkpoint loss: per-stream seekLastTso dedup
+    import shutil
+
+    shutil.rmtree(tmpdir + "/ckpt")
+    q2, sink2 = pipeline.run_binlog_x_pipeline(
+        source.cdc_stream(spark, SF), cfg, tmpdir + "/out", tmpdir + "/ckpt", rotate_rows=100
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(tmpdir + "/out").count() == 1000, "replay duplicated rows"
+
+
 def test_streaming_exactly_once_dedup(spark, tmpdir):
     """dropDuplicatesWithinWatermark: replaying the same event_ids through
     the stream yields each key once (idempotent ingest — the dedup the
