@@ -132,6 +132,25 @@ class LogicalTopology:
             self.phys_to_logic[s] = (logic_db, logic_tbl)
 
 
+def typed_images(df, column_types: dict[str, str], image_col: str = "after"):
+    """Type the string-transported image map into a typed struct
+    (§1.2: the reference transports MySQL-serialized values and types them
+    at apply time — rpl/extractor/LogEventConvert.java:180-226).
+
+    ``column_types``: column → MySQL type declaration. Output adds
+    ``{image_col}_typed`` struct with faithful Spark types (unsigned
+    widening, decimal fidelity, zone-less datetime, …)."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.types import mysql_cast
+
+    fields = [
+        mysql_cast(F.col(image_col).getItem(name), mysql_t).alias(name)
+        for name, mysql_t in column_types.items()
+    ]
+    return df.withColumn(f"{image_col}_typed", F.struct(*fields))
+
+
 def rebuild_events(df, topo: LogicalTopology, registry: SchemaRegistry, at_tso: str):
     """The central physical→logical projection (SURVEY §2.3 'rebuild'):
     map physical table names to logical ones, prune the after/before images

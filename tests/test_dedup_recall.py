@@ -1,0 +1,73 @@
+"""Dedup quality guards: injected near-duplicates must be FOUND (recall),
+and distinct documents must not collapse (precision floor). Guards the
+MinHash/LSH/SimHash parameters against silent degradation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polardbx_cdc_spark.functions import dedupe
+from polardbx_cdc_spark.meta import typed_images
+from polardbx_cdc_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _with_injected_dups(spark, n_dups=20):
+    """Corpus + near-duplicates: copy of doc i with its 2nd token doubled
+    (high Jaccard, not identical). Dup id = orig id + 100000."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    originals = docs.filter(F.col("doc_id") < n_dups)
+    dups = originals.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.split(F.col("text"), r"\s+")[1]).alias("text"),
+    )
+    return docs.unionByName(dups), n_dups
+
+
+def test_minhash_lsh_finds_injected_near_dups(spark):
+    corpus, n_dups = _with_injected_dups(spark)
+    cands = dedupe.minhash_lsh_candidates(corpus, num_hashes=16, bands=8)
+    verified = dedupe.ngram_jaccard_pairs(corpus, cands)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in verified.filter(F.col("jaccard_sim") >= 0.5).collect()
+    }
+    expected = {(i, i + 100_000) for i in range(n_dups)}
+    recall = len(found & expected) / n_dups
+    assert recall >= 0.9, f"minhash recall {recall}: {sorted(expected - found)[:5]}"
+    # every reported pair is jaccard-verified ≥ 0.5 (the synthetic corpus's
+    # small vocabulary makes additional genuinely-similar pairs legitimate,
+    # so recall — not the pair count — is the guard)
+    assert verified.filter(F.col("jaccard_sim") >= 0.5).count() == len(found)
+
+
+def test_exact_dedup_finds_identical_not_near(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    ident = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(ident)
+    groups = dedupe.exact_dedup(corpus)
+    dup_groups = groups.filter(F.col("group_size") >= 2)
+    assert dup_groups.count() == 10  # identical copies collapse
+    # keeper is the original (min id)
+    assert dup_groups.filter(F.col("keep_id") >= 200_000).count() == 0
+
+
+def test_typed_images_from_cdc_envelope(spark):
+    """types.py wired into the CDC envelope: string map → typed struct."""
+    rows = [
+        ({"qty": "300", "price": "19.995", "flag": "1", "big": "18446744073709551615"},),
+        ({"qty": "-5", "price": "0.001", "flag": "0", "big": "0"},),
+    ]
+    df = spark.createDataFrame(rows, "after map<string,string>")
+    out = typed_images(
+        df,
+        {"qty": "int", "price": "decimal(10,3)", "flag": "tinyint(1)", "big": "bigint unsigned"},
+    )
+    schema = {f.name: f.dataType.simpleString() for f in out.schema["after_typed"].dataType.fields}
+    assert schema == {"qty": "int", "price": "decimal(10,3)", "flag": "boolean", "big": "decimal(20,0)"}
+    got = out.select("after_typed.*").orderBy("qty").collect()
+    assert got[0]["qty"] == -5 and got[0]["flag"] is False
+    assert str(got[1]["price"]) == "19.995" and str(got[1]["big"]) == "18446744073709551615"
