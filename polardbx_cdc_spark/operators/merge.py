@@ -72,6 +72,45 @@ def assemble_transactions(df: DataFrame) -> DataFrame:
     )
 
 
+def frame_transactions(df: DataFrame) -> DataFrame:
+    """Add BEGIN/COMMIT framing rows around each transaction
+    (LogFileGenerator.writeBegin :624 / writeCommit :713 — the binlog's
+    txn envelope). Output = events ∪ frames with ``frame_rank``
+    (0=BEGIN, 1=event, 2=COMMIT) and ``txn_commit_tso`` columns.
+
+    Transactions are emitted WHOLE, ordered by commit TSO — interleaved
+    event times across concurrent transactions do not interleave the output
+    (the reference's Sorter releases txns in commit order, Sorter.java:43-130,
+    and the dumper writes them contiguously). Sort key for the file layout:
+    ``(txn_commit_tso, frame_rank, tso)``. One groupBy for the boundaries
+    (map-side combinable) + one join; no per-row state.
+    """
+    bounds = df.groupBy("txn_id").agg(
+        F.min("tso").alias("begin_tso"), F.max("tso").alias("txn_commit_tso")
+    )
+    ev_cols = [c for c in df.columns if c != "txn_id"]
+
+    def frame_rows(kind: str, tso_col: str, rank: int) -> DataFrame:
+        row = bounds.select(
+            F.col(tso_col).alias("tso"),
+            F.col("txn_id"),
+            F.col("txn_commit_tso"),
+            *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in ev_cols if c != "tso"],
+        )
+        return row.withColumn("action", F.lit(kind)).withColumn(
+            "frame_rank", F.lit(rank).cast("int")
+        )
+
+    events = df.join(bounds.select("txn_id", "txn_commit_tso"), "txn_id").withColumn(
+        "frame_rank", F.lit(1).cast("int")
+    )
+    begins = frame_rows("BEGIN", "begin_tso", 0)
+    commits = frame_rows("COMMIT", "txn_commit_tso", 2)
+    return events.unionByName(begins.select(events.columns)).unionByName(
+        commits.select(events.columns)
+    )
+
+
 def heartbeat_epochs(df: DataFrame, epoch: str = "1 hour") -> DataFrame:
     """Epoch alignment report (HeartBeatWindow.java:30-71; emission gated on
     all sources reaching the epoch — LogEventMerger.checkHeartbeatWindow:203-236).

@@ -130,9 +130,10 @@ class BinlogSink:
     batches already written are skipped (idempotent by batch_id).
     """
 
-    def __init__(self, out_dir: str, rotate_rows: int = 10_000) -> None:
+    def __init__(self, out_dir: str, rotate_rows: int = 10_000, frame_txns: bool = False) -> None:
         self.out_dir = out_dir
         self.rotate_rows = rotate_rows
+        self.frame_txns = frame_txns  # BEGIN/COMMIT envelope rows
         self._offset = 0
         self._last_tso = ""
         self._seen_batches: set[int] = set()
@@ -174,9 +175,19 @@ class BinlogSink:
         # partition i+1), sort within partitions in parallel, then shift
         # each partition by the cumulative count of its predecessors. The
         # only serial step is a tiny per-partition-count collect.
+        if self.frame_txns:
+            from polardbx_cdc_spark.operators.merge import frame_transactions
+
+            filtered = frame_transactions(filtered)
+            # whole transactions in commit order (Sorter.java semantics)
+            sort_keys = ["txn_commit_tso", "frame_rank", "tso"]
+            range_key = "txn_commit_tso"
+        else:
+            sort_keys = ["tso"]
+            range_key = "tso"
         spark = batch_df.sparkSession
         n_part = spark.sparkContext.defaultParallelism
-        ranged = filtered.repartitionByRange(n_part, "tso").sortWithinPartitions("tso")
+        ranged = filtered.repartitionByRange(n_part, range_key).sortWithinPartitions(*sort_keys)
         with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
         counts = dict(
             (r["_pid"], r["cnt"])
@@ -191,7 +202,7 @@ class BinlogSink:
             if base
             else F.create_map()
         )
-        w_off = F.row_number().over(Window.partitionBy("_pid").orderBy("tso")) - 1
+        w_off = F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_keys)) - 1
         out = (
             with_pid.withColumn(
                 "offset", (w_off + F.coalesce(base_map[F.col("_pid")], F.lit(0))).cast("long")
@@ -344,6 +355,7 @@ def run_binlog_pipeline(
     checkpoint_dir: str,
     rotate_rows: int = 10_000,
     max_files_per_trigger: int | None = None,
+    frame_txns: bool = False,
 ):
     """The flagship streaming query: CDC stream → epoch-ordered rotated
     binlog sink, Trigger.AvailableNow (bounded replay in tests; remove the
@@ -353,7 +365,7 @@ def run_binlog_pipeline(
     bounds per-batch intake; on a Kafka source the same knob is
     ``maxOffsetsPerTrigger``. Backpressure beyond that is the engine's job.
     """
-    sink = BinlogSink(out_dir, rotate_rows)
+    sink = BinlogSink(out_dir, rotate_rows, frame_txns=frame_txns)
     sink.recover(cdc_stream.sparkSession)
     observed = with_stream_metrics(cdc_stream)
     writer = observed.writeStream.foreachBatch(sink).option(

@@ -102,6 +102,30 @@ def test_special_characters_end_to_end(spark):
     assert "WHERE pk = '中文''😀'" in sqls["中文'😀"]
 
 
+def test_framing_interleaved_transactions(spark):
+    """Two transactions whose event times interleave must still frame as
+    whole contiguous blocks in commit order (Sorter.java release order)."""
+    from polardbx_cdc_spark.operators.merge import frame_transactions
+
+    # txn 0: events at t=10,30,50 (commit 50); txn 1: events at 20,40 (commit 40)
+    rows = [
+        (10, 0, 0, "INSERT", "d", "t", "a", 1.0),
+        (30, 0, 1, "UPDATE", "d", "t", "a", 2.0),
+        (50, 0, 2, "UPDATE", "d", "t", "a", 3.0),
+        (20, 1, 0, "INSERT", "d", "t", "b", 9.0),
+        (40, 1, 1, "UPDATE", "d", "t", "b", 8.0),
+    ]
+    df = _mk_cdc(spark, rows)
+    framed = frame_transactions(df)
+    ordered = framed.orderBy("txn_commit_tso", "frame_rank", "tso").collect()
+    layout = [(r["action"], r["txn_id"]) for r in ordered]
+    # txn 1 commits first (40 < 50) → its whole block precedes txn 0's
+    assert layout == [
+        ("BEGIN", 1), ("INSERT", 1), ("UPDATE", 1), ("COMMIT", 1),
+        ("BEGIN", 0), ("INSERT", 0), ("UPDATE", 0), ("UPDATE", 0), ("COMMIT", 0),
+    ], layout
+
+
 def test_empty_and_single_row_inputs(spark):
     """Boundary sizes: empty frame and single event through the collapse."""
     empty = _mk_cdc(spark, []).filter(F.lit(False))

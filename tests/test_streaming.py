@@ -370,6 +370,36 @@ def test_split_parallel_apply_partitioning(spark):
     assert pk_changed.filter(F.col("apply_partition") != 0).count() == 0
 
 
+def test_binlog_sink_txn_framing(spark, tmpdir):
+    """BEGIN/COMMIT envelope (LogFileGenerator.writeBegin/writeCommit):
+    every txn appears as BEGIN, events…, COMMIT contiguously in offset
+    order; frame counts match txn count."""
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, SF), tmpdir + "/out", tmpdir + "/ckpt",
+        rotate_rows=10_000, frame_txns=True,
+    )
+    q.awaitTermination(120)
+    written = spark.read.parquet(tmpdir + "/out")
+    n_txn = 200  # 1000 events / 5 per txn
+    counts = {r["action"]: r["n"] for r in written.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["BEGIN"] == n_txn and counts["COMMIT"] == n_txn
+    assert sum(counts.values()) == 1000 + 2 * n_txn
+
+    rows = written.select("offset", "action", "txn_id").orderBy("offset").collect()
+    # framing grammar: BEGIN -> events -> COMMIT, same txn_id throughout
+    state, cur_txn = "idle", None
+    for r in rows:
+        if state == "idle":
+            assert r["action"] == "BEGIN", r
+            state, cur_txn = "open", r["txn_id"]
+        elif r["action"] == "COMMIT":
+            assert r["txn_id"] == cur_txn, r
+            state = "idle"
+        else:
+            assert r["action"] in ("INSERT", "UPDATE", "DELETE") and r["txn_id"] == cur_txn, r
+    assert state == "idle", "file ends inside a transaction"
+
+
 def test_binlog_x_per_stream_order(spark, tmpdir):
     """Binlog-X final stage: each output stream gets dense 0..n_s-1 offsets
     in TSO order, independently rotated files; union of streams == input."""
