@@ -58,6 +58,26 @@ def show_binlog_events(
     )
 
 
+def purge_binary_logs(spark: SparkSession, sink_dir: str, keep_from_seq: int) -> int:
+    """`PURGE BINARY LOGS TO 'binlog.N'` — drop file_seq partitions below
+    ``keep_from_seq`` (the reference purges consumed/backed-up files;
+    binlog-commands-intro.md command surface). Returns files removed.
+    Partition-dir removal: no rewrite of retained data."""
+    import os
+    import shutil
+
+    removed = 0
+    if not os.path.isdir(sink_dir):
+        return 0
+    for entry in os.listdir(sink_dir):
+        if entry.startswith("file_seq="):
+            seq = int(entry.split("=", 1)[1])
+            if seq < keep_from_seq:
+                shutil.rmtree(os.path.join(sink_dir, entry))
+                removed += 1
+    return removed
+
+
 def show_binary_streams(spark: SparkSession, routed: DataFrame) -> DataFrame:
     """Per-stream summary of a Binlog-X routed frame —
     `SHOW BINARY STREAMS` (binlog-commands-intro.md:169)."""

@@ -335,6 +335,90 @@ def run_binlog_x_pipeline(
     return q, sink
 
 
+class ReplicaTableSink:
+    """Continuously-maintained replica state table — the MERGE/REPLACE
+    applier's end state (MysqlApplier + MergeApplier, §2.11) on a lakehouse
+    layout instead of MySQL.
+
+    Per micro-batch: collapse the batch per PK, merge into the current
+    snapshot (full outer on the key), atomically swap the table directory
+    (write-new + rename — the parquet equivalent of a transactional MERGE;
+    on Delta this is literally ``MERGE INTO``). Batch atomicity gives
+    transaction atomicity because micro-batches contain whole transactions.
+
+    ORDERING CONTRACT: batches must arrive in TSO order (the upstream merge
+    stage's guarantee — LogEventMerger delivers ordered streams). The sink
+    does not keep tombstones, so an out-of-order earlier event arriving
+    after a DELETE would resurrect the row — same contract as the
+    reference's appliers, which also consume the already-merged stream.
+    """
+
+    def __init__(self, table_dir: str, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> None:
+        self.table_dir = table_dir
+        self.keys = keys
+        self._version = 0
+
+    def current(self, spark) -> DataFrame | None:
+        import os
+
+        live = os.path.join(self.table_dir, "current")
+        if os.path.isdir(live):
+            return spark.read.parquet(live)
+        return None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        from polardbx_cdc_spark.operators import apply as apply_ops
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select(*self.keys, "tso", "action", "value")
+        cur = self.current(spark)
+        if cur is None:
+            new_state = apply_ops.replay_to_state(batch, self.keys).select(
+                *self.keys, "last_tso", "value"
+            )
+        else:
+            as_events = cur.select(
+                *self.keys,
+                F.col("last_tso").alias("tso"),
+                F.lit("INSERT").alias("action"),
+                F.col("value"),
+            )
+            new_state = apply_ops.replay_to_state(
+                as_events.unionByName(batch), self.keys
+            ).select(*self.keys, "last_tso", "value")
+        staged = os.path.join(self.table_dir, f"v{self._version + 1}")
+        new_state.write.mode("overwrite").parquet(staged)
+        live = os.path.join(self.table_dir, "current")
+        tmp_old = os.path.join(self.table_dir, f"old{self._version}")
+        if os.path.isdir(live):
+            os.rename(live, tmp_old)
+        os.rename(staged, live)  # atomic swap: readers see old or new, never half
+        shutil.rmtree(tmp_old, ignore_errors=True)
+        self._version += 1
+
+
+def run_replica_pipeline(
+    cdc_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("db", "tbl", "pk"),
+    max_files_per_trigger: int | None = None,
+):
+    """Replica/data-import pipeline (SURVEY §3.3): stream → continuously
+    maintained state table. Returns (query, sink)."""
+    sink = ReplicaTableSink(table_dir, keys)
+    writer = cdc_stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if max_files_per_trigger is not None:
+        writer = writer.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    q = writer.trigger(availableNow=True).start()
+    return q, sink
+
+
 def with_stream_metrics(cdc_stream: DataFrame, name: str = "cdc_metrics") -> DataFrame:
     """Per-batch counters + delay gauge via the observe() API — the
     reference's stage metrics (MergeMetrics; delay computed at

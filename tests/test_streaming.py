@@ -370,6 +370,60 @@ def test_split_parallel_apply_partitioning(spark):
     assert pk_changed.filter(F.col("apply_partition") != 0).count() == 0
 
 
+def test_replica_table_sink_matches_batch_replay(spark, tmpdir):
+    """ReplicaTableSink across multiple micro-batches converges to exactly
+    the batch replay state (the RPL FULL→INC end state)."""
+    import glob
+    import os
+    import shutil
+
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.operators import apply as apply_ops
+
+    # stage events as 4 files so the stream runs 4 micro-batches
+    ev = spark.read.parquet(SF + "/events.parquet")
+    src = tmpdir + "/src"
+    os.makedirs(src)
+    # contiguous event_id ranges = TSO-ordered batches (the merge stage's
+    # ordered-delivery contract that appliers rely on)
+    for i in range(4):
+        part = ev.filter(F.expr(f"event_id div 250 = {i}"))
+        stage = tmpdir + f"/s{i}"
+        part.coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0], f"{src}/e{i}.parquet")
+        os.utime(f"{src}/e{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cdc = derive_cdc_stream(spark, SF, events=stream)
+    q, sink = pipeline.run_replica_pipeline(cdc, tmpdir + "/replica", tmpdir + "/ckpt")
+    q.awaitTermination(180)
+
+    got = sink.current(spark)
+    expected = apply_ops.replay_to_state(derive_cdc_stream(spark, SF)).select(
+        "db", "tbl", "pk", "last_tso", "value"
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_purge_binary_logs(spark, tmpdir):
+    from polardbx_cdc_spark import catalog
+
+    out = tmpdir + "/binlog"
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, SF), out, tmpdir + "/ckpt", rotate_rows=200
+    )
+    q.awaitTermination(120)
+    assert catalog.show_binary_logs(spark, out).count() == 5
+    removed = catalog.purge_binary_logs(spark, out, keep_from_seq=3)
+    assert removed == 3
+    logs = catalog.show_binary_logs(spark, out).collect()
+    assert [r["file_seq"] for r in logs] == [3, 4]
+    assert spark.read.parquet(out).count() == 400  # two files × 200
+
+
 def test_binlog_sink_txn_framing(spark, tmpdir):
     """BEGIN/COMMIT envelope (LogFileGenerator.writeBegin/writeCommit):
     every txn appears as BEGIN, events…, COMMIT contiguously in offset
