@@ -44,6 +44,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def read_binlog(spark: SparkSession, sink_dir: str, from_tso: str = "") -> DataFrame:
+    """Consume a BinlogSink output as a CDC frame — the downstream
+    subscriber path (CdcExtractor.java:87,225: subscribe to the global
+    binlog from a TSO). Frame rows (BEGIN/COMMIT) are stripped; ``from_tso``
+    is the starting position (partition/row-group pruned)."""
+    df = spark.read.parquet(sink_dir)
+    events = df.filter(~F.col("action").isin("BEGIN", "COMMIT"))
+    if from_tso:
+        events = events.filter(F.col("tso") > from_tso)
+    drop = [c for c in ("offset", "file_seq", "frame_rank", "txn_commit_tso") if c in df.columns]
+    return events.drop(*drop)
+
+
 def cdc_stream(spark: SparkSession, sf_dir: str, watermark: str = "10 minutes") -> DataFrame:
     """The canonical CDC stream with an event-time watermark on the TSO
     physical time — the Spark-native HeartBeatWindow: the global watermark

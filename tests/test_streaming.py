@@ -370,6 +370,33 @@ def test_split_parallel_apply_partitioning(spark):
     assert pk_changed.filter(F.col("apply_partition") != 0).count() == 0
 
 
+def test_consume_sink_roundtrip(spark, tmpdir):
+    """Sink → re-consume → replay must equal replaying the original stream
+    (stage-to-stage handoff = just DataFrames; the reference crosses gRPC
+    here). Also checks the from_tso subscription position."""
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.operators import apply as apply_ops
+
+    out = tmpdir + "/binlog"
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, SF), out, tmpdir + "/ckpt", rotate_rows=300, frame_txns=True
+    )
+    q.awaitTermination(120)
+
+    consumed = source.read_binlog(spark, out)
+    assert consumed.count() == 1000  # frames stripped
+    direct = derive_cdc_stream(spark, SF)
+    a = apply_ops.replay_to_state(consumed).select("db", "tbl", "pk", "last_tso", "value")
+    b = apply_ops.replay_to_state(direct).select("db", "tbl", "pk", "last_tso", "value")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # subscribe from a mid-stream position
+    mid_tso = consumed.orderBy("tso").limit(500).agg(F.max("tso")).collect()[0][0]
+    tail = source.read_binlog(spark, out, from_tso=mid_tso)
+    assert tail.count() == 500
+    assert tail.agg(F.min("tso")).collect()[0][0] > mid_tso
+
+
 def test_replica_table_sink_matches_batch_replay(spark, tmpdir):
     """ReplicaTableSink across multiple micro-batches converges to exactly
     the batch replay state (the RPL FULL→INC end state)."""
