@@ -1070,6 +1070,36 @@ def cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "supplier_running_revenue",
+    """
+    SELECT l_suppkey, CAST(l_shipdate AS VARCHAR) AS ship_day, day_cents,
+           sum(day_cents) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+                                ROWS UNBOUNDED PRECEDING) AS running_cents
+    FROM (
+      SELECT l_suppkey, l_shipdate,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS day_cents
+      FROM lineitem GROUP BY l_suppkey, l_shipdate
+    ) d
+    """,
+)
+def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window (rows-frame cumulative sum) over a pre-agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day = li.groupBy("l_suppkey", "l_shipdate").agg(
+        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")).alias("day_cents")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return day.select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("string").alias("ship_day"),
+        "day_cents",
+        F.sum("day_cents").over(w).alias("running_cents"),
+    )
+
+
+@register(
     "events_distinct_stats",
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

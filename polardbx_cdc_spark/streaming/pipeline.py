@@ -130,10 +130,17 @@ class BinlogSink:
     batches already written are skipped (idempotent by batch_id).
     """
 
-    def __init__(self, out_dir: str, rotate_rows: int = 10_000, frame_txns: bool = False) -> None:
+    def __init__(
+        self,
+        out_dir: str,
+        rotate_rows: int = 10_000,
+        frame_txns: bool = False,
+        strict: bool = False,
+    ) -> None:
         self.out_dir = out_dir
         self.rotate_rows = rotate_rows
         self.frame_txns = frame_txns  # BEGIN/COMMIT envelope rows
+        self.strict = strict  # disorder = hard error (reference behavior)
         self._offset = 0
         self._last_tso = ""
         self._seen_batches: set[int] = set()
@@ -164,6 +171,19 @@ class BinlogSink:
             batch_df.unpersist()
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # disorder check on the raw batch, against what was already emitted
+        # (hard error in the reference — LogEventMerger.java:136-141). A
+        # recovery replay also trips this; its rows are deduped below.
+        raw = batch_df.agg(
+            F.min("tso").alias("raw_mn"), F.count(F.lit(1)).alias("raw_n")
+        ).collect()[0]
+        if self._last_tso and raw["raw_n"] > 0 and raw["raw_mn"] < self._last_tso:
+            msg = f"batch {batch_id}: min tso {raw['raw_mn']} < last emitted {self._last_tso}"
+            self.disorder_errors.append(msg)
+            if self.strict:
+                # the reference treats TSO regression as stream corruption
+                # and halts (LogEventMerger.java:136-141)
+                raise RuntimeError(f"TSO disorder: {msg}")
         # seekLastTso recovery semantics (LogFileGenerator.java:510-545):
         # anything at or below the last durable TSO was already written —
         # a replay after checkpoint loss resumes, never duplicates.
@@ -193,15 +213,14 @@ class BinlogSink:
             (r["_pid"], r["cnt"])
             for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
         )
+        if not counts:  # pure-replay batch: everything already durable
+            with_pid.unpersist()
+            return
         base, acc = {}, self._offset
         for pid in sorted(counts):
             base[pid] = acc
             acc += counts[pid]
-        base_map = (
-            F.create_map(*[F.lit(x) for kv in base.items() for x in kv])
-            if base
-            else F.create_map()
-        )
+        base_map = F.create_map(*[F.lit(x) for kv in base.items() for x in kv])
         w_off = F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_keys)) - 1
         out = (
             with_pid.withColumn(
@@ -210,16 +229,6 @@ class BinlogSink:
             .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))
             .drop("_pid")
         )
-        # disorder check on the raw batch, against what was already emitted
-        # (hard error in the reference — LogEventMerger.java:136-141). A
-        # recovery replay also trips this; its rows are deduped above.
-        stats = batch_df.agg(
-            F.min("tso").alias("raw_mn"), F.count(F.lit(1)).alias("raw_n")
-        ).collect()[0]
-        if self._last_tso and stats["raw_n"] > 0 and stats["raw_mn"] < self._last_tso:
-            self.disorder_errors.append(
-                f"batch {batch_id}: min tso {stats['raw_mn']} < last emitted {self._last_tso}"
-            )
         try:
             ostats = out.agg(F.max("tso").alias("mx"), F.count(F.lit(1)).alias("n")).collect()[0]
             if ostats["n"] == 0:
