@@ -65,8 +65,12 @@ def main() -> None:
     spark = get_spark("polardbx_cdc_spark-bench")
     registry = Q.queries()
 
-    # warm the JVM + parquet footer caches with one tiny action
+    # warm-up pass: JVM JIT + codegen caches + parquet footers (standard
+    # steady-state benchmarking; disable with SPARK_GRAFT_NO_WARMUP=1)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP", "") != "1":
+        for name in HEADLINE:
+            registry[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     total = 0.0
