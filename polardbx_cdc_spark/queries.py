@@ -1073,11 +1073,13 @@ def cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier_running_revenue",
     """
     SELECT l_suppkey, CAST(l_shipdate AS VARCHAR) AS ship_day, day_cents,
-           sum(day_cents) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
-                                ROWS UNBOUNDED PRECEDING) AS running_cents
+           CAST(sum(day_cents) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
     FROM (
+      -- DuckDB sum(BIGINT) yields HUGEINT; cast back so the value hash
+      -- matches Spark's LongType on both day_cents and running_cents
       SELECT l_suppkey, l_shipdate,
-             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS day_cents
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS day_cents
       FROM lineitem GROUP BY l_suppkey, l_shipdate
     ) d
     """,

@@ -55,10 +55,24 @@ def get_spark(app_name: str = "polardbx_cdc_spark", cpus: int | None = None) -> 
     return spark
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet readable on ANY session, including one
+    this module didn't build (the driver's correctness harness uses a
+    vanilla SparkSession). ``nanosAsLong`` is runtime-settable; without it
+    every read of events.parquet dies with PARQUET_TYPE_ILLEGAL."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # DuckDB oracle timestamps are naive; parity needs UTC rendering.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # older/locked sessions: fall through, read may still work
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table. ``events.ts`` arrives as
     nanos-since-epoch (see nanosAsLong above); convert to a true timestamp
     with µs truncation — bit-identical to DuckDB's ns→µs read."""
+    ensure_nanos_readable(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
