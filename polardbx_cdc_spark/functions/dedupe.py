@@ -27,6 +27,25 @@ def _hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# MinHash universal-hash family: h_i(x) = (A[i]*base(x) + B[i]) mod P with
+# base(x) = md5-prefix 32-bit. ONE md5 per shingle instead of K — the
+# affine transforms are integer ops, exact in both Spark and DuckDB
+# (base < 2^32, A,B < 2^30 → products < 2^62, no BIGINT overflow).
+MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs from a fixed LCG — reproducible in SQL."""
+    params, x = [], 88172645463325252
+    for _ in range(num_hashes):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 62)
+        a = (x >> 16) % (1 << 30) | 1  # odd, nonzero
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 62)
+        b = (x >> 16) % (1 << 30)
+        params.append((a, b))
+    return params
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact near-identity dedup: normalize → fingerprint → keep the lowest
     id per fingerprint group. Returns (keeper id, group size)."""
@@ -47,16 +66,32 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature: for seed i, min over shingles of xxhash64(i, shingle).
+def minhash_signature(
+    text: Column, num_hashes: int = 16, shingle_n: int = 3, use_md5: bool = False
+) -> Column:
+    """MinHash signature: for seed i, min over shingles of hash(i, shingle).
     Returns array<long> of length ``num_hashes``. One projection, no shuffle.
-    xxhash64 (native, codegen'd) rather than md5 — this operator's check is
-    rows-only, so cross-engine hash parity is not required and speed wins."""
+
+    ``use_md5=False`` (default, the scale path) hashes with xxhash64 —
+    native, codegen'd, fastest. ``use_md5=True`` computes ONE md5-prefix
+    base hash per shingle and derives the K functions as affine transforms
+    (universal hashing) so a DuckDB oracle reproduces the exact signature
+    at ~1/K the md5 cost."""
     sh = shingles(text, shingle_n)
-    sigs = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
-    ]
+    if use_md5:
+        base = F.transform(sh, lambda s: _hash32(s))
+
+        def affine(a: int, b: int):
+            # NB: no default-arg closure — PySpark counts default params
+            # as lambda arity and builds an invalid 3-arg HOF lambda
+            return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+        sigs = [F.array_min(F.transform(base, affine(a, b))) for a, b in _affine_params(num_hashes)]
+    else:
+        sigs = [
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
     return F.array(*sigs)
 
 
@@ -67,6 +102,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    use_md5: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, explode one row per
     band, bucket-join on (band_idx, band_hash). Output (id_a < id_b) pairs.
@@ -74,6 +110,9 @@ def minhash_lsh_candidates(
     At 100 TB: explode multiplies rows by B (cheap — 2 longs wide), the
     groupBy/band-key self-join shuffles on the band hash, and candidate
     verification (true Jaccard) runs only within buckets.
+
+    ``use_md5`` switches both the signature hash and the band hash to the
+    md5-prefix recipe (oracle-reproducible); default stays xxhash64.
     """
     rows_per_band = num_hashes // bands
     spark = df.sparkSession
@@ -82,23 +121,23 @@ def minhash_lsh_candidates(
     # computation across cores (at 100 TB the scan is already parallel)
     sig_df = df.repartition(n_part).select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n, use_md5).alias("sig"),
     )
+
+    def band_key(b: Column) -> Column:
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return _hash32(joined) if use_md5 else F.xxhash64(joined)
+
     banded = sig_df.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band_idx", "band_hash"),
     )
     # materialize once: the self-join would otherwise recompute every
@@ -149,15 +188,16 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text: Column, bits: int = 32, shingle_n: int = 2) -> Column:
+def simhash(text: Column, bits: int = 32, shingle_n: int = 2, use_md5: bool = False) -> Column:
     """SimHash signature: sum ±1 per bit over shingle hashes, sign → bit.
 
     Single pass over the shingles: the aggregate accumulator is an int
     array of per-bit votes (zip_with merge), folded to a long at the end —
-    one traversal instead of ``bits`` traversals. xxhash64 (native): this
-    operator's check is rows-only, so cross-engine hash parity isn't needed."""
+    one traversal instead of ``bits`` traversals. Default hash is xxhash64
+    (native, fastest); ``use_md5`` switches to the md5-prefix recipe so a
+    DuckDB oracle reproduces the signature bit-for-bit."""
     sh = shingles(text, shingle_n)
-    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    hashed = F.transform(sh, (lambda s: _hash32(s)) if use_md5 else (lambda s: F.xxhash64(s)))
     zero = F.array(*[F.lit(0) for _ in range(bits)])
 
     def merge(acc: Column, h: Column) -> Column:
@@ -180,12 +220,14 @@ def simhash(text: Column, bits: int = 32, shingle_n: int = 2) -> Column:
     return F.aggregate(hashed, zero, merge, finish)
 
 
-def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", use_md5: bool = False
+) -> DataFrame:
     """Group docs by SimHash signature; same-signature docs are near-dups."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(n_part)
-        .select(F.col(id_col), simhash(F.col(text_col)).alias("sig"))
+        .select(F.col(id_col), simhash(F.col(text_col), use_md5=use_md5).alias("sig"))
         .groupBy("sig")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
     )
