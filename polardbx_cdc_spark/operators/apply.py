@@ -59,7 +59,11 @@ def last_image_salted(
     reducer load at any skew.
     """
     ord_col = F.col(_ORD)
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    # salt must be DETERMINISTIC per row: a nondeterministic salt (e.g. from
+    # monotonically_increasing_id) re-buckets rows when a failed stage is
+    # recomputed, duplicating/losing partials. tso is unique per event, so
+    # hashing it spreads a hot key evenly AND is stable across task retries.
+    salt = F.pmod(F.xxhash64(F.col(_ORD)), F.lit(salt_buckets))
     stage1 = (
         df.withColumn("_salt", salt)
         .groupBy(*[F.col(k) for k in keys], F.col("_salt"))

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polardbx_cdc_spark.operators.appliers import _sql_str
+
 _INVERSE = {"INSERT": "DELETE", "DELETE": "INSERT", "UPDATE": "UPDATE"}
 
 
@@ -38,21 +40,25 @@ def inverse_events(df: DataFrame) -> DataFrame:
 
 def flashback_sql(df: DataFrame) -> DataFrame:
     """Render inverse events as SQL text (the reference emits executable SQL;
-    RecoveryApplier.java:167-242). Images here carry the ``value`` payload."""
+    RecoveryApplier.java:167-242). Images here carry the ``value`` payload.
+    ``pk`` is string-typed in the CDC model, so it's rendered as an escaped
+    SQL string literal (same quoting as appliers.render_dml) — unquoted
+    interpolation would emit malformed/injectable SQL."""
     inv = inverse_events(df)
+    pk_lit = _sql_str(F.col("pk"))
     stmt = (
         F.when(
             F.col("inv_action") == "DELETE",
             F.concat(
                 F.lit("DELETE FROM "), F.col("db"), F.lit("."), F.col("tbl"),
-                F.lit(" WHERE pk = "), F.col("pk"),
+                F.lit(" WHERE pk = "), pk_lit,
             ),
         )
         .when(
             F.col("inv_action") == "INSERT",
             F.concat(
                 F.lit("INSERT INTO "), F.col("db"), F.lit("."), F.col("tbl"),
-                F.lit(" (pk, value) VALUES ("), F.col("pk"), F.lit(", "),
+                F.lit(" (pk, value) VALUES ("), pk_lit, F.lit(", "),
                 F.col("value").cast("string"), F.lit(")"),
             ),
         )
@@ -60,7 +66,7 @@ def flashback_sql(df: DataFrame) -> DataFrame:
             F.concat(
                 F.lit("UPDATE "), F.col("db"), F.lit("."), F.col("tbl"),
                 F.lit(" SET value = "), F.col("value").cast("string"),
-                F.lit(" WHERE pk = "), F.col("pk"),
+                F.lit(" WHERE pk = "), pk_lit,
             )
         )
     )

@@ -55,8 +55,11 @@ def assemble_transactions(df: DataFrame) -> DataFrame:
     XA merge MergeBarrier.java:30-142).
 
     groupBy(txn_id) with purely associative aggregates → map-side partial
-    aggregation, single shuffle. ``complete`` checks seq contiguity
-    (0..n-1), the reference's allParties-complete condition.
+    aggregation, single shuffle. ``complete`` checks seq contiguity FROM
+    ZERO (0..n-1), the reference's allParties-complete condition — a
+    head-truncated chain (seq 0.. dropped by an upstream filter) is
+    incomplete even if the surviving seqs are contiguous, matching the
+    stateful twin in streaming/pipeline.py.
     """
     return (
         df.groupBy("txn_id")
@@ -67,7 +70,10 @@ def assemble_transactions(df: DataFrame) -> DataFrame:
             F.min("seq").alias("min_seq"),
             F.max("seq").alias("max_seq"),
             F.countDistinct("source_id").alias("n_parties"),
-            ((F.max("seq") - F.min("seq") + 1) == F.count(F.lit(1))).alias("complete"),
+            (
+                (F.min("seq") == 0)
+                & ((F.max("seq") - F.min("seq") + 1) == F.count(F.lit(1)))
+            ).alias("complete"),
         )
     )
 

@@ -193,7 +193,7 @@ def cdc_data_import_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(seq) AS min_seq,
                max(seq) AS max_seq,
                count(DISTINCT source_id) AS n_parties,
-               (max(seq) - min(seq) + 1 = count(*)) AS complete
+               (min(seq) = 0 AND max(seq) - min(seq) + 1 = count(*)) AS complete
         FROM cdc GROUP BY txn_id
         """
     ),
@@ -564,11 +564,11 @@ def cdc_stream_ordered_head(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN action = 'DELETE' THEN 'INSERT'
                     ELSE 'UPDATE' END AS inv_action,
                CASE WHEN action = 'INSERT' THEN
-                      'DELETE FROM ' || db || '.' || tbl || ' WHERE pk = ' || pk
+                      'DELETE FROM ' || db || '.' || tbl || ' WHERE pk = ' || '''' || replace(pk, '''', '''''') || ''''
                     WHEN action = 'DELETE' THEN
-                      'INSERT INTO ' || db || '.' || tbl || ' (pk, value) VALUES (' || pk || ', ' || CAST(value AS VARCHAR) || ')'
+                      'INSERT INTO ' || db || '.' || tbl || ' (pk, value) VALUES (' || '''' || replace(pk, '''', '''''') || '''' || ', ' || CAST(value AS VARCHAR) || ')'
                     ELSE
-                      'UPDATE ' || db || '.' || tbl || ' SET value = ' || CAST(value AS VARCHAR) || ' WHERE pk = ' || pk
+                      'UPDATE ' || db || '.' || tbl || ' SET value = ' || CAST(value AS VARCHAR) || ' WHERE pk = ' || '''' || replace(pk, '''', '''''') || ''''
                END AS sql_text
         FROM cdc WHERE db = 'db0' AND tbl = 't0'
         """

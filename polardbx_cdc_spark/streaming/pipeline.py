@@ -128,6 +128,21 @@ class BinlogSink:
     partitioned by file_seq. Recovery: on restart the writer resumes from
     the sink's max offset/TSO (seekLastTso — LogFileGenerator.java:545);
     batches already written are skipped (idempotent by batch_id).
+
+    ``frame_txns`` wraps each transaction in BEGIN/COMMIT envelope rows
+    (LogFileGenerator.writeBegin:624 / writeCommit:713) with the
+    whole-txn-contiguous layout. A transaction may span micro-batches, so
+    the sink CARRIES open transactions across batches: a txn is closed —
+    framed and written — only once the batch's max event time has moved
+    ``txn_gap_seconds`` past the txn's last event (the watermark gate, same
+    policy as ``assemble_transactions_stateful``'s TTL); call ``flush()``
+    after the stream ends to emit the tail. Replays dedup at transaction
+    granularity (commit TSO ≤ last durable commit), never splitting a txn's
+    envelope across restarts.
+
+    ``strict`` halts on PROVABLE disorder: a row (or framed txn) at or
+    below the durable high-water mark that is absent from the sink — a
+    legitimate recovery replay (row present) never trips it.
     """
 
     def __init__(
@@ -136,13 +151,17 @@ class BinlogSink:
         rotate_rows: int = 10_000,
         frame_txns: bool = False,
         strict: bool = False,
+        txn_gap_seconds: int = 60,
     ) -> None:
         self.out_dir = out_dir
         self.rotate_rows = rotate_rows
         self.frame_txns = frame_txns  # BEGIN/COMMIT envelope rows
-        self.strict = strict  # disorder = hard error (reference behavior)
+        self.strict = strict  # provable disorder = hard error (reference behavior)
+        self.txn_gap_seconds = txn_gap_seconds
         self._offset = 0
-        self._last_tso = ""
+        self._last_tso = ""  # non-frame mode: per-event high-water mark
+        self._last_commit_tso = ""  # frame mode: per-txn high-water mark
+        self._pending: DataFrame | None = None  # frame mode: open txns' events
         self._seen_batches: set[int] = set()
         self.disorder_errors: list[str] = []
 
@@ -152,11 +171,14 @@ class BinlogSink:
             f.endswith(".parquet") or f.startswith("file_seq=") for f in os.listdir(self.out_dir)
         ):
             existing = spark.read.parquet(self.out_dir)
-            row = existing.agg(
-                F.count(F.lit(1)).alias("n"), F.max("tso").alias("mx")
-            ).collect()[0]
+            aggs = [F.count(F.lit(1)).alias("n"), F.max("tso").alias("mx")]
+            if "txn_commit_tso" in existing.columns:
+                aggs.append(F.max("txn_commit_tso").alias("mx_commit"))
+            row = existing.agg(*aggs).collect()[0]
             self._offset = row["n"]
             self._last_tso = row["mx"] or ""
+            if "txn_commit_tso" in existing.columns:
+                self._last_commit_tso = row["mx_commit"] or ""
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen_batches:
@@ -166,76 +188,175 @@ class BinlogSink:
         # — without a persist each one would recompute the whole batch plan
         batch_df.persist()
         try:
-            self._write_batch(batch_df, batch_id)
+            if self.frame_txns:
+                self._write_batch_framed(batch_df, batch_id, close_all=False)
+            else:
+                self._write_batch(batch_df, batch_id)
         finally:
             batch_df.unpersist()
 
+    def flush(self) -> None:
+        """Frame mode: close and emit every still-open transaction (end of
+        stream / graceful shutdown — the reference's rotate-on-close)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            try:
+                self._write_batch_framed(pending, batch_id=-1, close_all=True)
+            finally:
+                pending.unpersist()
+
+    # -- disorder -----------------------------------------------------------
+
+    def _check_disorder(self, suspects: DataFrame, key: str, low_mark: str, batch_id: int) -> DataFrame:
+        """Rows/txns at or below the durable high-water mark are either a
+        recovery replay (present in the sink — fine, dedup below) or real
+        disorder (absent — corruption). The anti-join against the durable
+        slice is pruned by the parquet ``key`` min/max to the suspect range,
+        so it costs nothing when there is no replay at all."""
+        suspects = suspects.persist()
+        try:
+            n_suspect = suspects.count()
+            if n_suspect == 0:
+                return suspects
+            durable = (
+                suspects.sparkSession.read.parquet(self.out_dir)
+                .select(key)
+                .filter(F.col(key) >= suspects.agg(F.min(key)).collect()[0][0])
+            )
+            provable = suspects.join(durable, key, "left_anti").limit(1).collect()
+            if provable:
+                msg = (
+                    f"batch {batch_id}: {key} {provable[0][key]} below durable "
+                    f"high-water {low_mark} and absent from sink"
+                )
+                self.disorder_errors.append(msg)
+                if self.strict:
+                    # the reference treats TSO regression as stream
+                    # corruption and halts (LogEventMerger.java:136-141)
+                    raise RuntimeError(f"TSO disorder: {msg}")
+            return suspects
+        finally:
+            suspects.unpersist()
+
+    # -- non-framed path ----------------------------------------------------
+
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        # disorder check on the raw batch, against what was already emitted
-        # (hard error in the reference — LogEventMerger.java:136-141). A
-        # recovery replay also trips this; its rows are deduped below.
-        raw = batch_df.agg(
-            F.min("tso").alias("raw_mn"), F.count(F.lit(1)).alias("raw_n")
-        ).collect()[0]
-        if self._last_tso and raw["raw_n"] > 0 and raw["raw_mn"] < self._last_tso:
-            msg = f"batch {batch_id}: min tso {raw['raw_mn']} < last emitted {self._last_tso}"
-            self.disorder_errors.append(msg)
-            if self.strict:
-                # the reference treats TSO regression as stream corruption
-                # and halts (LogEventMerger.java:136-141)
-                raise RuntimeError(f"TSO disorder: {msg}")
+        if self._last_tso:
+            self._check_disorder(
+                batch_df.select("tso").filter(F.col("tso") <= self._last_tso),
+                "tso", self._last_tso, batch_id,
+            )
         # seekLastTso recovery semantics (LogFileGenerator.java:510-545):
         # anything at or below the last durable TSO was already written —
         # a replay after checkpoint loss resumes, never duplicates.
         filtered = (
             batch_df.filter(F.col("tso") > self._last_tso) if self._last_tso else batch_df
         )
-        # Dense global offsets WITHOUT a single-task global sort: range-
-        # partition on TSO (sampled bounds → partition i entirely precedes
-        # partition i+1), sort within partitions in parallel, then shift
-        # each partition by the cumulative count of its predecessors. The
-        # only serial step is a tiny per-partition-count collect.
-        if self.frame_txns:
-            from polardbx_cdc_spark.operators.merge import frame_transactions
+        n, mx = self._emit(filtered, sort_keys=["tso"], range_key="tso")
+        if n:
+            self._last_tso = max(self._last_tso, mx)
 
-            filtered = frame_transactions(filtered)
-            # whole transactions in commit order (Sorter.java semantics)
-            sort_keys = ["txn_commit_tso", "frame_rank", "tso"]
-            range_key = "txn_commit_tso"
-        else:
-            sort_keys = ["tso"]
-            range_key = "tso"
+    # -- framed (whole-transaction) path ------------------------------------
+
+    def _write_batch_framed(self, batch_df: DataFrame, batch_id: int, close_all: bool) -> None:
+        from polardbx_cdc_spark.operators.merge import frame_transactions
+
         spark = batch_df.sparkSession
-        n_part = spark.sparkContext.defaultParallelism
-        ranged = filtered.repartitionByRange(n_part, range_key).sortWithinPartitions(*sort_keys)
-        with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
-        counts = dict(
-            (r["_pid"], r["cnt"])
-            for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        combined = (
+            self._pending.unionByName(batch_df) if self._pending is not None and not close_all
+            else batch_df
         )
-        if not counts:  # pure-replay batch: everything already durable
-            with_pid.unpersist()
-            return
-        base, acc = {}, self._offset
-        for pid in sorted(counts):
-            base[pid] = acc
-            acc += counts[pid]
-        base_map = F.create_map(*[F.lit(x) for kv in base.items() for x in kv])
-        w_off = F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_keys)) - 1
-        out = (
-            with_pid.withColumn(
-                "offset", (w_off + F.coalesce(base_map[F.col("_pid")], F.lit(0))).cast("long")
+        # replay after checkpoint loss can re-deliver events already pending
+        combined = combined.dropDuplicates(["tso"])
+        bounds = combined.groupBy("txn_id").agg(
+            F.max("ts").alias("_txn_max_ts"), F.max("tso").alias("_txn_commit")
+        )
+        if close_all:
+            closed_ids = bounds
+        else:
+            horizon = combined.agg(
+                F.max("ts") - F.expr(f"INTERVAL {int(self.txn_gap_seconds)} SECONDS")
+            ).collect()[0][0]
+            closed_ids = bounds.filter(F.col("_txn_max_ts") <= F.lit(horizon))
+        # txn-granular replay dedup: a txn whose commit TSO is at or below
+        # the durable mark was already written WHOLE (envelope included)
+        if self._last_commit_tso:
+            self._check_disorder(
+                closed_ids.filter(F.col("_txn_commit") <= self._last_commit_tso)
+                .select(F.col("_txn_commit").alias("txn_commit_tso")),
+                "txn_commit_tso", self._last_commit_tso, batch_id,
             )
-            .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))
-            .drop("_pid")
+            closed_ids = closed_ids.filter(F.col("_txn_commit") > self._last_commit_tso)
+        closed = combined.join(
+            F.broadcast(closed_ids.select("txn_id")), "txn_id", "left_semi"
         )
+        framed = frame_transactions(closed)
+        # whole transactions in commit order (Sorter.java semantics)
+        n, mx_commit = self._emit(
+            framed,
+            sort_keys=["txn_commit_tso", "frame_rank", "tso"],
+            range_key="txn_commit_tso",
+            max_col="txn_commit_tso",
+        )
+        if n:
+            self._last_commit_tso = max(self._last_commit_tso, mx_commit)
+        # carry the open remainder (localCheckpoint cuts lineage to this
+        # batch so the carried frame survives the batch_df unpersist)
+        old = self._pending
+        if close_all:
+            self._pending = None
+        else:
+            open_events = combined.join(
+                F.broadcast(closed_ids.select("txn_id")), "txn_id", "left_anti"
+            )
+            self._pending = open_events.localCheckpoint(eager=True)
+        if old is not None and not close_all:
+            old.unpersist()
+
+    # -- shared dense-offset writer -----------------------------------------
+
+    def _emit(
+        self,
+        df: DataFrame,
+        sort_keys: list[str],
+        range_key: str,
+        max_col: str = "tso",
+    ) -> tuple[int, str]:
+        """Dense global offsets WITHOUT a single-task global sort: range-
+        partition on the sort key (sampled bounds → partition i entirely
+        precedes partition i+1), sort within partitions in parallel, then
+        shift each partition by the cumulative count of its predecessors.
+        The only serial step is a tiny per-partition-count collect."""
+        spark = df.sparkSession
+        n_part = spark.sparkContext.defaultParallelism
+        ranged = df.repartitionByRange(n_part, range_key).sortWithinPartitions(*sort_keys)
+        with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
         try:
-            ostats = out.agg(F.max("tso").alias("mx"), F.count(F.lit(1)).alias("n")).collect()[0]
+            counts = dict(
+                (r["_pid"], r["cnt"])
+                for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            )
+            if not counts:  # pure-replay batch: everything already durable
+                return 0, ""
+            base, acc = {}, self._offset
+            for pid in sorted(counts):
+                base[pid] = acc
+                acc += counts[pid]
+            base_map = F.create_map(*[F.lit(x) for kv in base.items() for x in kv])
+            w_off = F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_keys)) - 1
+            out = (
+                with_pid.withColumn(
+                    "offset", (w_off + F.coalesce(base_map[F.col("_pid")], F.lit(0))).cast("long")
+                )
+                .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))
+                .drop("_pid")
+            )
+            ostats = out.agg(F.max(max_col).alias("mx"), F.count(F.lit(1)).alias("n")).collect()[0]
             if ostats["n"] == 0:
-                return
+                return 0, ""
             out.write.mode("append").partitionBy("file_seq").parquet(self.out_dir)
             self._offset += ostats["n"]
-            self._last_tso = max(self._last_tso, ostats["mx"])
+            return ostats["n"], ostats["mx"]
         finally:
             with_pid.unpersist()
 
@@ -449,16 +570,24 @@ def run_binlog_pipeline(
     rotate_rows: int = 10_000,
     max_files_per_trigger: int | None = None,
     frame_txns: bool = False,
+    strict: bool = False,
+    txn_gap_seconds: int = 60,
 ):
     """The flagship streaming query: CDC stream → epoch-ordered rotated
     binlog sink, Trigger.AvailableNow (bounded replay in tests; remove the
     trigger for continuous mode). Returns (query, sink).
 
+    With ``frame_txns``, call ``sink.flush()`` after the query terminates to
+    emit transactions still open at end-of-stream.
+
     Rate limiting (FlowLimiter/TPSLimiter — §2.11): ``max_files_per_trigger``
     bounds per-batch intake; on a Kafka source the same knob is
     ``maxOffsetsPerTrigger``. Backpressure beyond that is the engine's job.
     """
-    sink = BinlogSink(out_dir, rotate_rows, frame_txns=frame_txns)
+    sink = BinlogSink(
+        out_dir, rotate_rows, frame_txns=frame_txns, strict=strict,
+        txn_gap_seconds=txn_gap_seconds,
+    )
     sink.recover(cdc_stream.sparkSession)
     observed = with_stream_metrics(cdc_stream)
     writer = observed.writeStream.foreachBatch(sink).option(

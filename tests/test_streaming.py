@@ -382,6 +382,7 @@ def test_consume_sink_roundtrip(spark, tmpdir):
         source.cdc_stream(spark, SF), out, tmpdir + "/ckpt", rotate_rows=300, frame_txns=True
     )
     q.awaitTermination(120)
+    sink.flush()  # emit transactions still open at end-of-stream
 
     consumed = source.read_binlog(spark, out)
     assert consumed.count() == 1000  # frames stripped
@@ -460,6 +461,7 @@ def test_binlog_sink_txn_framing(spark, tmpdir):
         rotate_rows=10_000, frame_txns=True,
     )
     q.awaitTermination(120)
+    sink.flush()  # emit transactions still open at end-of-stream
     written = spark.read.parquet(tmpdir + "/out")
     n_txn = 200  # 1000 events / 5 per txn
     counts = {r["action"]: r["n"] for r in written.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -563,3 +565,86 @@ def test_binlog_sink_order_rotation_recovery(spark, tmpdir):
     q2.awaitTermination(120)
     assert sink2._offset >= n
     assert spark.read.parquet(out_dir).count() == n, "replay duplicated rows"
+
+
+def _stage_event_files(spark, tmpdir, cut_points):
+    """Stage events.parquet as multiple files split at the given event_id
+    cut points (maxFilesPerTrigger=1 → one micro-batch per file)."""
+    import glob
+    import os
+
+    ev = spark.read.parquet(SF + "/events.parquet")
+    src = tmpdir + "/src"
+    os.makedirs(src)
+    bounds = [0, *cut_points, 1_000_000_000]
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        part = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        stage = tmpdir + f"/s{i}"
+        part.coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0], f"{src}/e{i}.parquet")
+        os.utime(f"{src}/e{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return derive_cdc_stream(spark, SF, events=stream)
+
+
+def test_framed_sink_spanning_txn_single_envelope(spark, tmpdir):
+    """A transaction split across micro-batches (cut at event_id 247 —
+    mid-txn-49) must still be written as ONE contiguous BEGIN..COMMIT
+    envelope: the sink carries open transactions across batches."""
+    cdc = _stage_event_files(spark, tmpdir, cut_points=[247])
+    q, sink = pipeline.run_binlog_pipeline(
+        cdc, tmpdir + "/out", tmpdir + "/ckpt", frame_txns=True
+    )
+    q.awaitTermination(180)
+    sink.flush()
+
+    written = spark.read.parquet(tmpdir + "/out")
+    counts = {r["action"]: r["n"] for r in written.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["BEGIN"] == 200 and counts["COMMIT"] == 200, counts
+    assert sum(counts.values()) == 1000 + 400
+
+    # global framing grammar across ALL batches, in offset order
+    rows = written.select("offset", "action", "txn_id").orderBy("offset").collect()
+    state, cur_txn, seen = "idle", None, set()
+    for r in rows:
+        if state == "idle":
+            assert r["action"] == "BEGIN", r
+            assert r["txn_id"] not in seen, f"txn {r['txn_id']} framed twice"
+            seen.add(r["txn_id"])
+            state, cur_txn = "open", r["txn_id"]
+        elif r["action"] == "COMMIT":
+            assert r["txn_id"] == cur_txn, r
+            state = "idle"
+        else:
+            assert r["txn_id"] == cur_txn, r
+    assert state == "idle"
+    # the split txn specifically: 5 events inside one envelope
+    t49 = written.filter(F.col("txn_id") == 49).orderBy("offset").collect()
+    assert [r["action"] for r in t49][0] == "BEGIN" and [r["action"] for r in t49][-1] == "COMMIT"
+    assert len(t49) == 7
+
+
+def test_strict_sink_replay_vs_provable_disorder(spark, tmpdir):
+    """strict mode: a recovery replay (rows already durable) passes; a row
+    below the high-water mark that is NOT in the sink raises."""
+    out = tmpdir + "/out"
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, SF), out, tmpdir + "/ckpt", rotate_rows=500
+    )
+    q.awaitTermination(120)
+
+    cdc_cols = derive_cdc_stream(spark, SF)
+    strict_sink = pipeline.BinlogSink(out, rotate_rows=500, strict=True)
+    strict_sink.recover(spark)
+    # pure replay: the first 100 events again — deduped, no error, no rows
+    replay = cdc_cols.orderBy("tso").limit(100)
+    before = spark.read.parquet(out).count()
+    strict_sink(replay, batch_id=999)
+    assert not strict_sink.disorder_errors
+    assert spark.read.parquet(out).count() == before
+
+    # provable disorder: a fabricated low-TSO row absent from the sink
+    rogue = cdc_cols.orderBy("tso").limit(1).withColumn("tso", F.concat(F.lit("0"), F.col("tso")))
+    with pytest.raises(RuntimeError, match="TSO disorder"):
+        strict_sink(rogue, batch_id=1000)
