@@ -156,34 +156,59 @@ def rebuild_events(df, topo: LogicalTopology, registry: SchemaRegistry, at_tso: 
     map physical table names to logical ones, prune the after/before images
     to the logical column set at ``at_tso``, drop hidden PKs.
 
-    Pure Catalyst: one CASE projection for the rename + map_filter for the
-    column prune — no shuffle, safe at any scale.
+    Scale shape: the topology and registry ship as BROADCAST mapping
+    DataFrames (one hash-lookup per row) rather than a folded per-table
+    CASE chain — at 10k logical tables a CASE chain explodes the
+    expression tree and codegen, while a broadcast join stays O(1) in plan
+    size and O(#tables) only in broadcast payload. No shuffle either way.
     """
     from pyspark.sql import functions as F
 
-    full = F.concat_ws(".", F.col("db"), F.col("tbl"))
-    ldb, ltbl = F.col("db"), F.col("tbl")
-    for phys, (to_db, to_tbl) in topo.phys_to_logic.items():
-        ldb = F.when(full == phys, F.lit(to_db)).otherwise(ldb)
-        ltbl = F.when(full == phys, F.lit(to_tbl)).otherwise(ltbl)
-
-    out = df.withColumn("logical_db", ldb).withColumn("logical_tbl", ltbl)
+    spark = df.sparkSession
+    out = df.withColumn("_full", F.concat_ws(".", F.col("db"), F.col("tbl")))
+    if topo.phys_to_logic:
+        topo_map = spark.createDataFrame(
+            [(p, d, t) for p, (d, t) in topo.phys_to_logic.items()],
+            "_full string, _to_db string, _to_tbl string",
+        )
+        out = out.join(F.broadcast(topo_map), "_full", "left")
+    else:
+        out = out.withColumn("_to_db", F.lit(None).cast("string")).withColumn(
+            "_to_tbl", F.lit(None).cast("string")
+        )
+    out = (
+        out.withColumn("logical_db", F.coalesce("_to_db", "db"))
+        .withColumn("logical_tbl", F.coalesce("_to_tbl", "tbl"))
+        .drop("_full", "_to_db", "_to_tbl")
+    )
 
     # column prune per logical table: keep only registry columns minus
-    # hidden PKs (PolarDbXTableMetaManager.compare:246-262 hidden-PK drop)
-    def prune(map_col):
-        expr = map_col
-        for (db, tbl), schema in registry.snapshot(at_tso).items():
-            keep = [c for c in schema.columns if c not in schema.hidden_pks]
-            keep_arr = F.array(*[F.lit(c) for c in keep])
-            expr = F.when(
-                (F.col("logical_db") == db) & (F.col("logical_tbl") == tbl),
-                F.map_filter(map_col, lambda k, _v: F.array_contains(keep_arr, k)),
-            ).otherwise(expr)
-        return expr
+    # hidden PKs (PolarDbXTableMetaManager.compare:246-262 hidden-PK drop).
+    # Unregistered tables pass through unpruned (keep-list NULL).
+    snap = registry.snapshot(at_tso)
+    if snap and ("after" in df.columns or "before" in df.columns):
+        keep_map = spark.createDataFrame(
+            [
+                (db, tbl, [c for c in s.columns if c not in s.hidden_pks])
+                for (db, tbl), s in snap.items()
+            ],
+            "_kdb string, _ktbl string, _keep array<string>",
+        )
+        out = out.join(
+            F.broadcast(keep_map),
+            (F.col("logical_db") == F.col("_kdb"))
+            & (F.col("logical_tbl") == F.col("_ktbl")),
+            "left",
+        )
 
-    if "after" in df.columns:
-        out = out.withColumn("after", prune(F.col("after")))
-    if "before" in df.columns:
-        out = out.withColumn("before", prune(F.col("before")))
+        def prune(map_col):
+            return F.when(F.col("_keep").isNull(), map_col).otherwise(
+                F.map_filter(map_col, lambda k, _v: F.array_contains(F.col("_keep"), k))
+            )
+
+        if "after" in df.columns:
+            out = out.withColumn("after", prune(F.col("after")))
+        if "before" in df.columns:
+            out = out.withColumn("before", prune(F.col("before")))
+        out = out.drop("_kdb", "_ktbl", "_keep")
     return out

@@ -39,39 +39,55 @@ def _hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def routing_key(cfg: StreamRoutingConfig) -> Column:
-    """The per-row routing expression (getHashLevel :208-237)."""
-    full = F.concat_ws(".", F.col("db"), F.col("tbl"))
-    key = (
-        F.when(full.isin(cfg.record_level_tables), F.concat_ws(".", full, F.col("pk")))
-        if cfg.record_level_tables
-        else None
+def _level_key(level: Column, full: Column) -> Column:
+    """Routing key for a resolved hash level (getHashLevel :208-237)."""
+    return (
+        F.when(level == "RECORD", F.concat_ws(".", full, F.col("pk")))
+        .when(level == "DATABASE", F.col("db"))
+        .otherwise(full)
     )
-    db_key = F.col("db")
-    tbl_key = full
-    default_key = {
-        "DATABASE": db_key,
-        "TABLE": tbl_key,
-        "RECORD": F.concat_ws(".", full, F.col("pk")),
-    }[cfg.default_level]
-    expr = default_key
-    if cfg.db_level_dbs:
-        expr = F.when(F.col("db").isin(cfg.db_level_dbs), db_key).otherwise(expr)
-    if cfg.record_level_tables:
-        expr = F.when(
-            full.isin(cfg.record_level_tables), F.concat_ws(".", full, F.col("pk"))
-        ).otherwise(expr)
-    return expr
 
 
 def assign_stream(df: DataFrame, cfg: StreamRoutingConfig) -> DataFrame:
     """Add ``stream_id`` (getStreamSeq :238-255): explicit pin wins, else
-    pmod(hash32(routing_key), stream_count)."""
+    pmod(hash32(routing_key), stream_count).
+
+    Scale shape: per-table overrides (level + pinning) resolve via a
+    BROADCAST mapping join, not a folded CASE chain — plan size stays O(1)
+    no matter how many tables carry overrides; the config ships once per
+    executor as a broadcast hash table. Precedence matches HashConfig:
+    explicit pin > table-level RECORD > db-level DATABASE > default.
+    """
     full = F.concat_ws(".", F.col("db"), F.col("tbl"))
-    sid = F.pmod(_hash32(routing_key(cfg)), F.lit(cfg.stream_count))
-    for tbl, stream in cfg.table_stream_pinning.items():
-        sid = F.when(full == tbl, F.lit(stream)).otherwise(sid)
-    return df.withColumn("stream_id", sid.cast("int"))
+    if not (cfg.record_level_tables or cfg.db_level_dbs or cfg.table_stream_pinning):
+        key = _level_key(F.lit(cfg.default_level), full)
+        sid = F.pmod(_hash32(key), F.lit(cfg.stream_count))
+        return df.withColumn("stream_id", sid.cast("int"))
+
+    spark = df.sparkSession
+    tinfo: dict[str, list] = {}
+    for t in cfg.record_level_tables:
+        tinfo.setdefault(t, [None, None])[0] = "RECORD"
+    for t, s in cfg.table_stream_pinning.items():
+        tinfo.setdefault(t, [None, None])[1] = s
+    tbl_map = spark.createDataFrame(
+        [(t, lv, pin) for t, (lv, pin) in tinfo.items()],
+        "_full string, _tlevel string, _pin int",
+    )
+    db_map = spark.createDataFrame(
+        [(d, "DATABASE") for d in cfg.db_level_dbs], "_db string, _dlevel string"
+    )
+    out = (
+        df.withColumn("_full", full)
+        .join(F.broadcast(tbl_map), "_full", "left")
+        .join(F.broadcast(db_map), F.col("db") == F.col("_db"), "left")
+    )
+    level = F.coalesce(F.col("_tlevel"), F.col("_dlevel"), F.lit(cfg.default_level))
+    hashed = F.pmod(_hash32(_level_key(level, F.col("_full"))), F.lit(cfg.stream_count))
+    sid = F.coalesce(F.col("_pin"), hashed)
+    return out.withColumn("stream_id", sid.cast("int")).drop(
+        "_full", "_tlevel", "_pin", "_db", "_dlevel"
+    )
 
 
 def oracle_hash32(sql_expr: str) -> str:

@@ -92,3 +92,56 @@ def test_replay_single_shuffle(spark):
     tree = plan.split("\n\n")[0]
     n_exchanges = tree.count("Exchange")
     assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{tree}"
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_rebuild_plan_size_flat_in_table_count(spark):
+    """rebuild_events must resolve topology via a broadcast mapping join —
+    a folded per-table CASE chain would explode the plan at 10k tables."""
+    from polardbx_cdc_spark.meta import LogicalTopology, SchemaRegistry, rebuild_events
+    from polardbx_cdc_spark.model import derive_cdc_stream
+
+    cdc = derive_cdc_stream(spark, SF)
+
+    def plan_len(n_tables: int) -> int:
+        topo = LogicalTopology()
+        reg = SchemaRegistry()
+        for t in range(n_tables):
+            topo.add_shards("app", f"lt{t}", [f"pd{t}.pt{t}"])
+            reg.apply("0" * 48, "app", f"lt{t}", {"op": "create", "columns": ["pk", "value"]})
+        return len(_plan_of(rebuild_events(cdc, topo, reg, at_tso="9" * 48)))
+
+    small, big = plan_len(10), plan_len(1000)
+    assert big < small * 3, f"plan grew {small} -> {big} with table count"
+    plan = _plan_of(
+        rebuild_events(cdc, LogicalTopology(), SchemaRegistry(), at_tso="9" * 48)
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_routing_plan_size_flat_in_table_count(spark):
+    """assign_stream overrides must resolve via a broadcast mapping join."""
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.operators import routing
+
+    cdc = derive_cdc_stream(spark, SF)
+
+    def plan_len(n: int) -> int:
+        cfg = routing.StreamRoutingConfig(
+            stream_count=8,
+            record_level_tables=[f"d{i}.r{i}" for i in range(n)],
+            table_stream_pinning={f"d{i}.p{i}": i % 8 for i in range(n)},
+        )
+        return len(_plan_of(routing.assign_stream(cdc, cfg)))
+
+    small, big = plan_len(10), plan_len(1000)
+    assert big < small * 3, f"plan grew {small} -> {big} with override count"
