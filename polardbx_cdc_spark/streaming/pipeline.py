@@ -470,64 +470,139 @@ class ReplicaTableSink:
     applier's end state (MysqlApplier + MergeApplier, §2.11) on a lakehouse
     layout instead of MySQL.
 
-    Per micro-batch: collapse the batch per PK, merge into the current
-    snapshot (full outer on the key), atomically swap the table directory
-    (write-new + rename — the parquet equivalent of a transactional MERGE;
-    on Delta this is literally ``MERGE INTO``). Batch atomicity gives
-    transaction atomicity because micro-batches contain whole transactions.
+    INCREMENTAL layout (the 100 TB shape): state is hash-bucketed on the
+    key — ``bucket = pmod(xxhash64(keys), n_buckets)`` — with each bucket
+    stored as an independently-versioned parquet directory plus a tiny
+    JSON manifest naming every bucket's live version. A micro-batch:
+
+    1. collapses the batch per PK and collects its touched buckets;
+    2. reads CURRENT STATE ONLY FOR THOSE BUCKETS (manifest-pruned);
+    3. replays state+batch per key and writes new versions of just the
+       touched buckets;
+    4. atomically replaces the manifest (``os.replace``) — readers see the
+       old or the new consistent view, never a mix.
+
+    Per-batch write I/O is proportional to the size of the TOUCHED
+    buckets, not total state — the full-snapshot rewrite the naive
+    implementation does is O(state) per batch and a scale-killer. This is
+    a minimal hand-rolled form of Delta's ``MERGE INTO`` + transaction
+    log; on a Delta/Iceberg deployment use those directly. Size
+    ``n_buckets`` so one bucket ≈ a few GB at target scale.
 
     ORDERING CONTRACT: batches must arrive in TSO order (the upstream merge
     stage's guarantee — LogEventMerger delivers ordered streams). The sink
     does not keep tombstones, so an out-of-order earlier event arriving
     after a DELETE would resurrect the row — same contract as the
     reference's appliers, which also consume the already-merged stream.
+    Batch retries are idempotent: re-merging the same events is a no-op
+    under last-image semantics.
     """
 
-    def __init__(self, table_dir: str, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> None:
+    def __init__(
+        self,
+        table_dir: str,
+        keys: tuple[str, ...] = ("db", "tbl", "pk"),
+        n_buckets: int = 64,
+    ) -> None:
         self.table_dir = table_dir
         self.keys = keys
-        self._version = 0
+        self.n_buckets = n_buckets
+        self.last_rewritten_buckets: list[int] = []  # observability for tests
+
+    # -- manifest -----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.table_dir, "MANIFEST.json")
+
+    def _load_manifest(self) -> dict[str, int]:
+        import json
+
+        try:
+            with open(self._manifest_path()) as fh:
+                return {k: int(v) for k, v in json.load(fh).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _store_manifest(self, manifest: dict[str, int]) -> None:
+        import json
+
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())  # atomic view switch
+
+    def _bucket_dir(self, bucket: int, version: int) -> str:
+        return os.path.join(self.table_dir, f"b{bucket}", f"v{version}")
 
     def current(self, spark) -> DataFrame | None:
-        import os
+        manifest = self._load_manifest()
+        if not manifest:
+            return None
+        paths = [self._bucket_dir(int(b), v) for b, v in manifest.items()]
+        return spark.read.parquet(*paths)
 
-        live = os.path.join(self.table_dir, "current")
-        if os.path.isdir(live):
-            return spark.read.parquet(live)
-        return None
+    # -- merge --------------------------------------------------------------
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        import os
         import shutil
 
         from polardbx_cdc_spark.operators import apply as apply_ops
 
         spark = batch_df.sparkSession
-        batch = batch_df.select(*self.keys, "tso", "action", "value")
-        cur = self.current(spark)
-        if cur is None:
-            new_state = apply_ops.replay_to_state(batch, self.keys).select(
+        batch = batch_df.select(*self.keys, "tso", "action", "value").persist()
+        try:
+            touched = sorted(
+                r["_b"]
+                for r in batch.select(self._bucket_col().alias("_b")).distinct().collect()
+            )
+            if not touched:
+                return
+            manifest = self._load_manifest()
+            state_paths = [
+                self._bucket_dir(b, manifest[str(b)]) for b in touched if str(b) in manifest
+            ]
+            if state_paths:
+                cur = spark.read.parquet(*state_paths)
+                as_events = cur.select(
+                    *self.keys,
+                    F.col("last_tso").alias("tso"),
+                    F.lit("INSERT").alias("action"),
+                    F.col("value"),
+                )
+                merged_src = as_events.unionByName(batch)
+            else:
+                merged_src = batch
+            new_state = apply_ops.replay_to_state(merged_src, self.keys).select(
                 *self.keys, "last_tso", "value"
             )
-        else:
-            as_events = cur.select(
-                *self.keys,
-                F.col("last_tso").alias("tso"),
-                F.lit("INSERT").alias("action"),
-                F.col("value"),
-            )
-            new_state = apply_ops.replay_to_state(
-                as_events.unionByName(batch), self.keys
-            ).select(*self.keys, "last_tso", "value")
-        staged = os.path.join(self.table_dir, f"v{self._version + 1}")
-        new_state.write.mode("overwrite").parquet(staged)
-        live = os.path.join(self.table_dir, "current")
-        tmp_old = os.path.join(self.table_dir, f"old{self._version}")
-        if os.path.isdir(live):
-            os.rename(live, tmp_old)
-        os.rename(staged, live)  # atomic swap: readers see old or new, never half
-        shutil.rmtree(tmp_old, ignore_errors=True)
-        self._version += 1
+            staged = os.path.join(self.table_dir, f"staging_b{batch_id}")
+            new_state.withColumn("_bucket", self._bucket_col()).write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(staged)
+            old_dirs: list[str] = []
+            for b in touched:
+                part_dir = os.path.join(staged, f"_bucket={b}")
+                ver = manifest.get(str(b), 0) + 1
+                if os.path.isdir(part_dir):
+                    target = self._bucket_dir(b, ver)
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    os.rename(part_dir, target)
+                    if str(b) in manifest:
+                        old_dirs.append(self._bucket_dir(b, manifest[str(b)]))
+                    manifest[str(b)] = ver
+                elif str(b) in manifest:
+                    # every row of the bucket was deleted
+                    old_dirs.append(self._bucket_dir(b, manifest.pop(str(b))))
+            self._store_manifest(manifest)
+            self.last_rewritten_buckets = touched
+            for d in old_dirs:  # GC superseded versions after the swap
+                shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(staged, ignore_errors=True)
+        finally:
+            batch.unpersist()
 
 
 def run_replica_pipeline(
@@ -536,10 +611,11 @@ def run_replica_pipeline(
     checkpoint_dir: str,
     keys: tuple[str, ...] = ("db", "tbl", "pk"),
     max_files_per_trigger: int | None = None,
+    n_buckets: int = 64,
 ):
     """Replica/data-import pipeline (SURVEY §3.3): stream → continuously
     maintained state table. Returns (query, sink)."""
-    sink = ReplicaTableSink(table_dir, keys)
+    sink = ReplicaTableSink(table_dir, keys, n_buckets=n_buckets)
     writer = cdc_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -648,3 +648,45 @@ def test_strict_sink_replay_vs_provable_disorder(spark, tmpdir):
     rogue = cdc_cols.orderBy("tso").limit(1).withColumn("tso", F.concat(F.lit("0"), F.col("tso")))
     with pytest.raises(RuntimeError, match="TSO disorder"):
         strict_sink(rogue, batch_id=1000)
+
+
+def test_replica_sink_rewrites_only_touched_buckets(spark, tmpdir):
+    """Incremental contract: a batch touching few keys rewrites only those
+    keys' buckets; untouched bucket files stay byte-identical on disk."""
+    import glob
+    import os
+
+    cdc = derive_cdc_stream(spark, SF).persist()
+    sink = pipeline.ReplicaTableSink(tmpdir + "/state", n_buckets=16)
+    # batch 0: everything → builds full state
+    sink(cdc, batch_id=0)
+    assert len(sink.last_rewritten_buckets) > 4  # keys spread across buckets
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(tmpdir + "/state/b*/v*/*.parquet")
+    }
+    full_state = sink.current(spark).collect()
+
+    # batch 1: a single hot key — only that key's bucket may be rewritten
+    one_key = cdc.orderBy("tso").limit(1)
+    sink(one_key, batch_id=1)
+    assert len(sink.last_rewritten_buckets) == 1
+    files_after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(tmpdir + "/state/b*/v*/*.parquet")
+    }
+    untouched = set(files_before) & set(files_after)
+    dirs_before = {os.path.dirname(p) for p in files_before}
+    touched_dirs = {
+        os.path.dirname(p) for p in set(files_before) - set(files_after)
+    }
+    # at most the single touched bucket's dir was superseded; every other
+    # bucket keeps its exact files
+    assert len(touched_dirs) <= 1
+    assert {os.path.dirname(p) for p in untouched} == dirs_before - touched_dirs
+    for p in untouched:
+        assert files_before[p] == files_after[p]
+
+    # merging an already-applied event is a no-op (idempotent retry)
+    assert sorted(map(tuple, sink.current(spark).collect())) == sorted(map(tuple, full_state))
+    cdc.unpersist()
