@@ -23,11 +23,18 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class TableSchema:
     """One schema version: ordered column list + pk set + the
-    physical→logical column mapping (phyIndex → logicIndex)."""
+    physical→logical column mapping (phyIndex → logicIndex).
+
+    ``types`` (when present) parallels ``columns`` with the MySQL type
+    declaration from the DDL — feeds ``typed_images`` directly."""
 
     columns: tuple[str, ...]
     pks: tuple[str, ...] = ()
     hidden_pks: tuple[str, ...] = ()  # implicit PK columns to drop on rebuild
+    types: tuple[str, ...] = ()
+
+    def column_types(self) -> dict[str, str]:
+        return dict(zip(self.columns, self.types))
 
 
 @dataclass
@@ -60,6 +67,7 @@ class SchemaRegistry:
                 tuple(ddl["columns"]),
                 tuple(ddl.get("pks", ())),
                 tuple(ddl.get("hidden_pks", ())),
+                tuple(ddl.get("types", ())),
             )
         elif op == "drop":
             new = TableSchema((), (), ())
@@ -67,21 +75,62 @@ class SchemaRegistry:
             if cur is None:
                 raise KeyError(f"{db}.{tbl} does not exist at {tso}")
             new = cur
+        elif op == "rename_table":
+            if cur is None or not cur.columns:
+                raise KeyError(f"{db}.{tbl} does not exist at {tso}")
+            self.apply(
+                tso,
+                ddl.get("to_db", db),
+                ddl["to_tbl"],
+                {
+                    "op": "create",
+                    "columns": list(cur.columns),
+                    "pks": list(cur.pks),
+                    "hidden_pks": list(cur.hidden_pks),
+                    "types": list(cur.types),
+                },
+            )
+            new = TableSchema((), (), ())  # old name is gone
         else:
             if cur is None or not cur.columns:
                 raise KeyError(f"{db}.{tbl} does not exist at {tso}")
             cols = list(cur.columns)
+            types = list(cur.types) if cur.types else [""] * len(cols)
             if op == "add_column":
                 cols.append(ddl["column"])
+                types.append(ddl.get("mysql_type", ""))
             elif op == "drop_column":
-                cols.remove(ddl["column"])
+                i = cols.index(ddl["column"])
+                del cols[i], types[i]
             elif op == "rename_column":
-                cols[cols.index(ddl["from"])] = ddl["to"]
+                i = cols.index(ddl["from"])
+                cols[i] = ddl["to"]
+                if ddl.get("mysql_type"):
+                    types[i] = ddl["mysql_type"]
+            elif op == "modify_column":
+                types[cols.index(ddl["column"])] = ddl["mysql_type"]
             else:
                 raise ValueError(f"unknown ddl op {op}")
-            new = TableSchema(tuple(cols), cur.pks, cur.hidden_pks)
+            new = TableSchema(
+                tuple(cols), cur.pks, cur.hidden_pks,
+                tuple(types) if any(types) else (),
+            )
         hist.tsos.append(tso)
         hist.schemas.append(new)
+
+    # -- TableMetaTSDB.apply(position, ddl-text) ----------------------------
+    def apply_sql(self, tso: str, sql: str, default_db: str | None = None) -> None:
+        """Apply a raw MySQL DDL statement at a TSO — the QUERY-event path
+        (QueryEventReformator → TableMetaTSDB.apply). Multi-action ALTERs
+        apply left-to-right at the same position."""
+        from polardbx_cdc_spark.ddl import parse_ddl
+
+        for i, op in enumerate(parse_ddl(sql, default_db)):
+            # sub-operations of one statement version at tso, tso+1, ... so
+            # intra-statement order is preserved under the strictly-
+            # increasing-TSO rule (sub-suffix stays within the same second)
+            sub_tso = tso if i == 0 else f"{tso}{i:02d}"
+            self.apply(sub_tso, op["db"], op["tbl"], op)
 
     # -- TableMetaTSDB.find(schema, table) at a position --------------------
     def find(self, db: str, tbl: str, tso: str) -> TableSchema | None:
@@ -103,6 +152,18 @@ class SchemaRegistry:
             del hist.tsos[i:]
             del hist.schemas[i:]
         self._tables = {k: h for k, h in self._tables.items() if h.tsos}
+
+    def version_intervals(self) -> list[tuple[str, str, str, str | None, list[str]]]:
+        """Every schema version as a half-open TSO interval:
+        ``(db, tbl, from_tso, to_tso|None, visible_columns)`` — the
+        broadcastable form of the registry for per-event resolution."""
+        out = []
+        for (db, tbl), hist in self._tables.items():
+            for i, (tso, schema) in enumerate(zip(hist.tsos, hist.schemas)):
+                to = hist.tsos[i + 1] if i + 1 < len(hist.tsos) else None
+                keep = [c for c in schema.columns if c not in schema.hidden_pks]
+                out.append((db, tbl, tso, to, keep))
+        return out
 
     # -- TableMetaTSDB.snapshot() -------------------------------------------
     def snapshot(self, tso: str | None = None) -> dict[tuple[str, str], TableSchema]:
@@ -212,3 +273,41 @@ def rebuild_events(df, topo: LogicalTopology, registry: SchemaRegistry, at_tso: 
             out = out.withColumn("before", prune(F.col("before")))
         out = out.drop("_kdb", "_ktbl", "_keep")
     return out
+
+
+def rebuild_events_versioned(df, registry: SchemaRegistry):
+    """Mid-stream DDL semantics: prune each event's images by the schema
+    IN EFFECT AT THE EVENT'S OWN TSO (TableMetaTSDB.find(position) per
+    event — the reference resolves metadata per binlog position, not per
+    job). The registry's version intervals broadcast as a small mapping
+    frame; each event range-joins to at most one version. Events of
+    unregistered tables pass through unpruned.
+    """
+    from pyspark.sql import functions as F
+
+    intervals = registry.version_intervals()
+    if not intervals:
+        return df
+    spark = df.sparkSession
+    vmap = spark.createDataFrame(
+        intervals, "_vdb string, _vtbl string, _from string, _to string, _keep array<string>"
+    )
+    out = df.join(
+        F.broadcast(vmap),
+        (F.col("db") == F.col("_vdb"))
+        & (F.col("tbl") == F.col("_vtbl"))
+        & (F.col("tso") >= F.col("_from"))
+        & (F.col("_to").isNull() | (F.col("tso") < F.col("_to"))),
+        "left",
+    )
+
+    def prune(map_col):
+        return F.when(F.col("_keep").isNull(), map_col).otherwise(
+            F.map_filter(map_col, lambda k, _v: F.array_contains(F.col("_keep"), k))
+        )
+
+    if "after" in df.columns:
+        out = out.withColumn("after", prune(F.col("after")))
+    if "before" in df.columns:
+        out = out.withColumn("before", prune(F.col("before")))
+    return out.drop("_vdb", "_vtbl", "_from", "_to", "_keep")

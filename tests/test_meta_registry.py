@@ -69,3 +69,65 @@ def test_rebuild_projection(spark, registry):
     assert set(by_pk["1"]["after"].keys()) == {"id", "amount", "status"}
     # non-topology table untouched
     assert by_pk["3"]["logical_db"] == "other" and set(by_pk["3"]["after"]) == {"id", "junk"}
+
+
+# -- DDL-text path (QueryEventReformator/DDLConverter parity) ---------------
+
+
+def test_apply_sql_create_alter_chain():
+    r = SchemaRegistry()
+    r.apply_sql(_tso(10), "CREATE TABLE `app`.`t` (id BIGINT PRIMARY KEY, a VARCHAR(10), _drds_implicit_id_ BIGINT)")
+    s = r.find("app", "t", _tso(15))
+    assert s.columns == ("id", "a", "_drds_implicit_id_")
+    assert s.pks == ("id",) and s.hidden_pks == ("_drds_implicit_id_",)
+    assert s.column_types()["a"] == "VARCHAR(10)"
+
+    r.apply_sql(_tso(20), "ALTER TABLE app.t ADD COLUMN b INT UNSIGNED, DROP COLUMN a")
+    s = r.find("app", "t", _tso(25))
+    assert s.columns == ("id", "_drds_implicit_id_", "b")
+    assert s.column_types()["b"] == "INT UNSIGNED"
+
+    r.apply_sql(_tso(30), "ALTER TABLE app.t CHANGE COLUMN b c BIGINT")
+    assert r.find("app", "t", _tso(35)).columns == ("id", "_drds_implicit_id_", "c")
+    # time travel still sees the old shape
+    assert r.find("app", "t", _tso(15)).columns == ("id", "a", "_drds_implicit_id_")
+
+
+def test_apply_sql_rename_and_drop_table():
+    r = SchemaRegistry()
+    r.apply_sql(_tso(10), "CREATE TABLE a.x (id BIGINT PRIMARY KEY)")
+    r.apply_sql(_tso(20), "RENAME TABLE a.x TO a.y")
+    assert r.find("a", "x", _tso(25)) is None
+    assert r.find("a", "y", _tso(25)).columns == ("id",)
+    r.apply_sql(_tso(30), "DROP TABLE IF EXISTS a.y")
+    assert r.find("a", "y", _tso(35)) is None
+
+
+def test_apply_sql_rejects_unknown_ddl():
+    r = SchemaRegistry()
+    with pytest.raises(ValueError, match="unsupported DDL"):
+        r.apply_sql(_tso(10), "GRANT ALL ON *.* TO admin")
+
+
+def test_versioned_rebuild_per_event_schema(spark):
+    """Events before/after a mid-stream DROP COLUMN see different visible
+    column sets — per-event resolution, not a single snapshot."""
+    from polardbx_cdc_spark.meta import rebuild_events_versioned
+
+    rows = [
+        (_tso(15), "app", "t", {"id": "1", "a": "x", "b": "y"}),
+        (_tso(25), "app", "t", {"id": "2", "a": "x", "b": "y"}),
+        (_tso(35), "app", "t", {"id": "3", "a": "x", "b": "y"}),
+    ]
+    df = spark.createDataFrame(rows, "tso string, db string, tbl string, after map<string,string>")
+    r = SchemaRegistry()
+    r.apply_sql(_tso(10), "CREATE TABLE app.t (id BIGINT PRIMARY KEY, a TEXT, b TEXT)")
+    r.apply_sql(_tso(20), "ALTER TABLE app.t DROP COLUMN a")
+    r.apply_sql(_tso(30), "ALTER TABLE app.t ADD COLUMN a TEXT")
+    got = {
+        r_["tso"]: sorted(r_["after"].keys())
+        for r_ in rebuild_events_versioned(df, r).collect()
+    }
+    assert got[_tso(15)] == ["a", "b", "id"]
+    assert got[_tso(25)] == ["b", "id"]
+    assert got[_tso(35)] == ["a", "b", "id"]
