@@ -50,6 +50,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "q18_large_orders",
     "events_signup_funnel",
     "checksum_diff_drilldown",  # SURVEY row stays green via checksum_orders_chunked
+    "q4_order_priority",  # EXISTS semi-join plan gated in test_plans
 )
 
 
@@ -868,6 +869,108 @@ def full_copy_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-copy chunk planning (MysqlFullProcessor.java:162-244)."""
     o = load_table(spark, sf_dir, "orders")
     return validation.full_copy_chunks(o, "o_orderkey", 16)
+
+
+#: (column, MySQL type, transport expr) — string-transported values derived
+#: deterministically from ``orders`` so BOTH engines synthesize the identical
+#: all-types surface (the reference's 200-column random table,
+#: polardbx-cdc-test/.../random/SqlConstants.java:24-239, condensed to one
+#: column per decode family — RowsLogBuffer.java:88-195, format/field/*).
+_ALL_TYPES_TRANSPORT: list[tuple[str, str, str]] = [
+    ("c_bool", "tinyint(1)", "CAST(o_orderkey % 2 AS STRING)"),
+    ("c_tinyint", "tinyint", "CAST(o_orderkey % 256 - 128 AS STRING)"),
+    ("c_utinyint", "tinyint unsigned", "CAST(o_orderkey % 256 AS STRING)"),
+    ("c_smallint", "smallint", "CAST(o_orderkey % 65536 - 32768 AS STRING)"),
+    ("c_uint_zf", "int zerofill", "CAST((o_orderkey % 1000003) * 7 % 4294967296 AS STRING)"),
+    ("c_bigint", "bigint", "CAST((o_orderkey % 1000003) * (o_orderkey % 1000003) - 500000000000 AS STRING)"),
+    ("c_ubigint", "bigint unsigned", "CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) - o_orderkey % 1000003 AS STRING)"),
+    ("c_bit", "bit(64)", "CAST((o_orderkey % 1000003) * 31 AS STRING)"),
+    ("c_decimal", "decimal(12,2)", "format_string('%.2f', o_totalprice)"),
+    ("c_float", "float", "format_string('%.2f', o_totalprice)"),
+    ("c_double", "double", "format_string('%.6f', o_totalprice)"),
+    ("c_date", "date", "CAST(CAST(o_orderdate AS DATE) AS STRING)"),
+    ("c_datetime", "datetime(3)", "CAST(CAST(o_orderdate AS DATE) AS STRING) || ' 12:34:56'"),
+    ("c_time", "time(3)", "CAST(700 + o_orderkey % 300 AS STRING) || ':05:09'"),
+    ("c_year", "year", "CAST(1900 + o_orderkey % 155 AS STRING)"),
+    ("c_enum", "enum('a','b','c')", "CASE WHEN o_orderkey % 3 = 0 THEN 'a' WHEN o_orderkey % 3 = 1 THEN 'b' ELSE 'c' END"),
+    ("c_set", "set('x','y','z')", "CASE WHEN o_orderkey % 2 = 0 THEN 'x,y' ELSE 'z' END"),
+    ("c_char", "char(15)", "o_orderpriority"),
+    ("c_binary", "binary(16)", "md5(CAST(o_orderkey AS STRING))"),
+    ("c_json", "json", "'{\"k\":' || CAST(o_orderkey AS STRING) || '}'"),
+]
+
+
+def _all_types_oracle() -> str:
+    """DuckDB twin: same transports, post-cast string renderings computed
+    analytically (bool → true/false, float → %.6f of the widened REAL,
+    binary → upper hex; every other family's typed string equals its
+    transport string)."""
+    duck = {
+        "c_bool": "CASE WHEN o_orderkey % 2 = 1 THEN 'true' ELSE 'false' END",
+        "c_float": "CAST(round(CAST(CAST(printf('%.2f', o_totalprice) AS FLOAT) AS DOUBLE) * 100) AS BIGINT)",
+        "c_double": "printf('%.6f', o_totalprice)",
+        "c_decimal": "printf('%.2f', o_totalprice)",
+        "c_date": "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+        "c_datetime": "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ' 12:34:56'",
+        "c_binary": "upper(md5(CAST(o_orderkey AS VARCHAR)))",
+    }
+    terms = []
+    for name, _t, spark_expr in _ALL_TYPES_TRANSPORT:
+        expr = duck.get(name, spark_expr.replace(" AS STRING)", " AS VARCHAR)").replace(
+            "format_string", "printf"
+        ))
+        terms.append(expr)
+    payload = ", ".join(terms)
+    enum_expr = dict((n, e) for n, _t, e in _ALL_TYPES_TRANSPORT)["c_enum"]
+    return f"""
+    SELECT {enum_expr} AS c_enum,
+           count(*) AS n_rows,
+           CAST(bit_xor(CAST(('0x' || substr(md5(concat_ws(',', {payload})), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM orders GROUP BY 1
+    """
+
+
+@register("checksum_all_types", _all_types_oracle())
+def checksum_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full type-fidelity pipeline: string-transported values → DDL-text
+    CREATE TABLE feeds the schema registry → ``typed_images`` casts every
+    decode family to its faithful Spark type (unsigned widening, zerofill,
+    DECIMAL(20,0) for unsigned bigint, zone-less DATETIME, TIME > 24h) →
+    table checksum per enum group, hash-matched against DuckDB computing
+    the same surface natively (RowsLogBuffer.java:88-195 decode table;
+    SqlConstants.java:24-239 test surface)."""
+    from polardbx_cdc_spark.meta import SchemaRegistry, typed_images
+
+    o = load_table(spark, sf_dir, "orders")
+    after = F.create_map(
+        *[x for name, _t, expr in _ALL_TYPES_TRANSPORT for x in (F.lit(name), F.expr(expr))]
+    )
+    frame = o.select(after.alias("after"))
+    reg = SchemaRegistry()
+    col_defs = ", ".join(f"`{n}` {t.upper()}" for n, t, _e in _ALL_TYPES_TRANSPORT)
+    reg.apply_sql("0" * 48, f"CREATE TABLE app.all_types ({col_defs})")
+    schema = reg.find("app", "all_types", "9" * 48)
+    typed = typed_images(frame, schema.column_types())
+    flat = typed.select(
+        *[F.col(f"after_typed.{n}").alias(n) for n, _t, _e in _ALL_TYPES_TRANSPORT]
+    )
+    render = {
+        # %.6f on floats hits exact-expansion ties where Java (half-up) and
+        # C (half-even) disagree — render as integer cents instead (round()
+        # is half-away-from-zero in BOTH engines)
+        "c_float": F.round(F.col("c_float").cast("double") * 100, 0).cast("long").cast("string"),
+        "c_double": F.format_string("%.6f", F.col("c_double")),
+        "c_binary": F.hex(F.col("c_binary")),
+    }
+    terms = [
+        render.get(n, F.col(n).cast("string")) for n, _t, _e in _ALL_TYPES_TRANSPORT
+    ]
+    rc = F.conv(F.substring(F.md5(F.concat_ws(",", *terms)), 1, 8), 16, 10).cast("long")
+    return (
+        flat.select(F.col("c_enum"), rc.alias("_rc"))
+        .groupBy("c_enum")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("CAST(bit_xor(_rc) AS BIGINT)").alias("checksum"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -31,7 +31,8 @@ _UNSIGNED = {1: T.ShortType(), 2: T.IntegerType(), 3: T.IntegerType(), 4: T.Long
 def spark_type_for(mysql_type: str) -> T.DataType:
     """Map a MySQL column type declaration to the Spark type (§1.2 table)."""
     t = mysql_type.strip().lower()
-    unsigned = "unsigned" in t
+    # ZEROFILL implies UNSIGNED in MySQL even when not spelled out
+    unsigned = "unsigned" in t or "zerofill" in t
     base = re.split(r"[(\s]", t, 1)[0]
 
     if base in _INT_SIZES:
