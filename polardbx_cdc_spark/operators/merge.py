@@ -117,6 +117,25 @@ def frame_transactions(df: DataFrame) -> DataFrame:
     )
 
 
+def align_stream_start(df: DataFrame) -> DataFrame:
+    """Multi-stream start alignment (extractor/MultiStreamStartTsoWindow.java):
+    when N source streams come up, each reports the first TSO it can serve;
+    consumption starts at the MAX over sources of those start TSOs (the
+    ``getFilterTSO`` semantics), so every source is guaranteed to cover the
+    merged range — events below the aligned start are dropped.
+
+    One aggregation producing a single-row frame, broadcast back as a
+    filter — no driver collect, no second scan shuffle.
+    """
+    starts = df.groupBy("source_id").agg(F.min("tso").alias("_start_tso"))
+    aligned = starts.agg(F.max("_start_tso").alias("_aligned_tso"))
+    return (
+        df.join(F.broadcast(aligned))
+        .filter(F.col("tso") >= F.col("_aligned_tso"))
+        .drop("_aligned_tso")
+    )
+
+
 def heartbeat_epochs(df: DataFrame, epoch: str = "1 hour") -> DataFrame:
     """Epoch alignment report (HeartBeatWindow.java:30-71; emission gated on
     all sources reaching the epoch — LogEventMerger.checkHeartbeatWindow:203-236).

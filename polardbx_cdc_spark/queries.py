@@ -51,6 +51,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "events_signup_funnel",
     "checksum_diff_drilldown",  # SURVEY row stays green via checksum_orders_chunked
     "q4_order_priority",  # EXISTS semi-join plan gated in test_plans
+    "events_rollup_hierarchy",  # ranking/analytic row green via top_customers_per_nation
 )
 
 
@@ -268,6 +269,31 @@ def cdc_kway_merge_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = [cdc.filter(F.col("source_id") == f"dn-{i}") for i in range(4)]
     merged = merge.k_way_merge(*srcs)
     return merged.select("tso", "source_id", "txn_id", "seq", "action", "db", "tbl", "pk").limit(1000)
+
+
+@register(
+    "cdc_multi_stream_alignment",
+    oracle_cdc_query(
+        """
+        , aligned AS (
+          SELECT max(mn) AS aligned_tso
+          FROM (SELECT source_id, min(tso) AS mn FROM cdc GROUP BY 1) s
+        )
+        SELECT source_id, count(*) AS n_kept, min(tso) AS first_kept
+        FROM cdc, aligned WHERE tso >= aligned_tso
+        GROUP BY source_id
+        """
+    ),
+)
+def cdc_multi_stream_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stream start alignment (MultiStreamStartTsoWindow.java):
+    consumption starts at the max over sources of each source's first
+    available TSO; events below the aligned start are dropped."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    kept = merge.align_stream_start(cdc)
+    return kept.groupBy("source_id").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("tso").alias("first_kept")
+    )
 
 
 # --------------------------------------------------------------------------

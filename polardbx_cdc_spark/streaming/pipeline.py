@@ -119,6 +119,87 @@ def assemble_transactions_stateful(cdc_stream: DataFrame, ttl_ms: int = 30_000) 
     )
 
 
+_HB_OUT_SCHEMA = (
+    "epoch_start timestamp, sources_seen long, n_events long, "
+    "complete boolean, force_completed boolean"
+)
+_HB_STATE_SCHEMA = "sources string, n long"
+
+
+def heartbeat_gate_stateful(
+    cdc_stream: DataFrame,
+    n_sources: int,
+    epoch: str = "hour",
+    force_timeout_ms: int = 30_000,
+) -> DataFrame:
+    """Heartbeat-window gate WITH stalled-source force-complete.
+
+    Reference: a window emits when every source has reached it
+    (HeartBeatWindow.java:30-71); if a source goes silent — typically after
+    a topology scale-in — the merger force-completes the window after a
+    threshold instead of stalling forever
+    (LogEventMerger.tryForceComplete:238-273). Spark's global watermark has
+    the same stall (min over sources), so the gate is a stateful operator:
+    keyed by epoch, emits ``complete=true`` the moment all ``n_sources``
+    have contributed, or ``force_completed=true`` when the processing-time
+    timeout fires first — the per-source idle-timeout override Spark
+    doesn't give you natively.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (epoch_start,) = key
+        if state.hasTimedOut:
+            sources_csv, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{
+                    "epoch_start": epoch_start,
+                    "sources_seen": len(sources_csv.split(",")) if sources_csv else 0,
+                    "n_events": n,
+                    "complete": False,
+                    "force_completed": True,
+                }]
+            )
+            return
+        seen: set[str] = set()
+        n = 0
+        if state.exists:
+            sources_csv, n = state.get
+            seen = set(sources_csv.split(",")) if sources_csv else set()
+        for pdf in pdfs:
+            n += len(pdf)
+            seen.update(pdf["source_id"].unique().tolist())
+        if len(seen) >= n_sources:
+            state.remove()
+            yield pd.DataFrame(
+                [{
+                    "epoch_start": epoch_start,
+                    "sources_seen": len(seen),
+                    "n_events": n,
+                    "complete": True,
+                    "force_completed": False,
+                }]
+            )
+        else:
+            state.update((",".join(sorted(seen)), n))
+            state.setTimeoutDuration(force_timeout_ms)
+
+    keyed = cdc_stream.select(
+        F.date_trunc(epoch, F.col("ts")).alias("epoch_start"), "source_id"
+    )
+    return keyed.groupBy("epoch_start").applyInPandasWithState(
+        fn,
+        _HB_OUT_SCHEMA,
+        _HB_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 class BinlogSink:
     """Epoch-ordered parquet sink with file rotation — the global binlog
     writer (LogFileGenerator) re-expressed.

@@ -690,3 +690,74 @@ def test_replica_sink_rewrites_only_touched_buckets(spark, tmpdir):
     # merging an already-applied event is a no-op (idempotent retry)
     assert sorted(map(tuple, sink.current(spark).collect())) == sorted(map(tuple, full_state))
     cdc.unpersist()
+
+
+def test_heartbeat_gate_force_completes_stalled_source(spark, tmpdir):
+    """tryForceComplete parity: a window missing one source must still emit
+    (force_completed=true) after the processing-time threshold instead of
+    stalling the pipeline forever."""
+    import glob
+    import os
+    import time
+
+    ev = spark.read.parquet(SF + "/events.parquet")
+    src = tmpdir + "/src"
+    os.makedirs(src)
+    # batch 0: drop one source (user_id % 4 == 3) from the whole stream —
+    # every epoch is incomplete w.r.t. the 4-source topology
+    part = ev.filter(F.col("user_id") % 4 != 3)
+    stage = tmpdir + "/s0"
+    part.coalesce(1).write.parquet(stage)
+    shutil.copy(glob.glob(stage + "/part-*.parquet")[0], src + "/e0.parquet")
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cdc = derive_cdc_stream(spark, SF, events=stream)
+    gate = pipeline.heartbeat_gate_stateful(cdc, n_sources=4, epoch="hour", force_timeout_ms=1)
+
+    q = (
+        gate.writeStream.format("memory")
+        .queryName("hb_gate")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/ckpt")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        # batch 1 (empty-ish trigger after the timeout) fires the timeouts
+        time.sleep(4)
+        stage2 = tmpdir + "/s1"
+        ev.filter(F.col("event_id") < 0).coalesce(1).write.parquet(stage2)  # empty file
+        shutil.copy(glob.glob(stage2 + "/part-*.parquet")[0], src + "/e1.parquet")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.table("hb_gate").collect()
+            if rows:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    rows = spark.table("hb_gate").collect()
+    assert rows, "stalled windows never emitted"
+    assert all(r["force_completed"] and not r["complete"] for r in rows)
+    # the silenced source never appears; busy epochs see exactly 3 of 4
+    assert all(1 <= r["sources_seen"] <= 3 for r in rows)
+    assert max(r["sources_seen"] for r in rows) == 3
+
+
+def test_align_stream_start_batch(spark):
+    """Aligned start = max over sources of per-source min tso; every kept
+    source begins at or after it."""
+    from polardbx_cdc_spark.operators import merge as m
+
+    cdc = derive_cdc_stream(spark, SF)
+    starts = {
+        r["source_id"]: r["mn"]
+        for r in cdc.groupBy("source_id").agg(F.min("tso").alias("mn")).collect()
+    }
+    aligned = max(starts.values())
+    kept = m.align_stream_start(cdc)
+    got_min = kept.agg(F.min("tso")).collect()[0][0]
+    assert got_min >= aligned
+    n_expected = cdc.filter(F.col("tso") >= aligned).count()
+    assert kept.count() == n_expected
