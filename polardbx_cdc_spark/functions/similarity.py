@@ -174,17 +174,46 @@ def embed_near_dup_pairs(
     max_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
 
-    Exact form (optionally bounded to ids < max_id for the oracle); the
-    scale path swaps the self-join for ``lsh_buckets`` bucketing so pairs
-    only meet inside a bucket — same downstream contract.
+    DEFAULT is the LSH-bucketed path: candidate pairs only meet inside a
+    hyperplane bucket (multi-table OR-amplification for recall), so the
+    unbounded all-pairs join can never be reached by accident — at 100 TB
+    an accidental O(n²) self-join is a cluster-killer. ``exact=True``
+    opts into the all-pairs form (the oracle's bounded correctness
+    baseline; combine with ``max_id``).
+
+    Size the dial to the threshold: per-plane collision p = 1 - θ/π, so
+    recall ≈ 1-(1-p^planes)^tables. The (4, 8) default targets real dedup
+    thresholds (cos ≥ 0.9 → recall ≈ 0.998 with ~3-40% random-pair
+    candidate rate); low thresholds need fewer planes / more tables.
     """
     base = df if max_id is None else df.filter(F.col(id_col) < max_id)
-    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+    if exact:
+        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cands = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = lsh_buckets(base, num_planes, dim, vec_col, num_tables=num_tables)
+        a = bucketed.select(
+            F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = bucketed.select(
+            F.col("bucket").alias("bucket_b"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+        )
+        cands = (
+            a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+            .drop("bucket", "bucket_b")
+            .dropDuplicates(["id_a", "id_b"])  # collided in >1 table
+        )
+    pairs = cands.select(
         "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
     )
     return pairs.filter(F.col("cos_sim") >= threshold)

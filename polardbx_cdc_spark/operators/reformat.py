@@ -1,0 +1,116 @@
+"""Row-event reformation: charset resolution, mis-decode repair, and
+topology-record repair.
+
+Reference:
+- charset fallback chain + physical/logical type-mismatch re-decode:
+  RowEventReformator.getCharset / resolveDataTypeNotMatch
+  (polardbx-cdc-task/.../reformat/RowEventReformator.java:344-370) — a
+  column's charset falls back column → table → default, and a value whose
+  physical type disagrees with the logical declaration is re-decoded from
+  its raw bytes under the resolved charset, then re-made as the logical
+  type (MakeFieldFactory.makField4TypeMisMatch).
+- broken topology-record repair: JsonRepairUtil.repair
+  (polardbx-cdc-rpl/.../filter/JsonRepairUtil.java) — a CREATE_TABLE DDL
+  record with damaged/missing topology JSON is rebuilt from authoritative
+  metadata (live topology + SHOW CREATE TABLE). Here the authoritative
+  sources are the SchemaRegistry and LogicalTopology.
+
+All column-level transforms are pure Catalyst expressions (encode/decode
+are JVM built-ins) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: MySQL charset name → JVM charset name (the decodable subset; BINARY has
+#: no text decoding). GBK-family charsets exist in the JVM but Spark's
+#: non-legacy decode() restricts to these — the reference faces the same
+#: table in miniature (CharsetConversion.java).
+MYSQL_TO_JVM_CHARSET = {
+    "utf8": "UTF-8",
+    "utf8mb3": "UTF-8",
+    "utf8mb4": "UTF-8",
+    "latin1": "ISO-8859-1",
+    "ascii": "US-ASCII",
+    "ucs2": "UTF-16BE",
+    "utf16": "UTF-16BE",
+    "utf16le": "UTF-16LE",
+}
+
+
+def jvm_charset(mysql_charset: str) -> str:
+    cs = MYSQL_TO_JVM_CHARSET.get(mysql_charset.strip().lower())
+    if cs is None:
+        raise ValueError(f"undecodable MySQL charset: {mysql_charset}")
+    return cs
+
+
+def resolve_charset(
+    column_charset: str | None,
+    table_charset: str | None,
+    default_charset: str = "utf8mb4",
+) -> str:
+    """getCharset:344-353 — column charset, else table charset, else the
+    configured default."""
+    for c in (column_charset, table_charset, default_charset):
+        if c and c.strip():
+            return c
+    return default_charset
+
+
+def recode(col: Column, stored_as: str, actual: str) -> Column:
+    """Undo a mis-decode: a string that was decoded under ``stored_as``
+    (e.g. latin1 mojibake) but whose bytes are really ``actual`` (e.g.
+    utf8). encode() under the wrong charset recovers the original bytes;
+    decode() under the right one yields the true text."""
+    return F.decode(F.encode(col, jvm_charset(stored_as)), jvm_charset(actual))
+
+
+def repair_type_mismatch(raw_bytes: Column, logical_type: str, charset: str) -> Column:
+    """resolveDataTypeNotMatch:355-370 — physical value re-decoded from raw
+    bytes under the resolved charset, then cast to the LOGICAL column type
+    (the declaration the registry holds), regardless of what the physical
+    shard declared."""
+    from polardbx_cdc_spark.types import mysql_cast, spark_type_for
+    from pyspark.sql import types as T
+
+    if isinstance(spark_type_for(logical_type), T.BinaryType):
+        return raw_bytes
+    return mysql_cast(F.decode(raw_bytes, jvm_charset(charset)), logical_type)
+
+
+def render_create_sql(db: str, tbl: str, schema) -> str:
+    """SHOW CREATE TABLE equivalent rendered from a registry TableSchema
+    (round-trips through ddl.parse_ddl)."""
+    types = schema.types if schema.types else ("TEXT",) * len(schema.columns)
+    cols = ", ".join(f"`{c}` {t}" for c, t in zip(schema.columns, types))
+    pk = f", PRIMARY KEY ({', '.join(f'`{c}`' for c in schema.pks)})" if schema.pks else ""
+    return f"CREATE TABLE `{db}`.`{tbl}` ({cols}{pk})"
+
+
+def repair_topology_record(
+    record: dict | None,
+    registry,
+    topology,
+    db: str,
+    tbl: str,
+) -> dict:
+    """JsonRepairUtil.repair parity: rebuild a damaged/missing CREATE_TABLE
+    topology record from the authoritative registry + logical topology.
+    Fields already present in ``record`` are kept; missing ones are filled:
+    ``create_sql`` from the registry schema, ``phy_tables`` from the
+    topology's physical→logical mapping."""
+    out = dict(record or {})
+    out.setdefault("table_name", tbl)
+    if not out.get("create_sql"):
+        schema = registry.find(db, tbl, "9" * 48)
+        if schema is None:
+            raise KeyError(f"{db}.{tbl} unknown to the registry — cannot repair")
+        out["create_sql"] = render_create_sql(db, tbl, schema)
+    if not out.get("phy_tables"):
+        out["phy_tables"] = sorted(
+            phys for phys, logic in topology.phys_to_logic.items() if logic == (db, tbl)
+        )
+    return out

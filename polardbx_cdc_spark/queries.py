@@ -1734,7 +1734,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ~p99.9 of the synthetic corpus' similarity distribution — real
     dedup corpora use ~0.9, but these embeddings are near-orthogonal."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.embed_near_dup_pairs(e, threshold=0.35, max_id=200)
+    return similarity.embed_near_dup_pairs(e, threshold=0.35, max_id=200, exact=True)
 
 
 @register("embed_cosine_topk_arrow", None)  # BLAS sims differ in last ulp → rows-only

@@ -36,3 +36,30 @@ def test_ann_paths_recall_floor(spark):
     lsh = {(r["query_id"], r["nbr_id"]) for r in similarity.lsh_bucket_topk(e, QIDS, k=5).collect()}
     assert len(exact & ivf) / len(exact) >= 0.4, "IVF recall collapsed"
     assert len(exact & lsh) / len(exact) >= 0.4, "LSH recall collapsed"
+
+
+def test_near_dup_default_is_lsh_with_recall_floor(spark):
+    """The DEFAULT near-dup path must be LSH-bucketed (no all-pairs join
+    reachable by accident) and keep recall >= 0.9 vs the exact form on a
+    bounded corpus."""
+    from polardbx_cdc_spark.functions import similarity
+    from polardbx_cdc_spark.session import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embed_near_dup_pairs(
+            e, threshold=0.3, max_id=300, exact=True
+        ).collect()
+    }
+    # dial matched to the low test threshold (near-orthogonal synthetic
+    # corpus): p(cos .3) ≈ 0.60/plane → 2 planes × 10 tables ≈ 0.99 recall
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embed_near_dup_pairs(
+            e, threshold=0.3, max_id=300, num_planes=2, num_tables=10
+        ).collect()
+    }
+    assert exact, "fixture produced no exact near-dup pairs"
+    assert approx <= exact  # LSH candidates are a subset, same cosine filter
+    assert len(approx & exact) / len(exact) >= 0.9, (len(approx), len(exact))
