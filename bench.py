@@ -24,6 +24,9 @@ HEADLINE = [
     "cdc_last_image",
     "cdc_txn_assemble",
     "cdc_stream_routing",
+    "cdc_ddl_replay",
+    "cdc_kway_merge_head",
+    "checksum_all_types",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",

@@ -55,13 +55,31 @@ def assign_stream(df: DataFrame, cfg: StreamRoutingConfig) -> DataFrame:
     Scale shape: per-table overrides (level + pinning) resolve via a
     BROADCAST mapping join, not a folded CASE chain — plan size stays O(1)
     no matter how many tables carry overrides; the config ships once per
-    executor as a broadcast hash table. Precedence matches HashConfig:
-    explicit pin > table-level RECORD > db-level DATABASE > default.
+    executor as a broadcast hash table. Tiny configs (≤32 overrides) stay
+    on an inline CASE expression: it codegens flat and skips the ~0.5 s
+    fixed cost of materializing + broadcasting mapping frames. Precedence
+    matches HashConfig: explicit pin > table-level RECORD > db-level
+    DATABASE > default.
     """
     full = F.concat_ws(".", F.col("db"), F.col("tbl"))
-    if not (cfg.record_level_tables or cfg.db_level_dbs or cfg.table_stream_pinning):
+    n_overrides = (
+        len(cfg.record_level_tables) + len(cfg.db_level_dbs) + len(cfg.table_stream_pinning)
+    )
+    if n_overrides == 0:
         key = _level_key(F.lit(cfg.default_level), full)
         sid = F.pmod(_hash32(key), F.lit(cfg.stream_count))
+        return df.withColumn("stream_id", sid.cast("int"))
+    if n_overrides <= 32:
+        key = _level_key(F.lit(cfg.default_level), full)
+        if cfg.db_level_dbs:
+            key = F.when(F.col("db").isin(cfg.db_level_dbs), F.col("db")).otherwise(key)
+        if cfg.record_level_tables:
+            key = F.when(
+                full.isin(cfg.record_level_tables), F.concat_ws(".", full, F.col("pk"))
+            ).otherwise(key)
+        sid = F.pmod(_hash32(key), F.lit(cfg.stream_count))
+        for tbl, stream in cfg.table_stream_pinning.items():
+            sid = F.when(full == tbl, F.lit(stream)).otherwise(sid)
         return df.withColumn("stream_id", sid.cast("int"))
 
     spark = df.sparkSession
