@@ -413,12 +413,19 @@ class BinlogSink:
         ranged = df.repartitionByRange(n_part, range_key).sortWithinPartitions(*sort_keys)
         with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
         try:
-            counts = dict(
-                (r["_pid"], r["cnt"])
-                for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            # one pass yields both the per-partition counts (offset bases)
+            # and the global high-water mark — keeps the sink at exactly two
+            # actions per batch (stats + write)
+            stats = (
+                with_pid.groupBy("_pid")
+                .agg(F.count(F.lit(1)).alias("cnt"), F.max(max_col).alias("mx"))
+                .collect()
             )
+            counts = {r["_pid"]: r["cnt"] for r in stats}
             if not counts:  # pure-replay batch: everything already durable
                 return 0, ""
+            n_total = sum(counts.values())
+            mx_total = max(r["mx"] for r in stats)
             base, acc = {}, self._offset
             for pid in sorted(counts):
                 base[pid] = acc
@@ -432,12 +439,9 @@ class BinlogSink:
                 .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))
                 .drop("_pid")
             )
-            ostats = out.agg(F.max(max_col).alias("mx"), F.count(F.lit(1)).alias("n")).collect()[0]
-            if ostats["n"] == 0:
-                return 0, ""
             out.write.mode("append").partitionBy("file_seq").parquet(self.out_dir)
-            self._offset += ostats["n"]
-            return ostats["n"], ostats["mx"]
+            self._offset += n_total
+            return n_total, mx_total
         finally:
             with_pid.unpersist()
 

@@ -24,6 +24,10 @@ EVENTS_QUERIES = [
     "cdc_last_image",
     "events_daily_rollup",
     "cdc_full_pipeline",
+    "cdc_ddl_replay",  # driver-side cut-point collects
+    "cdc_multi_stream_alignment",
+    "events_type_pivot",
+    "checksum_all_types",  # orders-derived but registry+typed_images path
 ]
 
 
