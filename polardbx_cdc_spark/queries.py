@@ -434,12 +434,11 @@ def cdc_ddl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = cdc.count()
     k1, k2 = math.ceil(n / 3), math.ceil(2 * n / 3)
-    w = Window.orderBy("tso")
+    # k-th smallest tso via TakeOrderedAndProject (distributed top-k) —
+    # NOT a global-order window, which would single-partition the table
     cuts = {
-        r["rn"]: r["tso"]
-        for r in cdc.select("tso", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn").isin(k1, k2))
-        .collect()
+        k: cdc.select("tso").orderBy("tso").limit(k).agg(F.max("tso")).collect()[0][0]
+        for k in (k1, k2)
     }
     reg = SchemaRegistry()
     reg.apply_sql(

@@ -145,3 +145,26 @@ def test_routing_plan_size_flat_in_table_count(spark):
 
     small, big = plan_len(10), plan_len(1000)
     assert big < small * 3, f"plan grew {small} -> {big} with override count"
+
+
+def test_ddl_replay_no_global_window(spark):
+    """Cut-point computation must use distributed top-k, not a global-order
+    window (which single-partitions the table)."""
+    plan = _plan(spark, "cdc_ddl_replay")
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" not in plan  # cuts resolved at plan time
+    assert "BroadcastHashJoin" in plan  # version-interval join broadcasts
+
+
+def test_all_types_single_scan_partial_agg(spark):
+    """The all-types checksum is one scan of orders with a partial/final
+    hash aggregate — no join, no window, no extra shuffle."""
+    plan = _plan(spark, "checksum_all_types")
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_alignment_uses_broadcast_not_smj(spark):
+    plan = _plan(spark, "cdc_multi_stream_alignment")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
