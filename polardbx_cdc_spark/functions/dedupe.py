@@ -231,3 +231,56 @@ def simhash_dedup(
         .groupBy("sig")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over candidate
+    pairs — the step that turns pairwise matches into keep-one-per-group
+    dedup decisions. Returns (id, cluster_id) with cluster_id = the
+    component's minimum member id.
+
+    Min-label propagation: each round every vertex takes the min label
+    among itself and its neighbors — one join + one partial-aggregated
+    groupBy per round, converging in O(component diameter) rounds (near-dup
+    clusters are shallow; the O(log n) large-star/small-star variant is the
+    drop-in upgrade for adversarially long chains). Each round persists and
+    checks convergence with a count — bounded by ``max_iter``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            prop = edges.join(labels, edges.src == labels.id).select(
+                F.col("dst").alias("id"), F.col("cluster_id")
+            )
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .persist()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
+                .filter(F.col("cluster_id") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()

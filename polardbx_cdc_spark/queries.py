@@ -52,6 +52,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "checksum_diff_drilldown",  # SURVEY row stays green via checksum_orders_chunked
     "q4_order_priority",  # EXISTS semi-join plan gated in test_plans
     "events_rollup_hierarchy",  # ranking/analytic row green via top_customers_per_nation
+    "events_session_windows",  # session semantics also covered by events_sessionize
 )
 
 
@@ -1616,10 +1617,10 @@ def _duck_shingles(n: int) -> str:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH sh AS (SELECT doc_id, {_duck_shingles(3)} AS g FROM documents),
+# shared CTE block: md5-affine MinHash signatures → banded buckets →
+# candidate pairs → true-Jaccard verification (used by the LSH query and
+# the cluster-formation query's oracle)
+_MINHASH_CTES = f"""sh AS (SELECT doc_id, {_duck_shingles(3)} AS g FROM documents),
     base AS (
       SELECT doc_id, list_transform(g, s -> CAST('0x'||substr(md5(s),1,8) AS BIGINT)) AS hs FROM sh),
     sig AS (
@@ -1636,7 +1637,13 @@ def _duck_shingles(n: int) -> str:
       SELECT c.id_a, c.id_b,
         round(CAST(len(list_intersect(list_distinct(sa.g), list_distinct(sb.g))) AS DOUBLE)
               / CAST(len(list_distinct(sa.g || sb.g)) AS DOUBLE), 6) AS jaccard_sim
-      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_CTES}
     SELECT id_a, id_b, jaccard_sim FROM verified WHERE jaccard_sim >= 0.5
     """,
 )
@@ -1652,6 +1659,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dedupe.minhash_lsh_candidates(d, use_md5=True)
     verified = dedupe.ngram_jaccard_pairs(d, cands)
     return verified.filter(F.col("jaccard_sim") >= 0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_cluster_groups",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard_sim >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
+    )
+    SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: verified MinHash-LSH pairs → connected
+    components → (doc_id, cluster_id = min member). This is the decision
+    step of real dedup (keep cluster_id, drop the rest); the oracle walks
+    the same graph with a recursive CTE. Min-label propagation: one
+    join+agg per round, O(component diameter) rounds."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = dedupe.minhash_lsh_candidates(d, use_md5=True)
+    verified = dedupe.ngram_jaccard_pairs(d, cands).filter(F.col("jaccard_sim") >= 0.5)
+    labels = dedupe.connected_components(verified)
+    return labels.select(F.col("id").alias("doc_id"), F.col("cluster_id"))
 
 
 @register(
