@@ -32,6 +32,28 @@ def oracle_token_count(expr: str) -> str:
     return f"len(regexp_split_to_array(trim({expr}), '\\s+'))"
 
 
+#: BPE-ish subword-boundary pattern: contraction suffixes, letter runs,
+#: digit runs, single punctuation — the GPT-2-style pre-tokenizer reduced
+#: to an engine-portable regex (Java and RE2 both match alternations
+#: leftmost-first, so the token streams agree bit-for-bit).
+BPE_ISH_PATTERN = r"'[a-z]{1,2}|[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Tokenize like a BPE pre-tokenizer (lowercased): one projection,
+    whole-stage codegen, no Python."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+def oracle_bpe_ish_token_count(expr: str) -> str:
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all(lower({expr}), '{pat}'))"
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

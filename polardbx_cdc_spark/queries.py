@@ -53,6 +53,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "q4_order_priority",  # EXISTS semi-join plan gated in test_plans
     "events_rollup_hierarchy",  # ranking/analytic row green via top_customers_per_nation
     "events_session_windows",  # session semantics also covered by events_sessionize
+    "cheapest_part_per_type",  # correlated-min shape; TPC-H family well covered
 )
 
 
@@ -1560,6 +1561,37 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.quality_score(t).alias("quality"),
         text.lang_id(t).alias("lang_pred"),
         text.fingerprint(t).alias("fp"),
+    )
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST({text.oracle_token_count('text')} AS BIGINT) AS n_tokens_ws,
+           CAST({text.oracle_bpe_ish_token_count('text')} AS BIGINT) AS n_tokens_bpe,
+           round(CAST(length(text) AS DOUBLE)
+                 / greatest(CAST({text.oracle_bpe_ish_token_count('text')} AS DOUBLE), 1.0), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways — whitespace and a BPE-ish pre-tokenizer
+    regex (contractions / letter runs / digit runs / punctuation) — plus
+    chars-per-token, the standard compression proxy for data curation.
+    Pure Catalyst projection; the two engines share the exact pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    bpe = text.bpe_ish_token_count(t).cast("long")
+    return d.select(
+        "doc_id",
+        text.token_count(t).cast("long").alias("n_tokens_ws"),
+        bpe.alias("n_tokens_bpe"),
+        F.round(
+            text.char_count(t).cast("double")
+            / F.greatest(bpe.cast("double"), F.lit(1.0)),
+            6,
+        ).alias("chars_per_token"),
     )
 
 
