@@ -246,7 +246,17 @@ def ivf_topk(
         array_to_vector(_as_double(F.col(vec_col))).alias("features"),
     )
     km = KMeans(k=n_centroids, seed=42, maxIter=10)
-    model = km.fit(vecs.select("features"))
+    # fit on a bounded deterministic sample: index quality needs only a
+    # sketch of the distribution, and an unsampled fit at 100 TB would
+    # iterate the full corpus maxIter times
+    fit_cap = 100_000
+    n_vecs = vecs.count()
+    fit_input = (
+        vecs.sample(False, min(1.0, fit_cap / max(n_vecs, 1)), seed=42)
+        if n_vecs > fit_cap
+        else vecs
+    )
+    model = km.fit(fit_input.select("features"))
     assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
 
     # centroid table (tiny) → each query picks its n_probe nearest cells
