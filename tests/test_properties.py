@@ -100,3 +100,58 @@ def test_type_mapping_total_over_fixture():
 
     for _, mysql_t in ALL_TYPES_COLUMNS.items():
         spark_type_for(mysql_t)
+
+
+_ident_st = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+_type_st = st.sampled_from(
+    ["BIGINT", "INT UNSIGNED", "VARCHAR(32)", "DECIMAL(12,2)", "DOUBLE",
+     "DATETIME(3)", "TEXT", "TINYINT(1)", "BIT(64)", "ENUM('a','b')"]
+)
+
+
+@given(
+    st.lists(st.tuples(_ident_st, _type_st), min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_create_sql_render_parse_roundtrip(cols, data):
+    """render_create_sql ∘ parse_ddl is the identity on registry schemas:
+    columns, types, and pks survive the round trip."""
+    from polardbx_cdc_spark.ddl import parse_ddl
+    from polardbx_cdc_spark.meta import TableSchema
+    from polardbx_cdc_spark.operators.reformat import render_create_sql
+
+    names = [c for c, _ in cols]
+    pks = tuple(data.draw(st.sets(st.sampled_from(names), max_size=2)))
+    schema = TableSchema(
+        tuple(names), pks, (), tuple(t for _, t in cols)
+    )
+    sql = render_create_sql("d1", "t1", schema)
+    (op,) = parse_ddl(sql)
+    assert op["op"] == "create" and op["db"] == "d1" and op["tbl"] == "t1"
+    assert op["columns"] == names
+    # type declarations are case-preserved except enum labels stay quoted
+    assert [t.lower() for t in op["types"]] == [t.lower() for _, t in cols]
+    assert sorted(op["pks"]) == sorted(pks)
+
+
+def test_connected_components_edge_cases(spark):
+    from polardbx_cdc_spark.functions.dedupe import connected_components
+
+    # empty pair set → empty labels
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+    # chain 1-2-3 + isolated pair 7-8 → two components with min labels
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_align_stream_start_single_source_keeps_all(spark):
+    from polardbx_cdc_spark.operators.merge import align_stream_start
+
+    df = spark.createDataFrame(
+        [("a", "t1"), ("a", "t2"), ("a", "t3")], "source_id string, tso string"
+    )
+    assert align_stream_start(df).count() == 3
