@@ -54,6 +54,43 @@ def oracle_bpe_ish_token_count(expr: str) -> str:
     return f"len(regexp_extract_all(lower({expr}), '{pat}'))"
 
 
+def winnow_sketch(text: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing fingerprint (rolling-hash document sketch, the MOSS
+    algorithm): normalize → char k-grams → hash each → min hash per
+    sliding window of ``window`` hashes → distinct sorted sketch. Two docs
+    sharing any sketch value share a ≥ k-char normalized substring, so the
+    sketch detects PARTIAL overlap that whole-doc fingerprints miss.
+    Pure Catalyst (one projection); md5-prefix hashes keep the DuckDB
+    oracle exact."""
+    expr = (
+        f"array_sort(array_distinct(transform("
+        f"  sequence(1, greatest(size(__wh) - {window - 1}, 1)),"
+        f"  j -> array_min(slice(__wh, j, {window})))))"
+    )
+    norm = F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(__wn) - {k - 1}, 1)), i -> substring(__wn, i, {k}))"
+    )
+    # staged via internal columns because substring/slice need per-element
+    # positions (SQL transform lambdas take Column positions; the DSL
+    # functions don't)
+    return norm, grams, expr  # assembled by winnow_sketch_df
+
+
+def winnow_sketch_df(df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, window: int = 4):
+    """(doc_id, fp) rows — one row per sketch value (winnow_sketch
+    exploded)."""
+    norm, grams, sketch_expr = winnow_sketch(F.col(text_col), k, window)
+    hashed = "transform(__wg, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS LONG))"
+    return (
+        df.withColumn("__wn", norm)
+        .withColumn("__wg", grams)
+        .withColumn("__wh", F.expr(hashed))
+        .withColumn("fp", F.explode(F.expr(sketch_expr)))
+        .select(F.col(id_col), "fp")
+    )
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

@@ -54,6 +54,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "events_rollup_hierarchy",  # ranking/analytic row green via top_customers_per_nation
     "events_session_windows",  # session semantics also covered by events_sessionize
     "cheapest_part_per_type",  # correlated-min shape; TPC-H family well covered
+    "text_winnow_fingerprint",  # oracle-verified by the local parity suite
 )
 
 
@@ -1593,6 +1594,24 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "text_winnow_fingerprint",
+    """
+    WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm FROM documents),
+    g AS (SELECT doc_id, list_transform(range(1, greatest(length(nrm)-7, 1) + 1), i -> substring(nrm, i, 8)) AS grams FROM d),
+    h AS (SELECT doc_id, list_transform(grams, s -> CAST('0x'||substr(md5(s),1,8) AS BIGINT)) AS hs FROM g),
+    m AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, greatest(len(hs)-3, 1) + 1), j -> list_min((hs)[j:j+3])))) AS sketch FROM h)
+    SELECT doc_id, unnest(sketch) AS fp FROM m
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing sketch per document (MOSS algorithm): char
+    8-grams, window-of-4 min hashes — detects PARTIAL document overlap,
+    complementing the whole-doc fingerprint. One Catalyst projection."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.winnow_sketch_df(d)
 
 
 @register(
