@@ -761,3 +761,33 @@ def test_align_stream_start_batch(spark):
     assert got_min >= aligned
     n_expected = cdc.filter(F.col("tso") >= aligned).count()
     assert kept.count() == n_expected
+
+
+def test_framed_sink_restart_no_duplicate_envelopes(spark, tmpdir):
+    """Crash/restart semantics: the open-txn carry buffer is driver memory
+    and dies with the writer; a recovered sink re-fed the whole stream must
+    dedup at TRANSACTION granularity — every txn framed exactly once."""
+    cdc = derive_cdc_stream(spark, SF).persist()
+    out = tmpdir + "/out"
+
+    first = cdc.filter(F.expr("txn_id * 5 + seq < 247"))  # mid-txn-49 cut
+    sink1 = pipeline.BinlogSink(out, frame_txns=True)
+    sink1(first, batch_id=0)  # closes old txns; txns near the tail stay pending
+
+    # crash: pending lost. Fresh sink recovers from durable state only and
+    # the source replays EVERYTHING (checkpoint loss = worst case).
+    sink2 = pipeline.BinlogSink(out, frame_txns=True)
+    sink2.recover(spark)
+    sink2(cdc, batch_id=0)
+    sink2.flush()
+
+    written = spark.read.parquet(out)
+    counts = {r["action"]: r["n"] for r in written.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["BEGIN"] == 200 and counts["COMMIT"] == 200, counts
+    assert sum(counts.values()) == 1000 + 400
+    # no txn appears under two envelopes
+    per_txn = (
+        written.filter(F.col("action") == "BEGIN").groupBy("txn_id").count().filter("count > 1").count()
+    )
+    assert per_txn == 0
+    cdc.unpersist()
