@@ -77,19 +77,119 @@ def extract_features(df: DataFrame, feat_dim: int = 8) -> DataFrame:
     return df.select("media_id", "kind", "payload").mapInPandas(_batches, FEATURE_SCHEMA)
 
 
-def media_from_documents(docs: DataFrame) -> DataFrame:
+def media_from_documents(docs: DataFrame, mixed_kinds: bool = False) -> DataFrame:
     """Adapter used by tests: synthesize a media table from ``documents``
     (payload = utf-8 bytes of the text). Exercises the exact binary-column
-    path a real image table would take."""
+    path a real image table would take. ``mixed_kinds`` assigns
+    image/audio/video by doc_id and synthesizes dimensions/durations so the
+    resize and frame-sample paths have metadata to work with."""
+    if not mixed_kinds:
+        return docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    is_timed = F.col("doc_id") % 3 != 0
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
+        kind.alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
+        F.when(~is_timed, (F.length("text") % 1024 + 64).cast("int")).alias("width"),
+        F.when(~is_timed, (F.length("text") % 768 + 64).cast("int")).alias("height"),
+        F.when(is_timed, (F.length("text") * 10).cast("long")).alias("duration_ms"),
     )
+
+
+#: resize output: same envelope, new payload + dimensions
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize. Real implementation: PIL decode → resize((w,h)) →
+    re-encode. The deterministic fake keys the output on (payload, w, h)
+    so tests can assert the dataflow end-to-end."""
+    if payload is None:
+        return None
+    return hashlib.md5(payload + f":{w}x{h}".encode()).digest()
+
+
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image resize over Arrow batches (mapInPandas): 1 row in → 1 row out,
+    payload replaced, dimensions updated. No shuffle; memory bounded by the
+    Arrow batch size — the canonical per-item media transform shape."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(
+                        lambda b: _resize_stub(b, target_w, target_h)
+                    ),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "payload"
+    ).mapInPandas(_batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 64) -> DataFrame:
+    """Video frame sampling: 1 video row → N frame rows (the flatMap shape
+    real pipelines need — mapInPandas output is NOT row-aligned with
+    input). Frame count = min(duration/every, max_frames); payload is the
+    stub frame-extract keyed on (video payload, frame index). Real
+    implementation: ffmpeg seek + decode per sampled timestamp."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
+            for _, row in pdf.iterrows():
+                dur = int(row["duration_ms"] or 0)
+                n = min(max(dur // every_ms, 0), max_frames)
+                for i in range(n):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["payload"].append(
+                        hashlib.md5((row["payload"] or b"") + f"#f{i}".encode()).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms"
+    ).mapInPandas(_batches, FRAME_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:
