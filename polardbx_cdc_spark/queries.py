@@ -11,6 +11,13 @@ Cross-engine determinism rules used throughout (Spark ⟷ DuckDB 1.0):
   rounds half-up).
 - doubles passed through untouched (parquet bits identical on both sides).
 - doubles in checksum payloads: ``%.6f`` fixed formatting on both sides.
+- FLOATs never go through ``%.6f``: exact float expansions hit decimal
+  ties where Java (half-up) and C (half-even) disagree — render floats as
+  integer cents (``round()`` is half-away-from-zero in both engines).
+- DuckDB ``sum(BIGINT)`` yields HUGEINT — ``CAST(... AS BIGINT)`` every
+  summed integer column in oracles (incl. window sums).
+- MinHash: one md5-prefix base hash per shingle + affine transforms
+  ``(a*h+b) % (2^61-1)`` (a,b < 2^30 → no overflow) in both engines.
 - every computed column aliased identically in Spark and SQL.
 """
 
