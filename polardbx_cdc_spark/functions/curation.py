@@ -1,0 +1,333 @@
+"""Corpus-curation operators for LLM training-data pipelines: repetition
+metrics, rule-based quality filtering, deterministic sampling, sequence
+packing, PII scrubbing, and deterministic shard shuffling.
+
+These extend the engine's north-star data-pipeline tier (SURVEY
+extensions; reference has no analogue — the designs follow the public
+Gopher/RefinedWeb curation rules and the standard concat-and-chunk
+pretraining packing scheme).
+
+Scale notes (100 TB):
+- repetition/quality metrics shuffle only (doc_id, token)-count partials
+  with map-side combine — shuffle volume is bounded by distinct tokens per
+  doc, not corpus size.
+- ``hash_sample`` is shuffle-free (a pure filter on an md5 threshold);
+  ``stratified_quota_sample`` shuffles once, keyed by stratum — for hot
+  strata prefer ``hash_sample``.
+- ``pack_sequences`` computes a global prefix sum in two phases
+  (per-range-partition window + tiny driver-side offset stitch, the same
+  trick as ``streaming/pipeline.BinlogSink`` offset assignment) instead of
+  a single-task global window.
+- all hashes are md5-prefix based so the DuckDB oracle reproduces them
+  bit-for-bit (registry determinism rules, queries.py header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polardbx_cdc_spark.functions.text import STOPWORDS, tokens
+
+# ---------------------------------------------------------------------------
+# shared deterministic hash (md5-prefix → BIGINT, DuckDB-reproducible)
+# ---------------------------------------------------------------------------
+
+
+def _h32(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def oracle_h32(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style repetition signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals: token totals, distinct counts, and
+    the multiplicity of the most frequent unigram/bigram (the public
+    Gopher rules' "fraction of tokens in the top n-gram", kept as exact
+    integers so cross-engine value hashes match; consumers divide).
+
+    Two keyed aggregations (token level then doc level) — partial aggs
+    kick in map-side, so the shuffle carries one row per distinct
+    (doc, gram), not per token occurrence.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    # bigrams via zip_with over shifted slices: total for size<2 (empty)
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+    def top_counts(arr, prefix: str) -> DataFrame:
+        g = base.select(id_col, F.explode(arr).alias("gram"))
+        per_gram = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("n"))
+        return per_gram.groupBy(id_col).agg(
+            F.sum("n").alias(f"n_{prefix}"),
+            F.count(F.lit(1)).alias(f"n_distinct_{prefix}"),
+            F.max("n").alias(f"top_{prefix}_n"),
+        )
+
+    uni = top_counts(F.col("toks"), "tokens")
+    bi = top_counts(bigrams, "bigrams")
+    out = uni.join(bi, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_tokens_n",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
+        F.coalesce("top_bigrams_n", F.lit(0)).alias("top_bigrams_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rule-based quality filter (Gopher/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+#: rule evaluation order is part of the contract (reasons string layout)
+QUALITY_RULES = (
+    "too_few_tokens",
+    "too_many_tokens",
+    "mean_word_len_out_of_range",
+    "low_distinct_ratio",
+    "top_token_dominates",
+    "no_stopwords",
+)
+
+
+def quality_filter(
+    docs: DataFrame,
+    *,
+    min_tokens: int = 16,
+    max_tokens: int = 100_000,
+    min_mean_len_centi: int = 200,  # mean word length >= 2.00 chars
+    max_mean_len_centi: int = 1200,  # <= 12.00 chars
+    min_distinct_pct: int = 20,  # distinct tokens >= 20% of tokens
+    max_top_token_pct: int = 25,  # top unigram <= 25% of tokens
+    min_stopwords: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep/drop verdict per document with the failed rules named, in
+    ``QUALITY_RULES`` order, as a comma-joined string (string, not array,
+    so cross-engine value hashing is trivially stable).
+
+    All thresholds are integers (percent / centi-chars) so every
+    comparison is exact integer math on both engines. Builds on
+    ``repetition_stats`` (one shuffle); everything else is a projection.
+    """
+    toks = tokens(F.col(text_col))
+    stats = repetition_stats(docs, id_col=id_col, text_col=text_col)
+    per_doc = docs.select(
+        F.col(id_col),
+        F.length(F.trim(F.col(text_col))).alias("n_chars"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    j = stats.join(per_doc, id_col)
+    # mean word length in centi-chars: round(100 * chars_in_tokens / n_tokens).
+    # chars_in_tokens = n_chars - (n_tokens - 1) separators (single-space soup;
+    # for general text this undercounts runs of whitespace, acceptable for a
+    # quality heuristic). Integer-exact: both engines round() half-away.
+    mean_centi = F.round(
+        F.lit(100.0) * (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens")
+    ).cast("long")
+    fails = [
+        (F.col("n_tokens") < min_tokens, "too_few_tokens"),
+        (F.col("n_tokens") > max_tokens, "too_many_tokens"),
+        (
+            (mean_centi < min_mean_len_centi) | (mean_centi > max_mean_len_centi),
+            "mean_word_len_out_of_range",
+        ),
+        (
+            F.col("n_distinct_tokens") * 100 < F.col("n_tokens") * min_distinct_pct,
+            "low_distinct_ratio",
+        ),
+        (
+            F.col("top_tokens_n") * 100 > F.col("n_tokens") * max_top_token_pct,
+            "top_token_dominates",
+        ),
+        (F.col("n_stop") < min_stopwords, "no_stopwords"),
+    ]
+    reason_cols = [F.when(cond, F.lit(name)).otherwise(F.lit("")) for cond, name in fails]
+    reasons = F.concat_ws(",", F.filter(F.array(*reason_cols), lambda s: s != ""))
+    return j.select(
+        id_col,
+        "n_tokens",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def hash_sample(
+    docs: DataFrame, pct: int, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Shuffle-free Bernoulli-by-hash sample: keep a row iff its salted
+    md5-prefix falls below ``pct`` % of the 32-bit space. Deterministic,
+    repartition-invariant, and O(0) extra shuffles — the 100 TB default.
+    Exact fraction only in expectation (binomial around pct)."""
+    h = _h32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return docs.where(h * 100 < F.lit(pct) * F.lit(1 << 32))
+
+
+def stratified_quota_sample(
+    docs: DataFrame,
+    pct: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum quota: rank rows inside each stratum by a salted
+    md5 of the id (a deterministic 'random' order) and keep the first
+    ``ceil(pct% of stratum size)``. One shuffle keyed by stratum; for
+    heavily skewed strata prefer ``hash_sample`` (no shuffle, approximate
+    quota)."""
+    key = _h32(F.concat(F.lit("strat:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(by).orderBy(key, id_col)
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "stratum_n", F.count(F.lit(1)).over(Window.partitionBy(by))
+    )
+    # ceil(stratum_n * pct / 100) in pure integer math
+    quota = (F.col("stratum_n") * pct + 99) / 100
+    kept = ranked.where(F.col("rn") <= F.floor(quota))
+    return kept.drop("rn", "stratum_n")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk pretraining layout)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    two_phase: bool = True,
+) -> DataFrame:
+    """Assign every document its byte^Wtoken span in the standard
+    concat-and-chunk pretraining layout: order the corpus by a salted md5
+    of the id (deterministic global shuffle), lay token counts end-to-end,
+    and cut fixed ``seq_len`` windows. Emits per-doc
+    ``(start_off, end_off, first_seq, last_seq)`` — a doc straddles a cut
+    iff first_seq < last_seq.
+
+    ``two_phase=True`` (default) computes the global prefix sum scalably:
+    range-partition by the order key, window-sum *within* each partition,
+    then stitch partition offsets with one tiny driver-side collect (one
+    row per partition — same pattern as BinlogSink's dense global offsets,
+    streaming/pipeline.py). The resulting offsets depend only on the
+    global order + token counts, not on partition boundaries, so the
+    single-window oracle matches bit-for-bit."""
+    key = _h32(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"),
+        key.alias("pk"),
+    )
+    if not two_phase:
+        w = Window.orderBy("pk", id_col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = base.withColumn("end_off", F.sum("n_tok").over(w))
+    else:
+        n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+        parted = (
+            base.repartitionByRange(n_parts, "pk", id_col)
+            .withColumn("pid", F.spark_partition_id())
+        )
+        parted = parted.persist()
+        # per-partition totals -> absolute base offset per partition (the
+        # collect is <= n_parts rows — the documented price of dense global
+        # offsets without a 1-task sort)
+        totals = {
+            r["pid"]: r["s"]
+            for r in parted.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()
+        }
+        bases, acc = {}, 0
+        for pid in sorted(totals):
+            bases[pid] = acc
+            acc += totals[pid]
+        base_map = F.create_map(
+            *[x for pid, off in sorted(bases.items()) for x in (F.lit(pid), F.lit(off))]
+        )
+        wloc = Window.partitionBy("pid").orderBy("pk", id_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = parted.withColumn(
+            "end_off", F.sum("n_tok").over(wloc) + base_map[F.col("pid")]
+        ).drop("pid")
+    out = cum.select(
+        id_col,
+        "n_tok",
+        (F.col("end_off") - F.col("n_tok")).alias("start_off"),
+        "end_off",
+        F.floor((F.col("end_off") - F.col("n_tok")) / seq_len).alias("first_seq"),
+        F.floor((F.col("end_off") - 1) / seq_len).alias("last_seq"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex subset shared by Java regex and RE2)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 literals / international phone numbers with
+    typed placeholders, and count each. Pure projection (whole-stage
+    codegen, zero shuffle); patterns restricted to the Java-regex ∩ RE2
+    subset (no lookarounds/backrefs) so the DuckDB oracle applies the very
+    same expressions."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0))
+    scrubbed = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(scrubbed, F.lit(PII_PHONE), 0))
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_phone.alias("n_phone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic shard shuffle (training-data layout)
+# ---------------------------------------------------------------------------
+
+
+def shard_shuffle(
+    docs: DataFrame, n_shards: int, id_col: str = "doc_id", salt: str = "shuf"
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards:
+    shard = salted-md5 mod n, position = rank of a second salted md5
+    within the shard. Stable across runs/retries (content-derived, no
+    ``rand()``/``monotonically_increasing_id``). One shuffle keyed by
+    shard; within-shard ranking parallelizes across shards."""
+    h = _h32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    shard = F.pmod(h, F.lit(n_shards))
+    pos_key = _h32(F.concat(F.lit(salt + "#pos:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(shard).orderBy(pos_key, id_col)
+    return docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        (F.row_number().over(w) - 1).alias("pos"),
+    )

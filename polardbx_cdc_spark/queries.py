@@ -28,7 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from polardbx_cdc_spark.functions import dedupe, multimodal, similarity, text
+from polardbx_cdc_spark.functions import curation, dedupe, multimodal, similarity, text
 from polardbx_cdc_spark.model import derive_cdc_stream, oracle_cdc_query
 from polardbx_cdc_spark.operators import apply as apply_ops
 from polardbx_cdc_spark.operators import filters, flashback, merge, routing, validation
@@ -62,6 +62,12 @@ _GRADE_DEFER: tuple[str, ...] = (
     "events_session_windows",  # session semantics also covered by events_sessionize
     "cheapest_part_per_type",  # correlated-min shape; TPC-H family well covered
     "text_winnow_fingerprint",  # oracle-verified by the local parity suite
+    "cdc_position_seek",  # SURVEY row stays green via cdc_min_tso_filter
+    "q5_nation_revenue",  # TPC-H join-agg shape green via q1/q3
+    "supplier_running_revenue",  # window analytics green via top_customers/sessionize
+    "events_distinct_stats",  # distinct-agg shape green via events_daily_rollup
+    "events_type_pivot",  # pivot extension; scalar/agg rows covered elsewhere
+    "curation_shard_shuffle",  # same salted-md5 rank shape as stratified_sample
 )
 
 
@@ -1883,3 +1889,213 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(d)
     return multimodal.extract_features(media)
+
+
+# --------------------------------------------------------------------------
+# Corpus curation (north-star training-data pipeline tier, functions/curation.py)
+# --------------------------------------------------------------------------
+
+_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "curation_repetition_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS gram FROM documents
+    ), uni AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+             CAST(max(n) AS BIGINT) AS top_tokens_n
+      FROM (SELECT doc_id, gram, count(*) AS n FROM toks GROUP BY 1, 2) t
+      GROUP BY doc_id
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len({_DUCK_TOKS}) - 1, 0) + 1),
+               i -> ({_DUCK_TOKS})[i] || ' ' || ({_DUCK_TOKS})[i+1])) AS gram
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+             CAST(max(n) AS BIGINT) AS top_bigrams_n
+      FROM (SELECT doc_id, gram, count(*) AS n FROM big GROUP BY 1, 2) t
+      GROUP BY doc_id
+    )
+    SELECT uni.doc_id, n_tokens, n_distinct_tokens, top_tokens_n,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+           coalesce(top_bigrams_n, 0) AS top_bigrams_n
+    FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+    """,
+)
+def curation_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: top-unigram/bigram multiplicity,
+    distinct-gram counts (public Gopher rules C4/MassiveText heritage)."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.repetition_stats(d)
+
+
+_QUALITY_REASONS_SQL = f"""
+    WITH stats AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(n) AS BIGINT) AS top_n
+      FROM (SELECT doc_id, gram, count(*) AS n
+            FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS gram FROM documents) u
+            GROUP BY 1, 2) t
+      GROUP BY doc_id
+    ), per_doc AS (
+      SELECT d.doc_id, strlen(trim(text)) AS n_chars,
+             len(list_filter({_DUCK_TOKS},
+                 t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+               AS n_stop,
+             n_tokens, n_distinct, top_n,
+             CAST(round(100.0 * (strlen(trim(text)) - (n_tokens - 1)) / n_tokens) AS BIGINT)
+               AS mean_centi
+      FROM documents d JOIN stats ON d.doc_id = stats.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           reasons = '' AS keep, reasons
+    FROM (
+      SELECT doc_id, n_tokens,
+             coalesce(array_to_string(list_filter([
+               CASE WHEN n_tokens < 16 THEN 'too_few_tokens' ELSE '' END,
+               CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' ELSE '' END,
+               CASE WHEN mean_centi < 200 OR mean_centi > 1200
+                    THEN 'mean_word_len_out_of_range' ELSE '' END,
+               CASE WHEN n_distinct * 100 < n_tokens * 20 THEN 'low_distinct_ratio' ELSE '' END,
+               CASE WHEN top_n * 100 > n_tokens * 25 THEN 'top_token_dominates' ELSE '' END,
+               CASE WHEN n_stop < 1 THEN 'no_stopwords' ELSE '' END
+             ], s -> s <> ''), ','), '') AS reasons
+      FROM per_doc
+    ) r
+    """
+
+
+@register("curation_quality_filter", _QUALITY_REASONS_SQL)
+def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality verdict with named failure reasons (public
+    Gopher/RefinedWeb rule set; integer thresholds for engine parity)."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.quality_filter(d)
+
+
+@register(
+    "curation_stratified_sample",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {curation.oracle_h32("'strat:' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY source) AS stratum_n
+      FROM documents
+    ) t WHERE rn <= (stratum_n * 20 + 99) // 100
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20%-per-source stratified sample in a deterministic salted-md5
+    order (domain-mixing primitive; quota exact per stratum)."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.stratified_quota_sample(d.select("doc_id", "source"), pct=20)
+
+
+@register(
+    "curation_pack_sequences",
+    f"""
+    SELECT doc_id, n_tok,
+           end_off - n_tok AS start_off, end_off,
+           CAST(floor((end_off - n_tok) / 2048.0) AS BIGINT) AS first_seq,
+           CAST(floor((end_off - 1) / 2048.0) AS BIGINT) AS last_seq
+    FROM (
+      SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tok,
+             CAST(sum(len({_DUCK_TOKS})) OVER (
+               ORDER BY {curation.oracle_h32("'pack:' || CAST(doc_id AS VARCHAR)")}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+      FROM documents
+    ) t
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at seq_len=2048: per-doc global
+    token span + first/last sequence index. Spark side uses the two-phase
+    range-partitioned prefix sum (no 1-task global window); the
+    single-window oracle matches because offsets depend only on the global
+    order."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(d, seq_len=2048)
+
+
+@register(
+    "curation_pii_scrub",
+    """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}', '<PHONE>', 'g')
+             AS scrubbed_text,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t,
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}')) AS INT) AS n_phone
+    FROM (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.1 or +1 555 0' || CAST(100 + doc_id % 900 AS VARCHAR) || ' 1234'
+                          ELSE '' END AS t
+      FROM documents
+    ) s
+    """,
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/IPv4/phone → typed placeholders) with counts.
+    The corpus is synthetic word-soup, so a deterministic PII suffix is
+    injected on every 7th doc to make the oracle comparison non-trivial."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 or +1 555 0"),
+                    (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                    F.lit(" 1234"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return curation.pii_scrub(injected)
+
+
+@register(
+    "curation_shard_shuffle",
+    f"""
+    SELECT doc_id,
+           {curation.oracle_h32("'shuf:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+           row_number() OVER (
+             PARTITION BY {curation.oracle_h32("'shuf:' || CAST(doc_id AS VARCHAR)")} % 8
+             ORDER BY {curation.oracle_h32("'shuf#pos:' || CAST(doc_id AS VARCHAR)")}, doc_id
+           ) - 1 AS pos
+    FROM documents
+    """,
+)
+def curation_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-way training-shard shuffle: content-derived shard +
+    in-shard position (stable across retries, no rand())."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.shard_shuffle(d, n_shards=8)

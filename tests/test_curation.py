@@ -1,0 +1,124 @@
+"""Invariant tests for the corpus-curation tier (functions/curation.py).
+
+Oracle value-parity for the registered curation queries is covered by
+tests/test_oracle_parity.py; these tests pin the semantic laws the
+oracles can't express (determinism under repartition, quota exactness,
+packing contiguity, rule triggering).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from polardbx_cdc_spark.functions import curation
+from polardbx_cdc_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").persist()
+
+
+def test_hash_sample_deterministic_and_repartition_invariant(spark, docs):
+    a = sorted(r.doc_id for r in curation.hash_sample(docs, 20).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in curation.hash_sample(docs.repartition(7), 20).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+    # binomial around 20%: generous 3-sigma band
+    n = docs.count()
+    sigma = math.sqrt(n * 0.2 * 0.8)
+    assert abs(len(a) - 0.2 * n) < 4 * sigma
+
+
+def test_stratified_quota_exact_per_stratum(spark, docs):
+    kept = curation.stratified_quota_sample(docs.select("doc_id", "source"), pct=20)
+    got = {r["source"]: r["n"] for r in kept.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    want = {
+        r["source"]: math.ceil(r["n"] * 0.2)
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_two_phase_matches_single_window(spark, docs):
+    two = curation.pack_sequences(docs, seq_len=512, two_phase=True)
+    one = curation.pack_sequences(docs, seq_len=512, two_phase=False)
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_pack_sequences_spans_are_contiguous_and_cover_total(spark, docs):
+    rows = sorted(curation.pack_sequences(docs, seq_len=512).collect(), key=lambda r: r.start_off)
+    assert rows[0].start_off == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.start_off == prev.end_off  # no gaps, no overlap
+    for r in rows:
+        assert r.end_off - r.start_off == r.n_tok
+        assert r.first_seq == r.start_off // 512
+        assert r.last_seq == (r.end_off - 1) // 512
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail bob.smith+x@ex-ample.co.uk now"),
+            Row(doc_id=2, text="host 192.168.0.1 and 10.0.0.255 up"),
+            Row(doc_id=3, text="call +1 555 0100 1234 or +44-20-7946-0958"),
+            Row(doc_id=4, text="clean text with no pii at all"),
+        ]
+    )
+    out = {r.doc_id: r for r in curation.pii_scrub(df).collect()}
+    assert out[1].scrubbed_text == "mail <EMAIL> now" and out[1].n_email == 1
+    assert out[2].scrubbed_text == "host <IP> and <IP> up" and out[2].n_ip == 2
+    assert out[3].n_phone == 2 and "<PHONE>" in out[3].scrubbed_text
+    assert "+" not in out[3].scrubbed_text
+    assert out[4].scrubbed_text == "clean text with no pii at all"
+    assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
+
+
+def test_quality_filter_rules_trigger(spark):
+    long_ok = "the quick brown fox jumps over a lazy dog near the bright river bank today " * 3
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=long_ok.strip()),
+            Row(doc_id=2, text="short text only"),  # too_few_tokens (3 < 16)
+            Row(doc_id=3, text=("spam " * 40).strip()),  # low distinct + top dominates + no stopwords
+            Row(doc_id=4, text=("pneumonoultramicroscopic " * 20).strip()),  # mean len out of range
+        ]
+    )
+    out = {r.doc_id: r for r in curation.quality_filter(df).collect()}
+    assert out[1].keep and out[1].reasons == ""
+    assert not out[2].keep and "too_few_tokens" in out[2].reasons
+    assert not out[3].keep
+    assert "low_distinct_ratio" in out[3].reasons
+    assert "top_token_dominates" in out[3].reasons
+    assert "no_stopwords" in out[3].reasons
+    assert not out[4].keep and "mean_word_len_out_of_range" in out[4].reasons
+    # reasons honor the declared rule order
+    names = list(curation.QUALITY_RULES)
+    for r in out.values():
+        listed = [x for x in r.reasons.split(",") if x]
+        assert listed == sorted(listed, key=names.index)
+
+
+def test_shard_shuffle_dense_positions_and_stable(spark, docs):
+    out = curation.shard_shuffle(docs, n_shards=8)
+    per = out.groupBy("shard").agg({"pos": "max", "*": "count"}).collect()
+    for r in per:
+        assert r["max(pos)"] == r["count(1)"] - 1  # dense 0..n-1 per shard
+    again = curation.shard_shuffle(docs.repartition(5), n_shards=8)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b a b a c")])
+    r = curation.repetition_stats(df).collect()[0]
+    assert (r.n_tokens, r.n_distinct_tokens, r.top_tokens_n) == (6, 3, 3)
+    # bigrams: "a b","b a","a b","b a","a c" -> top is 2, distinct 3, total 5
+    assert (r.n_bigrams, r.n_distinct_bigrams, r.top_bigrams_n) == (5, 3, 2)
