@@ -53,39 +53,59 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     Gopher rules' "fraction of tokens in the top n-gram", kept as exact
     integers so cross-engine value hashes match; consumers divide).
 
-    Two keyed aggregations (token level then doc level) — partial aggs
-    kick in map-side, so the shuffle carries one row per distinct
-    (doc, gram), not per token occurrence.
+    ONE scan, ONE explode, ONE shuffle: unigrams and bigrams are tagged
+    ("u"/"b" prefix) and exploded together, aggregated per (doc, gram)
+    with map-side combine (shuffle carries one row per distinct gram per
+    doc, not per occurrence), then rolled up per doc with conditional
+    aggregates — no self-join of two aggregation branches.
     """
+    return _gram_stats(docs, id_col, text_col)
+
+
+def _gram_stats(
+    docs: DataFrame, id_col: str, text_col: str, extra_per_doc: dict | None = None
+) -> DataFrame:
+    """Shared gram-statistics pipeline. ``extra_per_doc`` maps output name
+    → Column computed on the pre-explode row (array expressions, no
+    shuffle) and carried through both aggregations with ``first()`` — this
+    is how quality_filter gets n_chars/n_stop without a second scan of the
+    corpus or a join."""
+    extra_per_doc = extra_per_doc or {}
     toks = tokens(F.col(text_col))
-    base = docs.select(F.col(id_col), toks.alias("toks"))
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        *[c.alias(n) for n, c in extra_per_doc.items()],
+    )
     # bigrams via zip_with over shifted slices: total for size<2 (empty)
     bigrams = F.zip_with(
         F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
         F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
         lambda a, b: F.concat_ws(" ", a, b),
     )
+    tagged = F.concat(
+        F.transform(F.col("toks"), lambda t: F.concat(F.lit("u"), t)),
+        F.transform(bigrams, lambda g: F.concat(F.lit("b"), g)),
+    )
+    g = base.select(id_col, F.explode(tagged).alias("gram"), *extra_per_doc)
+    per_gram = g.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.first(n).alias(n) for n in extra_per_doc],
+    )
+    is_uni = F.col("gram").startswith("u")
 
-    def top_counts(arr, prefix: str) -> DataFrame:
-        g = base.select(id_col, F.explode(arr).alias("gram"))
-        per_gram = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("n"))
-        return per_gram.groupBy(id_col).agg(
-            F.sum("n").alias(f"n_{prefix}"),
-            F.count(F.lit(1)).alias(f"n_distinct_{prefix}"),
-            F.max("n").alias(f"top_{prefix}_n"),
-        )
+    def agg_kind(uni: bool, expr, name):
+        cond = is_uni if uni else ~is_uni
+        return F.coalesce(expr(F.when(cond, F.col("n"))), F.lit(0)).alias(name)
 
-    uni = top_counts(F.col("toks"), "tokens")
-    bi = top_counts(bigrams, "bigrams")
-    out = uni.join(bi, id_col, "left")
-    return out.select(
-        id_col,
-        "n_tokens",
-        "n_distinct_tokens",
-        "top_tokens_n",
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
-        F.coalesce("top_bigrams_n", F.lit(0)).alias("top_bigrams_n"),
+    return per_gram.groupBy(id_col).agg(
+        agg_kind(True, F.sum, "n_tokens"),
+        agg_kind(True, F.count, "n_distinct_tokens"),
+        agg_kind(True, F.max, "top_tokens_n"),
+        agg_kind(False, F.sum, "n_bigrams"),
+        agg_kind(False, F.count, "n_distinct_bigrams"),
+        agg_kind(False, F.max, "top_bigrams_n"),
+        *[F.first(n).alias(n) for n in extra_per_doc],
     )
 
 
@@ -122,17 +142,21 @@ def quality_filter(
     so cross-engine value hashing is trivially stable).
 
     All thresholds are integers (percent / centi-chars) so every
-    comparison is exact integer math on both engines. Builds on
-    ``repetition_stats`` (one shuffle); everything else is a projection.
+    comparison is exact integer math on both engines. One scan, one
+    explode, one keyed shuffle: n_chars/n_stop ride the shared
+    ``_gram_stats`` pipeline as ``first()``-carried per-doc columns —
+    no second scan of the corpus, no join.
     """
     toks = tokens(F.col(text_col))
-    stats = repetition_stats(docs, id_col=id_col, text_col=text_col)
-    per_doc = docs.select(
-        F.col(id_col),
-        F.length(F.trim(F.col(text_col))).alias("n_chars"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+    j = _gram_stats(
+        docs,
+        id_col,
+        text_col,
+        extra_per_doc={
+            "n_chars": F.length(F.trim(F.col(text_col))),
+            "n_stop": F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))),
+        },
     )
-    j = stats.join(per_doc, id_col)
     # mean word length in centi-chars: round(100 * chars_in_tokens / n_tokens).
     # chars_in_tokens = n_chars - (n_tokens - 1) separators (single-space soup;
     # for general text this undercounts runs of whitespace, acceptable for a
