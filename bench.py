@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "embed_cosine_topk",
+    "curation_quality_filter",
+    "curation_pack_sequences",
 ]
 
 

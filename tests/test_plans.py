@@ -168,3 +168,51 @@ def test_alignment_uses_broadcast_not_smj(spark):
     plan = _plan(spark, "cdc_multi_stream_alignment")
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# curation tier plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    plan = _plan(spark, "curation_pii_scrub")
+    assert "Exchange" not in plan, "pii_scrub must not shuffle:\n" + plan
+    # text-only read: doc payload columns pruned at the scan
+    read_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_lines and "lang" not in read_lines[0], read_lines
+
+
+def test_repetition_stats_single_explode_two_level_agg(spark):
+    plan = _plan(spark, "curation_repetition_stats")
+    tree = plan.split("\n\n")[0]  # node tree only (details repeat names)
+    assert tree.count("Generate") == 1, "must explode exactly once:\n" + plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, (
+        "gram stats must be join-free:\n" + plan
+    )
+
+
+def test_quality_filter_join_free_single_scan(spark):
+    plan = _plan(spark, "curation_quality_filter")
+    assert "Join" not in plan, "quality_filter must not join:\n" + plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, "must scan the corpus once:\n" + plan
+
+
+def test_pack_sequences_has_no_global_single_partition_window(spark):
+    plan = _plan(spark, "curation_pack_sequences")
+    # the two-phase prefix sum windows within range partitions; a global
+    # window would show a SinglePartition exchange feeding the Window node
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_hash_sample_filter_reaches_scan_without_exchange(spark):
+    from polardbx_cdc_spark.functions import curation
+    from polardbx_cdc_spark.session import load_table
+    import contextlib, io
+
+    df = curation.hash_sample(load_table(spark, SF, "documents"), 20)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
