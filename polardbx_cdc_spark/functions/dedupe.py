@@ -284,3 +284,29 @@ def connected_components(
         return labels
     finally:
         edges.unpersist()
+
+
+def streaming_exact_dedup(
+    doc_stream: DataFrame,
+    time_col: str,
+    watermark: str = "1 hour",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup on an unbounded document stream: fingerprint each doc
+    and keep the FIRST arrival per fingerprint, dropping later duplicates
+    that land within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys state by fingerprint only (8
+    bytes + timestamp per distinct doc) and evicts state once the
+    watermark passes — bounded memory on an infinite stream, unlike
+    ``dropDuplicates`` whose state grows forever. At 100 TB/day this is
+    the only viable shape: state ∝ distinct fingerprints per horizon, not
+    corpus size. Duplicates farther apart than the horizon are left to the
+    batch compaction pass (``exact_dedup`` over the landed corpus)."""
+    fp = doc_stream.select(
+        F.col(id_col),
+        F.col(time_col),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    return fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(["fp"])

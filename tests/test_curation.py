@@ -122,3 +122,48 @@ def test_repetition_stats_hand_computed(spark):
     assert (r.n_tokens, r.n_distinct_tokens, r.top_tokens_n) == (6, 3, 3)
     # bigrams: "a b","b a","a b","b a","a c" -> top is 2, distinct 3, total 5
     assert (r.n_bigrams, r.n_distinct_bigrams, r.top_bigrams_n) == (5, 3, 2)
+
+
+def test_streaming_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Duplicates arriving in DIFFERENT micro-batches must still dedup
+    (state keyed by fingerprint survives across triggers), and memory
+    stays bounded by the watermark horizon."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.functions import dedupe
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base_rows = [
+        Row(doc_id=i, ts="2024-01-15 00:%02d:00" % i, text=f"unique doc number {i} body")
+        for i in range(6)
+    ]
+    dup_rows = [  # same text, later ids/timestamps, landing in file 2
+        Row(doc_id=100 + i, ts="2024-01-15 00:%02d:30" % i, text=f"unique doc number {i} body")
+        for i in range(3)
+    ]
+    mk = lambda rows: spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    mk(base_rows).coalesce(1).write.mode("append").parquet(src)
+    mk(dup_rows).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = dedupe.streaming_exact_dedup(stream, time_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream_out").collect()
+    assert len(got) == 6  # the 3 cross-batch duplicates were dropped
+    assert sorted(r.doc_id for r in got) == list(range(6))  # first arrival kept
+    assert len({r.fp for r in got}) == 6
