@@ -445,17 +445,23 @@ def cdc_ddl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from polardbx_cdc_spark.meta import SchemaRegistry, rebuild_events_versioned
 
-    cdc = derive_cdc_stream(spark, sf_dir).filter(
-        (F.col("db") == "db0") & (F.col("tbl") == "t0")
+    cdc = (
+        derive_cdc_stream(spark, sf_dir)
+        .filter((F.col("db") == "db0") & (F.col("tbl") == "t0"))
+        .persist()  # 3 actions below (count, top-k, final agg) share the derive
     )
     n = cdc.count()
     k1, k2 = math.ceil(n / 3), math.ceil(2 * n / 3)
     # k-th smallest tso via TakeOrderedAndProject (distributed top-k) —
-    # NOT a global-order window, which would single-partition the table
+    # NOT a global-order window, which would single-partition the table.
+    # ONE top-k pass over the big frame; the k1 cut re-ranks the cached
+    # k2-row result. Each collect moves a single row to the driver.
+    top_k2 = cdc.select("tso").orderBy("tso").limit(k2).persist()
     cuts = {
-        k: cdc.select("tso").orderBy("tso").limit(k).agg(F.max("tso")).collect()[0][0]
-        for k in (k1, k2)
+        k2: top_k2.agg(F.max("tso")).collect()[0][0],
+        k1: top_k2.orderBy("tso").limit(k1).agg(F.max("tso")).collect()[0][0],
     }
+    top_k2.unpersist(False)
     reg = SchemaRegistry()
     reg.apply_sql(
         "0" * 48,
