@@ -155,3 +155,44 @@ def test_align_stream_start_single_source_keeps_all(spark):
         [("a", "t1"), ("a", "t2"), ("a", "t3")], "source_id string, tso string"
     )
     assert align_stream_start(df).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# RPL admin command grammar (replica_admin.py)
+# ---------------------------------------------------------------------------
+
+_chan_names = st.text(alphabet="abcdefgh0123456789_-.", min_size=1, max_size=12)
+_hosts = st.text(alphabet="abcdefghij0123456789.-", min_size=1, max_size=20)
+_tsos = st.integers(min_value=0, max_value=10**18).map(lambda i: str(i).zfill(48))
+
+
+@given(_chan_names, _hosts, st.integers(min_value=1, max_value=65535), _tsos)
+@settings(max_examples=200, deadline=None)
+def test_change_master_round_trips_through_show(chan, host, port, tso):
+    from polardbx_cdc_spark.replica_admin import ReplicaAdmin
+
+    a = ReplicaAdmin()
+    a.execute(f"CHANGE MASTER TO MASTER_HOST='{host}', MASTER_PORT={port} FOR CHANNEL '{chan}'")
+    a.execute(f"CHANGE MASTER TO MASTER_TSO='{tso}' FOR CHANNEL '{chan}'")
+    (row,) = a.execute(f"SHOW SLAVE STATUS FOR CHANNEL '{chan}'")
+    assert row[0] == chan and row[2] == host and row[3] == port and row[4] == tso
+    # start -> change refused -> stop -> reset all removes the channel
+    a.execute(f"START SLAVE FOR CHANNEL '{chan}'")
+    try:
+        a.execute(f"CHANGE MASTER TO MASTER_TSO='{tso}' FOR CHANNEL '{chan}'")
+        raise AssertionError("running-slave guard did not fire")
+    except ValueError:
+        pass
+    a.execute(f"STOP SLAVE FOR CHANNEL '{chan}'")
+    a.execute(f"RESET SLAVE ALL FOR CHANNEL '{chan}'")
+    assert a.execute(f"SHOW SLAVE STATUS FOR CHANNEL '{chan}'") == []
+
+
+@given(st.lists(st.sampled_from(["db0", "db1", "d_x", "a9"]), min_size=1, max_size=4, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_replication_filter_do_db_list_round_trip(dbs):
+    from polardbx_cdc_spark.replica_admin import ReplicaAdmin
+
+    a = ReplicaAdmin()
+    a.execute(f"CHANGE REPLICATION FILTER REPLICATE_DO_DB=({','.join(dbs)}) FOR CHANNEL 'c'")
+    assert a.channels["c"].filter.do_dbs == dbs
