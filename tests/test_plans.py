@@ -176,6 +176,9 @@ def test_alignment_uses_broadcast_not_smj(spark):
 
 
 def test_pii_scrub_is_pure_projection(spark):
+    # other suites may have cached the full documents table; pruning is a
+    # property of the parquet scan, so look at the uncached plan
+    spark.catalog.clearCache()
     plan = _plan(spark, "curation_pii_scrub")
     assert "Exchange" not in plan, "pii_scrub must not shuffle:\n" + plan
     # text-only read: doc payload columns pruned at the scan
