@@ -355,3 +355,74 @@ def shard_shuffle(
         shard.alias("shard"),
         (F.row_number().over(w) - 1).alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency signals (vocabulary stats, keyword extraction)
+# ---------------------------------------------------------------------------
+
+
+def corpus_freq_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document corpus-frequency signals: how common this doc's words
+    are across the whole corpus — sum/min of each token's document
+    frequency (a rarity/quality signal: boilerplate scores high, gibberish
+    scores low). Exact integers only, so the DuckDB oracle matches
+    bit-for-bit — no log/float IDF in the comparison path.
+
+    Shape: one explode → distinct (doc, token) → token-keyed DF agg
+    (shuffle ∝ vocabulary) → rejoin (at 100 TB the vocabulary side is
+    small after aggregation; Spark broadcasts it when under the
+    threshold) → doc-keyed agg."""
+    toks = tokens(F.col(text_col))
+    doc_tok = docs.select(F.col(id_col), F.explode_distinct := F.explode(
+        F.array_distinct(toks)
+    ).alias("tok")).select(id_col, "tok")
+    df_freq = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        doc_tok.join(df_freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum("df").alias("sum_df"),
+            F.min("df").alias("min_df"),
+            F.max("df").alias("max_df"),
+        )
+    )
+
+
+def keyword_extract(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic TF-IDF-style keyword per document: the token with
+    the highest term frequency, tie-broken by LOWEST document frequency
+    (rarer wins — the integer-exact stand-in for idf weighting), then
+    lexicographically. max_by with a composite struct key: one explode,
+    two keyed aggs, one vocab join — no window over the corpus."""
+    toks = tokens(F.col(text_col))
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_freq = (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    joined = tf.join(df_freq, "tok")
+    # rank key: tf desc, df asc, token asc — encode as a sortable struct
+    key = F.struct(F.col("tf"), (-F.col("df")).alias("ndf"), _neg_lex("tok"))
+    return joined.groupBy(id_col).agg(
+        F.max_by("tok", key).alias("keyword"),
+        F.max("tf").alias("keyword_tf"),
+        F.max_by("df", key).alias("keyword_df"),
+    )
+
+
+def _neg_lex(col: str):
+    """Invert string order inside a max_by key (want lexicographically
+    SMALLEST to win a max): flip each byte of the md5-free ASCII token.
+    Tokens are \\S+ ASCII in this corpus; translate a-z -> z-a, 0-9 -> 9-0."""
+    import string
+
+    src = string.ascii_lowercase + string.digits + string.ascii_uppercase
+    dst = src[25::-1] + src[35:25:-1] + src[61:35:-1]
+    return F.translate(F.col(col), src, dst).alias("invtok")
