@@ -374,9 +374,9 @@ def corpus_freq_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     small after aggregation; Spark broadcasts it when under the
     threshold) → doc-keyed agg."""
     toks = tokens(F.col(text_col))
-    doc_tok = docs.select(F.col(id_col), F.explode_distinct := F.explode(
-        F.array_distinct(toks)
-    ).alias("tok")).select(id_col, "tok")
+    doc_tok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("tok")
+    )
     df_freq = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
         doc_tok.join(df_freq, "tok")
@@ -408,21 +408,11 @@ def keyword_extract(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .agg(F.count(F.lit(1)).alias("df"))
     )
     joined = tf.join(df_freq, "tok")
-    # rank key: tf desc, df asc, token asc — encode as a sortable struct
-    key = F.struct(F.col("tf"), (-F.col("df")).alias("ndf"), _neg_lex("tok"))
+    # rank key: tf desc, df asc, token asc — min_by over (-tf, df, tok)
+    # orders all three dimensions natively; no string-inversion tricks.
+    key = F.struct((-F.col("tf")).alias("ntf"), F.col("df"), F.col("tok"))
     return joined.groupBy(id_col).agg(
-        F.max_by("tok", key).alias("keyword"),
+        F.min_by("tok", key).alias("keyword"),
         F.max("tf").alias("keyword_tf"),
-        F.max_by("df", key).alias("keyword_df"),
+        F.min_by("df", key).alias("keyword_df"),
     )
-
-
-def _neg_lex(col: str):
-    """Invert string order inside a max_by key (want lexicographically
-    SMALLEST to win a max): flip each byte of the md5-free ASCII token.
-    Tokens are \\S+ ASCII in this corpus; translate a-z -> z-a, 0-9 -> 9-0."""
-    import string
-
-    src = string.ascii_lowercase + string.digits + string.ascii_uppercase
-    dst = src[25::-1] + src[35:25:-1] + src[61:35:-1]
-    return F.translate(F.col(col), src, dst).alias("invtok")
