@@ -56,6 +56,43 @@ _PK_INLINE = re.compile(r"\bPRIMARY\s+KEY\b", re.I)
 _PK_CONSTRAINT = re.compile(r"^(?:CONSTRAINT\s+\S+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)", re.I)
 _KEY_DEF = re.compile(r"^(?:UNIQUE\s+)?(?:KEY|INDEX|CONSTRAINT|FULLTEXT|FOREIGN)\b", re.I)
 
+#: ALTER actions that change indexes/constraints, not the visible column
+#: set — the reference models these as CINDEX/DINDEX actions
+#: (polardbx-cdc-canal/.../dbms/DBMSAction.java:23-27) and its druid-backed
+#: MemoryTableMeta digests them without touching column metadata. They MUST
+#: be recognized before the ADD/DROP-COLUMN regexes, which would otherwise
+#: misread ``ADD INDEX idx (c)`` as adding a column named ``index``.
+#: PolarDB-X variants (GLOBAL/CLUSTERED/LOCAL secondary indexes) included.
+_INDEX_ACTION = re.compile(
+    r"^(?:"
+    r"ADD\s+(?:CONSTRAINT(?:\s+`?[A-Za-z0-9_$]+`?)?\s+)?"
+    r"(?:UNIQUE(?:\s+(?:GLOBAL|CLUSTERED|LOCAL))?(?:\s+(?:INDEX|KEY))?\s*[(`A-Za-z0-9_$]"
+    r"|PRIMARY\s+KEY|FOREIGN\s+KEY|CHECK\s*\("
+    r"|(?:FULLTEXT|SPATIAL|GLOBAL|CLUSTERED|LOCAL)(?:\s+(?:INDEX|KEY))?\s"
+    r"|(?:INDEX|KEY)\s)"
+    r"|DROP\s+(?:PRIMARY\s+KEY|FOREIGN\s+KEY\s+\S+|(?:INDEX|KEY)\s+\S+"
+    r"|CONSTRAINT\s+\S+|CHECK\s+\S+)"
+    r"|RENAME\s+(?:INDEX|KEY)\s+\S+\s+TO\s+\S+"
+    r"|ALTER\s+INDEX\s+\S+\s+(?:VISIBLE|INVISIBLE)"
+    r")",
+    re.I,
+)
+
+#: metadata-only ALTER actions (storage/table options, charset conversion,
+#: per-column DEFAULT tweaks) — no effect on the visible column set either
+_TABLE_OPTION_ACTION = re.compile(
+    r"^(?:"
+    r"(?:ALGORITHM|LOCK)\s*=?\s*\S+"
+    r"|(?:DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET|COLLATE)\b"
+    r"|CONVERT\s+TO\s+CHARACTER\s+SET\b"
+    r"|(?:ENGINE|AUTO_INCREMENT|COMMENT|ROW_FORMAT|KEY_BLOCK_SIZE)\s*=?"
+    r"|ALTER\s+(?:COLUMN\s+)?`?[A-Za-z0-9_$]+`?\s+(?:SET\s+DEFAULT|DROP\s+DEFAULT)"
+    r"|(?:ENABLE|DISABLE)\s+KEYS"
+    r"|FORCE$"
+    r")",
+    re.I,
+)
+
 
 def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
     """Parse one DDL statement into registry ops:
@@ -108,6 +145,12 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
         tbl, actions = _ident(m.group(2)), m.group(3)
         ops = []
         for action in _split_top_level(actions):
+            if _INDEX_ACTION.match(action) or _TABLE_OPTION_ACTION.match(action):
+                # index/constraint/table-option DDL: registry no-op — the
+                # visible column set is unchanged (CINDEX/DINDEX in the
+                # reference; MemoryTableMeta keeps column metadata intact)
+                ops.append({"db": db, "tbl": tbl, "op": "index", "action": action})
+                continue
             a = re.match(rf"ADD\s+(?:COLUMN\s+)?{_IDENT}\s+(.+)$", action, re.I | re.S)
             if a:
                 ops.append({

@@ -71,7 +71,10 @@ class SchemaRegistry:
             )
         elif op == "drop":
             new = TableSchema((), (), ())
-        elif op == "truncate":
+        elif op in ("truncate", "index"):
+            # truncate clears rows, index DDL changes access paths — neither
+            # touches the visible column set (reference CINDEX/DINDEX,
+            # DBMSAction.java:23-27): record a version with the same schema
             if cur is None:
                 raise KeyError(f"{db}.{tbl} does not exist at {tso}")
             new = cur

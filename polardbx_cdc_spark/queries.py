@@ -470,7 +470,16 @@ def cdc_ddl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_db="db0",
     )
     reg.apply_sql(cuts[k1], "ALTER TABLE db0.t0 DROP COLUMN props")
+    # index/constraint DDL mid-stream: MUST be a registry no-op (reference
+    # CINDEX/DINDEX actions) — a misparse here would inject phantom columns
+    # and shift every subsequent after-image, which the oracle would catch
+    reg.apply_sql(
+        cuts[k1] + "50",
+        "ALTER TABLE db0.t0 ADD INDEX idx_value (value), "
+        "ADD UNIQUE KEY uk_pk (pk), ALGORITHM=INPLACE, LOCK=NONE",
+    )
     reg.apply_sql(cuts[k2], "ALTER TABLE db0.t0 ADD COLUMN props TEXT")
+    reg.apply_sql(cuts[k2] + "50", "ALTER TABLE db0.t0 DROP INDEX idx_value")
     rebuilt = rebuild_events_versioned(cdc, reg)
     after_cols = F.when(
         F.col("after").isNull(), F.lit(None).cast("string")
