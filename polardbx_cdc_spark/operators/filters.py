@@ -56,6 +56,29 @@ def min_tso_filter(df: DataFrame, start_tso: str) -> DataFrame:
     return df.filter(F.col("tso") >= F.lit(start_tso))
 
 
+def seek_tso_by_timestamp(df: DataFrame, ts_utc: str) -> DataFrame:
+    """Start-position seek by WALL-CLOCK time, using the physical-time
+    component embedded in the TSO itself (SearchTsoEventHandleV2.java:41-67
+    and the processors under core/handle/processor/ — the reference binary-
+    searches binlog files for the first event whose TSO physical time >= the
+    requested timestamp).
+
+    Scale shape: rather than filtering on ``substr(tso,1,19)`` (not
+    sargable), we build the virtual TSO for the timestamp — physical micros
+    zero-padded, txn/seq all-zero, the lexicographic FLOOR of that instant —
+    driver-side, and emit ``tso >= '<cutoff>'``: a plain range predicate on
+    the sort key that parquet answers with row-group min/max pruning, same
+    as the reference's file-header binary search skips whole binlog files."""
+    from datetime import datetime, timezone
+
+    from polardbx_cdc_spark.tso import PHYSICAL_DIGITS, SEQ_DIGITS, TXN_DIGITS
+
+    dt = datetime.fromisoformat(ts_utc).replace(tzinfo=timezone.utc)
+    micros = int(dt.timestamp()) * 1_000_000 + dt.microsecond
+    cutoff = str(micros).zfill(PHYSICAL_DIGITS) + "0" * (TXN_DIGITS + SEQ_DIGITS)
+    return df.filter(F.col("tso") >= F.lit(cutoff))
+
+
 def tso_window_filter(df: DataFrame, start_tso: str, end_tso: str) -> DataFrame:
     """Recovery/flashback window [start, end] (rpl/filter/RecoveryFilter.java)."""
     return df.filter(F.col("tso").between(F.lit(start_tso), F.lit(end_tso)))

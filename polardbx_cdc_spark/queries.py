@@ -618,6 +618,34 @@ def cdc_position_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_seek_by_timestamp",
+    oracle_cdc_query(
+        """
+        SELECT min(tso) AS seek_tso, count(*) AS n_from_seek,
+               count(DISTINCT txn_id) AS n_txns_from_seek
+        FROM cdc
+        WHERE CAST(substr(tso, 1, 19) AS BIGINT)
+              >= epoch_us(TIMESTAMP '2024-01-20 12:00:00')
+        """
+    ),
+)
+def cdc_seek_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seek a start position by wall-clock time via the PHYSICAL component
+    of the TSO itself (SearchTsoEventHandleV2.java:41-67): the Spark side
+    builds the virtual-TSO lexicographic floor for the instant and range-
+    filters the sort key (row-group prunable); the oracle independently
+    re-derives the same cut by decoding substr(tso,1,19) — so the
+    timestamp→TSO encoding is what's being cross-checked."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    kept = filters.seek_tso_by_timestamp(cdc, "2024-01-20 12:00:00")
+    return kept.agg(
+        F.min("tso").alias("seek_tso"),
+        F.count(F.lit(1)).alias("n_from_seek"),
+        F.countDistinct("txn_id").alias("n_txns_from_seek"),
+    )
+
+
+@register(
     "cdc_txn_apply_order",
     oracle_cdc_query(
         """
