@@ -233,57 +233,90 @@ def simhash_dedup(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step: every node connects its strictly-larger neighbors
+    to the minimum of its closed neighborhood (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14)."""
+    nbr = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbr.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        nbr.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: orient each edge larger→smaller; every node
+    connects its smaller neighbors (and itself) to the minimum of them."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    linked = oriented.join(mins, "src")
+    out = linked.select(F.col("dst").alias("src"), F.col("m").alias("dst")).unionByName(
+        linked.select("src", F.col("m").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
 ) -> DataFrame:
     """Near-dup CLUSTER formation: connected components over candidate
     pairs — the step that turns pairwise matches into keep-one-per-group
     dedup decisions. Returns (id, cluster_id) with cluster_id = the
     component's minimum member id.
 
-    Min-label propagation: each round every vertex takes the min label
-    among itself and its neighbors — one join + one partial-aggregated
-    groupBy per round, converging in O(component diameter) rounds (near-dup
-    clusters are shallow; the O(log n) large-star/small-star variant is the
-    drop-in upgrade for adversarially long chains). Each round persists and
-    checks convergence with a count — bounded by ``max_iter``.
-    """
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14): each round is two join+groupBy passes and converges in
+    O(log n) rounds even on adversarially long chains — unlike plain
+    min-label propagation, which is O(component diameter). Each round's
+    star steps reference the edge set several times, so the logical plan
+    would grow EXPONENTIALLY across rounds if merely persisted (persist
+    caches data but not the plan); ``localCheckpoint`` every round cuts
+    lineage to the materialized edges — plan size stays constant per
+    round. Convergence = the edge set reaches a fixed point (star forest:
+    every node points at its component minimum)."""
+    # materialize the narrow (src, dst) projection ONCE — verts and edges
+    # both derive from it, and ``pairs`` may sit atop an expensive pipeline
+    # (e.g. the full MinHash-LSH + Jaccard verify) that must not re-run
+    idpairs = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+    verts = (
+        idpairs.select(F.col("src").alias("id"))
+        .unionByName(idpairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        idpairs.filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("cluster_id"))
-        .persist()
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # fixed point ⇔ same edge set; both frames are materialized so the
+        # two probes are cheap cached scans
+        grew = new_edges.exceptAll(edges).limit(1).count()
+        shrank = edges.exceptAll(new_edges).limit(1).count()
+        edges = new_edges
+        if grew == 0 and shrank == 0:
+            break
+    # converged star forest: src > dst and dst = component minimum
+    star = edges.groupBy(F.col("src").alias("id")).agg(
+        F.min("dst").alias("cluster_id")
     )
-    try:
-        for _ in range(max_iter):
-            prop = edges.join(labels, edges.src == labels.id).select(
-                F.col("dst").alias("id"), F.col("cluster_id")
-            )
-            new_labels = (
-                labels.unionByName(prop)
-                .groupBy("id")
-                .agg(F.min("cluster_id").alias("cluster_id"))
-                .persist()
-            )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
-                .filter(F.col("cluster_id") != F.col("_old"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels
-    finally:
-        edges.unpersist()
+    return verts.join(star, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
 
 
 def streaming_exact_dedup(

@@ -53,7 +53,10 @@ CDC_COLUMNS = [
 
 def derive_cdc_stream(spark: SparkSession, sf_dir: str, events: DataFrame | None = None) -> DataFrame:
     """events parquet → canonical CDC stream (deterministic, oracle-matched)."""
+    from polardbx_cdc_spark.session import normalize_event_ts
+
     ev = events if events is not None else load_table(spark, sf_dir, "events")
+    ev = normalize_event_ts(ev)
     txn_id = F.expr("event_id div 5").cast("long")
     seq = (F.col("event_id") % 5).cast("long")
     micros = F.unix_micros(F.col("ts"))

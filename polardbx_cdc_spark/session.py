@@ -68,14 +68,29 @@ def ensure_nanos_readable(spark: SparkSession) -> None:
         pass  # older/locked sessions: fall through, read may still work
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver-generated parquet table. ``events.ts`` arrives as
-    nanos-since-epoch (see nanosAsLong above); convert to a true timestamp
-    with µs truncation — bit-identical to DuckDB's ns→µs read."""
-    ensure_nanos_readable(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+def normalize_event_ts(df):
+    """Normalize ``events.ts`` across driver testdata generations to a
+    plain TIMESTAMP (session zone is UTC, so values are unchanged):
+    - TIMESTAMP(NANOS) parquet + nanosAsLong → bigint → µs truncation,
+      bit-identical to DuckDB's ns→µs read;
+    - naive timestamp[us] parquet → TIMESTAMP_NTZ under Spark 4's
+      inferTimestampNTZ → cast (DuckDB reads the same naive value)."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated parquet table (ts normalized, see above)."""
+    ensure_nanos_readable(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_ts(df)
     return df

@@ -360,7 +360,11 @@ class BinlogSink:
             ).collect()[0][0]
             closed_ids = bounds.filter(F.col("_txn_max_ts") <= F.lit(horizon))
         # txn-granular replay dedup: a txn whose commit TSO is at or below
-        # the durable mark was already written WHOLE (envelope included)
+        # the durable mark was already written WHOLE (envelope included).
+        # Keep the pre-filter set for the open-carry anti-join below —
+        # already-durable replays must NOT be re-added to _pending either,
+        # or repeated replays grow the carry without bound.
+        settled_ids = closed_ids
         if self._last_commit_tso:
             self._check_disorder(
                 closed_ids.filter(F.col("_txn_commit") <= self._last_commit_tso)
@@ -388,7 +392,7 @@ class BinlogSink:
             self._pending = None
         else:
             open_events = combined.join(
-                F.broadcast(closed_ids.select("txn_id")), "txn_id", "left_anti"
+                F.broadcast(settled_ids.select("txn_id")), "txn_id", "left_anti"
             )
             self._pending = open_events.localCheckpoint(eager=True)
         if old is not None and not close_all:

@@ -37,14 +37,12 @@ def _as_stream_dir(sf_dir: str, name: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events parquet as an unbounded stream (schema pinned from the batch
     read; nanos ts handled identically to session.load_table)."""
-    from polardbx_cdc_spark.session import ensure_nanos_readable
+    from polardbx_cdc_spark.session import ensure_nanos_readable, normalize_event_ts
 
     ensure_nanos_readable(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(_as_stream_dir(sf_dir, "events"))
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def read_binlog(spark: SparkSession, sink_dir: str, from_tso: str = "") -> DataFrame:

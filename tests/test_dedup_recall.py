@@ -71,3 +71,26 @@ def test_typed_images_from_cdc_envelope(spark):
     got = out.select("after_typed.*").orderBy("qty").collect()
     assert got[0]["qty"] == -5 and got[0]["flag"] is False
     assert str(got[1]["price"]) == "19.995" and str(got[1]["big"]) == "18446744073709551615"
+
+
+def test_connected_components_adversarial_chain(spark):
+    """200-node path graph — diameter 199. Plain min-label propagation
+    needs ~200 rounds; the alternating large-star/small-star contraction
+    must finish within O(log n) (12 rounds here), with lineage bounded by
+    the periodic localCheckpoint."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    labels = dedupe.connected_components(pairs, max_iter=12)
+    rows = labels.collect()
+    assert len(rows) == 200
+    assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_connected_components_self_pairs_and_dups(spark):
+    """Self-pairs and duplicate/reversed edges must not break labeling."""
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 1), (1, 2), (9, 3)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedupe.connected_components(pairs).collect()}
+    assert got == {5: 5, 1: 1, 2: 1, 3: 3, 9: 3}

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from polardbx_cdc_spark.model import derive_cdc_stream
+from polardbx_cdc_spark.session import normalize_event_ts
 from polardbx_cdc_spark.operators import apply as apply_ops
 from polardbx_cdc_spark.operators import merge as merge_ops
 from polardbx_cdc_spark.streaming import pipeline, source
@@ -234,7 +235,7 @@ def test_out_of_order_arrival_within_watermark(spark, tmpdir):
 
     from polardbx_cdc_spark.model import derive_cdc_stream
 
-    ev = spark.read.parquet(SF + "/events.parquet")
+    ev = normalize_event_ts(spark.read.parquet(SF + "/events.parquet"))
     src_dir = tmpdir + "/src"
     os.makedirs(src_dir)
     # one file per 5-day slice, first two slices swapped in arrival order
@@ -243,8 +244,8 @@ def test_out_of_order_arrival_within_watermark(spark, tmpdir):
     for arr_pos, sl in enumerate(arrival):
         i, lo, hi = slices[sl]
         part = ev.filter(
-            (F.expr("ts div 1000") >= 1704067200000000 + lo * 86400_000_000)
-            & (F.expr("ts div 1000") < 1704067200000000 + hi * 86400_000_000)
+            (F.unix_micros(F.col("ts")) >= 1704067200000000 + lo * 86400_000_000)
+            & (F.unix_micros(F.col("ts")) < 1704067200000000 + hi * 86400_000_000)
         )
         tmp_out = tmpdir + f"/stage{i}"
         part.coalesce(1).write.parquet(tmp_out)
@@ -259,7 +260,7 @@ def test_out_of_order_arrival_within_watermark(spark, tmpdir):
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     cdc = derive_cdc_stream(spark, SF, events=stream).withWatermark("ts", "6 days")
     out = pipeline.streaming_last_image(cdc, epoch="1 day")
     q = (
@@ -409,7 +410,7 @@ def test_replica_table_sink_matches_batch_replay(spark, tmpdir):
     from polardbx_cdc_spark.operators import apply as apply_ops
 
     # stage events as 4 files so the stream runs 4 micro-batches
-    ev = spark.read.parquet(SF + "/events.parquet")
+    ev = normalize_event_ts(spark.read.parquet(SF + "/events.parquet"))
     src = tmpdir + "/src"
     os.makedirs(src)
     # contiguous event_id ranges = TSO-ordered batches (the merge stage's
@@ -422,7 +423,7 @@ def test_replica_table_sink_matches_batch_replay(spark, tmpdir):
         os.utime(f"{src}/e{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
 
     stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     cdc = derive_cdc_stream(spark, SF, events=stream)
     q, sink = pipeline.run_replica_pipeline(cdc, tmpdir + "/replica", tmpdir + "/ckpt")
     q.awaitTermination(180)
@@ -573,7 +574,7 @@ def _stage_event_files(spark, tmpdir, cut_points):
     import glob
     import os
 
-    ev = spark.read.parquet(SF + "/events.parquet")
+    ev = normalize_event_ts(spark.read.parquet(SF + "/events.parquet"))
     src = tmpdir + "/src"
     os.makedirs(src)
     bounds = [0, *cut_points, 1_000_000_000]
@@ -584,7 +585,7 @@ def _stage_event_files(spark, tmpdir, cut_points):
         shutil.copy(glob.glob(stage + "/part-*.parquet")[0], f"{src}/e{i}.parquet")
         os.utime(f"{src}/e{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
     stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     return derive_cdc_stream(spark, SF, events=stream)
 
 
@@ -700,7 +701,7 @@ def test_heartbeat_gate_force_completes_stalled_source(spark, tmpdir):
     import os
     import time
 
-    ev = spark.read.parquet(SF + "/events.parquet")
+    ev = normalize_event_ts(spark.read.parquet(SF + "/events.parquet"))
     src = tmpdir + "/src"
     os.makedirs(src)
     # batch 0: drop one source (user_id % 4 == 3) from the whole stream —
@@ -711,7 +712,7 @@ def test_heartbeat_gate_force_completes_stalled_source(spark, tmpdir):
     shutil.copy(glob.glob(stage + "/part-*.parquet")[0], src + "/e0.parquet")
 
     stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     cdc = derive_cdc_stream(spark, SF, events=stream)
     gate = pipeline.heartbeat_gate_stateful(cdc, n_sources=4, epoch="hour", force_timeout_ms=1)
 
@@ -790,4 +791,30 @@ def test_framed_sink_restart_no_duplicate_envelopes(spark, tmpdir):
         written.filter(F.col("action") == "BEGIN").groupBy("txn_id").count().filter("count > 1").count()
     )
     assert per_txn == 0
+    cdc.unpersist()
+
+
+def test_framed_sink_replay_does_not_grow_pending(spark, tmpdir):
+    """Re-delivery of already-durable transactions (recovery replay) must
+    not re-enter the open-txn carry: under the pre-fix behavior each replay
+    re-added every durable txn's events to _pending, growing the driver-
+    checkpointed carry without bound."""
+    cdc = derive_cdc_stream(spark, SF).persist()
+    first = cdc.filter(F.expr("txn_id * 5 + seq < 247"))  # mid-txn-49 cut
+    sink = pipeline.BinlogSink(tmpdir + "/out", frame_txns=True)
+    sink(first, batch_id=0)
+    assert sink._pending is not None
+    open_after_0 = sink._pending.count()
+    for replay_batch in (1, 2):
+        sink(first, batch_id=replay_batch)
+        assert sink._pending.count() == open_after_0, (
+            f"pending carry grew on replay batch {replay_batch}"
+        )
+    sink.flush()
+    written = spark.read.parquet(tmpdir + "/out")
+    per_txn = (
+        written.filter(F.col("action") == "BEGIN")
+        .groupBy("txn_id").count().filter("count > 1").count()
+    )
+    assert per_txn == 0, "replay produced duplicate envelopes"
     cdc.unpersist()

@@ -42,13 +42,16 @@ def vanilla(spark):
     return s
 
 
-def test_vanilla_session_cannot_read_events_raw(vanilla):
-    """Sanity: the simulated vanilla session really does lack the conf —
-    otherwise this whole module tests nothing."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+def test_vanilla_session_events_ts_normalizes(vanilla):
+    """The driver regenerates testdata across rounds: events.ts has been
+    TIMESTAMP(NANOS) (unreadable without nanosAsLong → bigint) and naive
+    timestamp[us] (reads as TIMESTAMP_NTZ). load_table must yield a plain
+    TIMESTAMP on a vanilla session for EVERY generation."""
+    from polardbx_cdc_spark.session import load_table
 
-    with pytest.raises(AnalysisException, match="PARQUET_TYPE_ILLEGAL"):
-        vanilla.read.parquet(f"{SF_SMOKE}/events.parquet").limit(1).collect()
+    df = load_table(vanilla, SF_SMOKE, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.limit(1).collect()
 
 
 @pytest.mark.parametrize("name", EVENTS_QUERIES)
