@@ -270,7 +270,12 @@ def pack_sequences(
             base.repartitionByRange(n_parts, "pk", id_col)
             .withColumn("pid", F.spark_partition_id())
         )
-        parted = parted.persist()
+        # localCheckpoint, not persist: persist() registers the plan in the
+        # session CacheManager and nobody here can unpersist it after the
+        # caller materializes the result — a cached frame would leak for
+        # the session lifetime. Checkpoint blocks are freed on GC instead,
+        # and the totals collect below reuses the same materialization.
+        parted = parted.localCheckpoint(eager=True)
         # per-partition totals -> absolute base offset per partition (the
         # collect is <= n_parts rows — the documented price of dense global
         # offsets without a 1-task sort)

@@ -24,20 +24,72 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: MySQL charset name → JVM charset name (the decodable subset; BINARY has
-#: no text decoding). GBK-family charsets exist in the JVM but Spark's
-#: non-legacy decode() restricts to these — the reference faces the same
-#: table in miniature (CharsetConversion.java).
+#: MySQL charset name → JVM charset name, covering the charset surface the
+#: reference enumerates (CharsetConversion.java:38-110, CollationCharset).
+#: Spark's non-legacy encode/decode only accept the UTF/ASCII/8859-1 core;
+#: everything else needs ``spark.sql.legacy.javaCharsets=true`` — set by
+#: ``session.get_spark`` and runtime-settable via ``ensure_charsets``.
+#: Deliberate divergences from the reference's table (documented, not
+#: copied): MySQL latin5 is Turkish → ISO-8859-9 and latin7 is Baltic →
+#: ISO-8859-13 (the reference maps them to 8859-5/8859-7, which are
+#: Cyrillic/Greek — a bug we don't reproduce); ``binary`` maps to
+#: ISO-8859-1 because it is byte-preserving (reference uses US-ASCII,
+#: which corrupts high bytes on round-trip).
 MYSQL_TO_JVM_CHARSET = {
+    # unicode
     "utf8": "UTF-8",
     "utf8mb3": "UTF-8",
     "utf8mb4": "UTF-8",
-    "latin1": "ISO-8859-1",
-    "ascii": "US-ASCII",
     "ucs2": "UTF-16BE",
     "utf16": "UTF-16BE",
     "utf16le": "UTF-16LE",
+    "utf32": "UTF-32BE",
+    # western / single-byte
+    "latin1": "ISO-8859-1",
+    "dec8": "ISO-8859-1",
+    "hp8": "ISO-8859-1",
+    "swe7": "ISO-8859-1",
+    "armscii8": "ISO-8859-1",
+    "latin2": "ISO-8859-2",
+    "latin5": "ISO-8859-9",
+    "latin7": "ISO-8859-13",
+    "greek": "ISO-8859-7",
+    "hebrew": "ISO-8859-8",
+    "ascii": "US-ASCII",
+    "koi8r": "KOI8-R",
+    "koi8u": "KOI8-U",
+    "tis620": "TIS-620",
+    "cp850": "IBM850",
+    "cp852": "IBM852",
+    "cp866": "IBM866",
+    "cp1250": "windows-1250",
+    "cp1251": "windows-1251",
+    "cp1256": "windows-1256",
+    "cp1257": "windows-1257",
+    "macce": "x-MacCentralEurope",
+    "macroman": "x-MacRoman",
+    # CJK multi-byte
+    "gbk": "GBK",
+    "gb2312": "GB2312",
+    "gb18030": "GB18030",
+    "big5": "Big5",
+    "sjis": "Shift_JIS",
+    "cp932": "windows-31j",
+    "ujis": "EUC-JP",
+    "euckr": "EUC-KR",
+    # bytes-as-stored (no text semantics; 8859-1 round-trips every byte)
+    "binary": "ISO-8859-1",
 }
+
+
+def ensure_charsets(spark) -> None:
+    """Make the full charset table usable on ANY session: Spark 4 rejects
+    non-core charsets in encode()/decode() unless the legacy-javaCharsets
+    flag is on (runtime-settable)."""
+    try:
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    except Exception:
+        pass
 
 
 def jvm_charset(mysql_charset: str) -> str:

@@ -41,6 +41,9 @@ def get_spark(app_name: str = "polardbx_cdc_spark", cpus: int | None = None) -> 
         # driver testdata writes events.ts as TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long and convert (µs truncation matches DuckDB)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # charset repair (operators/reformat.py) needs the full JVM charset
+        # surface (GBK, Big5, windows-125x, …), not just the UTF core
+        .config("spark.sql.legacy.javaCharsets", "true")
     )
     # streaming state at scale: RocksDB spills state off-heap. Opt-in via
     # env because the RocksDB provider mis-handles .crc files on bare local

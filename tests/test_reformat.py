@@ -39,7 +39,7 @@ def test_repair_type_mismatch_redecodes_and_casts(spark):
 
 def test_undecodable_charset_raises():
     with pytest.raises(ValueError, match="undecodable"):
-        reformat.jvm_charset("gb18030")
+        reformat.jvm_charset("no_such_charset")
 
 
 def test_repair_topology_record_rebuilds_from_registry():
@@ -61,3 +61,55 @@ def test_repair_topology_record_rebuilds_from_registry():
 
     with pytest.raises(KeyError, match="cannot repair"):
         reformat.repair_topology_record(None, reg, topo, "app", "missing")
+
+
+# One representable sample per MySQL charset the table covers
+# (CharsetConversion.java:38-110 surface). Samples chosen so the charset's
+# own repertoire is exercised, not just ASCII.
+_CHARSET_SAMPLES = {
+    "utf8": "héllo 世界", "utf8mb3": "héllo", "utf8mb4": "héllo 世界 🤖",
+    "ucs2": "héllo 世界", "utf16": "héllo 世界", "utf16le": "héllo 世界",
+    "utf32": "héllo 世界",
+    "latin1": "café", "dec8": "café", "hp8": "café", "swe7": "abc123",
+    "armscii8": "abc123", "latin2": "příliš žluťoučký",
+    "latin5": "ğüşıö", "latin7": "ąčęėįš", "greek": "αβγδε", "hebrew": "שלום",
+    "ascii": "abc123", "koi8r": "Привет", "koi8u": "Привіт", "tis620": "ไทย",
+    "cp850": "café", "cp852": "příliš", "cp866": "Привет",
+    "cp1250": "příliš", "cp1251": "Привет", "cp1256": "مرحبا", "cp1257": "ąčę",
+    "macce": "příliš", "macroman": "café",
+    "gbk": "中文测试", "gb2312": "中文测试", "gb18030": "中文测试€",
+    "big5": "中文測試", "sjis": "日本語テスト", "cp932": "日本語テスト",
+    "ujis": "日本語テスト", "euckr": "한국어",
+    "binary": "caf\u00e9",
+}
+
+
+def test_full_charset_table_round_trips(spark):
+    """Every charset in MYSQL_TO_JVM_CHARSET must exist in the JVM and
+    round-trip its own sample text (encode→decode identity), matching the
+    reference's CharsetConversion surface."""
+    assert set(_CHARSET_SAMPLES) == set(reformat.MYSQL_TO_JVM_CHARSET)
+    reformat.ensure_charsets(spark)
+    cols = []
+    for cs, sample in _CHARSET_SAMPLES.items():
+        jvm = reformat.jvm_charset(cs)
+        cols.append(
+            (F.decode(F.encode(F.lit(sample), jvm), jvm) == F.lit(sample)).alias(cs)
+        )
+    row = spark.range(1).select(*cols).collect()[0]
+    bad = [cs for cs in _CHARSET_SAMPLES if not row[cs]]
+    assert not bad, f"charsets failed round-trip: {bad}"
+
+
+def test_recode_gbk_mojibake(spark):
+    """The classic repair: GBK bytes mis-decoded as latin1 → recode
+    recovers the original Chinese text."""
+    reformat.ensure_charsets(spark)
+    original = "中文测试"
+    mojibake = original.encode("gbk").decode("latin-1")
+    got = (
+        spark.createDataFrame([(mojibake,)], "v string")
+        .select(reformat.recode(F.col("v"), "latin1", "gbk").alias("fixed"))
+        .collect()[0]["fixed"]
+    )
+    assert got == original
