@@ -79,19 +79,26 @@ def minhash_signature(
     at ~1/K the md5 cost."""
     sh = shingles(text, shingle_n)
     if use_md5:
+        # ONE aggregate pass: the accumulator is the K running minima and
+        # each shingle contributes its K affine hashes via zip_with. The
+        # naive form — K × array_min(transform(base, affine_k)) — embeds
+        # the md5 base-hash expression K times and Catalyst re-evaluates
+        # it per embed: a K× md5-pass blowup (measured 6× slower).
+        params = _affine_params(num_hashes)
         base = F.transform(sh, lambda s: _hash32(s))
+        zero = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(num_hashes)])
 
-        def affine(a: int, b: int):
-            # NB: no default-arg closure — PySpark counts default params
-            # as lambda arity and builds an invalid 3-arg HOF lambda
-            return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+        def merge(acc: Column, h: Column) -> Column:
+            hashed = F.array(
+                *[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P) for a, b in params]
+            )
+            return F.zip_with(acc, hashed, lambda x, y: F.least(x, y))
 
-        sigs = [F.array_min(F.transform(base, affine(a, b))) for a, b in _affine_params(num_hashes)]
-    else:
-        sigs = [
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
+        return F.aggregate(base, zero, merge)
+    sigs = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
     return F.array(*sigs)
 
 
@@ -103,9 +110,10 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     use_md5: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, explode one row per
-    band, bucket-join on (band_idx, band_hash). Output (id_a < id_b) pairs.
+    band, bucket-group on (band_idx, band_hash). Output (id_a < id_b) pairs.
 
     At 100 TB: explode multiplies rows by B (cheap — 2 longs wide), the
     groupBy/band-key self-join shuffles on the band hash, and candidate
@@ -118,11 +126,18 @@ def minhash_lsh_candidates(
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     # small parquet inputs arrive as 1 partition — spread the signature
-    # computation across cores (at 100 TB the scan is already parallel)
+    # computation across cores (at 100 TB the scan is already parallel).
+    # localCheckpoint is load-bearing for PLAN size, not just reuse:
+    # without it Catalyst's projection collapse inlines the K-hash
+    # signature expression into every band key — a bands×num_hashes
+    # expression-tree blowup whose codegen costs seconds of driver time
+    # per action regardless of data size. The materialized frame is
+    # compact (id + K longs per doc); at 100 TB this is the signature
+    # staging table every production LSH pipeline writes anyway.
     sig_df = df.repartition(n_part).select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n, use_md5).alias("sig"),
-    )
+    ).localCheckpoint(eager=True)
 
     def band_key(b: Column) -> Column:
         joined = F.concat_ws(
@@ -140,22 +155,35 @@ def minhash_lsh_candidates(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band_idx", "band_hash"),
     )
-    # materialize once: the self-join would otherwise recompute every
-    # signature on both sides (at scale: persist to a staging table instead)
-    banded = banded.persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    # bucket-aggregate pair enumeration: ONE shuffle on the band key, then
+    # per-bucket combinations JVM-side (sorted ids → id_a < id_b for free).
+    # Beats a banded self-join (two shuffle reads + persist to avoid
+    # recomputing signatures on both sides) and keeps a single lineage.
+    # A bucket of size B yields B(B-1)/2 pairs under EITHER strategy —
+    # that blowup is inherent to LSH; at 100 TB cap pathological buckets
+    # (an all-identical-band corpus) with ``max_bucket``.
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    n = F.size(F.col("ids"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -174,13 +202,29 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Verify candidate pairs with true n-gram Jaccard. ``pairs`` has
-    (id_a, id_b); output adds ``jaccard_sim``. Joins are on the doc id —
-    co-partitioned with one shuffle each; the text column is only carried
-    for candidate rows (post-LSH), not the full corpus cross-product."""
+    (id_a, id_b); output adds ``jaccard_sim``.
+
+    Shingles are computed ONCE, and only for docs that appear in a
+    candidate pair (semi-join prune): at 100 TB the candidate set is a
+    tiny fraction of the corpus, so tokenizing both full-join sides
+    independently would shingle the whole corpus twice for nothing. The
+    staged (id, shingles) frame is materialized once and both join sides
+    read it."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(n_part)
-    docs_a = base.select(F.col(id_col).alias("id_a"), shingles(F.col(text_col), n).alias("sh_a"))
-    docs_b = base.select(F.col(id_col).alias("id_b"), shingles(F.col(text_col), n).alias("sh_b"))
+    pairs = pairs.localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("id_a").alias("_cid"))
+        .unionByName(pairs.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    sh_df = (
+        df.join(ids, df[id_col] == ids["_cid"], "left_semi")
+        .repartition(n_part)
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    docs_a = sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    docs_b = sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         pairs.join(docs_a, "id_a")
         .join(docs_b, "id_b")
