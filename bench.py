@@ -92,7 +92,14 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # same steady-state methodology as the batch queries: one warm-up run
+    # (streaming-plan codegen + state-store init are first-run costs, ~5x
+    # the steady rate), then best-of-2 timed runs
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP", "") != "1":
+        _bench_streaming_pipeline(spark, sf_dir)
     dt, n = _bench_streaming_pipeline(spark, sf_dir)
+    dt2, _ = _bench_streaming_pipeline(spark, sf_dir)
+    dt = min(dt, dt2)
     timings["stream_binlog_pipeline"] = round(dt, 3)
     total += dt
     print(f"# stream_binlog_pipeline: {dt:.3f}s ({n} events sunk)", file=sys.stderr)

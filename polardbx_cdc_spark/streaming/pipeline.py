@@ -414,7 +414,9 @@ class BinlogSink:
         The only serial step is a tiny per-partition-count collect."""
         spark = df.sparkSession
         n_part = spark.sparkContext.defaultParallelism
-        ranged = df.repartitionByRange(n_part, range_key).sortWithinPartitions(*sort_keys)
+        # no sortWithinPartitions here: the row_number window below sorts
+        # each partition anyway — pre-sorting would pay for the sort twice
+        ranged = df.repartitionByRange(n_part, range_key)
         with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
         try:
             # one pass yields both the per-partition counts (offset bases)
