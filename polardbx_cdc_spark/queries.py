@@ -2142,3 +2142,58 @@ def curation_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-shard position (stable across retries, no rand())."""
     d = load_table(spark, sf_dir, "documents")
     return curation.shard_shuffle(d, n_shards=8)
+
+
+@register(
+    "curation_corpus_freq",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+    ), dfq AS (
+      SELECT tok, count(*) AS df FROM dt GROUP BY tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(sum(df) AS BIGINT) AS sum_df,
+           CAST(min(df) AS BIGINT) AS min_df,
+           CAST(max(df) AS BIGINT) AS max_df
+    FROM dt JOIN dfq USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def curation_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-frequency signals (document-frequency sum/min/
+    max over the doc's distinct tokens) — the rarity/boilerplate axis of
+    quality scoring. Integer-exact so the oracle hash-matches."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.corpus_freq_stats(d)
+
+
+@register(
+    "curation_keyword_extract",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2
+    ), dfq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM ex) GROUP BY tok
+    ), j AS (
+      SELECT doc_id, tok, tf, df FROM tf JOIN dfq USING (tok)
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tf DESC, df ASC, tok ASC
+      ) AS rn FROM j
+    )
+    SELECT doc_id, tok AS keyword, tf AS keyword_tf, df AS keyword_df
+    FROM ranked WHERE rn = 1
+    """,
+)
+def curation_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyword per doc: highest term frequency, ties broken
+    by lowest document frequency then lexicographically — min_by over a
+    composite (−tf, df, tok) key, no corpus-wide window."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.keyword_extract(d)

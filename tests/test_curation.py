@@ -167,3 +167,20 @@ def test_streaming_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     assert len(got) == 6  # the 3 cross-batch duplicates were dropped
     assert sorted(r.doc_id for r in got) == list(range(6))  # first arrival kept
     assert len({r.fp for r in got}) == 6
+
+
+def test_keyword_extract_tie_breaks(spark):
+    """tf desc, then df asc (rarer wins), then lexicographically smallest.
+    doc 1: 'b b a a c' — a and b tie on tf=2; b is corpus-rarer (df: a=3,
+    b=1) so b wins despite 'a' < 'b'. doc 2: 'x y' — all tf=1, df=1 →
+    lexicographic → x. docs 3,4 exist to set a's df=3."""
+    from polardbx_cdc_spark.functions.curation import keyword_extract
+
+    docs = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "x y"), (3, "a"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in keyword_extract(docs).collect()}
+    assert got[1]["keyword"] == "b" and got[1]["keyword_tf"] == 2 and got[1]["keyword_df"] == 1
+    assert got[2]["keyword"] == "x"
+    assert got[3]["keyword"] == "a" and got[3]["keyword_df"] == 3
