@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 # language-ID heuristic (public fastText/cld-style trick reduced to SQL).
 STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
 
+#: per-language stopword tables for multi-language ID; priority order
+#: below breaks exact ties deterministically
+LANG_STOPWORDS = {
+    "en": STOPWORDS,
+    "es": ["el", "la", "de", "que", "y", "los", "se", "las", "por", "un"],
+    "de": ["der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "ist"],
+    "fr": ["le", "les", "des", "est", "une", "dans", "que", "pour", "qui", "au"],
+}
+_LANG_ORDER = ["en", "es", "de", "fr"]
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization."""
@@ -134,15 +144,49 @@ def oracle_quality_score(expr: str) -> str:
     return f"CAST(({len_ok} + {word_ok} + {stop_ok}) AS DOUBLE) / 3.0"
 
 
-def lang_id(text: Column) -> Column:
-    """Stopword-hit language ID: 'en' when english stopword ratio clears the
-    bar, else 'other'. (The real-world version swaps in per-language n-gram
-    tables; the Spark shape — pure projection — is identical.)"""
-    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+def lang_id(text: Column, threshold: float = 0.08) -> Column:
+    """Multi-language stopword-hit language ID: count per-language
+    stopword hits in ONE aggregate pass over the tokens (the accumulator
+    is a hit-count per language, zip_with-merged per token), take the
+    argmax, 'other' when the best ratio misses ``threshold``. Ties break
+    by fixed priority order (en > es > de > fr) — deterministic in both
+    engines. Pure projection: whole-stage codegen, zero shuffle, the
+    per-language tables are literals baked into the plan."""
+    toks = tokens(F.lower(text))
+    zero = F.array(*[F.lit(0) for _ in _LANG_ORDER])
+
+    def merge(acc: Column, t: Column) -> Column:
+        hits = F.array(
+            *[t.isin(LANG_STOPWORDS[lang]).cast("int") for lang in _LANG_ORDER]
+        )
+        return F.zip_with(acc, hits, lambda x, y: x + y)
+
+    counts = F.aggregate(toks, zero, merge)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    best = F.array_max(counts)
+    out = F.when(best.cast("double") / n < threshold, F.lit("other"))
+    for i, lang in enumerate(_LANG_ORDER):
+        out = out.when(F.element_at(counts, i + 1) == best, F.lit(lang))
+    return out.otherwise(F.lit("other"))
 
 
-def oracle_lang_id(expr: str) -> str:
-    return f"CASE WHEN {oracle_stopword_ratio(expr)} >= 0.08 THEN 'en' ELSE 'other' END"
+def oracle_lang_id(expr: str, threshold: float = 0.08) -> str:
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    cnt = {
+        lang: (
+            f"len(list_filter({toks}, t -> t IN "
+            f"({', '.join(repr(w) for w in LANG_STOPWORDS[lang])})))"
+        )
+        for lang in _LANG_ORDER
+    }
+    best = f"greatest({', '.join(cnt.values())})"
+    whens = " ".join(
+        f"WHEN {cnt[lang]} = {best} THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    return (
+        f"CASE WHEN CAST({best} AS DOUBLE) / greatest(len({toks}), 1) < {threshold}"
+        f" THEN 'other' {whens} ELSE 'other' END"
+    )
 
 
 def fingerprint(text: Column) -> Column:

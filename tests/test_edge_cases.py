@@ -134,3 +134,21 @@ def test_empty_and_single_row_inputs(spark):
     out = apply_ops.collapse_ops(one).collect()
     assert len(out) == 1 and out[0]["op"] == "DELETE"
     assert apply_ops.replay_to_state(one).count() == 0
+
+
+def test_lang_id_multilanguage(spark):
+    """Per-language stopword scoring picks the right language and falls
+    back to 'other' below threshold; ties break en>es>de>fr."""
+    from polardbx_cdc_spark.functions.text import lang_id
+
+    rows = [
+        (1, "the cat sat on the mat and it was the best of days"),
+        (2, "el perro corre por la calle y los gatos se esconden en las casas"),
+        (3, "der hund läuft und die katze schläft mit den kindern von heute"),
+        (4, "le chien est dans les jardins pour une promenade qui dure"),
+        (5, "zzz qqq xxx www yyy"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang"] for r in df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "other", 6: "other"}
