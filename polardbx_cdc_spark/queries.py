@@ -1896,10 +1896,58 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, _QUERY_IDS, k=5)
 
 
-@register("embed_lsh_topk", None)  # approximate variant → rows-only check
+def _duck_lsh_buckets(num_planes: int = 4, num_tables: int = 8, dim: int = 64) -> str:
+    """Bucket expressions for the LSH oracle: the hyperplanes are
+    deterministic md5-derived constants (similarity._hyperplanes), so the
+    oracle embeds them as double literals and reproduces every sign bit."""
+    from polardbx_cdc_spark.functions.similarity import _hyperplanes
+
+    table_exprs = []
+    for t in range(num_tables):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(vec, CAST(["
+            + ", ".join(repr(c) for c in row)
+            + "] AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
+            for row in _hyperplanes(num_planes, dim, salt=t)
+        )
+        table_exprs.append(f"'{t}:' || {bits}")
+    return ", ".join(table_exprs)
+
+
+@register(
+    "embed_lsh_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), b AS (
+      SELECT vec_id, vec, unnest([{_duck_lsh_buckets()}]) AS bucket FROM v
+    ), q AS (
+      SELECT vec_id AS query_id, vec AS q_vec, bucket AS q_bucket FROM b
+      WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+    ), cand AS (
+      SELECT DISTINCT q.query_id, b.vec_id AS nbr_id
+      FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+    ), scored AS (
+      SELECT c.query_id, c.nbr_id,
+             round(list_dot_product(qv.vec, nv.vec)
+                   / (sqrt(list_dot_product(qv.vec, qv.vec))
+                      * sqrt(list_dot_product(nv.vec, nv.vec))), 6) AS cos_sim
+      FROM cand c
+      JOIN v qv ON qv.vec_id = c.query_id
+      JOIN v nv ON nv.vec_id = c.nbr_id
+    )
+    SELECT query_id, rank, nbr_id, cos_sim FROM (
+      SELECT query_id, nbr_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
 def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB scale path: candidates
-    restricted to the query's hyperplane bucket)."""
+    restricted to the query's hyperplane buckets). The hyperplanes are
+    deterministic constants, so even this APPROXIMATE variant is
+    hash-checked — the oracle replays the identical bucket assignment."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_topk(e, _QUERY_IDS, k=5)
 

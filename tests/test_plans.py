@@ -219,3 +219,39 @@ def test_hash_sample_filter_reaches_scan_without_exchange(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_minhash_candidates_single_lineage_no_self_join(spark):
+    """Bucket-agg pair enumeration: the candidate plan must contain NO join
+    (the old banded self-join read the signature pipeline twice) and
+    exactly one aggregate pair for the bucket groupBy."""
+    from polardbx_cdc_spark.functions import dedupe
+    from polardbx_cdc_spark.session import load_table
+    import contextlib, io
+
+    d = load_table(spark, SF, "documents")
+    df = dedupe.minhash_lsh_candidates(d, use_md5=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, "self-join resurfaced:\n" + plan
+    # signature side is checkpointed: the scan feeding banding is an RDD
+    # scan of materialized signatures, not a re-read of documents.parquet
+    assert "documents.parquet" not in plan, plan
+
+
+def test_connected_components_plan_size_constant_per_round(spark):
+    """The localCheckpoint-per-round contract: the edge plan must not grow
+    across rounds (pre-fix it grew exponentially — each star step embeds
+    the edge set several times)."""
+    from polardbx_cdc_spark.functions.dedupe import _large_star, _small_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    sizes = []
+    for _ in range(3):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sizes.append(len(edges._jdf.queryExecution().optimizedPlan().toString()))
+    assert max(sizes) <= min(sizes) * 1.5, f"plan grew across rounds: {sizes}"
