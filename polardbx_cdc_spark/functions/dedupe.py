@@ -347,12 +347,16 @@ def connected_components(
     )
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # fixed point ⇔ same edge set; both frames are materialized so the
-        # two probes are cheap cached scans
-        grew = new_edges.exceptAll(edges).limit(1).count()
-        shrank = edges.exceptAll(new_edges).limit(1).count()
+        # fixed point ⇔ same edge set; probe the symmetric difference in ONE
+        # job (both frames are materialized, so each branch is a cached scan)
+        changed = (
+            new_edges.exceptAll(edges)
+            .unionByName(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
+        )
         edges = new_edges
-        if grew == 0 and shrank == 0:
+        if changed == 0:
             break
     # converged star forest: src > dst and dst = component minimum
     star = edges.groupBy(F.col("src").alias("id")).agg(

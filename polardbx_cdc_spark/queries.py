@@ -1973,13 +1973,31 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_stats(media)
 
 
-@register("media_features", None)  # mapInPandas + stub decoder → rows-only
+@register(
+    "media_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind, strlen(text) AS n_bytes,
+           CAST(p.i AS INT) AS pos,
+           CAST(CAST('0x' || substr(md5(text), CAST(2*p.i + 1 AS INT), 2) AS INTEGER)
+                AS DOUBLE) / 256.0 AS feat
+    FROM documents, range(0, 8) p(i)
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas;
-    decoder stubbed deterministically)."""
+    decoder stubbed deterministically — md5-derived floats, so the oracle
+    replays every byte in SQL and hash-checks the real Arrow dataflow).
+    Features unnested to scalars for the compare surface (byte/256 values
+    are exact dyadic rationals — engine-independent)."""
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(d)
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("feature").alias("pos", "feat"),
+    )
 
 
 # --------------------------------------------------------------------------
