@@ -31,7 +31,14 @@ def _hash32(col: Column) -> Column:
 # base(x) = md5-prefix 32-bit. ONE md5 per shingle instead of K — the
 # affine transforms are integer ops, exact in both Spark and DuckDB
 # (base < 2^32, A,B < 2^30 → products < 2^62, no BIGINT overflow).
-MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+# P must be far SMALLER than the a*base product range so the mod wraps
+# many times (~2^31 wraps here): with a near-range P (2^61-1 was the old
+# choice) a*h+b < 2P wraps at most once, the map is piecewise
+# order-preserving, every h_i picks the same min-base-hash shingle, and
+# signatures collapse to a function of ONE shingle — measured 19x
+# candidate inflation (8226 vs 435 pairs at sf0.1) from docs that merely
+# share their minimum shingle.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
 def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
