@@ -36,7 +36,10 @@ HEADLINE = [
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster_groups",
     "embed_cosine_topk",
+    "media_features",
+    "cdc_seek_by_timestamp",
     "curation_quality_filter",
     "curation_pack_sequences",
 ]

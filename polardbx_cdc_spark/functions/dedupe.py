@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from polardbx_cdc_spark.functions.text import fingerprint, tokens
 
@@ -315,11 +316,49 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _driver_components(idpairs: DataFrame) -> DataFrame:
+    """Union-find over a BOUNDED, already-materialized pair set (the
+    small-graph fast path of ``connected_components``). One collect of
+    ≤ driver_threshold (src, dst) rows; output labels each vertex with
+    its component minimum, identical to the distributed star contraction."""
+    rows = idpairs.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    minlabel: dict = {}
+    for v in parent:
+        root = find(v)
+        if root not in minlabel or v < minlabel[root]:
+            minlabel[root] = v
+    id_type = idpairs.schema["src"].dataType
+    out_schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+    )
+    data = [(v, minlabel[find(v)]) for v in parent]
+    return idpairs.sparkSession.createDataFrame(data, out_schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Near-dup CLUSTER formation: connected components over candidate
     pairs — the step that turns pairwise matches into keep-one-per-group
@@ -335,13 +374,22 @@ def connected_components(
     caches data but not the plan); ``localCheckpoint`` every round cuts
     lineage to the materialized edges — plan size stays constant per
     round. Convergence = the edge set reaches a fixed point (star forest:
-    every node points at its component minimum)."""
+    every node points at its component minimum).
+
+    Pair sets at or below ``driver_threshold`` (bounded, ≤ ~1.6 MB at the
+    default) finish with union-find on the driver instead: distributed
+    star rounds cost several scheduled jobs each, pure overhead on a
+    graph that fits in one collect — the same local-finish cutoff the
+    MapReduce CC literature applies once contraction shrinks the graph.
+    Pass ``driver_threshold=0`` to force the distributed path (tests do)."""
     # materialize the narrow (src, dst) projection ONCE — verts and edges
     # both derive from it, and ``pairs`` may sit atop an expensive pipeline
     # (e.g. the full MinHash-LSH + Jaccard verify) that must not re-run
     idpairs = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)
+    if driver_threshold and idpairs.count() <= driver_threshold:
+        return _driver_components(idpairs)
     verts = (
         idpairs.select(F.col("src").alias("id"))
         .unionByName(idpairs.select(F.col("dst").alias("id")))
@@ -372,6 +420,21 @@ def connected_components(
     return verts.join(star, "id", "left").select(
         "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
     )
+
+
+def drop_near_duplicates(
+    df: DataFrame, labels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply cluster labels to the corpus: keep each cluster's minimum
+    member (its ``cluster_id``), drop every other member. The dropped set
+    is ∝ duplicate count — typically a small fraction of the corpus — so
+    this is a LEFT ANTI join against the small side: the corpus streams
+    through unshuffled and Spark broadcasts the dropped ids when they fit
+    (at 100 TB the corpus never moves; only drop-list lookups do)."""
+    dropped = labels.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")
 
 
 def streaming_exact_dedup(

@@ -68,6 +68,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "events_distinct_stats",  # distinct-agg shape green via events_daily_rollup
     "events_type_pivot",  # pivot extension; scalar/agg rows covered elsewhere
     "curation_shard_shuffle",  # same salted-md5 rank shape as stratified_sample
+    "dedup_apply",  # terminal anti-join; pipeline verified via dedup_cluster_groups
 )
 
 
@@ -1789,13 +1790,45 @@ def dedup_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER formation: verified MinHash-LSH pairs → connected
     components → (doc_id, cluster_id = min member). This is the decision
     step of real dedup (keep cluster_id, drop the rest); the oracle walks
-    the same graph with a recursive CTE. Min-label propagation: one
-    join+agg per round, O(component diameter) rounds."""
+    the same graph with a recursive CTE. Spark side uses alternating
+    large-star/small-star contraction — O(log n) rounds even on
+    adversarial chains, localCheckpoint per round caps plan growth."""
     d = load_table(spark, sf_dir, "documents")
     cands = dedupe.minhash_lsh_candidates(d, use_md5=True)
     verified = dedupe.ngram_jaccard_pairs(d, cands).filter(F.col("jaccard_sim") >= 0.5)
     labels = dedupe.connected_components(verified)
     return labels.select(F.col("id").alias("doc_id"), F.col("cluster_id"))
+
+
+@register(
+    "dedup_apply",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard_sim >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
+    ),
+    labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL: LSH candidates → Jaccard verify →
+    connected components → keep each cluster's minimum member, drop the
+    rest. The terminal step of the training-data dedup pipeline — the
+    surviving corpus. Anti-join against the (small) dropped set, so the
+    full corpus is never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = dedupe.minhash_lsh_candidates(d, use_md5=True)
+    verified = dedupe.ngram_jaccard_pairs(d, cands).filter(F.col("jaccard_sim") >= 0.5)
+    labels = dedupe.connected_components(verified)
+    return dedupe.drop_near_duplicates(d, labels, id_col="doc_id").select("doc_id")
 
 
 @register(

@@ -81,10 +81,28 @@ def test_connected_components_adversarial_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(199)], "id_a long, id_b long"
     )
-    labels = dedupe.connected_components(pairs, max_iter=12)
+    labels = dedupe.connected_components(pairs, max_iter=12, driver_threshold=0)
     rows = labels.collect()
     assert len(rows) == 200
     assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    """The small-graph union-find fast path must label identically to the
+    distributed star contraction (same (id, cluster_id=min member) law)."""
+    import random
+
+    rng = random.Random(7)
+    pairs = spark.createDataFrame(
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(80)] + [(99, 99)],
+        "id_a long, id_b long",
+    )
+    fast = {(r["id"], r["cluster_id"]) for r in dedupe.connected_components(pairs).collect()}
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in dedupe.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
 
 
 def test_connected_components_self_pairs_and_dups(spark):
