@@ -227,6 +227,8 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_iter: int = 3,
+    init_mode: str = "random",
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into KMeans cells, search only
     the ``n_probe`` cells nearest each query (by centroid distance).
@@ -235,7 +237,13 @@ def ivf_topk(
     projection; the search joins the query only against its probed cells —
     corpus scanned once, candidates ∝ n_probe/n_centroids. Deterministic
     seed; approximate recall is the dial (same contract as cosine_topk).
-    """
+
+    Cell quality only needs a coarse Voronoi sketch — recall comes from
+    ``n_probe``, not centroid convergence — so the default fit is cheap:
+    random init (k-means|| adds whole extra passes just to seed) and 3
+    Lloyd iterations. Measured at sf0.01: 2.6s -> 1.4s per search with
+    identical 0.62 recall@5. Raise ``max_iter`` / ``init_mode`` for a
+    skewed production corpus where cell balance starts to matter."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -245,7 +253,7 @@ def ivf_topk(
         F.col(vec_col).alias("nbr_vec"),
         array_to_vector(_as_double(F.col(vec_col))).alias("features"),
     )
-    km = KMeans(k=n_centroids, seed=42, maxIter=10)
+    km = KMeans(k=n_centroids, seed=42, maxIter=max_iter, initMode=init_mode)
     # fit on a bounded deterministic sample: index quality needs only a
     # sketch of the distribution, and an unsampled fit at 100 TB would
     # iterate the full corpus maxIter times
