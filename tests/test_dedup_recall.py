@@ -42,6 +42,23 @@ def test_minhash_lsh_finds_injected_near_dups(spark):
     assert verified.filter(F.col("jaccard_sim") >= 0.5).count() == len(found)
 
 
+def test_minhash_families_agree_on_candidate_volume(spark):
+    """The md5-affine (oracle) and xxhash64 (scale) hash families must
+    produce comparable candidate sets. Guards the affine family's
+    independence: with a near-range modulus (P=2^61-1, a*h+b < 2P) every
+    affine map is piecewise order-preserving, all K functions minimize at
+    the same shingle, and the md5 path emitted 19x the candidates of the
+    xxhash path. Volume ratio is the cheap observable for that collapse."""
+    corpus, _ = _with_injected_dups(spark)
+    n_md5 = dedupe.minhash_lsh_candidates(corpus, use_md5=True).count()
+    n_xx = dedupe.minhash_lsh_candidates(corpus, use_md5=False).count()
+    assert n_md5 <= max(3 * n_xx, n_xx + 20), (
+        f"md5-affine family inflated candidates: {n_md5} vs xxhash {n_xx} — "
+        "check MINHASH_P is far below the a*base product range"
+    )
+    assert n_md5 > 0 and n_xx > 0
+
+
 def test_exact_dedup_finds_identical_not_near(spark):
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
     ident = docs.filter(F.col("doc_id") < 10).select(
