@@ -27,6 +27,27 @@ def test_pandas_matmul_path_equals_expression_path(spark):
         assert abs(sims_e[key] - sims_p[key]) <= 1e-6, key
 
 
+def test_lsh_bucket_impls_agree(spark):
+    """Arrow (BLAS matmul) and Catalyst-expression bucket assignment must
+    match exactly — the oracle replays the expression form, so a sign
+    divergence (only possible if some |dot| < ~1e-13) would silently break
+    the hash check. Bit-equality here is the tripwire."""
+    e = load_table(spark, SF, "embeddings")
+    arrow = {
+        (r["vec_id"], r["bucket"])
+        for r in similarity.lsh_buckets(e, 4, 64, "embedding", 8, impl="arrow")
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    expr = {
+        (r["vec_id"], r["bucket"])
+        for r in similarity.lsh_buckets(e, 4, 64, "embedding", 8, impl="expr")
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    assert arrow == expr and len(arrow) > 0
+
+
 def test_ann_paths_recall_floor(spark):
     """IVF and multi-table LSH must each keep recall@5 above a floor on the
     real embeddings (guards against silently broken bucketing)."""
