@@ -461,3 +461,70 @@ def streaming_exact_dedup(
         fingerprint(F.col(text_col)).alias("fp"),
     )
     return fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
+def streaming_near_dedup(
+    doc_stream: DataFrame,
+    time_col: str,
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-dup filtering on an unbounded stream — the streaming
+    counterpart of MinHash-LSH: emit only documents whose signature
+    matches nothing seen within the watermark horizon.
+
+    Two chained stateful operators (Spark ≥3.5 watermark propagation):
+
+    1. band the MinHash signature and ``dropDuplicatesWithinWatermark``
+       on (band_idx, band_hash) — the FIRST arrival claims each bucket;
+       state is one row per live band bucket, watermark-evicted.
+    2. windowed count of surviving bands per doc — a doc whose ``bands``
+       buckets were ALL unclaimed is novel and is emitted once its window
+       closes; a doc colliding with any prior doc in any band (the LSH
+       OR-rule, the same candidate condition as the batch path) is
+       suppressed.
+
+    Output: (id, window, n_free_bands) for novel docs, emitted on window
+    close. Like every LSH dedup, aggressiveness is the (num_hashes, bands)
+    dial and drops are approximate; duplicates farther apart than the
+    horizon fall to the batch pass (``minhash_lsh_candidates`` +
+    ``connected_components`` over the landed corpus). State at 100 TB/day
+    is ∝ live band buckets per horizon (2 longs each), not corpus size."""
+    rows_per_band = num_hashes // bands
+    sig = doc_stream.select(
+        F.col(id_col),
+        F.col(time_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+
+    def band_key(b: Column) -> Column:
+        return F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        )
+
+    banded = sig.select(
+        id_col,
+        time_col,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
+        ).alias("band_idx", "band_hash"),
+    )
+    claimed = banded.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        ["band_idx", "band_hash"]
+    )
+    return (
+        claimed.groupBy(F.window(time_col, window), F.col(id_col))
+        .agg(F.count("*").alias("n_free_bands"))
+        .filter(F.col("n_free_bands") == bands)
+    )

@@ -169,6 +169,60 @@ def test_streaming_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     assert len({r.fp for r in got}) == 6
 
 
+def test_streaming_near_dedup_suppresses_cross_batch_near_dups(spark, tmp_path):
+    """Near-duplicates (not byte-identical — one doubled token) arriving in
+    LATER micro-batches must be suppressed by the band-bucket state, while
+    distinct docs pass. Chained stateful ops: bucket dedup → windowed band
+    count (Spark watermark propagation)."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.functions import dedupe
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    texts = [  # genuinely distinct word streams (no shared shingles)
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "red orange yellow green blue indigo violet crimson amber teal",
+        "monday tuesday wednesday thursday friday saturday sunday week month year",
+        "north south east west compass bearing heading course route map",
+    ]
+    base_rows = [
+        Row(doc_id=i, ts="2024-01-15 00:0%d:00" % i, text=texts[i]) for i in range(4)
+    ]
+    near_rows = [  # near-dup of doc i: one token doubled, later arrival
+        Row(doc_id=100 + i, ts="2024-01-15 00:0%d:30" % i, text=texts[i] + " beta")
+        for i in range(2)
+    ]
+    flush = [  # advances the watermark past every window above
+        Row(doc_id=999, ts="2024-01-15 03:00:00", text="flush sentinel far in the future")
+    ]
+    mk = lambda rows: spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    mk(base_rows).coalesce(1).write.mode("append").parquet(src)
+    mk(near_rows).coalesce(1).write.mode("append").parquet(src)
+    mk(flush).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    out = dedupe.streaming_near_dedup(
+        stream, time_col="ts", watermark="5 minutes", window="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.sql("select * from near_dedup_out").collect()}
+    assert set(range(4)) <= got, f"originals must pass: {got}"
+    assert not ({100, 101} & got), f"near-dups must be suppressed: {got}"
+
+
 def test_keyword_extract_tie_breaks(spark):
     """tf desc, then df asc (rarer wins), then lexicographically smallest.
     doc 1: 'b b a a c' — a and b tie on tf=2; b is corpus-rarer (df: a=3,
