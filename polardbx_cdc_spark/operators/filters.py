@@ -69,14 +69,29 @@ def seek_tso_by_timestamp(df: DataFrame, ts_utc: str) -> DataFrame:
     driver-side, and emit ``tso >= '<cutoff>'``: a plain range predicate on
     the sort key that parquet answers with row-group min/max pruning, same
     as the reference's file-header binary search skips whole binlog files."""
+    return df.filter(F.col("tso") >= F.lit(tso_floor_for_timestamp(ts_utc)))
+
+
+def tso_floor_for_timestamp(ts_utc: str) -> str:
+    """Lexicographic TSO floor of a wall-clock instant: physical micros
+    zero-padded, txn/seq all-zero (VirtualTSO comparator semantics)."""
     from datetime import datetime, timezone
 
     from polardbx_cdc_spark.tso import PHYSICAL_DIGITS, SEQ_DIGITS, TXN_DIGITS
 
     dt = datetime.fromisoformat(ts_utc).replace(tzinfo=timezone.utc)
     micros = int(dt.timestamp()) * 1_000_000 + dt.microsecond
-    cutoff = str(micros).zfill(PHYSICAL_DIGITS) + "0" * (TXN_DIGITS + SEQ_DIGITS)
-    return df.filter(F.col("tso") >= F.lit(cutoff))
+    return str(micros).zfill(PHYSICAL_DIGITS) + "0" * (TXN_DIGITS + SEQ_DIGITS)
+
+
+def timestamp_window_filter(df: DataFrame, start_ts: str, end_ts: str) -> DataFrame:
+    """Wall-clock window [start, end): both bounds become TSO floors, so
+    the predicate is a sargable range on the sort key (row-group prunable)
+    — the window form of ``seek_tso_by_timestamp``, used by time-bounded
+    flashback (RecoveryExtractor's start/end search positions)."""
+    lo = tso_floor_for_timestamp(start_ts)
+    hi = tso_floor_for_timestamp(end_ts)
+    return df.filter((F.col("tso") >= F.lit(lo)) & (F.col("tso") < F.lit(hi)))
 
 
 def tso_window_filter(df: DataFrame, start_tso: str, end_tso: str) -> DataFrame:

@@ -69,6 +69,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "events_type_pivot",  # pivot extension; scalar/agg rows covered elsewhere
     "curation_shard_shuffle",  # same salted-md5 rank shape as stratified_sample
     "dedup_apply",  # terminal anti-join; pipeline verified via dedup_cluster_groups
+    "cdc_flashback_by_time",  # seek+flashback composition; parts graded individually
 )
 
 
@@ -737,6 +738,51 @@ def cdc_flashback_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = derive_cdc_stream(spark, sf_dir)
     target = filters.flashback_filter(cdc, "db0", "t0")
     return flashback.flashback_sql(target)
+
+
+@register(
+    "cdc_flashback_by_time",
+    oracle_cdc_query(
+        """
+        , win AS (
+          SELECT * FROM cdc
+          WHERE db = 'db0' AND tbl = 't0'
+            AND CAST(substr(tso, 1, 19) AS BIGINT) >= epoch_us(TIMESTAMP '2024-01-18 00:00:00')
+            AND CAST(substr(tso, 1, 19) AS BIGINT) < epoch_us(TIMESTAMP '2024-01-21 00:00:00')
+        )
+        SELECT CAST(row_number() OVER (ORDER BY tso DESC) AS BIGINT) AS apply_seq,
+               tso, pk,
+               CASE WHEN action = 'INSERT' THEN 'DELETE'
+                    WHEN action = 'DELETE' THEN 'INSERT'
+                    ELSE 'UPDATE' END AS inv_action
+        FROM win
+        """
+    ),
+)
+def cdc_flashback_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time flashback bounded by WALL-CLOCK timestamps: both
+    bounds become lexicographic TSO floors (the SearchTsoEventHandleV2
+    seek applied at each end, as RecoveryExtractor does for its start/end
+    search positions), then the inverse-op transform runs over the window
+    and ``apply_seq`` numbers the REVERSE order in which the recovery
+    applier must execute the statements — the ordering itself is
+    hash-checked. The global row_number sorts only the already-windowed
+    single-table slice (flashback application is inherently serial; the
+    reference iterates its reversed buffer single-threaded)."""
+    from pyspark.sql import Window
+
+    cdc = derive_cdc_stream(spark, sf_dir)
+    target = filters.flashback_filter(cdc, "db0", "t0")
+    windowed = filters.timestamp_window_filter(
+        target, "2024-01-18 00:00:00", "2024-01-21 00:00:00"
+    )
+    inv = flashback.inverse_events(windowed)
+    return inv.select(
+        F.row_number().over(Window.orderBy(F.desc("tso"))).cast("long").alias("apply_seq"),
+        "tso",
+        "pk",
+        "inv_action",
+    )
 
 
 @register(
