@@ -285,6 +285,85 @@ def simhash_dedup(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    use_md5: bool = False,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash NEAR-dup pairs at Hamming distance ≤ ``max_hamming`` — the
+    Manku et al. (WWW'07) block-permutation technique: split the signature
+    into ``n_blocks`` blocks; any pair within distance ``n_blocks - 1``
+    differs in at most n_blocks-1 blocks, so it matches EXACTLY on at
+    least one block → bucket by (block_idx, block_value), enumerate pairs
+    inside buckets only, verify exact Hamming on the candidates. Requires
+    ``max_hamming < n_blocks`` for completeness (pigeonhole).
+
+    Same scale shape as the MinHash-LSH path: one signature projection
+    (checkpointed — compact id+long frame), one shuffle on the block key,
+    bucket-agg pair enumeration, id-keyed signature joins for the verify.
+    ``use_md5`` makes every signature bit DuckDB-reproducible."""
+    if max_hamming >= n_blocks:
+        raise ValueError("completeness needs max_hamming < n_blocks")
+    width = bits // n_blocks
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    sig_df = (
+        df.repartition(n_part)
+        .select(
+            F.col(id_col).alias("id"),
+            simhash(F.col(text_col), bits=bits, use_md5=use_md5).alias("sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(n_blocks)
+        ]
+    )
+    banded = sig_df.select("id", F.posexplode(blocks).alias("block_idx", "block_val"))
+    buckets = (
+        banded.groupBy("block_idx", "block_val")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    n = F.size(F.col("ids"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sa = sig_df.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig_df.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star step: every node connects its strictly-larger neighbors
     to the minimum of its closed neighborhood (Kiveris et al., "Connected

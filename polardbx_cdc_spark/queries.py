@@ -70,6 +70,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "curation_shard_shuffle",  # same salted-md5 rank shape as stratified_sample
     "dedup_apply",  # terminal anti-join; pipeline verified via dedup_cluster_groups
     "cdc_flashback_by_time",  # seek+flashback composition; parts graded individually
+    "dedup_simhash_pairs",  # block-permutation pairing; sig path graded via dedup_simhash
 )
 
 
@@ -1877,10 +1878,9 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe.drop_near_duplicates(d, labels, id_col="doc_id").select("doc_id")
 
 
-@register(
-    "dedup_simhash",
-    f"""
-    WITH sh AS (SELECT doc_id, {_duck_shingles(2)} AS g FROM documents),
+# shared CTE block: md5-recipe SimHash signatures over documents (the
+# exact dual of functions.dedupe.simhash(use_md5=True))
+_SIMHASH_CTES = f"""sh AS (SELECT doc_id, {_duck_shingles(2)} AS g FROM documents),
     h AS (SELECT doc_id, list_transform(g, s -> CAST('0x'||substr(md5(s),1,8) AS BIGINT)) AS hs FROM sh),
     votes AS (
       SELECT doc_id, b, sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
@@ -1888,7 +1888,13 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, b),
     sigs AS (
       SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
-      FROM votes GROUP BY doc_id)
+      FROM votes GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_SIMHASH_CTES}
     SELECT sig, min(doc_id) AS keep_id, count(*) AS group_size FROM sigs GROUP BY sig
     """,
 )
@@ -1900,6 +1906,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the xxhash64 scale path (same single-pass bit-vote plan)."""
     d = load_table(spark, sf_dir, "documents")
     return dedupe.simhash_dedup(d, use_md5=True)
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTES},
+    blocks AS (
+      SELECT doc_id, b AS block_idx, (sig >> CAST(b*8 AS INT)) & 255 AS block_val
+      FROM sigs, range(0,4) t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blocks a JOIN blocks b
+        ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+    FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at Hamming ≤ 3 via the Manku et al. (WWW'07)
+    block-permutation scheme: 4 blocks of 8 bits — any pair within
+    distance 3 matches exactly on ≥1 block (pigeonhole), so candidates
+    meet only inside block buckets, then exact Hamming verifies. The
+    oracle replays signature → blocks → bucket-join → bit_count(xor)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.simhash_near_pairs(d, use_md5=True)
 
 
 # --------------------------------------------------------------------------

@@ -59,6 +59,36 @@ def test_minhash_families_agree_on_candidate_volume(spark):
     assert n_md5 > 0 and n_xx > 0
 
 
+def test_simhash_block_pairs_complete_vs_brute_force(spark):
+    """Pigeonhole completeness law: with 4 blocks and max_hamming=3, the
+    block-permutation candidate scheme must find EXACTLY the brute-force
+    Hamming ≤ 3 pair set (no approximation at this distance bound)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(300)
+    sig = docs.select(
+        F.col("doc_id").alias("id"), dedupe.simhash(F.col("text")).alias("sig")
+    ).localCheckpoint(eager=True)
+    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedupe.simhash_near_pairs(docs.limit(300)).collect()
+    }
+    assert blocked == brute
+
+
 def test_exact_dedup_finds_identical_not_near(spark):
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
     ident = docs.filter(F.col("doc_id") < 10).select(
