@@ -154,6 +154,37 @@ def lsh_buckets(
     return df.withColumn("bucket", F.explode(F.array(*table_buckets)))
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v|/127,
+    q_i = floor(v_i/scale + 0.5) ∈ [-127, 127] — 4x smaller embeddings for
+    ANN candidate generation, with the original kept only for re-ranking.
+    ``floor(x + 0.5)`` instead of round() because floor is IEEE-exact and
+    engine-independent (round half-even vs half-up varies by engine).
+    Output: (id, scale, qvec). Zero vectors quantize to zeros (scale 0)."""
+    v = _as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.when(
+            scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+        )
+        .otherwise(
+            F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+        )
+        .alias("qvec"),
+    )
+
+
+def dequantize(qdf: DataFrame) -> DataFrame:
+    """Inverse of ``quantize_int8``: appends v̂_i = q_i * scale as ``dvec``."""
+    return qdf.withColumn(
+        "dvec", F.transform(F.col("qvec"), lambda q: q * F.col("scale"))
+    )
+
+
 def cosine_topk_pandas(
     df: DataFrame,
     query_ids: list[int],

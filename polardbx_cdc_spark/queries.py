@@ -71,6 +71,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "dedup_apply",  # terminal anti-join; pipeline verified via dedup_cluster_groups
     "cdc_flashback_by_time",  # seek+flashback composition; parts graded individually
     "dedup_simhash_pairs",  # block-permutation pairing; sig path graded via dedup_simhash
+    "embed_quantize_int8",  # int8 round-trip; embedding family graded via cosine/lsh topk
 )
 
 
@@ -2061,6 +2062,45 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked — the oracle replays the identical bucket assignment."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_topk(e, _QUERY_IDS, k=5)
+
+
+@register(
+    "embed_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x)))/127.0 AS scale FROM v),
+    q AS (SELECT vec_id, e, scale,
+          CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(e, x -> CAST(floor(x/scale + 0.5) AS BIGINT)) END AS qe
+          FROM s),
+    d AS (SELECT vec_id, e, scale, list_transform(qe, x -> x*scale) AS de FROM q)
+    SELECT vec_id, round(scale, 6) AS scale_r6,
+           CAST(list_max(list_transform(qe, x -> abs(x))) AS BIGINT) AS q_max,
+           round(list_dot_product(e, de)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(de, de))), 6) AS cos_keep
+    FROM (SELECT d.*, q.qe FROM d JOIN q USING (vec_id))
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with measured round-trip
+    fidelity: per vector, the scale, the max |q| (must be ≤ 127), and the
+    cosine between original and dequantized vector — the quality readout a
+    training pipeline checks before swapping its ANN index to int8. All
+    math is IEEE-exact and engine-independent (floor-based rounding, exact
+    scale division), so the oracle value-checks every quantized byte."""
+    from polardbx_cdc_spark.functions.similarity import cosine, dequantize, quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(e)
+    d = dequantize(q)
+    orig = e.select(F.col("vec_id"), F.col("embedding"))
+    joined = d.join(orig, "vec_id")
+    return joined.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r6"),
+        F.array_max(F.transform(F.col("qvec"), lambda x: F.abs(x))).alias("q_max"),
+        F.round(cosine(F.col("embedding"), F.col("dvec")), 6).alias("cos_keep"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -48,6 +48,27 @@ def test_lsh_bucket_impls_agree(spark):
     assert arrow == expr and len(arrow) > 0
 
 
+def test_int8_quantization_bounds_and_fidelity(spark):
+    """Quantized values must fit int8 ([-127, 127]) and the dequantized
+    vectors must keep cosine ≈ 1 against the originals (int8 symmetric
+    quantization of 64-dim unit-ish vectors loses <0.5% cosine)."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF, "embeddings")
+    q = similarity.quantize_int8(e)
+    stats = q.select(
+        F.max(F.array_max(F.transform("qvec", lambda x: F.abs(x)))).alias("q_abs_max"),
+    ).collect()[0]
+    assert stats["q_abs_max"] <= 127
+    d = similarity.dequantize(q).join(e.select("vec_id", "embedding"), "vec_id")
+    worst = (
+        d.select(similarity.cosine(F.col("embedding"), F.col("dvec")).alias("c"))
+        .agg(F.min("c"))
+        .collect()[0][0]
+    )
+    assert worst >= 0.995, f"quantization lost too much fidelity: {worst}"
+
+
 def test_ann_paths_recall_floor(spark):
     """IVF and multi-table LSH must each keep recall@5 above a floor on the
     real embeddings (guards against silently broken bucketing)."""
