@@ -162,19 +162,18 @@ def quantize_int8(
     ANN candidate generation, with the original kept only for re-ranking.
     ``floor(x + 0.5)`` instead of round() because floor is IEEE-exact and
     engine-independent (round half-even vs half-up varies by engine).
-    Output: (id, scale, qvec). Zero vectors quantize to zeros (scale 0)."""
+    APPENDS (scale, qvec), keeping the input columns — downstream fidelity
+    checks read the original vector from the same row, no self-join. Zero
+    vectors quantize to zeros (scale 0)."""
     v = _as_double(F.col(vec_col))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
-    return df.select(
-        F.col(id_col),
-        scale.alias("scale"),
+    return df.withColumn("scale", scale).withColumn(
+        "qvec",
         F.when(
-            scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
-        )
-        .otherwise(
-            F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
-        )
-        .alias("qvec"),
+            F.col("scale") == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+        ).otherwise(
+            F.transform(v, lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"))
+        ),
     )
 
 

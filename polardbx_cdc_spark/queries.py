@@ -2091,11 +2091,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polardbx_cdc_spark.functions.similarity import cosine, dequantize, quantize_int8
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = quantize_int8(e)
-    d = dequantize(q)
-    orig = e.select(F.col("vec_id"), F.col("embedding"))
-    joined = d.join(orig, "vec_id")
-    return joined.select(
+    # quantize/dequantize append columns, so fidelity reads the original
+    # vector from the same row — single scan-shaped projection, no join
+    d = dequantize(quantize_int8(e))
+    return d.select(
         "vec_id",
         F.round(F.col("scale"), 6).alias("scale_r6"),
         F.array_max(F.transform(F.col("qvec"), lambda x: F.abs(x))).alias("q_max"),

@@ -60,7 +60,7 @@ def test_int8_quantization_bounds_and_fidelity(spark):
         F.max(F.array_max(F.transform("qvec", lambda x: F.abs(x)))).alias("q_abs_max"),
     ).collect()[0]
     assert stats["q_abs_max"] <= 127
-    d = similarity.dequantize(q).join(e.select("vec_id", "embedding"), "vec_id")
+    d = similarity.dequantize(q)  # appends dvec; original embedding rides the row
     worst = (
         d.select(similarity.cosine(F.col("embedding"), F.col("dvec")).alias("c"))
         .agg(F.min("c"))
