@@ -241,6 +241,25 @@ def test_minhash_candidates_single_lineage_no_self_join(spark):
     assert "documents.parquet" not in plan, plan
 
 
+def test_embed_quantize_plan_is_scan_shaped(spark):
+    """Quantize → dequantize → fidelity is one projection over the scan:
+    no join, no shuffle — the original vector rides the same row. A
+    resurfacing self-join would shuffle the full embedding table at scale."""
+    plan = _plan(spark, "embed_quantize_int8")
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_simhash_pairs_no_cartesian_and_checkpointed_sigs(spark):
+    """Block-permutation pairing must stay bucket-keyed (no cartesian /
+    broadcast-nested-loop blowup) and verify against the CHECKPOINTED
+    signature frame, not a re-read+recompute of documents.parquet."""
+    plan = _plan(spark, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "documents.parquet" not in plan, plan
+
+
 def test_connected_components_plan_size_constant_per_round(spark):
     """The localCheckpoint-per-round contract: the edge plan must not grow
     across rounds (pre-fix it grew exponentially — each star step embeds
