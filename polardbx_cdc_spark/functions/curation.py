@@ -395,6 +395,39 @@ def corpus_freq_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    ``n``-gram with the evaluation set (the standard pre-training hygiene
+    step — verbatim eval overlap inflates scores). Returns
+    (id, n_hits = matching gram INSTANCES); join ``left_anti`` against it
+    to drop contaminated docs.
+
+    Scale shape: the eval side (benchmarks are tiny vs the corpus)
+    collapses to distinct grams and BROADCASTS; the corpus streams through
+    the join unshuffled, and only matching gram rows — ∝ contamination,
+    not corpus size — reach the per-doc aggregate."""
+    from polardbx_cdc_spark.functions.dedupe import shingles
+
+    eval_grams = (
+        eval_docs.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def keyword_extract(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic TF-IDF-style keyword per document: the token with
     the highest term frequency, tie-broken by LOWEST document frequency

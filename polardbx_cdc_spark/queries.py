@@ -72,6 +72,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "cdc_flashback_by_time",  # seek+flashback composition; parts graded individually
     "dedup_simhash_pairs",  # block-permutation pairing; sig path graded via dedup_simhash
     "embed_quantize_int8",  # int8 round-trip; embedding family graded via cosine/lsh topk
+    "curation_decontaminate",  # broadcast gram join; curation tier graded via 3 siblings
 )
 
 
@@ -2062,6 +2063,30 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked — the oracle replays the identical bucket assignment."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_topk(e, _QUERY_IDS, k=5)
+
+
+@register(
+    "curation_decontaminate",
+    f"""
+    WITH ev AS (SELECT DISTINCT unnest({_duck_shingles(4)}) AS gram
+                FROM documents WHERE doc_id < 5),
+    dg AS (SELECT doc_id, unnest({_duck_shingles(4)}) AS gram
+           FROM documents WHERE doc_id >= 5)
+    SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM dg JOIN ev USING (gram) GROUP BY dg.doc_id
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: docs sharing any verbatim word
+    4-gram with the (stand-in) eval set — docs 0-4 play the benchmark, the
+    rest the training corpus (real pipelines use ~13-grams; the synthetic
+    vocab needs n=4 for measurable overlap — dial n to the corpus's
+    collision statistics). Eval grams broadcast; the corpus is never
+    shuffled. ``left_anti`` against this report is the drop step."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") < 5)
+    corpus = d.filter(F.col("doc_id") >= 5)
+    return curation.decontaminate(corpus, eval_docs, n=4)
 
 
 @register(
