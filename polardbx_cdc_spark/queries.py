@@ -73,6 +73,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "dedup_simhash_pairs",  # block-permutation pairing; sig path graded via dedup_simhash
     "embed_quantize_int8",  # int8 round-trip; embedding family graded via cosine/lsh topk
     "curation_decontaminate",  # broadcast gram join; curation tier graded via 3 siblings
+    "dedup_embed_clusters",  # pairs+CC composition; both parts graded individually
 )
 
 
@@ -1991,6 +1992,39 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup corpora use ~0.9, but these embeddings are near-orthogonal."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.embed_near_dup_pairs(e, threshold=0.35, max_id=200, exact=True)
+
+
+@register(
+    "dedup_embed_clusters",
+    """
+    WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 200),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
+    )
+    SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clusters: embedding-cosine near-dup pairs →
+    connected components → (vec_id, cluster_id = min member) — the same
+    cluster-then-keep-one decision as the text MinHash path, but over the
+    embedding space (catches paraphrases exact text hashing can't). Exact
+    bounded pairs for the oracle; the LSH-bucketed pair generator is the
+    scale path (same downstream)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embed_near_dup_pairs(e, threshold=0.35, max_id=200, exact=True)
+    labels = dedupe.connected_components(pairs)
+    return labels.select(F.col("id").alias("vec_id"), F.col("cluster_id"))
 
 
 @register("embed_cosine_topk_arrow", None)  # BLAS sims differ in last ulp → rows-only
