@@ -189,6 +189,29 @@ def oracle_lang_id(expr: str, threshold: float = 0.08) -> str:
     )
 
 
+def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Character-unigram Shannon entropy per document — a
+    perplexity-proxy quality signal: boilerplate/repetitive docs score
+    low, natural text sits near the alphabet's ceiling. Uses the identity
+    H = log2(T) - (Σ n·log2 n)/T so the per-doc aggregate needs no
+    re-join with the total: char-count shuffle, then one doc-keyed
+    aggregate. The oracle evaluates the SAME formula, keeping float
+    operations alignable across engines."""
+    chars = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("n"))
+    return freq.groupBy(id_col).agg(
+        F.sum("n").alias("n_chars"),
+        F.round(
+            F.log2(F.sum("n").cast("double"))
+            - F.sum(F.col("n").cast("double") * F.log2(F.col("n").cast("double")))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("char_entropy"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """64-bit document fingerprint: md5-prefix of whitespace-normalized,
     lowercased text (rolling-hash equivalent; deterministic cross-engine)."""

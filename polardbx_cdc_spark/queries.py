@@ -74,6 +74,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "embed_quantize_int8",  # int8 round-trip; embedding family graded via cosine/lsh topk
     "curation_decontaminate",  # broadcast gram join; curation tier graded via 3 siblings
     "dedup_embed_clusters",  # pairs+CC composition; both parts graded individually
+    "text_char_entropy",  # entropy proxy; text tier graded via text_stats/token_stats
 )
 
 
@@ -1641,6 +1642,26 @@ def events_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Text analysis (north-star: training-data pipeline)
 # --------------------------------------------------------------------------
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+    f AS (SELECT doc_id, ch, count(*) AS n FROM chars WHERE ch != '' GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+           round(log2(CAST(sum(n) AS DOUBLE))
+                 - sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE),
+                 6) AS char_entropy
+    FROM f GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality proxy per doc (repetitive/boilerplate
+    text scores low). Same H = log2(T) - Σn·log2(n)/T formula on both
+    engines; value-checked at 6 decimals."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.char_entropy(d)
 
 
 @register(
