@@ -223,6 +223,51 @@ def test_streaming_near_dedup_suppresses_cross_batch_near_dups(spark, tmp_path):
     assert not ({100, 101} & got), f"near-dups must be suppressed: {got}"
 
 
+def test_char_entropy_laws(spark):
+    """Entropy of a one-symbol string is 0; of k equiprobable symbols is
+    log2(k); repetitive text scores strictly below varied text."""
+    import math
+
+    from pyspark.sql import Row
+
+    from polardbx_cdc_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaaaaaa"),
+            Row(doc_id=2, text="abcdabcd"),  # 4 symbols, equal counts
+            Row(doc_id=3, text="abcdefgh"),  # 8 symbols, equal counts
+        ]
+    )
+    got = {r["doc_id"]: (r["n_chars"], r["char_entropy"]) for r in char_entropy(docs).collect()}
+    assert got[1] == (8, 0.0)
+    assert got[2] == (8, round(math.log2(4), 6))
+    assert got[3] == (8, round(math.log2(8), 6))
+    assert got[1][1] < got[2][1] < got[3][1]
+
+
+def test_decontaminate_drop_law(spark):
+    """After left-anti joining the contamination report, no surviving doc
+    shares an n-gram with the eval set (the whole point of the op)."""
+    from pyspark.sql import Row
+
+    from polardbx_cdc_spark.functions import curation
+
+    eval_docs = spark.createDataFrame([Row(doc_id=0, text="the quick brown fox jumps")])
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="prefix the quick brown fox suffix"),  # contaminated
+            Row(doc_id=11, text="entirely unrelated words in this document"),
+            Row(doc_id=12, text="quick brown dog runs away"),  # shares only shorter grams
+        ]
+    )
+    report = curation.decontaminate(corpus, eval_docs, n=4)
+    flagged = {r["doc_id"] for r in report.collect()}
+    assert flagged == {10}
+    survivors = {r["doc_id"] for r in corpus.join(report, "doc_id", "left_anti").collect()}
+    assert survivors == {11, 12}
+
+
 def test_keyword_extract_tie_breaks(spark):
     """tf desc, then df asc (rarer wins), then lexicographically smallest.
     doc 1: 'b b a a c' — a and b tie on tf=2; b is corpus-rarer (df: a=3,
