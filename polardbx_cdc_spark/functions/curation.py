@@ -428,6 +428,48 @@ def decontaminate(
     )
 
 
+def lm_perplexity_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality score: estimate a token-bigram model from
+    the corpus itself, then score each doc by the average negative
+    log2-probability of its bigrams (p(w2|w1) = c(w1,w2)/c(w1) — MLE, no
+    smoothing needed since every scored bigram was observed). Low scores =
+    predictable/templated text, high = unusual token sequences; real
+    pipelines swap in a reference-corpus LM, which only changes which
+    frame the model join reads.
+
+    Scale shape: the bigram model IS a DataFrame (c(w1,w2) with c(w1)
+    merged in), so scoring is one keyed join doc-bigrams ⋈ model — at
+    100 TB the model table shards across the cluster like any dimension
+    too big to broadcast — then a per-doc aggregate."""
+    toks = tokens(F.col(text_col))
+    # doc bigrams: (id, w1, w2) — one explode of zip(tokens, tokens[1:])
+    tok_df = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= 2)
+    doc_bi = tok_df.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bi"),
+    ).select(id_col, "bi.w1", "bi.w2")
+    bi_counts = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_counts = doc_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    model = bi_counts.join(uni_counts, "w1")
+    scored = doc_bi.join(model, ["w1", "w2"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.log2(F.col("c12").cast("double") / F.col("c1").cast("double")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_neg_log2p"),
+    )
+
+
 def keyword_extract(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic TF-IDF-style keyword per document: the token with
     the highest term frequency, tie-broken by LOWEST document frequency

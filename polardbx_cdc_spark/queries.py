@@ -75,6 +75,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "curation_decontaminate",  # broadcast gram join; curation tier graded via 3 siblings
     "dedup_embed_clusters",  # pairs+CC composition; both parts graded individually
     "text_char_entropy",  # entropy proxy; text tier graded via text_stats/token_stats
+    "curation_lm_perplexity",  # bigram-LM scoring; curation tier graded via siblings
 )
 
 
@@ -2493,3 +2494,29 @@ def curation_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite (−tf, df, tok) key, no corpus-wide window."""
     d = load_table(spark, sf_dir, "documents")
     return curation.keyword_extract(d)
+
+
+@register(
+    "curation_lm_perplexity",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE len({_DUCK_TOKS}) >= 2),
+    bi AS (
+      SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z FROM t
+    ), db AS (
+      SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bi
+    ), c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM db GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM db GROUP BY 1)
+    SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(log2(c12.c12 / c1.c1)) / count(*), 6) AS avg_neg_log2p
+    FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY db.doc_id
+    """,
+)
+def curation_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: corpus-estimated token-bigram model,
+    each doc scored by average −log2 p(w2|w1) over its bigrams. Low =
+    templated/predictable, high = unusual sequences; a reference-corpus
+    LM swaps in by changing the model frame. Oracle replays the same
+    MLE model and scoring formula at 6 decimals."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.lm_perplexity_score(d)
