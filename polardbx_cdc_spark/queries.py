@@ -76,6 +76,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "dedup_embed_clusters",  # pairs+CC composition; both parts graded individually
     "text_char_entropy",  # entropy proxy; text tier graded via text_stats/token_stats
     "curation_lm_perplexity",  # bigram-LM scoring; curation tier graded via siblings
+    "cdc_source_lag_report",  # delay-gauge surface; metrics tier pytest-covered too
 )
 
 
@@ -650,6 +651,52 @@ def cdc_seek_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tso").alias("seek_tso"),
         F.count(F.lit(1)).alias("n_from_seek"),
         F.countDistinct("txn_id").alias("n_txns_from_seek"),
+    )
+
+
+@register(
+    "cdc_source_lag_report",
+    oracle_cdc_query(
+        """
+        , per_src AS (
+          SELECT source_id,
+                 max(CAST(substr(tso, 1, 19) AS BIGINT)) AS head_micros,
+                 count(*) AS n_events
+          FROM cdc GROUP BY source_id
+        )
+        SELECT source_id, head_micros, n_events,
+               CAST((SELECT max(head_micros) FROM per_src) - head_micros AS BIGINT)
+                 AS lag_micros
+        FROM per_src
+        """
+    ),
+)
+def cdc_source_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source merge-lag report — the reference's delay gauge
+    (MergeMetrics; LogEventMerger.java:347-350 computes delay as now
+    minus the merged head's TSO physical time) as a queryable surface:
+    each source's head position vs the most advanced source. The laggard
+    defines the global watermark, so ``lag_micros`` is exactly how much
+    each source holds back emission. Per-source agg first (map-side
+    combine over the big frame), then a window over the tiny N-source
+    result — no second scan of the corpus."""
+    from pyspark.sql import Window
+
+    from polardbx_cdc_spark.tso import tso_physical_micros
+
+    cdc = derive_cdc_stream(spark, sf_dir)
+    per_src = cdc.groupBy("source_id").agg(
+        F.max(tso_physical_micros(F.col("tso"))).alias("head_micros"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy()
+    return per_src.select(
+        "source_id",
+        "head_micros",
+        "n_events",
+        (F.max("head_micros").over(w) - F.col("head_micros"))
+        .cast("long")
+        .alias("lag_micros"),
     )
 
 
