@@ -241,8 +241,8 @@ def cdc_txn_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_cdc_query(
         """
         SELECT source_id,
-               coalesce(sum(CASE WHEN prev_tso IS NOT NULL AND tso < prev_tso
-                                 THEN 1 ELSE 0 END), 0) AS inversions,
+               CAST(coalesce(sum(CASE WHEN prev_tso IS NOT NULL AND tso < prev_tso
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS inversions,
                count(*) AS n_events
         FROM (
           SELECT source_id, tso,
@@ -1303,8 +1303,8 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     """
     SELECT user_id, count(*) AS n_events,
-           sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
-                    THEN 1 ELSE 0 END) AS n_sessions
+           CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
     FROM (
       SELECT user_id, ts,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
@@ -1631,11 +1631,11 @@ def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_type_pivot",
     """
     SELECT user_id % 10 AS user_mod,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
     FROM events GROUP BY 1
     """,
 )
@@ -2239,7 +2239,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_stats",
     """
     SELECT 'image' AS kind, count(*) AS n_items,
-           sum(strlen(text)) AS total_bytes, max(strlen(text)) AS max_bytes
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, max(strlen(text)) AS max_bytes
     FROM documents
     """,
 )
