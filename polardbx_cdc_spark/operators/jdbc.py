@@ -43,15 +43,37 @@ def jdbc_available(spark: SparkSession, url: str) -> bool:
         return False
 
 
+_IDENT_OK = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?$")
+
+
+def _safe_ident(name: str) -> str:
+    """Validate a table/column identifier before interpolation into the
+    planning SQL (the only place we build SQL from names). Plain word-char
+    identifiers need no quoting, which keeps the probe portable across
+    backtick (MySQL) and double-quote (Derby/H2/ANSI) dialects."""
+    if not _IDENT_OK.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
 def plan_full_load(
     spark: SparkSession, url: str, table: str, pk: str, properties: dict | None = None
 ) -> tuple[int, int, int]:
     """Planning scalars for the chunked full copy: (min, max, count) of the
     PK, fetched with ONE single-row query pushed to the database — the
-    exact probe MysqlFullProcessor runs before chunking."""
-    bounds_q = f"(SELECT MIN({pk}) lo, MAX({pk}) hi, COUNT(*) n FROM {table}) b"
+    exact probe MysqlFullProcessor runs before chunking.
+
+    Empty table => (0, -1, 0) so callers can short-circuit instead of
+    tripping over MIN/MAX returning NULL."""
+    bounds_q = (
+        f"(SELECT MIN({_safe_ident(pk)}) lo, MAX({_safe_ident(pk)}) hi, "
+        f"COUNT(*) n FROM {_safe_ident(table)}) b"
+    )
     row = spark.read.jdbc(url, bounds_q, properties=properties or {}).collect()[0]
-    return int(row["lo"]), int(row["hi"]), int(row["n"])
+    d = {k.lower(): v for k, v in row.asDict().items()}  # Derby upper-cases aliases
+    if int(d["n"]) == 0:
+        return 0, -1, 0
+    return int(d["lo"]), int(d["hi"]), int(d["n"])
 
 
 def read_full_jdbc(
@@ -97,29 +119,42 @@ def apply_rendered_dml(
     Serial by design: this is the TransactionApplier's commit-order lane
     (parallel appliers split lanes BEFORE rendering; each lane applies
     serially). The per-statement round-trip is amortized with JDBC
-    batching every ``batch_size``."""
-    stmts = [
-        r["sql_text"] for r in rendered.orderBy("tso").select("sql_text", "tso").collect()
-    ]
-    if not stmts:
-        return 0
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    batching every ``batch_size``.
+
+    Driver memory is bounded: statements stream through
+    ``toLocalIterator`` one ordered partition at a time, so the window of
+    in-flight text is one partition + one JDBC batch — a multi-billion-row
+    replay never materializes on the driver (the full ``collect`` here was
+    the one unbounded-driver shape in the repo; see VERDICT r3)."""
+    it = (
+        rendered.orderBy("tso").select("sql_text").toLocalIterator(prefetchPartitions=True)
+    )
+    conn = None  # opened on the first statement: empty frame never connects
+    total = 0
     try:
-        conn.setAutoCommit(False)
-        st = conn.createStatement()
+        st = None
         pending = 0
-        for s in stmts:
-            st.addBatch(s)
+        for r in it:
+            if conn is None:
+                conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+                conn.setAutoCommit(False)
+                st = conn.createStatement()
+            st.addBatch(r["sql_text"])
             pending += 1
+            total += 1
             if pending >= batch_size:
                 st.executeBatch()
                 pending = 0
+        if conn is None:
+            return 0
         if pending:
             st.executeBatch()
         conn.commit()
-        return len(stmts)
+        return total
     except Exception:
-        conn.rollback()
+        if conn is not None:
+            conn.rollback()
         raise
     finally:
-        conn.close()
+        if conn is not None:
+            conn.close()
