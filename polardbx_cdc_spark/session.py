@@ -45,9 +45,14 @@ def get_spark(app_name: str = "polardbx_cdc_spark", cpus: int | None = None) -> 
         # surface (GBK, Big5, windows-125x, …), not just the UTF core
         .config("spark.sql.legacy.javaCharsets", "true")
     )
-    # streaming state at scale: RocksDB spills state off-heap. Opt-in via
-    # env because the RocksDB provider mis-handles .crc files on bare local
-    # filesystems (fine on HDFS/S3/DBFS, where clusters run).
+    # streaming state at scale: RocksDB spills state off-heap, the Spark
+    # twin of TxnBuffer.persist spill (polardbx-cdc-storage/.../
+    # TxnBuffer.java:113-560). Verified working on local FS incl. restart
+    # reload (tests/test_rocksdb_state.py); opt-in because tiny-state
+    # local runs are faster on the default HDFS-backed provider, while
+    # big stateful jobs (XA assembly, streaming near-dedup) should set
+    # SPARK_GRAFT_ROCKSDB_STATE=1 (or the runtime SQL conf) for bounded
+    # executor memory.
     if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "") == "1":
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
