@@ -54,6 +54,115 @@ def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
+def _md5_signature_udf(num_hashes: int, shingle_n: int):
+    """Fused text → MinHash signature for the md5-affine (oracle) family,
+    one Arrow batch at a time: tokenize, shingle, md5 base hash, K-affine
+    running min — all in Python/numpy.
+
+    Rationale: every JVM step of the expression form (shingle `transform`,
+    md5 `transform`, affine `aggregate`/`zip_with`) is a higher-order
+    function, which Catalyst interprets per element — measured ~0.9s for
+    5k docs where this UDF takes ~0.02s/core. Semantics mirror the
+    expression path and the DuckDB oracle exactly: trim spaces, lower,
+    split on ASCII whitespace, word n-grams ([""] shingle for empty
+    text), base = first 8 md5 hex digits, h_i = (a_i*base+b_i) mod P.
+    The xxhash64 scale path stays all-JVM (native hash, no Arrow hop).
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    params = _affine_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    # Java/DuckDB \s is ASCII-only; Python \s would also eat unicode spaces
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    md5 = hashlib.md5
+    n = shingle_n
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def md5_signature(text):  # pd.Series[str] -> pd.Series[list[int]]
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = ws.split(t.lower().strip(" "))
+            k = max(len(toks) - (n - 1), 1)
+            base = np.fromiter(
+                (
+                    int.from_bytes(md5(" ".join(toks[i : i + n]).encode()).digest()[:4], "big")
+                    for i in range(k)
+                ),
+                dtype=np.int64,
+                count=k,
+            )
+            out.append(((A * base[None, :] + B) % MINHASH_P).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return md5_signature
+
+
+def _affine_min_udf(num_hashes: int):
+    """Arrow-batched K-affine-min: given array<long> md5 base hashes per
+    row, return the MinHash signature array<long> of length K.
+
+    Per batch the base arrays are flattened once; sig[i] = min over the
+    row's segment of (A[i]*h + B[i]) mod P falls out of one (K × flat)
+    broadcasted multiply + ``np.minimum.reduceat`` over the row offsets.
+    Flat work is chunked (~1M hashes) so peak memory stays ~K·chunk·8B
+    (~128 MB at K=16) regardless of Arrow batch sizing. Exact integer
+    semantics match the SQL oracle: products < 2^62 fit int64.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    params = _affine_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    empty_sig = [MINHASH_P] * num_hashes  # aggregate-over-[] identity
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def affine_min(base):  # base: pd.Series of array<long> (no hints:
+        # module-level `from __future__ import annotations` stringifies
+        # them and breaks pandas_udf's type inference)
+        rows = [
+            None if b is None else np.asarray(b, dtype=np.int64) for b in base
+        ]
+        lens = np.array([0 if r is None else len(r) for r in rows], dtype=np.int64)
+        out: list = [None] * len(rows)
+        nonempty = [i for i, r in enumerate(rows) if r is not None and len(r)]
+        for i, r in enumerate(rows):
+            if r is not None and len(r) == 0:
+                out[i] = empty_sig
+        # chunk over whole rows so each segment stays within one reduceat
+        target = 1_000_000
+        start = 0
+        while start < len(nonempty):
+            end = start
+            flat_n = 0
+            while end < len(nonempty) and (flat_n == 0 or flat_n + lens[nonempty[end]] <= target):
+                flat_n += lens[nonempty[end]]
+                end += 1
+            idx = nonempty[start:end]
+            flat = np.concatenate([rows[i] for i in idx])
+            offsets = np.zeros(len(idx), dtype=np.int64)
+            if len(idx) > 1:
+                np.cumsum(lens[idx][:-1], out=offsets[1:])
+            hashed = (A * flat[None, :] + B) % MINHASH_P  # K × flat
+            mins = np.minimum.reduceat(hashed, offsets, axis=1)  # K × rows
+            for j, i in enumerate(idx):
+                out[i] = mins[:, j].tolist()
+            start = end
+        return pd.Series(out)
+
+    return affine_min
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact near-identity dedup: normalize → fingerprint → keep the lowest
     id per fingerprint group. Returns (keeper id, group size)."""
@@ -87,22 +196,16 @@ def minhash_signature(
     at ~1/K the md5 cost."""
     sh = shingles(text, shingle_n)
     if use_md5:
-        # ONE aggregate pass: the accumulator is the K running minima and
-        # each shingle contributes its K affine hashes via zip_with. The
-        # naive form — K × array_min(transform(base, affine_k)) — embeds
-        # the md5 base-hash expression K times and Catalyst re-evaluates
-        # it per embed: a K× md5-pass blowup (measured 6× slower).
-        params = _affine_params(num_hashes)
+        # split the work by where each half is fast: the md5 base hash is
+        # native JVM (codegen'd `transform`), the K-affine running min is
+        # a numpy segment-reduction in an Arrow batch. The previous all-
+        # Catalyst form (F.aggregate + K-wide zip_with) is interpreted
+        # per element — higher-order functions never enter codegen — and
+        # was the residual cost of the whole LSH query; the naive K ×
+        # array_min(transform(...)) form is worse still (Catalyst embeds
+        # and re-evaluates the md5 pass K times).
         base = F.transform(sh, lambda s: _hash32(s))
-        zero = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(num_hashes)])
-
-        def merge(acc: Column, h: Column) -> Column:
-            hashed = F.array(
-                *[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P) for a, b in params]
-            )
-            return F.zip_with(acc, hashed, lambda x, y: F.least(x, y))
-
-        return F.aggregate(base, zero, merge)
+        return _affine_min_udf(num_hashes)(base)
     sigs = [
         F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
         for i in range(num_hashes)
@@ -142,9 +245,15 @@ def minhash_lsh_candidates(
     # per action regardless of data size. The materialized frame is
     # compact (id + K longs per doc); at 100 TB this is the signature
     # staging table every production LSH pipeline writes anyway.
+    if use_md5:
+        # fused Arrow UDF: the md5 family's shingle+hash+affine-min would
+        # otherwise run as interpreted higher-order functions (see
+        # _md5_signature_udf docstring for the measured gap)
+        sig_col = _md5_signature_udf(num_hashes, shingle_n)(F.col(text_col))
+    else:
+        sig_col = minhash_signature(F.col(text_col), num_hashes, shingle_n, False)
     sig_df = df.repartition(n_part).select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n, use_md5).alias("sig"),
+        F.col(id_col).alias("id"), sig_col.alias("sig")
     ).localCheckpoint(eager=True)
 
     def band_key(b: Column) -> Column:

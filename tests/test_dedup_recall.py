@@ -159,3 +159,29 @@ def test_connected_components_self_pairs_and_dups(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in dedupe.connected_components(pairs).collect()}
     assert got == {5: 5, 1: 1, 2: 1, 3: 3, 9: 3}
+
+
+def test_md5_affine_signature_matches_python_reference(spark):
+    """The Arrow K-affine-min signature path must reproduce, bit-exact, an
+    independent Python (hashlib md5) computation of the same family —
+    this is the contract the DuckDB oracle relies on."""
+    import hashlib
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(40)
+    sig_rows = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", dedupe.minhash_signature(F.col("text"), 16, 3, use_md5=True).alias("sig")
+        ).collect()
+    }
+    params = dedupe._affine_params(16)
+
+    def py_sig(text: str) -> list[int]:
+        toks = [t for t in __import__("re").split(r"\s+", text.lower()) if t]
+        n = max(len(toks) - 2, 1)
+        sh = [" ".join(toks[i : i + 3]) for i in range(n)]
+        bases = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+        return [min((a * h + b) % dedupe.MINHASH_P for h in bases) for a, b in params]
+
+    for r in docs.collect():
+        assert sig_rows[r["doc_id"]] == py_sig(r["text"]), r["doc_id"]
