@@ -129,9 +129,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # a failed query's time is excluded from "value", so the headline
+        # total would silently IMPROVE exactly when coverage regresses —
+        # cross-round comparisons must check equal n_queries_timed first
+        "n_queries_timed": len(timings),
+        "n_queries_expected": len(HEADLINE) + 1,  # +1: stream_binlog_pipeline
     }
     if errors:
         payload["errors"] = errors
+        # make regressed coverage impossible to miss: a penalty entry per
+        # failure (10s each) in a separate field, NOT mixed into "value"
+        payload["value_with_failure_penalty"] = round(total + 10.0 * len(errors), 3)
     print(json.dumps(payload))
     spark.stop()
 

@@ -120,21 +120,24 @@ def lsh_buckets(
             import numpy as np
 
             planes_t = np.asarray(all_planes, dtype="float64").T  # dim × (T*P)
+            # null vectors get null per-table buckets (matching the expr
+            # impl) instead of crashing the ragged np.asarray build
+            valid_idx = [i for i, v in enumerate(vecs) if v is not None]
+            out: list = [[None] * num_tables] * len(vecs)
+            if not valid_idx:
+                return pd.Series(out, dtype="object")
             mat = np.asarray(
-                [np.asarray(v, dtype="float64") for v in vecs], dtype="float64"
+                [np.asarray(vecs.iloc[i], dtype="float64") for i in valid_idx],
+                dtype="float64",
             )
-            if mat.size == 0:
-                return pd.Series([], dtype="object")
-            bits = (mat @ planes_t >= 0).astype("uint8")  # rows × (T*P)
-            out = []
-            for r in bits:
-                out.append(
-                    [
-                        f"{t}:" + "".join("1" if b else "0" for b in r[t * num_planes:(t + 1) * num_planes])
-                        for t in range(num_tables)
-                    ]
-                )
-            return pd.Series(out)
+            bits = (mat @ planes_t >= 0).astype("uint8")  # valid_rows × (T*P)
+            for j, i in enumerate(valid_idx):
+                r = bits[j]
+                out[i] = [
+                    f"{t}:" + "".join("1" if b else "0" for b in r[t * num_planes:(t + 1) * num_planes])
+                    for t in range(num_tables)
+                ]
+            return pd.Series(out, dtype="object")
 
         tagged = df.withColumn("_tb", _buckets(_as_double(F.col(vec_col))))
         if num_tables == 1:
@@ -148,7 +151,11 @@ def lsh_buckets(
         for row in planes:
             plane = F.array(*[F.lit(c) for c in row])
             bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-        table_buckets.append(F.concat(F.lit(f"{t}:"), *bits))
+        # null vector → null bucket (not the all-zeros bucket, which would
+        # funnel every null into one real LSH cell)
+        table_buckets.append(
+            F.when(v.isNotNull(), F.concat(F.lit(f"{t}:"), *bits))
+        )
     if num_tables == 1:
         return df.withColumn("bucket", table_buckets[0])
     return df.withColumn("bucket", F.explode(F.array(*table_buckets)))

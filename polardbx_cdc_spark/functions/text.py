@@ -196,9 +196,17 @@ def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
     H = log2(T) - (Σ n·log2 n)/T so the per-doc aggregate needs no
     re-join with the total: char-count shuffle, then one doc-keyed
     aggregate. The oracle evaluates the SAME formula, keeping float
-    operations alignable across engines."""
+    operations alignable across engines.
+
+    Characters are CODE POINTS — Java regex `.` matches a full surrogate
+    pair, unlike split(""), whose UTF-16 code units would count an emoji
+    as two distinct half-characters and diverge from the oracle's
+    string_split (code-point/grapheme based). Combining sequences (ZWJ
+    emoji, accents) can still differ from a grapheme-based engine; the
+    corpus and oracle only need code-point agreement."""
     chars = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit("(?s)."), 0)).alias("ch"),
     ).filter(F.col("ch") != "")
     freq = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("n"))
     return freq.groupBy(id_col).agg(

@@ -105,3 +105,26 @@ def test_near_dup_default_is_lsh_with_recall_floor(spark):
     assert exact, "fixture produced no exact near-dup pairs"
     assert approx <= exact  # LSH candidates are a subset, same cosine filter
     assert len(approx & exact) / len(exact) >= 0.9, (len(approx), len(exact))
+
+
+def test_lsh_buckets_null_embedding_parity(spark):
+    """Null vectors: both impls emit a NULL bucket (never the all-zeros
+    cell, never a ragged-array crash), single- and multi-table."""
+    from polardbx_cdc_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None), (3, [-0.25] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    for tables in (1, 2):
+        got = {}
+        for impl in ("expr", "arrow"):
+            got[impl] = sorted(
+                (r["vec_id"], r["bucket"])
+                for r in similarity.lsh_buckets(df, impl=impl, num_tables=tables).select(
+                    "vec_id", "bucket"
+                ).collect()
+            )
+        assert got["expr"] == got["arrow"]
+        null_buckets = [b for v, b in got["expr"] if v == 2]
+        assert null_buckets == [None] * tables
