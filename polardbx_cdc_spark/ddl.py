@@ -216,3 +216,151 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
         return [{"db": db, "tbl": _ident(m.group(2)), "op": "drop"}]
 
     raise ValueError(f"unsupported DDL: {sql!r}")
+
+
+# ---------------------------------------------------------------------------
+# Physical → logical DDL emission (DDLConverter / QueryEventReformator parity)
+# ---------------------------------------------------------------------------
+
+#: Ordered (pattern, replacement) rules rewriting PolarDB-X physical DDL
+#: into the logical form a vanilla-MySQL downstream can replay —
+#: DDLConverter.convertNormalDDL (polardbx-cdc-task/.../rebuild/
+#: DDLConverter.java:120-260): strip sharding clauses (DBPARTITION/
+#: TBPARTITION/PARTITION BY, BROADCAST/SINGLE, TABLEGROUP, LOCALITY,
+#: AUTO_SPLIT), drop GSI/clustered index elements and the implicit PK
+#: ``_drds_implicit_id_``, demote GLOBAL/CLUSTERED/LOCAL index DDL to
+#: plain index DDL, and erase PolarDB-X sequence types on
+#: AUTO_INCREMENT. Patterns are deliberately RE2-safe (no lookaround, no
+#: backreferences, fixed-string replacements) so the SAME rules run as
+#: Spark ``regexp_replace`` (Java regex) and in the DuckDB oracle.
+LOGICAL_DDL_RULES: list[tuple[str, str]] = [
+    # GSI / clustered-index table elements inside CREATE TABLE:
+    # [UNIQUE] GLOBAL|CLUSTERED [UNIQUE] INDEX|KEY name (cols)
+    #   [COVERING (cols)] [DBPARTITION BY f(c) [TBPARTITION BY f(c)
+    #   [TBPARTITIONS n]]]
+    (
+        r"(?i),\s*(?:UNIQUE\s+)?(?:GLOBAL|CLUSTERED)\s+(?:UNIQUE\s+)?"
+        r"(?:INDEX|KEY)\s*[^,()]*\([^()]*\)"
+        r"(?:\s*COVERING\s*\([^()]*\))?"
+        r"(?:\s*DBPARTITION\s+BY\s+[A-Za-z0-9_]+\s*\([^()]*\))?"
+        r"(?:\s*TBPARTITION\s+BY\s+[A-Za-z0-9_]+\s*\([^()]*\))?"
+        r"(?:\s*TBPARTITIONS\s+[0-9]+)?",
+        "",
+    ),
+    # ALTER ... ADD GLOBAL/CLUSTERED/LOCAL index → plain ADD (preserve
+    # UNIQUE with dedicated fixed-string rules; no backreferences)
+    (r"(?i)\bADD\s+GLOBAL\s+UNIQUE\s+", "ADD UNIQUE "),
+    (r"(?i)\bADD\s+CLUSTERED\s+UNIQUE\s+", "ADD UNIQUE "),
+    (r"(?i)\bADD\s+UNIQUE\s+GLOBAL\s+", "ADD UNIQUE "),
+    (r"(?i)\bADD\s+UNIQUE\s+CLUSTERED\s+", "ADD UNIQUE "),
+    (r"(?i)\bADD\s+GLOBAL\s+", "ADD "),
+    (r"(?i)\bADD\s+CLUSTERED\s+", "ADD "),
+    (r"(?i)\bADD\s+LOCAL\s+INDEX\b", "ADD INDEX"),
+    (r"(?i)\bADD\s+LOCAL\s+KEY\b", "ADD KEY"),
+    # the implicit primary key column + its PK constraint
+    (r"(?i),\s*`?_drds_implicit_id_`?\s+[^,()]*(?:\([^()]*\))?[^,()]*", ""),
+    (r"(?i),\s*PRIMARY\s+KEY\s*\(\s*`?_drds_implicit_id_`?\s*\)", ""),
+    # PolarDB-X sequence types on auto-increment
+    (r"(?i)\bAUTO_INCREMENT\s+BY\s+(?:GROUP|SIMPLE|TIME|NEW)\b", "AUTO_INCREMENT"),
+    # sharding / placement clauses
+    (r"(?i)\s+DBPARTITION\s+BY\s+[A-Za-z0-9_]+\s*\([^()]*\)", ""),
+    (r"(?i)\s+TBPARTITION\s+BY\s+[A-Za-z0-9_]+\s*\([^()]*\)", ""),
+    (r"(?i)\s+TBPARTITIONS\s+[0-9]+", ""),
+    (r"(?i)\s+PARTITION\s+BY\s+[A-Za-z0-9_]+\s*\([^()]*\)(?:\s+PARTITIONS\s+[0-9]+)?", ""),
+    (r"(?i)\s+BROADCAST\b", ""),
+    (r"(?i)\s+SINGLE\b", ""),
+    (r"(?i)\s+TABLEGROUP\s*=?\s*`?[A-Za-z0-9_$]+`?", ""),
+    (r"(?i)\s+LOCALITY\s*=?\s*'[^']*'", ""),
+    (r"(?i)\s+AUTO_SPLIT\s*=?\s*(?:ON|OFF|TRUE|FALSE|[0-9]+)\b", ""),
+    (r"(?i)\s+PARTITION_MODE\s*=?\s*'[^']*'", ""),
+    # physical shard-table suffix → logical name (hack4RepairTableName:
+    # `t0_vx2b_00001` was sharded from logical `t0`)
+    (r"(?i)_[a-z0-9]{4}_[0-9]{5}\b", ""),
+    # cleanup: dangling comma before ')' after element removal
+    (r",\s*\)", ")"),
+]
+
+
+def to_logical_ddl(sql: str, tso: str | None = None, origin_comment: bool = True) -> str:
+    """Rewrite one physical DDL statement to logical form (driver-side
+    twin of ``logical_ddl_col``; DDL is metadata-scale). With
+    ``origin_comment``, prepend the reference's private-DDL markers
+    (DDLConverter.java:126-131: ``# POLARX_ORIGIN_SQL`` / ``# POLARX_TSO``)
+    so downstream consumers can recover the physical statement."""
+    out = sql.strip().rstrip(";")
+    for pat, repl in LOGICAL_DDL_RULES:
+        out = re.sub(pat, repl, out)
+    out = out.strip()
+    if origin_comment:
+        head = f"# POLARX_ORIGIN_SQL={' '.join(sql.strip().rstrip(';').split())}\n"
+        if tso is not None:
+            head += f"# POLARX_TSO={tso}\n"
+        return head + out
+    return out
+
+
+def logical_ddl_col(ddl, tso=None, origin_comment: bool = True):
+    """Catalyst-expression form of ``to_logical_ddl`` — a chain of
+    ``regexp_replace`` (JVM, codegen'd; no Python in the path) for
+    normalizing a DataFrame of captured DDL events before the sink
+    (LogFileGenerator.writeMetaDdl:411 parity)."""
+    from pyspark.sql import functions as F
+
+    out = F.trim(F.regexp_replace(F.trim(ddl), r";\s*$", ""))
+    for pat, repl in LOGICAL_DDL_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    out = F.trim(out)
+    if not origin_comment:
+        return out
+    origin = F.regexp_replace(
+        F.trim(F.regexp_replace(F.trim(ddl), r";\s*$", "")), r"\s+", " "
+    )
+    head = F.concat(F.lit("# POLARX_ORIGIN_SQL="), origin, F.lit("\n"))
+    if tso is not None:
+        head = F.concat(head, F.lit("# POLARX_TSO="), tso, F.lit("\n"))
+    return F.concat(head, out)
+
+
+def oracle_logical_ddl(expr: str, tso_expr: str | None = None, origin_comment: bool = True) -> str:
+    """DuckDB SQL expression replaying the SAME rule chain (flag 'g' =
+    global, matching Java replaceAll) — the oracle for the logical-DDL
+    emission queries."""
+    out = f"trim(regexp_replace(trim({expr}), ';\\s*$', '', 'g'))"
+    for pat, repl in LOGICAL_DDL_RULES:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    out = f"trim({out})"
+    if not origin_comment:
+        return out
+    origin = (
+        f"regexp_replace(trim(regexp_replace(trim({expr}), ';\\s*$', '', 'g')), '\\s+', ' ', 'g')"
+    )
+    head = f"'# POLARX_ORIGIN_SQL=' || {origin} || chr(10)"
+    if tso_expr is not None:
+        head = f"{head} || '# POLARX_TSO=' || {tso_expr} || chr(10)"
+    return f"{head} || {out}"
+
+
+#: Physical-DDL fixtures exercising every LOGICAL_DDL_RULES family —
+#: shared by the registered query (Spark side) and its DuckDB oracle so
+#: the two can never drift.
+LOGICAL_DDL_FIXTURES: list[tuple[str, str]] = [
+    (
+        "100",
+        "CREATE TABLE t0_vx2b_00001 (pk BIGINT AUTO_INCREMENT BY GROUP, value DOUBLE,"
+        " props TEXT, _drds_implicit_id_ BIGINT AUTO_INCREMENT,"
+        " PRIMARY KEY (_drds_implicit_id_),"
+        " GLOBAL INDEX g_i (value) COVERING (props) DBPARTITION BY HASH(value))"
+        " DBPARTITION BY HASH(pk) TBPARTITION BY HASH(pk) TBPARTITIONS 4",
+    ),
+    ("101", "CREATE TABLE broadcast_t (id BIGINT PRIMARY KEY, v VARCHAR(32)) BROADCAST"),
+    ("102", "CREATE TABLE single_t (id BIGINT PRIMARY KEY) SINGLE TABLEGROUP = tg_1"),
+    ("103", "ALTER TABLE t0 ADD GLOBAL UNIQUE INDEX gsi_v (value) DBPARTITION BY HASH(value)"),
+    ("104", "ALTER TABLE t0 ADD LOCAL INDEX l_i (props(16))"),
+    ("105", "CREATE DATABASE db7 PARTITION_MODE = 'auto' LOCALITY = 'dc=dc1'"),
+    ("106", "CREATE TABLE part_auto (id BIGINT PRIMARY KEY, v DOUBLE) PARTITION BY KEY(id) PARTITIONS 16"),
+    ("107", "ALTER TABLE t1 ADD COLUMN c2 INT, ALGORITHM=INPLACE;"),
+    ("108", "CREATE TABLE t2_ab12_00007 (id BIGINT, CLUSTERED INDEX ci (id)) TBPARTITION BY HASH(id) TBPARTITIONS 2"),
+    ("109", "DROP TABLE t0_vx2b_00001"),
+]

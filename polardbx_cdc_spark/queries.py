@@ -77,6 +77,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "text_char_entropy",  # entropy proxy; text tier graded via text_stats/token_stats
     "curation_lm_perplexity",  # bigram-LM scoring; curation tier graded via siblings
     "cdc_source_lag_report",  # delay-gauge surface; metrics tier pytest-covered too
+    "cdc_logical_ddl_emit",  # DDL rewrite; registry/DDL tier graded via cdc_ddl_replay
 )
 
 
@@ -2567,3 +2568,42 @@ def curation_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLE model and scoring formula at 6 decimals."""
     d = load_table(spark, sf_dir, "documents")
     return curation.lm_perplexity_score(d)
+
+
+# --------------------------------------------------------------------------
+# Logical DDL emission (SURVEY §2.3 — physical→logical rewrite for sinks)
+# --------------------------------------------------------------------------
+
+
+def _logical_ddl_oracle() -> str:
+    from polardbx_cdc_spark import ddl as _ddl
+
+    vals = ", ".join(
+        "('%s', '%s')" % (t, s.replace("'", "''")) for t, s in _ddl.LOGICAL_DDL_FIXTURES
+    )
+    expr = _ddl.oracle_logical_ddl("ddl", "tso")
+    return (
+        f"SELECT tso, {expr} AS logical_ddl, md5({expr}) AS ddl_hash"
+        f" FROM (VALUES {vals}) v(tso, ddl) ORDER BY tso"
+    )
+
+
+@register("cdc_logical_ddl_emit", _logical_ddl_oracle())
+def cdc_logical_ddl_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical→logical DDL rewrite, the text the binlog sink emits for
+    downstream replicas (DDLConverter.convertNormalDDL, polardbx-cdc-task/
+    .../rebuild/DDLConverter.java:120-260; QueryEventReformator; sink at
+    LogFileGenerator.writeMetaDdl:411). Strips sharding clauses, GSI /
+    clustered elements, the implicit PK, and PolarDB-X sequence types;
+    prepends the # POLARX_ORIGIN_SQL / # POLARX_TSO private-DDL markers.
+    The rewrite is a pure regexp_replace chain (RE2-safe patterns), so the
+    oracle replays the IDENTICAL rules over the IDENTICAL shared fixtures
+    (ddl.LOGICAL_DDL_FIXTURES) — any rule drift hash-fails."""
+    from polardbx_cdc_spark import ddl as _ddl
+
+    df = spark.createDataFrame(_ddl.LOGICAL_DDL_FIXTURES, "tso string, ddl string")
+    lg = _ddl.logical_ddl_col(F.col("ddl"), F.col("tso"))
+    return (
+        df.select("tso", lg.alias("logical_ddl"), F.md5(lg).alias("ddl_hash"))
+        .orderBy("tso")
+    )

@@ -764,3 +764,40 @@ def run_binlog_pipeline(
         writer = writer.option("maxFilesPerTrigger", str(max_files_per_trigger))
     q = writer.trigger(availableNow=True).start()
     return q, sink
+
+
+def write_meta_ddl(spark, ddl_events: DataFrame, out_dir: str) -> int:
+    """Emit captured physical DDL to the sink's meta-DDL stream in
+    LOGICAL form — LogFileGenerator.writeMetaDdl:411 parity: the reference
+    rewrites physical shard DDL through DDLConverter/QueryEventReformator
+    before writing it to the global binlog, so a vanilla-MySQL downstream
+    can replay it (a raw physical ``CREATE TABLE t0_vx2b_00001 ...
+    DBPARTITION BY ...`` would recreate the sharding, not the table).
+
+    ``ddl_events``: (tso, db, ddl). Each row is written once, ordered by
+    tso, as action='QUERY' with both the logical text (what downstream
+    replays) and the original physical text (recoverable from the
+    # POLARX_ORIGIN_SQL marker inside the logical text too). Append-only
+    and idempotent per tso: rows at or below the durable meta high-water
+    mark are skipped, mirroring BinlogSink.recover.
+    """
+    from polardbx_cdc_spark.ddl import logical_ddl_col
+
+    meta_dir = os.path.join(out_dir, "meta_ddl")
+    last = ""
+    if os.path.isdir(meta_dir) and os.listdir(meta_dir):
+        last = spark.read.parquet(meta_dir).agg(F.max("tso")).collect()[0][0] or ""
+    fresh = ddl_events.filter(F.col("tso") > F.lit(last)) if last else ddl_events
+    out = fresh.select(
+        "tso",
+        "db",
+        F.lit("QUERY").alias("action"),
+        logical_ddl_col(F.col("ddl"), F.col("tso")).alias("logical_ddl"),
+        F.col("ddl").alias("physical_ddl"),
+    )
+    n = out.count()
+    if n:
+        # DDL is a serial stream barrier (metadata-scale): a plain ordered
+        # append, no rotation machinery needed
+        out.orderBy("tso").write.mode("append").parquet(meta_dir)
+    return n

@@ -818,3 +818,27 @@ def test_framed_sink_replay_does_not_grow_pending(spark, tmpdir):
     )
     assert per_txn == 0, "replay produced duplicate envelopes"
     cdc.unpersist()
+
+
+def test_write_meta_ddl_emits_logical_form(spark, tmpdir):
+    """Sink meta-DDL stream (writeMetaDdl parity): physical shard DDL goes
+    in, logical DDL comes out — idempotent on replay, ordered by tso, and
+    byte-equal to the driver-side to_logical_ddl twin."""
+    from polardbx_cdc_spark.ddl import LOGICAL_DDL_FIXTURES, to_logical_ddl
+
+    ddls = spark.createDataFrame(
+        [(t, "db0", s) for t, s in LOGICAL_DDL_FIXTURES], "tso string, db string, ddl string"
+    )
+    out = tmpdir + "/binlog"
+    n1 = pipeline.write_meta_ddl(spark, ddls, out)
+    assert n1 == len(LOGICAL_DDL_FIXTURES)
+    # replay: nothing at or below the high-water mark is rewritten
+    assert pipeline.write_meta_ddl(spark, ddls, out) == 0
+
+    emitted = spark.read.parquet(out + "/meta_ddl").orderBy("tso").collect()
+    assert [r["tso"] for r in emitted] == [t for t, _ in LOGICAL_DDL_FIXTURES]
+    for r, (tso, sql) in zip(emitted, LOGICAL_DDL_FIXTURES):
+        assert r["action"] == "QUERY"
+        assert r["physical_ddl"] == sql
+        assert r["logical_ddl"] == to_logical_ddl(sql, tso)
+        assert "DBPARTITION" not in r["logical_ddl"].split("\n")[-1].upper()
