@@ -65,3 +65,59 @@ def cdc_stream(spark: SparkSession, sf_dir: str, watermark: str = "10 minutes") 
     all-sources-reached-T emission gate (HeartBeatWindow.java:30-71)."""
     ev = read_events_stream(spark, sf_dir)
     return derive_cdc_stream(spark, sf_dir, events=ev).withWatermark("ts", watermark)
+
+
+def subscribe_cdc(
+    spark: SparkSession,
+    sf_dir: str,
+    subscribe: str = "dn-0,dn-1,dn-2,dn-3",
+    starting_offsets: str = "earliest",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Kafka-shaped subscription over the CDC feed — the re-subscribe
+    contract of the reference's RPL extractor (CdcExtractor.java:225:
+    ``dump(DumpRequest{fileName, position})`` — resume the merged stream
+    from a position; BinlogExtractor.java:161-236 tails each DN source).
+
+    Option surface mirrors ``format("kafka")`` so swapping in a real
+    broker changes only this function:
+
+    - ``subscribe``: comma-separated topics; one topic per DN source
+      (``source_id``), matching the reference's per-storage stream.
+    - ``starting_offsets``: ``"earliest"`` (full replay), ``"latest"``
+      (only data beyond the current high-water mark), a single TSO string
+      (one position for all topics), or a JSON object
+      ``{"topic": "tso", ...}`` (per-topic positions, exactly Kafka's
+      per-partition startingOffsets JSON).
+
+    The seek predicate is ``tso > offset`` per source — a plain Catalyst
+    filter, so on a real feed it pushes to the broker/scan (min-TSO
+    filter, filters.py) instead of discarding rows post-read.
+    """
+    import json
+
+    topics = [t.strip() for t in subscribe.split(",") if t.strip()]
+    stream = cdc_stream(spark, sf_dir, watermark=watermark).filter(
+        F.col("source_id").isin(topics)
+    )
+
+    if starting_offsets == "earliest":
+        return stream
+    if starting_offsets == "latest":
+        # bounded-replay "latest": current per-topic high-water marks
+        batch = derive_cdc_stream(spark, sf_dir).filter(F.col("source_id").isin(topics))
+        rows = batch.groupBy("source_id").agg(F.max("tso").alias("mx")).collect()
+        offsets = {r["source_id"]: r["mx"] for r in rows}
+    else:
+        try:
+            parsed = json.loads(starting_offsets)
+        except (ValueError, TypeError):
+            parsed = starting_offsets
+        if isinstance(parsed, dict):
+            offsets = {t: str(parsed.get(t, "")) for t in topics}
+        else:
+            offsets = {t: str(starting_offsets) for t in topics}
+
+    wm = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    pos = F.coalesce(wm[F.col("source_id")], F.lit(""))
+    return stream.filter(F.col("tso") > pos)

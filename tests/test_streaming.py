@@ -842,3 +842,44 @@ def test_write_meta_ddl_emits_logical_form(spark, tmpdir):
         assert r["physical_ddl"] == sql
         assert r["logical_ddl"] == to_logical_ddl(sql, tso)
         assert "DBPARTITION" not in r["logical_ddl"].split("\n")[-1].upper()
+
+
+def test_subscribe_cdc_from_tso_through_merge_and_sink(spark, tmpdir):
+    """Kafka-shaped adapter end-to-end: per-topic startingOffsets JSON →
+    k-way merged, framed binlog sink; the sink must contain exactly the
+    batch-derived events beyond each topic's offset, in TSO order."""
+    import json
+
+    batch = derive_cdc_stream(spark, SF)
+    # mid-stream offsets: each subscribed topic resumes from its median
+    # tso; dn-3 is NOT subscribed and must not appear at all
+    topics = ["dn-0", "dn-1", "dn-2"]
+    offsets = {}
+    for t in topics:
+        tsos = [r["tso"] for r in batch.filter(F.col("source_id") == t).orderBy("tso").collect()]
+        offsets[t] = tsos[len(tsos) // 2]
+
+    stream = source.subscribe_cdc(
+        spark, SF, subscribe=",".join(topics), starting_offsets=json.dumps(offsets)
+    )
+    q, sink = pipeline.run_binlog_pipeline(
+        stream, tmpdir + "/out", tmpdir + "/ckpt", rotate_rows=5000
+    )
+    q.awaitTermination(120)
+    sink.flush()
+
+    got = spark.read.parquet(tmpdir + "/out").filter(~F.col("action").isin("BEGIN", "COMMIT"))
+    expected = batch.filter(F.col("source_id").isin(topics))
+    from functools import reduce
+
+    cond = reduce(
+        lambda a, b: a | b,
+        [(F.col("source_id") == t) & (F.col("tso") > offsets[t]) for t in topics],
+    )
+    expected = expected.filter(cond)
+    assert got.count() == expected.count()
+    assert got.filter(F.col("source_id") == "dn-3").count() == 0
+    assert got.join(expected.select("tso"), "tso", "left_anti").count() == 0
+    # sink offsets are dense and TSO-ordered (the global binlog contract)
+    rows = got.select("offset", "tso").orderBy("offset").collect()
+    assert all(rows[i]["tso"] <= rows[i + 1]["tso"] for i in range(len(rows) - 1))
