@@ -123,6 +123,71 @@ def main() -> None:
         errors["stream_binlog_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# stream_binlog_pipeline: FAILED {errors['stream_binlog_pipeline']}", file=sys.stderr)
 
+    # ---- sf1 stress section (scale-sensitivity check) -------------------
+    # If tools/build_stress_sf1.py has materialized the 10x-scaled dataset,
+    # run the scale-sensitive subset once each against it and report the
+    # observed time alongside the ratio vs this run's sf0.1 time. Linear
+    # operators should land near the scale factor; anything far above it is
+    # a constant-factor cliff that would also bite at 100 TB. Never allowed
+    # to break the official line: fully wrapped, wall-budgeted, opt-out via
+    # SPARK_GRAFT_NO_STRESS=1.
+    stress_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".stress_sf1")
+    stress: dict | None = None
+    if os.path.isdir(stress_dir) and os.environ.get("SPARK_GRAFT_NO_STRESS", "") != "1":
+        STRESS_SET = [
+            "q1_pricing_summary",
+            "q3_shipping_priority",
+            "q5_nation_revenue",
+            "cdc_full_pipeline",
+            "cdc_last_image",
+            "cdc_txn_assemble",
+            "events_sessionize",
+            "text_stats",
+            "dedup_exact",
+            "dedup_minhash_lsh",
+            "dedup_cluster_groups",
+            "embed_cosine_topk",
+            "curation_quality_filter",
+        ]
+        try:
+            factor = 10.0
+            try:
+                with open(os.path.join(stress_dir, "MANIFEST")) as f:
+                    for line in f:
+                        if line.startswith("factor="):
+                            factor = float(line.strip().split("=", 1)[1])
+            except OSError:
+                pass
+            s_timings: dict[str, float] = {}
+            s_ratio: dict[str, float] = {}
+            budget_s, t_sec0 = 300.0, time.perf_counter()
+            for name in STRESS_SET:
+                if time.perf_counter() - t_sec0 > budget_s:
+                    print(f"# stress: wall budget hit, skipping from {name}", file=sys.stderr)
+                    break
+                try:
+                    t0 = time.perf_counter()
+                    registry[name](spark, stress_dir).count()
+                    dt = time.perf_counter() - t0
+                except Exception as exc:  # noqa: BLE001
+                    print(f"# stress {name}: FAILED {exc}", file=sys.stderr)
+                    continue
+                s_timings[name] = round(dt, 3)
+                if name in timings and timings[name] > 0:
+                    s_ratio[name] = round(dt / timings[name], 1)
+                print(
+                    f"# stress {name}: {dt:.3f}s ({s_ratio.get(name, '?')}x sf0.1)",
+                    file=sys.stderr,
+                )
+            stress = {
+                "factor": factor,
+                "queries": s_timings,
+                "ratio_vs_base": s_ratio,
+                "total": round(sum(s_timings.values()), 3),
+            }
+        except Exception as exc:  # noqa: BLE001
+            print(f"# stress section failed: {exc}", file=sys.stderr)
+
     payload = {
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
@@ -135,6 +200,8 @@ def main() -> None:
         "n_queries_timed": len(timings),
         "n_queries_expected": len(HEADLINE) + 1,  # +1: stream_binlog_pipeline
     }
+    if stress:
+        payload["stress"] = stress
     if errors:
         payload["errors"] = errors
         # make regressed coverage impossible to miss: a penalty entry per
