@@ -564,12 +564,20 @@ def connected_components(
     round. Convergence = the edge set reaches a fixed point (star forest:
     every node points at its component minimum).
 
-    Pair sets at or below ``driver_threshold`` (bounded, ≤ ~1.6 MB at the
+    Pair sets at or below ``driver_threshold`` (bounded, a few MB at the
     default) finish with union-find on the driver instead: distributed
     star rounds cost several scheduled jobs each, pure overhead on a
-    graph that fits in one collect — the same local-finish cutoff the
-    MapReduce CC literature applies once contraction shrinks the graph.
-    Pass ``driver_threshold=0`` to force the distributed path (tests do)."""
+    graph that fits in one collect. The SAME cutoff applies mid-flight:
+    star rounds contract the edge set monotonically toward the star
+    forest, so as soon as a round's output fits the threshold the
+    remaining rounds are replaced by one local union-find — the local
+    finish the MapReduce CC literature prescribes (Kiveris et al. §6:
+    "once the graph fits in memory, finish on one machine"). Both steps
+    preserve the component partition and never drop a non-minimum
+    vertex from the edge set, so a union-find over any intermediate
+    edge set labels every non-singleton vertex with the true component
+    minimum. Pass ``driver_threshold=0`` to force the pure distributed
+    path (tests do)."""
     # materialize the narrow (src, dst) projection ONCE — verts and edges
     # both derive from it, and ``pairs`` may sit atop an expensive pipeline
     # (e.g. the full MinHash-LSH + Jaccard verify) that must not re-run
@@ -590,6 +598,15 @@ def connected_components(
     )
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # the count is a cheap job over the just-materialized checkpoint;
+        # contraction shrinks the edge set fast (typically one round cuts
+        # a dup-heavy pair set well under the threshold), so the hybrid
+        # finish usually replaces all but the first round
+        if driver_threshold and new_edges.count() <= driver_threshold:
+            local = _driver_components(new_edges)
+            return verts.join(local, "id", "left").select(
+                "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+            )
         # fixed point ⇔ same edge set; probe the symmetric difference in ONE
         # job (both frames are materialized, so each branch is a cached scan)
         changed = (

@@ -152,6 +152,31 @@ def test_connected_components_driver_path_equals_distributed(spark):
     assert fast == dist and len(fast) > 0
 
 
+def test_connected_components_hybrid_local_finish(spark):
+    """Mid-flight local finish: a threshold below the initial pair count
+    but above the round-1 contraction forces distributed round(s) followed
+    by the driver union-find — labels must equal both pure paths. Star
+    steps preserve the component partition and keep every non-minimum
+    vertex in the edge set, so the intermediate-edge union-find is exact."""
+    import random
+
+    rng = random.Random(11)
+    # chains + cliques + singleton-ish pairs: contraction shrinks this
+    # well under half in one round
+    raw = [(i, i + 1) for i in range(150)]
+    raw += [(200 + rng.randrange(40), 200 + rng.randrange(40)) for _ in range(150)]
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    expect = {
+        (r["id"], r["cluster_id"])
+        for r in dedupe.connected_components(pairs, driver_threshold=0).collect()
+    }
+    hybrid = {
+        (r["id"], r["cluster_id"])
+        for r in dedupe.connected_components(pairs, driver_threshold=170).collect()
+    }
+    assert hybrid == expect and len(hybrid) > 150
+
+
 def test_connected_components_self_pairs_and_dups(spark):
     """Self-pairs and duplicate/reversed edges must not break labeling."""
     pairs = spark.createDataFrame(
