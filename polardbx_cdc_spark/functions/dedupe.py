@@ -163,6 +163,46 @@ def _affine_min_udf(num_hashes: int):
     return affine_min
 
 
+def chunk_span_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """SPAN-level exact dedup: fixed-width token chunks fingerprinted and
+    grouped across the corpus — the chunk-granular approximation of
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": repeated spans, not just whole-doc copies,
+    drive memorization; chunk hashing is the linear-cost stand-in for
+    their suffix-array exact-substring pass).
+
+    Returns (chunk_hash, n_docs, n_occurrences, first_doc) for every
+    chunk appearing in more than one document. One projection pass
+    (tokenize + slice, all JVM) → explode (rows × docs/chunk_tokens,
+    each row 2 longs wide) → ONE shuffle on the chunk hash with map-side
+    partial aggregation. No joins, no candidate blowup: at 100 TB this
+    is a straight hash-aggregate whose reduce side carries only
+    distinct-chunk cardinality."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(chunks).alias("chunk")
+    ).select("id", _hash32(F.col("chunk")).alias("chunk_hash"))
+    return (
+        exploded.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact near-identity dedup: normalize → fingerprint → keep the lowest
     id per fingerprint group. Returns (keeper id, group size)."""

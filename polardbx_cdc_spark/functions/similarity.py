@@ -184,6 +184,42 @@ def quantize_int8(
     )
 
 
+def norm_stats(
+    df: DataFrame, vec_col: str = "embedding", group_col: str = "label"
+) -> DataFrame:
+    """Embedding QA scan: per-group vector counts, null counts, and
+    min/max/sum of the squared L2 norm — the sanity pass every embedding
+    pipeline runs before indexing (zero vectors break cosine, norm
+    outliers flag truncated or corrupted encoder output, nulls flag
+    decode failures).
+
+    Norms are folded to integers per ELEMENT (round(x²·1e6) summed as
+    BIGINT) so the statistic is order-independent and bit-identical
+    across engines — a double accumulation would vary with fold order.
+    One projection + one map-side-combined groupBy: a single narrow
+    shuffle of (group, 5 longs) rows regardless of corpus size."""
+    v = F.col(vec_col)
+    norm2_u = F.aggregate(
+        F.transform(v, lambda x: F.round(x.cast("double") * x.cast("double") * 1e6).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, q: acc + q,
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.when(v.isNotNull(), norm2_u).alias("norm2_u"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("norm2_u").isNull().cast("long")).alias("n_null"),
+            F.min("norm2_u").alias("min_norm2_u"),
+            F.max("norm2_u").alias("max_norm2_u"),
+            F.sum("norm2_u").alias("sum_norm2_u"),
+        )
+    )
+
+
 def dequantize(qdf: DataFrame) -> DataFrame:
     """Inverse of ``quantize_int8``: appends v̂_i = q_i * scale as ``dvec``."""
     return qdf.withColumn(

@@ -2607,3 +2607,76 @@ def cdc_logical_ddl_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.select("tso", lg.alias("logical_ddl"), F.md5(lg).alias("ddl_hash"))
         .orderBy("tso")
     )
+
+
+# --------------------------------------------------------------------------
+# Span-level dedup + embedding QA (LLM-data tier, r4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_chunk_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT)),
+               i -> array_to_string(tk[(i*20+1):(i*20+20)], ' ')
+             )) AS chunk
+      FROM t
+    ),
+    h AS (SELECT doc_id, CAST('0x'||substr(md5(chunk),1,8) AS BIGINT) AS chunk_hash FROM c)
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(doc_id) AS first_doc
+    FROM h
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level exact dedup: fixed 20-token chunks fingerprinted across
+    the corpus; chunks shared by >1 document are the repeated spans that
+    whole-doc dedup misses (Lee et al. 2022 — repeated substrings drive
+    memorization; chunk hashing is the linear-cost approximation of their
+    suffix-array pass). One explode + ONE map-side-combined shuffle on the
+    chunk hash — no joins, no pair blowup, scan-shaped at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.chunk_span_dups(d, chunk_tokens=20)
+
+
+@register(
+    "embed_norm_stats",
+    """
+    WITH n AS (
+      SELECT label,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE CAST(list_sum(list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                       )) AS BIGINT)
+             END AS norm2_u
+      FROM embeddings
+    )
+    SELECT label AS grp,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN norm2_u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           min(norm2_u) AS min_norm2_u,
+           max(norm2_u) AS max_norm2_u,
+           CAST(sum(norm2_u) AS BIGINT) AS sum_norm2_u
+    FROM n
+    GROUP BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA scan: per-label counts, nulls, and integer-folded
+    squared-norm min/max/sum — the pre-indexing sanity pass (zero vectors
+    break cosine; norm outliers flag truncated encoder output). Element-
+    wise round(x²·1e6) summed as BIGINT keeps the statistic fold-order-
+    independent, so Spark's map-side combine and DuckDB agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.norm_stats(e, group_col="label")
