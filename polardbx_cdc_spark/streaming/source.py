@@ -22,15 +22,30 @@ from polardbx_cdc_spark.model import derive_cdc_stream
 
 
 def _as_stream_dir(sf_dir: str, name: str) -> str:
-    """Spark's file streaming source only accepts directories; the driver
-    testdata is one parquet file per table. Stage a symlink dir (testdata
-    itself is read-only)."""
+    """Spark's file streaming source only accepts directories and does NOT
+    recurse into subdirectories; the driver testdata is one parquet FILE
+    per table, while engine-written datasets (e.g. the sf1 stress copy)
+    are parquet DIRECTORIES of part files. Stage a flat symlink dir
+    covering both layouts (testdata itself is read-only). Dangling links
+    from a rebuilt target are pruned so re-materialized datasets stream
+    their current files."""
     d = os.path.join(tempfile.gettempdir(), "cdc_stream_src", sf_dir.strip("/").replace("/", "_"), name)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, f"{name}.parquet")
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        if os.path.islink(p) and not os.path.exists(p):
+            os.unlink(p)
     target = os.path.join(sf_dir, f"{name}.parquet")
-    if not os.path.islink(link):
-        os.symlink(target, link)
+    if os.path.isdir(target):
+        for f in os.listdir(target):
+            if f.endswith(".parquet"):
+                link = os.path.join(d, f)
+                if not os.path.islink(link):
+                    os.symlink(os.path.join(target, f), link)
+    else:
+        link = os.path.join(d, f"{name}.parquet")
+        if not os.path.islink(link):
+            os.symlink(target, link)
     return d
 
 
