@@ -424,12 +424,19 @@ def lsh_bucket_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH buckets
     across ``num_tables`` hash tables (multi-table OR-amplification — one
     collision anywhere makes a candidate). Same output shape as
-    ``cosine_topk``; recall/cost dial = (num_planes, num_tables)."""
-    bucketed = lsh_buckets(df, num_planes, dim, vec_col, num_tables=num_tables)
+    ``cosine_topk``; recall/cost dial = (num_planes, num_tables).
+
+    ``impl`` selects the bucket-bit path (see ``lsh_buckets``): "arrow"
+    (BLAS matmul, the scale default) or "expr" (sequential-sum Catalyst
+    form whose float fold order is bit-matched by the DuckDB oracle —
+    the graded registry entry uses it so the value hash can never hinge
+    on a |dot| < 1e-13 sign flip between BLAS and sequential sums)."""
+    bucketed = lsh_buckets(df, num_planes, dim, vec_col, num_tables=num_tables, impl=impl)
     corpus = bucketed.select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"), F.col("bucket")
     )

@@ -2164,9 +2164,12 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB scale path: candidates
     restricted to the query's hyperplane buckets). The hyperplanes are
     deterministic constants, so even this APPROXIMATE variant is
-    hash-checked — the oracle replays the identical bucket assignment."""
+    hash-checked — the oracle replays the identical bucket assignment.
+    Graded with ``impl="expr"`` (sequential-sum bucket bits, bit-matched
+    to the oracle's list_dot_product fold order); the Arrow/BLAS path is
+    the perf default elsewhere and parity-tested against this one."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucket_topk(e, _QUERY_IDS, k=5)
+    return similarity.lsh_bucket_topk(e, _QUERY_IDS, k=5, impl="expr")
 
 
 @register(
