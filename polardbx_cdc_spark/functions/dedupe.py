@@ -229,28 +229,22 @@ def minhash_signature(
     """MinHash signature: for seed i, min over shingles of hash(i, shingle).
     Returns array<long> of length ``num_hashes``. One projection, no shuffle.
 
-    ``use_md5=False`` (default, the scale path) hashes with xxhash64 —
-    native, codegen'd, fastest. ``use_md5=True`` computes ONE md5-prefix
-    base hash per shingle and derives the K functions as affine transforms
-    (universal hashing) so a DuckDB oracle reproduces the exact signature
-    at ~1/K the md5 cost."""
+    Both families share the same shape — ONE native base hash per shingle
+    (xxhash64 masked to 32 bits, or the md5 prefix for oracle parity)
+    followed by the K-affine running min as a numpy segment-reduction in
+    an Arrow batch. Higher-order-function expressions are interpreted per
+    element (never codegen'd), so the previous K × array_min(transform(
+    xxhash64(i, s))) "scale path" walked the shingle array 16 times
+    interpreted and measured SLOWER than the fused md5 path it was meant
+    to beat; the K-affine family over a single 32-bit base (universal
+    hashing, products < 2^62 — exact int64) keeps the per-shingle work
+    native and the K-way min vectorized."""
     sh = shingles(text, shingle_n)
     if use_md5:
-        # split the work by where each half is fast: the md5 base hash is
-        # native JVM (codegen'd `transform`), the K-affine running min is
-        # a numpy segment-reduction in an Arrow batch. The previous all-
-        # Catalyst form (F.aggregate + K-wide zip_with) is interpreted
-        # per element — higher-order functions never enter codegen — and
-        # was the residual cost of the whole LSH query; the naive K ×
-        # array_min(transform(...)) form is worse still (Catalyst embeds
-        # and re-evaluates the md5 pass K times).
         base = F.transform(sh, lambda s: _hash32(s))
-        return _affine_min_udf(num_hashes)(base)
-    sigs = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    else:
+        base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296)))
+    return _affine_min_udf(num_hashes)(base)
 
 
 def minhash_lsh_candidates(
