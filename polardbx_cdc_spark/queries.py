@@ -2683,3 +2683,99 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent, so Spark's map-side combine and DuckDB agree bit-for-bit."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.norm_stats(e, group_col="label")
+
+
+# --------------------------------------------------------------------------
+# Embedding clustering (quantized Lloyd k-means) — corpus topic/diversity
+# clustering for mixture balancing; LLM-data tier (SURVEY.md §2.9).
+# --------------------------------------------------------------------------
+
+
+def _kmeans_ctes(k: int = 10, n_iter: int = 3, scale: int = 1000, dim: int = 64) -> str:
+    """Unrolled DuckDB replay of clustering.kmeans_fit_assign: quantize →
+    k lowest-id init → n_iter × (assign, integer-mean update) → final
+    assign. All-int64 math (exact), ties on (dist, cid); the update uses
+    the (s - ((s%n+n)%n)) // n mod-trick because DuckDB ``//`` truncates
+    while the engine's driver-side ``//`` floors — the pre-subtracted
+    non-negative remainder makes the division exact either way."""
+    dist = (
+        f"CAST(list_sum(list_transform(range(1,{dim + 1}),"
+        " i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT)"
+    )
+
+    def assign(name: str, cents: str, out_cid: str = "cid") -> str:
+        return f"""{name} AS (SELECT vec_id, cid AS {out_cid}, dist FROM (
+      SELECT s.vec_id, s.cid, s.dist,
+             row_number() OVER (PARTITION BY s.vec_id ORDER BY s.dist, s.cid) AS rn
+      FROM (SELECT q.vec_id, c.cid, {dist} AS dist FROM q, {cents} c) s) t WHERE rn = 1)"""
+
+    parts = [
+        f"""q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      x -> CAST(round(x*{scale}) AS BIGINT)) AS qv FROM embeddings)""",
+        f"""c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(assign(f"a{it}", f"c{it - 1}"))
+        parts.append(f"""u{it} AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+      SELECT cid, i, (s - ((s % n + n) % n)) // n AS m FROM (
+        SELECT a.cid, t.i, CAST(sum(q.qv[t.i]) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM a{it} a JOIN q USING (vec_id), range(1,{dim + 1}) t(i)
+        GROUP BY a.cid, t.i) z) zz GROUP BY cid)""")
+        parts.append(
+            f"c{it} AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv"
+            f" FROM c{it - 1} c LEFT JOIN u{it} u USING (cid))"
+        )
+    parts.append(assign("afinal", f"c{n_iter}", out_cid="cluster_id"))
+    return ",\n    ".join(parts)
+
+
+@register(
+    "embed_kmeans_assign",
+    f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, cluster_id, dist FROM afinal
+    """,
+)
+def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Lloyd k-means (k=10, 3 iterations) over the embedding
+    corpus; emits every vector's final cluster and exact integer squared
+    distance. Assignment folds the k centroids into one map-only Catalyst
+    expression (array_min over struct(dist,cid) — zero shuffle, zero
+    Python); the update is a k-row map-side-combined aggregate. All-int64
+    math makes the iteration bit-exact across engines and partitionings."""
+    from polardbx_cdc_spark.functions import clustering
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_fit_assign(e, k=10, n_iter=3).orderBy("vec_id")
+
+
+@register(
+    "embed_kmeans_purity",
+    f"""
+    WITH {_kmeans_ctes()},
+    j AS (SELECT a.cluster_id, e.label FROM afinal a JOIN embeddings e USING (vec_id)),
+    cl AS (SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS cnt
+           FROM j GROUP BY cluster_id, label),
+    tot AS (SELECT cluster_id, CAST(sum(cnt) AS BIGINT) AS n_vecs FROM cl GROUP BY cluster_id),
+    maj AS (SELECT cluster_id, label AS majority_label, cnt AS n_majority FROM (
+      SELECT cluster_id, label, cnt,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, label) AS rn
+      FROM cl) t WHERE rn = 1)
+    SELECT t.cluster_id, t.n_vecs, m.majority_label, m.n_majority,
+           CAST((10000 * m.n_majority) // t.n_vecs AS BIGINT) AS purity_bp
+    FROM tot t JOIN maj m USING (cluster_id)
+    """,
+)
+def embed_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality scorecard: per k-means cluster, its size, majority
+    ground-truth label, majority count, and purity in exact basis points
+    (floor(10000·maj/n) — integer math, no rounding-mode hazard). The
+    testdata's 10-class ``label`` column is the reference answer; high
+    purity_bp means the quantized Lloyd pass recovers the true structure."""
+    from polardbx_cdc_spark.functions import clustering
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = clustering.kmeans_fit_assign(e, k=10, n_iter=3)
+    return clustering.cluster_purity(assigned, e).orderBy("cluster_id")

@@ -1,0 +1,86 @@
+"""Laws and plan gates for quantized Lloyd k-means (functions/clustering)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from polardbx_cdc_spark.functions import clustering
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_assignment_is_map_only(spark):
+    """The per-iteration assignment pass must be a pure scan: no shuffle,
+    no Python — the centroids live inside one Catalyst expression."""
+    q = clustering.quantize_vectors(
+        _vecs(spark, [(i, [float(i), 1.0 - i]) for i in range(6)])
+    )
+    cents = [(0, [0, 1000]), (1, [5000, -4000])]
+    plan = _plan_of(clustering._assign(q, cents))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Two well-separated blobs → exactly the 2-blob partition, any seed."""
+    rows = [(i, [0.1 + 0.001 * i, 0.1]) for i in range(5)]
+    rows += [(10 + i, [0.9, 0.9 - 0.001 * i]) for i in range(5)]
+    out = clustering.kmeans_fit_assign(_vecs(spark, rows), k=2, n_iter=3).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    assert sorted(map(sorted, by_cluster.values())) == [
+        [0, 1, 2, 3, 4],
+        [10, 11, 12, 13, 14],
+    ]
+    assert all(r["dist"] >= 0 for r in out)
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    rows = [(i, [((i * 37) % 19) / 19.0, ((i * 11) % 23) / 23.0]) for i in range(40)]
+    a = sorted(map(tuple, clustering.kmeans_fit_assign(_vecs(spark, rows), k=4).collect()))
+    b = sorted(map(tuple, clustering.kmeans_fit_assign(_vecs(spark, rows), k=4).collect()))
+    assert a == b
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """k=3 over 2 tight blobs: one centroid goes memberless mid-iteration
+    and must survive (not NaN/crash); every point still gets assigned."""
+    rows = [(i, [0.0, 0.0]) for i in range(3)] + [(10 + i, [1.0, 1.0]) for i in range(3)]
+    out = clustering.kmeans_fit_assign(_vecs(spark, rows), k=3, n_iter=3)
+    assert out.count() == 6
+    assert out.where(F.col("cluster_id").isNull()).count() == 0
+
+
+def test_quantize_matches_negative_floor_division():
+    """Driver-side integer mean must floor (Python //), matching the
+    oracle's mod-trick — lock the negative-sum case."""
+    s, n = -7, 2
+    assert s // n == (s - ((s % n + n) % n)) // n == -4
+
+
+def test_purity_bounds_and_tiebreak(spark):
+    assigned = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1)], "vec_id long, cluster_id int"
+    ).select("vec_id", "cluster_id", F.lit(0).cast("long").alias("dist"))
+    labeled = spark.createDataFrame(
+        # cluster 0: labels 7,7,3 → majority 7; cluster 1: tie 2 vs 5 → smaller label 2
+        [(1, 7), (2, 7), (3, 3), (4, 2), (5, 5)],
+        "vec_id long, label int",
+    )
+    rows = {r["cluster_id"]: r for r in clustering.cluster_purity(assigned, labeled).collect()}
+    assert rows[0]["majority_label"] == 7 and rows[0]["purity_bp"] == 6666
+    assert rows[1]["majority_label"] == 2 and rows[1]["purity_bp"] == 5000
+    assert all(0 <= r["purity_bp"] <= 10000 for r in rows.values())
