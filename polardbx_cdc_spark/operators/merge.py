@@ -158,3 +158,42 @@ def heartbeat_epochs(df: DataFrame, epoch: str = "1 hour") -> DataFrame:
         "min_tso",
         "max_tso",
     )
+
+
+def txn_integrity_report(df: DataFrame, expected: int = 5) -> DataFrame:
+    """Transaction-integrity audit of a (possibly filtered) stream: per db,
+    how many transactions survive complete vs with holes, and how many
+    member events are missing overall.
+
+    The reference's dumper refuses to emit a transaction whose event
+    sequence has holes (TxnBuffer completeness — polardbx-cdc-storage/
+    .../TxnBufferIterator.java iterates 0..n-1 in order; a miss is fatal),
+    and every filter stage must preserve per-txn contiguity. This audit is
+    the batch form of that guard: group by txn, compare the observed
+    member count against the span implied by min/max seq and against the
+    ``expected`` full size. One map-side-combined shuffle on txn_id, then
+    a tiny re-agg on the size bucket — no windows, no joins, scan-shaped
+    at 100 TB.
+
+    Output: the distribution of surviving transaction sizes —
+    ``(n_present, n_txns, n_with_internal_holes, n_missing_events)``."""
+    per_txn = df.groupBy("txn_id").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+    )
+    holes = F.col("max_seq") - F.col("min_seq") + 1 - F.col("n_present")
+    return (
+        per_txn.select(
+            "n_present",
+            F.when(holes > 0, 1).otherwise(0).alias("has_hole"),
+            (F.lit(expected) - F.col("n_present")).alias("n_missing"),
+        )
+        .groupBy("n_present")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_txns"),
+            F.sum("has_hole").cast("long").alias("n_with_internal_holes"),
+            F.sum("n_missing").cast("long").alias("n_missing_events"),
+        )
+        .orderBy("n_present")
+    )

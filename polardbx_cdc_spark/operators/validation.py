@@ -98,3 +98,51 @@ def full_copy_chunks(df: DataFrame, pk: str, num_chunks: int) -> DataFrame:
         )
         .orderBy("chunk_id")
     )
+
+
+def reconcile_repair(
+    src: DataFrame,
+    dst: DataFrame,
+    table: str,
+    pk: str,
+    cols: list[tuple[str, Column]],
+) -> DataFrame:
+    """RECONCILIATION stage of the data-import FSM (rpl/common/fsmutil/
+    DataImportTransitions.java:34-94 — validation feeds a repair pass):
+    turn the row-level diff into executable repair DML against ``table``.
+
+    - row missing or corrupt on dst → REPLACE INTO with the src image
+      (insert-or-overwrite, ApplyHelper REPLACE mode semantics);
+    - row present only on dst (orphan) → DELETE.
+
+    ``cols`` is [(column_name, rendered_src_value_expr)] — values are
+    pre-formatted strings (the caller fixes float formatting, %.6f rule).
+    Both sides reduce to (pk, checksum[, rendered values]) projections
+    before the full-outer join, so the shuffle carries the row image only
+    for the src side; output is the (small) repair plan, never the table."""
+    hash_cols = [c for c, _ in cols]
+    vals = F.concat_ws(", ", *[v for _, v in cols])
+    s = src.select(
+        F.col(pk).alias("pk"),
+        row_checksum(hash_cols).alias("src_sum"),
+        vals.alias("_vals"),
+    )
+    d = dst.select(F.col(pk).alias("pk"), row_checksum(hash_cols).alias("dst_sum"))
+    j = s.join(d, "pk", "full_outer").filter(
+        F.col("src_sum").isNull()
+        | F.col("dst_sum").isNull()
+        | (F.col("src_sum") != F.col("dst_sum"))
+    )
+    col_list = ", ".join(hash_cols)
+    action = F.when(F.col("src_sum").isNull(), F.lit("DELETE")).otherwise(F.lit("REPLACE"))
+    sql_text = F.when(
+        F.col("src_sum").isNull(),
+        F.concat(F.lit(f"DELETE FROM {table} WHERE {pk} = "), F.col("pk").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit(f"REPLACE INTO {table} ({col_list}) VALUES ("),
+            F.col("_vals"),
+            F.lit(")"),
+        )
+    )
+    return j.select("pk", action.alias("action"), sql_text.alias("sql_text"))

@@ -2779,3 +2779,114 @@ def embed_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     assigned = clustering.kmeans_fit_assign(e, k=10, n_iter=3)
     return clustering.cluster_purity(assigned, e).orderBy("cluster_id")
+
+
+# --------------------------------------------------------------------------
+# Validation tier, round 4: txn-integrity audit + reconciliation repair DML
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_txn_integrity",
+    oracle_cdc_query(
+        """
+        , kept AS (SELECT * FROM cdc WHERE action IN ('INSERT', 'UPDATE')),
+        per_txn AS (
+          SELECT txn_id, count(*) AS n_present, min(seq) AS min_seq, max(seq) AS max_seq
+          FROM kept GROUP BY txn_id
+        )
+        SELECT n_present,
+               CAST(count(*) AS BIGINT) AS n_txns,
+               CAST(sum(CASE WHEN max_seq - min_seq + 1 - n_present > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_with_internal_holes,
+               CAST(sum(5 - n_present) AS BIGINT) AS n_missing_events
+        FROM per_txn GROUP BY n_present
+        """
+    ),
+)
+def cdc_txn_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-integrity audit after a lossy filter: the dumper's
+    completeness guard (TxnBufferIterator walks seq 0..n-1; a hole is
+    fatal) as a batch surface. The accept filter drops DELETE events, so
+    the report shows exactly which transaction fragments a naive filter
+    would hand the dumper — size distribution, internal holes, and total
+    missing members."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    kept = filters.accept_filter(cdc, actions=["INSERT", "UPDATE"])
+    return merge.txn_integrity_report(kept, expected=5)
+
+
+@register(
+    "rpl_reconcile_repair",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus,
+             CAST(('0x' || substr(md5(concat_ws(',',
+               coalesce(CAST(o_orderkey AS VARCHAR), '\\N'),
+               coalesce(CAST(printf('%.6f', o_totalprice) AS VARCHAR), '\\N'),
+               coalesce(CAST(o_orderstatus AS VARCHAR), '\\N'),
+               CAST(CAST(o_orderkey IS NULL AS INT) AS VARCHAR)
+                 || CAST(CAST(printf('%.6f', o_totalprice) IS NULL AS INT) AS VARCHAR)
+                 || CAST(CAST(o_orderstatus IS NULL AS INT) AS VARCHAR)
+             )), 1, 8)) AS BIGINT) AS src_sum,
+             concat_ws(', ', CAST(o_orderkey AS VARCHAR), printf('%.6f', o_totalprice),
+                       '''' || o_orderstatus || '''') AS vals
+      FROM orders
+    ), dst AS (
+      SELECT o_orderkey AS pk,
+             CAST(('0x' || substr(md5(concat_ws(',',
+               coalesce(CAST(o_orderkey AS VARCHAR), '\\N'),
+               coalesce(CAST(printf('%.6f',
+                 CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+               ) AS VARCHAR), '\\N'),
+               coalesce(CAST(o_orderstatus AS VARCHAR), '\\N'),
+               '000'
+             )), 1, 8)) AS BIGINT) AS dst_sum
+      FROM orders WHERE o_orderkey % 499 <> 0
+      UNION ALL
+      SELECT -o_orderkey AS pk, 0 AS dst_sum FROM orders WHERE o_orderkey % 1499 = 0
+    )
+    SELECT coalesce(src.o_orderkey, dst.pk) AS pk,
+           CASE WHEN src.src_sum IS NULL THEN 'DELETE' ELSE 'REPLACE' END AS action,
+           CASE WHEN src.src_sum IS NULL THEN
+                  'DELETE FROM orders WHERE o_orderkey = ' || CAST(dst.pk AS VARCHAR)
+                ELSE
+                  'REPLACE INTO orders (o_orderkey, o_totalprice, o_orderstatus) VALUES ('
+                    || src.vals || ')'
+           END AS sql_text
+    FROM src FULL OUTER JOIN dst ON src.o_orderkey = dst.pk
+    WHERE src.src_sum IS NULL OR dst.dst_sum IS NULL OR src.src_sum <> dst.dst_sum
+    """,
+)
+def rpl_reconcile_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECONCILIATION stage of the data-import FSM (DataImportTransitions
+    .java:34-94): the validation diff rendered as executable repair DML.
+    The simulated replica is missing every 499th order, has every 997th
+    corrupted, and carries orphan rows (negated keys of every 1499th) —
+    exercising REPLACE-missing, REPLACE-corrupt, and DELETE-orphan paths."""
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    dst_price = F.when(F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") + 1.0).otherwise(
+        F.col("o_totalprice")
+    )
+    dst = (
+        o.filter(F.col("o_orderkey") % 499 != 0)
+        .select(
+            "o_orderkey",
+            dst_price.alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1499 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+                F.lit(None).cast("string").alias("o_orderstatus"),
+            )
+        )
+    )
+    cols = [
+        ("o_orderkey", F.col("o_orderkey").cast("string")),
+        ("o_totalprice", F.format_string("%.6f", F.col("o_totalprice"))),
+        ("o_orderstatus", F.concat(F.lit("'"), F.col("o_orderstatus"), F.lit("'"))),
+    ]
+    return validation.reconcile_repair(src, dst, "orders", "o_orderkey", cols)
