@@ -496,3 +496,47 @@ def keyword_extract(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.max("tf").alias("keyword_tf"),
         F.min_by("df", key).alias("keyword_df"),
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling weights for the pretraining mixture:
+    temperature-scaled (alpha = 0.5) over token mass, the standard move
+    that up-samples small high-quality sources and caps the dominance of
+    the biggest crawl (multilingual-sampling practice popularized by
+    mBERT/XLM-R; same exponent form as data-mixture tuning).
+
+    All-integer outputs: ``s = floor(sqrt(n_tokens))`` (IEEE sqrt is
+    correctly rounded in both engines, so the floor is deterministic),
+    ``w_ppm = floor(1e6·s/Σs)``, and ``boost_bp`` = the up/down-sampling
+    factor vs proportional allocation in basis points. One
+    map-side-combined shuffle on the source key, then window math over
+    the k-row source frame — scan-shaped at 100 TB."""
+    from polardbx_cdc_spark.functions import text as text_fn
+
+    per_src = docs.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(text_fn.token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    s = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    w = Window.partitionBy()
+    scaled = per_src.withColumn("s", s).select(
+        "*",
+        F.sum("s").over(w).alias("s_total"),
+        F.sum("n_tokens").over(w).alias("tok_total"),
+    )
+    return scaled.select(
+        F.col(by),
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000000 * s) div s_total").cast("long").alias("w_ppm"),
+        F.expr(
+            "(10000 * ((1000000 * s) div s_total))"
+            " div greatest((1000000 * n_tokens) div tok_total, 1)"
+        )
+        .cast("long")
+        .alias("boost_bp"),
+    )

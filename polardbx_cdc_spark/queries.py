@@ -2890,3 +2890,37 @@ def rpl_reconcile_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_orderstatus", F.concat(F.lit("'"), F.col("o_orderstatus"), F.lit("'"))),
     ]
     return validation.reconcile_repair(src, dst, "orders", "o_orderkey", cols)
+
+
+@register(
+    "curation_mixture_weights",
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({text.oracle_token_count('text')}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), scaled AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s
+      FROM per_src
+    ), tot AS (
+      SELECT source, n_docs, n_tokens, s,
+             CAST(sum(s) OVER () AS BIGINT) AS s_total,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS tok_total
+      FROM scaled
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((1000000 * s) // s_total AS BIGINT) AS w_ppm,
+           CAST((10000 * ((1000000 * s) // s_total))
+             // greatest((1000000 * n_tokens) // tok_total, 1) AS BIGINT) AS boost_bp
+    FROM tot
+    """,
+)
+def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) per-source sampling weights over
+    token mass — the mixture-balancing step between dedup and packing.
+    Exact integer outputs (ppm weights, basis-point boost factors); the
+    sqrt is the only float touch and IEEE sqrt + floor is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.mixture_weights(d).orderBy("source")

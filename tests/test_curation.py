@@ -283,3 +283,21 @@ def test_keyword_extract_tie_breaks(spark):
     assert got[1]["keyword"] == "b" and got[1]["keyword_tf"] == 2 and got[1]["keyword_df"] == 1
     assert got[2]["keyword"] == "x"
     assert got[3]["keyword"] == "a" and got[3]["keyword_df"] == 3
+
+
+def test_mixture_weights_laws(spark):
+    from polardbx_cdc_spark.functions import curation
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small", "tok " * (50 if i < 90 else 5)) for i in range(100)],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in curation.mixture_weights(docs).collect()}
+    # weights normalize (floor rounding loses at most n_sources ppm)
+    total = sum(r["w_ppm"] for r in rows.values())
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+    # temperature 0.5 up-samples the small high-quality source…
+    assert rows["small"]["boost_bp"] > 10_000
+    # …and down-samples the dominant one
+    assert rows["big"]["boost_bp"] < 10_000
+    assert all(r["w_ppm"] >= 0 for r in rows.values())
