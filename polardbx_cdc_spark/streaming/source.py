@@ -136,3 +136,48 @@ def subscribe_cdc(
     wm = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     pos = F.coalesce(wm[F.col("source_id")], F.lit(""))
     return stream.filter(F.col("tso") > pos)
+
+
+#: wire schema of one JSON line on the live feed — the app-event envelope
+#: (matches the driver's events table so the same derivation applies).
+SOCKET_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_socket_cdc(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 9999,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LIVE CDC ingest over a TCP socket: newline-delimited JSON events →
+    canonical watermarked CDC stream.
+
+    This is the genuinely-live (non-file) connector path: the reference
+    tails a live server (BinlogExtractor.java:161-236 connects and dumps;
+    CdcExtractor.java:225 subscribes over gRPC), and this source does the
+    same against any process that speaks line-JSON over TCP — the
+    integration test runs a real server thread and pushes events through
+    the full merge + sink pipeline. Malformed lines yield NULL event_id
+    and are dropped (PERMISSIVE parse — a poison message must not kill
+    the stream; the reference's extractor skips undecodable events the
+    same way). For Kafka swap in ``subscribe_cdc``; only this module
+    changes, downstream operators are source-agnostic."""
+    from pyspark.sql.types import StructType
+
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    schema = StructType.fromDDL(SOCKET_EVENT_SCHEMA)
+    opts = {"timestampFormat": "yyyy-MM-dd HH:mm:ss[.SSSSSS]"}
+    ev = (
+        lines.select(F.from_json(F.col("value"), schema, opts).alias("e"))
+        .select("e.*")
+        .filter(F.col("event_id").isNotNull())
+    )
+    return derive_cdc_stream(spark, sf_dir="", events=ev).withWatermark("ts", watermark)

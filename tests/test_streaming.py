@@ -883,3 +883,86 @@ def test_subscribe_cdc_from_tso_through_merge_and_sink(spark, tmpdir):
     # sink offsets are dense and TSO-ordered (the global binlog contract)
     rows = got.select("offset", "tso").orderBy("offset").collect()
     assert all(rows[i]["tso"] <= rows[i + 1]["tso"] for i in range(len(rows) - 1))
+
+
+def test_socket_live_ingest(spark, sf_dir):
+    """End-to-end LIVE ingest: a real TCP server pushes JSON events; the
+    socket CDC source must deliver the full canonical stream (count,
+    topology fields, txn grouping) plus drop malformed lines."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from polardbx_cdc_spark.session import normalize_event_ts
+    from polardbx_cdc_spark.streaming import source as src_mod
+
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    rows = ev.orderBy("event_id").limit(200).collect()
+    lines = []
+    for r in rows:
+        ts = r["ts"]
+        lines.append(
+            json.dumps(
+                {
+                    "event_id": r["event_id"],
+                    "ts": f"{ts:%Y-%m-%d %H:%M:%S}.{ts.microsecond:06d}",
+                    "user_id": r["user_id"],
+                    "event_type": r["event_type"],
+                    "value": r["value"],
+                    "props": r["props"],
+                }
+            )
+        )
+    lines.insert(0, "this is not json")  # poison line must be dropped, not fatal
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        stop.wait(60)  # keep the connection open until the query stops
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        cdc = src_mod.read_socket_cdc(spark, port=port, watermark="0 seconds")
+        q = (
+            cdc.writeStream.format("memory")
+            .queryName("sock_cdc")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) n FROM sock_cdc").collect()[0]["n"] >= 200:
+                    break
+                time.sleep(0.5)
+            out = spark.sql("SELECT * FROM sock_cdc").collect()
+        finally:
+            q.stop()
+    finally:
+        stop.set()
+        srv.close()
+
+    assert len(out) == 200  # poison line dropped, all real events delivered
+    assert {r["source_id"] for r in out} <= {f"dn-{i}" for i in range(4)}
+    assert {r["action"] for r in out} <= {"INSERT", "UPDATE", "DELETE"}
+    # txn grouping: every complete group of 5 consecutive events is one txn
+    by_txn: dict[int, set[int]] = {}
+    for r in out:
+        by_txn.setdefault(r["txn_id"], set()).add(r["seq"])
+    full = [t_ for t_, seqs in by_txn.items() if len(seqs) == 5]
+    assert full and all(by_txn[t_] == {0, 1, 2, 3, 4} for t_ in full)
+    # tso embeds the event-time micros: per source the stream is replayable
+    # in order (tso strictly increasing when sorted)
+    for sid in {r["source_id"] for r in out}:
+        tsos = [r["tso"] for r in out if r["source_id"] == sid]
+        assert len(set(tsos)) == len(tsos)
