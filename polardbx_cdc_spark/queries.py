@@ -2924,3 +2924,60 @@ def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt is the only float touch and IEEE sqrt + floor is deterministic."""
     d = load_table(spark, sf_dir, "documents")
     return curation.mixture_weights(d).orderBy("source")
+
+
+@register(
+    "cdc_incremental_checksum",
+    oracle_cdc_query(
+        """
+        , ev AS (
+          SELECT pk, tso,
+                 CAST(pk AS BIGINT) // 64 AS chunk_id,
+                 CASE WHEN action <> 'DELETE' THEN printf('%.6f', value) END AS after_img
+          FROM cdc
+        ), lagged AS (
+          SELECT pk, tso, chunk_id, after_img,
+                 lag(after_img) OVER (PARTITION BY pk ORDER BY tso) AS before_img
+          FROM ev
+        ), contrib AS (
+          SELECT chunk_id, pk, tso, after_img,
+                 xor(
+                   CASE WHEN before_img IS NULL THEN 0
+                        ELSE CAST(('0x' || substr(md5(pk || ',' || before_img), 1, 8)) AS BIGINT) END,
+                   CASE WHEN after_img IS NULL THEN 0
+                        ELSE CAST(('0x' || substr(md5(pk || ',' || after_img), 1, 8)) AS BIGINT) END
+                 ) AS delta
+          FROM lagged
+        ), inc AS (
+          SELECT chunk_id, bit_xor(delta) AS inc_checksum FROM contrib GROUP BY chunk_id
+        ), last AS (
+          SELECT chunk_id, pk, after_img FROM (
+            SELECT chunk_id, pk, after_img,
+                   row_number() OVER (PARTITION BY pk ORDER BY tso DESC) AS rn
+            FROM contrib) t
+          WHERE rn = 1 AND after_img IS NOT NULL
+        ), direct AS (
+          SELECT chunk_id,
+                 bit_xor(CAST(('0x' || substr(md5(pk || ',' || after_img), 1, 8)) AS BIGINT))
+                   AS direct_checksum,
+                 CAST(count(*) AS BIGINT) AS n_live
+          FROM last GROUP BY chunk_id
+        )
+        SELECT coalesce(i.chunk_id, d.chunk_id) AS chunk_id,
+               CAST(coalesce(i.inc_checksum, 0) AS BIGINT) AS inc_checksum,
+               CAST(coalesce(d.direct_checksum, 0) AS BIGINT) AS direct_checksum,
+               coalesce(d.n_live, 0) AS n_live
+        FROM inc i FULL OUTER JOIN direct d ON i.chunk_id = d.chunk_id
+        """
+    ),
+)
+def cdc_incremental_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous validation without rescans: per-chunk checksums folded
+    from the CDC stream itself via XOR telescoping (h(before) ⊕ h(after)
+    per event collapses over a pk's history to h(last live image)). The
+    query emits the stream-folded and directly-recomputed checksums side
+    by side — equal by construction, and the pytest law asserts it. The
+    streaming form applies the same delta per micro-batch to bounded
+    per-chunk state; the full TableValidator rescan is only bootstrap."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    return validation.incremental_checksum(cdc, chunk_size=64)

@@ -121,3 +121,71 @@ def test_fuzz_collapse_action_rewrite(spark):
         expect_op = "DELETE" if last[3] == "DELETE" else ("INSERT" if first_a == "INSERT" else "UPDATE")
         assert got[pk][0] == expect_op, pk
         assert got[pk][1] == last[5], pk
+
+
+def test_incremental_checksum_telescopes_and_folds_across_batches(spark):
+    """The stream-folded checksum equals the final-table checksum, and the
+    fold is micro-batch associative: XOR of per-half deltas == whole-stream
+    fold (what foreachBatch applies to bounded per-chunk state)."""
+    from polardbx_cdc_spark.operators import validation
+
+    rows = []
+    # pk 1: insert → update → update (lives), pk 2: insert → delete (dead),
+    # pk 70: insert only (other chunk), pk 3: update w/o insert (first image)
+    for i, (pk, action, val) in enumerate(
+        [
+            ("1", "INSERT", 1.0),
+            ("2", "INSERT", 2.0),
+            ("1", "UPDATE", 1.5),
+            ("70", "INSERT", 7.0),
+            ("2", "DELETE", 2.0),
+            ("3", "UPDATE", 3.0),
+            ("1", "UPDATE", 1.75),
+        ]
+    ):
+        rows.append((pk, f"{i:019d}", action, val))
+    cdc = spark.createDataFrame(rows, "pk string, tso string, action string, value double")
+
+    out = {r["chunk_id"]: r for r in validation.incremental_checksum(cdc, 64).collect()}
+    assert all(r["inc_checksum"] == r["direct_checksum"] for r in out.values())
+    assert out[0]["n_live"] == 2  # pks 1 and 3 live, 2 deleted
+    assert out[1]["n_live"] == 1  # pk 70
+
+    # batch associativity: fold(first half) XOR fold(second half) == fold(all).
+    # (halves split mid-pk-history; before-images for the law must come from
+    # the WHOLE stream's lag chain, as a real stream's events carry them.)
+    from pyspark.sql import Window
+
+    after = F.when(F.col("action") != "DELETE", F.format_string("%.6f", F.col("value")))
+    w = Window.partitionBy("pk").orderBy("tso")
+    ev = cdc.select(
+        "pk", "tso", F.expr("cast(pk as bigint) div 64").alias("chunk_id"), after.alias("a")
+    ).withColumn("b", F.lag("a").over(w))
+
+    def h(col):
+        return (
+            F.when(col.isNull(), F.lit(0))
+            .otherwise(F.conv(F.substring(F.md5(F.concat_ws(",", F.col("pk"), col)), 1, 8), 16, 10))
+            .cast("long")
+        )
+
+    deltas = ev.select("chunk_id", "tso", h(F.col("b")).bitwiseXOR(h(F.col("a"))).alias("d"))
+    half1 = deltas.where(F.col("tso") < f"{4:019d}").groupBy("chunk_id").agg(
+        F.expr("bit_xor(d)").alias("x")
+    )
+    half2 = deltas.where(F.col("tso") >= f"{4:019d}").groupBy("chunk_id").agg(
+        F.expr("bit_xor(d)").alias("x")
+    )
+    folded = {
+        r["chunk_id"]: r
+        for r in half1.join(half2, "chunk_id", "full_outer")
+        .select(
+            "chunk_id",
+            (F.coalesce(half1["x"], F.lit(0)).bitwiseXOR(F.coalesce(half2["x"], F.lit(0)))).alias(
+                "x"
+            ),
+        )
+        .collect()
+    }
+    for cid, r in out.items():
+        assert folded[cid]["x"] == r["inc_checksum"]
