@@ -274,3 +274,31 @@ def test_connected_components_plan_size_constant_per_round(spark):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         sizes.append(len(edges._jdf.queryExecution().optimizedPlan().toString()))
     assert max(sizes) <= min(sizes) * 1.5, f"plan grew across rounds: {sizes}"
+
+
+def test_q6_predicates_push_to_scan_no_join(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "Join" not in plan, plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:400], plan
+    # partial agg on the scan side: exactly one exchange (the 1-row final agg)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1, plan
+
+
+def test_q13_left_outer_preserves_customers(spark):
+    plan = _plan(spark, "q13_customer_distribution")
+    # ON-clause filter must not degrade the outer join to inner
+    assert "LeftOuter" in plan or "left_outer" in plan.lower(), plan
+
+
+def test_q16_anti_join_is_broadcast(spark):
+    plan = _plan(spark, "q16_supplier_part_count")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q19_join_is_broadcast_with_pushed_base_filters(spark):
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
