@@ -57,6 +57,20 @@ def _qdist(qv_col, cvec: list[int]):
     )
 
 
+
+def _init_key(id_col: str):
+    """Deterministic pseudo-random order for centroid init: salted
+    md5-prefix of the id (the repo's standard cross-engine 'seeded
+    random'). Ordering init by raw id is degenerate when ids correlate
+    with geometry (e.g. clustered corpora written cluster-by-cluster);
+    the hash order spreads the k seeds across the corpus."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kminit:"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
 def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Map-only nearest-centroid assignment: argmin over k literal
     centroids via lexicographic ``array_min(struct(dist, cid))`` — ties
@@ -95,7 +109,7 @@ def kmeans_fit_assign(
     bounded pattern as Spark MLlib KMeans."""
     q = quantize_vectors(df, id_col, vec_col, scale).persist()
     try:
-        init = q.orderBy(id_col).limit(k).collect()
+        init = q.orderBy(_init_key(id_col), id_col).limit(k).collect()
         cents: list[tuple[int, list[int]]] = [(i, list(r["qv"])) for i, r in enumerate(init)]
         dim = len(cents[0][1])
         sum_aggs = [F.count(F.lit(1)).alias("n")] + [
@@ -153,3 +167,149 @@ def cluster_purity(
         F.col("cnt").cast("long").alias("n_majority"),
         F.expr("(10000 * cnt) div n_vecs").cast("long").alias("purity_bp"),
     ).orderBy("cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path
+# ---------------------------------------------------------------------------
+
+
+def _subvec(col, lo: int, hi: int):
+    """Array slice [lo, hi) of an array column (0-based half-open)."""
+    return F.slice(col, lo + 1, hi - lo)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    train_limit: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> list[list[tuple[int, list[int]]]]:
+    """Train per-subspace codebooks: split the vector into ``m`` contiguous
+    subvectors and run quantized Lloyd (k centroids, ``n_iter`` rounds) in
+    each subspace over a bounded deterministic training sample (the
+    ``train_limit`` lowest ids — codebooks are k·m·(dim/m) integers, a
+    driver-side model like IVF's coarse centroids). Returns
+    ``codebooks[s] = [(code, centroid), ...]``."""
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    sample = q.orderBy(id_col).limit(train_limit).persist()
+    try:
+        dim = len(sample.first()["qv"])
+        sub = dim // m
+        books: list[list[tuple[int, list[int]]]] = []
+        for s in range(m):
+            sq = sample.select(id_col, _subvec(F.col("qv"), s * sub, (s + 1) * sub).alias("qv"))
+            init = sq.orderBy(_init_key(id_col), id_col).limit(k).collect()
+            cents = [(i, list(r["qv"])) for i, r in enumerate(init)]
+            sum_aggs = [F.count(F.lit(1)).alias("n")] + [
+                F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(sub)
+            ]
+            for _ in range(n_iter):
+                stats = _assign(sq, cents).groupBy("cluster_id").agg(*sum_aggs).collect()
+                by_cid = {r["cluster_id"]: r for r in stats}
+                cents = [
+                    (
+                        cid,
+                        old
+                        if by_cid.get(cid) is None
+                        else [by_cid[cid][f"s{i}"] // by_cid[cid]["n"] for i in range(sub)],
+                    )
+                    for cid, old in cents
+                ]
+            books.append(cents)
+        return books
+    finally:
+        sample.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Encode every vector as ``m`` small codes (nearest codebook entry per
+    subspace). Map-only — all m argmins are Catalyst expressions over the
+    quantized vector; at 100 TB this is the compression scan that shrinks
+    a 64-float row to m bytes (here m ints), the payload ANN then serves
+    from memory."""
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    m = len(codebooks)
+    dim_sub = len(codebooks[0][0][1])
+    codes = []
+    for s, cents in enumerate(codebooks):
+        sv = _subvec(F.col("qv"), s * dim_sub, (s + 1) * dim_sub)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(_qdist(sv, cv).alias("dist"), F.lit(cid).alias("cid"))
+                    for cid, cv in cents
+                ]
+            )
+        )
+        codes.append(best.getField("cid"))
+    return q.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: exact query subvectors against the
+    corpus's PQ codes. Per query a ``m × k_codes`` integer lookup table of
+    subspace distances is built driver-side (tiny model math) and joined
+    in as a literal via a broadcast query frame; scoring is one
+    ``transform + aggregate`` over the code array — scan-shaped, zero
+    Python, no full-vector reads for the corpus side at serve time."""
+    from pyspark.sql import Window
+
+    codes = pq_encode(df, codebooks, id_col, vec_col, scale)
+    qvecs = {
+        r[id_col]: list(r["qv"])
+        for r in quantize_vectors(
+            df.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, scale
+        ).collect()
+    }
+    m = len(codebooks)
+    dim_sub = len(codebooks[0][0][1])
+    rows = []
+    for qid in query_ids:
+        qv = qvecs[qid]
+        lut = [
+            [
+                sum(
+                    (qv[s * dim_sub + d] - cv[d]) ** 2
+                    for d in range(dim_sub)
+                )
+                for _cid, cv in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+        rows.append((qid, lut))
+    spark = df.sparkSession
+    luts = spark.createDataFrame(rows, f"query_id long, lut array<array<bigint>>")
+    scored = codes.crossJoin(F.broadcast(luts)).filter(F.col(id_col) != F.col("query_id"))
+    adc = F.aggregate(
+        F.expr("transform(codes, (c, i) -> lut[i][c])"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ranked = scored.select(
+        "query_id", F.col(id_col).alias("nbr_id"), adc.alias("adc_dist")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "rank", "nbr_id", "adc_dist")

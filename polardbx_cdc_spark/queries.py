@@ -2712,8 +2712,12 @@ def _kmeans_ctes(k: int = 10, n_iter: int = 3, scale: int = 1000, dim: int = 64)
     parts = [
         f"""q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
       x -> CAST(round(x*{scale}) AS BIGINT)) AS qv FROM embeddings)""",
-        f"""c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
-      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k}))""",
+        f"""c0 AS (SELECT (row_number() OVER (
+        ORDER BY CAST('0x'||substr(md5('kminit:'||CAST(vec_id AS VARCHAR)),1,8) AS BIGINT), vec_id)) - 1 AS cid,
+        qv AS cv
+      FROM (SELECT * FROM q
+            ORDER BY CAST('0x'||substr(md5('kminit:'||CAST(vec_id AS VARCHAR)),1,8) AS BIGINT), vec_id
+            LIMIT {k}))""",
     ]
     for it in range(1, n_iter + 1):
         parts.append(assign(f"a{it}", f"c{it - 1}"))
@@ -3120,3 +3124,93 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+def _pq_codes_ctes(m: int = 2, k: int = 4, n_iter: int = 1, scale: int = 1000,
+                   dim: int = 64, train_limit: int = 256) -> str:
+    """Unrolled DuckDB replay of clustering.pq_train + pq_encode: per
+    subspace, quantized Lloyd over the bounded training sample (lowest
+    ids), then nearest-code assignment of the whole corpus. Same exact
+    int64 math and (dist, cid) tie-break as the k-means oracle."""
+    sub = dim // m
+    parts = [
+        f"""q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      x -> CAST(round(x*{scale}) AS BIGINT)) AS qv FROM embeddings)"""
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        dist = (
+            f"CAST(list_sum(list_transform(range(1,{sub + 1}),"
+            " i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT)"
+        )
+        parts.append(f"qs{s} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM q)")
+        parts.append(
+            f"samp{s} AS (SELECT vec_id, qv FROM qs{s} ORDER BY vec_id LIMIT {train_limit})"
+        )
+        parts.append(
+            f"""c{s}_0 AS (SELECT (row_number() OVER (
+        ORDER BY CAST('0x'||substr(md5('kminit:'||CAST(vec_id AS VARCHAR)),1,8) AS BIGINT), vec_id)) - 1 AS cid,
+        qv AS cv
+      FROM (SELECT * FROM samp{s}
+            ORDER BY CAST('0x'||substr(md5('kminit:'||CAST(vec_id AS VARCHAR)),1,8) AS BIGINT), vec_id
+            LIMIT {k}))"""
+        )
+        for it in range(1, n_iter + 1):
+            parts.append(f"""a{s}_{it} AS (SELECT vec_id, cid FROM (
+      SELECT t.vec_id, t.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY t.dist, t.cid) AS rn
+      FROM (SELECT q.vec_id, c.cid, {dist} AS dist FROM samp{s} q, c{s}_{it - 1} c) t) z
+      WHERE rn = 1)""")
+            parts.append(f"""u{s}_{it} AS (SELECT cid, list(mm ORDER BY i) AS cv FROM (
+      SELECT cid, i, (sm - ((sm % n + n) % n)) // n AS mm FROM (
+        SELECT a.cid, t.i, CAST(sum(q.qv[t.i]) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS n
+        FROM a{s}_{it} a JOIN samp{s} q USING (vec_id), range(1,{sub + 1}) t(i)
+        GROUP BY a.cid, t.i) z) zz GROUP BY cid)""")
+            parts.append(
+                f"c{s}_{it} AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv"
+                f" FROM c{s}_{it - 1} c LEFT JOIN u{s}_{it} u USING (cid))"
+            )
+        parts.append(f"""code{s} AS (SELECT vec_id, cid AS code FROM (
+      SELECT t.vec_id, t.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY t.dist, t.cid) AS rn
+      FROM (SELECT q.vec_id, c.cid, {dist} AS dist FROM qs{s} q, c{s}_{n_iter} c) t) z
+      WHERE rn = 1)""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "embed_pq_codes",
+    f"""
+    WITH {_pq_codes_ctes()}
+    SELECT c0.vec_id, c0.code AS code_0, c1.code AS code_1
+    FROM code0 c0 JOIN code1 c1 USING (vec_id)
+    """,
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode, cross-engine checked end-to-end on a
+    compact config (m=2 subspaces × 4 codes × 1 Lloyd round): train the
+    per-subspace codebooks on the bounded sample, then the map-only
+    nearest-code scan. The serving config (m=8 × 16, ``embed_pq_topk``)
+    uses the identical code path."""
+    from polardbx_cdc_spark.functions import clustering
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = clustering.pq_train(e, m=2, k=4, n_iter=1, train_limit=256)
+    codes = clustering.pq_encode(e, books)
+    return codes.select(
+        "vec_id",
+        F.col("codes")[0].cast("long").alias("code_0"),
+        F.col("codes")[1].cast("long").alias("code_1"),
+    ).orderBy("vec_id")
+
+
+@register("embed_pq_topk", None)  # ADC serve path → rows-only check + laws
+def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN serve path: 8×16 codebooks, asymmetric-distance top-5 for
+    the standard query set. The corpus is scanned as m-byte codes with a
+    broadcast per-query lookup table — the memory-scale path that lets
+    100 TB of embeddings serve from a fraction of the footprint
+    (IVF prunes candidates, PQ compresses them; both compose)."""
+    from polardbx_cdc_spark.functions import clustering
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = clustering.pq_train(e, m=8, k=16, n_iter=2, train_limit=256)
+    return clustering.pq_topk(e, books, _QUERY_IDS, k=5)

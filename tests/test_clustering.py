@@ -84,3 +84,50 @@ def test_purity_bounds_and_tiebreak(spark):
     assert rows[0]["majority_label"] == 7 and rows[0]["purity_bp"] == 6666
     assert rows[1]["majority_label"] == 2 and rows[1]["purity_bp"] == 5000
     assert all(0 <= r["purity_bp"] <= 10000 for r in rows.values())
+
+
+def _blob_vecs(spark, n_blobs=4, per_blob=12, dim=8):
+    """Well-separated blobs: blob b lives at corner b with ±0.01 jitter."""
+    rows = []
+    for b in range(n_blobs):
+        base = [1.0 if (b >> d) & 1 else -1.0 for d in range(dim)]
+        for j in range(per_blob):
+            rows.append(
+                (b * 100 + j, [v + 0.01 * ((j + d) % 3 - 1) for d, v in enumerate(base)])
+            )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_is_map_only(spark):
+    from polardbx_cdc_spark.functions import clustering
+
+    vecs = _blob_vecs(spark)
+    books = clustering.pq_train(vecs, m=2, k=4, n_iter=1, train_limit=32)
+    plan = _plan_of(clustering.pq_encode(vecs, books))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_pq_codes_in_range_and_deterministic(spark):
+    from polardbx_cdc_spark.functions import clustering
+
+    vecs = _blob_vecs(spark)
+    books = clustering.pq_train(vecs, m=4, k=4, n_iter=2, train_limit=48)
+    a = sorted((r["vec_id"], tuple(r["codes"])) for r in clustering.pq_encode(vecs, books).collect())
+    b = sorted((r["vec_id"], tuple(r["codes"])) for r in clustering.pq_encode(vecs, books).collect())
+    assert a == b
+    assert all(len(codes) == 4 and all(0 <= c < 4 for c in codes) for _, codes in a)
+
+
+def test_pq_topk_recalls_same_blob(spark):
+    """On separated blobs every ADC top-1 neighbor must come from the
+    query's own blob — the recall law PQ compression must preserve."""
+    from polardbx_cdc_spark.functions import clustering
+
+    vecs = _blob_vecs(spark)
+    books = clustering.pq_train(vecs, m=2, k=8, n_iter=3, train_limit=48)
+    qids = [0, 100, 200, 300]
+    top = clustering.pq_topk(vecs, books, qids, k=3).collect()
+    assert {r["query_id"] for r in top} == set(qids)
+    for r in top:
+        assert r["nbr_id"] // 100 == r["query_id"] // 100, r
