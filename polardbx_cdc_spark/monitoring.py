@@ -109,3 +109,66 @@ class AlarmMonitor:
 
         self.alarms.extend(fresh)
         return fresh
+
+
+class MetricsCollector:
+    """Cluster-wide streaming metrics as a queryable surface: a
+    ``StreamingQueryListener`` that captures every micro-batch's progress
+    (the reference's MetricsManager reporting loop —
+    polardbx-cdc-monitor/.../MetricsManager prints the same gauges from
+    its own scheduler) and exposes the history as a DataFrame for the
+    admin/metrics queries.
+
+    Listener callbacks run on the driver's listener bus — constant
+    bookkeeping per batch, nothing on the data path. ``report(spark)``
+    materializes (query_id, batch_id, ts, num_input_rows, input_rps,
+    process_rps, state_rows, watermark)."""
+
+    SCHEMA = (
+        "query_id string, batch_id long, ts string, num_input_rows long, "
+        "input_rps double, process_rps double, state_rows long, watermark string"
+    )
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        collector = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                p = event.progress
+                state_rows = sum(s.numRowsTotal for s in p.stateOperators) if p.stateOperators else 0
+                collector.rows.append(
+                    (
+                        str(p.id),
+                        int(p.batchId),
+                        str(p.timestamp),
+                        int(p.numInputRows),
+                        float(p.inputRowsPerSecond or 0.0),
+                        float(p.processedRowsPerSecond or 0.0),
+                        int(state_rows),
+                        str((p.eventTime or {}).get("watermark", "")),
+                    )
+                )
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        self.rows: list[tuple] = []
+        self._listener = _L()
+
+    def attach(self, spark) -> "MetricsCollector":
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark) -> None:
+        spark.streams.removeListener(self._listener)
+
+    def report(self, spark):
+        return spark.createDataFrame(self.rows or [], self.SCHEMA)

@@ -74,3 +74,37 @@ def test_monitor_consumes_real_stream_progress(spark, tmp_path):
         m.observe_progress(p, now_ms)
     # events.parquet timestamps are from 2024 — delay alarm must fire
     assert any(a.kind == DELAY_EXCEEDED for a in m.alarms)
+
+
+def test_metrics_collector_captures_progress(spark, sf_dir):
+    """Listener-based metrics: run a bounded stream and the collector must
+    surface per-batch throughput rows as a DataFrame."""
+    import time
+
+    from polardbx_cdc_spark import monitoring
+    from polardbx_cdc_spark.streaming import source as src_mod
+
+    mc = monitoring.MetricsCollector().attach(spark)
+    try:
+        q = (
+            src_mod.cdc_stream(spark, sf_dir)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # progress events are posted async on the listener bus
+        deadline = time.time() + 20
+        while time.time() < deadline and not mc.rows:
+            time.sleep(0.25)
+    finally:
+        mc.detach(spark)
+    rep = mc.report(spark)
+    rows = rep.collect()
+    assert rows, "no progress captured"
+    assert sum(r["num_input_rows"] for r in rows) > 0
+    assert all(r["process_rps"] >= 0.0 for r in rows)
+    assert set(rep.columns) == {
+        "query_id", "batch_id", "ts", "num_input_rows",
+        "input_rps", "process_rps", "state_rows", "watermark",
+    }
