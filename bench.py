@@ -42,6 +42,17 @@ HEADLINE = [
     "cdc_seek_by_timestamp",
     "curation_quality_filter",
     "curation_pack_sequences",
+    # round 4 additions
+    "cdc_txn_integrity",
+    "cdc_incremental_checksum",
+    "rpl_reconcile_repair",
+    "curation_mixture_weights",
+    "embed_kmeans_assign",
+    "embed_pq_codes",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q16_supplier_part_count",
+    "q19_disjunctive_revenue",
 ]
 
 

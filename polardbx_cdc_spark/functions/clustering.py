@@ -71,19 +71,31 @@ def _init_key(id_col: str):
     ).cast("long")
 
 
-def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
-    """Map-only nearest-centroid assignment: argmin over k literal
-    centroids via lexicographic ``array_min(struct(dist, cid))`` — ties
-    break on the lower cluster id, matching the oracle's
-    ``ORDER BY dist, cid`` row_number."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(_qdist(F.col("qv"), cv).alias("dist"), F.lit(cid).alias("cid"))
-                for cid, cv in cents
-            ]
-        )
+def _nearest(qv_col, cents: list[tuple[int, list[int]]]):
+    """struct(dist, cid) of the nearest centroid — argmin via
+    lexicographic ``array_min``, ties on the lower cluster id (matching
+    the oracle's ``ORDER BY dist, cid`` row_number). The centroid matrix
+    is ONE nested-array Literal node, not k×dim CreateArray children:
+    per-iteration driver planning stays O(1) in k·dim (640-node trees
+    cost ~2s of analysis per query; the single Literal is free)."""
+    cents_lit = F.lit([[int(v) for v in cv] for _, cv in cents]).cast("array<array<bigint>>")
+    cids_lit = F.lit([int(cid) for cid, _ in cents]).cast("array<int>")
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(qv_col, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
+    return F.array_min(
+        F.zip_with(dists, cids_lit, lambda d, c: F.struct(d.alias("dist"), c.alias("cid")))
+    )
+
+
+def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Map-only nearest-centroid assignment (zero shuffle, zero Python)."""
+    best = _nearest(F.col("qv"), cents)
     return q.select(
         "*",
         best.getField("cid").alias("cluster_id"),
@@ -244,15 +256,7 @@ def pq_encode(
     codes = []
     for s, cents in enumerate(codebooks):
         sv = _subvec(F.col("qv"), s * dim_sub, (s + 1) * dim_sub)
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(_qdist(sv, cv).alias("dist"), F.lit(cid).alias("cid"))
-                    for cid, cv in cents
-                ]
-            )
-        )
-        codes.append(best.getField("cid"))
+        codes.append(_nearest(sv, cents).getField("cid"))
     return q.select(F.col(id_col), F.array(*codes).alias("codes"))
 
 
