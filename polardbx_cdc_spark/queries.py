@@ -3202,7 +3202,36 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register("embed_pq_topk", None)  # ADC serve path → rows-only check + laws
+def _pq_topk_oracle(m: int = 8, k: int = 16, n_iter: int = 2, dim: int = 64) -> str:
+    """ADC top-k replay: the pq-codes CTE chain (full serve config), then
+    per-subspace exact integer distances from each query subvector to
+    every corpus vector's assigned centroid, summed across subspaces."""
+    sub = dim // m
+    qid_list = ", ".join(str(i) for i in _QUERY_IDS)
+    terms = "\n      UNION ALL ".join(
+        f"""SELECT qq.vec_id AS query_id, cd.vec_id AS nbr_id,
+        CAST(list_sum(list_transform(range(1,{sub + 1}),
+          i -> (qq.qv[i]-cb.cv[i])*(qq.qv[i]-cb.cv[i]))) AS BIGINT) AS d
+      FROM (SELECT vec_id, qv FROM qs{s} WHERE vec_id IN ({qid_list})) qq,
+           code{s} cd JOIN c{s}_{n_iter} cb ON cb.cid = cd.code"""
+        for s in range(m)
+    )
+    return f"""
+    WITH {_pq_codes_ctes(m=m, k=k, n_iter=n_iter, dim=dim)},
+    terms AS ({terms}),
+    adc AS (
+      SELECT query_id, nbr_id, CAST(sum(d) AS BIGINT) AS adc_dist
+      FROM terms WHERE query_id <> nbr_id GROUP BY query_id, nbr_id
+    )
+    SELECT query_id, rank, nbr_id, adc_dist FROM (
+      SELECT query_id, nbr_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, nbr_id) AS rank
+      FROM adc) t
+    WHERE rank <= 5
+    """
+
+
+@register("embed_pq_topk", _pq_topk_oracle())
 def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN serve path: 8×16 codebooks, asymmetric-distance top-5 for
     the standard query set. The corpus is scanned as m-byte codes with a
