@@ -540,3 +540,52 @@ def mixture_weights(
         .cast("long")
         .alias("boost_bp"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / long-context prep): split
+    each document into ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap``, emitting the chunk text and its token
+    span. One generate-spans projection + one explode — no shuffle, no
+    Python; chunk counts are exact integer math so both engines cut
+    identical windows. The final chunk is the remainder (may be short);
+    a document shorter than one window yields exactly one chunk."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    from polardbx_cdc_spark.functions import text as text_fn
+
+    step = chunk_tokens - overlap
+    base = docs.select(id_col, text_fn.tokens(F.col(text_col)).alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    n = F.col("_n")
+    # chunks = 1 if n <= chunk else ceil((n - chunk)/step) + 1 (last chunk
+    # always reaches token n; may be shorter than a full window)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.expr(f"(_n - {chunk_tokens} + {step} - 1) div {step}") + 1
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            (i * step).alias("start_tok"),
+            F.least(i * step + chunk_tokens, n).alias("end_tok"),
+        ),
+    )
+    ex = base.select(id_col, "_toks", F.explode(spans).alias("c"))
+    return ex.select(
+        F.col(id_col),
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.start_tok").cast("long").alias("start_tok"),
+        F.col("c.end_tok").cast("long").alias("end_tok"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("c.start_tok") + 1, F.col("c.end_tok") - F.col("c.start_tok")),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -3243,3 +3243,34 @@ def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     books = clustering.pq_train(e, m=8, k=16, n_iter=2, train_limit=256)
     return clustering.pq_topk(e, books, _QUERY_IDS, k=5)
+
+
+@register(
+    "curation_chunk_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 20 THEN 1
+                  ELSE (len(toks) - 20 + 15 - 1) // 15 + 1 END AS n_chunks
+      FROM base
+    )
+    , ex AS (
+      SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS i FROM sized
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 15 AS BIGINT) AS start_tok,
+           CAST(least(i * 15 + 20, n) AS BIGINT) AS end_tok,
+           array_to_string(toks[i*15+1:least(i*15+20, n)], ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of the corpus (20-token windows, 5-token
+    overlap — RAG/long-context prep): exact integer window math, one
+    explode, no shuffle; chunk text and token spans verified
+    value-for-value cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.chunk_documents(d, chunk_tokens=20, overlap=5)

@@ -301,3 +301,29 @@ def test_mixture_weights_laws(spark):
     # …and down-samples the dominant one
     assert rows["big"]["boost_bp"] < 10_000
     assert all(r["w_ppm"] >= 0 for r in rows.values())
+
+
+def test_chunk_documents_spans_and_text(spark):
+    from polardbx_cdc_spark.functions import curation
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(300))), (2, "a b c"),
+         (3, " ".join(f"x{i}" for i in range(224)))],
+        "doc_id long, text string",
+    )
+    out = curation.chunk_documents(docs, 128, 32).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # short doc → exactly one (possibly short) chunk
+    assert [(r["start_tok"], r["end_tok"]) for r in by_doc[2]] == [(0, 3)]
+    assert by_doc[2][0]["chunk_text"] == "a b c"
+    # sliding windows advance by chunk - overlap and always reach the end
+    assert [(r["start_tok"], r["end_tok"]) for r in by_doc[1]] == [(0, 128), (96, 224), (192, 300)]
+    assert [(r["start_tok"], r["end_tok"]) for r in by_doc[3]] == [(0, 128), (96, 224)]
+    # chunk text round-trips the token slice
+    assert by_doc[1][1]["chunk_text"].split(" ")[0] == "t96"
+    assert by_doc[1][2]["chunk_text"].split(" ")[-1] == "t299"
+    # overlap invariant: consecutive chunks share `overlap` tokens
+    a, b = by_doc[1][0], by_doc[1][1]
+    assert a["end_tok"] - b["start_tok"] == 32
