@@ -216,3 +216,26 @@ def incremental_checksum(cdc: DataFrame, chunk_size: int = 64) -> DataFrame:
         )
         .orderBy("chunk_id")
     )
+
+
+def checksum_delta(batch: DataFrame, chunk_size: int = 64) -> DataFrame:
+    """Streaming form of :func:`incremental_checksum`: one micro-batch of
+    events carrying TRUE before/after images (columns ``pk``,
+    ``before_img``, ``after_img`` — what a real CDC feed delivers) →
+    per-chunk XOR delta. foreachBatch XORs the delta into the running
+    per-chunk state; order between batches does not matter (XOR is
+    commutative/associative), so retries and re-ordered lanes fold to the
+    same state. One map-side-combined aggregate per batch."""
+    def h_img(col):
+        return F.when(col.isNull(), F.lit(0)).otherwise(
+            F.conv(F.substring(F.md5(F.concat_ws(",", F.col("pk"), col)), 1, 8), 16, 10)
+        ).cast("long")
+
+    return (
+        batch.select(
+            F.expr(f"cast(pk as bigint) div {chunk_size}").alias("chunk_id"),
+            h_img(F.col("before_img")).bitwiseXOR(h_img(F.col("after_img"))).alias("delta"),
+        )
+        .groupBy("chunk_id")
+        .agg(F.expr("bit_xor(delta)").alias("delta"))
+    )

@@ -966,3 +966,74 @@ def test_socket_live_ingest(spark, sf_dir):
     for sid in {r["source_id"] for r in out}:
         tsos = [r["tso"] for r in out if r["source_id"] == sid]
         assert len(set(tsos)) == len(tsos)
+
+
+def test_streaming_continuous_validation_folds_to_table_checksum(spark, tmp_path):
+    """Continuous validation in-stream: a CDC feed with true before/after
+    images arrives over 3 micro-batches; foreachBatch XORs each batch's
+    per-chunk delta into running state. The folded state must equal the
+    per-chunk checksum of the final live table — no rescan ever needed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.operators import validation
+
+    # coherent per-pk histories with explicit before images, split 3 ways
+    history = {
+        "1": [("INSERT", None, "10"), ("UPDATE", "10", "11"), ("UPDATE", "11", "12")],
+        "2": [("INSERT", None, "20"), ("DELETE", "20", None)],
+        "3": [("UPDATE", None, "30")],
+        "70": [("INSERT", None, "70"), ("UPDATE", "70", "71")],
+        "80": [("INSERT", None, "80"), ("DELETE", "80", None), ("INSERT", None, "81")],
+    }
+    events = []
+    i = 0
+    for pk, evs in history.items():
+        for action, before, after in evs:
+            events.append((pk, f"{i:019d}", action, before, after))
+            i += 1
+    batches = [events[0::3], events[1::3], events[2::3]]  # interleaved lanes
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "pk string, tso string, action string, before_img string, after_img string"
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    state: dict[int, int] = {}
+
+    def fold(batch_df, batch_id):
+        for r in validation.checksum_delta(batch_df, 64).collect():
+            state[r["chunk_id"]] = state.get(r["chunk_id"], 0) ^ r["delta"]
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # final live table: last after image per pk where not deleted
+    final = [(pk, evs[-1][2]) for pk, evs in history.items() if evs[-1][2] is not None]
+    direct = {
+        r["chunk_id"]: r["checksum"]
+        for r in spark.createDataFrame(final, "pk string, img string")
+        .select(
+            F.expr("cast(pk as bigint) div 64").alias("chunk_id"),
+            F.conv(F.substring(F.md5(F.concat_ws(",", "pk", "img")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("chunk_id")
+        .agg(F.expr("bit_xor(h)").alias("checksum"))
+        .collect()
+    }
+    live_state = {k: v for k, v in state.items() if v != 0}
+    assert live_state == direct
