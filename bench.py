@@ -121,6 +121,7 @@ def main() -> None:
     # same steady-state methodology as the batch queries: one warm-up run
     # (streaming-plan codegen + state-store init are first-run costs, ~5x
     # the steady rate), then best-of-2 timed runs
+    stream_eps = None
     try:
         if os.environ.get("SPARK_GRAFT_NO_WARMUP", "") != "1":
             _bench_streaming_pipeline(spark, sf_dir)
@@ -129,7 +130,8 @@ def main() -> None:
         dt = min(dt, dt2)
         timings["stream_binlog_pipeline"] = round(dt, 3)
         total += dt
-        print(f"# stream_binlog_pipeline: {dt:.3f}s ({n} events sunk)", file=sys.stderr)
+        stream_eps = round(n / dt, 1) if dt > 0 else 0.0
+        print(f"# stream_binlog_pipeline: {dt:.3f}s ({n} events sunk, {stream_eps} ev/s)", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001
         errors["stream_binlog_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# stream_binlog_pipeline: FAILED {errors['stream_binlog_pipeline']}", file=sys.stderr)
@@ -228,6 +230,10 @@ def main() -> None:
 
     payload = {
         "metric": "headline_queries_total_time",
+        # end-to-end streaming throughput (events/sec through the full
+        # watermarked merge + ordered rotated binlog sink) — the axis the
+        # reference is judged on (throughput/delay, BASELINE.md)
+        "stream_events_per_sec": stream_eps,
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
