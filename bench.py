@@ -53,6 +53,7 @@ HEADLINE = [
     "q13_customer_distribution",
     "q16_supplier_part_count",
     "q19_disjunctive_revenue",
+    "curation_chunk_documents",
 ]
 
 
@@ -174,6 +175,12 @@ def main() -> None:
             "dedup_cluster_groups",
             "embed_cosine_topk",
             "curation_quality_filter",
+            # round 4: kmeans is driver-planning-dominated at sf0.1 — the
+            # stress ratio proves the cost is flat in data size
+            "embed_kmeans_assign",
+            "cdc_incremental_checksum",
+            "curation_chunk_documents",
+            "q19_disjunctive_revenue",
         ]
         try:
             factor = 10.0

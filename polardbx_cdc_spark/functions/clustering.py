@@ -103,16 +103,16 @@ def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     )
 
 
-def kmeans_fit_assign(
+def kmeans_fit(
     df: DataFrame,
     k: int = 10,
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = DEFAULT_SCALE,
-) -> DataFrame:
-    """Fixed-iteration quantized Lloyd k-means; returns the final
-    assignment ``(id, cluster_id, dist)``.
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
+    """Fixed-iteration quantized Lloyd k-means; returns the trained
+    centroids and the final assignment ``(id, cluster_id, dist)``.
 
     Deterministic by construction: init centroids are the k lowest-id
     vectors (cid = rank in id order), every iteration's assignment and
@@ -143,11 +143,23 @@ def kmeans_fit_assign(
                     # the non-negative remainder)
                     new_cents.append((cid, [r[f"s{i}"] // n for i in range(dim)]))
             cents = new_cents
-        return _assign(q, cents).select(
+        return cents, _assign(q, cents).select(
             F.col(id_col), F.col("cluster_id"), F.col("dist")
         )
     finally:
         q.unpersist()
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    k: int = 10,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Assignment-only view of :func:`kmeans_fit`."""
+    return kmeans_fit(df, k, n_iter, id_col, vec_col, scale)[1]
 
 
 def cluster_purity(
@@ -317,3 +329,65 @@ def pq_topk(
         ),
     )
     return ranked.where(F.col("rank") <= k).select("query_id", "rank", "nbr_id", "adc_dist")
+
+
+def ivf_topk_quantized(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 10,
+    n_probe: int = 3,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """IVF ANN with the quantized-Lloyd coarse quantizer: cells and probe
+    selection are exact integer math (fully deterministic, oracle-
+    replayable end-to-end — the MLlib variant in similarity.ivf_topk keeps
+    the float fit), final scoring is exact cosine over the probed cells
+    only. Probe choice happens driver-side over the k-row centroid model;
+    the corpus is touched once for assignment (map-only) and once for the
+    candidate join (broadcast of queries×probes)."""
+    from pyspark.sql import Window
+
+    from polardbx_cdc_spark.functions import similarity
+
+    cents, assigned = kmeans_fit(df, n_centroids, n_iter, id_col, vec_col, scale)
+    qvecs = {
+        r[id_col]: list(r["qv"])
+        for r in quantize_vectors(
+            df.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, scale
+        ).collect()
+    }
+    probe_rows = []
+    for qid in query_ids:
+        qv = qvecs[qid]
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid) for cid, cv in cents
+        )
+        probe_rows += [(qid, cid) for _d, cid in dists[:n_probe]]
+    probes = df.sparkSession.createDataFrame(probe_rows, "query_id long, cell int")
+
+    corpus = assigned.join(df.select(id_col, vec_col), id_col).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col("cluster_id").alias("cell"),
+        F.col(vec_col).alias("nbr_vec"),
+    )
+    queries = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_cells = F.broadcast(probes.join(queries, "query_id"))
+    scored = corpus.join(
+        q_cells, (corpus.cell == q_cells.cell) & (F.col("nbr_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        "nbr_id",
+        F.round(similarity.cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cos_sim")
+    )
