@@ -196,3 +196,75 @@ def test_replication_filter_do_db_list_round_trip(dbs):
     a = ReplicaAdmin()
     a.execute(f"CHANGE REPLICATION FILTER REPLICATE_DO_DB=({','.join(dbs)}) FOR CHANNEL 'c'")
     assert a.channels["c"].filter.do_dbs == dbs
+
+
+# ---------------------------------------------------------------------------
+# incremental checksum: XOR-telescoping algebra (pure model) + Spark bridge
+# ---------------------------------------------------------------------------
+
+def _h_img(pk: str, img: str | None) -> int:
+    import hashlib
+
+    if img is None:
+        return 0
+    return int(hashlib.md5(f"{pk},{img}".encode()).hexdigest()[:8], 16)
+
+
+_actions = st.lists(
+    st.tuples(st.sampled_from(["INSERT", "UPDATE", "DELETE"]), st.integers(0, 999)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(st.dictionaries(st.integers(0, 200).map(str), _actions, min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_incremental_checksum_telescoping_algebra(histories):
+    """For ANY per-pk action history, folding h(before)⊕h(after) over the
+    events (before := previous event's after, h(None)=0) equals the hash
+    of the final live image — per chunk, independent of action semantics."""
+    folded: dict[int, int] = {}
+    final: dict[int, int] = {}
+    for pk, evs in histories.items():
+        chunk = int(pk) // 64
+        prev: str | None = None
+        for action, v in evs:
+            after = None if action == "DELETE" else f"{float(v):.6f}"
+            folded[chunk] = folded.get(chunk, 0) ^ _h_img(pk, prev) ^ _h_img(pk, after)
+            prev = after
+        if prev is not None:
+            final[chunk] = final.get(chunk, 0) ^ _h_img(pk, prev)
+    assert {k: v for k, v in folded.items() if v} == {k: v for k, v in final.items() if v}
+
+
+def test_incremental_checksum_spark_matches_python_model(spark):
+    """Seeded random history through the Spark operator vs the Python
+    model: identical per-chunk checksums (the bridge that pins the Spark
+    implementation — %.6f imaging, md5-prefix, chunking — to the algebra)."""
+    import random
+
+    from polardbx_cdc_spark.operators import validation
+
+    rng = random.Random(42)
+    rows, model_fold, model_live = [], {}, {}
+    i = 0
+    for pk in (str(p) for p in rng.sample(range(300), 40)):
+        prev = None
+        chunk = int(pk) // 64
+        for action, v in [
+            (rng.choice(["INSERT", "UPDATE", "DELETE"]), rng.randint(0, 999))
+            for _ in range(rng.randint(1, 6))
+        ]:
+            rows.append((pk, f"{i:019d}", action, float(v)))
+            i += 1
+            after = None if action == "DELETE" else f"{float(v):.6f}"
+            model_fold[chunk] = model_fold.get(chunk, 0) ^ _h_img(pk, prev) ^ _h_img(pk, after)
+            prev = after
+        if prev is not None:
+            model_live[chunk] = model_live.get(chunk, 0) ^ 0  # marker: chunk has a live row
+
+    cdc = spark.createDataFrame(rows, "pk string, tso string, action string, value double")
+    got = {r["chunk_id"]: r for r in validation.incremental_checksum(cdc, 64).collect()}
+    for chunk, want in model_fold.items():
+        assert got[chunk]["inc_checksum"] == want
+        assert got[chunk]["direct_checksum"] == want
