@@ -1037,3 +1037,87 @@ def test_streaming_continuous_validation_folds_to_table_checksum(spark, tmp_path
     }
     live_state = {k: v for k, v in state.items() if v != 0}
     assert live_state == direct
+
+
+def test_curation_tier_runs_unchanged_on_streams(spark, tmp_path):
+    """The LLM-tier MAP-ONLY operators (PII scrub, k-means assignment,
+    PQ encode) are plain Catalyst projections, so the SAME functions run
+    on a readStream frame without modification — and produce exactly the
+    batch results. This is the 100 TB deployment shape: scrub/cluster/
+    compress documents as they arrive, not in a second batch pass.
+    (Aggregating ops like quality_filter need the watermarked-window
+    streaming variants; the scan-shaped tier needs nothing.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.functions import clustering, curation
+
+    # batch reference
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = clustering.pq_train(vecs, m=2, k=4, n_iter=1)
+    cents, _ = clustering.kmeans_fit(vecs, k=4, n_iter=1)
+
+    batch_q = {
+        r["doc_id"]: (r["scrubbed_text"], r["n_email"], r["n_ip"], r["n_phone"])
+        for r in curation.pii_scrub(docs).collect()
+    }
+    batch_a = {
+        (r["vec_id"]): (r["cluster_id"], tuple(r["codes"]))
+        for r in clustering._assign(clustering.quantize_vectors(vecs), cents)
+        .select("vec_id", "cluster_id")
+        .join(clustering.pq_encode(vecs, books), "vec_id")
+        .collect()
+    }
+
+    # identical functions over streaming frames
+    from polardbx_cdc_spark.streaming.source import _as_stream_dir
+
+    doc_stream = spark.readStream.schema(docs.schema).parquet(
+        _as_stream_dir("/root/testdata/sf0.001", "documents")
+    )
+    vec_stream = spark.readStream.schema(vecs.schema).parquet(
+        _as_stream_dir("/root/testdata/sf0.001", "embeddings")
+    )
+    q1 = (
+        curation.pii_scrub(doc_stream)
+        .select("doc_id", "scrubbed_text", "n_email", "n_ip", "n_phone")
+        .writeStream.format("memory")
+        .queryName("stream_quality")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # one map-only projection computes both (no stream-stream join needed)
+    q_frame = clustering.quantize_vectors(vec_stream)
+    dim_sub = len(books[0][0][1])
+    code_cols = F.array(
+        *[
+            clustering._nearest(
+                clustering._subvec(F.col("qv"), s_i * dim_sub, (s_i + 1) * dim_sub), bk
+            ).getField("cid")
+            for s_i, bk in enumerate(books)
+        ]
+    )
+    fused = clustering._assign(q_frame, cents).select(
+        "vec_id", "cluster_id", code_cols.alias("codes")
+    )
+    q2 = (
+        fused.writeStream.format("memory")
+        .queryName("stream_cluster")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    stream_q = {
+        r["doc_id"]: (r["scrubbed_text"], r["n_email"], r["n_ip"], r["n_phone"])
+        for r in spark.sql("select * from stream_quality").collect()
+    }
+    stream_a = {
+        r["vec_id"]: (r["cluster_id"], tuple(r["codes"]))
+        for r in spark.sql("select * from stream_cluster").collect()
+    }
+    assert stream_q == batch_q and len(stream_q) > 0
+    assert stream_a == batch_a and len(stream_a) > 0
