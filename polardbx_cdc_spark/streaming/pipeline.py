@@ -801,3 +801,50 @@ def write_meta_ddl(spark, ddl_events: DataFrame, out_dir: str) -> int:
         # append, no rotation machinery needed
         out.orderBy("tso").write.mode("append").parquet(meta_dir)
     return n
+
+
+def compact_binlog(spark, out_dir: str, max_files_per_seq: int = 1) -> dict:
+    """Small-file compaction for a BinlogSink directory — the maintenance
+    job a 100 TB deployment schedules off-peak. Every micro-batch appends
+    part-files into its ``file_seq=N`` partitions; over days a partition
+    accumulates hundreds of tiny parquet files, and at scale the NameNode/
+    object-store listing plus per-file open cost dominates reads
+    (the reference rotates whole binlog files so never fragments; the
+    micro-batch sink trades that for parallel ingest and compacts here).
+
+    Per fragmented partition: read → sort by ``offset`` → rewrite as
+    ``max_files_per_seq`` files → atomic directory swap (stage + rename,
+    old dir kept as ``.pre_compact`` until the swap completes, then
+    removed). Content and order are bit-preserved — the read path
+    (``read_binlog``, catalog SHOW commands, seekLastTso recovery) sees
+    the identical frame. Returns {partitions_compacted, files_before,
+    files_after}."""
+    import glob as _glob
+    import os
+    import shutil
+
+    stats = {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+    for part_dir in sorted(_glob.glob(os.path.join(out_dir, "file_seq=*"))):
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        stats["files_before"] += len(files)
+        if len(files) <= max_files_per_seq:
+            stats["files_after"] += len(files)
+            continue
+        staged = part_dir + ".compacting"
+        backup = part_dir + ".pre_compact"
+        shutil.rmtree(staged, ignore_errors=True)
+        (
+            spark.read.parquet(part_dir)
+            .orderBy("offset")
+            .coalesce(max_files_per_seq)
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        os.rename(part_dir, backup)
+        os.rename(staged, part_dir)
+        shutil.rmtree(backup)
+        stats["partitions_compacted"] += 1
+        stats["files_after"] += len(
+            [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        )
+    return stats

@@ -1121,3 +1121,43 @@ def test_curation_tier_runs_unchanged_on_streams(spark, tmp_path):
     }
     assert stream_q == batch_q and len(stream_q) > 0
     assert stream_a == batch_a and len(stream_a) > 0
+
+
+def test_compact_binlog_preserves_content_and_reduces_files(spark, sf_dir, tmp_path):
+    """Compaction must shrink the per-file_seq file count while keeping the
+    sink's frame bit-identical (same rows, same offsets/order) and the
+    downstream read path (read_binlog) working."""
+    import glob
+    import os
+
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, sf_dir), out, ckpt, rotate_rows=500
+    )
+    q.awaitTermination(300)
+
+    # simulate days of micro-batch accumulation: shatter each partition
+    # into 5 small files (identical content, fragmented layout)
+    import shutil
+
+    for part_dir in glob.glob(os.path.join(out, "file_seq=*")):
+        staged = part_dir + ".frag"
+        spark.read.parquet(part_dir).repartition(5).write.mode("overwrite").parquet(staged)
+        shutil.rmtree(part_dir)
+        os.rename(staged, part_dir)
+
+    before = spark.read.parquet(out).orderBy("file_seq", "offset", "tso").collect()
+    files_before = len(glob.glob(os.path.join(out, "file_seq=*", "*.parquet")))
+
+    stats = pipeline.compact_binlog(spark, out, max_files_per_seq=1)
+    files_after = len(glob.glob(os.path.join(out, "file_seq=*", "*.parquet")))
+    after = spark.read.parquet(out).orderBy("file_seq", "offset", "tso").collect()
+
+    assert files_after < files_before
+    assert files_after == len(glob.glob(os.path.join(out, "file_seq=*")))
+    assert stats["partitions_compacted"] > 0
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    assert not glob.glob(os.path.join(out, "*.pre_compact"))
+    assert source.read_binlog(spark, out).count() > 0
