@@ -594,10 +594,18 @@ class ReplicaTableSink:
         table_dir: str,
         keys: tuple[str, ...] = ("db", "tbl", "pk"),
         n_buckets: int = 64,
+        keep_history: bool = False,
     ) -> None:
         self.table_dir = table_dir
         self.keys = keys
         self.n_buckets = n_buckets
+        #: with keep_history, superseded bucket versions are NOT GC'd on
+        #: write; every batch appends its manifest to MANIFEST.log.jsonl,
+        #: enabling ``as_of`` time travel until ``vacuum`` reclaims —
+        #: Delta/Iceberg snapshot semantics on the hand-rolled layout
+        #: (the CDC-side answer to the flashback/recovery tier: point-in-
+        #: time reads of the REPLICA, not just reverse SQL of the stream).
+        self.keep_history = keep_history
         self.last_rewritten_buckets: list[int] = []  # observability for tests
 
     # -- manifest -----------------------------------------------------------
@@ -624,6 +632,70 @@ class ReplicaTableSink:
 
     def _bucket_dir(self, bucket: int, version: int) -> str:
         return os.path.join(self.table_dir, f"b{bucket}", f"v{version}")
+
+    def _log_path(self) -> str:
+        return os.path.join(self.table_dir, "MANIFEST.log.jsonl")
+
+    def _append_snapshot(self, manifest: dict[str, int]) -> None:
+        import json
+
+        with open(self._log_path(), "a") as fh:
+            fh.write(json.dumps(manifest) + "\n")
+
+    def snapshots(self) -> list[dict[str, int]]:
+        """Committed manifest history, oldest first (keep_history mode)."""
+        import json
+
+        try:
+            with open(self._log_path()) as fh:
+                return [
+                    {k: int(v) for k, v in json.loads(line).items()}
+                    for line in fh
+                    if line.strip()
+                ]
+        except FileNotFoundError:
+            return []
+
+    def as_of(self, spark, snapshot: int) -> DataFrame | None:
+        """Time-travel read: the consistent state after commit #snapshot
+        (0-based; negative indexes from the end). Valid until ``vacuum``
+        drops the versions that snapshot references."""
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        manifest = snaps[snapshot]
+        if not manifest:
+            return spark.createDataFrame([], self.current(spark).schema)
+        paths = [self._bucket_dir(int(b), v) for b, v in manifest.items()]
+        return spark.read.parquet(*paths)
+
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Reclaim bucket versions unreferenced by the last ``retain_last``
+        snapshots (+ the live manifest). Returns directories removed.
+        Time travel older than the retained window stops working — the
+        same contract as Delta's VACUUM."""
+        import shutil
+
+        snaps = self.snapshots()
+        keep = snaps[-retain_last:] if retain_last > 0 else []
+        keep.append(self._load_manifest())
+        referenced = {(str(b), v) for m in keep for b, v in m.items()}
+        removed = 0
+        import glob as _glob
+
+        for vdir in _glob.glob(os.path.join(self.table_dir, "b*", "v*")):
+            parts = vdir.split(os.sep)
+            b, v = parts[-2][1:], int(parts[-1][1:])
+            if (b, v) not in referenced:
+                shutil.rmtree(vdir, ignore_errors=True)
+                removed += 1
+        if snaps and retain_last > 0:
+            import json
+
+            with open(self._log_path(), "w") as fh:
+                for m in snaps[-retain_last:]:
+                    fh.write(json.dumps(m) + "\n")
+        return removed
 
     def current(self, spark) -> DataFrame | None:
         manifest = self._load_manifest()
@@ -688,9 +760,12 @@ class ReplicaTableSink:
                     # every row of the bucket was deleted
                     old_dirs.append(self._bucket_dir(b, manifest.pop(str(b))))
             self._store_manifest(manifest)
+            if self.keep_history:
+                self._append_snapshot(manifest)
             self.last_rewritten_buckets = touched
-            for d in old_dirs:  # GC superseded versions after the swap
-                shutil.rmtree(d, ignore_errors=True)
+            if not self.keep_history:
+                for d in old_dirs:  # GC superseded versions after the swap
+                    shutil.rmtree(d, ignore_errors=True)
             shutil.rmtree(staged, ignore_errors=True)
         finally:
             batch.unpersist()

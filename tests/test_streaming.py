@@ -1161,3 +1161,42 @@ def test_compact_binlog_preserves_content_and_reduces_files(spark, sf_dir, tmp_p
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
     assert not glob.glob(os.path.join(out, "*.pre_compact"))
     assert source.read_binlog(spark, out).count() > 0
+
+
+def test_replica_sink_time_travel_and_vacuum(spark, tmp_path):
+    """keep_history mode: every commit is a readable snapshot (as_of),
+    vacuum reclaims everything older than the retained window and keeps
+    the recent snapshots readable."""
+    from pyspark.sql import Row
+
+    from polardbx_cdc_spark.streaming.pipeline import ReplicaTableSink
+
+    sink = ReplicaTableSink(str(tmp_path / "tbl"), keys=("pk",), n_buckets=4, keep_history=True)
+
+    def batch(rows, bid):
+        df = spark.createDataFrame(
+            [Row(pk=p, tso=f"{t:048d}", action=a, value=float(v)) for p, t, a, v in rows]
+        )
+        sink(df, bid)
+
+    batch([("1", 1, "INSERT", 10), ("2", 2, "INSERT", 20)], 0)
+    batch([("1", 3, "UPDATE", 11), ("3", 4, "INSERT", 30)], 1)
+    batch([("2", 5, "DELETE", 20)], 2)
+
+    assert len(sink.snapshots()) == 3
+    s0 = {r["pk"]: r["value"] for r in sink.as_of(spark, 0).collect()}
+    s1 = {r["pk"]: r["value"] for r in sink.as_of(spark, 1).collect()}
+    s2 = {r["pk"]: r["value"] for r in sink.as_of(spark, -1).collect()}
+    cur = {r["pk"]: r["value"] for r in sink.current(spark).collect()}
+    assert s0 == {"1": 10.0, "2": 20.0}
+    assert s1 == {"1": 11.0, "2": 20.0, "3": 30.0}
+    assert s2 == cur == {"1": 11.0, "3": 30.0}
+
+    removed = sink.vacuum(retain_last=2)
+    assert removed > 0
+    # retained window still readable and correct
+    snaps = sink.snapshots()
+    assert len(snaps) == 2
+    s_old = {r["pk"]: r["value"] for r in sink.as_of(spark, 0).collect()}
+    assert s_old == s1  # oldest retained == former snapshot 1
+    assert {r["pk"]: r["value"] for r in sink.current(spark).collect()} == cur
