@@ -111,3 +111,32 @@ def assign_stream(df: DataFrame, cfg: StreamRoutingConfig) -> DataFrame:
 def oracle_hash32(sql_expr: str) -> str:
     """DuckDB fragment computing the identical 32-bit hash."""
     return f"CAST(('0x' || substr(md5({sql_expr}), 1, 8)) AS BIGINT)"
+
+
+def rebalance_plan(
+    df: DataFrame, old_cfg: StreamRoutingConfig, new_cfg: StreamRoutingConfig
+) -> DataFrame:
+    """Binlog-X stream-count change planning: before expanding (or
+    shrinking) the multi-stream fan-out, compute which routing keys move
+    and how much traffic each migration carries. The reference's
+    dispatcher re-routes on the new HashConfig at a cut-over TSO; this
+    plan is what an operator reviews first — per (old_stream, new_stream)
+    migration cell: number of distinct routing keys and events that would
+    relocate.
+
+    One scan with both assignments computed side by side (same map-only
+    routing expressions), then a cells×keys aggregate — no joins, no
+    second pass. Stable keys (old == new) are included (moved = false) so
+    the plan doubles as the full routing census."""
+    a = assign_stream(df, old_cfg).withColumnRenamed("stream_id", "old_stream")
+    b = assign_stream(a, new_cfg).withColumnRenamed("stream_id", "new_stream")
+    full = F.concat_ws(".", F.col("db"), F.col("tbl"))
+    return (
+        b.groupBy("old_stream", "new_stream")
+        .agg(
+            F.countDistinct(full).alias("n_tables"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .withColumn("moved", F.col("old_stream") != F.col("new_stream"))
+        .orderBy("old_stream", "new_stream")
+    )

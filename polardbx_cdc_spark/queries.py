@@ -3342,3 +3342,42 @@ def embed_ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return clustering.ivf_topk_quantized(e, _QUERY_IDS, k=5)
+
+
+@register(
+    "cdc_stream_rebalance_plan",
+    oracle_cdc_query(
+        """
+        , routed AS (
+          SELECT db || '.' || tbl AS full_name,
+                 CAST(('0x' || substr(md5(db || '.' || tbl), 1, 8)) AS BIGINT) % 4 AS old_stream,
+                 CAST(('0x' || substr(md5(db || '.' || tbl), 1, 8)) AS BIGINT) % 6 AS new_stream
+          FROM cdc
+        )
+        SELECT old_stream, new_stream,
+               CAST(count(DISTINCT full_name) AS BIGINT) AS n_tables,
+               CAST(count(*) AS BIGINT) AS n_events,
+               old_stream <> new_stream AS moved
+        FROM routed GROUP BY old_stream, new_stream
+        """
+    ),
+)
+def cdc_stream_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog-X expansion planning (4 → 6 streams, TABLE level): the
+    migration matrix an operator reviews before a stream-count cut-over —
+    which (old, new) cells move how many tables and events. Both
+    assignments ride one scan; pmod(hash32) matches the oracle's md5 %
+    arithmetic exactly (non-negative hash, so % == pmod)."""
+    from polardbx_cdc_spark.operators.routing import StreamRoutingConfig
+
+    cdc = derive_cdc_stream(spark, sf_dir)
+    plan = routing.rebalance_plan(
+        cdc, StreamRoutingConfig(stream_count=4), StreamRoutingConfig(stream_count=6)
+    )
+    return plan.select(
+        F.col("old_stream").cast("long"),
+        F.col("new_stream").cast("long"),
+        "n_tables",
+        "n_events",
+        "moved",
+    )
