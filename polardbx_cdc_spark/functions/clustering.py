@@ -122,6 +122,8 @@ def kmeans_fit(
     q = quantize_vectors(df, id_col, vec_col, scale).persist()
     try:
         init = q.orderBy(_init_key(id_col), id_col).limit(k).collect()
+        if len(init) < k:
+            raise ValueError(f"k={k} exceeds corpus size {len(init)}")
         cents: list[tuple[int, list[int]]] = [(i, list(r["qv"])) for i, r in enumerate(init)]
         dim = len(cents[0][1])
         sum_aggs = [F.count(F.lit(1)).alias("n")] + [
@@ -223,6 +225,8 @@ def pq_train(
     sample = q.orderBy(id_col).limit(train_limit).persist()
     try:
         dim = len(sample.first()["qv"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible into {m} subspaces")
         sub = dim // m
         books: list[list[tuple[int, list[int]]]] = []
         for s in range(m):

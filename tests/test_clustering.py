@@ -131,3 +131,15 @@ def test_pq_topk_recalls_same_blob(spark):
     assert {r["query_id"] for r in top} == set(qids)
     for r in top:
         assert r["nbr_id"] // 100 == r["query_id"] // 100, r
+
+
+def test_pq_and_kmeans_input_guards(spark):
+    import pytest
+
+    from polardbx_cdc_spark.functions import clustering
+
+    vecs = _blob_vecs(spark, dim=8)
+    with pytest.raises(ValueError, match="not divisible"):
+        clustering.pq_train(vecs, m=3)
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        clustering.kmeans_fit_assign(vecs.limit(2), k=5)
