@@ -220,7 +220,14 @@ def pq_train(
     each subspace over a bounded deterministic training sample (the
     ``train_limit`` lowest ids — codebooks are k·m·(dim/m) integers, a
     driver-side model like IVF's coarse centroids). Returns
-    ``codebooks[s] = [(code, centroid), ...]``."""
+    ``codebooks[s] = [(code, centroid), ...]``.
+
+    ALL m subspaces train together: the sample explodes to (s, subvector)
+    rows, assignment reads subspace s's codebook out of one nested-array
+    Literal, and the update is a single groupBy(s, cid) aggregate — one
+    Spark job per Lloyd round instead of m (24 scheduler round-trips
+    collapse to ~3; identical math, the per-subspace init ids are the
+    same k rows either way)."""
     q = quantize_vectors(df, id_col, vec_col, scale)
     sample = q.orderBy(id_col).limit(train_limit).persist()
     try:
@@ -228,27 +235,60 @@ def pq_train(
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible into {m} subspaces")
         sub = dim // m
-        books: list[list[tuple[int, list[int]]]] = []
-        for s in range(m):
-            sq = sample.select(id_col, _subvec(F.col("qv"), s * sub, (s + 1) * sub).alias("qv"))
-            init = sq.orderBy(_init_key(id_col), id_col).limit(k).collect()
-            cents = [(i, list(r["qv"])) for i, r in enumerate(init)]
-            sum_aggs = [F.count(F.lit(1)).alias("n")] + [
-                F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(sub)
+        init_rows = sample.orderBy(_init_key(id_col), id_col).limit(k).collect()
+        if len(init_rows) < k:
+            raise ValueError(f"k={k} exceeds training sample {len(init_rows)}")
+        books: list[list[tuple[int, list[int]]]] = [
+            [(i, list(r["qv"])[s * sub : (s + 1) * sub]) for i, r in enumerate(init_rows)]
+            for s in range(m)
+        ]
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _subvec(F.col("qv"), s * sub, (s + 1) * sub).alias("sv"),
+                )
+                for s in range(m)
             ]
-            for _ in range(n_iter):
-                stats = _assign(sq, cents).groupBy("cluster_id").agg(*sum_aggs).collect()
-                by_cid = {r["cluster_id"]: r for r in stats}
-                cents = [
+        )
+        ex = sample.select(F.explode(subs).alias("e")).select("e.s", "e.sv")
+        cids_lit = F.lit(list(range(k))).cast("array<int>")
+        sum_aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(sub)
+        ]
+        for _ in range(n_iter):
+            books_lit = F.lit([[list(cv) for _cid, cv in bs] for bs in books]).cast(
+                "array<array<array<bigint>>>"
+            )
+            row_books = F.element_at(books_lit, F.col("s") + 1)
+            dists = F.transform(
+                row_books,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col("sv"), c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            cid = F.array_min(
+                F.zip_with(dists, cids_lit, lambda d, c: F.struct(d.alias("d"), c.alias("c")))
+            ).getField("c")
+            stats = ex.withColumn("cid", cid).groupBy("s", "cid").agg(*sum_aggs).collect()
+            by_key = {(r["s"], r["cid"]): r for r in stats}
+            books = [
+                [
                     (
-                        cid,
+                        cid_,
                         old
-                        if by_cid.get(cid) is None
-                        else [by_cid[cid][f"s{i}"] // by_cid[cid]["n"] for i in range(sub)],
+                        if by_key.get((s, cid_)) is None
+                        else [
+                            by_key[(s, cid_)][f"s{i}"] // by_key[(s, cid_)]["n"]
+                            for i in range(sub)
+                        ],
                     )
-                    for cid, old in cents
+                    for cid_, old in bs
                 ]
-            books.append(cents)
+                for s, bs in enumerate(books)
+            ]
         return books
     finally:
         sample.unpersist()
