@@ -1200,3 +1200,42 @@ def test_replica_sink_time_travel_and_vacuum(spark, tmp_path):
     s_old = {r["pk"]: r["value"] for r in sink.as_of(spark, 0).collect()}
     assert s_old == s1  # oldest retained == former snapshot 1
     assert {r["pk"]: r["value"] for r in sink.current(spark).collect()} == cur
+
+
+def test_stream_static_dim_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static enrichment (the CDC→warehouse join pattern): the live
+    CDC stream left-joins a broadcast dimension table per micro-batch and
+    must produce exactly the batch join's result. At 100 TB the dim ships
+    once per executor (broadcast); the stream side never shuffles."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.session import load_table
+    from polardbx_cdc_spark.streaming import source as src_mod
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("pk"), "c_mktsegment"
+    )
+
+    enriched_stream = src_mod.cdc_stream(spark, sf_dir).join(F.broadcast(dim), "pk", "left")
+    q = (
+        enriched_stream.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("dim_enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["c_mktsegment"]: r["n"] for r in spark.sql("select * from dim_enriched").collect()}
+
+    want = {
+        r["c_mktsegment"]: r["n"]
+        for r in derive_cdc_stream(spark, sf_dir)
+        .join(F.broadcast(dim), "pk", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 1
