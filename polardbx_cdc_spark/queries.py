@@ -3381,3 +3381,136 @@ def cdc_stream_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "moved",
     )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: five-way join with a cross-pair OR condition on the two
+    nation sides, grouped by shipping year — all four dims broadcast, the
+    fact table streams through one pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed("n_nationkey", "nk1")
+    n2 = n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed("n_nationkey", "nk2")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long"))
+            .cast("double")
+            / 100
+        ).alias("revenue")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST((10000 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                   ELSE 0 END))
+                // sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+             AS BIGINT) AS promo_bp
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional aggregation over a broadcast join — promo
+    revenue share in exact integer basis points (floor(10000·promo/total),
+    both sums in cents; no float ratio, no rounding-mode hazard)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).cast("long").alias("promo_cents"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    ).select(
+        "promo_cents",
+        "total_cents",
+        F.expr("(10000 * promo_cents) div total_cents").cast("long").alias("promo_bp"),
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH pos AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    ), rich AS (
+      SELECT c.c_custkey, c.c_nationkey, CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer c, pos
+      WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n_pos > pos.total_cents
+        AND c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(bal_cents) AS DOUBLE) / 100 AS total_acctbal
+    FROM rich GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: scalar-subquery threshold + anti-join — customers above
+    the positive-balance average with no orders. The average comparison is
+    exact integer cross-multiplication (bal·n > Σbal in cents), so no
+    float-average boundary row can flip between engines; the order
+    exclusion is a broadcast anti-join on the distinct buyer set."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    bal_cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_cents).cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+    )
+    rich = (
+        c.withColumn("bal_cents", bal_cents)
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("total_cents"))
+        .join(F.broadcast(o), c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        (F.sum("bal_cents").cast("double") / 100).alias("total_acctbal"),
+    )

@@ -302,3 +302,20 @@ def test_q19_join_is_broadcast_with_pushed_base_filters(spark):
     plan = _plan(spark, "q19_disjunctive_revenue")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q7_all_dims_broadcast_fact_streams_once(spark):
+    plan = _plan(spark, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q14_single_broadcast_join_partial_agg(spark):
+    plan = _plan(spark, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_q22_anti_join_broadcast_and_scalar_threshold(spark):
+    plan = _plan(spark, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
