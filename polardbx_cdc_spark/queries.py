@@ -3514,3 +3514,98 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cust"),
         (F.sum("bal_cents").cast("double") / 100).alias("total_acctbal"),
     )
+
+
+@register(
+    "events_type_day_cube",
+    """
+    SELECT coalesce(event_type, '<ALL>') AS event_type,
+           coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '<ALL>') AS day,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+def events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all four grouping-set combinations in one pass)
+    with explicit per-column GROUPING flags — flags rather than Spark's
+    packed grouping_id so the cross-engine bit-order question never
+    arises; subtotal labels normalized to '<ALL>' in both engines."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts") < "2024-01-22")
+        .withColumn("day", F.col("ts").cast("date"))
+    )
+    cube = ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100).alias(
+            "total_value"
+        ),
+        F.grouping("event_type").cast("long").alias("g_type"),
+        F.grouping("day").cast("long").alias("g_day"),
+    )
+    return cube.select(
+        F.coalesce("event_type", F.lit("<ALL>")).alias("event_type"),
+        F.coalesce(F.col("day").cast("string"), F.lit("<ALL>")).alias("day"),
+        "g_type",
+        "g_day",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "orders_price_quartiles",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS DOUBLE) / 100 AS p25,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS DOUBLE) / 100 AS median,
+           CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS DOUBLE) / 100 AS p75
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based quartiles per priority class — deterministic
+    ceil-rank picks on integer cents with an id tie-break, so both engines
+    select the identical element (interpolating percentile_cont/approx
+    variants are NOT cross-engine stable; this is the exact form). One
+    window pass + one aggregate."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority", cents.alias("cents"), "o_orderkey"
+    ).select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(rank_expr):
+        return (
+            F.max(F.when(F.col("rn") == rank_expr, F.col("cents"))).cast("double") / 100
+        )
+
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        pick(F.expr("(n + 3) div 4")).alias("p25"),
+        pick(F.expr("(n + 1) div 2")).alias("median"),
+        pick(F.expr("(3 * n + 3) div 4")).alias("p75"),
+    )
