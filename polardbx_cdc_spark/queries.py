@@ -3609,3 +3609,61 @@ def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(F.expr("(n + 1) div 2")).alias("median"),
         pick(F.expr("(3 * n + 3) div 4")).alias("p75"),
     )
+
+
+@register(
+    "cdc_last_image_salted",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, pk,
+               max(tso) AS last_tso,
+               CASE WHEN arg_max(action, tso) = 'DELETE' THEN 'DELETE'
+                    WHEN arg_min(action, tso) = 'INSERT' THEN 'INSERT'
+                    ELSE 'UPDATE' END AS op,
+               arg_max(value, tso) AS value,
+               count(*) AS n_changes
+        FROM cdc GROUP BY db, tbl, pk
+        """
+    ),
+)
+def cdc_last_image_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-PATH last-image collapse, officially hash-checked against
+    the same oracle as cdc_last_image: two-stage salted aggregation (hot
+    key fans across 16 reducers, tiny per-salt partials re-merge) must be
+    value-identical to the single groupBy — the equivalence that makes
+    salting safe to deploy against zipf-hot PKs at 100 TB."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    li = apply_ops.last_image_salted(cdc)
+    op = (
+        F.when(F.col("last_action") == "DELETE", F.lit("DELETE"))
+        .when(F.col("first_action") == "INSERT", F.lit("INSERT"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    return li.select(
+        "db", "tbl", "pk", "last_tso", op.alias("op"), "value", "n_changes"
+    )
+
+
+@register(
+    "promo_large_common_suppliers",
+    """
+    SELECT l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'PROMO'
+    INTERSECT
+    SELECT l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'LARGE'
+    """,
+)
+def promo_large_common_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set-op (§2.7 extension): suppliers shipping both PROMO
+    and LARGE parts — two broadcast-join branches reduced distinct-wise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+
+    def side(ptype):
+        return (
+            li.join(F.broadcast(p.where(F.col("p_type") == ptype)), li.l_partkey == p.p_partkey)
+            .select("l_suppkey")
+        )
+
+    return side("PROMO").intersect(side("LARGE"))
