@@ -3667,3 +3667,53 @@ def promo_large_common_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return side("PROMO").intersect(side("LARGE"))
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard_sim >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
+    ),
+    labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_clusters,
+           CAST(sum(CASE WHEN l.id IS NOT NULL AND l.id <> l.cluster_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST((10000 * sum(CASE WHEN l.id IS NOT NULL AND l.id <> l.cluster_id
+                                  THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS drop_bp
+    FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per source, how many docs sit in near-dup
+    clusters and how many the keep-minimum policy drops (exact basis
+    points) — the per-origin duplication census a curation pipeline
+    publishes after each dedup pass. Reuses the graded MinHash-LSH →
+    Jaccard → connected-components chain, then one broadcast-side join
+    of the (small) label set against the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = dedupe.minhash_lsh_candidates(d, use_md5=True)
+    verified = dedupe.ngram_jaccard_pairs(d, cands).filter(F.col("jaccard_sim") >= 0.5)
+    labels = dedupe.connected_components(verified).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    j = d.join(F.broadcast(labels), "doc_id", "left")
+    dropped = (F.col("cluster_id").isNotNull() & (F.col("doc_id") != F.col("cluster_id"))).cast("long")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("cluster_id").isNotNull().cast("long")).cast("long").alias("n_in_clusters"),
+        F.sum(dropped).cast("long").alias("n_dropped"),
+        F.expr("(10000 * sum(case when cluster_id is not null and doc_id <> cluster_id then 1 else 0 end)) div count(*)")
+        .cast("long")
+        .alias("drop_bp"),
+    )
