@@ -3717,3 +3717,79 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drop_bp"),
     )
+
+
+@register(
+    "promo_only_suppliers",
+    """
+    SELECT l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'PROMO'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    EXCEPT
+    SELECT l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'LARGE'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def promo_only_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op (completes the §2.7 family with UNION/INTERSECT):
+    suppliers who shipped PROMO but no LARGE parts in January 1997
+    (set semantics — ``subtract``, not the bag-semantics exceptAll)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+
+    def side(ptype):
+        return (
+            li.join(F.broadcast(p.where(F.col("p_type") == ptype)), li.l_partkey == p.p_partkey)
+            .select("l_suppkey")
+        )
+
+    return side("PROMO").subtract(side("LARGE"))
+
+
+@register(
+    "orders_weekly_moving_avg",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-03-01 00:00:00'
+      GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_orders,
+           CAST(day_cents AS DOUBLE) / 100 AS day_total,
+           CAST((sum(day_cents) OVER w
+                 - ((sum(day_cents) OVER w) % (count(*) OVER w) + (count(*) OVER w))
+                   % (count(*) OVER w)) // (count(*) OVER w) AS DOUBLE) / 100 AS ma7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def orders_weekly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame window analytics: 7-day moving average of daily order
+    volume with a ROWS BETWEEN frame. The average is exact integer cents
+    (floor of window-sum over window-count via the mod-trick — DuckDB //
+    truncates, Spark div truncates, the pre-subtracted remainder makes
+    both a true floor), so no float accumulation across the frame."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-01")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("long").alias("day_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    wsum = F.sum("day_cents").over(w)
+    wcnt = F.count(F.lit(1)).over(w)
+    ma_cents = (wsum - ((wsum % wcnt + wcnt) % wcnt)) / wcnt
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n_orders",
+        (F.col("day_cents").cast("double") / 100).alias("day_total"),
+        (ma_cents.cast("long").cast("double") / 100).alias("ma7"),
+    )
