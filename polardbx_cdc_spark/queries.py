@@ -3793,3 +3793,81 @@ def orders_weekly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("day_cents").cast("double") / 100).alias("day_total"),
         (ma_cents.cast("long").cast("double") / 100).alias("ma7"),
     )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH cohorts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), flags AS (
+      SELECT c.cohort_day,
+             CASE WHEN d1.user_id IS NOT NULL THEN 1 ELSE 0 END AS r1,
+             CASE WHEN d7.user_id IS NOT NULL THEN 1 ELSE 0 END AS r7
+      FROM cohorts c
+      LEFT JOIN activity d1 ON d1.user_id = c.user_id AND d1.day = c.cohort_day + 1
+      LEFT JOIN activity d7 ON d7.user_id = c.user_id AND d7.day = c.cohort_day + 7
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(r1) AS BIGINT) AS n_day1,
+           CAST(sum(r7) AS BIGINT) AS n_day7,
+           CAST((10000 * sum(r1)) // count(*) AS BIGINT) AS day1_bp,
+           CAST((10000 * sum(r7)) // count(*) AS BIGINT) AS day7_bp
+    FROM flags GROUP BY cohort_day
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: per signup-day cohort, the
+    share of users active exactly 1 and 7 days later, in exact basis
+    points. Two key-shuffled self-joins of the deduplicated (user, day)
+    activity set against the cohort frame — the standard product-analytics
+    shape a warehouse runs on CDC-replicated event data."""
+    from polardbx_cdc_spark.session import normalize_event_ts
+
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    day = F.col("ts").cast("date")
+    cohorts = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("cohort_day"))
+    )
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    d1 = activity.withColumnRenamed("day", "d1_day").withColumnRenamed("user_id", "d1_user")
+    d7 = activity.withColumnRenamed("day", "d7_day").withColumnRenamed("user_id", "d7_user")
+    flags = (
+        cohorts.join(
+            d1,
+            (F.col("d1_user") == F.col("user_id"))
+            & (F.col("d1_day") == F.date_add(F.col("cohort_day"), 1)),
+            "left",
+        )
+        .join(
+            d7,
+            (F.col("d7_user") == F.col("user_id"))
+            & (F.col("d7_day") == F.date_add(F.col("cohort_day"), 7)),
+            "left",
+        )
+        .select(
+            "cohort_day",
+            F.col("d1_user").isNotNull().cast("long").alias("r1"),
+            F.col("d7_user").isNotNull().cast("long").alias("r7"),
+        )
+    )
+    return flags.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("r1").cast("long").alias("n_day1"),
+        F.sum("r7").cast("long").alias("n_day7"),
+        F.expr("(10000 * sum(r1)) div count(*)").cast("long").alias("day1_bp"),
+        F.expr("(10000 * sum(r7)) div count(*)").cast("long").alias("day7_bp"),
+    ).select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "n_users",
+        "n_day1",
+        "n_day7",
+        "day1_bp",
+        "day7_bp",
+    )
