@@ -1,0 +1,451 @@
+"""Minimal MySQL binlog wire format (v4) — encode + decode slice.
+
+Retires the byte-format carve-out: the rotated-parquet sink is the engine's
+scale path, but a downstream that expects REAL binlog bytes (TABLE_MAP +
+ROWS events, CRC32-checksummed, FDE-prefixed files) can attach to this
+serializer. The format implemented here is the public MySQL replication
+protocol (binlog v4, row-based events v2); reference parity targets are
+the decoder polardbx-cdc-canal/.../binlog/LogDecoder.java +
+event/TableMapLogEvent.java + event/RowsLogEvent.java (event type codes
+LogEvent.java:121-157 — TABLE_MAP=19, WRITE/UPDATE/DELETE_ROWS v2=30/31/32;
+CRC32 checksum alg LogEvent.java:226) and the writer
+polardbx-cdc-dumper/.../logfile/LogFileGenerator.java:624-757.
+
+Scope (honest slice, round-trip-tested byte-for-byte):
+- file layout: 4-byte magic, FORMAT_DESCRIPTION, events, ROTATE chain
+- events: FORMAT_DESCRIPTION, TABLE_MAP, WRITE/UPDATE/DELETE_ROWS v2,
+  XID, ROTATE — each with trailing CRC32
+- column types: LONG(3), LONGLONG(8), DOUBLE(5), VARCHAR(15) w/ 1- or
+  2-byte length prefix per metadata, NULL bitmaps
+Everything else (the long tail of MYSQL_TYPE_*, compressed/encrypted
+binlog, GTID bookkeeping) stays out of scope by SURVEY §7.
+
+Spark-side plumbing is in ``events_to_binlog`` / ``binlog_to_events``:
+Arrow-batched ``mapInPandas`` over the CDC frame — serialization is
+embarrassingly parallel per partition (the reference serializes
+per-stream on one thread; Spark gets the same per-file ordering from the
+sink's offset assignment while encoding all files concurrently).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+MAGIC = b"\xfebin"
+
+# event type codes (public protocol; LogEvent.java:121-157)
+FORMAT_DESCRIPTION_EVENT = 15
+XID_EVENT = 16
+TABLE_MAP_EVENT = 19
+WRITE_ROWS_EVENT = 30
+UPDATE_ROWS_EVENT = 31
+DELETE_ROWS_EVENT = 32
+ROTATE_EVENT = 4
+
+# column type codes (public protocol)
+TYPE_LONG = 3
+TYPE_DOUBLE = 5
+TYPE_LONGLONG = 8
+TYPE_VARCHAR = 15
+
+HEADER_LEN = 19  # timestamp(4) type(1) server_id(4) event_len(4) next_pos(4) flags(2)
+CHECKSUM_LEN = 4
+BINLOG_CHECKSUM_ALG_CRC32 = 1  # LogEvent.java:226
+
+#: post-header lengths for the FDE's per-type table (indexes are
+#: type_code-1; only the types we emit need truthful values)
+_POST_HEADER_LEN = {
+    ROTATE_EVENT: 8,
+    FORMAT_DESCRIPTION_EVENT: 84,
+    XID_EVENT: 0,
+    TABLE_MAP_EVENT: 8,
+    WRITE_ROWS_EVENT: 10,
+    UPDATE_ROWS_EVENT: 10,
+    DELETE_ROWS_EVENT: 10,
+}
+_LAST_EVENT_TYPE = 42  # table covers types 1..42 (5.7-era layout)
+
+
+def _lenenc(n: int) -> bytes:
+    """length-encoded integer (public wire format)."""
+    if n < 251:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _read_lenenc(buf: bytes, pos: int) -> tuple[int, int]:
+    first = buf[pos]
+    if first < 251:
+        return first, pos + 1
+    if first == 0xFC:
+        return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+    if first == 0xFD:
+        return int.from_bytes(buf[pos + 1 : pos + 4], "little"), pos + 4
+    return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+
+
+def _bitmap(bits: list[bool]) -> bytes:
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i // 8] |= 1 << (i % 8)
+    return bytes(out)
+
+
+def _bit_at(bm: bytes, i: int) -> bool:
+    return bool(bm[i // 8] & (1 << (i % 8)))
+
+
+class TableDef:
+    """Column layout for one table — the schema side of TABLE_MAP.
+
+    ``types``: list of (type_code, metadata) where metadata is the
+    per-type extra (VARCHAR: max byte length; DOUBLE: 8; ints: None).
+    """
+
+    def __init__(self, db: str, tbl: str, types: list[tuple[int, int | None]]):
+        self.db = db
+        self.tbl = tbl
+        self.types = types
+
+    @classmethod
+    def from_mysql_types(cls, db: str, tbl: str, decls: list[str]) -> "TableDef":
+        """Map MySQL type declarations (the registry's ``types``) onto the
+        wire-type subset."""
+        types: list[tuple[int, int | None]] = []
+        for d in decls:
+            t = d.strip().lower()
+            if t.startswith(("bigint",)):
+                types.append((TYPE_LONGLONG, None))
+            elif t.startswith(("int", "mediumint", "smallint", "tinyint")):
+                types.append((TYPE_LONG, None))
+            elif t.startswith(("double", "float")):
+                types.append((TYPE_DOUBLE, 8))
+            elif t.startswith(("varchar", "char", "text")):
+                m = 65535 if t.startswith("text") else None
+                if m is None:
+                    inner = t[t.find("(") + 1 : t.find(")")] if "(" in t else "255"
+                    # VARCHAR(n) metadata is the max BYTE length (utf8mb4 ≤ 4n)
+                    m = min(int(inner) * 4, 65535)
+                types.append((TYPE_VARCHAR, m))
+            else:
+                raise ValueError(f"wire slice does not cover type {d!r}")
+        return cls(db, tbl, types)
+
+
+def _encode_header(type_code: int, payload_len: int, timestamp: int,
+                   server_id: int, next_pos: int, flags: int = 0) -> bytes:
+    event_len = HEADER_LEN + payload_len + CHECKSUM_LEN
+    return struct.pack(
+        "<IBIIIH", timestamp, type_code, server_id, event_len, next_pos, flags
+    )
+
+
+def _finish(header_payload: bytes) -> bytes:
+    return header_payload + struct.pack("<I", zlib.crc32(header_payload) & 0xFFFFFFFF)
+
+
+def encode_event(type_code: int, payload: bytes, timestamp: int = 0,
+                 server_id: int = 1, next_pos: int = 0) -> bytes:
+    """One checksummed event: 19-byte header + payload + CRC32 over both."""
+    return _finish(
+        _encode_header(type_code, len(payload), timestamp, server_id, next_pos)
+        + payload
+    )
+
+
+def encode_fde(server_version: str = "5.7.0-polardbx-spark") -> bytes:
+    """FORMAT_DESCRIPTION: binlog_version(2)=4, server_version(50,
+    NUL-padded), create_ts(4), header_len(1)=19, post-header-length table,
+    checksum_alg(1)=CRC32."""
+    sv = server_version.encode()[:50].ljust(50, b"\x00")
+    table = bytes(
+        _POST_HEADER_LEN.get(t, 0) for t in range(1, _LAST_EVENT_TYPE + 1)
+    )
+    payload = (
+        struct.pack("<H", 4) + sv + struct.pack("<I", 0)
+        + bytes([HEADER_LEN]) + table + bytes([BINLOG_CHECKSUM_ALG_CRC32])
+    )
+    return encode_event(FORMAT_DESCRIPTION_EVENT, payload)
+
+
+def encode_table_map(table_id: int, td: TableDef, timestamp: int = 0) -> bytes:
+    """TABLE_MAP: table_id(6) flags(2) | db tbl col-count col-types
+    metadata null-bitmap (TableMapLogEvent.java read side)."""
+    db_b, tbl_b = td.db.encode(), td.tbl.encode()
+    meta = bytearray()
+    for tc, m in td.types:
+        if tc == TYPE_VARCHAR:
+            meta += struct.pack("<H", m)
+        elif tc == TYPE_DOUBLE:
+            meta += bytes([8])
+    payload = (
+        struct.pack("<Q", table_id)[:6] + struct.pack("<H", 1)
+        + bytes([len(db_b)]) + db_b + b"\x00"
+        + bytes([len(tbl_b)]) + tbl_b + b"\x00"
+        + _lenenc(len(td.types))
+        + bytes(tc for tc, _ in td.types)
+        + _lenenc(len(meta)) + bytes(meta)
+        + _bitmap([True] * len(td.types))  # all columns nullable
+    )
+    return encode_event(TABLE_MAP_EVENT, payload, timestamp)
+
+
+def _encode_image(td: TableDef, values: list) -> bytes:
+    """One row image: null bitmap + packed non-null values."""
+    out = bytearray(_bitmap([v is None for v in values]))
+    for (tc, m), v in zip(td.types, values):
+        if v is None:
+            continue
+        if tc == TYPE_LONG:
+            out += struct.pack("<i", int(v))
+        elif tc == TYPE_LONGLONG:
+            out += struct.pack("<q", int(v))
+        elif tc == TYPE_DOUBLE:
+            out += struct.pack("<d", float(v))
+        elif tc == TYPE_VARCHAR:
+            b = str(v).encode()
+            out += (bytes([len(b)]) if m < 256 else struct.pack("<H", len(b))) + b
+    return bytes(out)
+
+
+def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
+    n = len(td.types)
+    nb = (n + 7) // 8
+    nulls, pos = buf[pos : pos + nb], pos + nb
+    values: list = []
+    for i, (tc, m) in enumerate(td.types):
+        if _bit_at(nulls, i):
+            values.append(None)
+            continue
+        if tc == TYPE_LONG:
+            values.append(struct.unpack_from("<i", buf, pos)[0])
+            pos += 4
+        elif tc == TYPE_LONGLONG:
+            values.append(struct.unpack_from("<q", buf, pos)[0])
+            pos += 8
+        elif tc == TYPE_DOUBLE:
+            values.append(struct.unpack_from("<d", buf, pos)[0])
+            pos += 8
+        elif tc == TYPE_VARCHAR:
+            if m < 256:
+                ln, pos = buf[pos], pos + 1
+            else:
+                ln, pos = struct.unpack_from("<H", buf, pos)[0], pos + 2
+            values.append(buf[pos : pos + ln].decode())
+            pos += ln
+    return values, pos
+
+
+def encode_rows_event(type_code: int, table_id: int, td: TableDef,
+                      rows: list, timestamp: int = 0) -> bytes:
+    """ROWS v2 event. ``rows``: list of value-lists (WRITE/DELETE) or
+    (before, after) pairs (UPDATE). Post-header: table_id(6) flags(2)
+    extra_len(2)=2; body: col-count, present-bitmap(s), images
+    (RowsLogEvent.java read side)."""
+    n = len(td.types)
+    body = bytearray(
+        struct.pack("<Q", table_id)[:6] + struct.pack("<H", 0)
+        + struct.pack("<H", 2)  # extra-data length (just itself)
+        + _lenenc(n) + _bitmap([True] * n)
+    )
+    if type_code == UPDATE_ROWS_EVENT:
+        body += _bitmap([True] * n)  # after-image present bitmap
+        for before, after in rows:
+            body += _encode_image(td, before) + _encode_image(td, after)
+    else:
+        for values in rows:
+            body += _encode_image(td, values)
+    return encode_event(type_code, bytes(body), timestamp)
+
+
+def encode_xid(xid: int, timestamp: int = 0) -> bytes:
+    return encode_event(XID_EVENT, struct.pack("<Q", xid), timestamp)
+
+
+def encode_rotate(next_file: str, position: int = 4) -> bytes:
+    return encode_event(
+        ROTATE_EVENT, struct.pack("<Q", position) + next_file.encode()
+    )
+
+
+def decode_events(buf: bytes, verify_crc: bool = True) -> list[dict]:
+    """Parse a byte stream of events (no file magic) into dicts:
+    {type, timestamp, ...per-type fields}. Maintains the TABLE_MAP
+    table_id → TableDef registry exactly like LogDecoder's context."""
+    events: list[dict] = []
+    tables: dict[int, TableDef] = {}
+    pos = 0
+    while pos < len(buf):
+        ts, tc, sid, elen, npos, flags = struct.unpack_from("<IBIIIH", buf, pos)
+        frame = buf[pos : pos + elen]
+        if verify_crc:
+            want = struct.unpack_from("<I", frame, elen - CHECKSUM_LEN)[0]
+            got = zlib.crc32(frame[: elen - CHECKSUM_LEN]) & 0xFFFFFFFF
+            if want != got:
+                raise ValueError(f"CRC mismatch at offset {pos}: {want:#x} != {got:#x}")
+        body = frame[HEADER_LEN : elen - CHECKSUM_LEN]
+        ev: dict = {"type": tc, "timestamp": ts, "server_id": sid}
+        if tc == FORMAT_DESCRIPTION_EVENT:
+            ev["binlog_version"] = struct.unpack_from("<H", body, 0)[0]
+            ev["server_version"] = body[2:52].rstrip(b"\x00").decode()
+            ev["checksum_alg"] = body[-1]
+        elif tc == TABLE_MAP_EVENT:
+            tid = int.from_bytes(body[0:6], "little")
+            p = 8
+            dlen = body[p]
+            db = body[p + 1 : p + 1 + dlen].decode()
+            p += 1 + dlen + 1
+            tlen = body[p]
+            tbl = body[p + 1 : p + 1 + tlen].decode()
+            p += 1 + tlen + 1
+            ncols, p = _read_lenenc(body, p)
+            raw_types = list(body[p : p + ncols])
+            p += ncols
+            mlen, p = _read_lenenc(body, p)
+            meta_buf, mp = body[p : p + mlen], 0
+            types: list[tuple[int, int | None]] = []
+            for rt in raw_types:
+                if rt == TYPE_VARCHAR:
+                    types.append((rt, struct.unpack_from("<H", meta_buf, mp)[0]))
+                    mp += 2
+                elif rt == TYPE_DOUBLE:
+                    types.append((rt, meta_buf[mp]))
+                    mp += 1
+                else:
+                    types.append((rt, None))
+            tables[tid] = TableDef(db, tbl, types)
+            ev.update(table_id=tid, db=db, tbl=tbl, types=types)
+        elif tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+            tid = int.from_bytes(body[0:6], "little")
+            td = tables[tid]
+            extra_len = struct.unpack_from("<H", body, 8)[0]
+            p = 8 + extra_len  # extra_len counts its own 2 bytes
+            ncols, p = _read_lenenc(body, p)
+            nb = (ncols + 7) // 8
+            p += nb  # present bitmap (we emit all-set)
+            if tc == UPDATE_ROWS_EVENT:
+                p += nb  # after-image present bitmap
+            rows = []
+            while p < len(body):
+                if tc == UPDATE_ROWS_EVENT:
+                    before, p = _decode_image(td, body, p)
+                    after, p = _decode_image(td, body, p)
+                    rows.append((before, after))
+                else:
+                    img, p = _decode_image(td, body, p)
+                    rows.append(img)
+            ev.update(table_id=tid, db=td.db, tbl=td.tbl, rows=rows)
+        elif tc == XID_EVENT:
+            ev["xid"] = struct.unpack_from("<Q", body, 0)[0]
+        elif tc == ROTATE_EVENT:
+            ev["position"] = struct.unpack_from("<Q", body, 0)[0]
+            ev["next_file"] = body[8:].decode()
+        events.append(ev)
+        pos += elen
+    return events
+
+
+def write_binlog_file(path: str, events: list[bytes],
+                      next_file: str | None = None) -> None:
+    """magic + FDE + events [+ ROTATE] — LogFileGenerator's file layout."""
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        fh.write(encode_fde())
+        for e in events:
+            fh.write(e)
+        if next_file:
+            fh.write(encode_rotate(next_file))
+
+
+def read_binlog_file(path: str) -> list[dict]:
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:4] != MAGIC:
+        raise ValueError(f"{path}: not a binlog file (bad magic)")
+    return decode_events(buf[4:])
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing: DataFrame of CDC events ⟷ wire bytes, Arrow-batched
+# ---------------------------------------------------------------------------
+
+#: canonical wire layout for the engine's CDC frame (pk VARCHAR(64),
+#: value DOUBLE) — what ``derive_cdc_stream`` transports
+CDC_TABLE_TYPES = ["varchar(64)", "double"]
+
+
+def events_to_binlog(df, out_schema: str = "db string, tbl string, n_events int, payload binary"):
+    """Serialize a CDC frame (db, tbl, action, pk, value, tso) into binlog
+    wire bytes — one blob per (partition × table run), each blob a
+    TABLE_MAP + one ROWS event per change, CRC32-checksummed.
+
+    Scale shape: ``mapInPandas`` (Arrow batches; zero row-at-a-time
+    Python); each partition encodes independently, so 1000 executors
+    serialize 1000 ways in parallel — the per-file ORDER is whatever the
+    caller partitioned/sorted by (the sink's offset assignment), exactly
+    like the per-stream dumper thread, but across all streams at once."""
+    def encode_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_rows = []
+            for (db, tbl), grp in pdf.groupby(["db", "tbl"], sort=False):
+                td = TableDef.from_mysql_types(db, tbl, CDC_TABLE_TYPES)
+                tid = zlib.crc32(f"{db}.{tbl}".encode()) & 0x7FFFFFFF
+                blob = bytearray(encode_table_map(tid, td))
+                for r in grp.itertuples(index=False):
+                    vals = [r.pk, None if pd.isna(r.value) else float(r.value)]
+                    if r.action == "INSERT":
+                        blob += encode_rows_event(WRITE_ROWS_EVENT, tid, td, [vals])
+                    elif r.action == "UPDATE":
+                        blob += encode_rows_event(
+                            UPDATE_ROWS_EVENT, tid, td, [(vals, vals)]
+                        )
+                    else:
+                        blob += encode_rows_event(DELETE_ROWS_EVENT, tid, td, [vals])
+                out_rows.append((db, tbl, len(grp), bytes(blob)))
+            yield pd.DataFrame(
+                out_rows, columns=["db", "tbl", "n_events", "payload"]
+            )
+
+    return df.mapInPandas(encode_partition, out_schema)
+
+
+def binlog_to_events(df, payload_col: str = "payload",
+                     out_schema: str = "db string, tbl string, action string, pk string, value double"):
+    """Decode wire-byte blobs back into a CDC frame — the attach path a
+    binlog consumer runs, as a distributed scan (one decode per blob,
+    Arrow-batched)."""
+    _ACTION = {
+        WRITE_ROWS_EVENT: "INSERT",
+        UPDATE_ROWS_EVENT: "UPDATE",
+        DELETE_ROWS_EVENT: "DELETE",
+    }
+
+    def decode_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload_col]:
+                for ev in decode_events(bytes(blob)):
+                    if ev["type"] not in _ACTION:
+                        continue
+                    for row in ev["rows"]:
+                        img = row[1] if ev["type"] == UPDATE_ROWS_EVENT else row
+                        out.append(
+                            (ev["db"], ev["tbl"], _ACTION[ev["type"]], img[0], img[1])
+                        )
+            yield pd.DataFrame(
+                out, columns=["db", "tbl", "action", "pk", "value"]
+            )
+
+    return df.mapInPandas(decode_partition, out_schema)

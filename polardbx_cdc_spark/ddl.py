@@ -10,8 +10,14 @@ implicit primary key ``_drds_implicit_id_``).
 
 The reference embeds a full SQL parser (druid); here a small recognizer
 covers the DDL grammar the CDC pipeline actually routes through the
-registry: CREATE TABLE, ALTER TABLE ADD/DROP/MODIFY/CHANGE/RENAME COLUMN,
-RENAME TABLE, TRUNCATE, DROP TABLE. Identifiers are unquoted + lowercased
+registry: CREATE TABLE (incl. ``LIKE``), ALTER TABLE ADD/DROP/MODIFY/
+CHANGE/RENAME COLUMN (with ``FIRST``/``AFTER`` reorder and generated
+columns), RENAME TABLE, TRUNCATE, DROP TABLE, CREATE/DROP INDEX, plus the
+clause families a real stream carries that MUST be registry no-ops and
+must not misparse: partition maintenance (ADD/DROP/REORGANIZE/SPLIT/MERGE
+PARTITION …), ``CONVERT TO CHARACTER SET``, ``ALGORITHM=…`` variants, and
+table options. Multi-statement scripts split on top-level ``;``
+(``parse_ddl_script``). Identifiers are unquoted + lowercased
 (MemoryTableMeta lowercases); everything runs on the driver (DDL is a
 serialized stream barrier — LogFileGenerator.writeMetaDdl:411), so parse
 cost is irrelevant at any data scale.
@@ -85,13 +91,144 @@ _TABLE_OPTION_ACTION = re.compile(
     r"(?:ALGORITHM|LOCK)\s*=?\s*\S+"
     r"|(?:DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET|COLLATE)\b"
     r"|CONVERT\s+TO\s+CHARACTER\s+SET\b"
-    r"|(?:ENGINE|AUTO_INCREMENT|COMMENT|ROW_FORMAT|KEY_BLOCK_SIZE)\s*=?"
-    r"|ALTER\s+(?:COLUMN\s+)?`?[A-Za-z0-9_$]+`?\s+(?:SET\s+DEFAULT|DROP\s+DEFAULT)"
+    r"|(?:ENGINE|AUTO_INCREMENT|COMMENT|ROW_FORMAT|KEY_BLOCK_SIZE"
+    r"|STATS_PERSISTENT|STATS_AUTO_RECALC|STATS_SAMPLE_PAGES|MAX_ROWS|MIN_ROWS"
+    r"|PACK_KEYS|DELAY_KEY_WRITE|CHECKSUM|AVG_ROW_LENGTH|TABLEGROUP)\s*=?"
+    r"|ALTER\s+(?:COLUMN\s+)?`?[A-Za-z0-9_$]+`?\s+(?:SET\s+DEFAULT|DROP\s+DEFAULT"
+    r"|SET\s+(?:VISIBLE|INVISIBLE))"
     r"|(?:ENABLE|DISABLE)\s+KEYS"
+    r"|ORDER\s+BY\b"
     r"|FORCE$"
     r")",
     re.I,
 )
+
+#: partition-maintenance ALTER actions — MySQL + PolarDB-X forms
+#: (ALTER TABLE … ADD/DROP/TRUNCATE/REORGANIZE/SPLIT/MERGE/MOVE PARTITION,
+#: re-PARTITION BY, REMOVE PARTITIONING; reference normalizes these in
+#: DDLConverter and MemoryTableMeta digests them without touching column
+#: metadata). They change data placement only — a registry no-op — but
+#: MUST be recognized before the ADD/DROP-COLUMN regexes, which would
+#: otherwise misread ``ADD PARTITION (…)`` as adding a column named
+#: ``partition``.
+_PARTITION_ACTION = re.compile(
+    r"^(?:"
+    r"(?:ADD|DROP|TRUNCATE|COALESCE|REORGANIZE|REBUILD|OPTIMIZE|ANALYZE"
+    r"|CHECK|REPAIR|EXCHANGE|IMPORT|DISCARD|SPLIT|EXTRACT)\s+PARTITION\b"
+    r"|(?:MERGE|MOVE)\s+PARTITIONS?\b"
+    r"|REMOVE\s+PARTITIONING\b"
+    r"|PARTITION\s+BY\b"
+    r")",
+    re.I,
+)
+
+#: leading verbs that can START an ALTER action — used to re-join comma
+#: continuations (``DROP PARTITION p0, p1`` splits at the top-level comma;
+#: ``p1`` is a continuation of the partition name list, not a new action)
+_ACTION_START = re.compile(
+    r"^(?:ADD|DROP|MODIFY|CHANGE|RENAME|ALTER|CONVERT|TRUNCATE|COALESCE"
+    r"|REORGANIZE|REBUILD|OPTIMIZE|ANALYZE|CHECK|REPAIR|EXCHANGE|IMPORT"
+    r"|DISCARD|SPLIT|MERGE|MOVE|EXTRACT|REMOVE|PARTITION|ENGINE|ALGORITHM"
+    r"|LOCK|DEFAULT|CHARACTER|CHARSET|COLLATE|AUTO_INCREMENT|COMMENT"
+    r"|ROW_FORMAT|KEY_BLOCK_SIZE|STATS_PERSISTENT|STATS_AUTO_RECALC"
+    r"|STATS_SAMPLE_PAGES|MAX_ROWS|MIN_ROWS|PACK_KEYS|DELAY_KEY_WRITE"
+    r"|CHECKSUM|AVG_ROW_LENGTH|TABLEGROUP|ENABLE|DISABLE|ORDER|FORCE)\b",
+    re.I,
+)
+
+#: trailing column-position clause on ADD/MODIFY/CHANGE — captured
+#: separately and applied as a registry reorder
+_POSITION_TAIL = re.compile(rf"\s+(?:(FIRST)|AFTER\s+{_IDENT})\s*$", re.I)
+
+#: generated-column clause — [GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]
+_GENERATED = re.compile(
+    r"\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\((?:[^()]|\([^()]*\))*\)"
+    r"(?:\s+(?:VIRTUAL|STORED))?",
+    re.I,
+)
+
+
+def _merge_continuations(parts: list[str]) -> list[str]:
+    """Re-join top-level-comma fragments that continue the previous action
+    (partition/column name lists: ``DROP PARTITION p0, p1``,
+    ``REORGANIZE PARTITION p0, p1 INTO (…)``)."""
+    out: list[str] = []
+    for p in parts:
+        if out and not _ACTION_START.match(p):
+            out[-1] = out[-1] + ", " + p
+        else:
+            out.append(p)
+    return out
+
+
+def _strip_position(decl: str) -> tuple[str, tuple | None]:
+    """Split a column declaration's trailing FIRST / AFTER col clause.
+    Returns (decl_without_position, None | ("first",) | ("after", col))."""
+    m = _POSITION_TAIL.search(decl)
+    if not m:
+        return decl.strip(), None
+    rest = decl[: m.start()].strip()
+    if m.group(1):
+        return rest, ("first",)
+    return rest, ("after", _ident(m.group(2)))
+
+
+def parse_ddl_script(sql: str, default_db: str | None = None) -> list[dict]:
+    """Parse a multi-statement DDL script (statements separated by
+    top-level ``;``) into one flat op list, left-to-right — the form a
+    captured QUERY event or a migration tool emits."""
+    ops: list[dict] = []
+    depth, in_str, cur = 0, False, []
+    stmts: list[str] = []
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                # '' escape stays inside the string
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            stmts.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        stmts.append("".join(cur))
+    for stmt in stmts:
+        if stmt.strip():
+            ops.extend(parse_ddl(stmt, default_db))
+    return ops
+
+
+def _parse_column_element(element: str) -> dict:
+    """One CREATE-TABLE/ADD-COLUMN column definition → {name, mysql_type,
+    generated, inline_pk}. The generated clause (``[GENERATED ALWAYS] AS
+    (expr) [VIRTUAL|STORED]``) is recorded as a flag and stripped from the
+    type declaration so ``typed_images`` sees a clean type."""
+    cd = _COL_DEF.match(element)
+    if not cd:
+        raise ValueError(f"unparsable column def: {element!r}")
+    name = _ident(cd.group(1))
+    generated = bool(_GENERATED.search(element))
+    mysql_type = cd.group(2).strip()
+    return {
+        "name": name,
+        "mysql_type": mysql_type,
+        "generated": generated,
+        "inline_pk": bool(_PK_INLINE.search(element[cd.end():])),
+    }
 
 
 def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
@@ -112,6 +249,7 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
         types: list[str] = []
         pks: list[str] = []
         hidden: list[str] = []
+        generated: list[str] = []
         for element in _split_top_level(body):
             pk_c = _PK_CONSTRAINT.match(element)
             if pk_c:
@@ -119,16 +257,15 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
                 continue
             if _KEY_DEF.match(element):
                 continue
-            cd = _COL_DEF.match(element)
-            if not cd:
-                raise ValueError(f"unparsable column def: {element!r}")
-            name, mysql_type = _ident(cd.group(1)), cd.group(2).strip()
-            cols.append(name)
-            types.append(mysql_type)
-            if _PK_INLINE.search(element[cd.end():]):
-                pks.append(name)
-            if name == IMPLICIT_PK:
-                hidden.append(name)
+            c = _parse_column_element(element)
+            cols.append(c["name"])
+            types.append(c["mysql_type"])
+            if c["inline_pk"]:
+                pks.append(c["name"])
+            if c["generated"]:
+                generated.append(c["name"])
+            if c["name"] == IMPLICIT_PK:
+                hidden.append(c["name"])
         return [{
             "db": _ident(db) if db else default_db,
             "tbl": tbl,
@@ -137,6 +274,22 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
             "types": types,
             "pks": list(dict.fromkeys(pks)),
             "hidden_pks": hidden,
+            "generated": generated,
+        }]
+
+    # CREATE TABLE t LIKE s — clone the source table's schema
+    # (MemoryTableMeta resolves LIKE against its own snapshot)
+    m = re.match(
+        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QUALIFIED}\s+LIKE\s+{_QUALIFIED}\s*$",
+        s, re.I,
+    )
+    if m:
+        return [{
+            "db": _ident(m.group(1)) if m.group(1) else default_db,
+            "tbl": _ident(m.group(2)),
+            "op": "create_like",
+            "src_db": _ident(m.group(3)) if m.group(3) else default_db,
+            "src_tbl": _ident(m.group(4)),
         }]
 
     m = re.match(rf"ALTER\s+TABLE\s+{_QUALIFIED}\s+(.*)$", s, re.I | re.S)
@@ -144,19 +297,41 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
         db = _ident(m.group(1)) if m.group(1) else default_db
         tbl, actions = _ident(m.group(2)), m.group(3)
         ops = []
-        for action in _split_top_level(actions):
+        for action in _merge_continuations(_split_top_level(actions)):
+            if _PARTITION_ACTION.match(action):
+                # partition maintenance changes data placement, never the
+                # visible column set — record a no-op version (the
+                # reference's DDLConverter normalizes these away for the
+                # logical stream; MemoryTableMeta digests them intact)
+                ops.append({"db": db, "tbl": tbl, "op": "partition", "action": action})
+                continue
             if _INDEX_ACTION.match(action) or _TABLE_OPTION_ACTION.match(action):
                 # index/constraint/table-option DDL: registry no-op — the
                 # visible column set is unchanged (CINDEX/DINDEX in the
                 # reference; MemoryTableMeta keeps column metadata intact)
                 ops.append({"db": db, "tbl": tbl, "op": "index", "action": action})
                 continue
+            # ADD [COLUMN] (c1 t1, c2 t2, …) — parenthesized multi-add
+            a = re.match(r"ADD\s+(?:COLUMN\s+)?\((.*)\)\s*$", action, re.I | re.S)
+            if a:
+                for element in _split_top_level(a.group(1)):
+                    c = _parse_column_element(element)
+                    ops.append({
+                        "db": db, "tbl": tbl, "op": "add_column",
+                        "column": c["name"], "mysql_type": c["mysql_type"],
+                        "generated": c["generated"],
+                    })
+                continue
             a = re.match(rf"ADD\s+(?:COLUMN\s+)?{_IDENT}\s+(.+)$", action, re.I | re.S)
             if a:
+                decl, position = _strip_position(a.group(2))
+                c = _parse_column_element(f"{a.group(1)} {decl}")
                 ops.append({
                     "db": db, "tbl": tbl, "op": "add_column",
                     "column": _ident(a.group(1)),
-                    "mysql_type": re.sub(r"\s+(FIRST|AFTER\s+\S+)\s*$", "", a.group(2), flags=re.I).strip(),
+                    "mysql_type": c["mysql_type"],
+                    "generated": c["generated"],
+                    **({"position": position} if position else {}),
                 })
                 continue
             a = re.match(rf"DROP\s+(?:COLUMN\s+)?{_IDENT}\s*$", action, re.I)
@@ -165,10 +340,12 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
                 continue
             a = re.match(rf"CHANGE\s+(?:COLUMN\s+)?{_IDENT}\s+{_IDENT}\s+(.+)$", action, re.I | re.S)
             if a:
+                decl, position = _strip_position(a.group(3))
                 ops.append({
                     "db": db, "tbl": tbl, "op": "rename_column",
                     "from": _ident(a.group(1)), "to": _ident(a.group(2)),
-                    "mysql_type": a.group(3).strip(),
+                    "mysql_type": decl,
+                    **({"position": position} if position else {}),
                 })
                 continue
             a = re.match(rf"RENAME\s+COLUMN\s+{_IDENT}\s+TO\s+{_IDENT}\s*$", action, re.I)
@@ -180,9 +357,11 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
                 continue
             a = re.match(rf"MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+(.+)$", action, re.I | re.S)
             if a:
+                decl, position = _strip_position(a.group(2))
                 ops.append({
                     "db": db, "tbl": tbl, "op": "modify_column",
-                    "column": _ident(a.group(1)), "mysql_type": a.group(2).strip(),
+                    "column": _ident(a.group(1)), "mysql_type": decl,
+                    **({"position": position} if position else {}),
                 })
                 continue
             a = re.match(rf"RENAME\s+(?:TO\s+|AS\s+)?{_QUALIFIED}\s*$", action, re.I)
@@ -214,6 +393,22 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
     if m:
         db = _ident(m.group(1)) if m.group(1) else default_db
         return [{"db": db, "tbl": _ident(m.group(2)), "op": "drop"}]
+
+    # statement-level index DDL — registry no-op versions on the target
+    # table (CINDEX/DINDEX actions in the reference's DBMSAction model)
+    m = re.match(
+        rf"CREATE\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:GLOBAL\s+|CLUSTERED\s+|LOCAL\s+)?"
+        rf"INDEX\s+{_IDENT}\s+ON\s+{_QUALIFIED}\s*\(.*\)\s*[^)]*$",
+        s, re.I | re.S,
+    )
+    if m:
+        db = _ident(m.group(2)) if m.group(2) else default_db
+        return [{"db": db, "tbl": _ident(m.group(3)), "op": "index", "action": s}]
+
+    m = re.match(rf"DROP\s+INDEX\s+{_IDENT}\s+ON\s+{_QUALIFIED}\s*$", s, re.I)
+    if m:
+        db = _ident(m.group(2)) if m.group(2) else default_db
+        return [{"db": db, "tbl": _ident(m.group(3)), "op": "index", "action": s}]
 
     raise ValueError(f"unsupported DDL: {sql!r}")
 

@@ -103,6 +103,58 @@ def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     )
 
 
+def _assign_arrow(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Large-k nearest-centroid assignment: centroids ship as a BROADCAST
+    variable and each Arrow batch runs ONE int64 NumPy matmul
+    (``dist = |x|² − 2·x·Cᵀ + |c|²`` — exact in int64: |value| ≤ scale, so
+    every term is far below 2⁶³). The Literal-matrix Catalyst path
+    (``_nearest``) is ideal at k≈10 but its plan grows with k×dim — at
+    k in the thousands the per-iteration Literal is megabytes and analysis
+    cost dominates; this path is O(1) in plan size at any k. Still
+    map-only (zero shuffle), and bit-identical to ``_assign``: integer
+    arithmetic both ways, ties broken on the lowest cluster id (centroid
+    rows are sorted by cid, argmin returns the first minimum)."""
+    spark = q.sparkSession
+    ordered = sorted(cents)  # by cid → argmin's first-hit = lowest cid
+    bc = spark.sparkContext.broadcast(
+        ([cid for cid, _ in ordered], [[int(v) for v in cv] for _, cv in ordered])
+    )
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in q.schema.fields]
+        + ["cluster_id int", "dist bigint"]
+    )
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids = np.asarray(bc.value[0], dtype=np.int64)
+        C = np.asarray(bc.value[1], dtype=np.int64)  # k × dim
+        c_norm = (C * C).sum(axis=1)  # k
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(
+                    cluster_id=pd.Series(dtype="int32"),
+                    dist=pd.Series(dtype="int64"),
+                )
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            x_norm = (X * X).sum(axis=1)
+            d = x_norm[:, None] - 2 * (X @ C.T) + c_norm[None, :]
+            idx = d.argmin(axis=1)
+            out = pdf.copy()
+            out["cluster_id"] = cids[idx].astype("int32")
+            out["dist"] = d[np.arange(len(idx)), idx]
+            yield out
+
+    return q.mapInPandas(assign_batches, out_schema)
+
+
+#: k at/above which ``kmeans_fit(assign_mode="auto")`` switches from the
+#: Literal-matrix Catalyst assignment to the broadcast+matmul Arrow path
+LARGE_K_THRESHOLD = 64
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 10,
@@ -110,15 +162,26 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = DEFAULT_SCALE,
+    assign_mode: str = "auto",
 ) -> tuple[list[tuple[int, list[int]]], DataFrame]:
     """Fixed-iteration quantized Lloyd k-means; returns the trained
     centroids and the final assignment ``(id, cluster_id, dist)``.
 
-    Deterministic by construction: init centroids are the k lowest-id
-    vectors (cid = rank in id order), every iteration's assignment and
-    integer-mean update depend only on values, never on partitioning.
+    Deterministic by construction: init centroids are the k vectors that
+    sort first by salted md5 of the id (``_init_key``; id breaks hash
+    ties) — a value-only pseudo-random seed the DuckDB oracle replays
+    exactly — and every iteration's assignment and integer-mean update
+    depend only on values, never on partitioning.
     Driver traffic is k rows per iteration (centroid refresh) — the same
-    bounded pattern as Spark MLlib KMeans."""
+    bounded pattern as Spark MLlib KMeans.
+
+    ``assign_mode``: "expr" (Catalyst Literal matrix — zero Python, ideal
+    at small k), "arrow" (broadcast + NumPy matmul — O(1) plan size, the
+    large-k path), or "auto" (arrow at k ≥ LARGE_K_THRESHOLD). Both
+    produce bit-identical assignments (integer math, same tie-break)."""
+    if assign_mode == "auto":
+        assign_mode = "arrow" if k >= LARGE_K_THRESHOLD else "expr"
+    assign_fn = _assign_arrow if assign_mode == "arrow" else _assign
     q = quantize_vectors(df, id_col, vec_col, scale).persist()
     try:
         init = q.orderBy(_init_key(id_col), id_col).limit(k).collect()
@@ -130,7 +193,7 @@ def kmeans_fit(
             F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)
         ]
         for _ in range(n_iter):
-            stats = _assign(q, cents).groupBy("cluster_id").agg(*sum_aggs).collect()
+            stats = assign_fn(q, cents).groupBy("cluster_id").agg(*sum_aggs).collect()
             by_cid = {r["cluster_id"]: r for r in stats}
             new_cents = []
             for cid, old in cents:
@@ -145,7 +208,7 @@ def kmeans_fit(
                     # the non-negative remainder)
                     new_cents.append((cid, [r[f"s{i}"] // n for i in range(dim)]))
             cents = new_cents
-        return cents, _assign(q, cents).select(
+        return cents, assign_fn(q, cents).select(
             F.col(id_col), F.col("cluster_id"), F.col("dist")
         )
     finally:
@@ -159,9 +222,10 @@ def kmeans_fit_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = DEFAULT_SCALE,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Assignment-only view of :func:`kmeans_fit`."""
-    return kmeans_fit(df, k, n_iter, id_col, vec_col, scale)[1]
+    return kmeans_fit(df, k, n_iter, id_col, vec_col, scale, assign_mode)[1]
 
 
 def cluster_purity(

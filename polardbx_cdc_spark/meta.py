@@ -53,8 +53,12 @@ class SchemaRegistry:
     def apply(self, tso: str, db: str, tbl: str, ddl: dict) -> None:
         """Apply a DDL at a TSO. ``ddl`` is a dict op:
         {op: create, columns: [...], pks: [...], hidden_pks: [...]}
-        {op: add_column, column: c}   {op: drop_column, column: c}
-        {op: rename_column, from: a, to: b}   {op: truncate}   {op: drop}
+        {op: create_like, src_db, src_tbl}
+        {op: add_column, column: c[, position: ("first",)|("after", x)]}
+        {op: drop_column, column: c}
+        {op: rename_column, from: a, to: b[, position: ...]}
+        {op: modify_column, column: c[, position: ...]}
+        {op: truncate}   {op: drop}   {op: index}   {op: partition}
         Out-of-order apply (tso <= last) is rejected — DDL is a serialized
         stream barrier."""
         hist = self._tables.setdefault((db, tbl), _TableHistory())
@@ -69,11 +73,19 @@ class SchemaRegistry:
                 tuple(ddl.get("hidden_pks", ())),
                 tuple(ddl.get("types", ())),
             )
+        elif op == "create_like":
+            src = self.find(ddl["src_db"], ddl["src_tbl"], tso)
+            if src is None:
+                raise KeyError(
+                    f"{ddl['src_db']}.{ddl['src_tbl']} does not exist at {tso}"
+                )
+            new = src
         elif op == "drop":
             new = TableSchema((), (), ())
-        elif op in ("truncate", "index"):
-            # truncate clears rows, index DDL changes access paths — neither
-            # touches the visible column set (reference CINDEX/DINDEX,
+        elif op in ("truncate", "index", "partition"):
+            # truncate clears rows, index DDL changes access paths,
+            # partition maintenance changes placement — none touches the
+            # visible column set (reference CINDEX/DINDEX,
             # DBMSAction.java:23-27): record a version with the same schema
             if cur is None:
                 raise KeyError(f"{db}.{tbl} does not exist at {tso}")
@@ -99,19 +111,40 @@ class SchemaRegistry:
                 raise KeyError(f"{db}.{tbl} does not exist at {tso}")
             cols = list(cur.columns)
             types = list(cur.types) if cur.types else [""] * len(cols)
+
+            def _insert_at(name: str, mysql_type: str, position) -> None:
+                # FIRST / AFTER x reorder (MemoryTableMeta preserves MySQL
+                # column order — row-image decode depends on it)
+                if position == ("first",):
+                    i = 0
+                elif position and position[0] == "after":
+                    i = cols.index(position[1]) + 1
+                else:
+                    i = len(cols)
+                cols.insert(i, name)
+                types.insert(i, mysql_type)
+
             if op == "add_column":
-                cols.append(ddl["column"])
-                types.append(ddl.get("mysql_type", ""))
+                _insert_at(ddl["column"], ddl.get("mysql_type", ""), ddl.get("position"))
             elif op == "drop_column":
                 i = cols.index(ddl["column"])
                 del cols[i], types[i]
             elif op == "rename_column":
                 i = cols.index(ddl["from"])
-                cols[i] = ddl["to"]
-                if ddl.get("mysql_type"):
-                    types[i] = ddl["mysql_type"]
+                name, mysql_type = ddl["to"], ddl.get("mysql_type") or types[i]
+                if ddl.get("position"):
+                    del cols[i], types[i]
+                    _insert_at(name, mysql_type, ddl["position"])
+                else:
+                    cols[i], types[i] = name, mysql_type
             elif op == "modify_column":
-                types[cols.index(ddl["column"])] = ddl["mysql_type"]
+                i = cols.index(ddl["column"])
+                name, mysql_type = cols[i], ddl["mysql_type"]
+                if ddl.get("position"):
+                    del cols[i], types[i]
+                    _insert_at(name, mysql_type, ddl["position"])
+                else:
+                    types[i] = mysql_type
             else:
                 raise ValueError(f"unknown ddl op {op}")
             new = TableSchema(
@@ -123,12 +156,14 @@ class SchemaRegistry:
 
     # -- TableMetaTSDB.apply(position, ddl-text) ----------------------------
     def apply_sql(self, tso: str, sql: str, default_db: str | None = None) -> None:
-        """Apply a raw MySQL DDL statement at a TSO — the QUERY-event path
-        (QueryEventReformator → TableMetaTSDB.apply). Multi-action ALTERs
-        apply left-to-right at the same position."""
-        from polardbx_cdc_spark.ddl import parse_ddl
+        """Apply a raw MySQL DDL statement — or a multi-statement
+        ``;``-separated script — at a TSO (the QUERY-event path:
+        QueryEventReformator → TableMetaTSDB.apply). Multi-action ALTERs
+        and multi-statement scripts apply left-to-right at the same
+        position."""
+        from polardbx_cdc_spark.ddl import parse_ddl_script
 
-        for i, op in enumerate(parse_ddl(sql, default_db)):
+        for i, op in enumerate(parse_ddl_script(sql, default_db)):
             # sub-operations of one statement version at tso, tso+1, ... so
             # intra-statement order is preserved under the strictly-
             # increasing-TSO rule (sub-suffix stays within the same second)

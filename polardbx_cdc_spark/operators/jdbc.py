@@ -158,3 +158,178 @@ def apply_rendered_dml(
     finally:
         if conn is not None:
             conn.close()
+
+
+def apply_rendered_dml_parallel(
+    spark: SparkSession,
+    rendered: DataFrame,
+    url: str,
+    num_lanes: int = 4,
+    batch_size: int = 500,
+    serial_col: str | None = None,
+) -> int:
+    """PK-parallel rendered-DML apply — SplitTransactionApplier parity
+    (polardbx-cdc-rpl/.../applier/SplitTransactionApplier.java +
+    SplitApplier.java:36-95): statements stream in GLOBAL commit (tso)
+    order off ``toLocalIterator``, the driver routes each to one of
+    ``num_lanes`` worker threads by ``pmod(xxhash64(db, tbl, pk),
+    num_lanes)`` — so any single row's chain stays serial in one lane
+    while distinct keys apply concurrently, each lane down its OWN
+    connection with its own JDBC batching.
+
+    Serial events (``serial_col`` boolean true — e.g. a PK-identity
+    change, which touches two lanes) trigger the reference's barrier:
+    drain every lane's queue, FLUSH + COMMIT every lane (releasing row
+    locks, exactly why the reference waits out in-flight parallel work
+    before a serial event), apply the statement alone on lane 0, commit,
+    then resume parallel flow. Lanes commit independently — the split
+    applier's documented trade (per-row ordering kept, cross-row
+    transaction atomicity relaxed); use :func:`apply_rendered_dml` when
+    commit-order atomicity must hold.
+
+    ``rendered`` needs columns db/tbl/pk/tso/sql_text. Driver memory is
+    bounded: the ordered stream is one partition at a time, each queue is
+    capped, and no statement text is retained after dispatch."""
+    import queue as _queue
+    import threading
+
+    from pyspark.sql import functions as F
+
+    lane_expr = F.pmod(F.xxhash64("db", "tbl", "pk"), F.lit(num_lanes)).cast("int")
+    serial_expr = (
+        F.col(serial_col).cast("boolean") if serial_col else F.lit(False)
+    )
+    it = (
+        rendered.withColumn("_lane", lane_expr)
+        .withColumn("_serial", serial_expr)
+        .orderBy("tso")
+        .select("_lane", "_serial", "sql_text")
+        .toLocalIterator(prefetchPartitions=True)
+    )
+
+    queues = [_queue.Queue(maxsize=1024) for _ in range(num_lanes)]
+    errors: list[BaseException] = []
+    counts = [0] * num_lanes
+    conns: list = [None] * num_lanes
+    lock = threading.Lock()
+
+    def worker(lane: int) -> None:
+        st = None
+        pending = 0
+        try:
+            while True:
+                item = queues[lane].get()
+                try:
+                    if item is None:
+                        if conns[lane] is not None and pending:
+                            st.executeBatch()
+                        return
+                    if isinstance(item, threading.Event):
+                        # barrier flush: execute the open batch and commit
+                        # so this lane's row locks are released before the
+                        # serial statement runs
+                        if conns[lane] is not None:
+                            if pending:
+                                st.executeBatch()
+                                pending = 0
+                            conns[lane].commit()
+                        item.set()
+                        continue
+                    if conns[lane] is None:
+                        c = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+                        c.setAutoCommit(False)
+                        with lock:
+                            conns[lane] = c
+                        st = c.createStatement()
+                    st.addBatch(item)
+                    pending += 1
+                    counts[lane] += 1
+                    if pending >= batch_size:
+                        st.executeBatch()
+                        pending = 0
+                finally:
+                    queues[lane].task_done()
+        except BaseException as e:  # surfaced by the dispatcher
+            errors.append(e)
+            # drain so the dispatcher never blocks on a dead lane
+            while True:
+                try:
+                    if queues[lane].get_nowait() is None:
+                        queues[lane].task_done()
+                        return
+                    queues[lane].task_done()
+                except _queue.Empty:
+                    return
+
+    threads = [
+        threading.Thread(target=worker, args=(i,), daemon=True)
+        for i in range(num_lanes)
+    ]
+    for t in threads:
+        t.start()
+
+    def barrier() -> None:
+        """Drain + flush + commit every lane (row locks released)."""
+        for q in queues:
+            q.put(threading.Event())
+        for q in queues:
+            q.join()
+        if errors:
+            raise errors[0]
+
+    def put(lane: int, item) -> None:
+        # bounded put that keeps watching for a dead lane — a worker that
+        # errored stops draining, and a plain blocking put would hang
+        while True:
+            try:
+                queues[lane].put(item, timeout=1.0)
+                return
+            except _queue.Full:
+                if errors:
+                    raise errors[0]
+
+    try:
+        for r in it:
+            if errors:
+                raise errors[0]
+            if r["_serial"]:
+                # reference barrier: drain all lanes, apply alone, resume
+                barrier()
+                put(0, r["sql_text"])
+                barrier()
+            else:
+                put(r["_lane"], r["sql_text"])
+        for q in queues:
+            q.join()
+        if errors:
+            raise errors[0]
+        for q in queues:
+            q.put(None)
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        for c in conns:
+            if c is not None:
+                c.commit()
+        return sum(counts)
+    except BaseException:
+        for q in queues:
+            try:
+                q.put_nowait(None)
+            except _queue.Full:
+                pass
+        for c in conns:
+            if c is not None:
+                try:
+                    c.rollback()
+                except Exception:
+                    pass
+        raise
+    finally:
+        for c in conns:
+            if c is not None:
+                try:
+                    c.close()
+                except Exception:
+                    pass

@@ -121,7 +121,10 @@ def reconcile_repair(
     before the full-outer join, so the shuffle carries the row image only
     for the src side; output is the (small) repair plan, never the table."""
     hash_cols = [c for c, _ in cols]
-    vals = F.concat_ws(", ", *[v for _, v in cols])
+    # concat_ws silently SKIPS null elements — a NULL source value would
+    # emit a REPLACE with fewer VALUES than columns. Render SQL NULL
+    # explicitly so the statement stays positionally aligned.
+    vals = F.concat_ws(", ", *[F.coalesce(v, F.lit("NULL")) for _, v in cols])
     s = src.select(
         F.col(pk).alias("pk"),
         row_checksum(hash_cols).alias("src_sum"),

@@ -53,17 +53,78 @@ def register(name: str, oracle: str | None):
 # queries first (strong hash-check), then _GRADE_DEFER (oracle-backed but
 # redundant with a graded sibling's operator coverage — still run by the
 # local pytest parity suite), then rows-only entries.
-#: Round-4 flagships explicitly pulled INTO the graded window (the window
-#: is capacity-50, so each one evicts a redundant sibling listed in
-#: _GRADE_DEFER below): the clustering tier, the PQ ANN serve path, and
-#: continuous validation are the strongest new oracles and deserve the
-#: official hash-check.
+#: ROTATION POLICY (round 5+): the window rotates each round so that every
+#: oracle-backed entry eventually gets an official driver-side hash-check.
+#: Round 5 pulls in the 42 oracle-backed queries that had never appeared
+#: in a CORRECTNESS_r*.json (rounds 1–4 graded 65 distinct names), plus 8
+#: flagship veterans kept as cross-round anchors. Everything evicted is
+#: green in some prior CORRECTNESS file AND re-verified every run by
+#: tests/test_oracle_parity.py (identical multiset compare at sf0.01).
 _GRADE_PRIORITY: tuple[str, ...] = (
+    # -- never-graded: TPC-H family --------------------------------------
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_count",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    # -- never-graded: analytics extensions ------------------------------
+    "events_type_day_cube",
+    "orders_price_quartiles",
+    "orders_weekly_moving_avg",
+    "events_cohort_retention",
+    "promo_large_common_suppliers",
+    "promo_only_suppliers",
+    # -- never-graded: CDC spine -----------------------------------------
+    "cdc_txn_integrity",
+    "rpl_reconcile_repair",
+    "cdc_last_image_salted",
+    "cdc_stream_rebalance_plan",
+    "cdc_source_lag_report",
+    "cdc_flashback_by_time",
+    "cdc_logical_ddl_emit",
+    # -- never-graded: dedup / text --------------------------------------
+    "dedup_chunk_spans",
+    "dedup_rate_by_source",
+    "dedup_apply",
+    "dedup_simhash_pairs",
+    "dedup_embed_clusters",
+    "text_char_entropy",
+    "text_winnow_fingerprint",
+    # -- never-graded: embeddings ----------------------------------------
+    "embed_norm_stats",
+    "embed_kmeans_purity",
+    "embed_pq_codes",
+    "embed_ivf_topk_quantized",
+    "embed_quantize_int8",
+    # -- never-graded: curation ------------------------------------------
+    "curation_stratified_sample",
+    "curation_pack_sequences",
+    "curation_pii_scrub",
+    "curation_corpus_freq",
+    "curation_keyword_extract",
+    "curation_mixture_weights",
+    "curation_chunk_documents",
+    "curation_decontaminate",
+    "curation_shard_shuffle",
+    "curation_lm_perplexity",
+    # -- new this round: binlog wire-format byte round trip --------------
+    "cdc_binlog_wire_roundtrip",
+    # -- flagship veterans (anchors; green in r3/r4) ---------------------
+    "cdc_full_pipeline",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "checksum_all_types",
+    "dedup_minhash_lsh",
     "embed_kmeans_assign",
     "embed_pq_topk",
-    "cdc_incremental_checksum",
 )
 
+#: Oracle-backed entries outside the round-5 window. Every name here is
+#: green in a prior CORRECTNESS_r*.json (or, for the round-4 defers noted,
+#: in the local parity suite) and re-verified each run by
+#: tests/test_oracle_parity.py.
 _GRADE_DEFER: tuple[str, ...] = (
     "q18_large_orders",
     "events_signup_funnel",
@@ -72,28 +133,57 @@ _GRADE_DEFER: tuple[str, ...] = (
     "events_rollup_hierarchy",  # ranking/analytic row green via top_customers_per_nation
     "events_session_windows",  # session semantics also covered by events_sessionize
     "cheapest_part_per_type",  # correlated-min shape; TPC-H family well covered
-    "text_winnow_fingerprint",  # oracle-verified by the local parity suite
     "cdc_position_seek",  # SURVEY row stays green via cdc_min_tso_filter
     "q5_nation_revenue",  # TPC-H join-agg shape green via q1/q3
     "supplier_running_revenue",  # window analytics green via top_customers/sessionize
-    "events_distinct_stats",  # distinct-agg shape pytest-parity-covered (daily_rollup also deferred)
+    "events_distinct_stats",  # distinct-agg shape pytest-parity-covered
     "events_type_pivot",  # pivot extension; scalar/agg rows covered elsewhere
-    "curation_shard_shuffle",  # same salted-md5 rank shape as stratified_sample
-    "dedup_apply",  # terminal anti-join; pipeline verified via dedup_cluster_groups
-    "cdc_flashback_by_time",  # seek+flashback composition; parts graded individually
-    "dedup_simhash_pairs",  # block-permutation pairing; sig path graded via dedup_simhash
-    "embed_quantize_int8",  # int8 round-trip; embedding family graded via cosine/lsh topk
-    "curation_decontaminate",  # broadcast gram join; curation tier graded via 3 siblings
-    "dedup_embed_clusters",  # pairs+CC composition; both parts graded individually
-    "text_char_entropy",  # entropy proxy; text tier graded via text_stats/token_stats
-    "curation_lm_perplexity",  # bigram-LM scoring; curation tier graded via siblings
-    "cdc_source_lag_report",  # delay-gauge surface; metrics tier pytest-covered too
-    "cdc_logical_ddl_emit",  # DDL rewrite; registry/DDL tier graded via cdc_ddl_replay
-    # evicted (round 4) to make room for _GRADE_PRIORITY — each row stays
-    # covered by a graded sibling + the local pytest parity suite:
     "events_daily_rollup",  # §2.5 agg family graded via q1/checksum family
     "events_date_format_roundtrip",  # §2.8 date/format also exercised by checksum_all_types
     "parts_never_bulk_shipped",  # anti-join shape graded via q16 parity + q4 plan gate
+    # round-5 evictions — every one graded green in r3 and r4:
+    "cdc_accept_filter",
+    "cdc_min_tso_filter",
+    "cdc_blacklist_filter",
+    "cdc_replica_filter",
+    "cdc_data_import_filter",
+    "cdc_txn_assemble",
+    "cdc_disorder_report",
+    "cdc_heartbeat_epochs",
+    "cdc_kway_merge_head",
+    "cdc_multi_stream_alignment",
+    "cdc_last_image",
+    "cdc_replay_state",
+    "cdc_apply_snapshot",
+    "cdc_xa_parties",
+    "cdc_ddl_replay",
+    "cdc_logical_rebuild",
+    "cdc_stream_routing",
+    "cdc_render_dml_sql",
+    "cdc_seek_by_timestamp",
+    "cdc_txn_apply_order",
+    "cdc_stream_ordered_head",
+    "cdc_flashback_sql",
+    "cdc_incremental_checksum",
+    "checksum_lineitem",
+    "checksum_orders_chunked",
+    "full_copy_chunks",
+    "top_customers_per_nation",
+    "events_sessionize",
+    "cdc_backfill_union",
+    "events_json_props",
+    "text_stats",
+    "text_token_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_groups",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "dedup_embed_cosine",
+    "embed_lsh_topk",
+    "media_stats",
+    "curation_repetition_stats",
+    "curation_quality_filter",
 )
 
 
@@ -501,16 +591,38 @@ def cdc_ddl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_db="db0",
     )
     reg.apply_sql(cuts[k1], "ALTER TABLE db0.t0 DROP COLUMN props")
-    # index/constraint DDL mid-stream: MUST be a registry no-op (reference
-    # CINDEX/DINDEX actions) — a misparse here would inject phantom columns
-    # and shift every subsequent after-image, which the oracle would catch
+    # index/constraint/partition/charset DDL mid-stream: MUST be registry
+    # no-ops (reference CINDEX/DINDEX actions; DDLConverter partition
+    # normalization) — a misparse here would inject phantom columns and
+    # shift every subsequent after-image, which the oracle would catch
     reg.apply_sql(
         cuts[k1] + "50",
         "ALTER TABLE db0.t0 ADD INDEX idx_value (value), "
         "ADD UNIQUE KEY uk_pk (pk), ALGORITHM=INPLACE, LOCK=NONE",
     )
+    reg.apply_sql(
+        cuts[k1] + "60",
+        "ALTER TABLE db0.t0 ADD PARTITION (PARTITION p8 VALUES LESS THAN (800), "
+        "PARTITION p9 VALUES LESS THAN MAXVALUE)",
+    )
+    reg.apply_sql(
+        cuts[k1] + "70",
+        "ALTER TABLE db0.t0 REORGANIZE PARTITION p8, p9 "
+        "INTO (PARTITION p89 VALUES LESS THAN MAXVALUE)",
+    )
+    reg.apply_sql(
+        cuts[k1] + "80",
+        "ALTER TABLE db0.t0 CONVERT TO CHARACTER SET utf8mb4 "
+        "COLLATE utf8mb4_general_ci",
+    )
     reg.apply_sql(cuts[k2], "ALTER TABLE db0.t0 ADD COLUMN props TEXT")
-    reg.apply_sql(cuts[k2] + "50", "ALTER TABLE db0.t0 DROP INDEX idx_value")
+    # multi-statement script with a partition drop — splits on top-level
+    # ';' and both statements must leave the visible column set intact
+    reg.apply_sql(
+        cuts[k2] + "50",
+        "ALTER TABLE db0.t0 DROP INDEX idx_value; "
+        "ALTER TABLE db0.t0 DROP PARTITION p89",
+    )
     rebuilt = rebuild_events_versioned(cdc, reg)
     after_cols = F.when(
         F.col("after").isNull(), F.lit(None).cast("string")
@@ -3784,14 +3896,22 @@ def orders_weekly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
-    wsum = F.sum("day_cents").over(w)
-    wcnt = F.count(F.lit(1)).over(w)
-    ma_cents = (wsum - ((wsum % wcnt + wcnt) % wcnt)) / wcnt
-    return daily.select(
+    windowed = daily.select(
+        "day",
+        "n_orders",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("wcnt"),
+    )
+    # pure integer floor-division (`div` truncates; the pre-subtracted
+    # mod makes it a true floor) — no float in the cents math, exact at
+    # any scale factor, matching the oracle's `//`
+    ma_cents = F.expr("(wsum - ((wsum % wcnt + wcnt) % wcnt)) div wcnt")
+    return windowed.select(
         F.col("day").cast("string").alias("day"),
         "n_orders",
         (F.col("day_cents").cast("double") / 100).alias("day_total"),
-        (ma_cents.cast("long").cast("double") / 100).alias("ma7"),
+        (ma_cents.cast("double") / 100).alias("ma7"),
     )
 
 
@@ -3870,4 +3990,47 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_day7",
         "day1_bp",
         "day7_bp",
+    )
+
+
+# --------------------------------------------------------------------------
+# Binlog wire format: encode → decode round trip (SURVEY §2.2 byte slice)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_binlog_wire_roundtrip",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, action,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+               CAST(sum(CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT)) AS BIGINT) AS pk_hash_sum
+        FROM cdc GROUP BY db, tbl, action
+        """
+    ),
+)
+def cdc_binlog_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL binlog WIRE BYTES round trip: the CDC frame is serialized to
+    real binlog v4 events (TABLE_MAP + WRITE/UPDATE/DELETE_ROWS v2, CRC32
+    checksummed — LogDecoder.java / RowsLogEvent.java / TableMapLogEvent
+    .java layouts; writer parity LogFileGenerator.java:624-757), then
+    DECODED BACK, and the decoded rows are aggregated. The oracle computes
+    the same aggregate from the raw cdc view — so pk strings and double
+    value BITS must survive the byte encode/decode exactly or the hash
+    check fails. Both directions run as Arrow-batched ``mapInPandas``
+    (per-partition encode/decode, embarrassingly parallel at any scale)."""
+    from polardbx_cdc_spark import binlog_wire
+
+    cdc = derive_cdc_stream(spark, sf_dir).select(
+        "db", "tbl", "action", "pk", "value", "tso"
+    )
+    blobs = binlog_wire.events_to_binlog(cdc)
+    decoded = binlog_wire.binlog_to_events(blobs)
+    return decoded.groupBy("db", "tbl", "action").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("value_cents"),
+        F.sum(F.conv(F.substring(F.md5("pk"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("pk_hash_sum"),
     )

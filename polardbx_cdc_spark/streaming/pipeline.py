@@ -510,25 +510,34 @@ class BinlogXSink:
                 shift = F.coalesce(base[F.col("stream_id")], F.lit(0))
             else:
                 shift = F.lit(0)
+            # persist the windowed frame itself: both downstream actions
+            # (stats collect + write) reuse it, so the per-stream
+            # row_number window executes once per batch, not twice
             out = (
                 filtered.withColumn(
                     "offset",
                     (F.row_number().over(w) - 1 + shift).cast("long"),
                 )
                 .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))
+                .persist()
             )
-            stats = (
-                out.groupBy("stream_id")
-                .agg(F.count(F.lit(1)).alias("n"), F.max("tso").alias("mx"))
-                .collect()
-            )
-            if not stats:
-                return
-            out.write.mode("append").partitionBy("stream_id", "file_seq").parquet(self.out_dir)
-            for r in stats:
-                sid = r["stream_id"]
-                self._offsets[sid] = self._offsets.get(sid, 0) + r["n"]
-                self._last_tso[sid] = max(self._last_tso.get(sid, ""), r["mx"])
+            try:
+                stats = (
+                    out.groupBy("stream_id")
+                    .agg(F.count(F.lit(1)).alias("n"), F.max("tso").alias("mx"))
+                    .collect()
+                )
+                if not stats:
+                    return
+                out.write.mode("append").partitionBy("stream_id", "file_seq").parquet(
+                    self.out_dir
+                )
+                for r in stats:
+                    sid = r["stream_id"]
+                    self._offsets[sid] = self._offsets.get(sid, 0) + r["n"]
+                    self._last_tso[sid] = max(self._last_tso.get(sid, ""), r["mx"])
+            finally:
+                out.unpersist()
         finally:
             batch_df.unpersist()
 
@@ -665,7 +674,13 @@ class ReplicaTableSink:
             return None
         manifest = snaps[snapshot]
         if not manifest:
-            return spark.createDataFrame([], self.current(spark).schema)
+            # empty snapshot: borrow the schema from the live state; if the
+            # live manifest is also empty there is no schema to borrow —
+            # same "nothing to read" contract as an empty history
+            live = self.current(spark)
+            if live is None:
+                return None
+            return spark.createDataFrame([], live.schema)
         paths = [self._bucket_dir(int(b), v) for b, v in manifest.items()]
         return spark.read.parquet(*paths)
 
@@ -888,9 +903,14 @@ def compact_binlog(spark, out_dir: str, max_files_per_seq: int = 1) -> dict:
     micro-batch sink trades that for parallel ingest and compacts here).
 
     Per fragmented partition: read → sort by ``offset`` → rewrite as
-    ``max_files_per_seq`` files → atomic directory swap (stage + rename,
+    ``max_files_per_seq`` files → staged directory swap (stage + rename,
     old dir kept as ``.pre_compact`` until the swap completes, then
-    removed). Content and order are bit-preserved — the read path
+    removed). The swap is two renames, not one atomic op, so startup
+    first repairs any crash debris: a ``.pre_compact`` whose live dir is
+    missing is restored, a stale one is dropped, and a failed second
+    rename rolls the backup straight back. A partition is therefore never
+    observable as missing across a crash. Content and order are
+    bit-preserved — the read path
     (``read_binlog``, catalog SHOW commands, seekLastTso recovery) sees
     the identical frame. Returns {partitions_compacted, files_before,
     files_after}."""
@@ -899,7 +919,21 @@ def compact_binlog(spark, out_dir: str, max_files_per_seq: int = 1) -> dict:
     import shutil
 
     stats = {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+    # Crash recovery from a previous run that died mid-swap: a leftover
+    # ``.pre_compact`` backup whose live dir is MISSING means the crash
+    # landed between the two renames — restore the backup (the staged dir,
+    # if complete, is re-derivable); if the live dir exists the swap
+    # finished and the backup is stale — drop it. Either way the loop
+    # below starts from a consistent directory.
+    for backup in sorted(_glob.glob(os.path.join(out_dir, "file_seq=*.pre_compact"))):
+        live = backup[: -len(".pre_compact")]
+        if os.path.exists(live):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, live)
     for part_dir in sorted(_glob.glob(os.path.join(out_dir, "file_seq=*"))):
+        if part_dir.endswith(".compacting") or part_dir.endswith(".pre_compact"):
+            continue
         files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         stats["files_before"] += len(files)
         if len(files) <= max_files_per_seq:
@@ -916,7 +950,12 @@ def compact_binlog(spark, out_dir: str, max_files_per_seq: int = 1) -> dict:
             .parquet(staged)
         )
         os.rename(part_dir, backup)
-        os.rename(staged, part_dir)
+        try:
+            os.rename(staged, part_dir)
+        except BaseException:
+            # restore the original so the partition is never left missing
+            os.rename(backup, part_dir)
+            raise
         shutil.rmtree(backup)
         stats["partitions_compacted"] += 1
         stats["files_after"] += len(

@@ -1,0 +1,134 @@
+"""MySQL binlog wire-format slice: encode → decode round trips, CRC
+enforcement, file layout, and the Spark mapInPandas plumbing.
+
+Parity targets: polardbx-cdc-canal/.../binlog/LogDecoder.java (decode),
+event/TableMapLogEvent.java + event/RowsLogEvent.java (layouts),
+polardbx-cdc-dumper/.../logfile/LogFileGenerator.java:624-757 (writer)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from polardbx_cdc_spark import binlog_wire as W
+
+
+TD = W.TableDef(
+    "db0",
+    "t0",
+    [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 256), (W.TYPE_DOUBLE, 8),
+     (W.TYPE_LONG, None)],
+)
+
+
+def test_write_rows_round_trip_all_types():
+    rows = [
+        [1, "hello", 3.5, 42],
+        [2, "x" * 300, -1.25, -7],  # VARCHAR > 255 bytes → 2-byte length
+        [3, "", 0.0, 0],
+    ]
+    blob = W.encode_table_map(77, TD) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 77, TD, rows
+    )
+    evs = W.decode_events(blob)
+    assert [e["type"] for e in evs] == [W.TABLE_MAP_EVENT, W.WRITE_ROWS_EVENT]
+    assert evs[0]["db"] == "db0" and evs[0]["tbl"] == "t0"
+    assert evs[0]["types"] == TD.types
+    assert evs[1]["rows"] == rows
+
+
+def test_null_bitmap_round_trip():
+    rows = [[None, "a", None, 5], [9, None, 2.5, None]]
+    blob = W.encode_table_map(1, TD) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 1, TD, rows
+    )
+    assert W.decode_events(blob)[1]["rows"] == rows
+
+
+def test_update_and_delete_round_trip():
+    before = [1, "old", 1.0, 10]
+    after = [1, "new", 2.0, 20]
+    blob = (
+        W.encode_table_map(5, TD)
+        + W.encode_rows_event(W.UPDATE_ROWS_EVENT, 5, TD, [(before, after)])
+        + W.encode_rows_event(W.DELETE_ROWS_EVENT, 5, TD, [after])
+    )
+    evs = W.decode_events(blob)
+    assert evs[1]["rows"] == [(before, after)]
+    assert evs[2]["rows"] == [after]
+
+
+def test_crc32_is_enforced():
+    blob = bytearray(
+        W.encode_table_map(2, TD)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 2, TD, [[1, "a", 1.0, 1]])
+    )
+    blob[len(blob) - 10] ^= 0xFF  # corrupt one payload byte
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        W.decode_events(bytes(blob))
+    # CRC check can be disabled (e.g. trusted store re-read)
+    W.decode_events(bytes(blob), verify_crc=False)
+
+
+def test_event_header_fields():
+    ev = W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, TD, [[1, "a", 1.0, 1]],
+                             timestamp=1700000000)
+    ts, tc, sid, elen, npos, flags = struct.unpack_from("<IBIIIH", ev, 0)
+    assert (ts, tc) == (1700000000, W.WRITE_ROWS_EVENT)
+    assert elen == len(ev)  # event_length covers header+payload+crc
+
+
+def test_file_layout_and_rotate(tmp_path):
+    p = str(tmp_path / "binlog.000001")
+    events = [
+        W.encode_table_map(9, TD),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 9, TD, [[1, "r", 1.5, 2]]),
+        W.encode_xid(4242),
+    ]
+    W.write_binlog_file(p, events, next_file="binlog.000002")
+    evs = W.read_binlog_file(p)
+    types = [e["type"] for e in evs]
+    assert types == [
+        W.FORMAT_DESCRIPTION_EVENT, W.TABLE_MAP_EVENT, W.WRITE_ROWS_EVENT,
+        W.XID_EVENT, W.ROTATE_EVENT,
+    ]
+    assert evs[0]["binlog_version"] == 4
+    assert evs[0]["checksum_alg"] == W.BINLOG_CHECKSUM_ALG_CRC32
+    assert evs[3]["xid"] == 4242
+    assert evs[4]["next_file"] == "binlog.000002"
+
+    with open(p, "rb") as fh:
+        assert fh.read(4) == b"\xfebin"
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = str(tmp_path / "not_binlog")
+    with open(p, "wb") as fh:
+        fh.write(b"PAR1junk")
+    with pytest.raises(ValueError, match="bad magic"):
+        W.read_binlog_file(p)
+
+
+def test_spark_encode_decode_round_trip(spark, sf_dir):
+    """Full dataflow: CDC frame → wire blobs (mapInPandas) → decode →
+    multiset-identical (db, tbl, action, pk, value)."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.model import derive_cdc_stream
+
+    cdc = derive_cdc_stream(spark, sf_dir).select(
+        "db", "tbl", "action", "pk", "value", "tso"
+    )
+    blobs = W.events_to_binlog(cdc).persist()
+    try:
+        # every input event serialized exactly once
+        assert (
+            blobs.agg(F.sum("n_events")).collect()[0][0] == cdc.count()
+        )
+        decoded = W.binlog_to_events(blobs)
+        left = cdc.select("db", "tbl", "action", "pk", "value")
+        diff = left.exceptAll(decoded).count() + decoded.exceptAll(left).count()
+        assert diff == 0
+    finally:
+        blobs.unpersist()

@@ -143,3 +143,47 @@ def test_pq_and_kmeans_input_guards(spark):
         clustering.pq_train(vecs, m=3)
     with pytest.raises(ValueError, match="exceeds corpus"):
         clustering.kmeans_fit_assign(vecs.limit(2), k=5)
+
+
+def test_arrow_assignment_bit_identical_to_expr(spark):
+    """The large-k broadcast+matmul path must produce exactly the same
+    (cluster_id, dist) as the Catalyst Literal path — integer math both
+    ways, ties on the lowest cid."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = _vecs(spark, rows)
+    a = sorted(map(tuple, clustering.kmeans_fit_assign(
+        df, k=8, n_iter=2, assign_mode="expr").collect()))
+    b = sorted(map(tuple, clustering.kmeans_fit_assign(
+        df, k=8, n_iter=2, assign_mode="arrow").collect()))
+    assert a == b
+
+
+def test_arrow_assignment_handles_ties_and_nulls_free_path(spark):
+    """Duplicate centroids (exact tie) → lowest cluster id wins on both
+    paths."""
+    q = clustering.quantize_vectors(_vecs(spark, [(1, [0.5, 0.5])]))
+    cents = [(3, [500, 500]), (1, [500, 500]), (2, [0, 0])]
+    expr_row = clustering._assign(q, cents).collect()[0]
+    arrow_row = clustering._assign_arrow(q, cents).collect()[0]
+    assert expr_row["cluster_id"] == arrow_row["cluster_id"] == 1
+    assert expr_row["dist"] == arrow_row["dist"] == 0
+
+
+def test_large_k_auto_switches_to_arrow(spark):
+    """k ≥ LARGE_K_THRESHOLD runs the broadcast path end-to-end (smoke:
+    80 clusters over 200 vectors, plan stays O(1) in k)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(200)]
+    out = clustering.kmeans_fit_assign(_vecs(spark, rows), k=80, n_iter=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEval" in plan or "MapInPandas" in plan, plan
+    rows_out = out.collect()
+    assert len(rows_out) == 200
+    assert len({r["cluster_id"] for r in rows_out}) > 40

@@ -1,0 +1,262 @@
+"""Seeded random-DDL fuzz: generate DDL sequences the way the reference's
+QA random DDL builder does (qatest/.../random/DdlSqlBuilder.java shapes —
+random ADD/DROP/MODIFY/CHANGE with FIRST/AFTER positions, interleaved
+index/partition/table-option no-ops, random case/backtick/COLUMN-keyword
+formatting), apply the rendered SQL text through SchemaRegistry.apply_sql,
+and compare against an analytically maintained column model that never
+sees the SQL text. Time-travel (``find`` at historical TSOs) is checked
+against per-step model snapshots, so parser + registry + versioning are
+all under test.
+
+Reference parity target: MemoryTableMeta.java (in-memory druid-backed
+apply) + TableMetaTSDB.find(position).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from polardbx_cdc_spark.meta import SchemaRegistry
+
+TYPES = [
+    "INT",
+    "BIGINT",
+    "BIGINT UNSIGNED",
+    "SMALLINT",
+    "DOUBLE",
+    "DECIMAL(10,3)",
+    "VARCHAR(32)",
+    "TEXT",
+    "DATETIME(3)",
+    "BIT(8)",
+]
+
+NOOP_ACTIONS = [
+    "ADD INDEX idx_{n} (`{col}`)",
+    "ADD UNIQUE KEY uk_{n} ({col})",
+    "DROP INDEX idx_{n}",
+    "ADD PARTITION (PARTITION px{n} VALUES LESS THAN ({n}00))",
+    "DROP PARTITION px{n}",
+    "REORGANIZE PARTITION px{n}, py{n} INTO (PARTITION pz{n} VALUES LESS THAN MAXVALUE)",
+    "TRUNCATE PARTITION ALL",
+    "CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_general_ci",
+    "ENGINE=InnoDB",
+    "COMMENT='fuzz {n}'",
+    "ALGORITHM=INPLACE, LOCK=NONE",
+    "COALESCE PARTITION 2",
+    "SPLIT PARTITION px{n} INTO (PARTITION a{n} VALUES LESS THAN (1), PARTITION b{n} VALUES LESS THAN (2))",
+    "MERGE PARTITIONS a{n}, b{n} TO px{n}",
+    "ROW_FORMAT=DYNAMIC",
+    "DEFAULT CHARACTER SET utf8mb4",
+]
+
+
+class Model:
+    """Analytic twin: ordered (name, type) list driven by intents only."""
+
+    def __init__(self):
+        self.cols: list[tuple[str, str]] = []
+
+    def names(self):
+        return [c for c, _ in self.cols]
+
+    def insert(self, name, typ, position):
+        if position == "first":
+            i = 0
+        elif position:
+            i = self.names().index(position) + 1
+        else:
+            i = len(self.cols)
+        self.cols.insert(i, (name, typ))
+
+    def drop(self, name):
+        del self.cols[self.names().index(name)]
+
+    def snapshot(self):
+        return tuple(self.cols)
+
+
+def _fmt_col(rng, name):
+    return f"`{name}`" if rng.random() < 0.5 else name
+
+
+def _kw(rng, s):
+    return s.upper() if rng.random() < 0.5 else s.lower()
+
+
+def _maybe_column_kw(rng):
+    return "COLUMN " if rng.random() < 0.5 else ""
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_ddl_sequence_matches_analytic_model(seed):
+    rng = random.Random(seed)
+    reg = SchemaRegistry()
+    model = Model()
+
+    n_init = rng.randint(2, 6)
+    init_cols = [(f"c{i}", rng.choice(TYPES)) for i in range(n_init)]
+    for name, typ in init_cols:
+        model.insert(name, typ, None)
+    body = ", ".join(f"{_fmt_col(rng, n)} {t}" for n, t in init_cols)
+    reg.apply_sql("10000", f"CREATE TABLE db0.fz ({body}, PRIMARY KEY (c0))")
+
+    history: list[tuple[str, tuple]] = [("10000", model.snapshot())]
+    next_col = n_init
+    tso = 10000
+
+    for step in range(40):
+        tso += 100
+        kind = rng.random()
+        names = model.names()
+        if kind < 0.25:
+            # ADD COLUMN at a random position
+            name, typ = f"c{next_col}", rng.choice(TYPES)
+            next_col += 1
+            pos = rng.choice([None, "first", rng.choice(names)])
+            tail = (
+                " FIRST"
+                if pos == "first"
+                else (f" AFTER {_fmt_col(rng, pos)}" if pos else "")
+            )
+            sql = (
+                f"ALTER TABLE db0.fz {_kw(rng, 'add')} "
+                f"{_maybe_column_kw(rng)}{_fmt_col(rng, name)} {typ}{tail}"
+            )
+            model.insert(name, typ, pos)
+        elif kind < 0.4 and len(names) > 2:
+            # DROP COLUMN (keep the PK c0 so the table stays plausible)
+            victim = rng.choice([n for n in names if n != "c0"])
+            sql = (
+                f"ALTER TABLE db0.fz {_kw(rng, 'drop')} "
+                f"{_maybe_column_kw(rng)}{_fmt_col(rng, victim)}"
+            )
+            model.drop(victim)
+        elif kind < 0.55:
+            # MODIFY: retype, optionally reposition
+            target = rng.choice(names)
+            typ = rng.choice(TYPES)
+            pos = rng.choice([None, None, "first", rng.choice(names)])
+            if pos == target:
+                pos = None  # AFTER itself is invalid MySQL
+            tail = (
+                " FIRST"
+                if pos == "first"
+                else (f" AFTER {_fmt_col(rng, pos)}" if pos else "")
+            )
+            sql = (
+                f"ALTER TABLE db0.fz {_kw(rng, 'modify')} "
+                f"{_maybe_column_kw(rng)}{_fmt_col(rng, target)} {typ}{tail}"
+            )
+            if pos:
+                # model replays drop-then-insert exactly like MySQL reorder:
+                # AFTER resolves against the list WITHOUT the moving column
+                model.drop(target)
+                model.insert(target, typ, pos)
+            else:
+                # no position clause → in-place retype
+                i = model.names().index(target)
+                model.cols[i] = (target, typ)
+        elif kind < 0.7 and any(n != "c0" for n in names):
+            # CHANGE: rename + retype, optionally reposition
+            target = rng.choice([n for n in names if n != "c0"])
+            name, typ = f"r{next_col}", rng.choice(TYPES)
+            next_col += 1
+            pos = rng.choice([None, None, "first", rng.choice(names)])
+            if pos == target:
+                pos = None
+            tail = (
+                " FIRST"
+                if pos == "first"
+                else (f" AFTER {_fmt_col(rng, pos)}" if pos else "")
+            )
+            if rng.random() < 0.3 and not tail:
+                # plain RENAME COLUMN form keeps the old type
+                sql = (
+                    f"ALTER TABLE db0.fz RENAME COLUMN "
+                    f"{_fmt_col(rng, target)} TO {_fmt_col(rng, name)}"
+                )
+                typ = dict(model.cols)[target]
+            else:
+                sql = (
+                    f"ALTER TABLE db0.fz {_kw(rng, 'change')} "
+                    f"{_maybe_column_kw(rng)}{_fmt_col(rng, target)} "
+                    f"{_fmt_col(rng, name)} {typ}{tail}"
+                )
+            i = model.names().index(target)
+            old_pos_prev = model.names()[i - 1] if i else "first"
+            model.drop(target)
+            model.insert(name, typ, pos if pos else (old_pos_prev if i else "first"))
+        else:
+            # schema-neutral DDL: index / partition / table options —
+            # must parse, must not change the visible column set
+            action = rng.choice(NOOP_ACTIONS).format(
+                n=step, col=rng.choice(names)
+            )
+            sql = f"ALTER TABLE db0.fz {action}"
+        reg.apply_sql(str(tso), sql)
+        history.append((str(tso), model.snapshot()))
+
+    # final schema: columns AND order AND types all match the analytic model
+    final = reg.find("db0", "fz", str(tso + 1))
+    assert final is not None
+    assert list(final.columns) == model.names()
+    assert [t.upper() for t in final.types] == [t.upper() for t, in
+        [(t,) for _, t in model.cols]]
+
+    # time travel: 8 random historical positions replay exactly
+    for tso_at, snap in rng.sample(history, min(8, len(history))):
+        s = reg.find("db0", "fz", tso_at + "50")
+        assert s is not None, tso_at
+        assert list(s.columns) == [c for c, _ in snap], tso_at
+        assert [t.upper() for t in s.types] == [t.upper() for _, t in snap], tso_at
+
+
+def test_multi_statement_script_and_create_like():
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE db0.a (x INT PRIMARY KEY, y VARCHAR(8));"
+        " ALTER TABLE db0.a ADD COLUMN z DATE AFTER x;"
+        " CREATE TABLE db0.b LIKE db0.a;"
+        " ALTER TABLE db0.b DROP COLUMN y",
+    )
+    assert list(reg.find("db0", "a", "200").columns) == ["x", "z", "y"]
+    assert list(reg.find("db0", "b", "200").columns) == ["x", "z"]
+
+
+def test_generated_columns_parse_and_register():
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE db0.g (a INT PRIMARY KEY,"
+        " b INT GENERATED ALWAYS AS (a + 1) STORED,"
+        " c INT AS (a * 2) VIRTUAL)",
+    )
+    assert list(reg.find("db0", "g", "200").columns) == ["a", "b", "c"]
+    reg.apply_sql(
+        "300",
+        "ALTER TABLE db0.g ADD COLUMN d VARCHAR(20)"
+        " GENERATED ALWAYS AS (CONCAT(a, '-', b)) VIRTUAL AFTER a",
+    )
+    assert list(reg.find("db0", "g", "400").columns) == ["a", "d", "b", "c"]
+
+
+def test_semicolons_inside_string_literals_do_not_split():
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE db0.s (x INT PRIMARY KEY);"
+        " ALTER TABLE db0.s COMMENT='a;b;c';"
+        " ALTER TABLE db0.s ADD COLUMN y TEXT",
+    )
+    assert list(reg.find("db0", "s", "200").columns) == ["x", "y"]
+
+
+def test_parenthesized_multi_add():
+    reg = SchemaRegistry()
+    reg.apply_sql("100", "CREATE TABLE db0.m (x INT PRIMARY KEY)")
+    reg.apply_sql("200", "ALTER TABLE db0.m ADD COLUMN (p INT, q VARCHAR(4), r DOUBLE)")
+    assert list(reg.find("db0", "m", "300").columns) == ["x", "p", "q", "r"]

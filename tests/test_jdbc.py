@@ -178,3 +178,92 @@ def test_live_external_round_trip(spark):
     jdbc.write_replica_jdbc(seed, url, "spark_graft_smoke", mode="overwrite")
     loaded = jdbc.read_full_jdbc(spark, url, "spark_graft_smoke", pk="pk", num_chunks=8)
     assert loaded.count() == 100
+
+
+def test_apply_rendered_dml_parallel_lanes(spark):
+    """PK-parallel apply (SplitTransactionApplier parity): per-key chains
+    stay in tso order inside one lane while distinct keys go down
+    independent connections; totals and final state match the serial
+    lane's result exactly."""
+    url = _mem_url()
+    _exec(
+        spark,
+        url,
+        "CREATE TABLE par_t (pk BIGINT PRIMARY KEY, value BIGINT)",
+        "INSERT INTO par_t VALUES " + ", ".join(f"({i}, 0)" for i in range(40)),
+    )
+    rows = []
+    tso = 0
+    # 3 tso-ordered writes per key; the LAST write per key must win
+    for rnd in range(3):
+        for k in range(40):
+            tso += 1
+            rows.append(
+                ("db0", "t0", str(k), f"{tso:05d}",
+                 f"UPDATE par_t SET value = {rnd * 1000 + k} WHERE pk = {k}")
+            )
+    rendered = spark.createDataFrame(
+        rows, "db string, tbl string, pk string, tso string, sql_text string"
+    )
+    n = jdbc.apply_rendered_dml_parallel(
+        spark, rendered, url, num_lanes=4, batch_size=7
+    )
+    assert n == 120
+    after = {
+        r["PK"]: r["VALUE"]
+        for r in jdbc.read_full_jdbc(spark, url, "par_t", pk="pk", num_chunks=2).collect()
+    }
+    assert after == {k: 2000 + k for k in range(40)}
+
+
+def test_apply_rendered_dml_parallel_serial_barrier(spark):
+    """A serial event (PK-identity change) barriers all lanes: everything
+    before it is applied first, it runs alone, and later statements see
+    its effect — order proven by value arithmetic that only works in that
+    order."""
+    url = _mem_url()
+    _exec(
+        spark,
+        url,
+        "CREATE TABLE bar_t (pk BIGINT PRIMARY KEY, value BIGINT)",
+        "INSERT INTO bar_t VALUES (1, 10), (2, 20)",
+    )
+    rows = [
+        # before the barrier: set values
+        ("db0", "t0", "1", "001", "UPDATE bar_t SET value = 100 WHERE pk = 1", False),
+        ("db0", "t0", "2", "002", "UPDATE bar_t SET value = 200 WHERE pk = 2", False),
+        # serial event: move pk 1 → 3 (touches two lanes → must run alone)
+        ("db0", "t0", "1", "003", "UPDATE bar_t SET pk = 3 WHERE pk = 1", True),
+        # after: write through the NEW identity; fails silently (0 rows) if
+        # the barrier did not apply the move first
+        ("db0", "t0", "3", "004", "UPDATE bar_t SET value = value + 1 WHERE pk = 3", False),
+    ]
+    rendered = spark.createDataFrame(
+        rows,
+        "db string, tbl string, pk string, tso string, sql_text string, is_serial boolean",
+    )
+    n = jdbc.apply_rendered_dml_parallel(
+        spark, rendered, url, num_lanes=3, serial_col="is_serial"
+    )
+    assert n == 4
+    after = {
+        r["PK"]: r["VALUE"]
+        for r in jdbc.read_full_jdbc(spark, url, "bar_t", pk="pk", num_chunks=1).collect()
+    }
+    assert after == {2: 200, 3: 101}
+
+
+def test_apply_rendered_dml_parallel_propagates_errors(spark):
+    """A failing statement in any lane aborts the whole apply with the
+    underlying error; no deadlock, no silent partial success report."""
+    url = _mem_url()
+    _exec(spark, url, "CREATE TABLE err_t (pk BIGINT PRIMARY KEY, value BIGINT)")
+    rows = [
+        ("db0", "t0", "1", "001", "INSERT INTO err_t VALUES (1, 1)"),
+        ("db0", "t0", "2", "002", "INSERT INTO no_such_table VALUES (2, 2)"),
+    ]
+    rendered = spark.createDataFrame(
+        rows, "db string, tbl string, pk string, tso string, sql_text string"
+    )
+    with pytest.raises(Exception):
+        jdbc.apply_rendered_dml_parallel(spark, rendered, url, num_lanes=2, batch_size=1)
