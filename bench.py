@@ -54,6 +54,8 @@ HEADLINE = [
     "q16_supplier_part_count",
     "q19_disjunctive_revenue",
     "curation_chunk_documents",
+    # round 5 additions
+    "cdc_binlog_wire_roundtrip",
 ]
 
 
@@ -70,6 +72,32 @@ def _bench_streaming_pipeline(spark, sf_dir: str) -> tuple[float, int]:
         t0 = time.perf_counter()
         q, sink = pipeline.run_binlog_pipeline(
             source.cdc_stream(spark, sf_dir), work + "/out", work + "/ckpt"
+        )
+        q.awaitTermination(400)
+        dt = time.perf_counter() - t0
+        n = spark.read.parquet(work + "/out").count()
+        return dt, n
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _bench_streaming_x_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+    """Binlog-X multi-stream pipeline throughput: CDC stream → hash-route
+    to 4 streams → per-stream ordered rotated sinks. Tracks the X-sink's
+    per-batch cost (the windowed frame is persisted once — stats + write
+    share one materialization)."""
+    import shutil
+    import tempfile
+
+    from polardbx_cdc_spark.operators import routing
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    cfg = routing.StreamRoutingConfig(stream_count=4, default_level="TABLE")
+    work = tempfile.mkdtemp(prefix="bench_binlog_x_")
+    try:
+        t0 = time.perf_counter()
+        q, sink = pipeline.run_binlog_x_pipeline(
+            source.cdc_stream(spark, sf_dir), cfg, work + "/out", work + "/ckpt"
         )
         q.awaitTermination(400)
         dt = time.perf_counter() - t0
@@ -136,6 +164,23 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["stream_binlog_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# stream_binlog_pipeline: FAILED {errors['stream_binlog_pipeline']}", file=sys.stderr)
+
+    try:
+        if os.environ.get("SPARK_GRAFT_NO_WARMUP", "") != "1":
+            _bench_streaming_x_pipeline(spark, sf_dir)
+        dtx, nx = _bench_streaming_x_pipeline(spark, sf_dir)
+        dtx2, _ = _bench_streaming_x_pipeline(spark, sf_dir)
+        dtx = min(dtx, dtx2)
+        timings["stream_binlog_x_pipeline"] = round(dtx, 3)
+        total += dtx
+        print(
+            f"# stream_binlog_x_pipeline: {dtx:.3f}s ({nx} events over 4 streams, "
+            f"{round(nx / dtx, 1) if dtx > 0 else 0} ev/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["stream_binlog_x_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# stream_binlog_x_pipeline: FAILED {errors['stream_binlog_x_pipeline']}", file=sys.stderr)
 
     # ---- sf1 stress section (scale-sensitivity check) -------------------
     # If tools/build_stress_sf1.py has materialized the 10x-scaled dataset,
@@ -249,7 +294,7 @@ def main() -> None:
         # total would silently IMPROVE exactly when coverage regresses —
         # cross-round comparisons must check equal n_queries_timed first
         "n_queries_timed": len(timings),
-        "n_queries_expected": len(HEADLINE) + 1,  # +1: stream_binlog_pipeline
+        "n_queries_expected": len(HEADLINE) + 2,  # +2: stream_binlog{,_x}_pipeline
     }
     if stress:
         payload["stress"] = stress

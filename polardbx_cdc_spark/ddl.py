@@ -410,6 +410,26 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
         db = _ident(m.group(2)) if m.group(2) else default_db
         return [{"db": db, "tbl": _ident(m.group(3)), "op": "index", "action": s}]
 
+    # database-level DDL — the reference's CREATEDB/DROPDB actions
+    # (DBMSAction.java:23-27); DROPDB cascades to every table in the db
+    m = re.match(
+        rf"CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?{_IDENT}\b.*$",
+        s, re.I | re.S,
+    )
+    if m:
+        return [{"db": _ident(m.group(1)), "tbl": None, "op": "create_database"}]
+
+    m = re.match(
+        rf"DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?{_IDENT}\s*$", s, re.I
+    )
+    if m:
+        return [{"db": _ident(m.group(1)), "tbl": None, "op": "drop_database"}]
+
+    m = re.match(rf"ALTER\s+(?:DATABASE|SCHEMA)\s+{_IDENT}\b.*$", s, re.I | re.S)
+    if m:
+        # charset/collation defaults only — no table metadata changes
+        return [{"db": _ident(m.group(1)), "tbl": None, "op": "alter_database"}]
+
     raise ValueError(f"unsupported DDL: {sql!r}")
 
 

@@ -48,6 +48,13 @@ class SchemaRegistry:
 
     def __init__(self) -> None:
         self._tables: dict[tuple[str, str], _TableHistory] = {}
+        self._databases: set[str] = set()  # CREATEDB-known schemas
+
+    def databases(self) -> set[str]:
+        """Schemas seen via CREATE DATABASE plus any with live tables."""
+        live = {db for (db, _), h in self._tables.items()
+                if h.schemas and h.schemas[-1].columns}
+        return self._databases | live
 
     # -- TableMetaTSDB.apply(position, ddl) --------------------------------
     def apply(self, tso: str, db: str, tbl: str, ddl: dict) -> None:
@@ -61,11 +68,25 @@ class SchemaRegistry:
         {op: truncate}   {op: drop}   {op: index}   {op: partition}
         Out-of-order apply (tso <= last) is rejected — DDL is a serialized
         stream barrier."""
+        op = ddl["op"]
+        if op in ("create_database", "alter_database"):
+            # db-level metadata only (charset defaults) — no table versions
+            self._databases.add(db)
+            return
+        if op == "drop_database":
+            # DROPDB cascades: every live table in the db gets a drop
+            # version at this position (reference erases the whole schema —
+            # DBMSAction DROPDB)
+            self._databases.discard(db)
+            for (d, t), hist in self._tables.items():
+                if d == db and hist.schemas and hist.schemas[-1].columns:
+                    hist.tsos.append(tso)
+                    hist.schemas.append(TableSchema((), (), ()))
+            return
         hist = self._tables.setdefault((db, tbl), _TableHistory())
         if hist.tsos and tso <= hist.tsos[-1]:
             raise ValueError(f"DDL at {tso} not after last version {hist.tsos[-1]}")
         cur = hist.schemas[-1] if hist.schemas else None
-        op = ddl["op"]
         if op == "create":
             new = TableSchema(
                 tuple(ddl["columns"]),

@@ -260,3 +260,24 @@ def test_parenthesized_multi_add():
     reg.apply_sql("100", "CREATE TABLE db0.m (x INT PRIMARY KEY)")
     reg.apply_sql("200", "ALTER TABLE db0.m ADD COLUMN (p INT, q VARCHAR(4), r DOUBLE)")
     assert list(reg.find("db0", "m", "300").columns) == ["x", "p", "q", "r"]
+
+
+def test_database_level_ddl():
+    """CREATEDB/DROPDB actions (DBMSAction.java:23-27): DROP DATABASE
+    cascades a drop version onto every live table; time travel still sees
+    pre-drop schemas."""
+    reg = SchemaRegistry()
+    reg.apply_sql("100", "CREATE DATABASE IF NOT EXISTS dbx DEFAULT CHARACTER SET utf8mb4")
+    assert "dbx" in reg.databases()
+    reg.apply_sql("200", "CREATE TABLE dbx.a (x INT PRIMARY KEY)")
+    reg.apply_sql("210", "CREATE TABLE dbx.b (y BIGINT PRIMARY KEY, z TEXT)")
+    reg.apply_sql("220", "CREATE TABLE other.keep (k INT PRIMARY KEY)")
+    reg.apply_sql("300", "ALTER DATABASE dbx COLLATE utf8mb4_general_ci")
+    reg.apply_sql("400", "DROP DATABASE dbx")
+    assert reg.find("dbx", "a", "500") is None
+    assert reg.find("dbx", "b", "500") is None
+    assert list(reg.find("other", "keep", "500").columns) == ["k"]
+    # time travel: schemas before the drop still resolve
+    assert list(reg.find("dbx", "a", "350").columns) == ["x"]
+    assert "dbx" not in reg.databases()
+    assert "other" in reg.databases()
