@@ -13,12 +13,18 @@ polardbx-cdc-dumper/.../logfile/LogFileGenerator.java:624-757.
 
 Scope (honest slice, round-trip-tested byte-for-byte):
 - file layout: 4-byte magic, FORMAT_DESCRIPTION, events, ROTATE chain
-- events: FORMAT_DESCRIPTION, TABLE_MAP, WRITE/UPDATE/DELETE_ROWS v2,
+- events: FORMAT_DESCRIPTION, TABLE_MAP (incl. the MySQL-8
+  optional-metadata SIGNEDNESS TLV), WRITE/UPDATE/DELETE_ROWS v2, QUERY,
   XID, ROTATE — each with trailing CRC32
-- column types: LONG(3), LONGLONG(8), DOUBLE(5), VARCHAR(15) w/ 1- or
-  2-byte length prefix per metadata, NULL bitmaps
-Everything else (the long tail of MYSQL_TYPE_*, compressed/encrypted
-binlog, GTID bookkeeping) stays out of scope by SURVEY §7.
+- column types (the RowsLogBuffer.java surface minus enum/set/json/
+  geometry): TINY/SHORT/INT24/LONG/LONGLONG signed+unsigned,
+  FLOAT/DOUBLE, NEWDECIMAL (packed 9-digit groups, negative inversion —
+  LogBuffer.getDecimal / format/field/DecimalField.java), BIT, YEAR,
+  DATE, DATETIME2/TIMESTAMP2/TIME2 with fractional seconds, VARCHAR
+  (1/2-byte length per metadata), BLOB family (1–4 byte length prefix),
+  NULL bitmaps. Negative TIME (complement encoding) is excluded.
+Everything else (compressed/encrypted binlog, GTID bookkeeping) stays
+out of scope by SURVEY §7.
 
 Spark-side plumbing is in ``events_to_binlog`` / ``binlog_to_events``:
 Arrow-batched ``mapInPandas`` over the CDC frame — serialization is
@@ -45,10 +51,22 @@ DELETE_ROWS_EVENT = 32
 ROTATE_EVENT = 4
 
 # column type codes (public protocol)
+TYPE_TINY = 1
+TYPE_SHORT = 2
 TYPE_LONG = 3
+TYPE_FLOAT = 4
 TYPE_DOUBLE = 5
 TYPE_LONGLONG = 8
+TYPE_INT24 = 9
+TYPE_DATE = 10
+TYPE_YEAR = 13
 TYPE_VARCHAR = 15
+TYPE_BIT = 16
+TYPE_TIMESTAMP2 = 17
+TYPE_DATETIME2 = 18
+TYPE_TIME2 = 19
+TYPE_NEWDECIMAL = 246
+TYPE_BLOB = 252
 
 HEADER_LEN = 19  # timestamp(4) type(1) server_id(4) event_len(4) next_pos(4) flags(2)
 CHECKSUM_LEN = 4
@@ -103,41 +121,107 @@ def _bit_at(bm: bytes, i: int) -> bool:
     return bool(bm[i // 8] & (1 << (i % 8)))
 
 
+#: numeric wire types whose signedness travels in the TABLE_MAP optional
+#: metadata SIGNEDNESS TLV (MySQL 8 optional metadata field type 1)
+_NUMERIC_TYPES = frozenset(
+    [TYPE_TINY, TYPE_SHORT, TYPE_INT24, TYPE_LONG, TYPE_LONGLONG,
+     TYPE_FLOAT, TYPE_DOUBLE, TYPE_NEWDECIMAL]
+)
+_SIGNEDNESS_TLV = 1
+
+#: fsp → fractional-second byte count (DATETIME2/TIMESTAMP2/TIME2 tail)
+def _frac_bytes(fsp: int) -> int:
+    return (fsp + 1) // 2
+
+
+def _parse_fsp(t: str) -> int:
+    if "(" in t:
+        return int(t[t.find("(") + 1 : t.find(")")])
+    return 0
+
+
 class TableDef:
     """Column layout for one table — the schema side of TABLE_MAP.
 
-    ``types``: list of (type_code, metadata) where metadata is the
-    per-type extra (VARCHAR: max byte length; DOUBLE: 8; ints: None).
-    """
+    ``types``: list of (type_code, metadata); metadata per type:
+    VARCHAR max byte length; FLOAT/DOUBLE size; NEWDECIMAL (precision,
+    scale); BIT bit count; BLOB length-prefix width; DATETIME2/
+    TIMESTAMP2/TIME2 fsp; else None. ``unsigned``: set of column indexes
+    whose integer values decode unsigned (carried on the wire in the
+    SIGNEDNESS optional-metadata TLV)."""
 
-    def __init__(self, db: str, tbl: str, types: list[tuple[int, int | None]]):
+    def __init__(self, db: str, tbl: str, types: list[tuple[int, object]],
+                 unsigned: set[int] | None = None):
         self.db = db
         self.tbl = tbl
         self.types = types
+        self.unsigned = unsigned or set()
 
     @classmethod
     def from_mysql_types(cls, db: str, tbl: str, decls: list[str]) -> "TableDef":
         """Map MySQL type declarations (the registry's ``types``) onto the
-        wire-type subset."""
-        types: list[tuple[int, int | None]] = []
-        for d in decls:
+        wire types — the same surface RowsLogBuffer.java decodes."""
+        types: list[tuple[int, object]] = []
+        unsigned: set[int] = set()
+        for i, d in enumerate(decls):
             t = d.strip().lower()
-            if t.startswith(("bigint",)):
+            if "unsigned" in t:
+                unsigned.add(i)
+            if t.startswith(("bool", "boolean")):
+                types.append((TYPE_TINY, None))
+            elif t.startswith("tinyint"):
+                types.append((TYPE_TINY, None))
+            elif t.startswith("smallint"):
+                types.append((TYPE_SHORT, None))
+            elif t.startswith("mediumint"):
+                types.append((TYPE_INT24, None))
+            elif t.startswith("bigint"):
                 types.append((TYPE_LONGLONG, None))
-            elif t.startswith(("int", "mediumint", "smallint", "tinyint")):
+            elif t.startswith(("int", "integer")):
                 types.append((TYPE_LONG, None))
-            elif t.startswith(("double", "float")):
+            elif t.startswith("float"):
+                types.append((TYPE_FLOAT, 4))
+            elif t.startswith("double"):
                 types.append((TYPE_DOUBLE, 8))
-            elif t.startswith(("varchar", "char", "text")):
-                m = 65535 if t.startswith("text") else None
-                if m is None:
+            elif t.startswith(("decimal", "numeric")):
+                if "(" in t:
+                    inner = t[t.find("(") + 1 : t.find(")")]
+                    p, _, s = inner.partition(",")
+                    prec, scale = int(p), int(s or 0)
+                else:
+                    prec, scale = 10, 0
+                types.append((TYPE_NEWDECIMAL, (prec, scale)))
+            elif t.startswith("bit"):
+                bits = int(t[t.find("(") + 1 : t.find(")")]) if "(" in t else 1
+                types.append((TYPE_BIT, bits))
+            elif t.startswith("year"):
+                types.append((TYPE_YEAR, None))
+            elif t.startswith("datetime"):
+                types.append((TYPE_DATETIME2, _parse_fsp(t)))
+            elif t.startswith("timestamp"):
+                types.append((TYPE_TIMESTAMP2, _parse_fsp(t)))
+            elif t.startswith("time"):
+                types.append((TYPE_TIME2, _parse_fsp(t)))
+            elif t.startswith("date"):
+                types.append((TYPE_DATE, None))
+            elif t.startswith(("varchar", "char", "text", "tinytext",
+                               "mediumtext", "longtext")):
+                if t.startswith(("text", "tinytext", "mediumtext", "longtext")):
+                    m = 65535
+                else:
                     inner = t[t.find("(") + 1 : t.find(")")] if "(" in t else "255"
                     # VARCHAR(n) metadata is the max BYTE length (utf8mb4 ≤ 4n)
                     m = min(int(inner) * 4, 65535)
                 types.append((TYPE_VARCHAR, m))
+            elif t.startswith(("blob", "tinyblob", "mediumblob", "longblob",
+                               "binary", "varbinary")):
+                prefix = {"tinyblob": 1, "mediumblob": 3, "longblob": 4}.get(
+                    t.split("(")[0], 2
+                )
+                types.append((TYPE_BLOB, prefix))
             else:
                 raise ValueError(f"wire slice does not cover type {d!r}")
-        return cls(db, tbl, types)
+        return cls(db, tbl, types, unsigned)
 
 
 def _encode_header(type_code: int, payload_len: int, timestamp: int,
@@ -176,43 +260,277 @@ def encode_fde(server_version: str = "5.7.0-polardbx-spark") -> bytes:
     return encode_event(FORMAT_DESCRIPTION_EVENT, payload)
 
 
-def encode_table_map(table_id: int, td: TableDef, timestamp: int = 0) -> bytes:
-    """TABLE_MAP: table_id(6) flags(2) | db tbl col-count col-types
-    metadata null-bitmap (TableMapLogEvent.java read side)."""
-    db_b, tbl_b = td.db.encode(), td.tbl.encode()
+def _encode_col_meta(types: list[tuple[int, object]]) -> bytes:
+    """Per-type TABLE_MAP metadata bytes (TableMapLogEvent.java decode
+    side lists the same widths)."""
     meta = bytearray()
-    for tc, m in td.types:
+    for tc, m in types:
         if tc == TYPE_VARCHAR:
             meta += struct.pack("<H", m)
-        elif tc == TYPE_DOUBLE:
-            meta += bytes([8])
+        elif tc in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB):
+            meta += bytes([m])
+        elif tc == TYPE_NEWDECIMAL:
+            meta += bytes([m[0], m[1]])  # precision, scale
+        elif tc == TYPE_BIT:
+            meta += bytes([m % 8, m // 8])
+        elif tc in (TYPE_DATETIME2, TYPE_TIMESTAMP2, TYPE_TIME2):
+            meta += bytes([m])
+    return bytes(meta)
+
+
+def _decode_col_meta(raw_types: list[int], meta_buf: bytes) -> list[tuple[int, object]]:
+    types: list[tuple[int, object]] = []
+    mp = 0
+    for rt in raw_types:
+        if rt == TYPE_VARCHAR:
+            types.append((rt, struct.unpack_from("<H", meta_buf, mp)[0]))
+            mp += 2
+        elif rt in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB):
+            types.append((rt, meta_buf[mp]))
+            mp += 1
+        elif rt == TYPE_NEWDECIMAL:
+            types.append((rt, (meta_buf[mp], meta_buf[mp + 1])))
+            mp += 2
+        elif rt == TYPE_BIT:
+            types.append((rt, meta_buf[mp] + meta_buf[mp + 1] * 8))
+            mp += 2
+        elif rt in (TYPE_DATETIME2, TYPE_TIMESTAMP2, TYPE_TIME2):
+            types.append((rt, meta_buf[mp]))
+            mp += 1
+        else:
+            types.append((rt, None))
+    return types
+
+
+def encode_table_map(table_id: int, td: TableDef, timestamp: int = 0) -> bytes:
+    """TABLE_MAP: table_id(6) flags(2) | db tbl col-count col-types
+    metadata null-bitmap [optional-metadata TLVs] (TableMapLogEvent.java
+    read side). The SIGNEDNESS TLV (MySQL 8 optional metadata, field type
+    1) carries one bit per NUMERIC column, MSB-first — how a real
+    replica learns unsigned-ness, since the value bytes alone don't."""
+    db_b, tbl_b = td.db.encode(), td.tbl.encode()
+    meta = _encode_col_meta(td.types)
+    numeric_idx = [i for i, (tc, _) in enumerate(td.types) if tc in _NUMERIC_TYPES]
+    opt = b""
+    if numeric_idx:
+        bits = bytearray((len(numeric_idx) + 7) // 8)
+        for pos, col in enumerate(numeric_idx):
+            if col in td.unsigned:
+                bits[pos // 8] |= 0x80 >> (pos % 8)  # MSB-first
+        opt = bytes([_SIGNEDNESS_TLV]) + _lenenc(len(bits)) + bytes(bits)
     payload = (
         struct.pack("<Q", table_id)[:6] + struct.pack("<H", 1)
         + bytes([len(db_b)]) + db_b + b"\x00"
         + bytes([len(tbl_b)]) + tbl_b + b"\x00"
         + _lenenc(len(td.types))
         + bytes(tc for tc, _ in td.types)
-        + _lenenc(len(meta)) + bytes(meta)
+        + _lenenc(len(meta)) + meta
         + _bitmap([True] * len(td.types))  # all columns nullable
+        + opt
     )
     return encode_event(TABLE_MAP_EVENT, payload, timestamp)
 
 
+# -- NEWDECIMAL packed format (LogBuffer.getDecimal / DecimalField.java) ----
+#: bytes needed for n leftover decimal digits (DIG_PER_DEC1 = 9)
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+def _encode_decimal(v, precision: int, scale: int) -> bytes:
+    """MySQL packed decimal: big-endian 9-digit groups, partial groups in
+    minimal bytes, negative = all bytes inverted, first byte MSB flipped."""
+    import decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 65  # MySQL's max decimal precision
+        d = decimal.Decimal(str(v)).quantize(
+            decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
+        )
+    neg = d < 0
+    # copy_abs + format are context-free — abs()/unary minus would round
+    # back down to the default 28-digit context and silently truncate
+    digits = format(d.copy_abs(), "f")
+    if "." in digits:
+        int_s, frac_s = digits.split(".")
+    else:
+        int_s, frac_s = digits, ""
+    intg = precision - scale
+    int_s = int_s.lstrip("0").rjust(intg, "0")[-intg:] if intg else ""
+    frac_s = frac_s.ljust(scale, "0")[:scale]
+    out = bytearray()
+
+    def groups(s: str, leading_partial: bool):
+        if leading_partial:
+            part = len(s) % 9
+            if part:
+                out.extend(int(s[:part]).to_bytes(_DIG2BYTES[part], "big"))
+                s = s[part:]
+            for i in range(0, len(s), 9):
+                out.extend(int(s[i : i + 9]).to_bytes(4, "big"))
+        else:
+            n_full = len(s) // 9
+            for i in range(0, n_full * 9, 9):
+                out.extend(int(s[i : i + 9]).to_bytes(4, "big"))
+            part = len(s) - n_full * 9
+            if part:
+                out.extend(int(s[n_full * 9 :]).to_bytes(_DIG2BYTES[part], "big"))
+
+    groups(int_s, leading_partial=True)
+    groups(frac_s, leading_partial=False)
+    if not out:
+        out = bytearray(1)
+    if neg:
+        for i in range(len(out)):
+            out[i] ^= 0xFF
+    out[0] ^= 0x80
+    return bytes(out)
+
+
+def _decimal_byte_len(precision: int, scale: int) -> int:
+    intg = precision - scale
+    return (intg // 9) * 4 + _DIG2BYTES[intg % 9] + (scale // 9) * 4 + _DIG2BYTES[scale % 9]
+
+
+def _decode_decimal(buf: bytes, precision: int, scale: int):
+    import decimal
+
+    n = _decimal_byte_len(precision, scale)
+    raw = bytearray(buf[:n]) or bytearray(1)
+    neg = not (raw[0] & 0x80)
+    raw[0] ^= 0x80
+    if neg:
+        for i in range(len(raw)):
+            raw[i] ^= 0xFF
+    intg = precision - scale
+    pos = 0
+    int_s = ""
+    part = intg % 9
+    if part:
+        w = _DIG2BYTES[part]
+        int_s += str(int.from_bytes(raw[pos : pos + w], "big")).rjust(part, "0")
+        pos += w
+    for _ in range(intg // 9):
+        int_s += str(int.from_bytes(raw[pos : pos + 4], "big")).rjust(9, "0")
+        pos += 4
+    frac_s = ""
+    for _ in range(scale // 9):
+        frac_s += str(int.from_bytes(raw[pos : pos + 4], "big")).rjust(9, "0")
+        pos += 4
+    part = scale % 9
+    if part:
+        w = _DIG2BYTES[part]
+        frac_s += str(int.from_bytes(raw[pos : pos + w], "big")).rjust(part, "0")
+        pos += w
+    text = (("-" if neg else "") + (int_s.lstrip("0") or "0")
+            + (("." + frac_s) if frac_s else ""))
+    return decimal.Decimal(text), n
+
+
+# -- temporal packed formats (RowsLogBuffer.java DATETIME2/TIMESTAMP2) ------
+
+
+def _encode_frac(micros: int, fsp: int) -> bytes:
+    nb = _frac_bytes(fsp)
+    if nb == 0:
+        return b""
+    return (micros // 10 ** (6 - 2 * nb)).to_bytes(nb, "big")
+
+
+def _decode_frac(buf: bytes, pos: int, fsp: int) -> tuple[int, int]:
+    nb = _frac_bytes(fsp)
+    if nb == 0:
+        return 0, pos
+    v = int.from_bytes(buf[pos : pos + nb], "big")
+    return v * 10 ** (6 - 2 * nb), pos + nb
+
+
+def _encode_datetime2(v, fsp: int) -> bytes:
+    packed = (
+        (1 << 39)
+        | ((v.year * 13 + v.month) << 22)
+        | (v.day << 17)
+        | (v.hour << 12)
+        | (v.minute << 6)
+        | v.second
+    )
+    return packed.to_bytes(5, "big") + _encode_frac(v.microsecond, fsp)
+
+
+def _decode_datetime2(buf: bytes, pos: int, fsp: int):
+    import datetime
+
+    packed = int.from_bytes(buf[pos : pos + 5], "big")
+    pos += 5
+    ym = (packed >> 22) & 0x1FFFF
+    micros, pos = _decode_frac(buf, pos, fsp)
+    return (
+        datetime.datetime(
+            ym // 13, ym % 13, (packed >> 17) & 0x1F,
+            (packed >> 12) & 0x1F, (packed >> 6) & 0x3F, packed & 0x3F, micros,
+        ),
+        pos,
+    )
+
+
 def _encode_image(td: TableDef, values: list) -> bytes:
-    """One row image: null bitmap + packed non-null values."""
+    """One row image: null bitmap + packed non-null values — the write
+    twin of RowsLogBuffer.fetchValue's per-type decode."""
     out = bytearray(_bitmap([v is None for v in values]))
-    for (tc, m), v in zip(td.types, values):
+    for i, ((tc, m), v) in enumerate(zip(td.types, values)):
         if v is None:
             continue
-        if tc == TYPE_LONG:
-            out += struct.pack("<i", int(v))
+        u = i in td.unsigned
+        if tc == TYPE_TINY:
+            out += struct.pack("<B" if u else "<b", int(v))
+        elif tc == TYPE_SHORT:
+            out += struct.pack("<H" if u else "<h", int(v))
+        elif tc == TYPE_INT24:
+            out += (int(v) & 0xFFFFFF).to_bytes(3, "little")
+        elif tc == TYPE_LONG:
+            out += struct.pack("<I" if u else "<i", int(v))
         elif tc == TYPE_LONGLONG:
-            out += struct.pack("<q", int(v))
+            out += struct.pack("<Q" if u else "<q", int(v))
+        elif tc == TYPE_FLOAT:
+            out += struct.pack("<f", float(v))
         elif tc == TYPE_DOUBLE:
             out += struct.pack("<d", float(v))
+        elif tc == TYPE_NEWDECIMAL:
+            out += _encode_decimal(v, m[0], m[1])
+        elif tc == TYPE_BIT:
+            out += int(v).to_bytes((m + 7) // 8, "big")
+        elif tc == TYPE_YEAR:
+            out += bytes([0 if int(v) == 0 else int(v) - 1900])
+        elif tc == TYPE_DATE:
+            out += (v.day | (v.month << 5) | (v.year << 9)).to_bytes(3, "little")
+        elif tc == TYPE_DATETIME2:
+            out += _encode_datetime2(v, m)
+        elif tc == TYPE_TIMESTAMP2:
+            # v: aware/naive datetime treated as UTC, or raw epoch seconds
+            if isinstance(v, (int, float)):
+                secs, micros = int(v), 0
+            else:
+                import calendar
+
+                secs = calendar.timegm(v.timetuple())
+                micros = v.microsecond
+            out += secs.to_bytes(4, "big") + _encode_frac(micros, m)
+        elif tc == TYPE_TIME2:
+            # non-negative time-of-day / duration (timedelta); the slice
+            # does not cover negative TIME (complement encoding)
+            if v.days < 0:
+                raise ValueError("negative TIME not covered by the wire slice")
+            h = v.days * 24 + v.seconds // 3600
+            mi, se = (v.seconds % 3600) // 60, v.seconds % 60
+            packed = (1 << 23) | (h << 12) | (mi << 6) | se
+            out += packed.to_bytes(3, "big") + _encode_frac(v.microseconds, m)
         elif tc == TYPE_VARCHAR:
-            b = str(v).encode()
+            b = v if isinstance(v, bytes) else str(v).encode()
             out += (bytes([len(b)]) if m < 256 else struct.pack("<H", len(b))) + b
+        elif tc == TYPE_BLOB:
+            b = bytes(v)
+            out += len(b).to_bytes(m, "little") + b
+        else:
+            raise ValueError(f"unsupported wire type {tc}")
     return bytes(out)
 
 
@@ -225,15 +543,77 @@ def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
         if _bit_at(nulls, i):
             values.append(None)
             continue
-        if tc == TYPE_LONG:
-            values.append(struct.unpack_from("<i", buf, pos)[0])
+        u = i in td.unsigned
+        if tc == TYPE_TINY:
+            values.append(struct.unpack_from("<B" if u else "<b", buf, pos)[0])
+            pos += 1
+        elif tc == TYPE_SHORT:
+            values.append(struct.unpack_from("<H" if u else "<h", buf, pos)[0])
+            pos += 2
+        elif tc == TYPE_INT24:
+            v = int.from_bytes(buf[pos : pos + 3], "little")
+            if not u and v >= 1 << 23:
+                v -= 1 << 24
+            values.append(v)
+            pos += 3
+        elif tc == TYPE_LONG:
+            values.append(struct.unpack_from("<I" if u else "<i", buf, pos)[0])
             pos += 4
         elif tc == TYPE_LONGLONG:
-            values.append(struct.unpack_from("<q", buf, pos)[0])
+            values.append(struct.unpack_from("<Q" if u else "<q", buf, pos)[0])
             pos += 8
+        elif tc == TYPE_FLOAT:
+            values.append(struct.unpack_from("<f", buf, pos)[0])
+            pos += 4
         elif tc == TYPE_DOUBLE:
             values.append(struct.unpack_from("<d", buf, pos)[0])
             pos += 8
+        elif tc == TYPE_NEWDECIMAL:
+            v, ln = _decode_decimal(buf[pos:], m[0], m[1])
+            values.append(v)
+            pos += ln
+        elif tc == TYPE_BIT:
+            w = (m + 7) // 8
+            values.append(int.from_bytes(buf[pos : pos + w], "big"))
+            pos += w
+        elif tc == TYPE_YEAR:
+            b = buf[pos]
+            values.append(0 if b == 0 else b + 1900)
+            pos += 1
+        elif tc == TYPE_DATE:
+            import datetime
+
+            v = int.from_bytes(buf[pos : pos + 3], "little")
+            values.append(datetime.date(v >> 9, (v >> 5) & 0xF, v & 0x1F))
+            pos += 3
+        elif tc == TYPE_DATETIME2:
+            v, pos = _decode_datetime2(buf, pos, m)
+            values.append(v)
+        elif tc == TYPE_TIMESTAMP2:
+            import datetime
+
+            secs = int.from_bytes(buf[pos : pos + 4], "big")
+            pos += 4
+            micros, pos = _decode_frac(buf, pos, m)
+            values.append(
+                datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                    seconds=secs, microseconds=micros
+                )
+            )
+        elif tc == TYPE_TIME2:
+            import datetime
+
+            packed = int.from_bytes(buf[pos : pos + 3], "big")
+            pos += 3
+            micros, pos = _decode_frac(buf, pos, m)
+            values.append(
+                datetime.timedelta(
+                    hours=(packed >> 12) & 0x3FF,
+                    minutes=(packed >> 6) & 0x3F,
+                    seconds=packed & 0x3F,
+                    microseconds=micros,
+                )
+            )
         elif tc == TYPE_VARCHAR:
             if m < 256:
                 ln, pos = buf[pos], pos + 1
@@ -241,6 +621,13 @@ def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
                 ln, pos = struct.unpack_from("<H", buf, pos)[0], pos + 2
             values.append(buf[pos : pos + ln].decode())
             pos += ln
+        elif tc == TYPE_BLOB:
+            ln = int.from_bytes(buf[pos : pos + m], "little")
+            pos += m
+            values.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        else:
+            raise ValueError(f"unsupported wire type {tc}")
     return values, pos
 
 
@@ -321,19 +708,26 @@ def decode_events(buf: bytes, verify_crc: bool = True) -> list[dict]:
             raw_types = list(body[p : p + ncols])
             p += ncols
             mlen, p = _read_lenenc(body, p)
-            meta_buf, mp = body[p : p + mlen], 0
-            types: list[tuple[int, int | None]] = []
-            for rt in raw_types:
-                if rt == TYPE_VARCHAR:
-                    types.append((rt, struct.unpack_from("<H", meta_buf, mp)[0]))
-                    mp += 2
-                elif rt == TYPE_DOUBLE:
-                    types.append((rt, meta_buf[mp]))
-                    mp += 1
-                else:
-                    types.append((rt, None))
-            tables[tid] = TableDef(db, tbl, types)
-            ev.update(table_id=tid, db=db, tbl=tbl, types=types)
+            types = _decode_col_meta(raw_types, body[p : p + mlen])
+            p += mlen
+            p += (ncols + 7) // 8  # null bitmap
+            # optional-metadata TLVs (MySQL 8): SIGNEDNESS carries the
+            # unsigned bits for numeric columns, MSB-first
+            unsigned: set[int] = set()
+            while p < len(body):
+                tlv_type = body[p]
+                tlv_len, q = _read_lenenc(body, p + 1)
+                val = body[q : q + tlv_len]
+                p = q + tlv_len
+                if tlv_type == _SIGNEDNESS_TLV:
+                    numeric_idx = [
+                        i for i, rt in enumerate(raw_types) if rt in _NUMERIC_TYPES
+                    ]
+                    for bit, col in enumerate(numeric_idx):
+                        if val[bit // 8] & (0x80 >> (bit % 8)):
+                            unsigned.add(col)
+            tables[tid] = TableDef(db, tbl, types, unsigned)
+            ev.update(table_id=tid, db=db, tbl=tbl, types=types, unsigned=unsigned)
         elif tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
             tid = int.from_bytes(body[0:6], "little")
             td = tables[tid]

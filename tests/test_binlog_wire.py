@@ -197,3 +197,95 @@ def test_query_event_round_trip():
     out = W.decode_events(ev)[0]
     assert out["type"] == W.QUERY_EVENT
     assert out["db"] == "db0" and out["query"] == "BEGIN"
+
+
+def test_full_type_surface_round_trip():
+    """Every wire type the slice covers (the RowsLogBuffer.java surface
+    minus enum/set/json/geometry) round-trips bit-exactly, including
+    unsigned integers carried via the SIGNEDNESS optional-metadata TLV."""
+    import datetime
+    from decimal import Decimal
+
+    td = W.TableDef.from_mysql_types(
+        "db0", "all_t",
+        ["tinyint", "tinyint unsigned", "smallint", "smallint unsigned",
+         "mediumint", "mediumint unsigned", "int", "int unsigned",
+         "bigint", "bigint unsigned", "float", "double",
+         "decimal(10,3)", "decimal(20,0)", "decimal(30,15)",
+         "bit(64)", "year", "date", "datetime(3)", "timestamp(6)",
+         "time(3)", "varchar(32)", "text", "blob", "longblob"],
+    )
+    row = [
+        -128, 255, -32768, 65535,
+        -8388608, 16777215, -2147483648, 4294967295,
+        -(1 << 63), (1 << 64) - 1, 1.5, -2.25,
+        Decimal("-1234567.891"), Decimal("12345678901234567890"),
+        Decimal("-123456789012345.123456789012345"),
+        (1 << 64) - 1, 2024, datetime.date(2024, 2, 29),
+        datetime.datetime(2024, 2, 29, 23, 59, 58, 123000),
+        datetime.datetime(2024, 6, 1, 12, 0, 0, 654321),
+        datetime.timedelta(hours=123, minutes=45, seconds=6, microseconds=789000),
+        "héllo wörld", "x" * 300, b"\x00\x01\xff", b"\xde\xad" * 100,
+    ]
+    blob = W.encode_table_map(11, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 11, td, [row]
+    )
+    evs = W.decode_events(blob)
+    assert evs[0]["unsigned"] == td.unsigned
+    got = evs[1]["rows"][0]
+    assert got == row
+
+
+def test_decimal_edge_cases_round_trip():
+    from decimal import Decimal
+
+    cases = [
+        ("decimal(5,0)", ["0", "-1", "99999", "-99999"]),
+        ("decimal(9,9)", ["0.000000001", "-0.999999999", "0"]),
+        ("decimal(18,9)", ["123456789.987654321", "-0.000000001"]),
+        ("decimal(38,19)", ["1234567890123456789.1234567890123456789",
+                             "-9999999999999999999.9999999999999999999"]),
+        ("decimal(10,2)", ["0.01", "-0.01", "12345678.90"]),
+    ]
+    for decl, vals in cases:
+        td = W.TableDef.from_mysql_types("d", "t", [decl])
+        rows = [[Decimal(v)] for v in vals]
+        blob = W.encode_table_map(1, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 1, td, rows
+        )
+        got = [r[0] for r in W.decode_events(blob)[1]["rows"]]
+        assert got == [Decimal(v) for v in vals], (decl, vals, got)
+
+
+def test_decimal_random_round_trip():
+    """Seeded random decimals across precisions — encode/decode is the
+    identity on quantized values."""
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(5)
+    for _ in range(200):
+        scale = rng.randint(0, 20)
+        prec = rng.randint(max(scale, 1), 38)
+        intg = prec - scale
+        int_digits = rng.randint(0, intg)
+        s = "".join(rng.choice("0123456789") for _ in range(int_digits)) or "0"
+        f = "".join(rng.choice("0123456789") for _ in range(scale))
+        text = ("-" if rng.random() < 0.5 else "") + s + (("." + f) if f else "")
+        v = Decimal(text)
+        td = W.TableDef("d", "t", [(W.TYPE_NEWDECIMAL, (prec, scale))])
+        blob = W.encode_table_map(1, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 1, td, [[v]]
+        )
+        got = W.decode_events(blob)[1]["rows"][0][0]
+        assert got == v, (prec, scale, text, got)
+
+
+def test_negative_time_rejected():
+    import datetime
+
+    td = W.TableDef.from_mysql_types("d", "t", ["time(0)"])
+    with pytest.raises(ValueError, match="negative TIME"):
+        W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 1, td, [[datetime.timedelta(seconds=-5)]]
+        )
