@@ -994,3 +994,136 @@ def read_wire_binlog(spark, wire_dir: str):
             "pk string, value double, xid bigint",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic typed-table wire path: ANY DataFrame ⟷ binlog bytes
+# ---------------------------------------------------------------------------
+
+
+def _parse_time_str(s: str):
+    """'[-]H:MM:SS[.ffffff]' → timedelta (MySQL TIME text form)."""
+    import datetime
+
+    neg = s.startswith("-")
+    body = s[1:] if neg else s
+    hh, mm, rest = body.split(":")
+    if "." in rest:
+        ss, frac = rest.split(".")
+        micros = int(frac.ljust(6, "0")[:6])
+    else:
+        ss, micros = rest, 0
+    td = datetime.timedelta(
+        hours=int(hh), minutes=int(mm), seconds=int(ss), microseconds=micros
+    )
+    return -td if neg else td
+
+
+def _format_time(td) -> str:
+    total = td.days * 86400 + td.seconds
+    h, rem = divmod(total, 3600)
+    m, s = divmod(rem, 60)
+    out = f"{h:02d}:{m:02d}:{s:02d}"
+    if td.microseconds:
+        out += f".{td.microseconds:06d}".rstrip("0")
+    return out
+
+
+def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
+                    rows_per_event: int = 256):
+    """Serialize ANY typed DataFrame as binlog WRITE_ROWS wire bytes —
+    one blob per partition (TABLE_MAP + chunked multi-row events). The
+    column declarations come from the schema registry (`TableSchema.types`),
+    so a binlog downstream can attach to any replicated table, not just
+    the harness CDC frame. Arrow-batched; partitions encode in parallel.
+    Returns (n_rows, payload binary)."""
+    cols = list(df.columns)
+    is_bool = [t.strip().lower().startswith(("bool", "tinyint(1)")) and
+               "unsigned" not in t.lower() for t in mysql_types]
+    is_time = [t.strip().lower().startswith("time") and
+               not t.strip().lower().startswith("timestamp")
+               for t in mysql_types]
+
+    def encode_partition(batches):
+        import pandas as pd
+
+        td = TableDef.from_mysql_types(db, tbl, mysql_types)
+        tid = zlib.crc32(f"{db}.{tbl}".encode()) & 0x7FFFFFFF
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blob = bytearray(encode_table_map(tid, td))
+            rows = []
+            for rec in pdf[cols].itertuples(index=False):
+                vals = []
+                for i, v in enumerate(rec):
+                    if v is None or (isinstance(v, float) and v != v):
+                        vals.append(None)
+                    elif is_bool[i]:
+                        vals.append(int(bool(v)))
+                    elif is_time[i] and isinstance(v, str):
+                        vals.append(_parse_time_str(v))
+                    else:
+                        vals.append(v)
+                rows.append(vals)
+                if len(rows) >= rows_per_event:
+                    blob += encode_rows_event(WRITE_ROWS_EVENT, tid, td, rows)
+                    rows = []
+            if rows:
+                blob += encode_rows_event(WRITE_ROWS_EVENT, tid, td, rows)
+            yield pd.DataFrame(
+                [(len(pdf), bytes(blob))], columns=["n_rows", "payload"]
+            )
+
+    return df.mapInPandas(encode_partition, "n_rows long, payload binary")
+
+
+def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
+                    payload_col: str = "payload"):
+    """Decode typed wire blobs back into a Spark frame with faithful
+    types (``types.spark_type_for`` per declaration; DATETIME2 and
+    TIMESTAMP2 both surface as TIMESTAMP_NTZ — the wire carries zone-less
+    fields / UTC epochs; TIME as MySQL text form)."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from polardbx_cdc_spark.types import spark_type_for
+
+    fields = []
+    for name, decl in zip(columns, mysql_types):
+        st = spark_type_for(decl)
+        if isinstance(st, (T.TimestampType, T.TimestampNTZType)):
+            st = T.TimestampNTZType()
+        fields.append(T.StructField(name, st, True))
+    out_schema = T.StructType(fields)
+    decls = list(mysql_types)
+
+    def decode_partition(batches):
+        import datetime
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload_col]:
+                for ev in decode_events(bytes(blob)):
+                    if ev["type"] != WRITE_ROWS_EVENT:
+                        continue
+                    for row in ev["rows"]:
+                        rec = []
+                        for v, decl, f in zip(row, decls, out_schema.fields):
+                            if v is None:
+                                rec.append(None)
+                            elif f.dataType.typeName() == "boolean":
+                                rec.append(bool(v))
+                            elif f.dataType.typeName().startswith("decimal") and not isinstance(v, Decimal):
+                                rec.append(Decimal(v))
+                            elif isinstance(v, datetime.timedelta):
+                                rec.append(_format_time(v))
+                            else:
+                                rec.append(v)
+                        out.append(rec)
+            yield pd.DataFrame(out, columns=columns)
+
+    return blobs.mapInPandas(decode_partition, out_schema)
