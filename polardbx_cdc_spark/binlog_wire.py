@@ -863,7 +863,8 @@ def binlog_to_events(df, payload_col: str = "payload",
     return df.mapInPandas(decode_partition, out_schema)
 
 
-def export_wire_files(spark, sink_dir: str, wire_dir: str):
+def export_wire_files(spark, sink_dir: str, wire_dir: str,
+                      incremental: bool = False):
     """Materialize a BinlogSink parquet directory as REAL MySQL binlog
     files — the attach surface for a downstream that speaks the wire
     format (LogFileGenerator.java:624-757 writes these natively; here the
@@ -875,13 +876,21 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str):
     (writeBegin:624), COMMIT rows become XID events keyed by txn_id
     (writeCommit:713), each file ends with a ROTATE to its successor.
 
+    ``incremental=True`` is the CONTINUOUS-operation mode (schedule after
+    each micro-batch or on a timer): a ``_manifest.json`` in ``wire_dir``
+    records per-file event counts, and only files whose partition grew,
+    appeared, or just gained a successor (→ needs its ROTATE appended)
+    are re-rendered — steady state re-renders exactly one tail file per
+    cycle regardless of history length.
+
     Scale shape: ``applyInPandas`` grouped by file_seq — every file
     encodes AND writes inside its own task (the manifest, one row per
     file, is the only thing that comes back), so a 10k-file binlog
     directory renders with 10k-way parallelism and zero driver data
     motion. ``wire_dir`` must be a shared filesystem/object-store path.
     Returns the manifest DataFrame (file_seq, file_name, n_events,
-    n_bytes)."""
+    n_bytes) of the files rendered THIS call."""
+    import json
     import os
 
     from pyspark.sql import functions as F
@@ -893,6 +902,30 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str):
     cols = ["file_seq", "offset", "action", "db", "tbl", "pk", "value"] + (
         ["txn_id"] if framed else []
     )
+
+    manifest_path = os.path.join(wire_dir, "_manifest.json")
+    if incremental:
+        try:
+            with open(manifest_path) as fh:
+                prev = {int(k): v for k, v in json.load(fh).items()}
+        except FileNotFoundError:
+            prev = {}
+        counts = {
+            r["file_seq"]: r["n"]
+            for r in df.groupBy("file_seq").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        old_max = max(prev) if prev else -1
+        changed = {
+            seq for seq, n in counts.items()
+            if prev.get(seq) != n
+            # previous tail gained a successor → re-render for its ROTATE
+            or (seq == old_max and max_seq > old_max)
+        }
+        if not changed:
+            return spark.createDataFrame(
+                [], "file_seq bigint, file_name string, n_events bigint, n_bytes bigint"
+            )
+        df = df.filter(F.col("file_seq").isin([int(s) for s in changed]))
 
     def render_file(key, pdf):
         import pandas as pd
@@ -932,14 +965,19 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str):
             columns=["file_seq", "file_name", "n_events", "n_bytes"],
         )
 
-    return (
-        df.select(*cols)
-        .groupBy("file_seq")
-        .applyInPandas(
-            render_file,
-            "file_seq bigint, file_name string, n_events bigint, n_bytes bigint",
-        )
-    )
+    out_schema = "file_seq bigint, file_name string, n_events bigint, n_bytes bigint"
+    result = df.select(*cols).groupBy("file_seq").applyInPandas(render_file, out_schema)
+    if not incremental:
+        return result
+    rows = result.collect()  # bounded: one row per re-rendered file
+    merged = dict(prev)
+    for r in rows:
+        merged[int(r["file_seq"])] = r["n_events"]
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({str(k): v for k, v in merged.items()}, fh)
+    os.replace(tmp, manifest_path)
+    return spark.createDataFrame(rows, out_schema) if rows else spark.createDataFrame([], out_schema)
 
 
 def read_wire_binlog(spark, wire_dir: str):
@@ -986,6 +1024,7 @@ def read_wire_binlog(spark, wire_dir: str):
 
     return (
         spark.read.format("binaryFile")
+        .option("pathGlobFilter", "binlog.*")  # skip _manifest.json
         .load(wire_dir)
         .select("path", "content")
         .mapInPandas(

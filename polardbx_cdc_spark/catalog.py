@@ -32,6 +32,38 @@ def show_binary_logs(spark: SparkSession, sink_dir: str) -> DataFrame:
     )
 
 
+def show_binary_logs_wire(spark: SparkSession, wire_dir: str) -> DataFrame:
+    """`SHOW BINARY LOGS` over REAL wire files (binlog_wire.export_wire_
+    files output): one row per file with its on-disk size and decoded
+    event count — what a MySQL client sees when pointed at the rendered
+    directory. Distributed: size from the binaryFile listing, counts from
+    the per-file wire decode (no driver-side file reads)."""
+    from polardbx_cdc_spark.binlog_wire import read_wire_binlog
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "binlog.*")
+        .load(wire_dir)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("log_name"),
+            F.col("length").alias("file_size"),
+        )
+    )
+    counts = (
+        read_wire_binlog(spark, wire_dir)
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum((~F.col("kind").isin("BEGIN", "COMMIT")).cast("long")).alias("n_events"),
+        )
+    )
+    return (
+        files.join(counts, files.log_name == counts.file_name, "left")
+        .drop("file_name")
+        .orderBy("log_name")
+    )
+
+
 def show_master_status(spark: SparkSession, sink_dir: str) -> DataFrame:
     """Current head position: latest file + offset + TSO —
     `SHOW MASTER STATUS` (binlog-commands-intro.md:7)."""

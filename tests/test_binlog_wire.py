@@ -359,3 +359,68 @@ def test_generic_typed_table_spark_round_trip(spark):
     assert back.count() == 200
     diff = expected.exceptAll(back).count() + back.exceptAll(expected).count()
     assert diff == 0
+
+
+def test_incremental_export_rerenders_only_the_tail(spark, sf_dir, tmp_path):
+    """Continuous-operation mode: after the first incremental export, an
+    unchanged sink re-renders NOTHING; when the sink grows, only new and
+    tail-affected files render, and the full directory still decodes to
+    the complete event set."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.streaming import pipeline
+
+    tmpdir = str(tmp_path)
+    out, wire = tmpdir + "/binlog", tmpdir + "/wire"
+    cdc = derive_cdc_stream(spark, sf_dir)
+    first = cdc.orderBy("tso").limit(600)
+    rest = cdc.join(first.select("tso"), "tso", "left_anti")
+
+    sink = pipeline.BinlogSink(out, rotate_rows=250)
+    sink.recover(spark)
+    sink(first, batch_id=0)
+
+    m1 = W.export_wire_files(spark, out, wire, incremental=True).collect()
+    assert len(m1) >= 2  # 600 rows / 250 rotate → 3 files
+    # no growth → nothing re-rendered
+    assert W.export_wire_files(spark, out, wire, incremental=True).count() == 0
+
+    sink(rest, batch_id=1)
+    m2 = W.export_wire_files(spark, out, wire, incremental=True).collect()
+    rendered = {r["file_seq"] for r in m2}
+    total_files = spark.read.parquet(out).select("file_seq").distinct().count()
+    # strictly fewer than all files re-rendered: the settled head is skipped
+    assert 0 < len(rendered) < total_files
+
+    decoded = W.read_wire_binlog(spark, wire)
+    n_events = decoded.filter(~F.col("kind").isin("BEGIN", "COMMIT")).count()
+    assert n_events == cdc.count()
+    # decoded multiset matches the full sink content
+    a = spark.read.parquet(out).select("db", "tbl", F.col("action").alias("kind"), "pk", "value")
+    b = decoded.select("db", "tbl", "kind", "pk", "value")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_show_binary_logs_wire(spark, sf_dir, tmp_path):
+    """SHOW BINARY LOGS over the rendered wire directory: file names,
+    sizes, and event counts line up with the parquet-side catalog."""
+    from polardbx_cdc_spark import catalog
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.streaming import pipeline
+
+    tmpdir = str(tmp_path)
+    out, wire = tmpdir + "/binlog", tmpdir + "/wire"
+    sink = pipeline.BinlogSink(out, rotate_rows=400)
+    sink.recover(spark)
+    sink(derive_cdc_stream(spark, sf_dir), batch_id=0)
+    W.export_wire_files(spark, out, wire).collect()
+
+    wire_rows = {r["log_name"]: r for r in catalog.show_binary_logs_wire(spark, wire).collect()}
+    pq_rows = {r["log_name"]: r for r in catalog.show_binary_logs(spark, out).collect()}
+    # parquet names are 0-based file_seq; wire files are seq+1
+    assert len(wire_rows) == len(pq_rows)
+    for r in pq_rows.values():
+        wname = f"binlog.{r['file_seq'] + 1:06d}"
+        assert wire_rows[wname]["n_events"] == r["n_events"]
+        assert wire_rows[wname]["file_size"] > 0
