@@ -27,3 +27,26 @@ def test_deferred_queries_still_registered_and_oracle_backed():
 def test_registry_has_no_dangling_oracle():
     names = set(Q.queries())
     assert set(Q.oracle_sql()) <= names
+
+
+def test_round5_rotation_graded_window_is_the_never_graded_set():
+    """Round-5 rotation policy: every oracle-backed query that had no
+    official CORRECTNESS_r1–r4 entry sits INSIDE the 50-slot window, plus
+    the new wire query and the flagship anchors. Guards against future
+    edits silently evicting a first-time grading slot."""
+    import json
+    import os
+
+    names = list(Q.queries())
+    window = set(names[:GRADE_WINDOW])
+    graded_ever: set[str] = set()
+    for r in ("01", "02", "03", "04"):
+        path = f"/root/repo/CORRECTNESS_r{r}.json"
+        if os.path.exists(path):
+            with open(path) as fh:
+                graded_ever |= set(json.load(fh))
+    oracles = set(Q.oracle_sql())
+    never_graded = (oracles - graded_ever) - {"cdc_binlog_wire_roundtrip"}
+    missing = never_graded - window
+    assert not missing, f"never-graded oracles outside the graded window: {missing}"
+    assert "cdc_binlog_wire_roundtrip" in window
