@@ -40,7 +40,8 @@ import zlib
 
 MAGIC = b"\xfebin"
 
-# event type codes (public protocol; LogEvent.java:121-157)
+# event type codes (public protocol; LogEvent.java:121-157; PolarDB-X
+# extension events LogEvent.java:181,184)
 QUERY_EVENT = 2
 FORMAT_DESCRIPTION_EVENT = 15
 XID_EVENT = 16
@@ -49,6 +50,7 @@ WRITE_ROWS_EVENT = 30
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
 ROTATE_EVENT = 4
+GCN_EVENT = 105  # PolarDB-X DN 8.0 commit-GCN carrier (GcnLogEvent.java)
 
 # column type codes (public protocol)
 TYPE_TINY = 1
@@ -657,6 +659,13 @@ def encode_xid(xid: int, timestamp: int = 0) -> bytes:
     return encode_event(XID_EVENT, struct.pack("<Q", xid), timestamp)
 
 
+def encode_gcn(gcn: int, flag: int = 0, timestamp: int = 0) -> bytes:
+    """GCN event — flag(1) gcn(8) (GcnLogEvent.java:29-31). The global
+    binlog uses it to carry the commit timestamp; the exporter stores the
+    TSO's 19-digit physical-time prefix so consumers can seek by time."""
+    return encode_event(GCN_EVENT, bytes([flag]) + struct.pack("<q", gcn), timestamp)
+
+
 def encode_query(db: str, query: str, timestamp: int = 0) -> bytes:
     """QUERY event (BEGIN / DDL text): post-header thread_id(4)
     exec_time(4) db_len(1) error_code(2) status_vars_len(2); body:
@@ -753,6 +762,9 @@ def decode_events(buf: bytes, verify_crc: bool = True) -> list[dict]:
             p = 13 + svlen
             ev["db"] = body[p : p + dlen].decode()
             ev["query"] = body[p + dlen + 1 :].decode()
+        elif tc == GCN_EVENT:
+            ev["flag"] = body[0]
+            ev["gcn"] = struct.unpack_from("<q", body, 1)[0]
         elif tc == XID_EVENT:
             ev["xid"] = struct.unpack_from("<Q", body, 0)[0]
         elif tc == ROTATE_EVENT:
@@ -900,7 +912,7 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
     max_seq = df.agg(F.max("file_seq")).collect()[0][0]
     os.makedirs(wire_dir, exist_ok=True)
     cols = ["file_seq", "offset", "action", "db", "tbl", "pk", "value"] + (
-        ["txn_id"] if framed else []
+        ["txn_id", "txn_commit_tso"] if framed else []
     )
 
     manifest_path = os.path.join(wire_dir, "_manifest.json")
@@ -927,6 +939,12 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
             )
         df = df.filter(F.col("file_seq").isin([int(s) for s in changed]))
 
+    _ROW_TYPE = {
+        "INSERT": WRITE_ROWS_EVENT,
+        "UPDATE": UPDATE_ROWS_EVENT,
+        "DELETE": DELETE_ROWS_EVENT,
+    }
+
     def render_file(key, pdf):
         import pandas as pd
 
@@ -934,28 +952,48 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
         pdf = pdf.sort_values("offset")
         events: list[bytes] = []
         current_table: tuple[str, str] | None = None
+        # run buffer: consecutive same-(action, table) rows share ONE
+        # multi-row event — a header+CRC per run instead of per row (the
+        # reference's dumper also packs row batches per event)
+        run_type: int | None = None
+        run_rows: list = []
+
+        def flush_run():
+            nonlocal run_type, run_rows
+            if run_rows:
+                td = TableDef.from_mysql_types(*current_table, CDC_TABLE_TYPES)
+                tid = zlib.crc32(".".join(current_table).encode()) & 0x7FFFFFFF
+                events.append(encode_rows_event(run_type, tid, td, run_rows))
+                run_rows = []
+            run_type = None
+
         for r in pdf.itertuples(index=False):
             if r.action == "BEGIN":
+                flush_run()
+                if framed and isinstance(r.txn_commit_tso, str):
+                    # commit TSO physical prefix as the txn's GCN event —
+                    # seek-by-time works on the rendered files
+                    events.append(encode_gcn(int(r.txn_commit_tso[:19])))
                 events.append(encode_query("", "BEGIN"))
                 continue
             if r.action == "COMMIT":
+                flush_run()
                 events.append(encode_xid(int(r.txn_id)))
                 current_table = None  # next txn re-announces its table
                 continue
-            td = TableDef.from_mysql_types(r.db, r.tbl, CDC_TABLE_TYPES)
-            tid = zlib.crc32(f"{r.db}.{r.tbl}".encode()) & 0x7FFFFFFF
+            tc = _ROW_TYPE[r.action]
             if current_table != (r.db, r.tbl):
-                events.append(encode_table_map(tid, td))
+                flush_run()
                 current_table = (r.db, r.tbl)
+                td = TableDef.from_mysql_types(r.db, r.tbl, CDC_TABLE_TYPES)
+                tid = zlib.crc32(f"{r.db}.{r.tbl}".encode()) & 0x7FFFFFFF
+                events.append(encode_table_map(tid, td))
+            elif tc != run_type:
+                flush_run()
             vals = [r.pk, None if pd.isna(r.value) else float(r.value)]
-            if r.action == "INSERT":
-                events.append(encode_rows_event(WRITE_ROWS_EVENT, tid, td, [vals]))
-            elif r.action == "UPDATE":
-                events.append(
-                    encode_rows_event(UPDATE_ROWS_EVENT, tid, td, [(vals, vals)])
-                )
-            else:
-                events.append(encode_rows_event(DELETE_ROWS_EVENT, tid, td, [vals]))
+            run_type = tc
+            run_rows.append((vals, vals) if tc == UPDATE_ROWS_EVENT else vals)
+        flush_run()
         name = f"binlog.{seq + 1:06d}"
         nxt = f"binlog.{seq + 2:06d}" if seq < max_seq else None
         path = os.path.join(wire_dir, name)
@@ -1017,6 +1055,10 @@ def read_wire_binlog(spark, wire_dir: str):
                         out.append((name, "BEGIN", None, None, None, None, None))
                     elif tc == XID_EVENT:
                         out.append((name, "COMMIT", None, None, None, None, ev["xid"]))
+                    elif tc == GCN_EVENT:
+                        # txn commit-time carrier: gcn surfaces in the xid
+                        # column (both are the txn-scope bigint slot)
+                        out.append((name, "GCN", None, None, None, None, ev["gcn"]))
             yield pd.DataFrame(
                 out,
                 columns=["file_name", "kind", "db", "tbl", "pk", "value", "xid"],

@@ -169,12 +169,23 @@ def test_export_wire_files_from_sink(spark, sf_dir, tmp_path):
         n_txns = spark.read.parquet(out).filter(F.col("action") == "COMMIT").count()
         kinds = {r["kind"]: r["n"] for r in
                  decoded.groupBy("kind").agg(F.count("*").alias("n")).collect()}
-        assert kinds["BEGIN"] == kinds["COMMIT"] == n_txns
-        assert sum(v for k, v in kinds.items() if k not in ("BEGIN", "COMMIT")) == n_events
+        assert kinds["BEGIN"] == kinds["COMMIT"] == kinds["GCN"] == n_txns
+        assert sum(v for k, v in kinds.items()
+                   if k not in ("BEGIN", "COMMIT", "GCN")) == n_events
+        # GCN events carry each txn's commit-TSO physical prefix — the
+        # rendered files are seekable by time
+        commit_prefixes = {
+            int(r["txn_commit_tso"][:19])
+            for r in spark.read.parquet(out)
+            .filter(F.col("action") == "COMMIT")
+            .select("txn_commit_tso").collect()
+        }
+        gcns = {r["xid"] for r in decoded.filter(F.col("kind") == "GCN").collect()}
+        assert gcns == commit_prefixes
 
         # value fidelity: decoded rows multiset-match the parquet sink's
         a = parquet_events.select("db", "tbl", F.col("action").alias("kind"), "pk", "value")
-        b = decoded.filter(~F.col("kind").isin("BEGIN", "COMMIT")).select(
+        b = decoded.filter(~F.col("kind").isin("BEGIN", "COMMIT", "GCN")).select(
             "db", "tbl", "kind", "pk", "value"
         )
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
