@@ -814,6 +814,12 @@ def events_to_binlog(df, out_schema: str = "db string, tbl string, n_events int,
     serialize 1000 ways in parallel — the per-file ORDER is whatever the
     caller partitioned/sorted by (the sink's offset assignment), exactly
     like the per-stream dumper thread, but across all streams at once."""
+    _ROW_TYPE = {
+        "INSERT": WRITE_ROWS_EVENT,
+        "UPDATE": UPDATE_ROWS_EVENT,
+        "DELETE": DELETE_ROWS_EVENT,
+    }
+
     def encode_partition(batches):
         import pandas as pd
 
@@ -825,16 +831,21 @@ def events_to_binlog(df, out_schema: str = "db string, tbl string, n_events int,
                 td = TableDef.from_mysql_types(db, tbl, CDC_TABLE_TYPES)
                 tid = zlib.crc32(f"{db}.{tbl}".encode()) & 0x7FFFFFFF
                 blob = bytearray(encode_table_map(tid, td))
+                # consecutive same-action rows share one multi-row event
+                # (header+CRC per run, not per row)
+                run_type, run_rows = None, []
                 for r in grp.itertuples(index=False):
+                    tc = _ROW_TYPE[r.action]
+                    if tc != run_type and run_rows:
+                        blob += encode_rows_event(run_type, tid, td, run_rows)
+                        run_rows = []
+                    run_type = tc
                     vals = [r.pk, None if pd.isna(r.value) else float(r.value)]
-                    if r.action == "INSERT":
-                        blob += encode_rows_event(WRITE_ROWS_EVENT, tid, td, [vals])
-                    elif r.action == "UPDATE":
-                        blob += encode_rows_event(
-                            UPDATE_ROWS_EVENT, tid, td, [(vals, vals)]
-                        )
-                    else:
-                        blob += encode_rows_event(DELETE_ROWS_EVENT, tid, td, [vals])
+                    run_rows.append(
+                        (vals, vals) if tc == UPDATE_ROWS_EVENT else vals
+                    )
+                if run_rows:
+                    blob += encode_rows_event(run_type, tid, td, run_rows)
                 out_rows.append((db, tbl, len(grp), bytes(blob)))
             yield pd.DataFrame(
                 out_rows, columns=["db", "tbl", "n_events", "payload"]
