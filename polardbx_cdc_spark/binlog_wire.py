@@ -683,20 +683,36 @@ def encode_rotate(next_file: str, position: int = 4) -> bytes:
     )
 
 
-def decode_events(buf: bytes, verify_crc: bool = True) -> list[dict]:
+def decode_events(buf: bytes, verify_crc: bool = True,
+                  tolerate_truncation: bool = False) -> list[dict]:
     """Parse a byte stream of events (no file magic) into dicts:
     {type, timestamp, ...per-type fields}. Maintains the TABLE_MAP
-    table_id → TableDef registry exactly like LogDecoder's context."""
+    table_id → TableDef registry exactly like LogDecoder's context.
+
+    ``tolerate_truncation``: stop cleanly at a torn tail (header cut
+    short, body shorter than event_length, or CRC mismatch ON THE LAST
+    event) instead of raising — the crash-recovery read mode
+    (BinlogFile.seekLastTso walks a possibly-torn file the same way)."""
     events: list[dict] = []
     tables: dict[int, TableDef] = {}
     pos = 0
     while pos < len(buf):
+        if tolerate_truncation and pos + HEADER_LEN > len(buf):
+            break
         ts, tc, sid, elen, npos, flags = struct.unpack_from("<IBIIIH", buf, pos)
+        if elen < HEADER_LEN + CHECKSUM_LEN:
+            if tolerate_truncation:
+                break  # garbage header (e.g. zeroed tail from a crash)
+            raise ValueError(f"invalid event length {elen} at offset {pos}")
+        if tolerate_truncation and pos + elen > len(buf):
+            break
         frame = buf[pos : pos + elen]
         if verify_crc:
             want = struct.unpack_from("<I", frame, elen - CHECKSUM_LEN)[0]
             got = zlib.crc32(frame[: elen - CHECKSUM_LEN]) & 0xFFFFFFFF
             if want != got:
+                if tolerate_truncation and pos + elen >= len(buf):
+                    break  # torn last event: garbage bytes under a "valid" length
                 raise ValueError(f"CRC mismatch at offset {pos}: {want:#x} != {got:#x}")
         body = frame[HEADER_LEN : elen - CHECKSUM_LEN]
         ev: dict = {"type": tc, "timestamp": ts, "server_id": sid}
@@ -793,6 +809,39 @@ def read_binlog_file(path: str) -> list[dict]:
     if buf[:4] != MAGIC:
         raise ValueError(f"{path}: not a binlog file (bad magic)")
     return decode_events(buf[4:])
+
+
+def recover_wire_file(path: str) -> tuple[int, int]:
+    """Truncate a torn wire file back to its last COMPLETE event — the
+    crash-recovery pass a writer runs before resuming append
+    (BinlogFile.seekLastTso / LogFileGenerator.java:510-545 walk-and-
+    truncate semantics). Returns (events_kept, bytes_dropped); 0 dropped
+    means the file was already clean."""
+    import os
+
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:4] != MAGIC:
+        raise ValueError(f"{path}: not a binlog file (bad magic)")
+    body = buf[4:]
+    # walk complete, CRC-valid events; stop at the tear
+    pos = 0
+    kept = 0
+    while pos + HEADER_LEN <= len(body):
+        elen = struct.unpack_from("<I", body, pos + 9)[0]
+        if elen < HEADER_LEN + CHECKSUM_LEN or pos + elen > len(body):
+            break
+        frame = body[pos : pos + elen]
+        want = struct.unpack_from("<I", frame, elen - CHECKSUM_LEN)[0]
+        if want != (zlib.crc32(frame[: elen - CHECKSUM_LEN]) & 0xFFFFFFFF):
+            break
+        pos += elen
+        kept += 1
+    dropped = len(body) - pos
+    if dropped:
+        with open(path, "r+b") as fh:
+            fh.truncate(4 + pos)
+    return kept, dropped
 
 
 # ---------------------------------------------------------------------------
@@ -1031,10 +1080,13 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
 
 def read_wire_binlog(spark, wire_dir: str):
     """Decode a directory of wire binlog files back into an event frame
-    (file_name, kind, db, tbl, pk, value, xid) — the consumer attach path,
-    distributed: ``binaryFile`` scan + per-file decode in ``mapInPandas``
-    (one Arrow batch per file; files are rotation-bounded so a batch is
-    at most rotate_rows events)."""
+    (file_name, pos, kind, db, tbl, pk, value, xid) — the consumer attach
+    path, distributed: ``binaryFile`` scan + per-file decode in
+    ``mapInPandas`` (one Arrow batch per file; files are rotation-bounded
+    so a batch is at most rotate_rows events). ``pos`` is the row's index
+    within its file: (file_name, pos) is the real binlog consumer's
+    replication position, totally ordering the stream across the rotated
+    chain (files sort by name) — appliers replay by it."""
     _ACTION = {
         WRITE_ROWS_EVENT: "INSERT",
         UPDATE_ROWS_EVENT: "UPDATE",
@@ -1053,26 +1105,36 @@ def read_wire_binlog(spark, wire_dir: str):
                 buf = bytes(content)
                 if buf[:4] != MAGIC:
                     raise ValueError(f"{name}: not a binlog file (bad magic)")
+                pos = 0
                 for ev in decode_events(buf[4:]):
                     tc = ev["type"]
                     if tc in _ACTION:
                         for row in ev["rows"]:
                             img = row[1] if tc == UPDATE_ROWS_EVENT else row
                             out.append(
-                                (name, _ACTION[tc], ev["db"], ev["tbl"],
+                                (name, pos, _ACTION[tc], ev["db"], ev["tbl"],
                                  img[0], img[1], None)
                             )
+                            pos += 1
                     elif tc == QUERY_EVENT:
-                        out.append((name, "BEGIN", None, None, None, None, None))
+                        out.append((name, pos, "BEGIN", None, None, None, None, None))
+                        pos += 1
                     elif tc == XID_EVENT:
-                        out.append((name, "COMMIT", None, None, None, None, ev["xid"]))
+                        out.append(
+                            (name, pos, "COMMIT", None, None, None, None, ev["xid"])
+                        )
+                        pos += 1
                     elif tc == GCN_EVENT:
                         # txn commit-time carrier: gcn surfaces in the xid
                         # column (both are the txn-scope bigint slot)
-                        out.append((name, "GCN", None, None, None, None, ev["gcn"]))
+                        out.append(
+                            (name, pos, "GCN", None, None, None, None, ev["gcn"])
+                        )
+                        pos += 1
             yield pd.DataFrame(
                 out,
-                columns=["file_name", "kind", "db", "tbl", "pk", "value", "xid"],
+                columns=["file_name", "pos", "kind", "db", "tbl", "pk",
+                         "value", "xid"],
             )
 
     return (
@@ -1082,7 +1144,7 @@ def read_wire_binlog(spark, wire_dir: str):
         .select("path", "content")
         .mapInPandas(
             decode_files,
-            "file_name string, kind string, db string, tbl string, "
+            "file_name string, pos long, kind string, db string, tbl string, "
             "pk string, value double, xid bigint",
         )
     )

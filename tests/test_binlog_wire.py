@@ -435,3 +435,78 @@ def test_show_binary_logs_wire(spark, sf_dir, tmp_path):
         wname = f"binlog.{r['file_seq'] + 1:06d}"
         assert wire_rows[wname]["n_events"] == r["n_events"]
         assert wire_rows[wname]["file_size"] > 0
+
+
+def test_torn_tail_recovery(tmp_path):
+    """A crash mid-append leaves a torn last event: tolerant decode stops
+    cleanly, recover_wire_file truncates back to the last complete event,
+    and the file is then fully valid again (BinlogFile walk-and-truncate
+    recovery semantics)."""
+    p = str(tmp_path / "binlog.000001")
+    full = [
+        W.encode_table_map(9, TD),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 9, TD, [[1, "a", 1.0, 1]]),
+        W.encode_xid(7),
+    ]
+    W.write_binlog_file(p, full)
+    clean_size = __import__("os").path.getsize(p)
+
+    # crash scenarios: (1) header cut short, (2) body cut short,
+    # (3) full-length tail of garbage bytes
+    torn_event = W.encode_rows_event(W.WRITE_ROWS_EVENT, 9, TD, [[2, "b", 2.0, 2]])
+    for tail in (torn_event[:10], torn_event[:-3], b"\x00" * len(torn_event)):
+        with open(p, "ab") as fh:
+            fh.write(tail)
+        # strict decode raises (or misparses) — tolerant decode stops clean
+        evs = W.decode_events(
+            open(p, "rb").read()[4:], tolerate_truncation=True
+        )
+        assert [e["type"] for e in evs] == [
+            W.FORMAT_DESCRIPTION_EVENT, W.TABLE_MAP_EVENT,
+            W.WRITE_ROWS_EVENT, W.XID_EVENT,
+        ]
+        kept, dropped = W.recover_wire_file(p)
+        assert kept == 4 and dropped == len(tail)
+        assert __import__("os").path.getsize(p) == clean_size
+        W.read_binlog_file(p)  # strict decode passes again
+
+    # clean file: recovery is a no-op
+    assert W.recover_wire_file(p) == (4, 0)
+
+
+def test_attach_path_replay_matches_engine_state(spark, sf_dir, tmp_path):
+    """A DOWNSTREAM CONSUMER story: attach to the rendered wire files
+    only (no parquet access), replay by (file_name, pos) — the real
+    binlog replication position — and reach exactly the engine's own
+    replayed end state."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.operators import apply as apply_ops
+    from polardbx_cdc_spark.streaming import pipeline
+
+    tmpdir = str(tmp_path)
+    out, wire = tmpdir + "/binlog", tmpdir + "/wire"
+    sink = pipeline.BinlogSink(out, rotate_rows=400)
+    sink.recover(spark)
+    sink(derive_cdc_stream(spark, sf_dir), batch_id=0)
+    W.export_wire_files(spark, out, wire).collect()
+
+    rows = W.read_wire_binlog(spark, wire).filter(
+        ~F.col("kind").isin("BEGIN", "COMMIT", "GCN")
+    )
+    w = Window.partitionBy("db", "tbl", "pk").orderBy(
+        F.desc("file_name"), F.desc("pos")
+    )
+    consumer_state = (
+        rows.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("kind") != "DELETE"))
+        .select("db", "tbl", "pk", "value")
+    )
+    engine_state = apply_ops.replay_to_state(derive_cdc_stream(spark, sf_dir)).select(
+        "db", "tbl", "pk", "value"
+    )
+    assert consumer_state.count() == engine_state.count()
+    assert consumer_state.exceptAll(engine_state).count() == 0
+    assert engine_state.exceptAll(consumer_state).count() == 0
