@@ -1281,3 +1281,30 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
             yield pd.DataFrame(out, columns=columns)
 
     return blobs.mapInPandas(decode_partition, out_schema)
+
+
+def seek_wire_position(spark, wire_dir: str, tso: str):
+    """Find the replication position of the first transaction whose
+    commit TSO is at or past ``tso`` — SearchTsoEventHandleV2 semantics
+    (polardbx-cdc-canal/.../handle/SearchTsoEventHandleV2.java:41-67)
+    executed against REAL wire files: the per-txn GCN events carry the
+    commit TSO's physical prefix, so the seek is a filter over the
+    decoded GCN rows (Catalyst prunes; no driver-side file walk).
+    Returns {"file_name", "pos", "gcn"} of the txn's GCN event, or None
+    when every transaction commits before ``tso``."""
+    from pyspark.sql import functions as F
+
+    # clamp to int64: a 19-digit physical prefix can exceed Long.MAX
+    # (9.22e18); anything above it is past every representable GCN
+    target = min(int(str(tso)[:19].ljust(19, "0")), (1 << 63) - 1)
+    rows = (
+        read_wire_binlog(spark, wire_dir)
+        .filter((F.col("kind") == "GCN") & (F.col("xid") >= target))
+        .orderBy("file_name", "pos")
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    r = rows[0]
+    return {"file_name": r["file_name"], "pos": r["pos"], "gcn": r["xid"]}

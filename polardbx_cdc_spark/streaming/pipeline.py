@@ -233,18 +233,30 @@ class BinlogSink:
         frame_txns: bool = False,
         strict: bool = False,
         txn_gap_seconds: int = 60,
+        wire_dir: str | None = None,
     ) -> None:
         self.out_dir = out_dir
         self.rotate_rows = rotate_rows
         self.frame_txns = frame_txns  # BEGIN/COMMIT envelope rows
         self.strict = strict  # provable disorder = hard error (reference behavior)
         self.txn_gap_seconds = txn_gap_seconds
+        #: when set, every batch also renders REAL binlog wire files into
+        #: this directory (incremental — only the grown tail re-renders),
+        #: so a wire consumer can tail the stream continuously, the
+        #: reference dumper's native output mode
+        self.wire_dir = wire_dir
         self._offset = 0
         self._last_tso = ""  # non-frame mode: per-event high-water mark
         self._last_commit_tso = ""  # frame mode: per-txn high-water mark
         self._pending: DataFrame | None = None  # frame mode: open txns' events
         self._seen_batches: set[int] = set()
         self.disorder_errors: list[str] = []
+
+    def _export_wire(self, spark) -> None:
+        if self.wire_dir is not None:
+            from polardbx_cdc_spark.binlog_wire import export_wire_files
+
+            export_wire_files(spark, self.out_dir, self.wire_dir, incremental=True)
 
     def recover(self, spark) -> None:
         """seekLastTso: resume offset/tso from what is already durable."""
@@ -273,6 +285,7 @@ class BinlogSink:
                 self._write_batch_framed(batch_df, batch_id, close_all=False)
             else:
                 self._write_batch(batch_df, batch_id)
+            self._export_wire(batch_df.sparkSession)
         finally:
             batch_df.unpersist()
 
@@ -283,6 +296,7 @@ class BinlogSink:
             pending, self._pending = self._pending, None
             try:
                 self._write_batch_framed(pending, batch_id=-1, close_all=True)
+                self._export_wire(pending.sparkSession)
             finally:
                 pending.unpersist()
 
@@ -829,6 +843,7 @@ def run_binlog_pipeline(
     frame_txns: bool = False,
     strict: bool = False,
     txn_gap_seconds: int = 60,
+    wire_dir: str | None = None,
 ):
     """The flagship streaming query: CDC stream → epoch-ordered rotated
     binlog sink, Trigger.AvailableNow (bounded replay in tests; remove the
@@ -837,13 +852,17 @@ def run_binlog_pipeline(
     With ``frame_txns``, call ``sink.flush()`` after the query terminates to
     emit transactions still open at end-of-stream.
 
+    With ``wire_dir``, every micro-batch ALSO renders real binlog wire
+    files incrementally into that directory (only the grown tail
+    re-renders) — a wire consumer can tail them live.
+
     Rate limiting (FlowLimiter/TPSLimiter — §2.11): ``max_files_per_trigger``
     bounds per-batch intake; on a Kafka source the same knob is
     ``maxOffsetsPerTrigger``. Backpressure beyond that is the engine's job.
     """
     sink = BinlogSink(
         out_dir, rotate_rows, frame_txns=frame_txns, strict=strict,
-        txn_gap_seconds=txn_gap_seconds,
+        txn_gap_seconds=txn_gap_seconds, wire_dir=wire_dir,
     )
     sink.recover(cdc_stream.sparkSession)
     observed = with_stream_metrics(cdc_stream)

@@ -510,3 +510,52 @@ def test_attach_path_replay_matches_engine_state(spark, sf_dir, tmp_path):
     assert consumer_state.count() == engine_state.count()
     assert consumer_state.exceptAll(engine_state).count() == 0
     assert engine_state.exceptAll(consumer_state).count() == 0
+
+
+def test_continuous_wire_export_and_tso_seek(spark, sf_dir, tmp_path):
+    """run_binlog_pipeline(wire_dir=...): the streaming sink renders wire
+    files incrementally per micro-batch; afterwards a consumer can seek a
+    TSO position on the rendered files (SearchTsoEventHandleV2 parity on
+    real bytes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    tmpdir = str(tmp_path)
+    out, wire = tmpdir + "/binlog", tmpdir + "/wire"
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, sf_dir), out, tmpdir + "/ckpt",
+        rotate_rows=300, frame_txns=True, wire_dir=wire,
+    )
+    q.awaitTermination(120)
+    sink.flush()
+
+    assert any(f.startswith("binlog.") for f in os.listdir(wire))
+    decoded = W.read_wire_binlog(spark, wire)
+    n_events = decoded.filter(~F.col("kind").isin("BEGIN", "COMMIT", "GCN")).count()
+    assert n_events == derive_cdc_stream(spark, sf_dir).count()
+
+    # seek: median commit TSO → a real (file, pos); everything from there
+    # on has GCN >= target
+    commits = (
+        spark.read.parquet(out)
+        .filter(F.col("action") == "COMMIT")
+        .select("txn_commit_tso")
+        .orderBy("txn_commit_tso")
+        .collect()
+    )
+    mid_tso = commits[len(commits) // 2]["txn_commit_tso"]
+    hit = W.seek_wire_position(spark, wire, mid_tso)
+    assert hit is not None
+    assert hit["gcn"] >= int(mid_tso[:19])
+    later = decoded.filter(
+        (F.col("kind") == "GCN")
+        & ((F.col("file_name") > hit["file_name"])
+           | ((F.col("file_name") == hit["file_name"]) & (F.col("pos") >= hit["pos"])))
+    )
+    assert later.agg(F.min("xid")).collect()[0][0] == hit["gcn"]
+    # past-the-end seek → None
+    assert W.seek_wire_position(spark, wire, "9" * 48) is None
