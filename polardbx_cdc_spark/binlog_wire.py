@@ -50,6 +50,8 @@ WRITE_ROWS_EVENT = 30
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
 ROTATE_EVENT = 4
+XA_PREPARE_EVENT = 38  # XA branch prepare (XaPrepareLogEvent.java)
+SEQUENCE_EVENT = 80  # PolarDB-X sequence/TSO carrier (SequenceLogEvent.java)
 GCN_EVENT = 105  # PolarDB-X DN 8.0 commit-GCN carrier (GcnLogEvent.java)
 
 # column type codes (public protocol)
@@ -659,6 +661,30 @@ def encode_xid(xid: int, timestamp: int = 0) -> bytes:
     return encode_event(XID_EVENT, struct.pack("<Q", xid), timestamp)
 
 
+def encode_xa_prepare(gtrid: bytes, bqual: bytes, format_id: int = 1,
+                      one_phase: bool = False, timestamp: int = 0) -> bytes:
+    """XA_PREPARE event — one_phase(1) format_id(4) gtrid_len(4)
+    bqual_len(4) xid-data (XaPrepareLogEvent.java:44-55); gtrid/bqual
+    each ≤ 64 bytes (MY_XIDDATASIZE guard)."""
+    if len(gtrid) > 64 or len(bqual) > 64:
+        raise ValueError("XA gtrid/bqual exceed 64 bytes")
+    payload = (
+        bytes([1 if one_phase else 0])
+        + struct.pack("<iii", format_id, len(gtrid), len(bqual))
+        + gtrid + bqual
+    )
+    return encode_event(XA_PREPARE_EVENT, payload, timestamp)
+
+
+def encode_sequence(seq_type: int, seq_num: int, timestamp: int = 0) -> bytes:
+    """SEQUENCE event — sequence_type(1) sequence_num(8)
+    (SequenceLogEvent.java:54-56): PolarDB-X's snapshot/commit sequence
+    carrier in the DN binlog."""
+    return encode_event(
+        SEQUENCE_EVENT, bytes([seq_type]) + struct.pack("<q", seq_num), timestamp
+    )
+
+
 def encode_gcn(gcn: int, flag: int = 0, timestamp: int = 0) -> bytes:
     """GCN event — flag(1) gcn(8) (GcnLogEvent.java:29-31). The global
     binlog uses it to carry the commit timestamp; the exporter stores the
@@ -781,6 +807,15 @@ def decode_events(buf: bytes, verify_crc: bool = True,
         elif tc == GCN_EVENT:
             ev["flag"] = body[0]
             ev["gcn"] = struct.unpack_from("<q", body, 1)[0]
+        elif tc == XA_PREPARE_EVENT:
+            ev["one_phase"] = bool(body[0])
+            fmt, glen, blen = struct.unpack_from("<iii", body, 1)
+            ev["format_id"] = fmt
+            ev["gtrid"] = body[13 : 13 + glen]
+            ev["bqual"] = body[13 + glen : 13 + glen + blen]
+        elif tc == SEQUENCE_EVENT:
+            ev["sequence_type"] = body[0]
+            ev["sequence_num"] = struct.unpack_from("<q", body, 1)[0]
         elif tc == XID_EVENT:
             ev["xid"] = struct.unpack_from("<Q", body, 0)[0]
         elif tc == ROTATE_EVENT:

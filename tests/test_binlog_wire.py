@@ -559,3 +559,24 @@ def test_continuous_wire_export_and_tso_seek(spark, sf_dir, tmp_path):
     assert later.agg(F.min("xid")).collect()[0][0] == hit["gcn"]
     # past-the-end seek → None
     assert W.seek_wire_position(spark, wire, "9" * 48) is None
+
+
+def test_xa_prepare_and_sequence_round_trip():
+    """The remaining PolarDB-X event family: XA_PREPARE (branch prepare
+    with gtrid/bqual xid data) and SEQUENCE (snapshot/commit sequence
+    carrier) round-trip through encode/decode."""
+    blob = (
+        W.encode_xa_prepare(b"txn-0042", b"branch-7", format_id=1)
+        + W.encode_xa_prepare(b"g", b"", one_phase=True)
+        + W.encode_sequence(2, 170512345678901)
+    )
+    evs = W.decode_events(blob)
+    assert evs[0]["type"] == W.XA_PREPARE_EVENT
+    assert (evs[0]["gtrid"], evs[0]["bqual"]) == (b"txn-0042", b"branch-7")
+    assert evs[0]["one_phase"] is False and evs[0]["format_id"] == 1
+    assert evs[1]["one_phase"] is True and evs[1]["gtrid"] == b"g"
+    assert evs[2]["type"] == W.SEQUENCE_EVENT
+    assert (evs[2]["sequence_type"], evs[2]["sequence_num"]) == (2, 170512345678901)
+
+    with pytest.raises(ValueError, match="exceed 64"):
+        W.encode_xa_prepare(b"x" * 65, b"")
