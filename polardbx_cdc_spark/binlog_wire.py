@@ -15,7 +15,8 @@ Scope (honest slice, round-trip-tested byte-for-byte):
 - file layout: 4-byte magic, FORMAT_DESCRIPTION, events, ROTATE chain
 - events: FORMAT_DESCRIPTION, TABLE_MAP (incl. the MySQL-8
   optional-metadata SIGNEDNESS TLV), WRITE/UPDATE/DELETE_ROWS v2, QUERY,
-  XID, ROTATE — each with trailing CRC32
+  XID, ROTATE, XA_PREPARE, and the PolarDB-X SEQUENCE/GCN carriers —
+  each with trailing CRC32; torn-tail tolerant decode + file recovery
 - column types (the RowsLogBuffer.java surface minus enum/set/json/
   geometry): TINY/SHORT/INT24/LONG/LONGLONG signed+unsigned,
   FLOAT/DOUBLE, NEWDECIMAL (packed 9-digit groups, negative inversion —

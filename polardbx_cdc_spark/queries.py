@@ -109,13 +109,13 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "curation_decontaminate",
     "curation_shard_shuffle",
     "curation_lm_perplexity",
-    # -- new this round: binlog wire-format byte round trip --------------
+    # -- new this round: binlog wire-format byte round trips -------------
     "cdc_binlog_wire_roundtrip",
+    "lineitem_wire_typed",
     # -- flagship veterans (anchors; green in r3/r4) ---------------------
     "cdc_full_pipeline",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "checksum_all_types",
     "dedup_minhash_lsh",
     "embed_kmeans_assign",
     "embed_pq_topk",
@@ -4033,4 +4033,49 @@ def cdc_binlog_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.conv(F.substring(F.md5("pk"), 1, 8), 16, 10).cast("long"))
         .cast("long")
         .alias("pk_hash_sum"),
+    )
+
+
+@register(
+    "lineitem_wire_typed",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+           CAST(sum(l_orderkey) AS BIGINT) AS okey_sum,
+           CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS min_ship,
+           CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_wire_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED binlog-wire round trip over a real table: lineitem columns
+    become (BIGINT, INT, DECIMAL(12,2), VARCHAR, DATE), serialize to real
+    wire bytes (packed NEWDECIMAL, 3-byte DATE — RowsLogBuffer.java
+    layouts), decode back, and aggregate. The oracle computes the same
+    aggregate from raw lineitem — every decimal digit and date must
+    survive the byte round trip or the hash check fails. The decimal is
+    derived through exact integer cents (the repo's cross-engine rule),
+    and the final sum re-multiplies by 100 inside decimal arithmetic, so
+    there is no float anywhere past the first round()."""
+    from polardbx_cdc_spark import binlog_wire
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    typed = li.select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").cast("int").alias("lnum"),
+        (cents.cast("decimal(14,2)") / 100).cast("decimal(12,2)").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").cast("date").alias("ship"),
+    )
+    decls = ["bigint", "int", "decimal(12,2)", "varchar(4)", "date"]
+    blobs = binlog_wire.table_to_binlog(typed, "tpch", "lineitem", decls)
+    back = binlog_wire.binlog_to_table(blobs, decls, ["okey", "lnum", "qty", "flag", "ship"])
+    return back.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("qty") * 100).cast("long")).cast("long").alias("qty_cents"),
+        F.sum("okey").cast("long").alias("okey_sum"),
+        F.min("ship").cast("string").alias("min_ship"),
+        F.max("ship").cast("string").alias("max_ship"),
     )

@@ -46,7 +46,8 @@ def test_round5_rotation_graded_window_is_the_never_graded_set():
             with open(path) as fh:
                 graded_ever |= set(json.load(fh))
     oracles = set(Q.oracle_sql())
-    never_graded = (oracles - graded_ever) - {"cdc_binlog_wire_roundtrip"}
+    new_this_round = {"cdc_binlog_wire_roundtrip", "lineitem_wire_typed"}
+    never_graded = (oracles - graded_ever) - new_this_round
     missing = never_graded - window
     assert not missing, f"never-graded oracles outside the graded window: {missing}"
-    assert "cdc_binlog_wire_roundtrip" in window
+    assert new_this_round <= window
