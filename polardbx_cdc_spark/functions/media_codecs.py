@@ -1,0 +1,206 @@
+"""REAL media codecs with zero external dependencies: BMP and PPM/PGM
+images (struct/bytes parsing), WAV audio (stdlib ``wave``), nearest-
+neighbor resize (NumPy indexing), and deterministic feature extraction.
+
+Upgrades the multimodal tier's decode step from an md5 stub to genuine
+byte-level decoding for every format the container can handle without
+external codec libraries; formats that genuinely need one (JPEG/PNG/MP4)
+still fall back to the documented stub in ``multimodal.py``. All
+arithmetic is NumPy over the decoded arrays — deterministic for identical
+payload bytes on any platform.
+
+Reference scope note: the reference engine has no media operators; this
+tier is the LLM-training-data extension (SURVEY §2.9 north-star), so the
+formats are chosen for verifiability, not MySQL parity.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed, bottom-up — the classic BITMAPINFOHEADER form)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """H×W×3 uint8 (RGB) → 24-bit BMP bytes (BGR on disk, rows bottom-up,
+    each row padded to 4 bytes)."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects H x W x 3 RGB")
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    out = bytearray(header + info)
+    pad = b"\x00" * (row_size - w * 3)
+    bgr = arr[:, :, ::-1]  # RGB → BGR
+    for y in range(h - 1, -1, -1):  # bottom-up
+        out += bgr[y].tobytes() + pad
+    return bytes(out)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → H×W×3 uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hsize, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    arr = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        off = data_offset + i * row_size
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off)
+        y = h - 1 - i if bottom_up else i
+        arr[y] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6) / PGM (P5) — binary netpbm
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    if arr.ndim == 2:
+        return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header: magic, whitespace-separated width height maxval, ONE
+    # whitespace byte, then the raster (comments start with '#')
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end : end + 1].isspace():
+            end += 1
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    if magic == b"P5":
+        return np.frombuffer(payload, np.uint8, w * h, pos).reshape(h, w)
+    return np.frombuffer(payload, np.uint8, w * h * 3, pos).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM16 via stdlib wave)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono/stereo samples → RIFF/WAVE bytes."""
+    samples = np.asarray(samples, dtype=np.int16)
+    nch = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE bytes → (sample_rate, int16 samples [n] or [n, nch])."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    samples = np.frombuffer(raw, dtype=np.int16)
+    if nch > 1:
+        samples = samples.reshape(-1, nch)
+    return rate, samples
+
+
+# ---------------------------------------------------------------------------
+# sniffing / resize / features
+# ---------------------------------------------------------------------------
+
+
+def sniff(payload: bytes) -> str | None:
+    """Magic-byte format detection for the natively-decodable set."""
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P5", b"P6"):
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize by index sampling — a REAL resize (no PIL
+    needed), exact and deterministic."""
+    src_h, src_w = arr.shape[:2]
+    ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return arr[ys][:, xs]
+
+
+def image_features(arr: np.ndarray, feat_dim: int = 8) -> list[float]:
+    """Deterministic image features: [w, h, mean R, mean G, mean B,
+    mean luminance, std luminance, edge-energy proxy], padded/truncated to
+    ``feat_dim``; channel stats normalized to [0, 1]."""
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    h, w = arr.shape[:2]
+    f = arr.astype(np.float64)
+    lum = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    dx = np.abs(np.diff(lum, axis=1)).mean() if w > 1 else 0.0
+    feats = [
+        float(w), float(h),
+        float(f[:, :, 0].mean() / 255), float(f[:, :, 1].mean() / 255),
+        float(f[:, :, 2].mean() / 255),
+        float(lum.mean() / 255), float(lum.std() / 255), float(dx / 255),
+    ]
+    return (feats + [0.0] * feat_dim)[:feat_dim]
+
+
+def audio_features(rate: int, samples: np.ndarray, feat_dim: int = 8) -> list[float]:
+    """Deterministic audio features: [duration_s, rms, zero-crossing
+    rate, peak, mean |x|, low/high half-band energy split via a 2-point
+    difference, dc offset]."""
+    x = samples.astype(np.float64)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    n = len(x)
+    if n == 0:
+        return [0.0] * feat_dim
+    xs = x / 32768.0
+    diff = np.diff(xs) if n > 1 else np.zeros(1)
+    zc = float((np.signbit(xs[1:]) != np.signbit(xs[:-1])).mean()) if n > 1 else 0.0
+    total_e = float((xs**2).mean())
+    hf_e = float((diff**2).mean()) / 2
+    feats = [
+        n / rate, float(np.sqrt(total_e)), zc, float(np.abs(xs).max()),
+        float(np.abs(xs).mean()), max(total_e - hf_e, 0.0), hf_e,
+        float(xs.mean()),
+    ]
+    return (feats + [0.0] * feat_dim)[:feat_dim]

@@ -203,3 +203,129 @@ def media_stats(media: DataFrame) -> DataFrame:
             F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path — formats the container handles natively (media_codecs)
+# ---------------------------------------------------------------------------
+
+
+def _decode_real(payload: bytes, feat_dim: int = 8) -> list[float]:
+    """Genuine byte-level decode for BMP / PPM / WAV (media_codecs.py —
+    zero external deps); unknown formats (JPEG/PNG/MP4 need external
+    codecs) fall back to the documented md5 stub."""
+    from polardbx_cdc_spark.functions import media_codecs as mc
+
+    fmt = mc.sniff(payload)
+    if fmt in ("bmp", "ppm"):
+        arr = mc.decode_bmp(payload) if fmt == "bmp" else mc.decode_ppm(payload)
+        return mc.image_features(arr, feat_dim)
+    if fmt == "wav":
+        return mc.audio_features(*mc.decode_wav(payload), feat_dim)
+    return _decode_image(payload, feat_dim)
+
+
+def extract_features_real(df: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """The REAL-decode twin of :func:`extract_features`: same Arrow
+    dataflow, but BMP/PPM payloads are actually pixel-decoded and WAV
+    payloads actually sample-decoded before feature extraction."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                    "feature": pdf["payload"].map(lambda b: _decode_real(b, feat_dim)),
+                }
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+def resize_images_real(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """REAL image resize: decode BMP/PPM pixels, nearest-neighbor resample
+    (NumPy index sampling), re-encode BMP. Non-decodable payloads keep the
+    stub path so the operator is total."""
+    from polardbx_cdc_spark.functions import media_codecs as mc
+
+    def _resize_one(b: bytes) -> bytes:
+        fmt = mc.sniff(b)
+        if fmt in ("bmp", "ppm"):
+            arr = mc.decode_bmp(b) if fmt == "bmp" else mc.decode_ppm(b)
+            if arr.ndim == 2:
+                import numpy as np
+
+                arr = np.stack([arr] * 3, axis=-1)
+            return mc.encode_bmp(mc.resize_nearest(arr, target_w, target_h))
+        return _resize_stub(b, target_w, target_h)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(_resize_one),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "payload"
+    ).mapInPandas(_batches, RESIZED_SCHEMA)
+
+
+def synth_real_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media payloads keyed on doc_id: every third doc
+    becomes a true BMP (seeded pixel noise), a true WAV (seeded PCM16
+    sine-plus-noise), or a true PPM — generated inside mapInPandas so the
+    payload bytes never touch the driver. Gives the real-decode path
+    genuine files to chew on at any scale."""
+    import numpy as np
+
+    from polardbx_cdc_spark.functions import media_codecs as mc
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "payload": [], "mime": [],
+                    "width": [], "height": [], "duration_ms": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rng = np.random.RandomState(doc_id % (2**31))
+                m = doc_id % 3
+                if m == 0:
+                    w, h = 16 + doc_id % 48, 16 + doc_id % 32
+                    arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                    payload, kind, mime = mc.encode_bmp(arr), "image", "image/bmp"
+                    width, height, dur = w, h, None
+                elif m == 1:
+                    n = 800 + doc_id % 1600
+                    t = np.arange(n)
+                    x = (3000 * np.sin(2 * np.pi * t * (doc_id % 40 + 1) / 400)
+                         + rng.randint(-500, 500, n)).astype(np.int16)
+                    payload, kind, mime = mc.encode_wav(x, 8000), "audio", "audio/wav"
+                    width, height, dur = None, None, n * 1000 // 8000
+                else:
+                    w, h = 8 + doc_id % 24, 8 + doc_id % 16
+                    arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                    payload, kind, mime = mc.encode_ppm(arr), "image", "image/x-portable-pixmap"
+                    width, height, dur = w, h, None
+                rows["media_id"].append(doc_id)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+                rows["mime"].append(mime)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["duration_ms"].append(dur)
+            out = pd.DataFrame(rows)
+            # nullable int dtypes: None + int mixes must not decay to
+            # float64 (Arrow would refuse the unsafe cast back)
+            out["width"] = pd.array(rows["width"], dtype="Int32")
+            out["height"] = pd.array(rows["height"], dtype="Int32")
+            out["duration_ms"] = pd.array(rows["duration_ms"], dtype="Int64")
+            yield out
+
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)

@@ -109,16 +109,16 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "curation_decontaminate",
     "curation_shard_shuffle",
     "curation_lm_perplexity",
-    # -- new this round: binlog wire-format byte round trips -------------
+    # -- new this round: wire byte round trips + real media decode -------
     "cdc_binlog_wire_roundtrip",
     "lineitem_wire_typed",
+    "media_real_decode",
     # -- flagship veterans (anchors; green in r3/r4) ---------------------
     "cdc_full_pipeline",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "dedup_minhash_lsh",
     "embed_kmeans_assign",
-    "embed_pq_topk",
 )
 
 #: Oracle-backed entries outside the round-5 window. Every name here is
@@ -4078,4 +4078,49 @@ def lineitem_wire_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("okey").cast("long").alias("okey_sum"),
         F.min("ship").cast("string").alias("min_ship"),
         F.max("ship").cast("string").alias("max_ship"),
+    )
+
+
+@register(
+    "media_real_decode",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS kind,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 16 + doc_id % 48
+                WHEN 1 THEN 800 + doc_id % 1600
+                ELSE 8 + doc_id % 24 END AS BIGINT) AS dim1,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 16 + doc_id % 32
+                WHEN 1 THEN NULL
+                ELSE 8 + doc_id % 16 END AS BIGINT) AS dim2
+    FROM documents
+    """,
+)
+def media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, hash-checked: genuine BMP/PPM/WAV payloads are
+    synthesized inside Spark from doc_id-seeded parameters
+    (multimodal.synth_real_media), then BYTE-DECODED for real
+    (media_codecs.py — BMP pixel rows, netpbm rasters, RIFF/WAVE PCM16;
+    no codec libraries), and the decoded properties (image width/height,
+    audio sample count) are compared against the oracle's ANALYTIC
+    derivation of what was encoded. A single flipped byte, padding
+    mistake, or off-by-one in any codec breaks the hash. Dataflow is the
+    multimodal tier's canonical mapInPandas shape — payload bytes never
+    touch the driver."""
+    from polardbx_cdc_spark.functions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_real_media(docs)
+    feats = multimodal.extract_features_real(media)
+    is_audio = F.col("kind") == "audio"
+    dim1 = F.when(
+        is_audio, F.round(F.col("feature")[0] * 8000, 0)
+    ).otherwise(F.col("feature")[0]).cast("long")
+    dim2 = F.when(is_audio, F.lit(None)).otherwise(F.col("feature")[1]).cast("long")
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        dim1.alias("dim1"),
+        dim2.alias("dim2"),
     )

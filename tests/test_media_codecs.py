@@ -1,0 +1,126 @@
+"""REAL media decode: BMP/PPM/WAV codec round trips, nearest-neighbor
+resize, feature extraction, and the Spark real-decode dataflow over
+genuinely-encoded payloads (no external codec libraries)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from polardbx_cdc_spark.functions import media_codecs as mc
+
+
+def test_bmp_round_trip_exact():
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (5, 7), (16, 33), (31, 2)]:  # odd widths hit row padding
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        back = mc.decode_bmp(mc.encode_bmp(arr))
+        assert back.shape == arr.shape
+        assert np.array_equal(back, arr)
+
+
+def test_ppm_pgm_round_trip_exact():
+    rng = np.random.RandomState(4)
+    rgb = rng.randint(0, 256, (9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(mc.decode_ppm(mc.encode_ppm(rgb)), rgb)
+    gray = rng.randint(0, 256, (6, 11), dtype=np.uint8)
+    assert np.array_equal(mc.decode_ppm(mc.encode_ppm(gray)), gray)
+
+
+def test_ppm_header_comments_and_whitespace():
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    raw = mc.encode_ppm(rgb)
+    # inject a comment line into the header — netpbm allows them
+    commented = raw.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    assert np.array_equal(mc.decode_ppm(commented), rgb)
+
+
+def test_wav_round_trip_exact():
+    rng = np.random.RandomState(5)
+    mono = rng.randint(-32768, 32767, 1234, dtype=np.int16)
+    rate, back = mc.decode_wav(mc.encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(back, mono)
+    stereo = rng.randint(-32768, 32767, (500, 2), dtype=np.int16)
+    rate, back = mc.decode_wav(mc.encode_wav(stereo, 44100))
+    assert rate == 44100 and back.shape == (500, 2)
+    assert np.array_equal(back, stereo)
+
+
+def test_sniff_magic_bytes():
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert mc.sniff(mc.encode_bmp(arr)) == "bmp"
+    assert mc.sniff(mc.encode_ppm(arr)) == "ppm"
+    assert mc.sniff(mc.encode_wav(np.zeros(64, dtype=np.int16))) == "wav"
+    assert mc.sniff(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16) is None
+    assert mc.sniff(None) is None
+
+
+def test_resize_nearest_semantics():
+    # 2x2 quadrant image upscaled 2x: each quadrant becomes a 2x2 block
+    arr = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    up = mc.resize_nearest(arr, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert np.array_equal(up[0, 0], [255, 0, 0])
+    assert np.array_equal(up[0, 3], [0, 255, 0])
+    assert np.array_equal(up[3, 0], [0, 0, 255])
+    # downscale back recovers the original
+    assert np.array_equal(mc.resize_nearest(up, 2, 2), arr)
+
+
+def test_image_features_reflect_content():
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    f = mc.image_features(red)
+    assert f[0] == 8 and f[1] == 8
+    assert f[2] == pytest.approx(1.0) and f[3] == 0.0 and f[4] == 0.0
+    assert f[6] == pytest.approx(0.0)  # flat image → zero std
+
+
+def test_audio_features_reflect_content():
+    rate = 8000
+    t = np.arange(rate)  # one second
+    tone = (10000 * np.sin(2 * np.pi * t * 100 / rate)).astype(np.int16)
+    f = mc.audio_features(rate, tone)
+    assert f[0] == pytest.approx(1.0)  # duration
+    assert f[1] == pytest.approx(10000 / 32768 / np.sqrt(2), rel=1e-2)  # rms
+    assert f[2] == pytest.approx(2 * 100 / rate, rel=0.1)  # zcr ≈ 2f/fs
+
+
+def test_spark_real_decode_end_to_end(spark, sf_dir):
+    """synth_real_media renders genuine BMP/WAV/PPM bytes inside Spark;
+    extract_features_real decodes them for real — image features carry
+    true dimensions, audio features true durations, and every synthesized
+    payload sniffs as a real format (zero stub fallbacks)."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.functions import multimodal
+    from polardbx_cdc_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    media = multimodal.synth_real_media(docs).persist()
+    try:
+        n = media.count()
+        assert n == 60
+        feats = multimodal.extract_features_real(media)
+        rows = {r["media_id"]: r for r in feats.collect()}
+        meta = {r["media_id"]: r for r in media.collect()}
+        assert len(rows) == n
+        for mid, m in meta.items():
+            f = rows[mid]["feature"]
+            assert mc.sniff(bytes(m["payload"])) is not None
+            if m["kind"] == "image":
+                assert (int(f[0]), int(f[1])) == (m["width"], m["height"])
+            else:
+                assert f[0] == pytest.approx(m["duration_ms"] / 1000, abs=0.01)
+
+        # real resize: every image payload comes back as a BMP with the
+        # target dimensions, pixel-decoded and resampled
+        resized = multimodal.resize_images_real(media, 24, 24)
+        for r in resized.collect():
+            arr = mc.decode_bmp(bytes(r["payload"]))
+            assert arr.shape == (24, 24, 3)
+    finally:
+        media.unpersist()

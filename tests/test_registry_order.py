@@ -46,7 +46,9 @@ def test_round5_rotation_graded_window_is_the_never_graded_set():
             with open(path) as fh:
                 graded_ever |= set(json.load(fh))
     oracles = set(Q.oracle_sql())
-    new_this_round = {"cdc_binlog_wire_roundtrip", "lineitem_wire_typed"}
+    new_this_round = {
+        "cdc_binlog_wire_roundtrip", "lineitem_wire_typed", "media_real_decode",
+    }
     never_graded = (oracles - graded_ever) - new_this_round
     missing = never_graded - window
     assert not missing, f"never-graded oracles outside the graded window: {missing}"
