@@ -56,6 +56,8 @@ HEADLINE = [
     "curation_chunk_documents",
     # round 5 additions
     "cdc_binlog_wire_roundtrip",
+    "lineitem_wire_typed",
+    "media_real_decode",
 ]
 
 

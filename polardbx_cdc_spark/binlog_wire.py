@@ -343,45 +343,44 @@ _DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
 
 def _encode_decimal(v, precision: int, scale: int) -> bytes:
     """MySQL packed decimal: big-endian 9-digit groups, partial groups in
-    minimal bytes, negative = all bytes inverted, first byte MSB flipped."""
+    minimal bytes, negative = all bytes inverted, first byte MSB flipped.
+    All digit manipulation is C-int arithmetic (divmod by powers of ten),
+    not string slicing — this runs per value in the Arrow encode path."""
     import decimal
 
     with decimal.localcontext() as ctx:
-        ctx.prec = 65  # MySQL's max decimal precision
-        d = decimal.Decimal(str(v)).quantize(
+        ctx.prec = 65  # MySQL's max decimal precision — exact throughout
+        d = decimal.Decimal(v if isinstance(v, decimal.Decimal) else str(v)).quantize(
             decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
         )
+        unscaled = int(d.copy_abs().scaleb(scale))  # exact at prec=65
     neg = d < 0
-    # copy_abs + format are context-free — abs()/unary minus would round
-    # back down to the default 28-digit context and silently truncate
-    digits = format(d.copy_abs(), "f")
-    if "." in digits:
-        int_s, frac_s = digits.split(".")
-    else:
-        int_s, frac_s = digits, ""
     intg = precision - scale
-    int_s = int_s.lstrip("0").rjust(intg, "0")[-intg:] if intg else ""
-    frac_s = frac_s.ljust(scale, "0")[:scale]
+    int_part, frac_part = divmod(unscaled, 10**scale) if scale else (unscaled, 0)
+    int_part %= 10**intg if intg else 1  # overflow guard: keep intg digits
     out = bytearray()
-
-    def groups(s: str, leading_partial: bool):
-        if leading_partial:
-            part = len(s) % 9
-            if part:
-                out.extend(int(s[:part]).to_bytes(_DIG2BYTES[part], "big"))
-                s = s[part:]
-            for i in range(0, len(s), 9):
-                out.extend(int(s[i : i + 9]).to_bytes(4, "big"))
-        else:
-            n_full = len(s) // 9
-            for i in range(0, n_full * 9, 9):
-                out.extend(int(s[i : i + 9]).to_bytes(4, "big"))
-            part = len(s) - n_full * 9
-            if part:
-                out.extend(int(s[n_full * 9 :]).to_bytes(_DIG2BYTES[part], "big"))
-
-    groups(int_s, leading_partial=True)
-    groups(frac_s, leading_partial=False)
+    # leading partial int group, then full 9-digit groups (big-endian)
+    part = intg % 9
+    full = intg // 9
+    if part or full:
+        hi, lo = divmod(int_part, 10 ** (9 * full))
+        if part:
+            out += hi.to_bytes(_DIG2BYTES[part], "big")
+        for k in range(full - 1, -1, -1):
+            g, lo = divmod(lo, 10 ** (9 * k))
+            out += g.to_bytes(4, "big")
+    # full frac groups, then trailing partial
+    part = scale % 9
+    full = scale // 9
+    if full or part:
+        lo = frac_part
+        rem_digits = scale
+        for _ in range(full):
+            rem_digits -= 9
+            g, lo = divmod(lo, 10**rem_digits)
+            out += g.to_bytes(4, "big")
+        if part:
+            out += lo.to_bytes(_DIG2BYTES[part], "big")
     if not out:
         out = bytearray(1)
     if neg:
@@ -396,38 +395,42 @@ def _decimal_byte_len(precision: int, scale: int) -> int:
     return (intg // 9) * 4 + _DIG2BYTES[intg % 9] + (scale // 9) * 4 + _DIG2BYTES[scale % 9]
 
 
-def _decode_decimal(buf: bytes, precision: int, scale: int):
+def _decode_decimal(buf, pos: int, precision: int, scale: int):
+    """Decode at ``buf[pos:]`` WITHOUT slicing the remaining buffer (a
+    per-value tail slice made large multi-row events quadratic)."""
     import decimal
 
     n = _decimal_byte_len(precision, scale)
-    raw = bytearray(buf[:n]) or bytearray(1)
+    raw = bytearray(buf[pos : pos + n]) or bytearray(1)
     neg = not (raw[0] & 0x80)
     raw[0] ^= 0x80
     if neg:
         for i in range(len(raw)):
             raw[i] ^= 0xFF
     intg = precision - scale
-    pos = 0
-    int_s = ""
+    p = 0
+    int_v = 0
     part = intg % 9
     if part:
         w = _DIG2BYTES[part]
-        int_s += str(int.from_bytes(raw[pos : pos + w], "big")).rjust(part, "0")
-        pos += w
+        int_v = int.from_bytes(raw[p : p + w], "big")
+        p += w
     for _ in range(intg // 9):
-        int_s += str(int.from_bytes(raw[pos : pos + 4], "big")).rjust(9, "0")
-        pos += 4
-    frac_s = ""
+        int_v = int_v * 1_000_000_000 + int.from_bytes(raw[p : p + 4], "big")
+        p += 4
+    frac_v = 0
     for _ in range(scale // 9):
-        frac_s += str(int.from_bytes(raw[pos : pos + 4], "big")).rjust(9, "0")
-        pos += 4
+        frac_v = frac_v * 1_000_000_000 + int.from_bytes(raw[p : p + 4], "big")
+        p += 4
     part = scale % 9
     if part:
         w = _DIG2BYTES[part]
-        frac_s += str(int.from_bytes(raw[pos : pos + w], "big")).rjust(part, "0")
-        pos += w
-    text = (("-" if neg else "") + (int_s.lstrip("0") or "0")
-            + (("." + frac_s) if frac_s else ""))
+        frac_v = frac_v * 10**part + int.from_bytes(raw[p : p + w], "big")
+        p += w
+    if scale:
+        text = f"-{int_v}.{frac_v:0{scale}d}" if neg else f"{int_v}.{frac_v:0{scale}d}"
+    else:
+        text = f"-{int_v}" if neg else f"{int_v}"
     return decimal.Decimal(text), n
 
 
@@ -574,7 +577,7 @@ def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
             values.append(struct.unpack_from("<d", buf, pos)[0])
             pos += 8
         elif tc == TYPE_NEWDECIMAL:
-            v, ln = _decode_decimal(buf[pos:], m[0], m[1])
+            v, ln = _decode_decimal(buf, pos, m[0], m[1])
             values.append(v)
             pos += ln
         elif tc == TYPE_BIT:
