@@ -282,6 +282,65 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# stress section failed: {exc}", file=sys.stderr)
 
+    # ---- skew block (hot-key dial) --------------------------------------
+    # Does the salted two-stage last-image collapse actually protect against
+    # a zipf head, and how hot do the LSH band buckets run on real text?
+    # synthetic_cdc_batch routes 90% of 2M events onto ONE (db,tbl,pk);
+    # worst reducer of the plain groupBy sees 1.8M rows, the salted path
+    # caps it at hot/16. lsh_bucket_stats measures the band shuffle the
+    # dedup actually performs (sf1 documents when the stress dataset
+    # exists, else sf0.1).
+    skew: dict | None = None
+    if os.environ.get("SPARK_GRAFT_NO_SKEW", "") != "1":
+        try:
+            from polardbx_cdc_spark.functions.dedupe import lsh_bucket_stats
+            from polardbx_cdc_spark.operators import apply as apply_ops
+            from polardbx_cdc_spark.stress import synthetic_cdc_batch
+
+            hot_pct, n_rows = 90, 2_000_000
+            hot_df = synthetic_cdc_batch(spark, n_rows, hot_key_pct=hot_pct)
+            skew_t: dict[str, float] = {}
+            for label, fn in (
+                ("last_image_unsalted", apply_ops.last_image),
+                ("last_image_salted", apply_ops.last_image_salted),
+            ):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(hot_df).count()
+                    best = min(best, time.perf_counter() - t0)
+                skew_t[label] = round(best, 3)
+            ratio = (
+                round(skew_t["last_image_salted"] / skew_t["last_image_unsalted"], 2)
+                if skew_t["last_image_unsalted"] > 0
+                else None
+            )
+            docs_dir = stress_dir if os.path.isdir(stress_dir) else sf_dir
+            docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
+            lsh_row = lsh_bucket_stats(docs).collect()[0].asDict()
+            lsh_row = {k: (float(v) if v is not None else None) for k, v in lsh_row.items()}
+            skew = {
+                "hot_key_pct": hot_pct,
+                "rows": n_rows,
+                "timings": skew_t,
+                "salted_over_unsalted": ratio,
+                "lsh_buckets": {"sf_dir": os.path.basename(docs_dir), **lsh_row},
+            }
+            print(
+                f"# skew: last_image unsalted={skew_t['last_image_unsalted']}s "
+                f"salted={skew_t['last_image_salted']}s (ratio {ratio}) | "
+                f"lsh worst_bucket_ratio={lsh_row['worst_bucket_ratio']} "
+                f"max={lsh_row['max_bucket']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"# skew block failed: {exc}", file=sys.stderr)
+    if skew is not None:
+        if stress is not None:
+            stress["skew"] = skew
+        else:
+            stress = {"skew": skew}
+
     payload = {
         "metric": "headline_queries_total_time",
         # end-to-end streaming throughput (events/sec through the full

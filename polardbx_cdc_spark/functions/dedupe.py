@@ -247,26 +247,19 @@ def minhash_signature(
     return _affine_min_udf(num_hashes)(base)
 
 
-def minhash_lsh_candidates(
+def _band_frame(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_n: int = 3,
-    use_md5: bool = False,
-    max_bucket: int | None = None,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    use_md5: bool,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, explode one row per
-    band, bucket-group on (band_idx, band_hash). Output (id_a < id_b) pairs.
-
-    At 100 TB: explode multiplies rows by B (cheap — 2 longs wide), the
-    groupBy/band-key self-join shuffles on the band hash, and candidate
-    verification (true Jaccard) runs only within buckets.
-
-    ``use_md5`` switches both the signature hash and the band hash to the
-    md5-prefix recipe (oracle-reproducible); default stays xxhash64.
-    """
+    """Shared LSH banding stage: (id, band_idx, band_hash), one row per
+    (doc, band). The candidate enumerator and the skew diagnostics both
+    consume this frame, so bucket statistics measured by
+    ``lsh_bucket_stats`` describe exactly the shuffle the dedup runs."""
     rows_per_band = num_hashes // bands
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
@@ -300,12 +293,65 @@ def minhash_lsh_candidates(
         )
         return _hash32(joined) if use_md5 else F.xxhash64(joined)
 
-    banded = sig_df.select(
+    return sig_df.select(
         "id",
         F.posexplode(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Skew diagnostics for the LSH band shuffle: one row with bucket-count,
+    max/mean bucket size, the worst-bucket ratio (max/mean — the reducer
+    hot-spot factor), and the candidate-pair count the bucket distribution
+    implies (sum of B·(B-1)/2). At 100 TB this is the health check run
+    BEFORE committing to a dedup pass: a worst-bucket ratio in the
+    thousands means a degenerate band (boilerplate-heavy corpus) and calls
+    for ``max_bucket`` capping or more rows per band."""
+    sizes = (
+        _band_frame(df, text_col, id_col, num_hashes, bands, shingle_n, use_md5)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.round(F.avg("sz"), 3).alias("mean_bucket"),
+        F.round(F.max("sz") / F.avg("sz"), 3).alias("worst_bucket_ratio"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).alias("implied_pairs"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    use_md5: bool = False,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, explode one row per
+    band, bucket-group on (band_idx, band_hash). Output (id_a < id_b) pairs.
+
+    At 100 TB: explode multiplies rows by B (cheap — 2 longs wide), the
+    groupBy/band-key self-join shuffles on the band hash, and candidate
+    verification (true Jaccard) runs only within buckets.
+
+    ``use_md5`` switches both the signature hash and the band hash to the
+    md5-prefix recipe (oracle-reproducible); default stays xxhash64.
+    """
+    banded = _band_frame(df, text_col, id_col, num_hashes, bands, shingle_n, use_md5)
     # bucket-aggregate pair enumeration: ONE shuffle on the band key, then
     # per-bucket combinations JVM-side (sorted ids → id_a < id_b for free).
     # Beats a banded self-join (two shuffle reads + persist to avoid

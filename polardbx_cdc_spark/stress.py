@@ -70,6 +70,47 @@ def synthetic_cdc_stream(
     )
 
 
+def synthetic_cdc_batch(
+    spark: SparkSession,
+    n_rows: int,
+    n_dbs: int = 2,
+    n_tables: int = 4,
+    n_pks: int = 100_000,
+    hot_key_pct: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Batch twin of ``synthetic_cdc_stream`` for skew benchmarking: the
+    same arithmetic event derivation over ``spark.range``, with
+    ``hot_key_pct`` percent of all rows routed onto ONE (db, tbl, pk) —
+    the zipf-head dial. Columns match what the last-image appliers consume
+    (tso/action/db/tbl/pk/value); no Python in the loop, fully
+    reproducible, any size."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    i = F.col("id")
+    tso = F.lpad((F.lit(1705276800000000000) + i * 1000).cast("string"), 48, "0")
+    hot = (i % 100) < F.lit(hot_key_pct)
+    db = F.when(hot, F.lit("db0")).otherwise(
+        F.concat(F.lit("db"), (i % n_dbs).cast("string"))
+    )
+    tbl = F.when(hot, F.lit("t0")).otherwise(
+        F.concat(F.lit("t"), ((i / n_dbs).cast("long") % n_tables).cast("string"))
+    )
+    pk = F.when(hot, F.lit("hot")).otherwise((i % n_pks).cast("string"))
+    action = (
+        F.when(i % 10 == 0, F.lit("DELETE"))
+        .when(i % 3 == 0, F.lit("UPDATE"))
+        .otherwise(F.lit("INSERT"))
+    )
+    return spark.range(0, n_rows, 1, parts).select(
+        tso.alias("tso"),
+        action.alias("action"),
+        db.alias("db"),
+        tbl.alias("tbl"),
+        pk.alias("pk"),
+        (i % 997).cast("string").alias("value"),
+    )
+
+
 def run_stress(
     spark: SparkSession,
     sink,

@@ -319,3 +319,91 @@ def test_q22_anti_join_broadcast_and_scalar_threshold(spark):
     plan = _plan(spark, "q22_global_sales_opportunity")
     assert "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_salted_last_image_two_stage_shape_and_equality_on_skew(spark):
+    """The skew path's contract, on actually-skewed input: 90% of rows on
+    ONE (db,tbl,pk). (a) plan shape — the salted collapse must aggregate
+    by (keys, _salt) first (hot key fans across 16 reducers) and re-merge
+    WITHOUT the salt in the final grouping; the unsalted plan has exactly
+    one exchange keyed on the bare keys. (b) results must be identical —
+    the algebraic equivalence that makes salting deployable at 100 TB."""
+    import contextlib
+    import io
+
+    from polardbx_cdc_spark.operators import apply as apply_ops
+    from polardbx_cdc_spark.stress import synthetic_cdc_batch
+
+    hot = synthetic_cdc_batch(spark, 50_000, hot_key_pct=90)
+    salted = apply_ops.last_image_salted(hot)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted.explain("formatted")
+    plan = buf.getvalue()
+    # stage-1 grouping carries the salt; no window/global sort anywhere
+    assert "_salt" in plan, plan
+    assert "Window" not in plan, plan
+    # two keyed-aggregation layers → at least two exchanges (salted key +
+    # bare key); hashpartitioning on the salted composite must appear
+    assert plan.count("Exchange") >= 2, plan
+
+    got = {
+        (r["db"], r["tbl"], r["pk"]): (
+            r["last_tso"], r["last_action"], r["first_action"], r["n_changes"], r["value"]
+        )
+        for r in salted.collect()
+    }
+    want = {
+        (r["db"], r["tbl"], r["pk"]): (
+            r["last_tso"], r["last_action"], r["first_action"], r["n_changes"], r["value"]
+        )
+        for r in apply_ops.last_image(hot).collect()
+    }
+    assert got == want
+    # the hot key really is hot: one key holds ~90% of all rows
+    hot_key = max(want, key=lambda k: want[k][3])
+    assert want[hot_key][3] >= 0.89 * 50_000
+
+
+def test_q8_q9_all_dims_broadcast_no_smj(spark):
+    for name in ("q8_market_share", "q9_profit_by_nation_year"):
+        plan = _plan(spark, name)
+        assert plan.count("BroadcastHashJoin") >= 3, name + "\n" + plan
+        assert "SortMergeJoin" not in plan, name + " dim join fell back to SMJ:\n" + plan
+
+
+def test_q10_topk_is_take_ordered_not_global_sort(spark):
+    """LIMIT 20 over the per-customer aggregate must compile to
+    TakeOrderedAndProject — a global Sort of the aggregate output would
+    be a single-task collapse at scale."""
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q11_q15_scalar_threshold_is_broadcast(spark):
+    """The scalar aggregate (grand total / max) joins back as a 1-row
+    broadcast — never a shuffle of the supply/revenue frame."""
+    for name in ("q11_important_parts", "q15_top_supplier"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name + "\n" + plan
+        assert "SortMergeJoin" not in plan, name + "\n" + plan
+
+
+def test_q17_window_partitioned_by_partkey_not_global(spark):
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert "Window" in plan, plan
+    # the window must partition on the part key (parallel), not run global
+    assert "SinglePartition" not in plan.split("Window")[0][-500:], plan
+
+
+def test_q20_q21_single_rollup_window_no_self_join(spark):
+    """Both decorrelated EXISTS shapes: ONE aggregation of the fact data,
+    then a window over the rollup — the rollup must not be scanned or
+    shuffled twice (no self-join of lineitem)."""
+    for name in ("q20_majority_volume_suppliers", "q21_waiting_suppliers"):
+        plan = _plan(spark, name)
+        # the fact table appears as exactly ONE scan node (formatted output
+        # names each scan's file location once)
+        assert plan.count("lineitem.parquet") == 1, name + " extra fact scans:\n" + plan
+        assert "Window" in plan, name + "\n" + plan

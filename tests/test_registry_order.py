@@ -49,7 +49,22 @@ def test_round5_rotation_graded_window_is_the_never_graded_set():
     new_this_round = {
         "cdc_binlog_wire_roundtrip", "lineitem_wire_typed", "media_real_decode",
     }
-    never_graded = (oracles - graded_ever) - new_this_round
+    # Added AFTER the round-5 rotation was pinned (window already at its
+    # 50-slot capacity); they sit first in line outside the window and are
+    # the round-6 rotation's first picks.
+    added_post_rotation = {
+        "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
+        "q11_important_parts", "q12_late_shipment_priority", "q15_top_supplier",
+        "q17_small_quantity_revenue", "q20_majority_volume_suppliers",
+        "q21_waiting_suppliers",
+    }
+    never_graded = (oracles - graded_ever) - new_this_round - added_post_rotation
     missing = never_graded - window
     assert not missing, f"never-graded oracles outside the graded window: {missing}"
     assert new_this_round <= window
+    # post-rotation additions must queue immediately after the window so
+    # the round-6 rotation picks them up first
+    next_in_line = set(names[GRADE_WINDOW:GRADE_WINDOW + 3 + len(added_post_rotation)])
+    assert added_post_rotation <= next_in_line, (
+        added_post_rotation - next_in_line
+    )
