@@ -329,7 +329,7 @@ def main() -> None:
             print(
                 f"# skew: last_image unsalted={skew_t['last_image_unsalted']}s "
                 f"salted={skew_t['last_image_salted']}s (ratio {ratio}) | "
-                f"lsh worst_bucket_ratio={lsh_row['worst_bucket_ratio']} "
+                f"lsh worst_ratio_milli={lsh_row['worst_ratio_milli']} "
                 f"max={lsh_row['max_bucket']}",
                 file=sys.stderr,
             )

@@ -311,23 +311,37 @@ def lsh_bucket_stats(
     use_md5: bool = False,
 ) -> DataFrame:
     """Skew diagnostics for the LSH band shuffle: one row with bucket-count,
-    max/mean bucket size, the worst-bucket ratio (max/mean — the reducer
-    hot-spot factor), and the candidate-pair count the bucket distribution
-    implies (sum of B·(B-1)/2). At 100 TB this is the health check run
-    BEFORE committing to a dedup pass: a worst-bucket ratio in the
-    thousands means a degenerate band (boilerplate-heavy corpus) and calls
-    for ``max_bucket`` capping or more rows per band."""
+    max bucket size, mean bucket size and worst-bucket ratio (max/mean —
+    the reducer hot-spot factor) in exact integer millis, and the
+    candidate-pair count the bucket distribution implies (sum of
+    B·(B-1)/2). At 100 TB this is the health check run BEFORE committing
+    to a dedup pass: a worst-bucket ratio in the thousands means a
+    degenerate band (boilerplate-heavy corpus) and calls for
+    ``max_bucket`` capping or more rows per band. All columns are integer
+    math (floor-milli instead of float division) so the md5 mode is
+    bit-reproducible by a SQL oracle."""
     sizes = (
         _band_frame(df, text_col, id_col, num_hashes, bands, shingle_n, use_md5)
         .groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
-    return sizes.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.max("sz").alias("max_bucket"),
-        F.round(F.avg("sz"), 3).alias("mean_bucket"),
-        F.round(F.max("sz") / F.avg("sz"), 3).alias("worst_bucket_ratio"),
-        F.sum(F.expr("sz * (sz - 1) div 2")).alias("implied_pairs"),
+    return (
+        sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum("sz").cast("long").alias("total_rows"),
+            F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias("implied_pairs"),
+        )
+        .select(
+            "n_buckets",
+            "max_bucket",
+            "total_rows",
+            F.expr("(1000 * total_rows) div n_buckets").cast("long").alias("mean_bucket_milli"),
+            F.expr("(1000 * max_bucket * n_buckets) div total_rows")
+            .cast("long")
+            .alias("worst_ratio_milli"),
+            "implied_pairs",
+        )
     )
 
 

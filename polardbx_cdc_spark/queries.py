@@ -4564,3 +4564,36 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    f"""
+    WITH {_MINHASH_CTES},
+    sizes AS (
+      SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS sz
+      FROM banded GROUP BY band_idx, band_hash
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(sz) AS BIGINT) AS total_rows,
+           CAST((1000 * sum(sz)) // count(*) AS BIGINT) AS mean_bucket_milli,
+           CAST((1000 * max(sz) * count(*)) // sum(sz) AS BIGINT) AS worst_ratio_milli,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS implied_pairs
+    FROM sizes
+    """,
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-shuffle skew diagnostics as a first-class graded query:
+    bucket count, max/mean bucket size and worst-bucket ratio (exact
+    integer millis), and the candidate-pair count the distribution
+    implies. This is the pre-flight health check a 100 TB dedup run
+    executes before committing to the pair-enumeration stage — a
+    degenerate band (boilerplate corpus) shows up here as a
+    worst-ratio in the thousands, caught at the cost of one band-key
+    aggregation instead of an exploded candidate blowup. The oracle
+    replays the identical md5-prefix signature → band → bucket-size
+    pipeline; all ratios are floor-milli integer math so no float
+    division can split the engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.lsh_bucket_stats(d, use_md5=True)
