@@ -58,6 +58,11 @@ HEADLINE = [
     "cdc_binlog_wire_roundtrip",
     "lineitem_wire_typed",
     "media_real_decode",
+    "q8_market_share",
+    "q10_returned_items",
+    "q21_waiting_suppliers",
+    "cdc_asof_enrich",
+    "dedup_lsh_bucket_stats",
 ]
 
 

@@ -147,3 +147,76 @@ def split_for_parallel_apply(df: DataFrame, num_partitions: int) -> DataFrame:
     return df.withColumn("apply_partition", part.cast("int")).repartition(
         num_partitions, "apply_partition"
     )
+
+
+def asof_state(
+    changes: DataFrame,
+    probes: DataFrame,
+    keys: tuple[str, ...] = ("db", "tbl", "pk"),
+    probe_ord: str = "probe_tso",
+    strict: bool = True,
+) -> DataFrame:
+    """Per-key AS-OF join: for each probe row, the change-stream image in
+    effect at ``probe_tso`` (the row a point-in-time reader at that TSO
+    would have seen — the reference's flashback/time-travel read primitive,
+    RecoveryApplier + polardbx-cdc-rpl flashback task, re-expressed as a
+    relational operator Spark lacks natively).
+
+    Spark disposition: NOT a range join (quadratic candidate blowup) and
+    NOT a per-probe correlated subquery (re-scans the stream per probe).
+    Changes and probes are union-tagged and sorted ONCE per key; a
+    last-non-null window carries each change's image forward to the probe
+    rows that follow it. One shuffle of (changes + probes), linear work,
+    any number of probes per key — the plan that survives 100 TB.
+
+    ``strict`` probes see state from changes with tso < probe_tso
+    (pre-image semantics — "what did the row look like just before this
+    TSO"); non-strict includes a change at exactly probe_tso. Probe rows
+    with no prior change surface NULL action/value (key never existed yet).
+
+    Output: probe keys + probe_tso + asof_tso/asof_action/asof_value of
+    the latest qualifying change.
+    """
+    key_cols = [F.col(k) for k in keys]
+    # tag orders a probe BEFORE (strict) or AFTER (non-strict) a change at
+    # the identical TSO inside the per-key sort
+    probe_tag = 0 if strict else 1
+    ch = changes.select(
+        *key_cols,
+        F.col(_ORD).alias("_ord"),
+        F.lit(1 - probe_tag).alias("_tag"),
+        F.col(_ORD).alias("_c_tso"),
+        F.col("action").alias("_c_action"),
+        F.col("value").alias("_c_value"),
+    )
+    ch_types = dict(changes.dtypes)
+    pr = probes.select(
+        *key_cols,
+        F.col(probe_ord).alias("_ord"),
+        F.lit(probe_tag).alias("_tag"),
+        F.lit(None).cast(ch_types[_ORD]).alias("_c_tso"),
+        F.lit(None).cast(ch_types["action"]).alias("_c_action"),
+        F.lit(None).cast(ch_types["value"]).alias("_c_value"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_ord", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ch.unionByName(pr).select(
+        *key_cols,
+        "_ord",
+        "_tag",
+        F.last("_c_tso", ignorenulls=True).over(w).alias("asof_tso"),
+        F.last("_c_action", ignorenulls=True).over(w).alias("asof_action"),
+        F.last("_c_value", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return merged.where(F.col("_tag") == probe_tag).select(
+        *keys,
+        F.col("_ord").alias(probe_ord),
+        "asof_tso",
+        "asof_action",
+        "asof_value",
+    )

@@ -4597,3 +4597,33 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     division can split the engines."""
     d = load_table(spark, sf_dir, "documents")
     return dedupe.lsh_bucket_stats(d, use_md5=True)
+
+
+@register(
+    "cdc_asof_enrich",
+    oracle_cdc_query(
+        """
+        SELECT d.db, d.tbl, d.pk, d.tso AS probe_tso,
+               max(c.tso) AS asof_tso,
+               arg_max(c.action, c.tso) AS asof_action,
+               arg_max(c.value, c.tso) AS asof_value
+        FROM (SELECT db, tbl, pk, tso FROM cdc WHERE action = 'DELETE') d
+        LEFT JOIN cdc c
+          ON c.db = d.db AND c.tbl = d.tbl AND c.pk = d.pk AND c.tso < d.tso
+        GROUP BY d.db, d.tbl, d.pk, d.tso
+        """
+    ),
+)
+def cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join as a first-class operator: for every DELETE in the
+    stream, the row image in effect just before it (strict pre-image
+    read — the flashback/point-in-time primitive behind RecoveryApplier's
+    mirror SQL). The Spark plan is the union-tag + per-key ordered window
+    carry-forward in ``apply.asof_state`` — ONE shuffle of changes+probes
+    and linear work, where the oracle's correlated formulation would be a
+    per-probe rescan. Deletes with no prior change surface NULLs."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    probes = cdc.where(F.col("action") == "DELETE").select(
+        "db", "tbl", "pk", F.col("tso").alias("probe_tso")
+    )
+    return apply_ops.asof_state(cdc, probes, strict=True)

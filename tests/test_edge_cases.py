@@ -152,3 +152,55 @@ def test_lang_id_multilanguage(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r["id"]: r["lang"] for r in df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
     assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "other", 6: "other"}
+
+
+def test_asof_state_strict_vs_inclusive_and_missing_prior(spark):
+    """AS-OF semantics pinned: strict probes see only changes with
+    tso < probe_tso (a change AT the probe TSO is invisible); inclusive
+    probes see it; a probe before any change gets NULLs."""
+    ch = _mk_cdc(
+        spark,
+        [
+            (100, 1, 0, "INSERT", "db0", "t0", "a", 1.0),
+            (200, 2, 0, "UPDATE", "db0", "t0", "a", 2.0),
+            (300, 3, 0, "UPDATE", "db0", "t0", "a", 3.0),
+        ],
+    )
+    tso_at = {r["value"]: r["tso"] for r in ch.collect()}
+    probes = spark.createDataFrame(
+        [("db0", "t0", "a", tso_at[2.0]), ("db0", "t0", "a", "0" * 48)],
+        "db string, tbl string, pk string, probe_tso string",
+    )
+    strict = {
+        r["probe_tso"]: (r["asof_action"], r["asof_value"])
+        for r in apply_ops.asof_state(ch, probes, strict=True).collect()
+    }
+    # probe AT the t=200 update sees only the INSERT (1.0)
+    assert strict[tso_at[2.0]] == ("INSERT", 1.0)
+    # probe before everything: key didn't exist yet
+    assert strict["0" * 48] == (None, None)
+    incl = {
+        r["probe_tso"]: (r["asof_action"], r["asof_value"])
+        for r in apply_ops.asof_state(ch, probes, strict=False).collect()
+    }
+    # inclusive probe AT the update sees the update itself
+    assert incl[tso_at[2.0]] == ("UPDATE", 2.0)
+
+
+def test_asof_state_multiple_probes_per_key_one_pass(spark):
+    """Any number of probes per key resolve in the same single window
+    pass — each sees exactly the changes before it."""
+    ch = _mk_cdc(
+        spark,
+        [(100 * (i + 1), i, 0, "UPDATE", "db0", "t0", "k", float(i)) for i in range(10)],
+    )
+    tsos = sorted(r["tso"] for r in ch.collect())
+    probes = spark.createDataFrame(
+        [("db0", "t0", "k", t) for t in tsos],
+        "db string, tbl string, pk string, probe_tso string",
+    )
+    out = apply_ops.asof_state(ch, probes, strict=True).collect()
+    by_probe = {r["probe_tso"]: r["asof_value"] for r in out}
+    assert by_probe[tsos[0]] is None
+    for i in range(1, 10):
+        assert by_probe[tsos[i]] == float(i - 1)

@@ -407,3 +407,14 @@ def test_q20_q21_single_rollup_window_no_self_join(spark):
         # names each scan's file location once)
         assert plan.count("lineitem.parquet") == 1, name + " extra fact scans:\n" + plan
         assert "Window" in plan, name + "\n" + plan
+
+
+def test_asof_enrich_single_window_no_join(spark):
+    """The AS-OF enrichment must be the union-tag window plan: ONE
+    Window partitioned on the key (no SinglePartition collapse) and NO
+    join of changes to probes (the correlated/range-join formulations
+    both materialize a join; the window carry-forward doesn't)."""
+    plan = _plan(spark, "cdc_asof_enrich")
+    assert "Window" in plan, plan
+    assert "Join" not in plan, "asof fell back to a join:\n" + plan
+    assert "SinglePartition" not in plan, plan
