@@ -4627,3 +4627,94 @@ def cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "db", "tbl", "pk", F.col("tso").alias("probe_tso")
     )
     return apply_ops.asof_state(cdc, probes, strict=True)
+
+
+#: 8 sequential 12h watermark windows (Jan 10–14 2024) for the simulated
+#: chunked copy — the copy runs mid-stream (events span Jan 1–30), so
+#: roughly half the log lands before/during/after the copy window, the
+#: adversarial regime DBLog's rule has to survive.
+_WM_CHUNKS = 8
+_WM_STEP_US = 43_200_000_000  # 12h
+_WM_START_US = 1_704_844_800_000_000  # 2024-01-10 00:00:00 UTC
+
+
+def _wm_tso(micros: int) -> str:
+    return f"{micros:019d}" + "0" * 29
+
+
+def _wm_watermarks(spark: SparkSession):
+    rows = [
+        (
+            i,
+            _wm_tso(_WM_START_US + i * _WM_STEP_US),
+            _wm_tso(_WM_START_US + (i + 1) * _WM_STEP_US),
+        )
+        for i in range(_WM_CHUNKS)
+    ]
+    return spark.createDataFrame(
+        rows, "chunk_id int, lo_tso string, hi_tso string"
+    )
+
+
+def _wm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-existing destination rows for the chunked copy: customer-derived
+    keys offset by 1e6 so they are provably disjoint from the log's
+    user_id keyspace — rows only a chunk read can surface."""
+    c = load_table(spark, sf_dir, "customer")
+    cid = (F.col("c_custkey") + F.lit(1_000_000)).cast("long")
+    return c.select(
+        F.concat(F.lit("db"), (cid % 3).cast("string")).alias("db"),
+        F.concat(F.lit("t"), (cid % 5).cast("string")).alias("tbl"),
+        cid.cast("string").alias("pk"),
+        F.col("c_acctbal").alias("value"),
+    )
+
+
+def _wm_chunk_expr():
+    return F.pmod(F.col("pk").cast("long"), F.lit(_WM_CHUNKS)).cast("int")
+
+
+@register(
+    "cdc_watermark_snapshot",
+    oracle_cdc_query(
+        """
+        , base AS (
+          SELECT 'db' || CAST((1000000 + c_custkey) % 3 AS VARCHAR) AS db,
+                 't'  || CAST((1000000 + c_custkey) % 5 AS VARCHAR) AS tbl,
+                 CAST(1000000 + c_custkey AS VARCHAR) AS pk,
+                 c_acctbal AS value
+          FROM customer
+        ),
+        allev AS (
+          SELECT db, tbl, pk, action, value, tso FROM cdc
+          UNION ALL
+          SELECT db, tbl, pk, 'INSERT', value, repeat('0', 48) FROM base
+        ),
+        fin AS (
+          SELECT db, tbl, pk, arg_max(action, tso) AS la,
+                 arg_max(value, tso) AS value
+          FROM allev GROUP BY db, tbl, pk
+        )
+        SELECT db, tbl, pk, value FROM fin WHERE la <> 'DELETE'
+        """
+    ),
+)
+def cdc_watermark_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBLog watermark-interleaved chunked full copy (arXiv:2010.12597
+    §4.2; reference FSM: DataImportTransitions.java:34-94 runs FULL_COPY
+    then INC_COPY and reconciles after — the watermark rule gets the exact
+    state with the stream LIVE, no quiesce, no reconciliation pass).
+
+    The Spark side runs the whole machinery — 8 chunk reads simulated at
+    each chunk's low watermark over base ∪ log (`simulate_chunk_reads`,
+    one distributed pass), watermark anti-join chunk selection, union with
+    the log, single last-image replay. The oracle computes the GROUND
+    TRUTH — a straight replay of base ∪ full log — so the hash match
+    proves the convergence law, not just implementation parity."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    wm = _wm_watermarks(spark)
+    base = _wm_base(spark, sf_dir)
+    ce = _wm_chunk_expr()
+    chunks = apply_ops.simulate_chunk_reads(base, cdc, wm, ce)
+    final = apply_ops.snapshot_via_watermarks(chunks, cdc, wm, ce)
+    return final.select("db", "tbl", "pk", "value")

@@ -189,3 +189,95 @@ def test_incremental_checksum_telescopes_and_folds_across_batches(spark):
     }
     for cid, r in out.items():
         assert folded[cid]["x"] == r["inc_checksum"]
+
+
+def test_watermark_interleave_converges_at_any_read_instant(spark):
+    """DBLog §4.2 convergence law, adversarial form: whatever instant inside
+    its watermark window each chunk is read at, the merged result equals a
+    straight replay of base ∪ full log. The graded query pins the
+    deterministic read-at-lo variant; this drives seeded-random read
+    instants (including reads at the extreme hi edge) through the same
+    operators."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark import queries as Q
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.operators import apply as apply_ops
+
+    sf = "/root/testdata/sf0.001"
+    cdc = derive_cdc_stream(spark, sf)
+    base = Q._wm_base(spark, sf)
+    ce = Q._wm_chunk_expr()
+
+    expected = apply_ops.replay_to_state(
+        base.select(
+            "db", "tbl", "pk",
+            F.lit("0" * 48).alias("tso"),
+            F.lit("INSERT").alias("action"),
+            "value",
+        ).unionByName(cdc.select("db", "tbl", "pk", "tso", "action", "value"))
+    ).select("db", "tbl", "pk", "value")
+    exp_rows = {tuple(r) for r in expected.collect()}
+    assert exp_rows  # non-degenerate fixture
+
+    rng = random.Random(0xD810)
+    for trial in range(3):
+        rows = []
+        for i in range(Q._WM_CHUNKS):
+            lo = Q._WM_START_US + i * Q._WM_STEP_US
+            hi = lo + Q._WM_STEP_US
+            read = hi if trial == 0 else rng.randrange(lo, hi + 1)
+            rows.append((i, Q._wm_tso(lo), Q._wm_tso(hi), Q._wm_tso(read)))
+        wm = spark.createDataFrame(
+            rows, "chunk_id int, lo_tso string, hi_tso string, read_tso string"
+        )
+        chunks = apply_ops.simulate_chunk_reads(
+            base, cdc, wm, ce, read_at="read_tso"
+        )
+        final = apply_ops.snapshot_via_watermarks(chunks, cdc, wm, ce)
+        got = {tuple(r) for r in final.select("db", "tbl", "pk", "value").collect()}
+        assert got == exp_rows, f"trial {trial}: diverged ({len(got ^ exp_rows)} rows)"
+
+
+def test_watermark_interleave_drops_only_window_touched_keys(spark):
+    """Unit semantics of the chunk-selection rule on a hand-built history:
+    key touched inside its window → dropped from the chunk (log wins); key
+    touched only before/after → chunk row survives with hi-stamped tso."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.operators import apply as apply_ops
+
+    # one chunk, window (t2, t4]
+    def t(n):
+        return f"{n:019d}" + "0" * 29
+
+    wm = spark.createDataFrame(
+        [(0, t(2), t(4))], "chunk_id int, lo_tso string, hi_tso string"
+    )
+    # k1: event before window only; k2: event inside window; k3: untouched
+    cdc = spark.createDataFrame(
+        [
+            ("d", "t", "k1", t(1), "UPDATE", 10.0),
+            ("d", "t", "k2", t(3), "UPDATE", 20.0),
+            ("d", "t", "k2", t(9), "UPDATE", 21.0),
+        ],
+        "db string, tbl string, pk string, tso string, action string, value double",
+    )
+    chunk = spark.createDataFrame(
+        [
+            ("d", "t", "k1", 0, 10.0),
+            ("d", "t", "k2", 0, 20.0),
+            ("d", "t", "k3", 0, 30.0),
+        ],
+        "db string, tbl string, pk string, chunk_id int, value double",
+    )
+    ce = F.lit(0)
+    surv = apply_ops.watermark_interleave(chunk, cdc, wm, ce).collect()
+    by_pk = {r["pk"]: r for r in surv}
+    assert set(by_pk) == {"k1", "k3"}
+    assert all(r["tso"] == t(4) and r["action"] == "INSERT" for r in surv)
+    final = apply_ops.snapshot_via_watermarks(chunk, cdc, wm, ce)
+    got = {(r["pk"], r["value"]) for r in final.select("pk", "value").collect()}
+    assert got == {("k1", 10.0), ("k2", 21.0), ("k3", 30.0)}

@@ -418,3 +418,15 @@ def test_asof_enrich_single_window_no_join(spark):
     assert "Window" in plan, plan
     assert "Join" not in plan, "asof fell back to a join:\n" + plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_watermark_snapshot_broadcasts_watermarks_no_cartesian(spark):
+    """The DBLog merge must resolve every chunk in one distributed pass:
+    the num_chunks-row watermark table broadcasts (both in the chunk-read
+    simulation and the touched-key window filter), nothing goes cartesian,
+    and the only shuffles are the keyed aggregations/anti-join on
+    (db,tbl,pk)."""
+    plan = _plan(spark, "cdc_watermark_snapshot")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
