@@ -63,6 +63,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "cdc_asof_enrich",
     "dedup_lsh_bucket_stats",
+    "cdc_watermark_snapshot",
 ]
 
 

@@ -1,0 +1,168 @@
+"""Distributed probabilistic sketches: HyperLogLog registers and Count-Min.
+
+At 100 TB, "how many distinct keys" and "which keys are hot" are the two
+questions every pipeline stage asks before committing to a plan (dedup
+band sizing, skew-salting decisions, routing rebalance — the reference
+reports exact stream metrics per task, polardbx-cdc-monitor/…/
+StatMetrics, which stops being computable exactly once the key space no
+longer fits a hash table). Sketches answer both in one
+map-side-combining aggregation whose state is CONSTANT-size:
+
+- HyperLogLog (Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the
+  analysis of a near-optimal cardinality estimation algorithm", AofA
+  2007): m=256 registers, ±~6.5% standard error at any cardinality.
+- Count-Min (Cormode & Muthukrishnan, "An improved data stream summary:
+  the count-min sketch and its applications", J. Algorithms 2005): d=4 ×
+  w=256 counters, point-query overestimate ≤ 2n/w with prob 1-2^-4.
+
+Both are mergeable monoids (register-wise max / cell-wise sum), so they
+compose with Spark's partial aggregation: every partition collapses to
+≤256 (HLL) / ≤1024 (CM) rows map-side and the shuffle moves only sketch
+state, never data — the property that makes them THE scale path where
+``count(distinct)`` would shuffle every key.
+
+Cross-engine determinism: hashes are the repo-standard md5-prefix family
+(queries.py docstring) — bucket = first 2 md5 hex chars, HLL payload =
+next 15 hex chars (60 bits, fits signed 64), so the DuckDB oracle
+replays registers and estimates BIT-EXACTLY; the estimator itself is
+fixed-point integer arithmetic (no float division to split engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: HLL geometry: m = 2^8 registers; rho ranges 1..61 (60 payload bits,
+#: rho = leading zeros + 1; all-zero payload convention rho = 61).
+HLL_M = 256
+_RHO_ZERO = 61
+#: alpha_256 = 0.7213/(1 + 1.079/256) ≈ 0.71827, scaled by 2^12.
+_ALPHA_Q12 = 2942
+#: fixed-point scale for the harmonic sum: term_j = 2^(54 - min(rho_j, 54)).
+#: 54 keeps the worst-case sum (256 empty buckets · 2^54 = 2^62) inside
+#: int64; truncating rho > 54 terms to 0 is a < 2^-54 relative error.
+_S_SHIFT = 54
+
+#: Count-Min geometry: d=4 salted hash rows × w=256 columns.
+CM_D = 4
+CM_W = 256
+
+
+def _hex_bucket(h: Column) -> Column:
+    """First 2 md5 hex chars → 0..255 (both the HLL bucket and the CM
+    column index)."""
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """HLL register table for the distinct count of ``col``:
+    (bucket 0..255, max_rho 1..61), non-empty buckets only.
+
+    ONE aggregation with map-side combine: every partition reduces to at
+    most 256 rows before the shuffle, so cost is a scan + a 256-group
+    agg regardless of input size or key cardinality. Registers are
+    mergeable across tables/days/streams with a further ``max`` —
+    the cheap union the exact ``count(distinct)`` can never have."""
+    h = F.md5(F.col(col).cast("string"))
+    w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rho = F.when(w == F.lit(0), F.lit(_RHO_ZERO)).otherwise(
+        F.lit(_RHO_ZERO) - F.length(F.bin(w))
+    )
+    return (
+        df.select(_hex_bucket(h).alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Raw HLL estimator over a register table, in pure int64 fixed-point:
+
+        E = alpha_m · m² / Σ_j 2^(-rho_j)      (empty buckets: rho = 0)
+
+    computed as ``(ALPHA_Q12 · m² · 2^30) div (2^12 · (S_fixed div 2^24))``
+    with ``S_fixed = Σ 2^(54 - min(rho, 54))`` — floor division on positive
+    operands only, so Spark and DuckDB produce the identical bit pattern
+    (the round-4 trap list: float division is never cross-engine-stable).
+    Raw-regime estimator (n ≳ 2.5 m); the small-range linear-counting
+    switch is deliberately out of scope and documented here.
+    Output: one row (est_distinct bigint)."""
+    term = F.when(
+        F.col("max_rho") <= F.lit(_S_SHIFT),
+        F.expr(f"shiftleft(cast(1 as bigint), {_S_SHIFT} - max_rho)"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.coalesce(F.sum(term), F.lit(0).cast("long")).alias("s_present"),
+    )
+    s_fixed = (
+        (F.lit(HLL_M).cast("long") - F.col("n_present"))
+        * F.lit(1 << _S_SHIFT).cast("long")
+        + F.col("s_present")
+    )
+    num = F.lit(_ALPHA_Q12 * HLL_M * HLL_M * (1 << 30)).cast("long")
+    s_r = F.greatest(
+        F.expr(f"_s div {1 << 24}").cast("long"), F.lit(1).cast("long")
+    )
+    return (
+        agg.select(s_fixed.alias("_s"))
+        .select((num).alias("_num"), s_r.alias("_sr"))
+        .select(F.expr(f"_num div ({1 << 12} * _sr)").alias("est_distinct"))
+    )
+
+
+def cm_sketch(df: DataFrame, col: str) -> DataFrame:
+    """Count-Min table for occurrence counts of ``col``:
+    (row_id 0..3, col_id 0..255, cnt).
+
+    The d salted hashes explode each input row into d (row, col) pairs,
+    then ONE aggregation with map-side combine collapses every partition
+    to ≤ d·w rows pre-shuffle. Sketches merge by cell-wise sum."""
+    key = F.col(col).cast("string")
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row_id"),
+                _hex_bucket(F.md5(F.concat(F.lit(f"{r}:"), key))).alias("col_id"),
+            )
+            for r in range(CM_D)
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("c"))
+        .select("c.row_id", "c.col_id")
+        .groupBy("row_id", "col_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_point_estimates(sketch: DataFrame, keys: DataFrame, col: str) -> DataFrame:
+    """Point-query the sketch for each key in ``keys[col]``:
+    est = min over the d rows of the addressed cell (the classic CM upper
+    bound — never undercounts, overcounts by colliding keys only).
+
+    The sketch (≤ d·w rows) BROADCASTS; per key the work is d lookups,
+    so estimating any number of keys costs one map-side join — no
+    re-scan of the sketched data. Output: (col, est bigint)."""
+    key = F.col(col).cast("string")
+    coords = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        _hex_bucket(F.md5(F.concat(F.lit(f"{r}:"), key))).alias(
+                            "col_id"
+                        ),
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("c"),
+    ).select(F.col(col), "c.row_id", "c.col_id")
+    joined = coords.join(F.broadcast(sketch), ["row_id", "col_id"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

@@ -28,7 +28,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from polardbx_cdc_spark.functions import curation, dedupe, multimodal, similarity, text
+from polardbx_cdc_spark.functions import (
+    curation,
+    dedupe,
+    multimodal,
+    similarity,
+    sketches,
+    text,
+)
 from polardbx_cdc_spark.model import derive_cdc_stream, oracle_cdc_query
 from polardbx_cdc_spark.operators import apply as apply_ops
 from polardbx_cdc_spark.operators import filters, flashback, merge, routing, validation
@@ -4718,3 +4725,125 @@ def cdc_watermark_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = apply_ops.simulate_chunk_reads(base, cdc, wm, ce)
     final = apply_ops.snapshot_via_watermarks(chunks, cdc, wm, ce)
     return final.select("db", "tbl", "pk", "value")
+
+
+#: shared oracle fragment: the HLL register table over events.event_id
+#: (md5-prefix bucket + 60-bit payload; DuckDB bin() is minimal-length
+#: like Spark's, so rho derives identically from string length).
+_HLL_REG_SQL = """
+  SELECT CAST(bucket AS INTEGER) AS bucket, CAST(max(rho) AS INTEGER) AS max_rho
+  FROM (
+    SELECT CAST('0x' || substr(h, 1, 2) AS BIGINT) AS bucket,
+           CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END AS rho
+    FROM (
+      SELECT h, CAST('0x' || substr(h, 3, 15) AS BIGINT) AS w
+      FROM (SELECT md5(CAST(event_id AS VARCHAR)) AS h FROM events)
+    )
+  )
+  GROUP BY bucket
+"""
+
+
+@register("sketch_hll_registers", _HLL_REG_SQL)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table for distinct event_id — the
+    constant-state cardinality sketch (functions/sketches.py). ONE
+    map-side-combining aggregation: each partition collapses to ≤256
+    rows pre-shuffle, so the cost at 100 TB is the scan, not the keys.
+    The oracle rebuilds every register bit-exactly from the md5 prefix."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.hll_registers(ev, "event_id")
+
+
+@register(
+    "sketch_hll_estimate",
+    f"""
+    WITH reg AS ({_HLL_REG_SQL}),
+    s AS (
+      SELECT count(*) AS n_present,
+             coalesce(CAST(sum(CASE WHEN max_rho <= 54
+                        THEN (CAST(1 AS BIGINT) << (54 - max_rho))
+                        ELSE 0 END) AS BIGINT), 0) AS s_present
+      FROM reg
+    ),
+    e AS (
+      SELECT CAST((CAST(2942 AS BIGINT) * 256 * 256 * (CAST(1 AS BIGINT) << 30))
+             // (4096 * greatest(
+                  ((256 - n_present) * (CAST(1 AS BIGINT) << 54) + s_present)
+                    // (CAST(1 AS BIGINT) << 24),
+                  1)) AS BIGINT) AS est_distinct
+      FROM s
+    ),
+    x AS (SELECT count(DISTINCT event_id) AS exact_distinct FROM events)
+    SELECT est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST((abs(est_distinct - exact_distinct) * 10000) // exact_distinct
+                AS BIGINT) AS err_bp
+    FROM e, x
+    """,
+)
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point HLL cardinality estimate vs the exact distinct count,
+    with the error in integer basis points. The estimator is pure int64
+    floor-division arithmetic (sketches.hll_estimate), so the oracle
+    reproduces the estimate BIT-exactly — the hash match proves the whole
+    sketch→estimate path, not just the registers."""
+    ev = load_table(spark, sf_dir, "events")
+    est = sketches.hll_estimate(sketches.hll_registers(ev, "event_id"))
+    exact = ev.agg(F.countDistinct("event_id").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "est_distinct",
+        "exact_distinct",
+        F.expr("(abs(est_distinct - exact_distinct) * 10000) div exact_distinct").alias(
+            "err_bp"
+        ),
+    )
+
+
+@register(
+    "sketch_cm_heavy_hitters",
+    """
+    WITH salts AS (SELECT unnest([0, 1, 2, 3]) AS row_id),
+    sk AS (
+      SELECT row_id,
+             CAST('0x' || substr(md5(CAST(row_id AS VARCHAR) || ':' || event_type),
+                                 1, 2) AS BIGINT) AS col_id,
+             count(*) AS cnt
+      FROM events CROSS JOIN salts
+      GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    coords AS (
+      SELECT event_type, row_id,
+             CAST('0x' || substr(md5(CAST(row_id AS VARCHAR) || ':' || event_type),
+                                 1, 2) AS BIGINT) AS col_id
+      FROM keys CROSS JOIN salts
+    ),
+    est AS (
+      SELECT c.event_type, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+      FROM coords c LEFT JOIN sk USING (row_id, col_id)
+      GROUP BY 1
+    ),
+    ex AS (SELECT event_type, count(*) AS exact_cnt FROM events GROUP BY 1)
+    SELECT e.event_type, est, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est - exact_cnt AS BIGINT) AS overcount
+    FROM est e JOIN ex USING (event_type)
+    """,
+)
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point queries for every event_type against the exact
+    counts: est ≥ exact always (CM never undercounts); overcount exposes
+    hash collisions. Sketch build is one ≤1024-group map-side-combining
+    agg; the point queries broadcast the sketch — no second scan of the
+    data. The heavy-hitter decision a 100 TB router/salter makes from
+    this costs O(sketch), not O(keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = sketches.cm_sketch(ev, "event_type")
+    keys = ev.select("event_type").distinct()
+    est = sketches.cm_point_estimates(sk, keys, "event_type")
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est",
+        "exact_cnt",
+        (F.col("est") - F.col("exact_cnt")).alias("overcount"),
+    )

@@ -430,3 +430,16 @@ def test_watermark_snapshot_broadcasts_watermarks_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sketches_are_partial_agg_constant_state(spark):
+    """Both sketches must collapse map-side: a partial HashAggregate below
+    the exchange (per-partition state ≤ m / d·w rows), no window, no
+    join in the register build."""
+    plan = _plan(spark, "sketch_hll_registers")
+    assert "HashAggregate" in plan, plan
+    assert plan.count("+- Exchange") == 1, plan  # tree nodes only
+    assert "Window" not in plan and "Join" not in plan, plan
+    plan_cm = _plan(spark, "sketch_cm_heavy_hitters")
+    assert "BroadcastHashJoin" in plan_cm, plan_cm  # sketch broadcast to probes
+    assert "CartesianProduct" not in plan_cm, plan_cm

@@ -57,7 +57,8 @@ def test_round5_rotation_graded_window_is_the_never_graded_set():
         "q11_important_parts", "q12_late_shipment_priority", "q15_top_supplier",
         "q17_small_quantity_revenue", "q20_majority_volume_suppliers",
         "q21_waiting_suppliers", "dedup_lsh_bucket_stats", "cdc_asof_enrich",
-        "cdc_watermark_snapshot",
+        "cdc_watermark_snapshot", "sketch_hll_registers",
+        "sketch_hll_estimate", "sketch_cm_heavy_hitters",
     }
     never_graded = (oracles - graded_ever) - new_this_round - added_post_rotation
     missing = never_graded - window
