@@ -166,3 +166,51 @@ def cm_point_estimates(sketch: DataFrame, keys: DataFrame, col: str) -> DataFram
     return joined.groupBy(col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    cents_col: Column,
+    probs_bp: list[int],
+    shift: int = 16,
+) -> DataFrame:
+    """Mergeable histogram quantiles in pure integer arithmetic: bucket
+    non-negative integer values by ``value >> shift`` (equi-width,
+    power-of-two buckets), then answer each quantile as the upper edge of
+    the first bucket whose cumulative count reaches rank
+    ``k = max(1, (q_bp · n) div 10000)``.
+
+    This is the quantile sketch that composes with Spark the same way the
+    HLL/CM tables do: the bucket histogram is a map-side-combining
+    aggregation whose state is bounded by the VALUE DOMAIN (domain/2^shift
+    rows), not the row count, and histograms merge by cell-wise sum across
+    shards/days. Guaranteed error ≤ one bucket width (2^shift), traded
+    against state size via ``shift`` — the classic equi-width bound, vs
+    GK/KLL's rank guarantees (Spark's own ``approx_percentile``), which a
+    cross-engine integer oracle cannot replay. Every step is int64
+    floor-division / shift, so DuckDB reproduces the estimates bit-exactly.
+
+    Output: (q_bp int, k bigint, est_cents bigint) — one row per
+    requested quantile (basis points)."""
+    buckets = df.select(cents_col.cast("long").alias("_c")).select(
+        F.expr(f"_c div {1 << shift}").cast("long").alias("b")
+    )
+    hist = buckets.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative over the (domain-bounded, small) histogram — the window
+    # runs over ≤ domain/2^shift rows, constant in input row count
+    from pyspark.sql import Window
+
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("b", "cnt", F.sum("cnt").over(w).cast("long").alias("cum"))
+    n = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    probs = df.sparkSession.createDataFrame([(p,) for p in probs_bp], "q_bp int")
+    ranks = probs.crossJoin(F.broadcast(n)).select(
+        "q_bp", F.expr("greatest((q_bp * n) div 10000, 1)").cast("long").alias("k")
+    )
+    # first bucket with cum >= k: min(b) over qualifying buckets
+    hit = ranks.join(F.broadcast(cum), F.col("cum") >= F.col("k")).groupBy(
+        "q_bp", "k"
+    ).agg(F.min("b").alias("_b"))
+    return hit.select(
+        "q_bp", "k", F.expr(f"(_b + 1) * {1 << shift} - 1").cast("long").alias("est_cents")
+    )

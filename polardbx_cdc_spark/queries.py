@@ -4847,3 +4847,35 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         (F.col("est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+@register(
+    "sketch_hist_quantiles",
+    """
+    WITH h AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 65536 AS b,
+             count(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    c AS (SELECT b, cnt, CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cum FROM h),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+    q AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp),
+    r AS (SELECT q_bp, greatest((q_bp * n) // 10000, 1) AS k FROM q, n),
+    hit AS (SELECT q_bp, k, min(b) AS _b FROM r JOIN c ON c.cum >= r.k GROUP BY 1, 2)
+    SELECT CAST(q_bp AS INTEGER) AS q_bp, CAST(k AS BIGINT) AS k,
+           CAST((_b + 1) * 65536 - 1 AS BIGINT) AS est_cents
+    FROM hit
+    """,
+)
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantiles of o_totalprice (integer
+    cents, 2^16-cent buckets): P25/P50/P75/P90/P99 with guaranteed error
+    ≤ one bucket width. The histogram is domain-bounded state riding
+    map-side combine — the quantile sketch an exact global sort can never
+    be at 100 TB — and merges across shards by cell-wise sum
+    (law-tested). All arithmetic is int64 floor-division/shift, so the
+    estimates hash-match the oracle bit-for-bit (where GK/KLL internals
+    never could cross-engine)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100)
+    return sketches.hist_quantiles(o, cents, [2500, 5000, 7500, 9000, 9900])

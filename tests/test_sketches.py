@@ -86,3 +86,44 @@ def test_hll_rho_payload_edge_cases(spark):
         by_bucket[bucket] = max(by_bucket.get(bucket, 0), rho)
     got = {r["bucket"]: r["max_rho"] for r in rows}
     assert got == by_bucket
+
+
+def test_hist_quantiles_merge_and_error_bound(spark):
+    """Histogram merges by cell-wise sum (split-union == whole) and every
+    quantile estimate is within one bucket width (2^16 cents) ABOVE the
+    true order-statistic (upper-edge estimator never undercuts the rank).
+    The cumulative window runs over the domain-bounded histogram (≤
+    max_value/2^16 rows), never the data — single-partition there is by
+    design, not a scale bug."""
+    from polardbx_cdc_spark.functions import sketches as S
+
+    o = load_table(spark, SF, "orders")
+    cents = F.round(F.col("o_totalprice") * 100)
+    est = {
+        r["q_bp"]: (r["k"], r["est_cents"])
+        for r in S.hist_quantiles(o, cents, [2500, 5000, 7500, 9000, 9900]).collect()
+    }
+    vals = sorted(r[0] for r in o.select(cents.cast("long")).collect())
+    n = len(vals)
+    for q_bp, (k, est_cents) in est.items():
+        assert k == max(1, (q_bp * n) // 10000)
+        true_val = vals[k - 1]  # k-th order statistic
+        assert true_val <= est_cents < true_val + (1 << 16), (q_bp, true_val, est_cents)
+    # mergeability: histograms from two splits sum to the whole
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+
+    def hist(df):
+        return {
+            (r["b"],): r["cnt"]
+            for r in df.select(cents.cast("long").alias("_c"))
+            .select(F.expr("_c div 65536").alias("b"))
+            .groupBy("b")
+            .count()
+            .withColumnRenamed("count", "cnt")
+            .collect()
+        }
+
+    ha, hb, hw = hist(a), hist(b), hist(o)
+    merged = {k2: ha.get(k2, 0) + hb.get(k2, 0) for k2 in set(ha) | set(hb)}
+    assert merged == hw
