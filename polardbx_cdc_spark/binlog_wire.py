@@ -1229,7 +1229,17 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
     column declarations come from the schema registry (`TableSchema.types`),
     so a binlog downstream can attach to any replicated table, not just
     the harness CDC frame. Arrow-batched; partitions encode in parallel.
-    Returns (n_rows, payload binary)."""
+    Returns (n_rows, payload binary).
+
+    The Python byte encoder is the heavy per-row path, and small parquet
+    inputs arrive as ONE partition — left alone, the whole table would
+    encode on a single core (16.8s for sf0.1 lineitem in the r5 bench).
+    Fan out to the cluster's parallelism first: one shuffle of the typed
+    columns buys an n_cores speedup on the codec, and downstream decode
+    inherits the same fan-out (one blob row per encode partition)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     cols = list(df.columns)
     is_bool = [t.strip().lower().startswith(("bool", "tinyint(1)")) and
                "unsigned" not in t.lower() for t in mysql_types]

@@ -214,3 +214,38 @@ def hist_quantiles(
     return hit.select(
         "q_bp", "k", F.expr(f"(_b + 1) * {1 << shift} - 1").cast("long").alias("est_cents")
     )
+
+
+class StreamingDistinctMonitor:
+    """Continuous cardinality monitoring as a ``foreachBatch`` sink: each
+    micro-batch reduces to its ≤256-row HLL register table distributed-side,
+    and the driver folds it into a running register set by register-wise
+    max (the HLL merge law, pinned in tests/test_sketches.py).
+
+    Driver state is EXACTLY 256 ints regardless of stream volume — the
+    shape the reference's stream metrics watchdog needs ("how many
+    distinct PKs has this table seen", polardbx-cdc monitoring surface)
+    but computed without any per-key state store. The collect is
+    sketch-sized, never data-sized."""
+
+    def __init__(self, col: str) -> None:
+        self.col = col
+        self.registers: dict[int, int] = {}
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        for r in hll_registers(batch_df, self.col).collect():
+            b = int(r["bucket"])
+            self.registers[b] = max(self.registers.get(b, 0), int(r["max_rho"]))
+
+    def register_frame(self, spark) -> DataFrame:
+        rows = sorted(self.registers.items())
+        return spark.createDataFrame(
+            [(b, r) for b, r in rows], "bucket int, max_rho int"
+        )
+
+    def estimate(self, spark) -> int:
+        if not self.registers:
+            return 0
+        return int(
+            hll_estimate(self.register_frame(spark)).collect()[0]["est_distinct"]
+        )

@@ -981,3 +981,53 @@ def compact_binlog(spark, out_dir: str, max_files_per_seq: int = 1) -> dict:
             [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         )
     return stats
+
+
+def match_with_acks(
+    src: DataFrame,
+    ack: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: source events vs their
+    downstream apply acknowledgments — the continuous form of the RPL
+    validation/lag surface (the reference computes replica delay and lost
+    events from the applier's position feedback,
+    polardbx-cdc-monitor metrics + rpl StatisticUnit; here both sides are
+    live streams and Spark's join state does the bookkeeping).
+
+    ``src``: the canonical CDC frame (needs ``tso``, ``ts``).
+    ``ack``: (tso, ack_ts timestamp) — one row per applied event.
+
+    Semantics: an ack matches its event iff it arrives within ``within``
+    of the event time (the SLA window). Events still unmatched once the
+    watermark passes their window emit with NULL ack — the LOST/LAGGING
+    report, produced incrementally with bounded state: both sides carry
+    event-time watermarks, and the time-bound condition lets Spark evict
+    join state past ``watermark`` + ``within``. Per-row output:
+    tso, db, tbl, pk, ts, ack_ts, lag_ms (NULL = not yet applied/lost).
+
+    State scales with the in-flight window only (events × ``within``),
+    never the stream history — the property that makes this run forever
+    at 100 TB/day where a batch anti-join would rescan everything."""
+    s = src.select("tso", "db", "tbl", "pk", "ts").withWatermark("ts", watermark)
+    a = ack.select(
+        F.col("tso").alias("ack_tso"), F.col("ack_ts")
+    ).withWatermark("ack_ts", watermark)
+    cond = (
+        (F.col("tso") == F.col("ack_tso"))
+        & (F.col("ack_ts") >= F.col("ts"))
+        & (F.col("ack_ts") <= F.col("ts") + F.expr(f"INTERVAL {within}"))
+    )
+    joined = s.join(a, cond, "leftOuter")
+    return joined.select(
+        "tso",
+        "db",
+        "tbl",
+        "pk",
+        "ts",
+        "ack_ts",
+        (
+            (F.unix_micros(F.col("ack_ts")) - F.unix_micros(F.col("ts"))) / F.lit(1000)
+        ).cast("long").alias("lag_ms"),
+    )

@@ -127,3 +127,32 @@ def test_hist_quantiles_merge_and_error_bound(spark):
     ha, hb, hw = hist(a), hist(b), hist(o)
     merged = {k2: ha.get(k2, 0) + hb.get(k2, 0) for k2 in set(ha) | set(hb)}
     assert merged == hw
+
+
+def test_streaming_hll_monitor_matches_batch_exactly(spark):
+    """The foreachBatch HLL monitor folds per-micro-batch registers with
+    register-wise max, so after the stream drains its registers — and
+    therefore the fixed-point estimate — are IDENTICAL to the one-shot
+    batch sketch, regardless of how the data was batched."""
+    from polardbx_cdc_spark.functions.sketches import StreamingDistinctMonitor
+    from polardbx_cdc_spark.streaming.source import _as_stream_dir
+
+    ev = load_table(spark, SF, "events")
+    batch_reg = {
+        (r["bucket"], r["max_rho"]) for r in S.hll_registers(ev, "event_id").collect()
+    }
+    batch_est = S.hll_estimate(S.hll_registers(ev, "event_id")).collect()[0][
+        "est_distinct"
+    ]
+
+    mon = StreamingDistinctMonitor("event_id")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_stream_dir(SF, "events"))
+    )
+    q = stream.writeStream.foreachBatch(mon).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert set(mon.registers.items()) == batch_reg
+    assert mon.estimate(spark) == batch_est

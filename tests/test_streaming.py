@@ -1239,3 +1239,77 @@ def test_stream_static_dim_enrichment_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_stream_stream_ack_join_lag_and_lost(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join (match_with_acks): acks
+    inside the SLA window match with their lag; events whose ack never
+    arrives emit with NULL once the watermark passes their window. Run 1
+    processes the real data (matches emit immediately); run 2 feeds a
+    far-future sentinel through the same checkpoint so the watermark
+    passes every real event and flushes the unmatched state — the
+    continuous lost-event report."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.streaming.pipeline import match_with_acks
+
+    sf = "/root/testdata/sf0.001"
+    cdc = derive_cdc_stream(spark, sf).select("tso", "db", "tbl", "pk", "ts")
+    # deterministic ack stream: every event acks 0-6 minutes later, except
+    # event_ids ending in 0 (txn*5+seq reconstructs event_id) — lost
+    eid = F.expr("CAST(substr(tso, 20, 19) AS BIGINT) * 5 + CAST(substr(tso, 39, 10) AS BIGINT)")
+    base = cdc.withColumn("_eid", eid)
+    acks = (
+        base.filter(F.col("_eid") % 10 != 0)
+        .select(
+            "tso",
+            (F.col("ts") + F.make_interval(mins=(F.col("_eid") % 7).cast("int"))).alias(
+                "ack_ts"
+            ),
+        )
+    )
+    src_dir, ack_dir = str(tmp_path / "src"), str(tmp_path / "ack")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    base.drop("_eid").write.parquet(src_dir)
+    acks.write.parquet(ack_dir)
+
+    def run():
+        s = spark.readStream.schema(
+            "tso string, db string, tbl string, pk string, ts timestamp"
+        ).parquet(src_dir)
+        a = spark.readStream.schema("tso string, ack_ts timestamp").parquet(ack_dir)
+        q = (
+            match_with_acks(s, a, within="10 minutes", watermark="5 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    # sentinel far past every real event pushes the watermark → flush
+    max_ts = cdc.agg(F.max("ts")).collect()[0][0]
+    sent = spark.createDataFrame(
+        [("9" * 48, "dbx", "tx", "px", max_ts)],
+        "tso string, db string, tbl string, pk string, ts timestamp",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 DAYS"))
+    sent.write.mode("append").parquet(src_dir)
+    sent.select("tso", F.col("ts").alias("ack_ts")).write.mode("append").parquet(ack_dir)
+    run()
+
+    got = spark.read.parquet(out_dir).filter(F.col("db") != "dbx")
+    rows = {r["tso"]: r["lag_ms"] for r in got.collect()}
+    exp = {
+        r["tso"]: (None if r["_eid"] % 10 == 0 else int(r["_eid"] % 7) * 60000)
+        for r in base.collect()
+    }
+    n_lost_exp = sum(1 for v in exp.values() if v is None)
+    assert len(rows) == len(exp), (len(rows), len(exp))
+    assert rows == exp
+    assert sum(1 for v in rows.values() if v is None) == n_lost_exp > 0
