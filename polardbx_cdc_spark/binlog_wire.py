@@ -15,7 +15,8 @@ Scope (honest slice, round-trip-tested byte-for-byte):
 - file layout: 4-byte magic, FORMAT_DESCRIPTION, events, ROTATE chain
 - events: FORMAT_DESCRIPTION, TABLE_MAP (incl. the MySQL-8
   optional-metadata SIGNEDNESS TLV), WRITE/UPDATE/DELETE_ROWS v2, QUERY,
-  XID, ROTATE, XA_PREPARE, and the PolarDB-X SEQUENCE/GCN carriers —
+  XID, ROTATE, XA_PREPARE, ROWS_QUERY (per-txn ::TRACE:: markers,
+  RowsQueryEventBuilder.java), and the PolarDB-X SEQUENCE/GCN carriers —
   each with trailing CRC32; torn-tail tolerant decode + file recovery
 - column types (the RowsLogBuffer.java surface minus enum/set/json/
   geometry): TINY/SHORT/INT24/LONG/LONGLONG signed+unsigned,
@@ -54,6 +55,7 @@ ROTATE_EVENT = 4
 XA_PREPARE_EVENT = 38  # XA branch prepare (XaPrepareLogEvent.java)
 SEQUENCE_EVENT = 80  # PolarDB-X sequence/TSO carrier (SequenceLogEvent.java)
 GCN_EVENT = 105  # PolarDB-X DN 8.0 commit-GCN carrier (GcnLogEvent.java)
+ROWS_QUERY_EVENT = 29  # original-SQL / ::TRACE:: marker (RowsQueryEventBuilder.java)
 
 # column type codes (public protocol)
 TYPE_TINY = 1
@@ -707,6 +709,18 @@ def encode_query(db: str, query: str, timestamp: int = 0) -> bytes:
     return encode_event(QUERY_EVENT, payload, timestamp)
 
 
+def encode_rows_query(text: str, timestamp: int = 0) -> bytes:
+    """ROWS_QUERY event — the original SQL (or PolarDB-X ::TRACE:: marker)
+    attached to the row events that follow
+    (RowsQueryEventBuilder.java:20-39: 1-byte length prefix, readers take
+    the text to event end, so >255-byte statements survive — the length
+    byte is vestigial in MySQL too)."""
+    data = text.encode()
+    return encode_event(
+        ROWS_QUERY_EVENT, struct.pack("<B", min(len(data), 255)) + data, timestamp
+    )
+
+
 def encode_rotate(next_file: str, position: int = 4) -> bytes:
     return encode_event(
         ROTATE_EVENT, struct.pack("<Q", position) + next_file.encode()
@@ -820,6 +834,8 @@ def decode_events(buf: bytes, verify_crc: bool = True,
         elif tc == SEQUENCE_EVENT:
             ev["sequence_type"] = body[0]
             ev["sequence_num"] = struct.unpack_from("<q", body, 1)[0]
+        elif tc == ROWS_QUERY_EVENT:
+            ev["rows_query"] = body[1:].decode()  # skip vestigial len byte
         elif tc == XID_EVENT:
             ev["xid"] = struct.unpack_from("<Q", body, 0)[0]
         elif tc == ROTATE_EVENT:
@@ -975,7 +991,8 @@ def binlog_to_events(df, payload_col: str = "payload",
 
 
 def export_wire_files(spark, sink_dir: str, wire_dir: str,
-                      incremental: bool = False):
+                      incremental: bool = False,
+                      trace_markers: bool = False):
     """Materialize a BinlogSink parquet directory as REAL MySQL binlog
     files — the attach surface for a downstream that speaks the wire
     format (LogFileGenerator.java:624-757 writes these natively; here the
@@ -1074,6 +1091,14 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
                     # seek-by-time works on the rendered files
                     events.append(encode_gcn(int(r.txn_commit_tso[:19])))
                 events.append(encode_query("", "BEGIN"))
+                if trace_markers and framed:
+                    # per-txn ROWS_QUERY trace marker, the PolarDB-X
+                    # ::TRACE:: convention (RowsQueryEventBuilder.java;
+                    # LogFileGenerator writes one per txn) — consumers
+                    # correlate downstream rows back to the origin txn
+                    events.append(
+                        encode_rows_query(f"/*DRDS /txn/{int(r.txn_id)}/ */")
+                    )
                 continue
             if r.action == "COMMIT":
                 flush_run()
@@ -1161,6 +1186,13 @@ def read_wire_binlog(spark, wire_dir: str):
                     elif tc == XID_EVENT:
                         out.append(
                             (name, pos, "COMMIT", None, None, None, None, ev["xid"])
+                        )
+                        pos += 1
+                    elif tc == ROWS_QUERY_EVENT:
+                        # trace marker: text surfaces in the pk slot
+                        out.append(
+                            (name, pos, "TRACE", None, None,
+                             ev["rows_query"], None, None)
                         )
                         pos += 1
                     elif tc == GCN_EVENT:

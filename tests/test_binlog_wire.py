@@ -580,3 +580,71 @@ def test_xa_prepare_and_sequence_round_trip():
 
     with pytest.raises(ValueError, match="exceed 64"):
         W.encode_xa_prepare(b"x" * 65, b"")
+
+
+def test_rows_query_event_round_trip():
+    """ROWS_QUERY carries the originating SQL / ::TRACE:: marker past the
+    vestigial 1-byte length prefix — statements longer than 255 bytes
+    must survive (readers take text to event end, like MySQL's)."""
+    from polardbx_cdc_spark import binlog_wire as W
+
+    short = "/*DRDS /11.22.33.44/abcdef1234/ */ UPDATE t SET v = 1"
+    long_sql = "INSERT INTO t VALUES " + ",".join(f"({i})" for i in range(200))
+    assert len(long_sql) > 255
+    buf = W.encode_fde() + W.encode_rows_query(short) + W.encode_rows_query(long_sql)
+    evs = W.decode_events(buf)
+    rq = [e["rows_query"] for e in evs if e["type"] == W.ROWS_QUERY_EVENT]
+    assert rq == [short, long_sql]
+
+
+def test_trace_markers_per_txn_in_wire_files(spark, sf_dir, tmp_path):
+    """trace_markers=True renders one ROWS_QUERY trace per transaction
+    right after BEGIN (the PolarDB-X ::TRACE:: convention) carrying the
+    txn id; the row-event stream itself is unchanged."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    tmpdir = str(tmp_path)
+    out = tmpdir + "/binlog"
+    wire = tmpdir + "/wire"
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, sf_dir), out, tmpdir + "/ckpt",
+        rotate_rows=300, frame_txns=True,
+    )
+    q.awaitTermination(120)
+    sink.flush()
+
+    W.export_wire_files(spark, out, wire, trace_markers=True).collect()
+    decoded = W.read_wire_binlog(spark, wire).persist()
+    try:
+        kinds = {r["kind"]: r["n"] for r in
+                 decoded.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+        assert kinds["TRACE"] == kinds["BEGIN"] == kinds["COMMIT"]
+        # every trace text carries ITS OWN txn id: ordered scan per file —
+        # the trace between a BEGIN and its XID names the XID's txn
+        rows = decoded.orderBy("file_name", "pos").collect()
+        open_trace = None
+        n_checked = 0
+        for r in rows:
+            if r["kind"] == "TRACE":
+                open_trace = r["pk"]
+            elif r["kind"] == "COMMIT":
+                assert open_trace == f"/*DRDS /txn/{r['xid']}/ */"
+                open_trace = None
+                n_checked += 1
+        assert n_checked == kinds["COMMIT"] > 0
+        # row events identical to an untraced export
+        wire2 = tmpdir + "/wire_plain"
+        W.export_wire_files(spark, out, wire2).collect()
+        plain = W.read_wire_binlog(spark, wire2)
+        row_kinds = ("INSERT", "UPDATE", "DELETE")
+        a = decoded.filter(F.col("kind").isin(*row_kinds)).select(
+            "kind", "db", "tbl", "pk", "value"
+        )
+        b = plain.filter(F.col("kind").isin(*row_kinds)).select(
+            "kind", "db", "tbl", "pk", "value"
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    finally:
+        decoded.unpersist()
