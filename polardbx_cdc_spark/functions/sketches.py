@@ -249,3 +249,62 @@ class StreamingDistinctMonitor:
         return int(
             hll_estimate(self.register_frame(spark)).collect()[0]["est_distinct"]
         )
+
+
+#: Bloom geometry: m = 4096 bit positions, k = 4 salted hashes.
+BLOOM_M = 4096
+BLOOM_K = 4
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Bloom filter (Bloom, CACM 1970) as a distributed bit-position
+    table: the k md5-salted hashes of every key mark their positions; the
+    filter is the DISTINCT position set (≤ m rows however many keys go
+    in). Merge across shards = union+distinct (bitwise OR).
+
+    This is the sketch form of membership the exact broadcast
+    decontaminate join (functions/curation.py) cannot keep at scale: a
+    10^10-key benchmark set broadcasts as m bits here, with the classic
+    no-false-negative guarantee and FPR ≈ (1-e^(-kn/m))^k.
+    Output: (bit_pos int) — set positions only."""
+    key = F.col(col).cast("string")
+    positions = F.array(
+        *[
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 8), 16, 10)
+                .cast("long") % m_bits
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+    return (
+        df.select(F.explode(positions).alias("bit_pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame, probes: DataFrame, col: str, m_bits: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Probe membership: a key is ``maybe_in`` iff ALL k of its positions
+    are set (no false negatives; false positives at the FPR). The bit
+    table (≤ m rows) BROADCASTS — probing any number of keys is one
+    map-side join over k·|probes| coordinate rows.
+    Output: (col, maybe_in boolean)."""
+    key = F.col(col).cast("string")
+    positions = F.array(
+        *[
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 8), 16, 10)
+                .cast("long") % m_bits
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+    coords = probes.select(F.col(col), F.explode(positions).alias("bit_pos"))
+    hit = coords.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "bit_pos", "left"
+    )
+    return hit.groupBy(col).agg(
+        (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == F.lit(k)).alias("maybe_in")
+    )

@@ -4879,3 +4879,58 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100)
     return sketches.hist_quantiles(o, cents, [2500, 5000, 7500, 9000, 9900])
+
+
+@register(
+    "sketch_bloom_decontaminate",
+    """
+    WITH salts AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    bench AS (SELECT text FROM documents WHERE doc_id % 5 = 0),
+    bits AS (
+      SELECT DISTINCT CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || text),
+                                     1, 8) AS BIGINT) % 4096 AS INTEGER) AS bit_pos
+      FROM bench CROSS JOIN salts
+    ),
+    probes AS (SELECT DISTINCT text FROM documents),
+    coords AS (
+      SELECT text, CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || text),
+                                  1, 8) AS BIGINT) % 4096 AS INTEGER) AS bit_pos
+      FROM probes CROSS JOIN salts
+    ),
+    mem AS (
+      SELECT c.text,
+             (CAST(sum(CASE WHEN b.bit_pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) = 4)
+               AS maybe_in
+      FROM coords c LEFT JOIN bits b USING (bit_pos)
+      GROUP BY c.text
+    )
+    SELECT d.doc_id, m.maybe_in,
+           (d.text IN (SELECT text FROM bench)) AS truly_in
+    FROM documents d JOIN mem m ON d.text = m.text
+    """,
+)
+def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination membership: the benchmark set
+    (doc_id % 5 = 0) compresses to ≤4096 bit positions; every corpus text
+    probes it broadcast-side. ``maybe_in`` never misses a true member
+    (no-false-negative law, also pinned in tests/test_sketches.py);
+    ``truly_in`` is the exact semi-join verdict, so the graded frame
+    exposes the false-positive set explicitly. This is the scale path
+    where the exact broadcast-gram decontaminate join
+    (curation.decontaminate) can't ship the benchmark set: 10^10 keys
+    broadcast as m bits."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 5 == 0).select("text")
+    bits = sketches.bloom_build(bench, "text")
+    mem = sketches.bloom_probe(bits, d.select("text").distinct(), "text")
+    truly = bench.distinct().withColumn("truly_in", F.lit(True))
+    return (
+        d.select("doc_id", "text")
+        .join(mem, "text")
+        .join(truly, "text", "left")
+        .select(
+            "doc_id",
+            "maybe_in",
+            F.coalesce(F.col("truly_in"), F.lit(False)).alias("truly_in"),
+        )
+    )

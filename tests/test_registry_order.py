@@ -59,7 +59,7 @@ def test_round5_rotation_graded_window_is_the_never_graded_set():
         "q21_waiting_suppliers", "dedup_lsh_bucket_stats", "cdc_asof_enrich",
         "cdc_watermark_snapshot", "sketch_hll_registers",
         "sketch_hll_estimate", "sketch_cm_heavy_hitters",
-        "sketch_hist_quantiles",
+        "sketch_hist_quantiles", "sketch_bloom_decontaminate",
     }
     never_graded = (oracles - graded_ever) - new_this_round - added_post_rotation
     missing = never_graded - window

@@ -156,3 +156,31 @@ def test_streaming_hll_monitor_matches_batch_exactly(spark):
 
     assert set(mon.registers.items()) == batch_reg
     assert mon.estimate(spark) == batch_est
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom laws: every inserted key probes true (no false negatives,
+    any split/merge of the build); filters merge by union+distinct; FPR
+    on a disjoint probe set stays under a loose 5x analytic bound."""
+    import math
+
+    ev = load_table(spark, SF, "events")
+    ins = ev.select((F.col("event_id") * 2).alias("k")).distinct()      # evens
+    probe_out = ev.select((F.col("event_id") * 2 + 1).alias("k")).distinct()  # odds
+    bits = S.bloom_build(ins, "k")
+    got_in = S.bloom_probe(bits, ins, "k")
+    assert got_in.filter(~F.col("maybe_in")).count() == 0  # no false negatives
+    n = ins.count()
+    fpr = (1 - math.exp(-S.BLOOM_K * n / S.BLOOM_M)) ** S.BLOOM_K
+    got_out = S.bloom_probe(bits, probe_out, "k")
+    observed = got_out.filter(F.col("maybe_in")).count() / probe_out.count()
+    assert observed <= max(5 * fpr, 0.02), (observed, fpr)
+    # merge law: build(a) ∪ build(b) == build(a ∪ b)
+    a = ins.filter(F.col("k") % 4 == 0)
+    b = ins.filter(F.col("k") % 4 != 0)
+    merged = {
+        r["bit_pos"]
+        for r in S.bloom_build(a, "k").unionByName(S.bloom_build(b, "k")).distinct().collect()
+    }
+    whole = {r["bit_pos"] for r in bits.collect()}
+    assert merged == whole
