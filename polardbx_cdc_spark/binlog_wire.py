@@ -24,7 +24,8 @@ Scope (honest slice, round-trip-tested byte-for-byte):
   LogBuffer.getDecimal / format/field/DecimalField.java), BIT, YEAR,
   DATE, DATETIME2/TIMESTAMP2/TIME2 with fractional seconds, VARCHAR
   (1/2-byte length per metadata), BLOB family (1–4 byte length prefix),
-  NULL bitmaps. Negative TIME (complement encoding) is excluded.
+  NULL bitmaps, ENUM/SET (via TYPE_STRING metadata), signed TIME2
+  including the negative complement encoding.
 Everything else (compressed/encrypted binlog, GTID bookkeeping) stays
 out of scope by SURVEY §7.
 
@@ -73,7 +74,10 @@ TYPE_TIMESTAMP2 = 17
 TYPE_DATETIME2 = 18
 TYPE_TIME2 = 19
 TYPE_NEWDECIMAL = 246
+TYPE_ENUM = 247  # "real type"; never appears raw in a binlog column list
+TYPE_SET = 248  # same — both travel as TYPE_STRING + 2-byte metadata
 TYPE_BLOB = 252
+TYPE_STRING = 254
 
 HEADER_LEN = 19  # timestamp(4) type(1) server_id(4) event_len(4) next_pos(4) flags(2)
 CHECKSUM_LEN = 4
@@ -201,6 +205,19 @@ class TableDef:
             elif t.startswith("bit"):
                 bits = int(t[t.find("(") + 1 : t.find(")")]) if "(" in t else 1
                 types.append((TYPE_BIT, bits))
+            elif t.startswith(("enum(", "set(")):
+                # ENUM('a','b',…) / SET('a','b',…): the binlog carries the
+                # INDEX (1-based) / member BITMASK, typed on the wire as
+                # MYSQL_TYPE_STRING with metadata (real_type, pack_len) —
+                # real ENUM/SET codes never appear in the column-type
+                # array (RowsLogBuffer.java:833 "cannot exist in a
+                # binlog"; TableMapLogEvent meta convention)
+                n_labels = t.count("'") // 2
+                if t.startswith("enum("):
+                    packlen = 1 if n_labels < 256 else 2
+                    types.append((TYPE_STRING, (TYPE_ENUM, packlen)))
+                else:
+                    types.append((TYPE_STRING, (TYPE_SET, min((n_labels + 7) // 8, 8))))
             elif t.startswith("year"):
                 types.append((TYPE_YEAR, None))
             elif t.startswith("datetime"):
@@ -282,6 +299,8 @@ def _encode_col_meta(types: list[tuple[int, object]]) -> bytes:
             meta += bytes([m % 8, m // 8])
         elif tc in (TYPE_DATETIME2, TYPE_TIMESTAMP2, TYPE_TIME2):
             meta += bytes([m])
+        elif tc == TYPE_STRING:
+            meta += bytes([m[0], m[1]])  # (real_type, pack_len)
     return bytes(meta)
 
 
@@ -304,6 +323,9 @@ def _decode_col_meta(raw_types: list[int], meta_buf: bytes) -> list[tuple[int, o
         elif rt in (TYPE_DATETIME2, TYPE_TIMESTAMP2, TYPE_TIME2):
             types.append((rt, meta_buf[mp]))
             mp += 1
+        elif rt == TYPE_STRING:
+            types.append((rt, (meta_buf[mp], meta_buf[mp + 1])))
+            mp += 2
         else:
             types.append((rt, None))
     return types
@@ -525,20 +547,41 @@ def _encode_image(td: TableDef, values: list) -> bytes:
                 micros = v.microsecond
             out += secs.to_bytes(4, "big") + _encode_frac(micros, m)
         elif tc == TYPE_TIME2:
-            # non-negative time-of-day / duration (timedelta); the slice
-            # does not cover negative TIME (complement encoding)
-            if v.days < 0:
-                raise ValueError("negative TIME not covered by the wire slice")
-            h = v.days * 24 + v.seconds // 3600
-            mi, se = (v.seconds % 3600) // 60, v.seconds % 60
-            packed = (1 << 23) | (h << 12) | (mi << 6) | se
-            out += packed.to_bytes(3, "big") + _encode_frac(v.microseconds, m)
+            # full signed TIME2 (RowsLogBuffer.java:665-760 decode,
+            # mirrored): 3-byte big-endian intpart biased by 0x800000;
+            # negative values with a fraction store intpart-1 and the
+            # fraction's complement; fsp 5-6 is ONE 48-bit biased
+            # quantity (TIMEF_OFS) — bit-identical to the 3+3 split for
+            # positives, diverging only on negatives (the borrow).
+            total_us = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
+            neg, a = total_us < 0, abs(total_us)
+            a_sec, frac_us = divmod(a, 1_000_000)
+            h, rem = divmod(a_sec, 3600)
+            mi, se = divmod(rem, 60)
+            intpart = (h << 12) | (mi << 6) | se
+            nb = _frac_bytes(m)
+            if nb == 3:
+                packed = (intpart << 24) | frac_us
+                out += ((-packed if neg else packed) + 0x800000000000).to_bytes(6, "big")
+            else:
+                frac_units = frac_us // (10 ** (6 - 2 * nb)) if nb else 0
+                si = -intpart if neg else intpart
+                if neg and frac_units > 0:
+                    si -= 1
+                    frac_units = (1 << (8 * nb)) - frac_units
+                out += (si + 0x800000).to_bytes(3, "big")
+                if nb:
+                    out += frac_units.to_bytes(nb, "big")
         elif tc == TYPE_VARCHAR:
             b = v if isinstance(v, bytes) else str(v).encode()
             out += (bytes([len(b)]) if m < 256 else struct.pack("<H", len(b))) + b
         elif tc == TYPE_BLOB:
             b = bytes(v)
             out += len(b).to_bytes(m, "little") + b
+        elif tc == TYPE_STRING and m[0] in (TYPE_ENUM, TYPE_SET):
+            # ENUM index / SET bitmask: pack_len-byte little-endian
+            # unsigned (RowsLogBuffer.java:833-886 getUint8/16…48)
+            out += int(v).to_bytes(m[1], "little")
         else:
             raise ValueError(f"unsupported wire type {tc}")
     return bytes(out)
@@ -613,17 +656,31 @@ def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
         elif tc == TYPE_TIME2:
             import datetime
 
-            packed = int.from_bytes(buf[pos : pos + 3], "big")
-            pos += 3
-            micros, pos = _decode_frac(buf, pos, m)
-            values.append(
-                datetime.timedelta(
-                    hours=(packed >> 12) & 0x3FF,
-                    minutes=(packed >> 6) & 0x3F,
-                    seconds=packed & 0x3F,
-                    microseconds=micros,
-                )
+            nb = _frac_bytes(m)
+            if nb == 3:
+                stored = int.from_bytes(buf[pos : pos + 6], "big")
+                pos += 6
+                packed = stored - 0x800000000000
+                neg, a = packed < 0, abs(packed)
+                intpart, frac_us = a >> 24, a & 0xFFFFFF
+            else:
+                si = int.from_bytes(buf[pos : pos + 3], "big") - 0x800000
+                pos += 3
+                frac_units = int.from_bytes(buf[pos : pos + nb], "big") if nb else 0
+                pos += nb
+                if si < 0 and frac_units > 0:
+                    si += 1
+                    frac_units -= 1 << (8 * nb)
+                total_frac = frac_units * (10 ** (6 - 2 * nb)) if nb else 0
+                neg = si < 0 or total_frac < 0
+                intpart, frac_us = abs(si), abs(total_frac)
+            delta = datetime.timedelta(
+                hours=(intpart >> 12) & 0x3FF,
+                minutes=(intpart >> 6) & 0x3F,
+                seconds=intpart & 0x3F,
+                microseconds=frac_us,
             )
+            values.append(-delta if neg else delta)
         elif tc == TYPE_VARCHAR:
             if m < 256:
                 ln, pos = buf[pos], pos + 1
@@ -636,6 +693,9 @@ def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
             pos += m
             values.append(bytes(buf[pos : pos + ln]))
             pos += ln
+        elif tc == TYPE_STRING and m[0] in (TYPE_ENUM, TYPE_SET):
+            values.append(int.from_bytes(buf[pos : pos + m[1]], "little"))
+            pos += m[1]
         else:
             raise ValueError(f"unsupported wire type {tc}")
     return values, pos

@@ -292,14 +292,21 @@ def test_decimal_random_round_trip():
         assert got == v, (prec, scale, text, got)
 
 
-def test_negative_time_rejected():
+def test_negative_time_now_round_trips():
+    """The negative-TIME carve-out is retired: complement encoding is
+    implemented (see test_negative_time2_complement_round_trip for the
+    full fsp matrix); this pins the former rejection case round-tripping."""
     import datetime
 
     td = W.TableDef.from_mysql_types("d", "t", ["time(0)"])
-    with pytest.raises(ValueError, match="negative TIME"):
-        W.encode_rows_event(
-            W.WRITE_ROWS_EVENT, 1, td, [[datetime.timedelta(seconds=-5)]]
-        )
+    v = datetime.timedelta(seconds=-5)
+    buf = (
+        W.encode_fde()
+        + W.encode_table_map(1, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td, [[v]])
+    )
+    got = [e for e in W.decode_events(buf) if e["type"] == W.WRITE_ROWS_EVENT]
+    assert got[0]["rows"] == [[v]]
 
 
 def test_generic_typed_table_spark_round_trip(spark):
@@ -648,3 +655,77 @@ def test_trace_markers_per_txn_in_wire_files(spark, sf_dir, tmp_path):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     finally:
         decoded.unpersist()
+
+
+def test_enum_set_round_trip_via_string_meta():
+    """ENUM/SET travel as MYSQL_TYPE_STRING with (real_type, pack_len)
+    metadata — real ENUM/SET codes never appear in a binlog column list
+    (RowsLogBuffer.java:833). Round trip: 1- and 2-byte enum indexes,
+    multi-byte set bitmasks, NULLs."""
+    from polardbx_cdc_spark import binlog_wire as W
+
+    decls = [
+        "int",
+        "enum('red','green','blue')",
+        "enum(" + ",".join(f"'v{i}'" for i in range(300)) + ")",  # 2-byte
+        "set('a','b','c','d','e','f','g','h','i','j')",  # 10 bits → 2 bytes
+    ]
+    td = W.TableDef.from_mysql_types("d", "t", decls)
+    assert td.types[1] == (W.TYPE_STRING, (W.TYPE_ENUM, 1))
+    assert td.types[2] == (W.TYPE_STRING, (W.TYPE_ENUM, 2))
+    assert td.types[3] == (W.TYPE_STRING, (W.TYPE_SET, 2))
+    rows = [
+        [1, 3, 299, 0b1000000011],
+        [2, None, 1, None],
+        [3, 255, 300, 0b0000000001],
+    ]
+    buf = (
+        W.encode_fde()
+        + W.encode_table_map(77, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 77, td, rows)
+    )
+    evs = W.decode_events(buf)
+    got = [e for e in evs if e["type"] == W.WRITE_ROWS_EVENT][0]["rows"]
+    assert got == rows
+
+
+def test_negative_time2_complement_round_trip():
+    """Signed TIME2 at every fsp: negative durations use the complement
+    encoding (intpart-1 + inverted fraction for fsp 1-4; negated 48-bit
+    biased quantity for fsp 5-6 — RowsLogBuffer.java:665-760). Round
+    trips must preserve sign, seconds, and the fsp-truncated fraction."""
+    import datetime
+
+    from polardbx_cdc_spark import binlog_wire as W
+
+    def td_us(us):
+        return datetime.timedelta(microseconds=us)
+
+    cases_us = [
+        0,
+        1_000_000,               # +1s
+        -1_000_000,              # -1s
+        -500_000,                # -0.5s (intpart 0, pure fraction)
+        -((838 * 3600 + 59 * 60 + 59) * 1_000_000),  # MySQL min
+        ((5 * 3600 + 6 * 60 + 7) * 1_000_000) + 123_400,
+        -(((5 * 3600 + 6 * 60 + 7) * 1_000_000) + 123_400),
+        -86_400_000_000 - 1,     # just past -1 day, odd micro
+    ]
+    for fsp in (0, 2, 4, 6):
+        unit = 10 ** (6 - fsp) if fsp else 1_000_000
+        decls = [f"time({fsp})" if fsp else "time"]
+        td = W.TableDef.from_mysql_types("d", "t", decls)
+        rows = [[td_us(us)] for us in cases_us]
+        buf = (
+            W.encode_fde()
+            + W.encode_table_map(9, td)
+            + W.encode_rows_event(W.WRITE_ROWS_EVENT, 9, td, rows)
+        )
+        got = [
+            e for e in W.decode_events(buf) if e["type"] == W.WRITE_ROWS_EVENT
+        ][0]["rows"]
+        for us, (val,) in zip(cases_us, got):
+            # expected: fraction truncated toward zero at fsp precision
+            sign = -1 if us < 0 else 1
+            want = sign * ((abs(us) // unit) * unit)
+            assert val == td_us(want), (fsp, us, val)
