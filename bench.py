@@ -64,6 +64,10 @@ HEADLINE = [
     "cdc_asof_enrich",
     "dedup_lsh_bucket_stats",
     "cdc_watermark_snapshot",
+    "sketch_hll_estimate",
+    "sketch_cm_heavy_hitters",
+    "sketch_hist_quantiles",
+    "sketch_bloom_decontaminate",
 ]
 
 

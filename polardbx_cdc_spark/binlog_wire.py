@@ -205,6 +205,13 @@ class TableDef:
             elif t.startswith("bit"):
                 bits = int(t[t.find("(") + 1 : t.find(")")]) if "(" in t else 1
                 types.append((TYPE_BIT, bits))
+            elif t.startswith("char") and not t.startswith("character varying"):
+                # real CHAR(n): MYSQL_TYPE_STRING with the bit-packed
+                # 2-byte metadata (Field_string::do_save_field_metadata:
+                # byte0 = type ^ ((len & 0x300) >> 4), byte1 = len & 0xff)
+                inner = t[t.find("(") + 1 : t.find(")")] if "(" in t else "1"
+                maxlen = min(int(inner) * 4, 1023)  # utf8mb4 bytes; 10-bit cap
+                types.append((TYPE_STRING, (TYPE_STRING, maxlen)))
             elif t.startswith(("enum(", "set(")):
                 # ENUM('a','b',…) / SET('a','b',…): the binlog carries the
                 # INDEX (1-based) / member BITMASK, typed on the wire as
@@ -300,7 +307,11 @@ def _encode_col_meta(types: list[tuple[int, object]]) -> bytes:
         elif tc in (TYPE_DATETIME2, TYPE_TIMESTAMP2, TYPE_TIME2):
             meta += bytes([m])
         elif tc == TYPE_STRING:
-            meta += bytes([m[0], m[1]])  # (real_type, pack_len)
+            real, arg = m
+            if real == TYPE_STRING:  # CHAR(n): bit-packed length
+                meta += bytes([real ^ ((arg & 0x300) >> 4), arg & 0xFF])
+            else:  # ENUM/SET: (real_type, pack_len) verbatim
+                meta += bytes([real, arg])
     return bytes(meta)
 
 
@@ -324,8 +335,14 @@ def _decode_col_meta(raw_types: list[int], meta_buf: bytes) -> list[tuple[int, o
             types.append((rt, meta_buf[mp]))
             mp += 1
         elif rt == TYPE_STRING:
-            types.append((rt, (meta_buf[mp], meta_buf[mp + 1])))
+            b0, b1 = meta_buf[mp], meta_buf[mp + 1]
             mp += 2
+            if b0 in (TYPE_ENUM, TYPE_SET):
+                types.append((rt, (b0, b1)))
+            elif (b0 & 0x30) != 0x30:  # CHAR with length bits folded in
+                types.append((rt, (b0 | 0x30, b1 | (((b0 & 0x30) ^ 0x30) << 4))))
+            else:  # CHAR < 256 bytes: type byte untouched
+                types.append((rt, (b0, b1)))
         else:
             types.append((rt, None))
     return types
@@ -582,6 +599,11 @@ def _encode_image(td: TableDef, values: list) -> bytes:
             # ENUM index / SET bitmask: pack_len-byte little-endian
             # unsigned (RowsLogBuffer.java:833-886 getUint8/16…48)
             out += int(v).to_bytes(m[1], "little")
+        elif tc == TYPE_STRING:
+            # CHAR(n): stored unpadded with a length prefix sized by the
+            # declared max bytes (RowsLogBuffer STRING == VAR_STRING path)
+            b = v if isinstance(v, bytes) else str(v).encode()
+            out += (bytes([len(b)]) if m[1] < 256 else struct.pack("<H", len(b))) + b
         else:
             raise ValueError(f"unsupported wire type {tc}")
     return bytes(out)
@@ -696,6 +718,13 @@ def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
         elif tc == TYPE_STRING and m[0] in (TYPE_ENUM, TYPE_SET):
             values.append(int.from_bytes(buf[pos : pos + m[1]], "little"))
             pos += m[1]
+        elif tc == TYPE_STRING:
+            if m[1] < 256:
+                ln, pos = buf[pos], pos + 1
+            else:
+                ln, pos = struct.unpack_from("<H", buf, pos)[0], pos + 2
+            values.append(buf[pos : pos + ln].decode())
+            pos += ln
         else:
             raise ValueError(f"unsupported wire type {tc}")
     return values, pos

@@ -729,3 +729,25 @@ def test_negative_time2_complement_round_trip():
             sign = -1 if us < 0 else 1
             want = sign * ((abs(us) // unit) * unit)
             assert val == td_us(want), (fsp, us, val)
+
+
+def test_char_columns_bit_packed_metadata_round_trip():
+    """CHAR(n) uses MYSQL_TYPE_STRING with the length's high bits folded
+    into the type byte (Field_string::do_save_field_metadata) — both the
+    <256-byte form (type byte untouched) and the ≥256-byte form (0x30
+    bits flipped) must survive TABLE_MAP meta encode→decode and the
+    values round trip unpadded."""
+    from polardbx_cdc_spark import binlog_wire as W
+
+    decls = ["char(3)", "char(200)", "int"]  # 12 / 800 max bytes
+    td = W.TableDef.from_mysql_types("d", "t", decls)
+    assert td.types[0] == (W.TYPE_STRING, (W.TYPE_STRING, 12))
+    assert td.types[1] == (W.TYPE_STRING, (W.TYPE_STRING, 800))
+    rows = [["abc", "x" * 300, 1], ["", None, 2], ["ü", "péché", 3]]
+    buf = (
+        W.encode_fde()
+        + W.encode_table_map(5, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 5, td, rows)
+    )
+    got = [e for e in W.decode_events(buf) if e["type"] == W.WRITE_ROWS_EVENT][0]["rows"]
+    assert got == rows
