@@ -4934,3 +4934,44 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("truly_in"), F.lit(False)).alias("truly_in"),
         )
     )
+
+
+@register(
+    "cdc_replica_lag_report",
+    oracle_cdc_query(
+        """
+        , acked AS (
+          SELECT source_id,
+                 CASE WHEN (txn_id * 5 + seq) % 10 = 0 THEN NULL
+                      ELSE ((txn_id * 5 + seq) % 7) * 60000 END AS lag_ms
+          FROM cdc
+        )
+        SELECT source_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(lag_ms) AS BIGINT) AS n_acked,
+               CAST(count(*) - count(lag_ms) AS BIGINT) AS n_lost,
+               CAST(coalesce(sum(lag_ms), 0) AS BIGINT) AS lag_ms_sum,
+               CAST(coalesce(max(lag_ms), -1) AS BIGINT) AS lag_ms_max
+        FROM acked GROUP BY source_id
+        """
+    ),
+)
+def cdc_replica_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream ack matcher
+    (streaming/pipeline.py match_with_acks): per upstream DN, how many
+    events were applied downstream, the lag mass, and the lost count —
+    the replica-delay/lost-event alarm surface (reference monitoring's
+    delay + miss counters). The ack stream is derived deterministically
+    (event_id % 7 minutes of lag; every 10th event never acked) so the
+    oracle replays the same matching; all sums are integer milliseconds."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    eid = F.col("txn_id") * 5 + F.col("seq")
+    lag = F.when(eid % 10 == 0, F.lit(None)).otherwise((eid % 7) * 60000)
+    acked = cdc.select("source_id", lag.cast("long").alias("lag_ms"))
+    return acked.groupBy("source_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("lag_ms").cast("long").alias("n_acked"),
+        (F.count(F.lit(1)) - F.count("lag_ms")).cast("long").alias("n_lost"),
+        F.coalesce(F.sum("lag_ms"), F.lit(0)).cast("long").alias("lag_ms_sum"),
+        F.coalesce(F.max("lag_ms"), F.lit(-1)).cast("long").alias("lag_ms_max"),
+    )
