@@ -26,8 +26,11 @@ Scope (honest slice, round-trip-tested byte-for-byte):
   (1/2-byte length per metadata), BLOB family (1–4 byte length prefix),
   NULL bitmaps, ENUM/SET (via TYPE_STRING metadata), signed TIME2
   including the negative complement encoding.
-Everything else (compressed/encrypted binlog, GTID bookkeeping) stays
-out of scope by SURVEY §7.
+  JSON columns carry the server's BINARY json document
+  (json_binary.h small/large objects+arrays, inlined scalars, varlen
+  strings — decode parity JsonConversion.java), round-tripped to Python
+  values. Everything else (compressed/encrypted binlog, GTID
+  bookkeeping, geometry) stays out of scope by SURVEY §7.
 
 Spark-side plumbing is in ``events_to_binlog`` / ``binlog_to_events``:
 Arrow-batched ``mapInPandas`` over the CDC frame — serialization is
@@ -76,6 +79,7 @@ TYPE_TIME2 = 19
 TYPE_NEWDECIMAL = 246
 TYPE_ENUM = 247  # "real type"; never appears raw in a binlog column list
 TYPE_SET = 248  # same — both travel as TYPE_STRING + 2-byte metadata
+TYPE_JSON = 245  # binary JSON document, BLOB-style length prefix
 TYPE_BLOB = 252
 TYPE_STRING = 254
 
@@ -244,6 +248,8 @@ class TableDef:
                     # VARCHAR(n) metadata is the max BYTE length (utf8mb4 ≤ 4n)
                     m = min(int(inner) * 4, 65535)
                 types.append((TYPE_VARCHAR, m))
+            elif t.startswith("json"):
+                types.append((TYPE_JSON, 4))  # 4-byte length prefix
             elif t.startswith(("blob", "tinyblob", "mediumblob", "longblob",
                                "binary", "varbinary")):
                 prefix = {"tinyblob": 1, "mediumblob": 3, "longblob": 4}.get(
@@ -298,7 +304,7 @@ def _encode_col_meta(types: list[tuple[int, object]]) -> bytes:
     for tc, m in types:
         if tc == TYPE_VARCHAR:
             meta += struct.pack("<H", m)
-        elif tc in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB):
+        elif tc in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB, TYPE_JSON):
             meta += bytes([m])
         elif tc == TYPE_NEWDECIMAL:
             meta += bytes([m[0], m[1]])  # precision, scale
@@ -322,7 +328,7 @@ def _decode_col_meta(raw_types: list[int], meta_buf: bytes) -> list[tuple[int, o
         if rt == TYPE_VARCHAR:
             types.append((rt, struct.unpack_from("<H", meta_buf, mp)[0]))
             mp += 2
-        elif rt in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB):
+        elif rt in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB, TYPE_JSON):
             types.append((rt, meta_buf[mp]))
             mp += 1
         elif rt == TYPE_NEWDECIMAL:
@@ -595,6 +601,11 @@ def _encode_image(td: TableDef, values: list) -> bytes:
         elif tc == TYPE_BLOB:
             b = bytes(v)
             out += len(b).to_bytes(m, "little") + b
+        elif tc == TYPE_JSON:
+            # Python value (or pre-serialized document bytes) → binary
+            # JSON blob, BLOB-style length prefix
+            b = v if isinstance(v, (bytes, bytearray)) else json_serialize(v)
+            out += len(b).to_bytes(m, "little") + bytes(b)
         elif tc == TYPE_STRING and m[0] in (TYPE_ENUM, TYPE_SET):
             # ENUM index / SET bitmask: pack_len-byte little-endian
             # unsigned (RowsLogBuffer.java:833-886 getUint8/16…48)
@@ -714,6 +725,11 @@ def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
             ln = int.from_bytes(buf[pos : pos + m], "little")
             pos += m
             values.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        elif tc == TYPE_JSON:
+            ln = int.from_bytes(buf[pos : pos + m], "little")
+            pos += m
+            values.append(json_parse(bytes(buf[pos : pos + ln])))
             pos += ln
         elif tc == TYPE_STRING and m[0] in (TYPE_ENUM, TYPE_SET):
             values.append(int.from_bytes(buf[pos : pos + m[1]], "little"))
@@ -1478,3 +1494,214 @@ def seek_wire_position(spark, wire_dir: str, tso: str):
         return None
     r = rows[0]
     return {"file_name": r["file_name"], "pos": r["pos"], "gcn": r["xid"]}
+
+
+# ---------------------------------------------------------------------------
+# MySQL binary JSON (TYPE_JSON) — the json_binary.h layout
+# ---------------------------------------------------------------------------
+#
+# Retires the JSON carve-out: a JSON column's row-image bytes are the
+# server's binary JSON document (NOT text), length-prefixed like a BLOB.
+# Layout (public mysql/sql/json_binary.h; decode parity:
+# polardbx-cdc-canal/.../binlog/JsonConversion.java):
+#   doc        ::= type(1) payload
+#   object     ::= count size key-entry* value-entry* keys values
+#   array      ::= count size value-entry* values
+#   small/large: 2- vs 4-byte count/size/offsets (small iff size ≤ 0xFFFF)
+#   value-entry: type(1) + inlined-value-or-offset (offset from payload
+#                start); literals/int16/uint16 inline in small docs,
+#                int32/uint32 additionally inline in large docs
+#   string     ::= varlen(7-bits-per-byte, high-bit continuation) utf8
+
+JSON_SMALL_OBJECT = 0x00
+JSON_LARGE_OBJECT = 0x01
+JSON_SMALL_ARRAY = 0x02
+JSON_LARGE_ARRAY = 0x03
+JSON_LITERAL = 0x04
+JSON_INT16 = 0x05
+JSON_UINT16 = 0x06
+JSON_INT32 = 0x07
+JSON_UINT32 = 0x08
+JSON_INT64 = 0x09
+JSON_UINT64 = 0x0A
+JSON_DOUBLE = 0x0B
+JSON_STRING = 0x0C
+
+_JSON_LIT = {None: 0x00, True: 0x01, False: 0x02}
+_JSON_LIT_INV = {0x00: None, 0x01: True, 0x02: False}
+
+
+def _json_varlen(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _json_read_varlen(buf: bytes, pos: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _json_scalar(v) -> tuple[int, bytes]:
+    """(type, payload) for a non-container value."""
+    if isinstance(v, bool) or v is None:
+        return JSON_LITERAL, bytes([_JSON_LIT[v]])
+    if isinstance(v, int):
+        if -(1 << 15) <= v < (1 << 15):
+            return JSON_INT16, struct.pack("<h", v)
+        if -(1 << 31) <= v < (1 << 31):
+            return JSON_INT32, struct.pack("<i", v)
+        if -(1 << 63) <= v < (1 << 63):
+            return JSON_INT64, struct.pack("<q", v)
+        return JSON_UINT64, struct.pack("<Q", v)
+    if isinstance(v, float):
+        return JSON_DOUBLE, struct.pack("<d", v)
+    if isinstance(v, str):
+        b = v.encode()
+        return JSON_STRING, _json_varlen(len(b)) + b
+    raise ValueError(f"JSON slice cannot serialize {type(v).__name__}")
+
+
+def _json_value(v) -> tuple[int, bytes]:
+    """(type, payload) for any value, containers included."""
+    if isinstance(v, dict):
+        return _json_container(v, is_object=True)
+    if isinstance(v, (list, tuple)):
+        return _json_container(v, is_object=False)
+    return _json_scalar(v)
+
+
+def _json_container(v, is_object: bool) -> tuple[int, bytes]:
+    items = sorted(v.items()) if is_object else [(None, x) for x in v]
+    children = [(k, _json_value(x)) for k, x in items]
+    keys = [k.encode() for k, _ in children] if is_object else []
+
+    def build(large: bool) -> bytes:
+        w, fmt = (4, "<I") if large else (2, "<H")
+        inline = {JSON_LITERAL, JSON_INT16, JSON_UINT16} | (
+            {JSON_INT32, JSON_UINT32} if large else set()
+        )
+        n = len(children)
+        header = 2 * w  # count + size
+        key_entries = (w + 2) * n if is_object else 0
+        value_entries = (1 + w) * n
+        pos = header + key_entries + value_entries
+        key_off = []
+        for kb in keys:
+            key_off.append(pos)
+            pos += len(kb)
+        out_vals = bytearray()
+        entries = bytearray()
+        for _, (t, payload) in children:
+            if t in inline:
+                slot = payload.ljust(w, b"\x00")
+                entries += bytes([t]) + slot
+            else:
+                entries += bytes([t]) + struct.pack(fmt, pos + len(out_vals))
+                out_vals += payload
+        size = pos + len(out_vals)
+        buf = bytearray(struct.pack(fmt, n) + struct.pack(fmt, size))
+        for off, kb in zip(key_off, keys):
+            buf += struct.pack(fmt, off) + struct.pack("<H", len(kb))
+        buf += entries
+        for kb in keys:
+            buf += kb
+        buf += out_vals
+        return bytes(buf)
+
+    try:
+        small = build(False)
+    except struct.error:  # an offset/size overflowed the 2-byte form
+        small = None
+    if small is not None and len(small) <= 0xFFFF:
+        return (JSON_SMALL_OBJECT if is_object else JSON_SMALL_ARRAY), small
+    return (JSON_LARGE_OBJECT if is_object else JSON_LARGE_ARRAY), build(True)
+
+
+def json_serialize(v) -> bytes:
+    """Python value → MySQL binary JSON document (type byte + payload)."""
+    t, payload = _json_value(v)
+    return bytes([t]) + payload
+
+
+def _json_parse_value(t: int, buf: bytes, pos: int):
+    if t in (JSON_SMALL_OBJECT, JSON_LARGE_OBJECT, JSON_SMALL_ARRAY, JSON_LARGE_ARRAY):
+        large = t in (JSON_LARGE_OBJECT, JSON_LARGE_ARRAY)
+        is_object = t in (JSON_SMALL_OBJECT, JSON_LARGE_OBJECT)
+        w, fmt = (4, "<I") if large else (2, "<H")
+        base = pos
+        n = struct.unpack_from(fmt, buf, pos)[0]
+        p = pos + 2 * w
+        keys = []
+        if is_object:
+            for _ in range(n):
+                koff = struct.unpack_from(fmt, buf, p)[0]
+                klen = struct.unpack_from("<H", buf, p + w)[0]
+                keys.append(buf[base + koff : base + koff + klen].decode())
+                p += w + 2
+        inline = {JSON_LITERAL, JSON_INT16, JSON_UINT16} | (
+            {JSON_INT32, JSON_UINT32} if large else set()
+        )
+        vals = []
+        for _ in range(n):
+            vt = buf[p]
+            if vt in inline:
+                vals.append(_json_parse_inline(vt, buf, p + 1, w))
+            else:
+                # the TYPE lives in the entry; the offset points straight
+                # at the payload (json_binary.h value-entry layout)
+                off = struct.unpack_from(fmt, buf, p + 1)[0]
+                vals.append(_json_parse_value(vt, buf, base + off))
+            p += 1 + w
+        return dict(zip(keys, vals)) if is_object else vals
+    if t == JSON_LITERAL:
+        return _JSON_LIT_INV[buf[pos]]
+    if t == JSON_INT16:
+        return struct.unpack_from("<h", buf, pos)[0]
+    if t == JSON_UINT16:
+        return struct.unpack_from("<H", buf, pos)[0]
+    if t == JSON_INT32:
+        return struct.unpack_from("<i", buf, pos)[0]
+    if t == JSON_UINT32:
+        return struct.unpack_from("<I", buf, pos)[0]
+    if t == JSON_INT64:
+        return struct.unpack_from("<q", buf, pos)[0]
+    if t == JSON_UINT64:
+        return struct.unpack_from("<Q", buf, pos)[0]
+    if t == JSON_DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0]
+    if t == JSON_STRING:
+        ln, p = _json_read_varlen(buf, pos)
+        return buf[p : p + ln].decode()
+    raise ValueError(f"unsupported binary-JSON type {t:#x}")
+
+
+def _json_parse_inline(vt: int, buf: bytes, pos: int, w: int):
+    if vt == JSON_LITERAL:
+        return _JSON_LIT_INV[buf[pos]]
+    if vt == JSON_INT16:
+        return struct.unpack_from("<h", buf, pos)[0]
+    if vt == JSON_UINT16:
+        return struct.unpack_from("<H", buf, pos)[0]
+    if vt == JSON_INT32:
+        return struct.unpack_from("<i", buf, pos)[0]
+    return struct.unpack_from("<I", buf, pos)[0]  # JSON_UINT32
+
+
+def json_parse(doc: bytes):
+    """MySQL binary JSON document → Python value."""
+    if not doc:
+        return None
+    return _json_parse_value(doc[0], doc, 1)

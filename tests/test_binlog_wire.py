@@ -751,3 +751,34 @@ def test_char_columns_bit_packed_metadata_round_trip():
     )
     got = [e for e in W.decode_events(buf) if e["type"] == W.WRITE_ROWS_EVENT][0]["rows"]
     assert got == rows
+
+
+def test_json_column_binary_document_round_trip():
+    """JSON columns carry the binary json_binary.h document: nested
+    objects/arrays with sorted keys, inlined scalars, int-width
+    promotion, unicode strings, and the 4-byte large form all survive a
+    WRITE_ROWS round trip as Python values."""
+    from polardbx_cdc_spark import binlog_wire as W
+
+    td = W.TableDef.from_mysql_types("d", "t", ["int", "json"])
+    docs = [
+        {"user": {"id": 7, "tags": ["a", "b"], "active": True}, "score": 1.5},
+        [1, -40000, (1 << 40), None, "ünïcode"],
+        "bare string",
+        42,
+        None,  # SQL NULL (null bitmap), distinct from JSON null below
+        {"jnull": None},
+        {"big": ["pad" * 30 for _ in range(4000)]},  # > 64 KiB → large form
+    ]
+    rows = [[i, d] for i, d in enumerate(docs)]
+    buf = (
+        W.encode_fde()
+        + W.encode_table_map(3, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, rows)
+    )
+    got = [e for e in W.decode_events(buf) if e["type"] == W.WRITE_ROWS_EVENT][0]["rows"]
+    assert got == rows
+    # document-level laws: small/large threshold and key ordering
+    small = W.json_serialize({"a": 1})
+    assert small[0] == W.JSON_SMALL_OBJECT
+    assert W.json_serialize(docs[-1])[0] == W.JSON_LARGE_OBJECT
