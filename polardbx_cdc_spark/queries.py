@@ -4975,3 +4975,49 @@ def cdc_replica_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("lag_ms"), F.lit(0)).cast("long").alias("lag_ms_sum"),
         F.coalesce(F.max("lag_ms"), F.lit(-1)).cast("long").alias("lag_ms_max"),
     )
+
+
+@register(
+    "events_json_wire_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event's props document through the BINARY JSON wire codec
+    (binlog_wire.json_serialize → json_parse, the json_binary.h layout a
+    real replica ships in row images) and back, then aggregated — the
+    oracle reads the original text JSON, so any bit lost in the binary
+    round trip breaks the hash. Arrow-batched mapInPandas fanned to the
+    cluster's parallelism."""
+    import json as _json
+
+    from polardbx_cdc_spark import binlog_wire
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < par:
+        ev = ev.repartition(par)
+
+    def roundtrip(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ks = [
+                binlog_wire.json_parse(
+                    binlog_wire.json_serialize(_json.loads(p))
+                )["k"]
+                for p in pdf["props"]
+            ]
+            yield pd.DataFrame({"event_type": pdf["event_type"], "k": ks})
+
+    back = ev.mapInPandas(roundtrip, "event_type string, k long")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("k_sum"),
+    )
