@@ -1359,6 +1359,57 @@ def _format_time(td) -> str:
     return out
 
 
+
+
+def _decl_labels(decl: str) -> list[str]:
+    import re as _re
+
+    return _re.findall(r"'([^']*)'", decl)
+
+
+def _label_codecs(mysql_types: list[str]):
+    """Per-column (to_wire, from_wire) for ENUM/SET/JSON label resolution —
+    the Spark tier speaks labels / JSON text (types.spark_type_for), the
+    wire speaks 1-based indexes / bitmasks / binary documents
+    (EnumField/SetField.java resolve the same way on the reference side).
+    Identity for every other type."""
+    import json as _json
+
+    codecs = []
+    for decl in mysql_types:
+        t = decl.strip().lower()
+        if t.startswith("enum("):
+            labels = _decl_labels(decl)
+            idx = {s: i + 1 for i, s in enumerate(labels)}
+            codecs.append((
+                lambda v, idx=idx: v if isinstance(v, int) else idx[v],
+                lambda v, labels=labels: labels[v - 1] if v else "",
+            ))
+        elif t.startswith("set("):
+            labels = _decl_labels(decl)
+            bit = {s: 1 << i for i, s in enumerate(labels)}
+
+            def to_mask(v, bit=bit):
+                if isinstance(v, int):
+                    return v
+                return sum(bit[s] for s in v.split(",") if s)
+
+            def from_mask(v, labels=labels):
+                return ",".join(s for i, s in enumerate(labels) if v >> i & 1)
+
+            codecs.append((to_mask, from_mask))
+        elif t.startswith("json"):
+            codecs.append((
+                lambda v: v if isinstance(v, (bytes, bytearray, dict, list)) else _json.loads(v),
+                # canonical text form (sorted keys, no spaces) — documented:
+                # original text spacing is not preserved through the binary form
+                lambda v: _json.dumps(v, separators=(",", ":"), sort_keys=True),
+            ))
+        else:
+            codecs.append(None)
+    return codecs
+
+
 def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
                     rows_per_event: int = 256):
     """Serialize ANY typed DataFrame as binlog WRITE_ROWS wire bytes —
@@ -1383,6 +1434,7 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
     is_time = [t.strip().lower().startswith("time") and
                not t.strip().lower().startswith("timestamp")
                for t in mysql_types]
+    codecs = _label_codecs(mysql_types)
 
     def encode_partition(batches):
         import pandas as pd
@@ -1403,6 +1455,8 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
                         vals.append(int(bool(v)))
                     elif is_time[i] and isinstance(v, str):
                         vals.append(_parse_time_str(v))
+                    elif codecs[i] is not None:
+                        vals.append(codecs[i][0](v))
                     else:
                         vals.append(v)
                 rows.append(vals)
@@ -1438,6 +1492,7 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
         fields.append(T.StructField(name, st, True))
     out_schema = T.StructType(fields)
     decls = list(mysql_types)
+    codecs = _label_codecs(mysql_types)
 
     def decode_partition(batches):
         import datetime
@@ -1452,9 +1507,13 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
                         continue
                     for row in ev["rows"]:
                         rec = []
-                        for v, decl, f in zip(row, decls, out_schema.fields):
+                        for v, decl, f, codec in zip(
+                            row, decls, out_schema.fields, codecs
+                        ):
                             if v is None:
                                 rec.append(None)
+                            elif codec is not None:
+                                rec.append(codec[1](v))
                             elif f.dataType.typeName() == "boolean":
                                 rec.append(bool(v))
                             elif f.dataType.typeName().startswith("decimal") and not isinstance(v, Decimal):

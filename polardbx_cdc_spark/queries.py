@@ -5021,3 +5021,65 @@ def events_json_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("k").cast("long").alias("k_sum"),
     )
+
+
+@register(
+    "orders_wire_enum_typed",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
+           min(o_orderpriority) AS min_prio,
+           max(o_orderpriority) AS max_prio,
+           CAST(count(DISTINCT 'C' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 3, '0'))
+                AS BIGINT) AS n_clerks,
+           CAST(sum(CASE WHEN o_orderkey % 4 IN (1, 3) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flag_a
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_wire_enum_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENUM/SET/CHAR columns through the typed wire path: status and
+    priority serialize as 1-based enum INDEXES, the synthesized flags as
+    a SET bitmask, clerk as a CHAR(6) — and decode back to LABELS via
+    the declaration's member lists (EnumField/SetField.java resolution).
+    The oracle aggregates the raw strings, so a wrong index mapping,
+    bitmask bit, or char byte breaks the hash."""
+    from polardbx_cdc_spark import binlog_wire
+
+    o = load_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    flags = (
+        F.when(okey % 4 == 0, F.lit(""))
+        .when(okey % 4 == 1, F.lit("a"))
+        .when(okey % 4 == 2, F.lit("b"))
+        .otherwise(F.lit("a,b"))
+    )
+    typed = o.select(
+        okey.alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.concat(F.lit("C"), F.lpad((okey % 100).cast("string"), 3, "0")).alias("clerk"),
+        flags.alias("flags"),
+    )
+    decls = [
+        "bigint",
+        "enum('F','O','P')",
+        "enum('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')",
+        "char(6)",
+        "set('a','b')",
+    ]
+    blobs = binlog_wire.table_to_binlog(typed, "tpch", "orders", decls)
+    back = binlog_wire.binlog_to_table(
+        blobs, decls, ["okey", "status", "prio", "clerk", "flags"]
+    )
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("okey").cast("long").alias("okey_sum"),
+        F.min("prio").alias("min_prio"),
+        F.max("prio").alias("max_prio"),
+        F.countDistinct("clerk").cast("long").alias("n_clerks"),
+        F.sum(
+            F.when(F.array_contains(F.split("flags", ","), "a"), 1).otherwise(0)
+        ).cast("long").alias("n_flag_a"),
+    )
