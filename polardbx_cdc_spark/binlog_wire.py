@@ -1764,3 +1764,83 @@ def json_parse(doc: bytes):
     if not doc:
         return None
     return _json_parse_value(doc[0], doc, 1)
+
+
+def export_wire_files_x(spark, sink_dir: str, wire_dir: str):
+    """Binlog-X attach surface: render a BinlogXSink directory
+    (partitioned stream_id/file_seq) as per-stream REAL wire file chains
+    ``binlog-x-<stream>.NNNNNN`` — each stream an independent rotated
+    sequence, exactly the multi-stream layout the reference's Binlog-X
+    dumpers serve (stream name convention from the Binlog-X task model;
+    per-stream writer streaming/pipeline.py:BinlogXSink).
+
+    Same scale shape as ``export_wire_files``: applyInPandas grouped by
+    (stream_id, file_seq) — every file renders in its own task; only the
+    one-row-per-file manifest returns. ROTATE chains link files WITHIN a
+    stream and never across streams."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    _ROW_TYPE = {
+        "INSERT": WRITE_ROWS_EVENT,
+        "UPDATE": UPDATE_ROWS_EVENT,
+        "DELETE": DELETE_ROWS_EVENT,
+    }
+    df = spark.read.parquet(sink_dir)
+    os.makedirs(wire_dir, exist_ok=True)
+    max_seq = {
+        r["stream_id"]: r["mx"]
+        for r in df.groupBy("stream_id").agg(F.max("file_seq").alias("mx")).collect()
+    }
+
+    def render_file(key, pdf):
+        import pandas as pd
+
+        sid, seq = int(key[0]), int(key[1])
+        pdf = pdf.sort_values("offset")
+        events: list[bytes] = []
+        current_table = None
+        run_type, run_rows = None, []
+
+        def flush_run():
+            nonlocal run_type, run_rows
+            if run_rows:
+                td = TableDef.from_mysql_types(*current_table, CDC_TABLE_TYPES)
+                tid = zlib.crc32(".".join(current_table).encode()) & 0x7FFFFFFF
+                events.append(encode_rows_event(run_type, tid, td, run_rows))
+                run_rows = []
+            run_type = None
+
+        for r in pdf.itertuples(index=False):
+            tc = _ROW_TYPE[r.action]
+            if current_table != (r.db, r.tbl):
+                flush_run()
+                current_table = (r.db, r.tbl)
+                td = TableDef.from_mysql_types(r.db, r.tbl, CDC_TABLE_TYPES)
+                tid = zlib.crc32(f"{r.db}.{r.tbl}".encode()) & 0x7FFFFFFF
+                events.append(encode_table_map(tid, td))
+            elif tc != run_type:
+                flush_run()
+            vals = [r.pk, None if pd.isna(r.value) else float(r.value)]
+            run_type = tc
+            run_rows.append((vals, vals) if tc == UPDATE_ROWS_EVENT else vals)
+        flush_run()
+        name = f"binlog-x-{sid}.{seq + 1:06d}"
+        nxt = f"binlog-x-{sid}.{seq + 2:06d}" if seq < max_seq[sid] else None
+        path = os.path.join(wire_dir, name)
+        write_binlog_file(path, events, next_file=nxt)
+        return pd.DataFrame(
+            [(sid, seq, name, len(pdf), os.path.getsize(path))],
+            columns=["stream_id", "file_seq", "file_name", "n_events", "n_bytes"],
+        )
+
+    out_schema = (
+        "stream_id int, file_seq bigint, file_name string, "
+        "n_events bigint, n_bytes bigint"
+    )
+    return (
+        df.select("stream_id", "file_seq", "offset", "action", "db", "tbl", "pk", "value")
+        .groupBy("stream_id", "file_seq")
+        .applyInPandas(render_file, out_schema)
+    )

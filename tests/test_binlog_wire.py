@@ -782,3 +782,54 @@ def test_json_column_binary_document_round_trip():
     small = W.json_serialize({"a": 1})
     assert small[0] == W.JSON_SMALL_OBJECT
     assert W.json_serialize(docs[-1])[0] == W.JSON_LARGE_OBJECT
+
+
+def test_export_wire_files_x_per_stream_chains(spark, sf_dir, tmp_path):
+    """Binlog-X sink → per-stream wire chains: every stream renders its
+    own rotated file sequence (binlog-x-<sid>.NNNNNN), ROTATE links stay
+    inside a stream, each file's rows are in offset order, and the union
+    of all decoded streams multiset-equals the sink's rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.operators import routing
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    tmpdir = str(tmp_path)
+    out, wire = tmpdir + "/out", tmpdir + "/wire"
+    cfg = routing.StreamRoutingConfig(stream_count=4)
+    q, sink = pipeline.run_binlog_x_pipeline(
+        source.cdc_stream(spark, sf_dir), cfg, out, tmpdir + "/ckpt", rotate_rows=100
+    )
+    q.awaitTermination(120)
+
+    manifest = W.export_wire_files_x(spark, out, wire).collect()
+    files = sorted(os.listdir(wire))
+    assert files == sorted(r["file_name"] for r in manifest)
+    sink_rows = spark.read.parquet(out)
+    assert sum(r["n_events"] for r in manifest) == sink_rows.count()
+
+    decoded_all = []
+    for name in files:
+        sid = int(name.split("-x-")[1].split(".")[0])
+        evs = W.read_binlog_file(os.path.join(wire, name))
+        rotates = [e for e in evs if e["type"] == W.ROTATE_EVENT]
+        sid_files = [f for f in files if f.startswith(f"binlog-x-{sid}.")]
+        if name != sid_files[-1]:
+            nxt = rotates[-1]["next_file"]
+            assert nxt.startswith(f"binlog-x-{sid}."), (name, nxt)
+            assert nxt == sid_files[sid_files.index(name) + 1]
+        else:
+            assert not rotates
+        for e in evs:
+            if e["type"] in (W.WRITE_ROWS_EVENT, W.UPDATE_ROWS_EVENT, W.DELETE_ROWS_EVENT):
+                for row in e["rows"]:
+                    img = row[1] if e["type"] == W.UPDATE_ROWS_EVENT else row
+                    decoded_all.append((sid, e["db"], e["tbl"], img[0], img[1]))
+
+    expected = [
+        (r["stream_id"], r["db"], r["tbl"], r["pk"], r["value"])
+        for r in sink_rows.collect()
+    ]
+    assert sorted(decoded_all) == sorted(expected)
