@@ -1247,7 +1247,7 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
     return spark.createDataFrame(rows, out_schema) if rows else spark.createDataFrame([], out_schema)
 
 
-def read_wire_binlog(spark, wire_dir: str):
+def read_wire_binlog(spark, wire_dir: str, glob: str = "binlog.*"):
     """Decode a directory of wire binlog files back into an event frame
     (file_name, pos, kind, db, tbl, pk, value, xid) — the consumer attach
     path, distributed: ``binaryFile`` scan + per-file decode in
@@ -1315,7 +1315,7 @@ def read_wire_binlog(spark, wire_dir: str):
 
     return (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "binlog.*")  # skip _manifest.json
+        .option("pathGlobFilter", glob)  # default skips _manifest.json + X chains
         .load(wire_dir)
         .select("path", "content")
         .mapInPandas(

@@ -833,3 +833,12 @@ def test_export_wire_files_x_per_stream_chains(spark, sf_dir, tmp_path):
         for r in sink_rows.collect()
     ]
     assert sorted(decoded_all) == sorted(expected)
+
+    # single-stream attach: a consumer subscribes to ONE stream's chain
+    # via the glob — the Binlog-X dump-request shape (stream name scoped)
+    one = W.read_wire_binlog(spark, wire, glob="binlog-x-0.*")
+    n_rows_0 = sink_rows.filter(F.col("stream_id") == 0).count()
+    assert (
+        one.filter(F.col("kind").isin("INSERT", "UPDATE", "DELETE")).count()
+        == n_rows_0 > 0
+    )
