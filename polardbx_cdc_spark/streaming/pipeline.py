@@ -944,13 +944,22 @@ def compact_binlog(spark, out_dir: str, max_files_per_seq: int = 1) -> dict:
     # if complete, is re-derivable); if the live dir exists the swap
     # finished and the backup is stale — drop it. Either way the loop
     # below starts from a consistent directory.
-    for backup in sorted(_glob.glob(os.path.join(out_dir, "file_seq=*.pre_compact"))):
+    for backup in sorted(
+        _glob.glob(os.path.join(out_dir, "file_seq=*.pre_compact"))
+        + _glob.glob(os.path.join(out_dir, "stream_id=*", "file_seq=*.pre_compact"))
+    ):
         live = backup[: -len(".pre_compact")]
         if os.path.exists(live):
             shutil.rmtree(backup)
         else:
             os.rename(backup, live)
-    for part_dir in sorted(_glob.glob(os.path.join(out_dir, "file_seq=*"))):
+    # both layouts: BinlogSink (file_seq=*) and BinlogXSink
+    # (stream_id=*/file_seq=*) — per-stream partitions compact
+    # independently, so the X maintenance job is the same pass
+    for part_dir in sorted(
+        _glob.glob(os.path.join(out_dir, "file_seq=*"))
+        + _glob.glob(os.path.join(out_dir, "stream_id=*", "file_seq=*"))
+    ):
         if part_dir.endswith(".compacting") or part_dir.endswith(".pre_compact"):
             continue
         files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]

@@ -1313,3 +1313,46 @@ def test_stream_stream_ack_join_lag_and_lost(spark, tmp_path):
     assert len(rows) == len(exp), (len(rows), len(exp))
     assert rows == exp
     assert sum(1 for v in rows.values() if v is None) == n_lost_exp > 0
+
+
+def test_compact_binlog_x_layout(spark, tmpdir):
+    """compact_binlog also maintains the Binlog-X layout: every
+    stream_id=*/file_seq=* partition's small files compact to one,
+    content/order bit-preserved per stream."""
+    import glob
+    import os
+
+    from polardbx_cdc_spark.operators import routing
+
+    import shutil
+
+    cfg = routing.StreamRoutingConfig(stream_count=3)
+    q, sink = pipeline.run_binlog_x_pipeline(
+        source.cdc_stream(spark, SF),
+        cfg, tmpdir + "/out", tmpdir + "/ckpt", rotate_rows=200,
+    )
+    q.awaitTermination(180)
+
+    # shatter each per-stream partition into small files (micro-batch
+    # accumulation), same as the single-stream compaction test
+    for part in glob.glob(tmpdir + "/out/stream_id=*/file_seq=*"):
+        staged = part + ".frag"
+        spark.read.parquet(part).repartition(4).write.mode("overwrite").parquet(staged)
+        shutil.rmtree(part)
+        os.rename(staged, part)
+
+    before = spark.read.parquet(tmpdir + "/out")
+    rows_before = sorted(
+        (r["stream_id"], r["offset"], r["tso"]) for r in before.collect()
+    )
+    n_parts = len(glob.glob(tmpdir + "/out/stream_id=*/file_seq=*"))
+    assert n_parts > 0
+    stats = pipeline.compact_binlog(spark, tmpdir + "/out")
+    assert stats["files_after"] <= stats["files_before"]
+    after = spark.read.parquet(tmpdir + "/out")
+    rows_after = sorted(
+        (r["stream_id"], r["offset"], r["tso"]) for r in after.collect()
+    )
+    assert rows_after == rows_before
+    for part in glob.glob(tmpdir + "/out/stream_id=*/file_seq=*"):
+        assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) <= 1
