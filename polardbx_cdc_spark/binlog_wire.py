@@ -82,6 +82,7 @@ TYPE_SET = 248  # same — both travel as TYPE_STRING + 2-byte metadata
 TYPE_JSON = 245  # binary JSON document, BLOB-style length prefix
 TYPE_BLOB = 252
 TYPE_STRING = 254
+TYPE_GEOMETRY = 255  # opaque WKB bytes, BLOB-style length prefix
 
 HEADER_LEN = 19  # timestamp(4) type(1) server_id(4) event_len(4) next_pos(4) flags(2)
 CHECKSUM_LEN = 4
@@ -250,6 +251,10 @@ class TableDef:
                 types.append((TYPE_VARCHAR, m))
             elif t.startswith("json"):
                 types.append((TYPE_JSON, 4))  # 4-byte length prefix
+            elif t.startswith("geometry"):
+                # SRID+WKB payload passes through opaque (GeometryField.java
+                # treats it as bytes; types.py maps it to BinaryType)
+                types.append((TYPE_GEOMETRY, 4))
             elif t.startswith(("blob", "tinyblob", "mediumblob", "longblob",
                                "binary", "varbinary")):
                 prefix = {"tinyblob": 1, "mediumblob": 3, "longblob": 4}.get(
@@ -304,7 +309,7 @@ def _encode_col_meta(types: list[tuple[int, object]]) -> bytes:
     for tc, m in types:
         if tc == TYPE_VARCHAR:
             meta += struct.pack("<H", m)
-        elif tc in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB, TYPE_JSON):
+        elif tc in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB, TYPE_JSON, TYPE_GEOMETRY):
             meta += bytes([m])
         elif tc == TYPE_NEWDECIMAL:
             meta += bytes([m[0], m[1]])  # precision, scale
@@ -328,7 +333,7 @@ def _decode_col_meta(raw_types: list[int], meta_buf: bytes) -> list[tuple[int, o
         if rt == TYPE_VARCHAR:
             types.append((rt, struct.unpack_from("<H", meta_buf, mp)[0]))
             mp += 2
-        elif rt in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB, TYPE_JSON):
+        elif rt in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB, TYPE_JSON, TYPE_GEOMETRY):
             types.append((rt, meta_buf[mp]))
             mp += 1
         elif rt == TYPE_NEWDECIMAL:
@@ -606,6 +611,9 @@ def _encode_image(td: TableDef, values: list) -> bytes:
             # JSON blob, BLOB-style length prefix
             b = v if isinstance(v, (bytes, bytearray)) else json_serialize(v)
             out += len(b).to_bytes(m, "little") + bytes(b)
+        elif tc == TYPE_GEOMETRY:
+            b = bytes(v)
+            out += len(b).to_bytes(m, "little") + b
         elif tc == TYPE_STRING and m[0] in (TYPE_ENUM, TYPE_SET):
             # ENUM index / SET bitmask: pack_len-byte little-endian
             # unsigned (RowsLogBuffer.java:833-886 getUint8/16…48)
@@ -730,6 +738,11 @@ def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
             ln = int.from_bytes(buf[pos : pos + m], "little")
             pos += m
             values.append(json_parse(bytes(buf[pos : pos + ln])))
+            pos += ln
+        elif tc == TYPE_GEOMETRY:
+            ln = int.from_bytes(buf[pos : pos + m], "little")
+            pos += m
+            values.append(bytes(buf[pos : pos + ln]))
             pos += ln
         elif tc == TYPE_STRING and m[0] in (TYPE_ENUM, TYPE_SET):
             values.append(int.from_bytes(buf[pos : pos + m[1]], "little"))

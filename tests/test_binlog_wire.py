@@ -842,3 +842,23 @@ def test_export_wire_files_x_per_stream_chains(spark, sf_dir, tmp_path):
         one.filter(F.col("kind").isin("INSERT", "UPDATE", "DELETE")).count()
         == n_rows_0 > 0
     )
+
+
+def test_geometry_wkb_passthrough_round_trip():
+    """GEOMETRY columns carry opaque SRID+WKB bytes (GeometryField.java
+    semantics) — byte-exact through the row image."""
+    from polardbx_cdc_spark import binlog_wire as W
+
+    td = W.TableDef.from_mysql_types("d", "t", ["int", "geometry"])
+    # SRID 4326 + WKB for POINT(1 2), little-endian
+    wkb = (4326).to_bytes(4, "little") + bytes.fromhex(
+        "0101000000000000000000f03f0000000000000040"
+    )
+    rows = [[1, wkb], [2, None], [3, b""]]
+    buf = (
+        W.encode_fde()
+        + W.encode_table_map(4, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 4, td, rows)
+    )
+    got = [e for e in W.decode_events(buf) if e["type"] == W.WRITE_ROWS_EVENT][0]["rows"]
+    assert got == rows
