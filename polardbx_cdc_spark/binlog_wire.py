@@ -1779,13 +1779,20 @@ def json_parse(doc: bytes):
     return _json_parse_value(doc[0], doc, 1)
 
 
-def export_wire_files_x(spark, sink_dir: str, wire_dir: str):
+def export_wire_files_x(spark, sink_dir: str, wire_dir: str,
+                        incremental: bool = False):
     """Binlog-X attach surface: render a BinlogXSink directory
     (partitioned stream_id/file_seq) as per-stream REAL wire file chains
     ``binlog-x-<stream>.NNNNNN`` — each stream an independent rotated
     sequence, exactly the multi-stream layout the reference's Binlog-X
     dumpers serve (stream name convention from the Binlog-X task model;
     per-stream writer streaming/pipeline.py:BinlogXSink).
+
+    ``incremental=True`` mirrors the single-stream mode: an
+    ``_manifest_x.json`` records per-(stream, seq) event counts; only
+    files whose partition grew, appeared, or whose stream-tail just
+    gained a successor re-render — steady state re-renders one tail
+    file PER STREAM per cycle.
 
     Same scale shape as ``export_wire_files``: applyInPandas grouped by
     (stream_id, file_seq) — every file renders in its own task; only the
@@ -1800,12 +1807,50 @@ def export_wire_files_x(spark, sink_dir: str, wire_dir: str):
         "UPDATE": UPDATE_ROWS_EVENT,
         "DELETE": DELETE_ROWS_EVENT,
     }
+    import json
+
     df = spark.read.parquet(sink_dir)
     os.makedirs(wire_dir, exist_ok=True)
     max_seq = {
         r["stream_id"]: r["mx"]
         for r in df.groupBy("stream_id").agg(F.max("file_seq").alias("mx")).collect()
     }
+    manifest_path = os.path.join(wire_dir, "_manifest_x.json")
+    out_schema = (
+        "stream_id int, file_seq bigint, file_name string, "
+        "n_events bigint, n_bytes bigint"
+    )
+    prev: dict[tuple[int, int], int] = {}
+    if incremental:
+        try:
+            with open(manifest_path) as fh:
+                prev = {
+                    (int(k.split(":")[0]), int(k.split(":")[1])): v
+                    for k, v in json.load(fh).items()
+                }
+        except FileNotFoundError:
+            prev = {}
+        counts = {
+            (r["stream_id"], r["file_seq"]): r["n"]
+            for r in df.groupBy("stream_id", "file_seq")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        old_max = {}
+        for (sid, seq) in prev:
+            old_max[sid] = max(old_max.get(sid, -1), seq)
+        changed = {
+            (sid, seq)
+            for (sid, seq), n in counts.items()
+            if prev.get((sid, seq)) != n
+            or (seq == old_max.get(sid, -1) and max_seq[sid] > old_max.get(sid, -1))
+        }
+        if not changed:
+            return spark.createDataFrame([], out_schema)
+        cond = F.concat_ws(":", F.col("stream_id"), F.col("file_seq")).isin(
+            [f"{s}:{q}" for s, q in changed]
+        )
+        df = df.filter(cond)
 
     def render_file(key, pdf):
         import pandas as pd
@@ -1848,12 +1893,19 @@ def export_wire_files_x(spark, sink_dir: str, wire_dir: str):
             columns=["stream_id", "file_seq", "file_name", "n_events", "n_bytes"],
         )
 
-    out_schema = (
-        "stream_id int, file_seq bigint, file_name string, "
-        "n_events bigint, n_bytes bigint"
-    )
-    return (
+    result = (
         df.select("stream_id", "file_seq", "offset", "action", "db", "tbl", "pk", "value")
         .groupBy("stream_id", "file_seq")
         .applyInPandas(render_file, out_schema)
     )
+    if not incremental:
+        return result
+    rows = result.collect()  # bounded: one row per re-rendered file
+    merged = dict(prev)
+    for r in rows:
+        merged[(int(r["stream_id"]), int(r["file_seq"]))] = r["n_events"]
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({f"{s}:{q}": v for (s, q), v in merged.items()}, fh)
+    os.replace(tmp, manifest_path)
+    return spark.createDataFrame(rows, out_schema)

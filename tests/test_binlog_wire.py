@@ -862,3 +862,44 @@ def test_geometry_wkb_passthrough_round_trip():
     )
     got = [e for e in W.decode_events(buf) if e["type"] == W.WRITE_ROWS_EVENT][0]["rows"]
     assert got == rows
+
+
+def test_export_wire_files_x_incremental(spark, sf_dir, tmp_path):
+    """Incremental X export: first call renders everything; an unchanged
+    second call renders nothing; after more rows land in one stream's
+    tail, only the affected files (grown tail + its ROTATE-gaining
+    predecessor) re-render."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.operators import routing
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    tmpdir = str(tmp_path)
+    out, wire = tmpdir + "/out", tmpdir + "/wire"
+    cfg = routing.StreamRoutingConfig(stream_count=3)
+    q, _ = pipeline.run_binlog_x_pipeline(
+        source.cdc_stream(spark, sf_dir), cfg, out, tmpdir + "/ckpt", rotate_rows=150
+    )
+    q.awaitTermination(120)
+
+    m1 = W.export_wire_files_x(spark, out, wire, incremental=True).collect()
+    assert len(m1) > 0
+    assert W.export_wire_files_x(spark, out, wire, incremental=True).count() == 0
+
+    # grow stream 0's tail past a rotation boundary
+    sink_rows = spark.read.parquet(out)
+    tail_seq = sink_rows.filter(F.col("stream_id") == 0).agg(
+        F.max("file_seq")
+    ).collect()[0][0]
+    extra = sink_rows.filter(
+        (F.col("stream_id") == 0) & (F.col("file_seq") == tail_seq)
+    ).withColumn("file_seq", F.col("file_seq") + 1).withColumn(
+        "tso", F.concat(F.lit("9"), F.col("tso").substr(2, 47))
+    )
+    extra.write.mode("append").partitionBy("stream_id", "file_seq").parquet(out)
+
+    m3 = W.export_wire_files_x(spark, out, wire, incremental=True).collect()
+    rendered = {(r["stream_id"], r["file_seq"]) for r in m3}
+    assert (0, tail_seq + 1) in rendered        # the new tail
+    assert (0, tail_seq) in rendered            # predecessor gains ROTATE
+    assert all(sid == 0 for sid, _ in rendered)  # other streams untouched
