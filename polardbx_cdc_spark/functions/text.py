@@ -230,3 +230,63 @@ def fingerprint(text: Column) -> Column:
 def oracle_fingerprint(expr: str) -> str:
     norm = f"regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
     return f"CAST(('0x' || substr(md5({norm}), 1, 15)) AS BIGINT)"
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    list (Robertson-Sparck Jones IDF with the +1 floor) — the retrieval
+    scorer a curation pipeline ranks corpus slices with.
+
+    Shape: one explode → per-(doc, term) tf restricted to the query terms
+    (the explode filter prunes the shuffle to |terms|·docs rows), a
+    |terms|-row df aggregate that broadcasts, and a fixed-order
+    conditional-sum combine. Corpus stats (N, Σdl) are one 2-value
+    aggregate. Cross-engine determinism: every float expression is built
+    with the exact textual arithmetic the DuckDB oracle uses (identical
+    IEEE operation order), terms combine in a FIXED order (never a
+    float sum over nondeterministically-ordered rows), and the final
+    score rounds to 6 decimals (the repo's log-family convention).
+    Output: (id_col, bm25 double) for docs matching ≥1 term."""
+    toks = tokens(F.col(text_col))
+    tok_rows = docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+    dl = tok_rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    hits = tok_rows.filter(F.col("tok").isin(list(terms)))
+    tf = hits.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_t = hits.groupBy("tok").agg(
+        F.countDistinct(id_col).cast("double").alias("df")
+    )
+    per = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            F.col("tok"),
+            F.expr(
+                f"ln((n_docs - df + 0.5) / (df + 0.5) + 1) * (tf * {k1 + 1}) "
+                f"/ (tf + {k1} * ({1 - b} + {b} * dl / (sum_dl / n_docs)))"
+            ).alias("s"),
+        )
+    )
+    combine = [
+        F.max(F.when(F.col("tok") == t, F.col("s"))).alias(f"_s{i}")
+        for i, t in enumerate(terms)
+    ]
+    p = per.groupBy(id_col).agg(*combine)
+    total = " + ".join(f"coalesce(_s{i}, 0)" for i in range(len(terms)))
+    return p.select(F.col(id_col), F.expr(f"round({total}, 6)").alias("bm25"))

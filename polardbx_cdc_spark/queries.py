@@ -5083,3 +5083,44 @@ def orders_wire_enum_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.array_contains(F.split("flags", ","), "a"), 1).otherwise(0)
         ).cast("long").alias("n_flag_a"),
     )
+
+
+@register(
+    "text_bm25_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+    corpus AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl
+      FROM dl
+    ),
+    hits AS (SELECT doc_id, tok FROM toks WHERE tok IN ('join', 'scan', 'filter')),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM hits GROUP BY 1, 2),
+    dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM hits GROUP BY 1),
+    per AS (
+      SELECT tf.doc_id, tf.tok,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1) * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) AS s
+      FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+    ),
+    p AS (
+      SELECT doc_id,
+             max(CASE WHEN tok = 'join' THEN s END) AS _s0,
+             max(CASE WHEN tok = 'scan' THEN s END) AS _s1,
+             max(CASE WHEN tok = 'filter' THEN s END) AS _s2
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, round(coalesce(_s0, 0) + coalesce(_s1, 0) + coalesce(_s2, 0), 6)
+             AS bm25
+    FROM p
+    """,
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against the query {join, scan,
+    filter} (text.bm25_scores) — fixed-order term combine and textual
+    expression parity keep the IEEE arithmetic identical on both
+    engines, rounded at 6 decimals like the log-family queries."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bm25_scores(d, ["join", "scan", "filter"])
