@@ -329,3 +329,41 @@ def snapshot_via_watermarks(
     surv = watermark_interleave(chunk_rows, cdc, watermarks, chunk_expr, keys)
     ev = cdc.select(*keys, _ORD, "action", "value")
     return replay_to_state(surv.unionByName(ev), keys)
+
+
+def maintain_agg_view(cdc: DataFrame, keys: tuple[str, ...] = ("db", "tbl")) -> DataFrame:
+    """Incremental view maintenance of per-group COUNT/SUM(value) from
+    the change stream alone — no base-table rescan: each event becomes a
+    SIGNED delta against the key's reconstructed prior live state, and
+    one partial-aggregating groupBy folds the deltas. The per-key deltas
+    TELESCOPE, so the maintained view equals the aggregate over the
+    replayed final state for ANY stream shape (upsert semantics:
+    UPDATE-without-prior creates, DELETE-without-prior is a no-op — the
+    MergeApplier REPLACE model, §2.11). Money stays in integer cents per
+    the repo's cross-engine rule, so no float accumulation can drift.
+
+    On a real binlog the prior value rides in the event's before-image;
+    the harness stream's envelope copies the current value there
+    (model.py), so the prior state is reconstructed with ONE per-key
+    window — the shuffle a true before-image would avoid.
+    Output: keys + n_rows + value_cents."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("db", "tbl", "pk").orderBy(_ORD)
+    cents = F.round(F.col("value") * 100).cast("long")
+    post = F.when(F.col("action") != "DELETE", cents)  # live value after event
+    ev = cdc.select(*{*keys, "db", "tbl"}, "pk", _ORD, "action", post.alias("_post"))
+    ev = ev.withColumn("_prev", F.lag("_post").over(w))
+    existed = F.col("_prev").isNotNull()
+    d_rows = (
+        F.when((F.col("action") != "DELETE") & ~existed, F.lit(1))
+        .when((F.col("action") == "DELETE") & existed, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    d_cents = F.when(
+        F.col("action") == "DELETE", -F.coalesce(F.col("_prev"), F.lit(0))
+    ).otherwise(F.col("_post") - F.coalesce(F.col("_prev"), F.lit(0)))
+    return ev.groupBy(*keys).agg(
+        F.sum(d_rows).cast("long").alias("n_rows"),
+        F.sum(d_cents).cast("long").alias("value_cents"),
+    )

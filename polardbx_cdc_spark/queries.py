@@ -5124,3 +5124,30 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, rounded at 6 decimals like the log-family queries."""
     d = load_table(spark, sf_dir, "documents")
     return text.bm25_scores(d, ["join", "scan", "filter"])
+
+
+@register(
+    "cdc_ivm_agg_view",
+    oracle_cdc_query(
+        """
+        , fin AS (
+          SELECT db, tbl, pk, arg_max(action, tso) AS la, arg_max(value, tso) AS v
+          FROM cdc GROUP BY db, tbl, pk
+        )
+        SELECT db, tbl, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM fin WHERE la <> 'DELETE' GROUP BY db, tbl
+        """
+    ),
+)
+def cdc_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-table COUNT/SUM
+    (apply.maintain_agg_view): signed per-event deltas folded in one
+    aggregation. The oracle computes the GROUND TRUTH — the same
+    aggregate over the replayed final state — so the hash match proves
+    the telescoping law, not implementation parity. Groups whose rows
+    were ALL deleted telescope to an (n_rows=0, 0¢) row the maintained
+    view rightly keeps but a fresh ground-truth aggregate never emits —
+    dropped here so the frames align."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    return apply_ops.maintain_agg_view(cdc).filter(F.col("n_rows") > 0)

@@ -281,3 +281,48 @@ def test_watermark_interleave_drops_only_window_touched_keys(spark):
     final = apply_ops.snapshot_via_watermarks(chunk, cdc, wm, ce)
     got = {(r["pk"], r["value"]) for r in final.select("pk", "value").collect()}
     assert got == {("k1", 10.0), ("k2", 21.0), ("k3", 30.0)}
+
+
+def test_ivm_agg_view_telescopes_on_adversarial_chains(spark):
+    """IVM law on hand-built chains covering every edge: create-update-
+    delete, upsert (UPDATE first), delete-of-nonexistent no-op,
+    delete-then-reinsert, and all-deleted groups telescoping to a zero
+    row — maintained view == fresh aggregate over the replayed state."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.operators import apply as apply_ops
+
+    def t(n):
+        return f"{n:019d}" + "0" * 29
+
+    rows = [
+        # k1: I(5) U(7) D → gone
+        ("d", "a", "k1", t(1), "INSERT", 5.0),
+        ("d", "a", "k1", t(2), "UPDATE", 7.0),
+        ("d", "a", "k1", t(3), "DELETE", None),
+        # k2: upsert via UPDATE, then UPDATE
+        ("d", "a", "k2", t(4), "UPDATE", 4.5),
+        ("d", "a", "k2", t(5), "UPDATE", 6.25),
+        # k3: DELETE of nonexistent (no-op), then INSERT
+        ("d", "b", "k3", t(6), "DELETE", None),
+        ("d", "b", "k3", t(7), "INSERT", 10.0),
+        # k4: delete-then-reinsert
+        ("d", "b", "k4", t(8), "INSERT", 1.0),
+        ("d", "b", "k4", t(9), "DELETE", None),
+        ("d", "b", "k4", t(10), "INSERT", 2.0),
+        # group c: everything deleted → zero row kept by the view
+        ("d", "c", "k5", t(11), "INSERT", 9.0),
+        ("d", "c", "k5", t(12), "DELETE", None),
+    ]
+    cdc = spark.createDataFrame(
+        rows, "db string, tbl string, pk string, tso string, action string, value double"
+    )
+    got = {
+        (r["db"], r["tbl"]): (r["n_rows"], r["value_cents"])
+        for r in apply_ops.maintain_agg_view(cdc).collect()
+    }
+    assert got == {
+        ("d", "a"): (1, 625),
+        ("d", "b"): (2, 1200),
+        ("d", "c"): (0, 0),
+    }
