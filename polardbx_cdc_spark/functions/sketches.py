@@ -88,11 +88,19 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     Raw-regime estimator (n ≳ 2.5 m); the small-range linear-counting
     switch is deliberately out of scope and documented here.
     Output: one row (est_distinct bigint)."""
+    return hll_estimate_by(registers, ())
+
+
+def hll_estimate_by(registers: DataFrame, group_cols: tuple[str, ...]) -> DataFrame:
+    """Grouped form of ``hll_estimate``: one estimate per group over a
+    register table carrying ``group_cols`` (e.g. per-column NDV from a
+    melted multi-column register build). Same fixed-point arithmetic."""
     term = F.when(
         F.col("max_rho") <= F.lit(_S_SHIFT),
         F.expr(f"shiftleft(cast(1 as bigint), {_S_SHIFT} - max_rho)"),
     ).otherwise(F.lit(0).cast("long"))
-    agg = registers.agg(
+    gb = registers.groupBy(*group_cols) if group_cols else registers.groupBy()
+    agg = gb.agg(
         F.count(F.lit(1)).alias("n_present"),
         F.coalesce(F.sum(term), F.lit(0).cast("long")).alias("s_present"),
     )
@@ -106,9 +114,79 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         F.expr(f"_s div {1 << 24}").cast("long"), F.lit(1).cast("long")
     )
     return (
-        agg.select(s_fixed.alias("_s"))
-        .select((num).alias("_num"), s_r.alias("_sr"))
-        .select(F.expr(f"_num div ({1 << 12} * _sr)").alias("est_distinct"))
+        agg.select(*group_cols, s_fixed.alias("_s"))
+        .select(*group_cols, (num).alias("_num"), s_r.alias("_sr"))
+        .select(*group_cols, F.expr(f"_num div ({1 << 12} * _sr)").alias("est_distinct"))
+    )
+
+
+def analyze_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style per-column statistics in TWO passes total, however
+    many columns: pass 1 is one aggregate row (count / nulls / typed
+    min-max rendered to strings), pass 2 melts the columns into
+    (col_name, value) rows and builds ALL per-column HLL register sets in
+    one map-side-combining aggregation (≤ cols·256 groups) — the
+    optimizer-stats collection a 100 TB ANALYZE runs, never one scan per
+    column. NDV is the fixed-point HLL estimate (hash-exact cross-engine);
+    every value hashes via its cast-to-string rendering, so callers pass
+    columns with engine-stable renderings (ints, strings, dates).
+    Output: (col_name, n, n_null, ndv_est, min_v, max_v)."""
+    base = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[
+            e
+            for c in cols
+            for e in (
+                F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_null_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            )
+        ],
+    )
+    per_col = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("_n").alias("n"),
+                        F.col(f"_null_{c}").alias("n_null"),
+                        F.col(f"_min_{c}").alias("min_v"),
+                        F.col(f"_max_{c}").alias("max_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.*").filter(F.col("v").isNotNull())
+    h = F.md5(F.col("v"))
+    w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rho = F.when(w == F.lit(0), F.lit(_RHO_ZERO)).otherwise(
+        F.lit(_RHO_ZERO) - F.length(F.bin(w))
+    )
+    regs = (
+        melted.select("col_name", _hex_bucket(h).alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("col_name", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    ndv = hll_estimate_by(regs, ("col_name",)).withColumnRenamed(
+        "est_distinct", "ndv_est"
+    )
+    return per_col.join(ndv, "col_name").select(
+        "col_name", "n", "n_null", "ndv_est", "min_v", "max_v"
     )
 
 

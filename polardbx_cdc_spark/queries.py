@@ -5151,3 +5151,89 @@ def cdc_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped here so the frames align."""
     cdc = derive_cdc_stream(spark, sf_dir)
     return apply_ops.maintain_agg_view(cdc).filter(F.col("n_rows") > 0)
+
+
+@register(
+    "stats_analyze_orders",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS okey, o_custkey AS custkey, o_orderstatus AS status,
+             o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS odate
+      FROM orders
+    ),
+    melted AS (
+      SELECT 'okey' AS col_name, CAST(okey AS VARCHAR) AS v FROM o
+      UNION ALL SELECT 'custkey', CAST(custkey AS VARCHAR) FROM o
+      UNION ALL SELECT 'status', status FROM o
+      UNION ALL SELECT 'priority', priority FROM o
+      UNION ALL SELECT 'odate', CAST(odate AS VARCHAR) FROM o
+    ),
+    regs AS (
+      SELECT col_name, CAST('0x' || substr(md5(v), 1, 2) AS BIGINT) AS bucket,
+             CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END AS rho
+      FROM (
+        SELECT col_name, v, CAST('0x' || substr(md5(v), 3, 15) AS BIGINT) AS w
+        FROM melted WHERE v IS NOT NULL
+      )
+    ),
+    reg2 AS (SELECT col_name, bucket, max(rho) AS max_rho FROM regs GROUP BY 1, 2),
+    s AS (
+      SELECT col_name, count(*) AS n_present,
+             coalesce(CAST(sum(CASE WHEN max_rho <= 54
+                        THEN (CAST(1 AS BIGINT) << (54 - max_rho))
+                        ELSE 0 END) AS BIGINT), 0) AS s_present
+      FROM reg2 GROUP BY 1
+    ),
+    e AS (
+      SELECT col_name,
+             CAST((CAST(2942 AS BIGINT) * 256 * 256 * (CAST(1 AS BIGINT) << 30))
+             // (4096 * greatest(
+                  ((256 - n_present) * (CAST(1 AS BIGINT) << 54) + s_present)
+                    // (CAST(1 AS BIGINT) << 24),
+                  1)) AS BIGINT) AS ndv_est
+      FROM s
+    ),
+    base AS (
+      SELECT 'okey' AS col_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN okey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(min(okey) AS VARCHAR) AS min_v, CAST(max(okey) AS VARCHAR) AS max_v
+      FROM o
+      UNION ALL
+      SELECT 'custkey', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(min(custkey) AS VARCHAR), CAST(max(custkey) AS VARCHAR) FROM o
+      UNION ALL
+      SELECT 'status', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             min(status), max(status) FROM o
+      UNION ALL
+      SELECT 'priority', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             min(priority), max(priority) FROM o
+      UNION ALL
+      SELECT 'odate', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN odate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(min(odate) AS VARCHAR), CAST(max(odate) AS VARCHAR) FROM o
+    )
+    SELECT b.col_name, n, n_null, ndv_est, min_v, max_v
+    FROM base b JOIN e USING (col_name)
+    """,
+)
+def stats_analyze_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style optimizer statistics for five orders columns in two
+    passes regardless of column count (sketches.analyze_columns): one
+    aggregate row for count/null/min-max, one melted HLL build for all
+    NDV estimates. The NDV fixed-point arithmetic hash-matches the
+    oracle's replay; min/max render through engine-stable string forms
+    (ints, strings, dates)."""
+    o = load_table(spark, sf_dir, "orders")
+    frame = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    return sketches.analyze_columns(
+        frame, ["okey", "custkey", "status", "priority", "odate"]
+    )
