@@ -36,3 +36,26 @@ def co_located_join(spark: SparkSession, left_table: str, right_table: str, on: 
     """Join two tables bucketed on the same keys/count — no shuffle on
     either side (the plan shows zero Exchange under the join)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def zorder_expr(a: str, b: str, bits: int = 16) -> str:
+    """SQL text for the Morton (Z-order) interleave of two non-negative
+    integer columns — ``bits`` bits each, pure div/mod/multiply integer
+    arithmetic so the SAME expression text runs on Spark and (with
+    ``//`` for ``div``) DuckDB, bit-identically.
+
+    Z-ordering is the layout move for multi-dimensional data skipping at
+    100 TB: sort-by-zvalue before writing and every file's min/max spans
+    a small RECTANGLE in (a, b) space, so predicates on EITHER dimension
+    prune files — a single-column sort only prunes its own dimension
+    (same layout trick Delta's OPTIMIZE ZORDER BY applies)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} div {1 << i}) % 2) * {4 ** i}")
+        terms.append(f"(({b} div {1 << i}) % 2) * {2 * 4 ** i}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_oracle_expr(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB twin of ``zorder_expr`` (``//`` floor division)."""
+    return zorder_expr(a, b, bits).replace(" div ", " // ")

@@ -5237,3 +5237,55 @@ def stats_analyze_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.analyze_columns(
         frame, ["okey", "custkey", "status", "priority", "odate"]
     )
+
+
+@register(
+    "layout_zorder_orders",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS ck,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS dd
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, ck, dd,
+             {{Z}} AS zval
+      FROM o
+    ),
+    b AS (SELECT *, zval // {1 << 22} AS bucket_id FROM z)
+    SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(ck) AS BIGINT) AS ck_min, CAST(max(ck) AS BIGINT) AS ck_max,
+           CAST(min(dd) AS BIGINT) AS dd_min, CAST(max(dd) AS BIGINT) AS dd_max
+    FROM b GROUP BY bucket_id
+    """.replace("{Z}", __import__("polardbx_cdc_spark.operators.storage", fromlist=["zorder_oracle_expr"]).zorder_oracle_expr("ck", "dd")),
+)
+def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering of orders on (custkey, order-day):
+    Morton-interleave both dimensions (storage.zorder_expr — pure
+    integer arithmetic, bit-identical cross-engine), bucket the z-range,
+    and report each bucket's per-dimension min/max envelope — the
+    rectangles that make file-level skipping work on BOTH predicates.
+    The interleave is a shuffle-free codegen projection; the bucket
+    profile is one partial agg."""
+    o = load_table(spark, sf_dir, "orders")
+    frame = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("dd"),
+    )
+    from polardbx_cdc_spark.operators.storage import zorder_expr
+
+    z = frame.withColumn("zval", F.expr(zorder_expr("ck", "dd")))
+    b = z.withColumn("bucket_id", F.expr(f"zval div {1 << 22}").cast("long"))
+    return b.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("ck").cast("long").alias("ck_min"),
+        F.max("ck").cast("long").alias("ck_max"),
+        F.min("dd").cast("long").alias("dd_min"),
+        F.max("dd").cast("long").alias("dd_max"),
+    )

@@ -54,3 +54,40 @@ def test_cluster_conf_shapes():
     small = cluster_conf(data_tb=0.001, executor_cores_total=32)
     assert int(small["spark.sql.shuffle.partitions"]) == 64  # cores floor
     assert EXAMPLE_100TB == c
+
+
+def test_zorder_interleave_and_bucket_envelopes(spark):
+    """Morton-code laws: (1) the SQL interleave matches a pure-Python
+    bit interleave; (2) bucketing the z-range by 2^22 fixes the top 5
+    bits of each 16-bit dimension, so every bucket's (a, b) envelope is
+    at most 2^11 wide per dimension — the bounded rectangles file
+    skipping relies on."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.operators.storage import zorder_expr
+
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 255, 1023, 65535) for b in (0, 2, 77, 4095, 65535)],
+        "a long, b long",
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", F.expr(zorder_expr("a", "b"))).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): morton(a, b) for a, b in got}
+
+    from polardbx_cdc_spark import queries as Q
+
+    rows = Q.queries()["layout_zorder_orders"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["ck_max"] - r["ck_min"] < (1 << 11)
+        assert r["dd_max"] - r["dd_min"] < (1 << 11)
