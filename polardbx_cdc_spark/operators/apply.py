@@ -352,7 +352,8 @@ def maintain_agg_view(cdc: DataFrame, keys: tuple[str, ...] = ("db", "tbl")) -> 
     w = Window.partitionBy("db", "tbl", "pk").orderBy(_ORD)
     cents = F.round(F.col("value") * 100).cast("long")
     post = F.when(F.col("action") != "DELETE", cents)  # live value after event
-    ev = cdc.select(*{*keys, "db", "tbl"}, "pk", _ORD, "action", post.alias("_post"))
+    sel = list(dict.fromkeys([*keys, "db", "tbl"]))  # dedup, stable order
+    ev = cdc.select(*sel, "pk", _ORD, "action", post.alias("_post"))
     ev = ev.withColumn("_prev", F.lag("_post").over(w))
     existed = F.col("_prev").isNotNull()
     d_rows = (
