@@ -5289,3 +5289,97 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dd").cast("long").alias("dd_min"),
         F.max("dd").cast("long").alias("dd_max"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 // CAST(round(l_quantity) AS BIGINT)) AS cost_cents
+      FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p_partkey, p_name, p_type, ps.cost_cents, eu.s_name, eu.n_name,
+             eu.s_acctbal
+      FROM part
+      JOIN ps ON ps.partkey = p_partkey
+      JOIN eu ON eu.s_suppkey = ps.suppkey
+      WHERE p_size <= 15 AND p_type = 'STANDARD'
+    ),
+    best AS (SELECT p_partkey, min(cost_cents) AS best_cents FROM cand GROUP BY 1)
+    SELECT c.p_partkey, c.p_name, c.p_type, c.s_name, c.n_name,
+           CAST(c.cost_cents AS BIGINT) AS cost_cents
+    FROM cand c JOIN best b
+      ON c.p_partkey = b.p_partkey AND c.cost_cents = b.best_cents
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted to the reduced schema (no partsupp — supply cost
+    derives from lineitem as each supplier's minimum observed integer
+    unit price in cents): for STANDARD parts of size ≤ 15, every
+    EUROPE supplier matching the part's minimum cost. Plan shape: the
+    lineitem scan partial-aggregates to (supplier, part) BEFORE any
+    join; supplier×nation×region reduces to a broadcast dim; the
+    per-part minimum is a second small agg joined back (the decorrelated
+    form of Q2's correlated subquery). All integer math — `div` /
+    round-before-cast per the cross-engine rules."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy(
+            F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey")
+        )
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " div CAST(round(l_quantity) AS BIGINT)"
+                )
+            ).alias("cost_cents")
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    eu = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    cand = (
+        p.join(ps, ps.partkey == p.p_partkey)
+        .join(F.broadcast(eu), eu.s_suppkey == ps.suppkey)
+        .select("p_partkey", "p_name", "p_type", "cost_cents", "s_name", "n_name")
+    )
+    best = (
+        cand.groupBy("p_partkey")
+        .agg(F.min("cost_cents").alias("best_cents"))
+        .withColumnRenamed("p_partkey", "bk")
+    )
+    return (
+        cand.join(
+            best,
+            (F.col("p_partkey") == F.col("bk"))
+            & (F.col("cost_cents") == F.col("best_cents")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_type",
+            "s_name",
+            "n_name",
+            F.col("cost_cents").cast("long").alias("cost_cents"),
+        )
+    )
