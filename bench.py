@@ -68,6 +68,14 @@ HEADLINE = [
     "sketch_cm_heavy_hitters",
     "sketch_hist_quantiles",
     "sketch_bloom_decontaminate",
+    "q2_min_cost_supplier",
+    "text_bm25_scores",
+    "cdc_ivm_agg_view",
+    "layout_zorder_orders",
+    "stats_analyze_orders",
+    "events_json_wire_roundtrip",
+    "orders_wire_enum_typed",
+    "cdc_replica_lag_report",
 ]
 
 

@@ -5359,7 +5359,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
     )
     cand = (
-        p.join(ps, ps.partkey == p.p_partkey)
+        F.broadcast(p).join(ps, ps.partkey == p.p_partkey)
         .join(F.broadcast(eu), eu.s_suppkey == ps.suppkey)
         .select("p_partkey", "p_name", "p_type", "cost_cents", "s_name", "n_name")
     )
@@ -5370,7 +5370,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(
-            best,
+            F.broadcast(best),
             (F.col("p_partkey") == F.col("bk"))
             & (F.col("cost_cents") == F.col("best_cents")),
         )

@@ -443,3 +443,39 @@ def test_sketches_are_partial_agg_constant_state(spark):
     plan_cm = _plan(spark, "sketch_cm_heavy_hitters")
     assert "BroadcastHashJoin" in plan_cm, plan_cm  # sketch broadcast to probes
     assert "CartesianProduct" not in plan_cm, plan_cm
+
+
+def test_q2_partial_agg_before_join_and_broadcast_dims(spark):
+    """Q2's lineitem reduction must partial-aggregate BEFORE any join
+    (shuffle carries (supplier, part) pairs, not line items) and the
+    EUROPE supplier chain must broadcast — no SMJ anywhere."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivm_single_window_then_partial_agg(spark):
+    """IVM reconstructs prior state with ONE per-key window (no
+    SinglePartition — partitioned by the key) and folds deltas in a
+    partial agg; no join anywhere."""
+    plan = _plan(spark, "cdc_ivm_agg_view")
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_bm25_broadcasts_small_sides_no_cartesian_blowup(spark):
+    """BM25's df table and corpus stats broadcast; the only SMJ-eligible
+    join keys on doc_id after the explode is pruned to query terms."""
+    plan = _plan(spark, "text_bm25_scores")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zorder_is_shuffle_free_projection_plus_partial_agg(spark):
+    """The Morton interleave must stay a codegen projection — exactly one
+    exchange (the bucket agg), no window, no join."""
+    plan = _plan(spark, "layout_zorder_orders")
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
