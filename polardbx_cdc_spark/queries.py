@@ -4032,6 +4032,12 @@ def cdc_binlog_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = derive_cdc_stream(spark, sf_dir).select(
         "db", "tbl", "action", "pk", "value", "tso"
     )
+    # the single-file parquet source arrives as ONE partition; fan out so
+    # the Python byte codec uses every core (order is irrelevant here —
+    # the sink's offset assignment owns ordering, this query aggregates)
+    par = spark.sparkContext.defaultParallelism
+    if cdc.rdd.getNumPartitions() < par:
+        cdc = cdc.repartition(par)
     blobs = binlog_wire.events_to_binlog(cdc)
     decoded = binlog_wire.binlog_to_events(blobs)
     return decoded.groupBy("db", "tbl", "action").agg(
