@@ -1356,3 +1356,57 @@ def test_compact_binlog_x_layout(spark, tmpdir):
     assert rows_after == rows_before
     for part in glob.glob(tmpdir + "/out/stream_id=*/file_seq=*"):
         assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) <= 1
+
+
+def test_watermark_bootstrap_seeds_replica_then_live_stream_converges(spark, tmpdir):
+    """The 100 TB bootstrap flow end to end: a chunked copy taken DURING
+    the stream (DBLog watermark windows) seeds the replica state table as
+    batch 0, then the live stream applies in micro-batches on top — the
+    final replica equals a ground-truth replay of (pre-existing rows ∪
+    full log). No quiesce, no reconciliation pass, and the replica sink's
+    idempotent upsert absorbs the chunk/log overlap."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark import queries as Q
+    from polardbx_cdc_spark.operators import apply as apply_ops
+
+    sf = SF
+    cdc = derive_cdc_stream(spark, sf).persist()
+    base = Q._wm_base(spark, sf)
+    wm = Q._wm_watermarks(spark)
+    ce = Q._wm_chunk_expr()
+
+    chunks = apply_ops.simulate_chunk_reads(base, cdc, wm, ce)
+    surv = apply_ops.watermark_interleave(chunks, cdc, wm, ce)
+
+    sink = pipeline.ReplicaTableSink(tmpdir + "/replica", n_buckets=8)
+    sink(surv, batch_id=0)  # seed: the watermark-merged chunk copy
+    # live stream in 3 tso-ordered micro-batches (full log: the copy ran
+    # mid-stream, so early batches REPLAY events the chunks already
+    # reflect — the upsert must absorb them)
+    cdc_sorted = cdc.select("db", "tbl", "pk", "tso", "action", "value")
+    n_batches = 3
+    rows_per = cdc_sorted.count() // n_batches + 1
+    ordered = cdc_sorted.orderBy("tso").collect()
+    for i in range(n_batches):
+        part = ordered[i * rows_per : (i + 1) * rows_per]
+        if not part:
+            continue
+        bdf = spark.createDataFrame(part, cdc_sorted.schema)
+        sink(bdf, batch_id=i + 1)
+
+    got = {
+        (r["db"], r["tbl"], r["pk"], r["value"])
+        for r in sink.current(spark).select("db", "tbl", "pk", "value").collect()
+    }
+    expected = apply_ops.replay_to_state(
+        base.select(
+            "db", "tbl", "pk",
+            F.lit("0" * 48).alias("tso"),
+            F.lit("INSERT").alias("action"),
+            "value",
+        ).unionByName(cdc_sorted)
+    ).select("db", "tbl", "pk", "value")
+    exp = {tuple(r) for r in expected.collect()}
+    cdc.unpersist()
+    assert got == exp and len(got) > 0
