@@ -1410,3 +1410,48 @@ def test_watermark_bootstrap_seeds_replica_then_live_stream_converges(spark, tmp
     exp = {tuple(r) for r in expected.collect()}
     cdc.unpersist()
     assert got == exp and len(got) > 0
+
+
+def test_session_windows_stream_parity_with_batch(spark):
+    """Native session windows run on the STREAM (watermark + append
+    mode): every emitted closed session must exist identically in the
+    batch computation, and nearly all sessions close under a bounded
+    watermark — the stateful sessionization operator at 100 TB, state
+    evicted as the watermark passes each gap."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.session import load_table
+    from polardbx_cdc_spark.streaming.source import _as_stream_dir
+
+    ev = load_table(spark, SF, "events")
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(_as_stream_dir(SF, "events"))
+        .withWatermark("ts", "30 minutes")
+    )
+    q = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    assert got  # sessions actually closed and emitted
+    assert got <= batch, f"{len(got - batch)} emitted sessions disagree with batch"
+    assert len(got) / len(batch) > 0.9  # only the watermark tail stays open
