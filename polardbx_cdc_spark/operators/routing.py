@@ -140,3 +140,34 @@ def rebalance_plan(
         .withColumn("moved", F.col("old_stream") != F.col("new_stream"))
         .orderBy("old_stream", "new_stream")
     )
+
+
+def apply_rebalance(
+    df: DataFrame,
+    old_cfg: StreamRoutingConfig,
+    new_cfg: StreamRoutingConfig,
+    switch_tso: str,
+) -> DataFrame:
+    """Execute a Binlog-X stream-count change at a cut-over TSO: events
+    below the switch route on the OLD HashConfig, events at/after it on
+    the NEW one — the dispatcher's handover, expressed as one map-only
+    projection (both assignments are pure hash expressions; the branch
+    costs nothing and nothing shuffles).
+
+    The correctness contract (pinned in tests/test_stream_rebalance.py):
+    a routing key's events keep their relative order inside each phase,
+    a migrated key emits to exactly one stream per phase (no
+    double-delivery), and the cut is ALIGNED — every pre-switch event of
+    a key lands on its old stream, every post-switch event on its new
+    one, so a downstream that drains old streams to the switch TSO and
+    then attaches to new ones sees each key's full ordered history.
+    Output adds stream_id, phase ('pre'/'post'), and migrated."""
+    a = assign_stream(df, old_cfg).withColumnRenamed("stream_id", "old_stream")
+    b = assign_stream(a, new_cfg).withColumnRenamed("stream_id", "new_stream")
+    pre = F.col("tso") < F.lit(switch_tso)
+    return b.select(
+        *df.columns,
+        F.when(pre, F.col("old_stream")).otherwise(F.col("new_stream")).alias("stream_id"),
+        F.when(pre, F.lit("pre")).otherwise(F.lit("post")).alias("phase"),
+        (F.col("old_stream") != F.col("new_stream")).alias("migrated"),
+    )
