@@ -152,6 +152,8 @@ def sniff(payload: bytes) -> str | None:
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     return None
 
 
@@ -204,3 +206,124 @@ def audio_features(rate: int, samples: np.ndarray, feat_dim: int = 8) -> list[fl
         float(xs.mean()),
     ]
     return (feats + [0.0] * feat_dim)[:feat_dim]
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit truecolor RGB/RGBA, non-interlaced) — stdlib zlib only.
+# Full spec path: signature, IHDR/IDAT/IEND chunks with CRC32, zlib
+# inflate, and ALL FIVE scanline filters (None/Sub/Up/Average/Paeth)
+# reconstructed per the PNG 1.2 specification.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """H×W×3 (RGB) or H×W×4 (RGBA) uint8 → PNG bytes. Scanlines use the
+    Up filter (type 2) so decoders must exercise real reconstruction,
+    not just a None-filter fast path."""
+    import zlib as _z
+
+    h, w, c = arr.shape
+    if c not in (3, 4):
+        raise ValueError("encode_png expects H x W x 3|4")
+    color_type = 2 if c == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros((w, c), dtype=np.int16)
+    for y in range(h):
+        row = arr[y].astype(np.int16)
+        filt = ((row - prev) % 256).astype(np.uint8)
+        raw += b"\x02" + filt.tobytes()
+        prev = row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → H×W×C uint8. Verifies the signature and every chunk
+    CRC; supports 8-bit color types 2 (RGB) and 6 (RGBA),
+    non-interlaced, all five scanline filters."""
+    import zlib as _z
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or interlace:
+        raise ValueError("PNG slice covers 8-bit RGB/RGBA non-interlaced only")
+    c = 3 if color_type == 2 else 4
+    raw = _z.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub
+            rec = bytearray(stride)
+            for i in range(stride):
+                left = rec[i - c] if i >= c else 0
+                rec[i] = (line[i] + left) & 0xFF
+        elif ft == 2:  # Up
+            rec = bytearray((np.frombuffer(bytes(line), dtype=np.uint8) + prev).astype(np.uint8).tobytes())
+        elif ft == 3:  # Average
+            rec = bytearray(stride)
+            for i in range(stride):
+                left = rec[i - c] if i >= c else 0
+                rec[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = bytearray(stride)
+            for i in range(stride):
+                left = rec[i - c] if i >= c else 0
+                ul = int(prev[i - c]) if i >= c else 0
+                rec[i] = (line[i] + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out[y] = np.frombuffer(bytes(rec), dtype=np.uint8)
+    return out.reshape(h, w, c)

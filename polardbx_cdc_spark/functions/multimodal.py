@@ -211,14 +211,17 @@ def media_stats(media: DataFrame) -> DataFrame:
 
 
 def _decode_real(payload: bytes, feat_dim: int = 8) -> list[float]:
-    """Genuine byte-level decode for BMP / PPM / WAV (media_codecs.py —
-    zero external deps); unknown formats (JPEG/PNG/MP4 need external
+    """Genuine byte-level decode for BMP / PPM / PNG / WAV
+    (media_codecs.py — zero external deps, PNG via stdlib zlib with all
+    five scanline filters); unknown formats (JPEG/MP4 need external
     codecs) fall back to the documented md5 stub."""
     from polardbx_cdc_spark.functions import media_codecs as mc
 
     fmt = mc.sniff(payload)
-    if fmt in ("bmp", "ppm"):
-        arr = mc.decode_bmp(payload) if fmt == "bmp" else mc.decode_ppm(payload)
+    if fmt in ("bmp", "ppm", "png"):
+        arr = {"bmp": mc.decode_bmp, "ppm": mc.decode_ppm, "png": mc.decode_png}[fmt](
+            payload
+        )
         return mc.image_features(arr, feat_dim)
     if fmt == "wav":
         return mc.audio_features(*mc.decode_wav(payload), feat_dim)
@@ -252,12 +255,15 @@ def resize_images_real(df: DataFrame, target_w: int = 224, target_h: int = 224) 
 
     def _resize_one(b: bytes) -> bytes:
         fmt = mc.sniff(b)
-        if fmt in ("bmp", "ppm"):
-            arr = mc.decode_bmp(b) if fmt == "bmp" else mc.decode_ppm(b)
+        if fmt in ("bmp", "ppm", "png"):
+            arr = {"bmp": mc.decode_bmp, "ppm": mc.decode_ppm, "png": mc.decode_png}[
+                fmt
+            ](b)
             if arr.ndim == 2:
                 import numpy as np
 
                 arr = np.stack([arr] * 3, axis=-1)
+            arr = arr[:, :, :3]  # alpha dropped on the BMP re-encode
             return mc.encode_bmp(mc.resize_nearest(arr, target_w, target_h))
         return _resize_stub(b, target_w, target_h)
 
@@ -281,7 +287,8 @@ def resize_images_real(df: DataFrame, target_w: int = 224, target_h: int = 224) 
 def synth_real_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL media payloads keyed on doc_id: every third doc
     becomes a true BMP (seeded pixel noise), a true WAV (seeded PCM16
-    sine-plus-noise), or a true PPM — generated inside mapInPandas so the
+    sine-plus-noise), a true PPM, or a true RGBA PNG (Up-filtered,
+    zlib-deflated scanlines) — generated inside mapInPandas so the
     payload bytes never touch the driver. Gives the real-decode path
     genuine files to chew on at any scale."""
     import numpy as np
@@ -295,7 +302,7 @@ def synth_real_media(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 rng = np.random.RandomState(doc_id % (2**31))
-                m = doc_id % 3
+                m = doc_id % 4
                 if m == 0:
                     w, h = 16 + doc_id % 48, 16 + doc_id % 32
                     arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
@@ -308,10 +315,15 @@ def synth_real_media(docs: DataFrame) -> DataFrame:
                          + rng.randint(-500, 500, n)).astype(np.int16)
                     payload, kind, mime = mc.encode_wav(x, 8000), "audio", "audio/wav"
                     width, height, dur = None, None, n * 1000 // 8000
-                else:
+                elif m == 2:
                     w, h = 8 + doc_id % 24, 8 + doc_id % 16
                     arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
                     payload, kind, mime = mc.encode_ppm(arr), "image", "image/x-portable-pixmap"
+                    width, height, dur = w, h, None
+                else:
+                    w, h = 12 + doc_id % 40, 12 + doc_id % 20
+                    arr = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+                    payload, kind, mime = mc.encode_png(arr), "image", "image/png"
                     width, height, dur = w, h, None
                 rows["media_id"].append(doc_id)
                 rows["kind"].append(kind)
