@@ -154,6 +154,8 @@ def sniff(payload: bytes) -> str | None:
         return "wav"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        return "gif"
     return None
 
 
@@ -327,3 +329,201 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {ft} invalid")
         out[y] = np.frombuffer(bytes(rec), dtype=np.uint8)
     return out.reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): pure-Python LZW both directions — makes animated-GIF
+# frame EXTRACTION real (the video-shaped member of the media tier).
+# Scope: global color table, full-frame images (no partial-frame
+# disposal composition), no interlace.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, resets at 4096 codes,
+    little-endian bit packing, ends with EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    buf = b""
+    for byte in data:
+        nxt = buf + bytes([byte])
+        if nxt in table:
+            buf = nxt
+            continue
+        out_bits.append((table[buf], width))
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4096:
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        buf = bytes([byte])
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((eoi, width))
+    # pack little-endian
+    acc = n = 0
+    packed = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        packed.append(acc & 0xFF)
+    return bytes(packed)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos_bits = 0
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos_bits
+        v = 0
+        for i in range(width):
+            if pos_bits >= total_bits:
+                return eoi
+            if data[pos_bits >> 3] & (1 << (pos_bits & 7)):
+                v |= 1 << i
+            pos_bits += 1
+        return v
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+#: fixed 6·6·6 color cube + 40 grays global palette (web-safe-ish):
+#: deterministic quantization both directions without per-image palettes
+_GIF_CUBE = 6
+
+
+def _gif_palette() -> np.ndarray:
+    pal = []
+    lv = [0, 51, 102, 153, 204, 255]
+    for r in lv:
+        for g in lv:
+            for b in lv:
+                pal.append((r, g, b))
+    for i in range(256 - len(pal)):
+        v = i * 255 // max(255 - len(pal), 1)
+        pal.append((v, v, v))
+    return np.array(pal[:256], dtype=np.uint8)
+
+
+def _quantize(arr: np.ndarray) -> np.ndarray:
+    """RGB → palette indexes in the 6-level cube (nearest level)."""
+    lvl = np.clip((arr.astype(np.int32) + 25) // 51, 0, 5)
+    return (lvl[..., 0] * 36 + lvl[..., 1] * 6 + lvl[..., 2]).astype(np.uint8)
+
+
+def encode_gif(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """List of H×W×3 uint8 frames → animated GIF89a (global 6³ cube
+    palette, full-frame images, LZW-compressed). Colors quantize to the
+    cube; use cube-level values (0,51,...,255) for lossless round trips."""
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w = frames[0].shape[:2]
+    pal = _gif_palette()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 colors
+    out += pal.tobytes()
+    # netscape loop extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_ms // 10) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        idx = _quantize(fr).reshape(-1).tobytes()
+        lzw = _lzw_encode(idx, 8)
+        out += b"\x08"
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> list[np.ndarray]:
+    """GIF bytes → list of H×W×3 uint8 frames (global palette,
+    full-frame images)."""
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _x, _y, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+            lflags = payload[pos + 9]
+            pos += 10
+            fpal = pal
+            if lflags & 0x80:
+                n = 2 << (lflags & 7)
+                fpal = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(_lzw_decode(bytes(data), mcs), dtype=np.uint8)
+            frames.append(fpal[idx[: fw * fh]].reshape(fh, fw, 3))
+        else:
+            raise ValueError(f"unexpected GIF block {b0:#x} at {pos}")
+    return frames

@@ -168,14 +168,28 @@ FRAME_SCHEMA = T.StructType(
 def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 64) -> DataFrame:
     """Video frame sampling: 1 video row → N frame rows (the flatMap shape
     real pipelines need — mapInPandas output is NOT row-aligned with
-    input). Frame count = min(duration/every, max_frames); payload is the
-    stub frame-extract keyed on (video payload, frame index). Real
-    implementation: ffmpeg seek + decode per sampled timestamp."""
+    input). GIF payloads are REALLY decoded (media_codecs.decode_gif —
+    pure-Python LZW) and each sampled frame re-encodes as a BMP payload;
+    other containers (MP4 etc. need external codecs) keep the md5 stub
+    keyed on (video payload, frame index), frame count =
+    min(duration/every, max_frames)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from polardbx_cdc_spark.functions import media_codecs as mc
+
         for pdf in it:
             out = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
             for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                if mc.sniff(bytes(payload)) == "gif":
+                    frames = mc.decode_gif(bytes(payload))
+                    step = max(len(frames) // max_frames, 1)
+                    for i, fi in enumerate(range(0, len(frames), step)):
+                        out["media_id"].append(row["media_id"])
+                        out["frame_idx"].append(i)
+                        out["ts_ms"].append(fi * every_ms)
+                        out["payload"].append(mc.encode_bmp(frames[fi]))
+                    continue
                 dur = int(row["duration_ms"] or 0)
                 n = min(max(dur // every_ms, 0), max_frames)
                 for i in range(n):
@@ -183,7 +197,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 64) -> 
                     out["frame_idx"].append(i)
                     out["ts_ms"].append(i * every_ms)
                     out["payload"].append(
-                        hashlib.md5((row["payload"] or b"") + f"#f{i}".encode()).digest()
+                        hashlib.md5(payload + f"#f{i}".encode()).digest()
                     )
             yield pd.DataFrame(out)
 

