@@ -156,6 +156,8 @@ def sniff(payload: bytes) -> str | None:
         return "png"
     if payload[:6] in (b"GIF89a", b"GIF87a"):
         return "gif"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -527,3 +529,336 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         else:
             raise ValueError(f"unexpected GIF block {b0:#x} at {pos}")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU-T T.81): real encode + decode, numpy only.
+# Scope: 8-bit, grayscale or YCbCr 4:4:4 (no chroma subsampling), one
+# scan, tables CARRIED IN THE FILE (DQT/DHT) like every real JPEG — so
+# no dependence on the Annex-K defaults; lossy by quantization, exact
+# in dimensions and bounded in pixel error.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> list[int]:
+    """The 8×8 zigzag scan, generated (diagonal walk), not memorized."""
+    order = []
+    for s in range(15):
+        rng = range(min(s, 7), max(-1, s - 8), -1) if s % 2 == 0 else range(
+            max(0, s - 7), min(s, 7) + 1
+        )
+        for i in rng:
+            j = s - i
+            order.append(i * 8 + j)
+    return order
+
+
+_ZZ = _zigzag_order()
+_DCT_C = None
+
+
+def _dct_matrix() -> np.ndarray:
+    global _DCT_C
+    if _DCT_C is None:
+        k = np.arange(8)
+        C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+        C[0] *= 1 / np.sqrt(2)
+        _DCT_C = C
+    return _DCT_C
+
+
+def _quant_table(quality: int, chroma: bool) -> np.ndarray:
+    """Simple monotone quant surface scaled by quality (carried in DQT —
+    decoders read it from the file, so no spec default needed)."""
+    y, x = np.mgrid[0:8, 0:8]
+    base = 6 + (x + y) * (3 if not chroma else 5)
+    scale = 50.0 / quality if quality < 50 else (100 - quality) / 50.0
+    q = np.clip(np.round(base * max(scale, 0.02)), 1, 255)
+    return q.astype(np.int32)
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical Huffman: BITS (count per length 1..16) + symbol
+    list → {symbol: (code, length)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+#: fixed table geometry: DC categories 0..11 at 4 bits; AC run/size
+#: symbols (EOB, ZRL, and every (run 0..15, size 1..10)) at 9 bits.
+_DC_SYMS = list(range(12))
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_AC_BITS = [0] * 8 + [len(_AC_SYMS)] + [0] * 7
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def _amp_bits(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1  # one's-complement form
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """H×W (grayscale) or H×W×3 (RGB) uint8 → baseline JPEG bytes."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        comps = [arr.astype(np.float64)]
+    else:
+        f = arr.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
+        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+        comps = [y, cb, cr]
+    qt = [_quant_table(quality, False), _quant_table(quality, True)]
+    C = _dct_matrix()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for comp in comps:
+        p = np.zeros((bh * 8, bw * 8))
+        p[:h, :w] = comp
+        p[h:, :w] = comp[h - 1 : h, :]  # edge-extend padding
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p - 128.0)
+
+    bw_out = _BitWriter()
+    pred = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, p in enumerate(padded):
+                q = qt[0 if ci == 0 else 1]
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = C @ blk @ C.T
+                qc = np.round(coef / q).astype(np.int32)
+                zz = qc.reshape(-1)[_ZZ]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size = _category(diff)
+                code, ln = dc_codes[size]
+                bw_out.put(code, ln)
+                if size:
+                    bw_out.put(_amp_bits(diff, size), size)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        if run == 16:
+                            code, ln = ac_codes[0xF0]  # ZRL
+                            bw_out.put(code, ln)
+                            run = 0
+                        continue
+                    size = _category(v)
+                    code, ln = ac_codes[(run << 4) | size]
+                    bw_out.put(code, ln)
+                    bw_out.put(_amp_bits(v, size), size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]  # EOB
+                    bw_out.put(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, q in enumerate(qt[: 1 if gray else 2]):
+        out += seg(0xDB, bytes([tid]) + bytes(int(q.reshape(-1)[z]) for z in _ZZ))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+    out += seg(0xC0, sof)
+    for cls, tid, bits, syms in (
+        (0, 0, _DC_BITS, _DC_SYMS),
+        (1, 0, _AC_BITS, _AC_SYMS),
+    ):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(syms))
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc)) + b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw_out.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read1(self) -> int:
+        b = self.data[self.pos]
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+            # skip the stuffed 0x00 after a data 0xFF
+            if b == 0xFF and self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1
+        return v
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read1()
+        return v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → H×W (grayscale) or H×W×3 (RGB) uint8.
+    Tables come from the file's DQT/DHT; 4:4:4 or single-component only."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps_meta = []
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                tid = body[bpos] & 0x0F
+                if body[bpos] >> 4:
+                    raise ValueError("16-bit quant tables out of scope")
+                tbl = np.zeros(64, dtype=np.int32)
+                for i, z in enumerate(_ZZ):
+                    tbl[z] = body[bpos + 1 + i]
+                qts[tid] = tbl.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                cls, tid = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                syms = list(body[bpos + 17 : bpos + 17 + n])
+                huff[(cls, tid)] = {
+                    (length, code): sym
+                    for sym, (code, length) in _canonical_codes(bits, syms).items()
+                }
+                bpos += 17 + n
+        elif marker == 0xC0:
+            prec, ih, iw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit baseline")
+            comps_meta = [
+                (body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]) for i in range(nc)
+            ]
+            for _cid, samp, _qid in comps_meta:
+                if samp != 0x11:
+                    raise ValueError("JPEG slice covers 4:4:4 only")
+            sof = (ih, iw, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline SOF0")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_tables = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            data_start = pos + 2 + ln
+            ih, iw, nc = sof
+            bh, bw_ = (ih + 7) // 8, (iw + 7) // 8
+            rd = _BitReader(payload[data_start:])
+
+            def read_sym(table: dict) -> int:
+                code = 0
+                for length in range(1, 17):
+                    code = (code << 1) | rd.read1()
+                    if (length, code) in table:
+                        return table[(length, code)]
+                raise ValueError("bad Huffman code")
+
+            def extend(v: int, size: int) -> int:
+                return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+            C = _dct_matrix()
+            planes = [np.zeros((bh * 8, bw_ * 8)) for _ in range(nc)]
+            pred = [0] * nc
+            for by in range(bh):
+                for bx in range(bw_):
+                    for ci in range(nc):
+                        dc_t = huff[(0, scan_tables[ci][1] >> 4)]
+                        ac_t = huff[(1, scan_tables[ci][1] & 0x0F)]
+                        q = qts[comps_meta[ci][2]]
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = read_sym(dc_t)
+                        diff = extend(rd.read(size), size) if size else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = read_sym(ac_t)
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0x0F
+                            zz[k] = extend(rd.read(size), size)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_ZZ] = zz
+                        coef = blk.reshape(8, 8) * q
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            C.T @ coef @ C
+                        )
+            out = [np.clip(p[:ih, :iw] + 128.0, 0, 255) for p in planes]
+            if nc == 1:
+                return np.round(out[0]).astype(np.uint8)
+            y, cb, cr = out
+            r = y + 1.402 * (cr - 128)
+            g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+            b = y + 1.772 * (cb - 128)
+            return np.clip(
+                np.round(np.stack([r, g, b], axis=-1)), 0, 255
+            ).astype(np.uint8)
+        pos += 2 + ln
+    raise ValueError("no scan data found")

@@ -225,17 +225,20 @@ def media_stats(media: DataFrame) -> DataFrame:
 
 
 def _decode_real(payload: bytes, feat_dim: int = 8) -> list[float]:
-    """Genuine byte-level decode for BMP / PPM / PNG / WAV
-    (media_codecs.py — zero external deps, PNG via stdlib zlib with all
-    five scanline filters); unknown formats (JPEG/MP4 need external
-    codecs) fall back to the documented md5 stub."""
+    """Genuine byte-level decode for BMP / PPM / PNG / JPEG / WAV
+    (media_codecs.py — zero external deps: PNG via stdlib zlib with all
+    five scanline filters, JPEG baseline DCT+Huffman in numpy); unknown
+    containers (MP4 video) fall back to the documented md5 stub."""
     from polardbx_cdc_spark.functions import media_codecs as mc
 
     fmt = mc.sniff(payload)
-    if fmt in ("bmp", "ppm", "png"):
-        arr = {"bmp": mc.decode_bmp, "ppm": mc.decode_ppm, "png": mc.decode_png}[fmt](
-            payload
-        )
+    if fmt in ("bmp", "ppm", "png", "jpeg"):
+        arr = {
+            "bmp": mc.decode_bmp,
+            "ppm": mc.decode_ppm,
+            "png": mc.decode_png,
+            "jpeg": mc.decode_jpeg,
+        }[fmt](payload)
         return mc.image_features(arr, feat_dim)
     if fmt == "wav":
         return mc.audio_features(*mc.decode_wav(payload), feat_dim)
@@ -269,10 +272,13 @@ def resize_images_real(df: DataFrame, target_w: int = 224, target_h: int = 224) 
 
     def _resize_one(b: bytes) -> bytes:
         fmt = mc.sniff(b)
-        if fmt in ("bmp", "ppm", "png"):
-            arr = {"bmp": mc.decode_bmp, "ppm": mc.decode_ppm, "png": mc.decode_png}[
-                fmt
-            ](b)
+        if fmt in ("bmp", "ppm", "png", "jpeg"):
+            arr = {
+                "bmp": mc.decode_bmp,
+                "ppm": mc.decode_ppm,
+                "png": mc.decode_png,
+                "jpeg": mc.decode_jpeg,
+            }[fmt](b)
             if arr.ndim == 2:
                 import numpy as np
 
@@ -316,7 +322,7 @@ def synth_real_media(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 rng = np.random.RandomState(doc_id % (2**31))
-                m = doc_id % 4
+                m = doc_id % 5
                 if m == 0:
                     w, h = 16 + doc_id % 48, 16 + doc_id % 32
                     arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
@@ -334,10 +340,15 @@ def synth_real_media(docs: DataFrame) -> DataFrame:
                     arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
                     payload, kind, mime = mc.encode_ppm(arr), "image", "image/x-portable-pixmap"
                     width, height, dur = w, h, None
-                else:
+                elif m == 3:
                     w, h = 12 + doc_id % 40, 12 + doc_id % 20
                     arr = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
                     payload, kind, mime = mc.encode_png(arr), "image", "image/png"
+                    width, height, dur = w, h, None
+                else:
+                    w, h = 10 + doc_id % 30, 10 + doc_id % 14
+                    arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                    payload, kind, mime = mc.encode_jpeg(arr, 90), "image", "image/jpeg"
                     width, height, dur = w, h, None
                 rows["media_id"].append(doc_id)
                 rows["kind"].append(kind)

@@ -4098,27 +4098,30 @@ def lineitem_wire_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_real_decode",
     """
     SELECT CAST(doc_id AS BIGINT) AS media_id,
-           CASE WHEN doc_id % 4 = 1 THEN 'audio' ELSE 'image' END AS kind,
-           CAST(CASE doc_id % 4
+           CASE WHEN doc_id % 5 = 1 THEN 'audio' ELSE 'image' END AS kind,
+           CAST(CASE doc_id % 5
                 WHEN 0 THEN 16 + doc_id % 48
                 WHEN 1 THEN 800 + doc_id % 1600
                 WHEN 2 THEN 8 + doc_id % 24
-                ELSE 12 + doc_id % 40 END AS BIGINT) AS dim1,
-           CAST(CASE doc_id % 4
+                WHEN 3 THEN 12 + doc_id % 40
+                ELSE 10 + doc_id % 30 END AS BIGINT) AS dim1,
+           CAST(CASE doc_id % 5
                 WHEN 0 THEN 16 + doc_id % 32
                 WHEN 1 THEN NULL
                 WHEN 2 THEN 8 + doc_id % 16
-                ELSE 12 + doc_id % 20 END AS BIGINT) AS dim2
+                WHEN 3 THEN 12 + doc_id % 20
+                ELSE 10 + doc_id % 14 END AS BIGINT) AS dim2
     FROM documents
     """,
 )
 def media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode, hash-checked: genuine BMP/PPM/WAV/PNG payloads are
+    """REAL media decode, hash-checked: genuine BMP/PPM/WAV/PNG/JPEG payloads are
     synthesized inside Spark from doc_id-seeded parameters
     (multimodal.synth_real_media), then BYTE-DECODED for real
     (media_codecs.py — BMP pixel rows, netpbm rasters, RIFF/WAVE PCM16,
-    PNG zlib scanlines with full filter reconstruction; no codec
-    libraries), and the decoded properties (image width/height,
+    PNG zlib scanlines with full filter reconstruction, baseline JPEG
+    DCT+Huffman; no codec libraries), and the decoded properties
+    (image width/height,
     audio sample count) are compared against the oracle's ANALYTIC
     derivation of what was encoded. A single flipped byte, padding
     mistake, or off-by-one in any codec breaks the hash. Dataflow is the

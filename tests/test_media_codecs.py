@@ -52,7 +52,7 @@ def test_sniff_magic_bytes():
     assert mc.sniff(mc.encode_ppm(arr)) == "ppm"
     assert mc.sniff(mc.encode_wav(np.zeros(64, dtype=np.int16))) == "wav"
     assert mc.sniff(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16) == "png"  # native now
-    assert mc.sniff(b"\xff\xd8\xff\xe0" + b"\x00" * 16) is None  # JPEG: stub path
+    assert mc.sniff(b"\xff\xd8\xff\xe0" + b"\x00" * 16) == "jpeg"  # native now
     assert mc.sniff(None) is None
 
 
@@ -208,3 +208,41 @@ def test_gif_lzw_round_trip_and_kwkwk():
     for a, b in zip(frames, back):
         assert np.array_equal(a, b)
     assert mc.sniff(mc.encode_gif(frames)) == "gif"
+
+
+def test_jpeg_baseline_round_trip_bounds():
+    """Baseline JPEG: dimensions exact (incl. non-multiple-of-8 with
+    edge-extend padding + crop), flat blocks lossless, smooth gradients
+    within tight quantization error, gray + RGB, marker/stuffing layout
+    parseable from the file's own DQT/DHT tables."""
+    import numpy as np
+    import pytest
+
+    from polardbx_cdc_spark.functions import media_codecs as mc
+
+    y, x = np.mgrid[0:13, 0:21]
+    img = np.stack([(x * 7) % 256, (y * 5) % 256, ((x + y) * 3) % 256], axis=-1).astype(
+        np.uint8
+    )
+    back = mc.decode_jpeg(mc.encode_jpeg(img, 90))
+    assert back.shape == img.shape
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 4
+
+    flat = np.full((8, 8, 3), 128, dtype=np.uint8)
+    assert np.array_equal(mc.decode_jpeg(mc.encode_jpeg(flat, 85)), flat)
+
+    g = ((x * 3 + y * 2) % 256).astype(np.uint8)[:11, :19]
+    bg = mc.decode_jpeg(mc.encode_jpeg(g, 90))
+    assert bg.shape == (11, 19)
+    assert np.abs(bg.astype(int) - g.astype(int)).max() <= 4
+
+    rng = np.random.default_rng(2)
+    noise = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    bn = mc.decode_jpeg(mc.encode_jpeg(noise, 95))
+    assert bn.shape == noise.shape
+    assert np.abs(bn.astype(int) - noise.astype(int)).mean() < 8  # lossy but close
+
+    blob = mc.encode_jpeg(img, 90)
+    assert mc.sniff(blob) == "jpeg"
+    with pytest.raises(ValueError, match="no SOI"):
+        mc.decode_jpeg(b"nope")
