@@ -1,0 +1,169 @@
+"""Property-based fuzzing (hypothesis) of the byte codecs: typed wire
+row images over random schemas+values, binary JSON documents, LZW, and
+the image codecs. Pure Python — no Spark session."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from polardbx_cdc_spark import binlog_wire as W
+
+# --- typed row images ------------------------------------------------------
+# strategy: a (decl, value-strategy) pair per column type; build random
+# tables of 1..6 columns, random rows with NULLs, and round trip through
+# TABLE_MAP + WRITE_ROWS.
+
+_COLUMN_KINDS = [
+    ("tinyint", st.integers(-128, 127)),
+    ("tinyint unsigned", st.integers(0, 255)),
+    ("smallint", st.integers(-(1 << 15), (1 << 15) - 1)),
+    ("mediumint", st.integers(-(1 << 23), (1 << 23) - 1)),
+    ("int", st.integers(-(1 << 31), (1 << 31) - 1)),
+    ("bigint", st.integers(-(1 << 63), (1 << 63) - 1)),
+    ("bigint unsigned", st.integers(0, (1 << 64) - 1)),
+    ("double", st.floats(allow_nan=False, allow_infinity=False, width=64)),
+    (
+        "decimal(18,4)",
+        st.decimals(
+            min_value=Decimal("-99999999999999.9999"),
+            max_value=Decimal("99999999999999.9999"),
+            places=4,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+    ),
+    ("varchar(255)", st.text(max_size=80)),
+    ("char(20)", st.text(max_size=20)),
+    ("date", st.dates(datetime.date(1000, 1, 1), datetime.date(9999, 12, 31))),
+    (
+        "datetime(6)",
+        st.datetimes(
+            datetime.datetime(1000, 1, 1), datetime.datetime(9999, 12, 28)
+        ),
+    ),
+    (
+        "time(6)",
+        st.timedeltas(
+            min_value=-datetime.timedelta(hours=800),
+            max_value=datetime.timedelta(hours=800),
+        ),
+    ),
+    ("blob", st.binary(max_size=64)),
+    ("enum('a','b','c','d')", st.integers(1, 4)),
+    ("set('p','q','r','s','t')", st.integers(0, 31)),
+    ("bit(12)", st.integers(0, (1 << 12) - 1)),
+    ("year", st.integers(1901, 2155)),
+]
+
+
+@st.composite
+def _tables(draw):
+    cols = draw(st.lists(st.sampled_from(_COLUMN_KINDS), min_size=1, max_size=6))
+    rows = []
+    for _ in range(draw(st.integers(1, 5))):
+        rows.append(
+            [None if draw(st.booleans()) and draw(st.booleans()) else draw(vs)
+             for _, vs in cols]
+        )
+    return [d for d, _ in cols], rows
+
+
+def _norm(decl, v):
+    if v is None:
+        return None
+    if decl.startswith("time"):
+        # wire truncates to fsp precision (micros here, fsp=6 → exact)
+        return v
+    return v
+
+
+@given(_tables())
+@settings(max_examples=120, deadline=None)
+def test_typed_row_images_round_trip_any_schema(table):
+    decls, rows = table
+    td = W.TableDef.from_mysql_types("d", "t", decls)
+    buf = (
+        W.encode_fde()
+        + W.encode_table_map(1, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td, rows)
+    )
+    got = [e for e in W.decode_events(buf) if e["type"] == W.WRITE_ROWS_EVENT][0][
+        "rows"
+    ]
+    assert len(got) == len(rows)
+    for grow, row in zip(got, rows):
+        for gv, v, decl in zip(grow, row, decls):
+            if v is None:
+                assert gv is None
+                continue
+            if decl.startswith("double"):
+                assert gv == v or (gv != gv and v != v)
+            elif decl.startswith("decimal"):
+                assert Decimal(gv) == Decimal(v)
+            else:
+                assert gv == _norm(decl, v), (decl, v, gv)
+
+
+# --- binary JSON -----------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(1 << 63), (1 << 64) - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=40),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=6),
+        st.dictionaries(st.text(max_size=12), children, max_size=6),
+    ),
+    max_leaves=25,
+)
+
+
+@given(_json_values)
+@settings(max_examples=200, deadline=None)
+def test_binary_json_round_trips_any_document(doc):
+    assert W.json_parse(W.json_serialize(doc)) == doc
+
+
+# --- LZW + images ----------------------------------------------------------
+
+
+@given(st.binary(max_size=4000))
+@settings(max_examples=100, deadline=None)
+def test_gif_lzw_round_trips_any_bytes(data):
+    from polardbx_cdc_spark.functions import media_codecs as mc
+
+    assert mc._lzw_decode(mc._lzw_encode(data, 8), 8) == data
+
+
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(3, 4), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_round_trips_any_image(h, w, c, seed):
+    from polardbx_cdc_spark.functions import media_codecs as mc
+
+    arr = np.random.RandomState(seed % (2**31)).randint(
+        0, 256, (h, w, c), dtype=np.uint8
+    )
+    assert np.array_equal(mc.decode_png(mc.encode_png(arr)), arr)
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_dims_exact_and_error_bounded(h, w, seed):
+    from polardbx_cdc_spark.functions import media_codecs as mc
+
+    arr = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    back = mc.decode_jpeg(mc.encode_jpeg(arr, 95))
+    assert back.shape == arr.shape
+    # random noise is the worst case for DCT coding; the bound is loose
+    # but must hold for EVERY image (dims/layout bugs explode it)
+    assert np.abs(back.astype(int) - arr.astype(int)).mean() < 24
