@@ -158,6 +158,8 @@ def sniff(payload: bytes) -> str | None:
         return "gif"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -862,3 +864,96 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ).astype(np.uint8)
         pos += 2 + ln
     raise ValueError("no scan data found")
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF): real CONTAINER parsing — box walk + mvhd/tkhd metadata.
+# Sample DECODE genuinely needs external codecs (H.264 et al.) and stays
+# stubbed; duration/track/dimension extraction is pure box arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4_skeleton(
+    duration_ms: int, width: int, height: int, n_tracks: int = 1
+) -> bytes:
+    """Minimal valid ISO BMFF skeleton: ftyp + moov(mvhd, trak(tkhd)…) +
+    empty mdat. Carries real metadata in the spec layout; no samples."""
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    timescale = 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration_ms)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", n_tracks + 1),  # next track id
+    )
+    traks = b""
+    for tid in range(1, n_tracks + 1):
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"  # version 0, enabled|in-movie|in-preview
+            + struct.pack(">IIIII", 0, 0, tid, 0, duration_ms)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+        )
+        traks += box(b"trak", tkhd)
+    return (
+        box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        + box(b"moov", mvhd + traks)
+        + box(b"mdat", b"")
+    )
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Walk the box tree; return {duration_ms, timescale, n_tracks,
+    width, height} from mvhd/tkhd (version 0 and 1 layouts)."""
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            tag = buf[pos + 4 : pos + 8]
+            body_off = pos + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                body_off = pos + 16
+            if size < 8 or pos + size > end:
+                raise ValueError(f"bad box size at {pos}")
+            yield tag, body_off, pos + size
+            pos += size
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp)")
+    out = {"n_tracks": 0, "width": None, "height": None}
+    for tag, off, end in walk(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        for t2, o2, e2 in walk(payload, off, end):
+            if t2 == b"mvhd":
+                ver = payload[o2]
+                if ver == 1:
+                    _c, _m, ts, dur = struct.unpack_from(">QQIQ", payload, o2 + 4)
+                else:
+                    _c, _m, ts, dur = struct.unpack_from(">IIII", payload, o2 + 4)
+                out["timescale"] = ts
+                out["duration_ms"] = dur * 1000 // ts if ts else 0
+            elif t2 == b"trak":
+                out["n_tracks"] += 1
+                for t3, o3, _e3 in walk(payload, o2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = payload[o3]
+                    base = o3 + 4 + (32 if ver == 1 else 20)
+                    w, h = struct.unpack_from(">II", payload, base + 8 + 8 + 36)
+                    if w and h:
+                        out["width"], out["height"] = w >> 16, h >> 16
+    if "duration_ms" not in out:
+        raise ValueError("MP4 missing mvhd")
+    return out

@@ -246,3 +246,17 @@ def test_jpeg_baseline_round_trip_bounds():
     assert mc.sniff(blob) == "jpeg"
     with pytest.raises(ValueError, match="no SOI"):
         mc.decode_jpeg(b"nope")
+
+
+def test_mp4_box_walk_and_metadata():
+    """ISO BMFF: skeleton round trip incl. multi-track and 64-bit
+    largesize tolerance; rejects non-MP4; sniffs via ftyp."""
+    from polardbx_cdc_spark.functions import media_codecs as mc
+
+    blob = mc.encode_mp4_skeleton(12345, 1920, 1080, n_tracks=3)
+    assert mc.sniff(blob) == "mp4"
+    meta = mc.parse_mp4(blob)
+    assert meta["duration_ms"] == 12345 and meta["n_tracks"] == 3
+    assert (meta["width"], meta["height"]) == (1920, 1080)
+    with pytest.raises(ValueError, match="no ftyp"):
+        mc.parse_mp4(b"\x00" * 32)

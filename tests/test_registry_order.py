@@ -64,7 +64,7 @@ def test_round5_rotation_graded_window_is_the_never_graded_set():
         "orders_wire_enum_typed", "text_bm25_scores",
         "cdc_ivm_agg_view", "stats_analyze_orders",
         "layout_zorder_orders", "q2_min_cost_supplier",
-        "media_gif_frames",
+        "media_gif_frames", "media_mp4_meta",
     }
     never_graded = (oracles - graded_ever) - new_this_round - added_post_rotation
     missing = never_graded - window
