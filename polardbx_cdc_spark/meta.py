@@ -225,6 +225,71 @@ class SchemaRegistry:
         return out
 
     # -- TableMetaTSDB.snapshot() -------------------------------------------
+    # -- durable meta store (TableMetaTSDB persists snapshots + DDL
+    # history to MetaDB so a restarted task rebuilds without re-reading
+    # the whole binlog; PolarDbXTableMetaManager applySnapshot/
+    # applyHistory) -------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Serialize the full version history atomically (tmp + rename).
+        The artifact is the registry's complete state: a restarted task
+        loads it and continues applying DDL from the saved high-water
+        TSO instead of replaying history."""
+        import json
+        import os
+
+        doc = {
+            "databases": sorted(self._databases),
+            "tables": [
+                {
+                    "db": db,
+                    "tbl": tbl,
+                    "versions": [
+                        {
+                            "tso": t,
+                            "columns": list(s.columns),
+                            "pks": list(s.pks),
+                            "hidden_pks": list(s.hidden_pks),
+                            "types": list(s.types),
+                        }
+                        for t, s in zip(h.tsos, h.schemas)
+                    ],
+                }
+                for (db, tbl), h in sorted(self._tables.items())
+            ],
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "SchemaRegistry":
+        import json
+
+        with open(path) as fh:
+            doc = json.load(fh)
+        reg = cls()
+        reg._databases = set(doc.get("databases", []))
+        for t in doc["tables"]:
+            h = _TableHistory()
+            for v in t["versions"]:
+                h.tsos.append(v["tso"])
+                h.schemas.append(
+                    TableSchema(
+                        columns=tuple(v["columns"]),
+                        pks=tuple(v["pks"]),
+                        hidden_pks=tuple(v["hidden_pks"]),
+                        types=tuple(v["types"]),
+                    )
+                )
+            reg._tables[(t["db"], t["tbl"])] = h
+        return reg
+
+    def high_water(self) -> str:
+        """Highest applied TSO — where a restarted task resumes DDL
+        application from."""
+        return max((h.tsos[-1] for h in self._tables.values() if h.tsos), default="")
+
     def snapshot(self, tso: str | None = None) -> dict[tuple[str, str], TableSchema]:
         """All live tables (optionally as of a TSO)."""
         out: dict[tuple[str, str], TableSchema] = {}

@@ -208,3 +208,36 @@ def test_versioned_rebuild_per_event_schema(spark):
     assert got[_tso(15)] == ["a", "b", "id"]
     assert got[_tso(25)] == ["b", "id"]
     assert got[_tso(35)] == ["a", "b", "id"]
+
+
+def test_registry_save_load_round_trip_and_resume(tmp_path):
+    """Durable meta store (TableMetaTSDB persistence): save → load
+    reproduces the registry bit-for-bit (version intervals, snapshots,
+    per-TSO finds), and a loaded registry keeps accepting DDL from the
+    saved high-water mark — restart without binlog replay."""
+    from polardbx_cdc_spark.meta import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_sql("0" * 19 + "0" * 29, "CREATE DATABASE app")
+    reg.apply_sql(f"{1:019d}" + "0" * 29, "CREATE TABLE app.t1 (id BIGINT PRIMARY KEY, v DOUBLE)")
+    reg.apply_sql(f"{2:019d}" + "0" * 29, "ALTER TABLE app.t1 ADD COLUMN note VARCHAR(64)")
+    reg.apply_sql(f"{3:019d}" + "0" * 29, "CREATE TABLE app.t2 (pk INT, x DECIMAL(10,2))")
+    reg.apply_sql(f"{4:019d}" + "0" * 29, "ALTER TABLE app.t1 DROP COLUMN v")
+
+    path = str(tmp_path / "meta.json")
+    reg.save(path)
+    back = SchemaRegistry.load(path)
+
+    assert back.version_intervals() == reg.version_intervals()
+    assert back.databases() == reg.databases()
+    assert back.high_water() == reg.high_water() == f"{4:019d}" + "0" * 29
+    for t in range(1, 5):
+        tso = f"{t:019d}" + "9" * 29
+        assert back.find("app", "t1", tso) == reg.find("app", "t1", tso)
+    assert back.snapshot() == reg.snapshot()
+
+    # resume applying on the loaded registry
+    back.apply_sql(f"{5:019d}" + "0" * 29, "ALTER TABLE app.t2 ADD COLUMN y INT")
+    assert back.find("app", "t2", f"{5:019d}" + "9" * 29).columns == ("pk", "x", "y")
+    # original untouched
+    assert reg.find("app", "t2", f"{5:019d}" + "9" * 29).columns == ("pk", "x")
