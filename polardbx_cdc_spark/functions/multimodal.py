@@ -304,6 +304,17 @@ def resize_images_real(df: DataFrame, target_w: int = 224, target_h: int = 224) 
     ).mapInPandas(_batches, RESIZED_SCHEMA)
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Small parquet inputs arrive as ONE partition, and every media op
+    downstream is a heavy Python codec — spread to the cluster's
+    parallelism first (same rule as the wire codecs: one cheap shuffle
+    of ids buys an n_cores speedup on the per-row work)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def synth_real_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL media payloads keyed on doc_id: every third doc
     becomes a true BMP (seeded pixel noise), a true WAV (seeded PCM16
@@ -365,4 +376,4 @@ def synth_real_media(docs: DataFrame) -> DataFrame:
             out["duration_ms"] = pd.array(rows["duration_ms"], dtype="Int64")
             yield out
 
-    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
+    return _fan_out(docs.select("doc_id")).mapInPandas(_batches, MEDIA_SCHEMA)

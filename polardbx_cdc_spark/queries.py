@@ -5441,7 +5441,9 @@ def media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["duration_ms"].append(n * 100)
             yield pd.DataFrame(rows)
 
-    media = docs.select("doc_id").mapInPandas(
+    from polardbx_cdc_spark.functions.multimodal import _fan_out
+
+    media = _fan_out(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, kind string, payload binary, duration_ms long"
     )
     frames = multimodal.sample_frames(media, every_ms=100, max_frames=64)
@@ -5514,7 +5516,9 @@ def media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["height"].append(meta["height"])
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    from polardbx_cdc_spark.functions.multimodal import _fan_out
+
+    return _fan_out(docs.select("doc_id")).mapInPandas(
         run,
         "media_id long, duration_ms long, n_tracks long, width long, height long",
     )
