@@ -479,3 +479,27 @@ def test_zorder_is_shuffle_free_projection_plus_partial_agg(spark):
     plan = _plan(spark, "layout_zorder_orders")
     assert plan.count("+- Exchange") == 1, plan
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_no_cartesian_product_anywhere_in_the_registry(spark):
+    """Global scale-safety net: NO registered query may plan a
+    CartesianProduct at sf0.001 — the one join shape that can never
+    survive a 100× scale-up. (BroadcastNestedLoopJoin over provably tiny
+    frames is allowed — e.g. the histogram-quantile rank probe — but a
+    cartesian over two unbounded sides is always a bug.)"""
+    import contextlib
+    import io
+
+    offenders = []
+    for name, fn in Q.queries().items():
+        try:
+            df = fn(spark, SF)
+        except Exception as exc:  # noqa: BLE001 — a broken build is its own failure
+            offenders.append((name, f"build failed: {exc}"))
+            continue
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        if "CartesianProduct" in buf.getvalue():
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders
