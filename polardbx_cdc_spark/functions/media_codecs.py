@@ -444,8 +444,9 @@ def _gif_palette() -> np.ndarray:
         for g in lv:
             for b in lv:
                 pal.append((r, g, b))
-    for i in range(256 - len(pal)):
-        v = i * 255 // max(255 - len(pal), 1)
+    n_gray = 256 - len(pal)
+    for i in range(n_gray):
+        v = i * 255 // max(n_gray - 1, 1)  # even ramp 0..255
         pal.append((v, v, v))
     return np.array(pal[:256], dtype=np.uint8)
 
