@@ -503,3 +503,41 @@ def test_no_cartesian_product_anywhere_in_the_registry(spark):
         if "CartesianProduct" in buf.getvalue():
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime filtering: a selective dim predicate injects a bloom
+    filter into the FACT scan side (might_contain on the join key) when
+    the join can't broadcast — at 100 TB this is the optimizer feature
+    that turns a big-big join into a pre-filtered one without any manual
+    semi-join. Test lowers the application-side size threshold (defaults
+    assume multi-GB scans); production leaves the defaults."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(SF + "/lineitem.parquet")
+        o = spark.read.parquet(SF + "/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue(), buf.getvalue()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
