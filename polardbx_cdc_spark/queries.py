@@ -128,6 +128,13 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "embed_kmeans_assign",
 )
 
+#: ROUND-6 ROTATION NOTE: ~21 oracle-backed queries registered after the
+#: round-5 rotation (cdc_watermark_snapshot, the sketch family, the wire
+#: graded queries, IVM, BM25, Z-order, ANALYZE, Q2, media gif/mp4, …)
+#: queue immediately after the 50-slot window — next round, promote them
+#: into _GRADE_PRIORITY and evict r5-graded veterans into _GRADE_DEFER
+#: (the list is pinned by tests/test_registry_order.py
+#: ::test_round5_rotation…::added_post_rotation).
 #: Oracle-backed entries outside the round-5 window. Every name here is
 #: green in a prior CORRECTNESS_r*.json (or, for the round-4 defers noted,
 #: in the local parity suite) and re-verified each run by
