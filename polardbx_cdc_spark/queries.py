@@ -67,8 +67,75 @@ def register(name: str, oracle: str | None):
 #: flagship veterans kept as cross-round anchors. Everything evicted is
 #: green in some prior CORRECTNESS file AND re-verified every run by
 #: tests/test_oracle_parity.py (identical multiset compare at sf0.01).
+#: Round-6 rotation: the 27 oracle-backed queries registered after the
+#: round-5 rotation (never driver-graded), the 12 veterans last graded in
+#: r1/r2 (longest without an official hash-check), 5 flagship anchors,
+#: and any new round-6 queries. Evicted r5-graded names move to
+#: _GRADE_DEFER (all green in CORRECTNESS_r05.json and re-verified each
+#: run by tests/test_oracle_parity.py).
 _GRADE_PRIORITY: tuple[str, ...] = (
-    # -- never-graded: TPC-H family --------------------------------------
+    # -- never-graded (post-r5-rotation additions): TPC-H ----------------
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_majority_volume_suppliers",
+    "q21_waiting_suppliers",
+    # -- never-graded: CDC spine -----------------------------------------
+    "cdc_asof_enrich",
+    "cdc_watermark_snapshot",
+    "cdc_ivm_agg_view",
+    "cdc_replica_lag_report",
+    "events_json_wire_roundtrip",
+    "orders_wire_enum_typed",
+    # -- never-graded: sketches / text / layout --------------------------
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "sketch_cm_heavy_hitters",
+    "sketch_hist_quantiles",
+    "sketch_bloom_decontaminate",
+    "dedup_lsh_bucket_stats",
+    "text_bm25_scores",
+    "layout_zorder_orders",
+    "stats_analyze_orders",
+    # -- never-graded: media ---------------------------------------------
+    "media_gif_frames",
+    "media_mp4_meta",
+    # -- oldest veterans (last graded r1/r2) -----------------------------
+    "cdc_position_seek",
+    "checksum_diff_drilldown",
+    "q5_nation_revenue",
+    "q4_order_priority",
+    "q18_large_orders",
+    "cheapest_part_per_type",
+    "supplier_running_revenue",
+    "events_distinct_stats",
+    "events_session_windows",
+    "events_rollup_hierarchy",
+    "events_type_pivot",
+    "events_signup_funnel",
+    # -- flagship veterans (anchors; green every graded round) -----------
+    "cdc_full_pipeline",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "dedup_minhash_lsh",
+    "embed_kmeans_assign",
+    # -- new this round (round 6) ----------------------------------------
+)
+
+#: Oracle-backed entries outside the round-6 window. Every name here is
+#: green in a prior CORRECTNESS_r*.json (or, for the round-4 defers noted,
+#: in the local parity suite) and re-verified each run by
+#: tests/test_oracle_parity.py.
+_GRADE_DEFER: tuple[str, ...] = (
+    "events_daily_rollup",  # §2.5 agg family graded via q1/checksum family
+    "events_date_format_roundtrip",  # §2.8 date/format also exercised by checksum_all_types
+    "parts_never_bulk_shipped",  # anti-join shape graded via q16 parity + q4 plan gate
+    # round-6 evictions — every one graded green in r5:
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q13_customer_distribution",
@@ -76,14 +143,12 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "q16_supplier_part_count",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
-    # -- never-graded: analytics extensions ------------------------------
     "events_type_day_cube",
     "orders_price_quartiles",
     "orders_weekly_moving_avg",
     "events_cohort_retention",
     "promo_large_common_suppliers",
     "promo_only_suppliers",
-    # -- never-graded: CDC spine -----------------------------------------
     "cdc_txn_integrity",
     "rpl_reconcile_repair",
     "cdc_last_image_salted",
@@ -91,7 +156,6 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "cdc_source_lag_report",
     "cdc_flashback_by_time",
     "cdc_logical_ddl_emit",
-    # -- never-graded: dedup / text --------------------------------------
     "dedup_chunk_spans",
     "dedup_rate_by_source",
     "dedup_apply",
@@ -99,13 +163,11 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "dedup_embed_clusters",
     "text_char_entropy",
     "text_winnow_fingerprint",
-    # -- never-graded: embeddings ----------------------------------------
     "embed_norm_stats",
     "embed_kmeans_purity",
     "embed_pq_codes",
     "embed_ivf_topk_quantized",
     "embed_quantize_int8",
-    # -- never-graded: curation ------------------------------------------
     "curation_stratified_sample",
     "curation_pack_sequences",
     "curation_pii_scrub",
@@ -116,45 +178,9 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "curation_decontaminate",
     "curation_shard_shuffle",
     "curation_lm_perplexity",
-    # -- new this round: wire byte round trips + real media decode -------
     "cdc_binlog_wire_roundtrip",
     "lineitem_wire_typed",
     "media_real_decode",
-    # -- flagship veterans (anchors; green in r3/r4) ---------------------
-    "cdc_full_pipeline",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "dedup_minhash_lsh",
-    "embed_kmeans_assign",
-)
-
-#: ROUND-6 ROTATION NOTE: ~21 oracle-backed queries registered after the
-#: round-5 rotation (cdc_watermark_snapshot, the sketch family, the wire
-#: graded queries, IVM, BM25, Z-order, ANALYZE, Q2, media gif/mp4, …)
-#: queue immediately after the 50-slot window — next round, promote them
-#: into _GRADE_PRIORITY and evict r5-graded veterans into _GRADE_DEFER
-#: (the list is pinned by tests/test_registry_order.py
-#: ::test_round5_rotation…::added_post_rotation).
-#: Oracle-backed entries outside the round-5 window. Every name here is
-#: green in a prior CORRECTNESS_r*.json (or, for the round-4 defers noted,
-#: in the local parity suite) and re-verified each run by
-#: tests/test_oracle_parity.py.
-_GRADE_DEFER: tuple[str, ...] = (
-    "q18_large_orders",
-    "events_signup_funnel",
-    "checksum_diff_drilldown",  # SURVEY row stays green via checksum_orders_chunked
-    "q4_order_priority",  # EXISTS semi-join plan gated in test_plans
-    "events_rollup_hierarchy",  # ranking/analytic row green via top_customers_per_nation
-    "events_session_windows",  # session semantics also covered by events_sessionize
-    "cheapest_part_per_type",  # correlated-min shape; TPC-H family well covered
-    "cdc_position_seek",  # SURVEY row stays green via cdc_min_tso_filter
-    "q5_nation_revenue",  # TPC-H join-agg shape green via q1/q3
-    "supplier_running_revenue",  # window analytics green via top_customers/sessionize
-    "events_distinct_stats",  # distinct-agg shape pytest-parity-covered
-    "events_type_pivot",  # pivot extension; scalar/agg rows covered elsewhere
-    "events_daily_rollup",  # §2.5 agg family graded via q1/checksum family
-    "events_date_format_roundtrip",  # §2.8 date/format also exercised by checksum_all_types
-    "parts_never_bulk_shipped",  # anti-join shape graded via q16 parity + q4 plan gate
     # round-5 evictions — every one graded green in r3 and r4:
     "cdc_accept_filter",
     "cdc_min_tso_filter",

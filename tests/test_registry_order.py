@@ -29,50 +29,28 @@ def test_registry_has_no_dangling_oracle():
     assert set(Q.oracle_sql()) <= names
 
 
-def test_round5_rotation_graded_window_is_the_never_graded_set():
-    """Round-5 rotation policy: every oracle-backed query that had no
-    official CORRECTNESS_r1–r4 entry sits INSIDE the 50-slot window, plus
-    the new wire query and the flagship anchors. Guards against future
-    edits silently evicting a first-time grading slot."""
+def test_round6_rotation_window_grades_every_never_graded_oracle():
+    """Round-6 rotation policy: every oracle-backed query with no official
+    CORRECTNESS_r1–r5 entry sits INSIDE the 50-slot window (so after this
+    round's grading NOTHING oracle-backed remains never-graded), plus the
+    five flagship anchors and the veterans last graded in r1/r2."""
     import json
     import os
 
     names = list(Q.queries())
     window = set(names[:GRADE_WINDOW])
     graded_ever: set[str] = set()
-    for r in ("01", "02", "03", "04"):
+    for r in ("01", "02", "03", "04", "05"):
         path = f"/root/repo/CORRECTNESS_r{r}.json"
         if os.path.exists(path):
             with open(path) as fh:
                 graded_ever |= set(json.load(fh))
     oracles = set(Q.oracle_sql())
-    new_this_round = {
-        "cdc_binlog_wire_roundtrip", "lineitem_wire_typed", "media_real_decode",
-    }
-    # Added AFTER the round-5 rotation was pinned (window already at its
-    # 50-slot capacity); they sit first in line outside the window and are
-    # the round-6 rotation's first picks.
-    added_post_rotation = {
-        "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
-        "q11_important_parts", "q12_late_shipment_priority", "q15_top_supplier",
-        "q17_small_quantity_revenue", "q20_majority_volume_suppliers",
-        "q21_waiting_suppliers", "dedup_lsh_bucket_stats", "cdc_asof_enrich",
-        "cdc_watermark_snapshot", "sketch_hll_registers",
-        "sketch_hll_estimate", "sketch_cm_heavy_hitters",
-        "sketch_hist_quantiles", "sketch_bloom_decontaminate",
-        "cdc_replica_lag_report", "events_json_wire_roundtrip",
-        "orders_wire_enum_typed", "text_bm25_scores",
-        "cdc_ivm_agg_view", "stats_analyze_orders",
-        "layout_zorder_orders", "q2_min_cost_supplier",
-        "media_gif_frames", "media_mp4_meta",
-    }
-    never_graded = (oracles - graded_ever) - new_this_round - added_post_rotation
+    never_graded = oracles - graded_ever
     missing = never_graded - window
     assert not missing, f"never-graded oracles outside the graded window: {missing}"
-    assert new_this_round <= window
-    # post-rotation additions must queue immediately after the window so
-    # the round-6 rotation picks them up first
-    next_in_line = set(names[GRADE_WINDOW:GRADE_WINDOW + 3 + len(added_post_rotation)])
-    assert added_post_rotation <= next_in_line, (
-        added_post_rotation - next_in_line
-    )
+    anchors = {
+        "cdc_full_pipeline", "q1_pricing_summary", "q3_shipping_priority",
+        "dedup_minhash_lsh", "embed_kmeans_assign",
+    }
+    assert anchors <= window
