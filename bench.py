@@ -382,7 +382,52 @@ def main() -> None:
         # make regressed coverage impossible to miss: a penalty entry per
         # failure (10s each) in a separate field, NOT mixed into "value"
         payload["value_with_failure_penalty"] = round(total + 10.0 * len(errors), 3)
+
+    # Full payload: printed (for whole-stdout parsers) AND persisted in-repo.
+    # The driver artifact keeps only the LAST 2000 chars of output, which in
+    # round 5 truncated the (long) payload line into unparseable JSON and
+    # lost 40 of 57 base timings. Defense: write the complete JSON to
+    # BENCH_full.json, then print a compact (<1500 char) summary as the
+    # FINAL line so the 2000-char tail always carries parseable headline
+    # numbers — totals, per-family sums, worst-5, stress/skew headlines.
     print(json.dumps(payload))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"# BENCH_full.json write failed: {exc}", file=sys.stderr)
+
+    families: dict[str, float] = {}
+    for name, t in timings.items():
+        fam = "tpch" if name[0] == "q" and name[1].isdigit() else name.split("_", 1)[0]
+        families[fam] = round(families.get(fam, 0.0) + t, 3)
+    worst5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_queries_timed": len(timings),
+        "n_queries_expected": payload["n_queries_expected"],
+        "stream_events_per_sec": stream_eps,
+        "families": families,
+        "worst5": worst5,
+        "full_payload": "BENCH_full.json",
+    }
+    if stress and stress.get("queries"):
+        summary["stress_total"] = stress["total"]
+        summary["stress_worst_ratio"] = max(stress["ratio_vs_base"].values(), default=None)
+    if stress and stress.get("skew"):
+        summary["skew_salted_over_unsalted"] = stress["skew"].get("salted_over_unsalted")
+    if errors:
+        summary["errors_n"] = len(errors)
+        summary["value_with_failure_penalty"] = payload["value_with_failure_penalty"]
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1500:  # keep the tail contract even if families bloat
+        summary.pop("families", None)
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
