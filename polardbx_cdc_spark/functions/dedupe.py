@@ -364,6 +364,21 @@ def minhash_lsh_candidates(
 
     ``use_md5`` switches both the signature hash and the band hash to the
     md5-prefix recipe (oracle-reproducible); default stays xxhash64.
+
+    ``max_bucket`` bounds per-bucket fan-in: a bucket whose size exceeds
+    the cap is re-salted by doc-id hash into ``ceil(size / cap)``
+    sub-buckets BEFORE the collect, so (a) no reducer ever materializes
+    more than ~cap ids and (b) no single key emits more than ~cap²/2
+    candidate pairs. Without the guard an adversarial corpus (100k
+    near-identical docs → one band bucket) implies ~5·10⁹ pairs from one
+    key and an unbounded ``collect_list``. Splitting loses only the
+    cross-sub-bucket pairs *within that one band*; duplicate pairs keep
+    B−1 other independent bands plus the sub-bucket collision chance, and
+    the downstream verify stage (true Jaccard) filters candidates either
+    way — the ≥0.9 recall law is asserted on a 10k-identical-doc corpus
+    in tests/test_dedup_recall.py. Same bounded-fan-in discipline as the
+    reference's merge-group sizing
+    (polardbx-cdc-format/.../MergeGroupFactory.java:28-87).
     """
     banded = _band_frame(df, text_col, id_col, num_hashes, bands, shingle_n, use_md5)
     # bucket-aggregate pair enumeration: ONE shuffle on the band key, then
@@ -371,15 +386,28 @@ def minhash_lsh_candidates(
     # Beats a banded self-join (two shuffle reads + persist to avoid
     # recomputing signatures on both sides) and keeps a single lineage.
     # A bucket of size B yields B(B-1)/2 pairs under EITHER strategy —
-    # that blowup is inherent to LSH; at 100 TB cap pathological buckets
-    # (an all-identical-band corpus) with ``max_bucket``.
+    # that blowup is inherent to LSH; ``max_bucket`` bounds it.
+    group_cols = ["band_idx", "band_hash"]
+    if max_bucket is not None:
+        # window count = one extra shuffle of a 3-long-wide frame; rows of
+        # a bucket are then co-partitioned, and the salt subdivides only
+        # oversized buckets (n_sub == 1 → salt 0 → byte-identical output
+        # for every corpus whose buckets fit the cap).
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        n_sub = F.ceil(
+            F.count(F.lit(1)).over(w) / F.lit(max_bucket)
+        ).cast("long")
+        banded = banded.withColumn(
+            "sub_bucket", F.pmod(F.xxhash64(F.col("id")), n_sub)
+        )
+        group_cols.append("sub_bucket")
     buckets = (
-        banded.groupBy("band_idx", "band_hash")
+        banded.groupBy(*group_cols)
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
     n = F.size(F.col("ids"))
     combos = F.flatten(
         F.transform(

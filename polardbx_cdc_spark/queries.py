@@ -2057,7 +2057,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     value; ``minhash_lsh_candidates(use_md5=False)`` is the faster
     xxhash64 scale path (identical plan shape, tested separately)."""
     d = load_table(spark, sf_dir, "documents")
-    cands = dedupe.minhash_lsh_candidates(d, use_md5=True)
+    cands = dedupe.minhash_lsh_candidates(d, use_md5=True, max_bucket=1000)
     verified = dedupe.ngram_jaccard_pairs(d, cands)
     return verified.filter(F.col("jaccard_sim") >= 0.5).orderBy("id_a", "id_b")
 
@@ -2087,7 +2087,7 @@ def dedup_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star contraction — O(log n) rounds even on
     adversarial chains, localCheckpoint per round caps plan growth."""
     d = load_table(spark, sf_dir, "documents")
-    cands = dedupe.minhash_lsh_candidates(d, use_md5=True)
+    cands = dedupe.minhash_lsh_candidates(d, use_md5=True, max_bucket=1000)
     verified = dedupe.ngram_jaccard_pairs(d, cands).filter(F.col("jaccard_sim") >= 0.5)
     labels = dedupe.connected_components(verified)
     return labels.select(F.col("id").alias("doc_id"), F.col("cluster_id"))
@@ -2118,7 +2118,7 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving corpus. Anti-join against the (small) dropped set, so the
     full corpus is never shuffled."""
     d = load_table(spark, sf_dir, "documents")
-    cands = dedupe.minhash_lsh_candidates(d, use_md5=True)
+    cands = dedupe.minhash_lsh_candidates(d, use_md5=True, max_bucket=1000)
     verified = dedupe.ngram_jaccard_pairs(d, cands).filter(F.col("jaccard_sim") >= 0.5)
     labels = dedupe.connected_components(verified)
     return dedupe.drop_near_duplicates(d, labels, id_col="doc_id").select("doc_id")
@@ -3854,7 +3854,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard → connected-components chain, then one broadcast-side join
     of the (small) label set against the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    cands = dedupe.minhash_lsh_candidates(d, use_md5=True)
+    cands = dedupe.minhash_lsh_candidates(d, use_md5=True, max_bucket=1000)
     verified = dedupe.ngram_jaccard_pairs(d, cands).filter(F.col("jaccard_sim") >= 0.5)
     labels = dedupe.connected_components(verified).select(
         F.col("id").alias("doc_id"), "cluster_id"

