@@ -55,6 +55,17 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_EVENT = 30
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
+# ROWS v1 (5.1/5.5-era, LogEvent.java:133-135): same body as v2 minus the
+# var-header (extra-data) field. Decode-only — the writer always emits v2,
+# but archived binlogs from older servers arrive as v1.
+WRITE_ROWS_EVENT_V1 = 23
+UPDATE_ROWS_EVENT_V1 = 24
+DELETE_ROWS_EVENT_V1 = 25
+ROWS_EVENTS = frozenset(
+    (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT,
+     WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1, DELETE_ROWS_EVENT_V1)
+)
+UPDATE_EVENTS = frozenset((UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V1))
 ROTATE_EVENT = 4
 XA_PREPARE_EVENT = 38  # XA branch prepare (XaPrepareLogEvent.java)
 SEQUENCE_EVENT = 80  # PolarDB-X sequence/TSO carrier (SequenceLogEvent.java)
@@ -67,7 +78,10 @@ TYPE_SHORT = 2
 TYPE_LONG = 3
 TYPE_FLOAT = 4
 TYPE_DOUBLE = 5
+TYPE_TIMESTAMP = 7  # pre-5.6 legacy: 4-byte LE epoch secs (RowsLogBuffer.java:128)
 TYPE_LONGLONG = 8
+TYPE_TIME = 11  # pre-5.6 legacy: int24 HHMMSS decimal (RowsLogBuffer.java:133)
+TYPE_DATETIME = 12  # pre-5.6 legacy: u64 YYYYMMDDHHMMSS decimal (RowsLogBuffer.java:139)
 TYPE_INT24 = 9
 TYPE_DATE = 10
 TYPE_YEAR = 13
@@ -99,6 +113,9 @@ _POST_HEADER_LEN = {
     WRITE_ROWS_EVENT: 10,
     UPDATE_ROWS_EVENT: 10,
     DELETE_ROWS_EVENT: 10,
+    WRITE_ROWS_EVENT_V1: 8,
+    UPDATE_ROWS_EVENT_V1: 8,
+    DELETE_ROWS_EVENT_V1: 8,
 }
 _LAST_EVENT_TYPE = 42  # table covers types 1..42 (5.7-era layout)
 
@@ -564,6 +581,31 @@ def _encode_image(td: TableDef, values: list) -> bytes:
             out += (v.day | (v.month << 5) | (v.year << 9)).to_bytes(3, "little")
         elif tc == TYPE_DATETIME2:
             out += _encode_datetime2(v, m)
+        elif tc == TYPE_DATETIME:
+            # legacy packed-decimal: YYYYMMDDHHMMSS as one u64 LE
+            num = (
+                ((v.year * 100 + v.month) * 100 + v.day) * 1_000_000
+                + (v.hour * 100 + v.minute) * 100 + v.second
+            )
+            out += struct.pack("<Q", num)
+        elif tc == TYPE_TIMESTAMP:
+            if isinstance(v, (int, float)):
+                secs = int(v)
+            else:
+                import calendar
+
+                secs = calendar.timegm(v.timetuple())
+            out += struct.pack("<I", secs)
+        elif tc == TYPE_TIME:
+            # legacy signed int24 of HHMMSS decimal
+            total = v.days * 86400 + v.seconds
+            neg, a = total < 0, abs(v.days * 86400 + v.seconds)
+            h, rem = divmod(a, 3600)
+            mi, se = divmod(rem, 60)
+            num = h * 10_000 + mi * 100 + se
+            if neg:
+                num = (1 << 24) - num
+            out += num.to_bytes(3, "little")
         elif tc == TYPE_TIMESTAMP2:
             # v: aware/naive datetime treated as UTC, or raw epoch seconds
             if isinstance(v, (int, float)):
@@ -683,6 +725,35 @@ def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
         elif tc == TYPE_DATETIME2:
             v, pos = _decode_datetime2(buf, pos, m)
             values.append(v)
+        elif tc == TYPE_DATETIME:
+            import datetime
+
+            num = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+            d, t = divmod(num, 1_000_000)
+            values.append(datetime.datetime(
+                d // 10_000, (d // 100) % 100, d % 100,
+                t // 10_000, (t // 100) % 100, t % 100,
+            ))
+        elif tc == TYPE_TIMESTAMP:
+            import datetime
+
+            secs = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+            values.append(
+                datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=secs)
+            )
+        elif tc == TYPE_TIME:
+            import datetime
+
+            num = int.from_bytes(buf[pos : pos + 3], "little")
+            pos += 3
+            neg = num >= 1 << 23
+            if neg:
+                num = (1 << 24) - num
+            h, mi, se = num // 10_000, (num // 100) % 100, num % 100
+            delta = datetime.timedelta(hours=h, minutes=mi, seconds=se)
+            values.append(-delta if neg else delta)
         elif tc == TYPE_TIMESTAMP2:
             import datetime
 
@@ -766,12 +837,13 @@ def encode_rows_event(type_code: int, table_id: int, td: TableDef,
     extra_len(2)=2; body: col-count, present-bitmap(s), images
     (RowsLogEvent.java read side)."""
     n = len(td.types)
-    body = bytearray(
-        struct.pack("<Q", table_id)[:6] + struct.pack("<H", 0)
-        + struct.pack("<H", 2)  # extra-data length (just itself)
-        + _lenenc(n) + _bitmap([True] * n)
-    )
-    if type_code == UPDATE_ROWS_EVENT:
+    body = bytearray(struct.pack("<Q", table_id)[:6] + struct.pack("<H", 0))
+    if type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+        body += struct.pack("<H", 2)  # v2 extra-data length (just itself)
+    # else ROWS v1: no var-header — fixture-building path only; the
+    # production writer always emits v2
+    body += _lenenc(n) + _bitmap([True] * n)
+    if type_code in UPDATE_EVENTS:
         body += _bitmap([True] * n)  # after-image present bitmap
         for before, after in rows:
             body += _encode_image(td, before) + _encode_image(td, after)
@@ -915,19 +987,22 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                             unsigned.add(col)
             tables[tid] = TableDef(db, tbl, types, unsigned)
             ev.update(table_id=tid, db=db, tbl=tbl, types=types, unsigned=unsigned)
-        elif tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+        elif tc in ROWS_EVENTS:
             tid = int.from_bytes(body[0:6], "little")
             td = tables[tid]
-            extra_len = struct.unpack_from("<H", body, 8)[0]
-            p = 8 + extra_len  # extra_len counts its own 2 bytes
+            if tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+                extra_len = struct.unpack_from("<H", body, 8)[0]
+                p = 8 + extra_len  # extra_len counts its own 2 bytes
+            else:
+                p = 8  # ROWS v1: post-header ends after flags, no var-header
             ncols, p = _read_lenenc(body, p)
             nb = (ncols + 7) // 8
             p += nb  # present bitmap (we emit all-set)
-            if tc == UPDATE_ROWS_EVENT:
+            if tc in UPDATE_EVENTS:
                 p += nb  # after-image present bitmap
             rows = []
             while p < len(body):
-                if tc == UPDATE_ROWS_EVENT:
+                if tc in UPDATE_EVENTS:
                     before, p = _decode_image(td, body, p)
                     after, p = _decode_image(td, body, p)
                     rows.append((before, after))
@@ -1085,6 +1160,9 @@ def binlog_to_events(df, payload_col: str = "payload",
         WRITE_ROWS_EVENT: "INSERT",
         UPDATE_ROWS_EVENT: "UPDATE",
         DELETE_ROWS_EVENT: "DELETE",
+        WRITE_ROWS_EVENT_V1: "INSERT",
+        UPDATE_ROWS_EVENT_V1: "UPDATE",
+        DELETE_ROWS_EVENT_V1: "DELETE",
     }
 
     def decode_partition(batches):
@@ -1097,7 +1175,7 @@ def binlog_to_events(df, payload_col: str = "payload",
                     if ev["type"] not in _ACTION:
                         continue
                     for row in ev["rows"]:
-                        img = row[1] if ev["type"] == UPDATE_ROWS_EVENT else row
+                        img = row[1] if ev["type"] in UPDATE_EVENTS else row
                         out.append(
                             (ev["db"], ev["tbl"], _ACTION[ev["type"]], img[0], img[1])
                         )
@@ -1273,6 +1351,9 @@ def read_wire_binlog(spark, wire_dir: str, glob: str = "binlog.*"):
         WRITE_ROWS_EVENT: "INSERT",
         UPDATE_ROWS_EVENT: "UPDATE",
         DELETE_ROWS_EVENT: "DELETE",
+        WRITE_ROWS_EVENT_V1: "INSERT",
+        UPDATE_ROWS_EVENT_V1: "UPDATE",
+        DELETE_ROWS_EVENT_V1: "DELETE",
     }
 
     def decode_files(batches):
@@ -1292,7 +1373,7 @@ def read_wire_binlog(spark, wire_dir: str, glob: str = "binlog.*"):
                     tc = ev["type"]
                     if tc in _ACTION:
                         for row in ev["rows"]:
-                            img = row[1] if tc == UPDATE_ROWS_EVENT else row
+                            img = row[1] if tc in UPDATE_EVENTS else row
                             out.append(
                                 (name, pos, _ACTION[tc], ev["db"], ev["tbl"],
                                  img[0], img[1], None)

@@ -903,3 +903,93 @@ def test_export_wire_files_x_incremental(spark, sf_dir, tmp_path):
     assert (0, tail_seq + 1) in rendered        # the new tail
     assert (0, tail_seq) in rendered            # predecessor gains ROTATE
     assert all(sid == 0 for sid, _ in rendered)  # other streams untouched
+
+
+def test_rows_v1_cross_decode():
+    """ROWS v1 (types 23-25, LogEvent.java:133-135): same body as v2 minus
+    the var-header. The production writer emits v2 only; archived binlogs
+    from 5.1/5.5 servers arrive as v1 and must decode to identical frames."""
+    rows = [[1, "hello", 3.5, 42], [2, None, -1.25, None]]
+    before, after = [7, "old", 1.0, 10], [7, "new", 2.0, 20]
+    blob = (
+        W.encode_table_map(9, TD)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT_V1, 9, TD, rows)
+        + W.encode_rows_event(W.UPDATE_ROWS_EVENT_V1, 9, TD, [(before, after)])
+        + W.encode_rows_event(W.DELETE_ROWS_EVENT_V1, 9, TD, [after])
+    )
+    evs = W.decode_events(blob)
+    assert [e["type"] for e in evs] == [
+        W.TABLE_MAP_EVENT, W.WRITE_ROWS_EVENT_V1,
+        W.UPDATE_ROWS_EVENT_V1, W.DELETE_ROWS_EVENT_V1,
+    ]
+    assert evs[1]["rows"] == rows
+    assert evs[2]["rows"] == [(before, after)]
+    assert evs[3]["rows"] == [after]
+    # byte-level: the v1 write event is exactly the v2 event minus the
+    # 2-byte extra-data field (and differing type code / lengths / CRC)
+    v2 = W.encode_rows_event(W.WRITE_ROWS_EVENT, 9, TD, rows)
+    v1 = W.encode_rows_event(W.WRITE_ROWS_EVENT_V1, 9, TD, rows)
+    assert len(v1) == len(v2) - 2
+
+
+def test_rows_v1_and_v2_decode_to_same_logical_rows():
+    """A mixed-version stream (rotated archive: old file v1, new file v2)
+    must produce one uniform logical row-change frame."""
+    rows_old = [[1, "from-v1", 0.5, 1]]
+    rows_new = [[2, "from-v2", 1.5, 2]]
+    blob = (
+        W.encode_table_map(3, TD)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT_V1, 3, TD, rows_old)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, TD, rows_new)
+    )
+    evs = W.decode_events(blob)
+    assert evs[1]["rows"] == rows_old and evs[2]["rows"] == rows_new
+
+
+def test_legacy_temporal_types_round_trip():
+    """Pre-5.6 temporals (RowsLogBuffer.java:128-139): TIMESTAMP = 4-byte
+    LE epoch secs, DATETIME = u64 YYYYMMDDHHMMSS packed decimal, TIME =
+    signed int24 HHMMSS decimal. Decode is the requirement (old archived
+    binlogs); encode exists to build fixtures."""
+    import datetime
+
+    td = W.TableDef(
+        "d", "t",
+        [(W.TYPE_TIMESTAMP, None), (W.TYPE_DATETIME, None), (W.TYPE_TIME, None)],
+    )
+    rows = [
+        [
+            datetime.datetime(2020, 5, 17, 10, 30, 59),
+            datetime.datetime(1999, 12, 31, 23, 59, 58),
+            datetime.timedelta(hours=11, minutes=22, seconds=33),
+        ],
+        [
+            datetime.datetime(1970, 1, 1, 0, 0, 0),
+            datetime.datetime(9999, 12, 31, 23, 59, 59),
+            -datetime.timedelta(hours=800, minutes=1, seconds=2),  # > 24h, negative
+        ],
+        [None, None, datetime.timedelta(0)],
+    ]
+    blob = W.encode_table_map(4, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT_V1, 4, td, rows
+    )
+    evs = W.decode_events(blob)
+    assert evs[0]["types"] == td.types  # zero metadata bytes for legacy types
+    assert evs[1]["rows"] == rows
+
+
+def test_legacy_time_wire_bytes_match_spec():
+    """Spot-check the raw bytes, not just our own round trip: TIME 838:59:59
+    = 8385959 decimal as int24 LE; negative is the 2^24 complement."""
+    import datetime
+
+    td = W.TableDef("d", "t", [(W.TYPE_TIME, None)])
+    pos = datetime.timedelta(hours=838, minutes=59, seconds=59)
+    img = W._encode_image(td, [pos])
+    assert img[1:4] == (8385959).to_bytes(3, "little")  # after null bitmap
+    img_neg = W._encode_image(td, [-pos])
+    assert img_neg[1:4] == ((1 << 24) - 8385959).to_bytes(3, "little")
+    # DATETIME packed decimal: 2003-12-31 01:02:03 -> 20031231010203
+    td2 = W.TableDef("d", "t", [(W.TYPE_DATETIME, None)])
+    img2 = W._encode_image(td2, [datetime.datetime(2003, 12, 31, 1, 2, 3)])
+    assert img2[1:9] == struct.pack("<Q", 20031231010203)
