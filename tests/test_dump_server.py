@@ -1,0 +1,116 @@
+"""Dump-serving slice: localhost TCP server streaming wire-file bytes
+from (file, position) — the dump(fileName, position) contract of the
+reference's dumper endpoint (CdcServer.java:154) — and a client that
+feeds the fetched stream to the engine's own wire decoder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polardbx_cdc_spark import binlog_wire as W
+from polardbx_cdc_spark import dump_server as D
+
+
+@pytest.fixture(scope="module")
+def wire_setup(spark, sf_dir, tmp_path_factory):
+    """Render real wire files via the streaming pipeline (txn-framed so
+    GCN carriers exist), then serve them."""
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    tmpdir = str(tmp_path_factory.mktemp("dumpsrv"))
+    out, wire = tmpdir + "/binlog", tmpdir + "/wire"
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, sf_dir), out, tmpdir + "/ckpt",
+        rotate_rows=300, frame_txns=True, wire_dir=wire,
+    )
+    q.awaitTermination(120)
+    sink.flush()
+    srv = D.DumpServer(wire)
+    host, port = srv.start()
+    yield {"sink": out, "wire": wire, "host": host, "port": port, "srv": srv}
+    srv.stop()
+
+
+def test_list_matches_directory(wire_setup):
+    import os
+
+    files = D.list_files(wire_setup["host"], wire_setup["port"])
+    on_disk = sorted(
+        f for f in os.listdir(wire_setup["wire"]) if f.startswith("binlog.")
+    )
+    assert [f["file_name"] for f in files] == on_disk
+    for f in files:
+        assert f["size"] == os.path.getsize(
+            os.path.join(wire_setup["wire"], f["file_name"])
+        )
+
+
+def test_dump_from_start_replays_whole_chain(spark, wire_setup):
+    """Attach at TSO 0 → the streamed bytes decode to exactly the frame
+    the batch attach path (read_wire_binlog) produces from the files."""
+    got = D.attach_from_tso(spark, wire_setup["host"], wire_setup["port"], "0")
+    assert got is not None
+    expected = (
+        W.read_wire_binlog(spark, wire_setup["wire"])
+        .filter(F.col("kind").isin("INSERT", "UPDATE", "DELETE"))
+        .select(
+            "db", "tbl", F.col("kind").alias("action"),
+            "pk", F.col("value").cast("double").alias("value"),
+        )
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_attach_from_mid_tso_serves_exact_suffix(spark, wire_setup):
+    """Seek the median commit TSO over the network, dump from the returned
+    (file, byte-offset), decode — the result must be exactly the sink rows
+    of transactions committing at or past the seek position (GCN precedes
+    BEGIN, so transactions are never torn)."""
+    commits = (
+        spark.read.parquet(wire_setup["sink"])
+        .filter(F.col("action") == "COMMIT")
+        .select("txn_commit_tso")
+        .orderBy("txn_commit_tso")
+        .collect()
+    )
+    mid_tso = commits[len(commits) // 2]["txn_commit_tso"]
+    hit = D.seek_tso(wire_setup["host"], wire_setup["port"], mid_tso)
+    assert hit is not None and hit["gcn"] >= int(mid_tso[:19])
+    # network seek agrees with the Spark-side seek on file + GCN
+    spark_hit = W.seek_wire_position(spark, wire_setup["wire"], mid_tso)
+    assert spark_hit["file_name"] == hit["file_name"]
+    assert spark_hit["gcn"] == hit["gcn"]
+
+    got = D.attach_from_tso(spark, wire_setup["host"], wire_setup["port"], mid_tso)
+    expected = (
+        spark.read.parquet(wire_setup["sink"])
+        .filter(F.col("action").isin("INSERT", "UPDATE", "DELETE"))
+        .filter(F.substring("txn_commit_tso", 1, 19).cast("long") >= hit["gcn"])
+        .select(
+            "db", "tbl", "action", "pk",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_seek_past_end_returns_none(spark, wire_setup):
+    assert D.seek_tso(wire_setup["host"], wire_setup["port"], "9" * 48) is None
+    assert (
+        D.attach_from_tso(spark, wire_setup["host"], wire_setup["port"], "9" * 48)
+        is None
+    )
+
+
+def test_unknown_file_and_bad_request_are_clean_errors(wire_setup):
+    with pytest.raises(ValueError):
+        D.dump_fetch(wire_setup["host"], wire_setup["port"], "binlog.999999")
+    meta, _ = D._request(
+        wire_setup["host"], wire_setup["port"], {"cmd": "nonsense"}
+    )
+    assert meta["ok"] is False
