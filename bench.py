@@ -76,6 +76,8 @@ HEADLINE = [
     "events_json_wire_roundtrip",
     "orders_wire_enum_typed",
     "cdc_replica_lag_report",
+    # round 6 additions
+    "cdc_ivm_join_view",
 ]
 
 

@@ -352,8 +352,8 @@ def maintain_agg_view(cdc: DataFrame, keys: tuple[str, ...] = ("db", "tbl")) -> 
     w = Window.partitionBy("db", "tbl", "pk").orderBy(_ORD)
     cents = F.round(F.col("value") * 100).cast("long")
     post = F.when(F.col("action") != "DELETE", cents)  # live value after event
-    sel = list(dict.fromkeys([*keys, "db", "tbl"]))  # dedup, stable order
-    ev = cdc.select(*sel, "pk", _ORD, "action", post.alias("_post"))
+    sel = list(dict.fromkeys([*keys, "db", "tbl", "pk"]))  # dedup, stable order
+    ev = cdc.select(*sel, _ORD, "action", post.alias("_post"))
     ev = ev.withColumn("_prev", F.lag("_post").over(w))
     existed = F.col("_prev").isNotNull()
     d_rows = (
@@ -367,4 +367,87 @@ def maintain_agg_view(cdc: DataFrame, keys: tuple[str, ...] = ("db", "tbl")) -> 
     return ev.groupBy(*keys).agg(
         F.sum(d_rows).cast("long").alias("n_rows"),
         F.sum(d_cents).cast("long").alias("value_cents"),
+    )
+
+
+def maintain_pk_state(cdc: DataFrame) -> DataFrame:
+    """Per-PK telescoped deltas from the change stream: (db, tbl, pk,
+    n_rows, value_cents) where n_rows ∈ {0, 1} (0 = key ended deleted)
+    and value_cents is the live value. Same signed-delta machinery as
+    ``maintain_agg_view`` grouped at the PK grain — the fact-side state
+    a join-view maintainer needs (one row per touched key, NOT the base
+    table)."""
+    return maintain_agg_view(cdc, keys=("db", "tbl", "pk"))
+
+
+def maintain_join_agg_view(
+    cdc: DataFrame,
+    dim: DataFrame,
+    dim_key: str = "dim_key",
+    attrs: tuple[str, ...] = ("grp",),
+) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the materialized
+    downstream table V = SELECT d.attrs, COUNT(*), SUM(cents) FROM
+    live(fact) f JOIN dim d ON f.pk = d.key GROUP BY d.attrs — from the
+    change stream alone (ΔF ⋈ D: classic delta rule, fact side).
+
+    Plan shape: the per-event signed deltas telescope to ONE row per
+    touched PK (``maintain_pk_state``); that delta frame — proportional
+    to touched keys, not fact history — joins the dimension. The dim
+    side is broadcast when small (plan-gated in tests/test_plans.py);
+    at 100 TB with a huge dim the same plan becomes a shuffled hash
+    join keyed on pk, still delta-sized on the probe side. Keys with no
+    dim match drop (inner-join view semantics); groups that telescope
+    to zero live rows are kept (0-row groups) for the caller to filter.
+
+    Reference parity: the maintained downstream table a replica keeps
+    per MergeApplier REPLACE semantics, extended to the joined rollup
+    (polardbx-cdc-rpl applier family, SURVEY §2.11)."""
+    pk_state = maintain_pk_state(cdc)
+    joined = pk_state.join(
+        F.broadcast(dim), pk_state["pk"] == dim[dim_key], "inner"
+    )
+    return joined.groupBy(*[dim[a] for a in attrs]).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+    )
+
+
+def apply_dim_delta_to_join_view(
+    view: DataFrame,
+    pk_state: DataFrame,
+    dim_delta: DataFrame,
+    attr: str = "grp",
+) -> DataFrame:
+    """The OTHER half of join-view maintenance (F ⋈ ΔD): a dimension
+    update (key, old_attr, new_attr) moves every live fact row of that
+    key from the old group to the new one — without touching the fact
+    side's history. ``dim_delta`` is the (small) set of changed dim rows,
+    so the correction join BROADCASTS the dim delta against the per-PK
+    state (plan-gated); the output is the updated view.
+
+    Columns: ``view`` = (attr, n_rows, value_cents);
+    ``dim_delta`` = (dim_key, old_<attr>, new_<attr>)."""
+    moved = pk_state.join(
+        F.broadcast(dim_delta), pk_state["pk"] == dim_delta["dim_key"], "inner"
+    )
+    minus = moved.select(
+        F.col(f"old_{attr}").alias(attr),
+        (-F.col("n_rows")).alias("n_rows"),
+        (-F.col("value_cents")).alias("value_cents"),
+    )
+    plus = moved.select(
+        F.col(f"new_{attr}").alias(attr),
+        F.col("n_rows"),
+        F.col("value_cents"),
+    )
+    return (
+        view.select(attr, "n_rows", "value_cents")
+        .unionByName(minus)
+        .unionByName(plus)
+        .groupBy(attr)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
     )

@@ -125,6 +125,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "embed_kmeans_assign",
     # -- new this round (round 6) ----------------------------------------
+    "cdc_ivm_join_view",
 )
 
 #: Oracle-backed entries outside the round-6 window. Every name here is
@@ -5196,6 +5197,61 @@ def cdc_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped here so the frames align."""
     cdc = derive_cdc_stream(spark, sf_dir)
     return apply_ops.maintain_agg_view(cdc).filter(F.col("n_rows") > 0)
+
+
+@register(
+    "cdc_ivm_join_view",
+    oracle_cdc_query(
+        """
+        , fin AS (
+          SELECT db, tbl, pk, arg_max(action, tso) AS la, arg_max(value, tso) AS v
+          FROM cdc GROUP BY db, tbl, pk
+        ),
+        live AS (
+          SELECT pk, CAST(round(v * 100) AS BIGINT) AS cents
+          FROM fin WHERE la <> 'DELETE'
+        ),
+        dim AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS k,
+                 CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 7) % 25
+                      ELSE c_nationkey END AS grp
+          FROM customer
+        )
+        SELECT CAST(grp AS BIGINT) AS nation,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM live JOIN dim ON live.pk = dim.k
+        GROUP BY 1
+        """
+    ),
+)
+def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (fact ⋈ dim rollup): live CDC
+    state joined to the customer dimension, revenue-cents per nation —
+    maintained via per-PK telescoped deltas (ΔF ⋈ D,
+    apply.maintain_join_agg_view) and then a dimension UPDATE (every 7th
+    customer moves nation) applied as the F ⋈ ΔD correction
+    (apply.apply_dim_delta_to_join_view): the dim delta is broadcast
+    against the per-PK state, never the fact history. The oracle
+    recomputes the updated view from scratch, so the hash match proves
+    BOTH delta rules, not implementation parity."""
+    cdc = derive_cdc_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").cast("string").alias("dim_key"),
+        F.col("c_nationkey").cast("long").alias("grp"),
+    )
+    view = apply_ops.maintain_join_agg_view(cdc, dim, dim_key="dim_key", attrs=("grp",))
+    pk_state = apply_ops.maintain_pk_state(cdc)
+    dim_delta = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").cast("string").alias("dim_key"),
+        F.col("c_nationkey").cast("long").alias("old_grp"),
+        ((F.col("c_nationkey") + 7) % 25).cast("long").alias("new_grp"),
+    )
+    updated = apply_ops.apply_dim_delta_to_join_view(view, pk_state, dim_delta)
+    return updated.filter(F.col("n_rows") > 0).select(
+        F.col("grp").alias("nation"), "n_rows", "value_cents"
+    )
 
 
 @register(

@@ -582,3 +582,13 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivm_join_view_broadcasts_dim_and_dim_delta(spark):
+    """Join-view IVM plan gate: BOTH delta rules join against a broadcast
+    dim side — ΔF ⋈ D broadcasts the dimension, F ⋈ ΔD broadcasts the
+    dim delta. Neither join may shuffle the fact-derived per-PK state
+    onto a sort-merge join, and the fact history is never rejoined."""
+    plan = _plan(spark, "cdc_ivm_join_view")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
