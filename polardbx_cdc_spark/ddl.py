@@ -39,6 +39,87 @@ def _ident(s: str) -> str:
     return s.strip().strip("`").lower()
 
 
+# -- quoting sanitizer ------------------------------------------------------
+# The grammar below is regex-shaped, which druid-class parsers beat on
+# exotic-but-legal SQL: backticked identifiers containing keywords, commas,
+# parens or quotes, and COMMENT/DEFAULT strings containing commas/parens
+# (MemoryTableMeta.java digests those via a real parser). Rather than grow
+# every regex, a single left-to-right pre-pass replaces each backticked
+# identifier and each string literal's CONTENT with a collision-proof word
+# token, runs the grammar on the sanitized text, and restores the original
+# spellings in the emitted ops. Identifiers restore lowercased — the
+# registry's existing normalization for plain identifiers.
+
+_PLACEHOLDER = re.compile(r"zzq(?:id|str)\d+zz")
+
+
+def _sanitize(sql: str) -> tuple[str, dict[str, str]]:
+    """Returns (sanitized_sql, placeholder → original-spelling map)."""
+    out: list[str] = []
+    subs: dict[str, str] = {}
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "`":
+            j, buf = i + 1, []
+            while j < n:
+                if sql[j] == "`":
+                    if j + 1 < n and sql[j + 1] == "`":  # `` escape
+                        buf.append("`")
+                        j += 2
+                        continue
+                    break
+                buf.append(sql[j])
+                j += 1
+            if j >= n:  # unterminated — pass through, grammar will reject
+                out.append(sql[i:])
+                break
+            key = f"zzqid{len(subs)}zz"
+            subs[key] = "".join(buf).lower()
+            out.append(key)
+            i = j + 1
+        elif ch == "'":
+            j, buf = i + 1, []
+            while j < n:
+                c = sql[j]
+                if c == "\\" and j + 1 < n:  # backslash escape
+                    buf.append(sql[j : j + 2])
+                    j += 2
+                    continue
+                if c == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        buf.append("''")
+                        j += 2
+                        continue
+                    break
+                buf.append(c)
+                j += 1
+            if j >= n:
+                out.append(sql[i:])
+                break
+            key = f"zzqstr{len(subs)}zz"
+            subs[key] = "".join(buf)
+            out.append("'" + key + "'")  # keep the quotes: still a literal
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), subs
+
+
+def _restore(obj, subs: dict[str, str]):
+    """Substitute placeholders back into every string of an op tree."""
+    if isinstance(obj, str):
+        return _PLACEHOLDER.sub(lambda m: subs.get(m.group(0), m.group(0)), obj)
+    if isinstance(obj, list):
+        return [_restore(v, subs) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_restore(v, subs) for v in obj)
+    if isinstance(obj, dict):
+        return {k: _restore(v, subs) for k, v in obj.items()}
+    return obj
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split on commas not nested inside parentheses (column def list)."""
     parts, depth, cur = [], 0, []
@@ -177,6 +258,11 @@ def parse_ddl_script(sql: str, default_db: str | None = None) -> list[dict]:
     """Parse a multi-statement DDL script (statements separated by
     top-level ``;``) into one flat op list, left-to-right — the form a
     captured QUERY event or a migration tool emits."""
+    sql, subs = _sanitize(sql)
+    return _restore(_parse_script_sanitized(sql, default_db), subs)
+
+
+def _parse_script_sanitized(sql: str, default_db: str | None) -> list[dict]:
     ops: list[dict] = []
     depth, in_str, cur = 0, False, []
     stmts: list[str] = []
@@ -208,7 +294,7 @@ def parse_ddl_script(sql: str, default_db: str | None = None) -> list[dict]:
         stmts.append("".join(cur))
     for stmt in stmts:
         if stmt.strip():
-            ops.extend(parse_ddl(stmt, default_db))
+            ops.extend(_parse_ddl_sanitized(stmt, default_db))
     return ops
 
 
@@ -237,6 +323,11 @@ def parse_ddl(sql: str, default_db: str | None = None) -> list[dict]:
     ``ValueError`` for DDL outside the supported grammar — callers decide
     whether unknown DDL is skippable (the reference logs-and-continues for
     DDL that doesn't affect row decoding)."""
+    sql, subs = _sanitize(sql)
+    return _restore(_parse_ddl_sanitized(sql, default_db), subs)
+
+
+def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
     s = sql.strip().rstrip(";").strip()
 
     m = re.match(

@@ -35,7 +35,7 @@ TYPES = [
 
 NOOP_ACTIONS = [
     "ADD INDEX idx_{n} (`{col}`)",
-    "ADD UNIQUE KEY uk_{n} ({col})",
+    "ADD UNIQUE KEY uk_{n} (`{col}`)",
     "DROP INDEX idx_{n}",
     "ADD PARTITION (PARTITION px{n} VALUES LESS THAN ({n}00))",
     "DROP PARTITION px{n}",
@@ -78,8 +78,33 @@ class Model:
         return tuple(self.cols)
 
 
+def _bt(name):
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _fmt_col(rng, name):
-    return f"`{name}`" if rng.random() < 0.5 else name
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_$]+", name):
+        return _bt(name)  # exotic names MUST be quoted to be legal SQL
+    return _bt(name) if rng.random() < 0.5 else name
+
+
+#: quoted-identifier dimension (VERDICT r5 #8): backticked names that are
+#: keywords, contain spaces, commas, parens, or an escaped backtick — all
+#: legal MySQL the druid-backed reference digests
+_EXOTIC_BASES = ["select", "primary key", "a,b", "c(d)", "has`tick", "order by"]
+
+
+def _new_name(rng, n):
+    if rng.random() < 0.35:
+        return f"{rng.choice(_EXOTIC_BASES)}{n}"
+    return f"c{n}"
+
+
+#: COMMENT-string dimension: commas, parens, escaped quotes — must not
+#: split actions or leak into the parsed type
+_COMMENTS = ["", "", " COMMENT 'plain'", " COMMENT 'a,b(c)'", " COMMENT 'it''s, (ok)'"]
 
 
 def _kw(rng, s):
@@ -113,7 +138,7 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
         names = model.names()
         if kind < 0.25:
             # ADD COLUMN at a random position
-            name, typ = f"c{next_col}", rng.choice(TYPES)
+            name, typ = _new_name(rng, next_col), rng.choice(TYPES)
             next_col += 1
             pos = rng.choice([None, "first", rng.choice(names)])
             tail = (
@@ -123,7 +148,8 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
             )
             sql = (
                 f"ALTER TABLE db0.fz {_kw(rng, 'add')} "
-                f"{_maybe_column_kw(rng)}{_fmt_col(rng, name)} {typ}{tail}"
+                f"{_maybe_column_kw(rng)}{_fmt_col(rng, name)} {typ}"
+                f"{rng.choice(_COMMENTS)}{tail}"
             )
             model.insert(name, typ, pos)
         elif kind < 0.4 and len(names) > 2:
@@ -162,7 +188,7 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
         elif kind < 0.7 and any(n != "c0" for n in names):
             # CHANGE: rename + retype, optionally reposition
             target = rng.choice([n for n in names if n != "c0"])
-            name, typ = f"r{next_col}", rng.choice(TYPES)
+            name, typ = _new_name(rng, next_col), rng.choice(TYPES)
             next_col += 1
             pos = rng.choice([None, None, "first", rng.choice(names)])
             if pos == target:
@@ -193,7 +219,7 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
             # schema-neutral DDL: index / partition / table options —
             # must parse, must not change the visible column set
             action = rng.choice(NOOP_ACTIONS).format(
-                n=step, col=rng.choice(names)
+                n=step, col=rng.choice(names).replace("`", "``")
             )
             sql = f"ALTER TABLE db0.fz {action}"
         reg.apply_sql(str(tso), sql)
