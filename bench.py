@@ -78,6 +78,8 @@ HEADLINE = [
     "cdc_replica_lag_report",
     # round 6 additions
     "cdc_ivm_join_view",
+    "lineitem_wire_v1_typed",
+    "orders_wire_legacy_temporal",
 ]
 
 

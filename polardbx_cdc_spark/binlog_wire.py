@@ -250,11 +250,22 @@ class TableDef:
             elif t.startswith("year"):
                 types.append((TYPE_YEAR, None))
             elif t.startswith("datetime"):
-                types.append((TYPE_DATETIME2, _parse_fsp(t)))
+                # " legacy" marker = pre-5.6 packed-decimal wire form
+                # (RowsLogBuffer.java:139) — archived-binlog fixtures
+                types.append(
+                    (TYPE_DATETIME, None) if "legacy" in t
+                    else (TYPE_DATETIME2, _parse_fsp(t))
+                )
             elif t.startswith("timestamp"):
-                types.append((TYPE_TIMESTAMP2, _parse_fsp(t)))
+                types.append(
+                    (TYPE_TIMESTAMP, None) if "legacy" in t
+                    else (TYPE_TIMESTAMP2, _parse_fsp(t))
+                )
             elif t.startswith("time"):
-                types.append((TYPE_TIME2, _parse_fsp(t)))
+                types.append(
+                    (TYPE_TIME, None) if "legacy" in t
+                    else (TYPE_TIME2, _parse_fsp(t))
+                )
             elif t.startswith("date"):
                 types.append((TYPE_DATE, None))
             elif t.startswith(("varchar", "char", "text", "tinytext",
@@ -1505,7 +1516,8 @@ def _label_codecs(mysql_types: list[str]):
 
 
 def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
-                    rows_per_event: int = 256):
+                    rows_per_event: int = 256,
+                    rows_event_type: int = WRITE_ROWS_EVENT):
     """Serialize ANY typed DataFrame as binlog WRITE_ROWS wire bytes —
     one blob per partition (TABLE_MAP + chunked multi-row events). The
     column declarations come from the schema registry (`TableSchema.types`),
@@ -1555,10 +1567,10 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
                         vals.append(v)
                 rows.append(vals)
                 if len(rows) >= rows_per_event:
-                    blob += encode_rows_event(WRITE_ROWS_EVENT, tid, td, rows)
+                    blob += encode_rows_event(rows_event_type, tid, td, rows)
                     rows = []
             if rows:
-                blob += encode_rows_event(WRITE_ROWS_EVENT, tid, td, rows)
+                blob += encode_rows_event(rows_event_type, tid, td, rows)
             yield pd.DataFrame(
                 [(len(pdf), bytes(blob))], columns=["n_rows", "payload"]
             )
@@ -1597,7 +1609,7 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
             out = []
             for blob in pdf[payload_col]:
                 for ev in decode_events(bytes(blob)):
-                    if ev["type"] != WRITE_ROWS_EVENT:
+                    if ev["type"] not in (WRITE_ROWS_EVENT, WRITE_ROWS_EVENT_V1):
                         continue
                     for row in ev["rows"]:
                         rec = []

@@ -126,6 +126,8 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "embed_kmeans_assign",
     # -- new this round (round 6) ----------------------------------------
     "cdc_ivm_join_view",
+    "lineitem_wire_v1_typed",
+    "orders_wire_legacy_temporal",
 )
 
 #: Oracle-backed entries outside the round-6 window. Every name here is
@@ -4125,6 +4127,119 @@ def lineitem_wire_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("okey").cast("long").alias("okey_sum"),
         F.min("ship").cast("string").alias("min_ship"),
         F.max("ship").cast("string").alias("max_ship"),
+    )
+
+
+@register(
+    "lineitem_wire_v1_typed",
+    """
+    SELECT l_linestatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+           CAST(sum(l_partkey) AS BIGINT) AS pkey_sum,
+           CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS min_commit,
+           CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_commit
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def lineitem_wire_v1_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS **v1** framing (types 23-25, LogEvent.java:133-135) through
+    the typed wire round trip: the same 5-type lineitem surface as
+    ``lineitem_wire_typed`` but serialized as WRITE_ROWS_V1 events — no
+    var-header — the framing a 5.1/5.5-era archived binlog carries. The
+    decoder must produce byte-faithful values from the v1 body for the
+    oracle hash to match; the writer's production path remains v2."""
+    from polardbx_cdc_spark import binlog_wire
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    typed = li.select(
+        F.col("l_partkey").cast("long").alias("pkey"),
+        F.col("l_linenumber").cast("int").alias("lnum"),
+        (cents.cast("decimal(16,2)") / 100).cast("decimal(14,2)").alias("price"),
+        F.col("l_linestatus").alias("status"),
+        F.col("l_shipdate").cast("date").alias("commit"),
+    )
+    decls = ["bigint", "int", "decimal(14,2)", "varchar(4)", "date"]
+    blobs = binlog_wire.table_to_binlog(
+        typed, "tpch", "lineitem", decls,
+        rows_event_type=binlog_wire.WRITE_ROWS_EVENT_V1,
+    )
+    back = binlog_wire.binlog_to_table(
+        blobs, decls, ["pkey", "lnum", "price", "status", "commit"]
+    )
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("price") * 100).cast("long")).cast("long").alias("price_cents"),
+        F.sum("pkey").cast("long").alias("pkey_sum"),
+        F.min("commit").cast("string").alias("min_commit"),
+        F.max("commit").cast("string").alias("max_commit"),
+    )
+
+
+@register(
+    "orders_wire_legacy_temporal",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS okey,
+             CAST(o_orderdate AS TIMESTAMP) AS odt,
+             o_orderkey % 86400 AS secs
+      FROM orders
+    )
+    SELECT CAST(year(odt) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(okey) AS BIGINT) AS okey_sum,
+           CAST(min(odt) AS VARCHAR) AS min_dt,
+           CAST(max(odt) AS VARCHAR) AS max_dt,
+           min(printf('%02d:%02d:%02d', secs // 3600, (secs // 60) % 60, secs % 60))
+             AS min_tm,
+           max(printf('%02d:%02d:%02d', secs // 3600, (secs // 60) % 60, secs % 60))
+             AS max_tm,
+           CAST(min(odt + secs * INTERVAL 1 SECOND) AS VARCHAR) AS min_ts,
+           CAST(max(odt + secs * INTERVAL 1 SECOND) AS VARCHAR) AS max_ts
+    FROM t GROUP BY 1
+    """,
+)
+def orders_wire_legacy_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-5.6 LEGACY temporal wire formats, hash-checked end to end:
+    orders dates become legacy DATETIME (u64 packed decimal), a derived
+    clock-time becomes legacy TIME (signed int24 HHMMSS) and a derived
+    instant becomes legacy TIMESTAMP (4-byte epoch) — RowsLogBuffer.java
+    :128-139 layouts — serialized in ROWS v1 framing, decoded back, and
+    aggregated per year. The oracle recomputes from raw orders, so every
+    second must survive the packed-decimal/epoch round trips."""
+    from polardbx_cdc_spark import binlog_wire
+
+    o = load_table(spark, sf_dir, "orders")
+    secs = (F.col("o_orderkey") % 86400).cast("long")
+    odt = F.col("o_orderdate").cast("date").cast("timestamp_ntz")
+    typed = o.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        odt.alias("odt"),
+        F.format_string(
+            "%02d:%02d:%02d",
+            (secs / 3600).cast("long"),
+            ((secs / 60) % 60).cast("long"),
+            secs % 60,
+        ).alias("tm"),
+        (odt + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs.cast("double")))
+        .alias("ts"),
+    )
+    decls = ["bigint", "datetime legacy", "time legacy", "timestamp legacy"]
+    blobs = binlog_wire.table_to_binlog(
+        typed, "tpch", "orders", decls,
+        rows_event_type=binlog_wire.WRITE_ROWS_EVENT_V1,
+    )
+    back = binlog_wire.binlog_to_table(blobs, decls, ["okey", "odt", "tm", "ts"])
+    return back.groupBy(F.year("odt").cast("long").alias("yr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("okey").cast("long").alias("okey_sum"),
+        F.min("odt").cast("string").alias("min_dt"),
+        F.max("odt").cast("string").alias("max_dt"),
+        F.min("tm").alias("min_tm"),
+        F.max("tm").alias("max_tm"),
+        F.min("ts").cast("string").alias("min_ts"),
+        F.max("ts").cast("string").alias("max_ts"),
     )
 
 
