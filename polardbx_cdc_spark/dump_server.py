@@ -39,6 +39,7 @@ import socket
 import socketserver
 import struct
 import threading
+import zlib
 
 from . import binlog_wire as W
 
@@ -73,26 +74,79 @@ class _Handler(socketserver.StreamRequestHandler):
             self._meta({"ok": True, "position": hit})
         elif cmd == "dump":
             name, pos = req.get("file"), int(req.get("pos", 4))
+            follow = float(req.get("follow", 0) or 0)
             chain = srv.chain_from(name)
             if not chain:
                 self._meta({"ok": False, "error": f"unknown file {name!r}"})
                 return
             self._meta({"ok": True, "files": chain})
-            for i, fname in enumerate(chain):
-                start = max(pos, 4) if i == 0 else 4  # skip magic; pos 4 == FDE
-                with open(os.path.join(srv.wire_dir, fname), "rb") as fh:
-                    fh.seek(start)
-                    while True:
-                        chunk = fh.read(_CHUNK)
-                        if not chunk:
-                            break
-                        self.wfile.write(chunk)
+            if follow > 0:
+                self._stream_follow(srv, name, max(pos, 4), follow)
+            else:
+                for i, fname in enumerate(chain):
+                    start = max(pos, 4) if i == 0 else 4  # skip magic; 4 == FDE
+                    with open(os.path.join(srv.wire_dir, fname), "rb") as fh:
+                        fh.seek(start)
+                        while True:
+                            chunk = fh.read(_CHUNK)
+                            if not chunk:
+                                break
+                            self.wfile.write(chunk)
         else:
             self._meta({"ok": False, "error": f"unknown cmd {cmd!r}"})
 
     def _meta(self, obj: dict) -> None:
         blob = json.dumps(obj).encode()
         self.wfile.write(struct.pack("<I", len(blob)) + blob)
+
+    def _stream_follow(self, srv: "DumpServer", name: str, pos: int,
+                       idle_timeout: float) -> None:
+        """Live tail: stream COMPLETE events as they appear, follow
+        rotation to successor files, close after ``idle_timeout`` seconds
+        with no new bytes — the continuous subscribe loop of the
+        reference's dump endpoint (CdcServer.java:154-286 keeps the gRPC
+        stream open and pushes appended events). Only CRC-complete event
+        frames are forwarded (BinlogFile.seekLastTso torn-tail
+        discipline), so a reader never sees a partial append even though
+        the exporter re-renders the tail file in place — the rendered
+        prefix is byte-stable (deterministic encode of the same rows), so
+        advancing by complete frames is safe."""
+        import time as _time
+
+        cur, off = name, pos
+        deadline = _time.monotonic() + idle_timeout
+        while _time.monotonic() < deadline:
+            path = os.path.join(srv.wire_dir, cur)
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                size = 0
+            sent = False
+            if size > off:
+                with open(path, "rb") as fh:
+                    fh.seek(off)
+                    tail = fh.read()
+                span = 0
+                for ev_off, _tc, frame in _walk_events(tail):
+                    want = struct.unpack_from(
+                        "<I", frame, len(frame) - W.CHECKSUM_LEN
+                    )[0]
+                    if zlib.crc32(frame[: -W.CHECKSUM_LEN]) & 0xFFFFFFFF != want:
+                        break  # torn/in-flight bytes: retry next poll
+                    span = ev_off + len(frame)
+                if span:
+                    self.wfile.write(tail[:span])
+                    self.wfile.flush()
+                    off += span
+                    sent = True
+                    deadline = _time.monotonic() + idle_timeout
+            if not sent:
+                nxt = srv.chain_from(cur)[1:2]
+                if nxt:  # rotated: successor exists and current is drained
+                    cur, off = nxt[0], 4
+                    deadline = _time.monotonic() + idle_timeout
+                    continue
+                _time.sleep(0.05)
 
 
 class _Server(socketserver.ThreadingTCPServer):
@@ -176,7 +230,8 @@ class DumpServer:
 # -- client side ------------------------------------------------------------
 
 def _request(host: str, port: int, req: dict) -> tuple[dict, bytes]:
-    with socket.create_connection((host, port), timeout=30) as sock:
+    timeout = 30 + 4 * float(req.get("follow", 0) or 0)
+    with socket.create_connection((host, port), timeout=timeout) as sock:
         sock.sendall((json.dumps(req) + "\n").encode())
         rf = sock.makefile("rb")
         mlen = struct.unpack("<I", rf.read(4))[0]
@@ -195,11 +250,15 @@ def seek_tso(host: str, port: int, tso: str) -> dict | None:
     return meta["position"]
 
 
-def dump_fetch(host: str, port: int, file_name: str, pos: int = 4) -> bytes:
+def dump_fetch(host: str, port: int, file_name: str, pos: int = 4,
+               follow: float = 0) -> bytes:
     """Raw event bytes from (file, byte offset) through the end of the
-    rotated chain — the client half of ``dump(fileName, position)``."""
+    rotated chain — the client half of ``dump(fileName, position)``.
+    ``follow`` > 0 keeps the stream open live-tailing appends/rotations
+    until the server sees no new bytes for that many seconds."""
     meta, body = _request(
-        host, port, {"cmd": "dump", "file": file_name, "pos": int(pos)}
+        host, port,
+        {"cmd": "dump", "file": file_name, "pos": int(pos), "follow": follow},
     )
     if not meta.get("ok"):
         raise ValueError(meta.get("error", "dump failed"))

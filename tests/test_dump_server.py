@@ -114,3 +114,95 @@ def test_unknown_file_and_bad_request_are_clean_errors(wire_setup):
         wire_setup["host"], wire_setup["port"], {"cmd": "nonsense"}
     )
     assert meta["ok"] is False
+
+
+def test_follow_mode_live_tails_appends_and_rotation(tmp_path):
+    """Live-tail subscribe: a follower attached with follow>0 receives
+    events APPENDED after it attached, follows rotation into a new file,
+    and closes after the idle timeout — the continuous dump loop of
+    CdcServer.java:154-286. Only CRC-complete frames are delivered."""
+    import threading
+    import time
+
+    wire = str(tmp_path / "wire")
+    import os
+
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 256)])
+
+    def rows_event(vals):
+        return W.encode_table_map(3, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, vals
+        )
+
+    W.write_binlog_file(wire + "/binlog.000001", [rows_event([[1, "a"], [2, "b"]])])
+
+    srv = D.DumpServer(wire)
+    host, port = srv.start()
+    try:
+        result: dict = {}
+
+        def fetch():
+            result["body"] = D.dump_fetch(
+                host, port, "binlog.000001", 4, follow=1.5
+            )
+
+        t = threading.Thread(target=fetch)
+        t.start()
+        time.sleep(0.4)
+        # live append to the tailed file
+        with open(wire + "/binlog.000001", "ab") as fh:
+            fh.write(rows_event([[3, "c"]]))
+        time.sleep(0.4)
+        # rotation: a successor file appears
+        W.write_binlog_file(wire + "/binlog.000002", [rows_event([[4, "d"]])])
+        t.join(timeout=20)
+        assert not t.is_alive(), "follower did not close after idle timeout"
+
+        evs = W.decode_events(result["body"], verify_crc=True)
+        got = [
+            tuple(r)
+            for e in evs
+            if e["type"] == W.WRITE_ROWS_EVENT
+            for r in e["rows"]
+        ]
+        assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    finally:
+        srv.stop()
+
+
+def test_follow_mode_withholds_torn_tail(tmp_path):
+    """A half-written (torn) event at EOF must NOT reach the follower —
+    only the complete prefix streams; the torn bytes would stream once
+    completed (here the follower times out before that)."""
+    import os
+    import threading
+
+    wire = str(tmp_path / "wire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    full = W.encode_table_map(9, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 9, td, [[7]]
+    )
+    W.write_binlog_file(wire + "/binlog.000001", [full])
+    extra = W.encode_rows_event(W.WRITE_ROWS_EVENT, 9, td, [[8]])
+    with open(wire + "/binlog.000001", "ab") as fh:
+        fh.write(extra[: len(extra) // 2])  # torn mid-event
+
+    srv = D.DumpServer(wire)
+    host, port = srv.start()
+    try:
+        result: dict = {}
+
+        def fetch():
+            result["body"] = D.dump_fetch(host, port, "binlog.000001", 4, follow=0.8)
+
+        t = threading.Thread(target=fetch)
+        t.start()
+        t.join(timeout=15)
+        assert not t.is_alive()
+        evs = W.decode_events(result["body"], verify_crc=True)
+        rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+        assert rows == [[7]]
+    finally:
+        srv.stop()
