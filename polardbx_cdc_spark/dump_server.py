@@ -265,6 +265,39 @@ def dump_fetch(host: str, port: int, file_name: str, pos: int = 4,
     return body
 
 
+def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"):
+    """Consumer-group resume over the NETWORK attach path: join the
+    group, dump from the group's durable committed wire position (or the
+    chain start on first attach), decode with the engine decoder, and
+    commit the new end-of-chain position under the member's generation
+    fence — the broker-integration half the reference's RPL extractor
+    does over gRPC (CdcExtractor.java:87,225), composed from this slice's
+    dump endpoint plus ``streaming.consumer.ConsumerGroup`` semantics
+    (max-merge offsets, zombie fencing).
+
+    Offsets commit as ``{file_name}:{pos:012d}`` under topic ``wire`` —
+    zero-padded so the group's lexicographic max-merge equals positional
+    order across the rotated chain. Returns the decoded frame of NEW
+    events since the last commit (empty frame when caught up), or None
+    when the server has no files yet."""
+    gen = group.join(member_id)
+    committed = group.committed().get("wire")
+    if committed:
+        fname, _, pos_s = committed.rpartition(":")
+        pos = int(pos_s)
+    else:
+        files = list_files(host, port)
+        if not files:
+            return None
+        fname, pos = files[0]["file_name"], 4
+    blob = dump_fetch(host, port, fname, pos)
+    files = list_files(host, port)
+    last = files[-1]
+    group.commit({"wire": f"{last['file_name']}:{last['size']:012d}"}, gen)
+    payload = spark.createDataFrame([(bytearray(blob),)], "payload binary")
+    return W.binlog_to_events(payload)
+
+
 def attach_from_tso(spark, host: str, port: int, tso: str):
     """Attach a consumer at a TSO: seek over the network, dump the byte
     stream, decode it with the SAME decoder the batch attach path uses

@@ -206,3 +206,55 @@ def test_follow_mode_withholds_torn_tail(tmp_path):
         assert rows == [[7]]
     finally:
         srv.stop()
+
+
+def test_consumer_group_resume_over_network(spark, tmp_path):
+    """Consumer-group + dump-server integration: first consume delivers
+    everything and commits the end position; after the chain grows, a
+    re-consume delivers ONLY the new events; a zombie consumer from a
+    stale generation is fenced on commit."""
+    import os
+
+    from polardbx_cdc_spark.streaming.consumer import (
+        ConsumerGroup,
+        StaleGenerationError,
+    )
+
+    wire = str(tmp_path / "wire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_VARCHAR, 256), (W.TYPE_DOUBLE, 8)])
+
+    def rows_event(vals):
+        return W.encode_table_map(3, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, vals
+        )
+
+    W.write_binlog_file(wire + "/binlog.000001", [rows_event([["1", 1.0], ["2", 2.0]])])
+
+    group = ConsumerGroup("g1", str(tmp_path / "offsets"))
+    srv = D.DumpServer(wire)
+    host, port = srv.start()
+    try:
+        first = D.consume_from_group(spark, host, port, group, "m0")
+        assert [int(r["pk"]) for r in first.orderBy("pk").collect()] == [1, 2]
+
+        # chain grows: tail append + a rotation successor
+        with open(wire + "/binlog.000001", "ab") as fh:
+            fh.write(rows_event([["3", 3.0]]))
+        W.write_binlog_file(wire + "/binlog.000002", [rows_event([["4", 4.0]])])
+
+        second = D.consume_from_group(spark, host, port, group, "m0")
+        assert [int(r["pk"]) for r in second.orderBy("pk").collect()] == [3, 4]
+
+        # caught up → empty delta
+        third = D.consume_from_group(spark, host, port, group, "m0")
+        assert third.count() == 0
+
+        # zombie fencing: a second member joining bumps the generation;
+        # the old generation's commit must be rejected
+        stale_gen = group.generation()
+        group.join("m1")
+        with pytest.raises(StaleGenerationError):
+            group.commit({"wire": "binlog.000001:000000000004"}, stale_gen)
+    finally:
+        srv.stop()
