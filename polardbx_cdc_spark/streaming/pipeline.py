@@ -1040,3 +1040,132 @@ def match_with_acks(
             (F.unix_micros(F.col("ack_ts")) - F.unix_micros(F.col("ts"))) / F.lit(1000)
         ).cast("long").alias("lag_ms"),
     )
+
+
+class AggViewSink:
+    """Durable MATERIALIZED VIEW maintenance across micro-batches — the
+    streaming twin of ``apply.maintain_agg_view``: each batch folds its
+    signed per-event deltas into a persisted (db, tbl) COUNT/SUM view
+    without ever rescanning history. The downstream-table shape the
+    reference's RPL applier keeps current (SURVEY §2.11 MergeApplier
+    REPLACE semantics), expressed as a foreachBatch sink.
+
+    State layout under ``state_dir`` (version-pointer commit, crash-safe):
+    ``pk_v{N}/`` per-PK live state (db, tbl, pk, n_rows, value_cents),
+    ``view_v{N}/`` the maintained view, ``CURRENT`` = N (atomic file
+    replace). A crash between writes leaves CURRENT pointing at the
+    previous consistent pair; the batch replays idempotently because the
+    per-PK fold is an absolute (telescoped) state, not an increment.
+
+    Scale shape: per batch the work is proportional to TOUCHED keys —
+    prior state is semi-joined down to the batch's pks before the window,
+    untouched pk-state rows are carried over by an anti-join, and the view
+    update is a two-frame union-aggregate. The only full-history item
+    (the pk-state table itself) is the same size a replica table would be.
+    """
+
+    def __init__(self, state_dir: str) -> None:
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- version-pointer helpers -------------------------------------------
+    def _current(self) -> int:
+        try:
+            with open(os.path.join(self.state_dir, "CURRENT")) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _commit(self, version: int) -> None:
+        tmp = os.path.join(self.state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(self.state_dir, "CURRENT"))
+
+    def _paths(self, version: int) -> tuple[str, str]:
+        return (
+            os.path.join(self.state_dir, f"pk_v{version}"),
+            os.path.join(self.state_dir, f"view_v{version}"),
+        )
+
+    def view(self, spark) -> DataFrame:
+        """The maintained view at the last committed version (live groups
+        only, matching the fresh-aggregate contract)."""
+        _, view_path = self._paths(self._current())
+        if not os.path.isdir(view_path):
+            return spark.createDataFrame(
+                [], "db string, tbl string, n_rows long, value_cents long"
+            )
+        return spark.read.parquet(view_path).filter(F.col("n_rows") > 0)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from polardbx_cdc_spark.operators import apply as apply_ops
+
+        spark = batch_df.sparkSession
+        cur = self._current()
+        pk_path, view_path = self._paths(cur)
+        have_state = os.path.isdir(pk_path)
+
+        batch_df = batch_df.select("db", "tbl", "pk", "tso", "action", "value")
+        touched = batch_df.select("db", "tbl", "pk").distinct()
+
+        if have_state:
+            old_pk = spark.read.parquet(pk_path)
+            old_touched = old_pk.join(touched, ["db", "tbl", "pk"], "left_semi")
+            # prior live values re-enter the fold as synthetic seed events
+            # ordered before every real TSO (48-digit TSOs; "0"*48 sorts
+            # first), so the same telescoping window yields ABSOLUTE new
+            # per-PK state for the touched keys
+            seed = old_touched.filter(F.col("n_rows") > 0).select(
+                "db", "tbl", "pk",
+                F.lit("0" * 48).alias("tso"),
+                F.lit("INSERT").alias("action"),
+                (F.col("value_cents") / 100.0).alias("value"),
+            )
+            folded = batch_df.unionByName(seed)
+        else:
+            old_pk = old_touched = None
+            folded = batch_df
+
+        new_touched = apply_ops.maintain_pk_state(folded).localCheckpoint(eager=True)
+
+        # view delta = new contributions minus old contributions, per group
+        plus = new_touched.groupBy("db", "tbl").agg(
+            F.sum("n_rows").alias("n_rows"), F.sum("value_cents").alias("value_cents")
+        )
+        if old_touched is not None:
+            minus = old_touched.groupBy("db", "tbl").agg(
+                (-F.sum("n_rows")).alias("n_rows"),
+                (-F.sum("value_cents")).alias("value_cents"),
+            )
+            old_view = spark.read.parquet(view_path)
+            view_new = (
+                old_view.unionByName(plus).unionByName(minus)
+                .groupBy("db", "tbl")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("value_cents").cast("long").alias("value_cents"),
+                )
+            )
+            pk_new = old_pk.join(
+                touched, ["db", "tbl", "pk"], "left_anti"
+            ).unionByName(new_touched)
+        else:
+            view_new = plus.select(
+                "db", "tbl",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("value_cents").cast("long").alias("value_cents"),
+            )
+            pk_new = new_touched
+
+        nxt = cur + 1
+        pk_next, view_next = self._paths(nxt)
+        pk_new.write.mode("overwrite").parquet(pk_next)
+        view_new.write.mode("overwrite").parquet(view_next)
+        self._commit(nxt)
+        # retire the superseded version (best effort; CURRENT already moved)
+        if have_state:
+            import shutil
+
+            shutil.rmtree(pk_path, ignore_errors=True)
+            shutil.rmtree(view_path, ignore_errors=True)
