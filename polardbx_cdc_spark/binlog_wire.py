@@ -161,6 +161,15 @@ _NUMERIC_TYPES = frozenset(
      TYPE_FLOAT, TYPE_DOUBLE, TYPE_NEWDECIMAL]
 )
 _SIGNEDNESS_TLV = 1
+#: binlog_row_metadata=FULL TLVs (MySQL 8 optional metadata field types,
+#: public libbinlogevents rows_event.h Optional_metadata_field_type) —
+#: lets a consumer decode fully-NAMED, label-resolved rows from the wire
+#: alone, no external schema registry (TableMapLogEvent.java reads the
+#: same fields for the reference's column-aware processing)
+_SET_STR_VALUE_TLV = 3
+_COLUMN_NAME_TLV = 4
+_ENUM_STR_VALUE_TLV = 5
+_SIMPLE_PRIMARY_KEY_TLV = 8
 
 #: fsp → fractional-second byte count (DATETIME2/TIMESTAMP2/TIME2 tail)
 def _frac_bytes(fsp: int) -> int:
@@ -184,22 +193,42 @@ class TableDef:
     SIGNEDNESS optional-metadata TLV)."""
 
     def __init__(self, db: str, tbl: str, types: list[tuple[int, object]],
-                 unsigned: set[int] | None = None):
+                 unsigned: set[int] | None = None,
+                 col_names: list[str] | None = None,
+                 pk: list[int] | None = None,
+                 enum_labels: dict[int, list[str]] | None = None,
+                 set_labels: dict[int, list[str]] | None = None):
         self.db = db
         self.tbl = tbl
         self.types = types
         self.unsigned = unsigned or set()
+        #: binlog_row_metadata=FULL surface (optional): column names,
+        #: simple-PK column indexes, ENUM/SET label lists per column index
+        self.col_names = col_names
+        self.pk = pk
+        self.enum_labels = enum_labels or {}
+        self.set_labels = set_labels or {}
 
     @classmethod
-    def from_mysql_types(cls, db: str, tbl: str, decls: list[str]) -> "TableDef":
+    def from_mysql_types(cls, db: str, tbl: str, decls: list[str],
+                         col_names: list[str] | None = None,
+                         pk: list[int] | None = None) -> "TableDef":
         """Map MySQL type declarations (the registry's ``types``) onto the
-        wire types — the same surface RowsLogBuffer.java decodes."""
+        wire types — the same surface RowsLogBuffer.java decodes.
+        ENUM/SET label lists are captured from the declarations so
+        ``encode_table_map`` can emit the FULL row-metadata TLVs."""
         types: list[tuple[int, object]] = []
         unsigned: set[int] = set()
+        enum_labels: dict[int, list[str]] = {}
+        set_labels: dict[int, list[str]] = {}
         for i, d in enumerate(decls):
             t = d.strip().lower()
             if "unsigned" in t:
                 unsigned.add(i)
+            if t.startswith("enum("):
+                enum_labels[i] = _decl_labels(d)
+            elif t.startswith("set("):
+                set_labels[i] = _decl_labels(d)
             if t.startswith(("bool", "boolean")):
                 types.append((TYPE_TINY, None))
             elif t.startswith("tinyint"):
@@ -291,7 +320,8 @@ class TableDef:
                 types.append((TYPE_BLOB, prefix))
             else:
                 raise ValueError(f"wire slice does not cover type {d!r}")
-        return cls(db, tbl, types, unsigned)
+        return cls(db, tbl, types, unsigned, col_names=col_names, pk=pk,
+                   enum_labels=enum_labels, set_labels=set_labels)
 
 
 def _encode_header(type_code: int, payload_len: int, timestamp: int,
@@ -403,6 +433,32 @@ def encode_table_map(table_id: int, td: TableDef, timestamp: int = 0) -> bytes:
             if col in td.unsigned:
                 bits[pos // 8] |= 0x80 >> (pos % 8)  # MSB-first
         opt = bytes([_SIGNEDNESS_TLV]) + _lenenc(len(bits)) + bytes(bits)
+    # binlog_row_metadata=FULL TLVs (rows_event.h write order) — emitted
+    # only when the TableDef carries them, so default output is unchanged
+    if td.col_names:
+        blob = b"".join(
+            _lenenc(len(n.encode())) + n.encode() for n in td.col_names
+        )
+        opt += bytes([_COLUMN_NAME_TLV]) + _lenenc(len(blob)) + blob
+    if td.set_labels:
+        blob = b""
+        for i in sorted(td.set_labels):  # column order
+            labels = td.set_labels[i]
+            blob += _lenenc(len(labels))
+            for s in labels:
+                blob += _lenenc(len(s.encode())) + s.encode()
+        opt += bytes([_SET_STR_VALUE_TLV]) + _lenenc(len(blob)) + blob
+    if td.enum_labels:
+        blob = b""
+        for i in sorted(td.enum_labels):
+            labels = td.enum_labels[i]
+            blob += _lenenc(len(labels))
+            for s in labels:
+                blob += _lenenc(len(s.encode())) + s.encode()
+        opt += bytes([_ENUM_STR_VALUE_TLV]) + _lenenc(len(blob)) + blob
+    if td.pk:
+        blob = b"".join(_lenenc(i) for i in td.pk)
+        opt += bytes([_SIMPLE_PRIMARY_KEY_TLV]) + _lenenc(len(blob)) + blob
     payload = (
         struct.pack("<Q", table_id)[:6] + struct.pack("<H", 1)
         + bytes([len(db_b)]) + db_b + b"\x00"
@@ -982,8 +1038,30 @@ def decode_events(buf: bytes, verify_crc: bool = True,
             p += mlen
             p += (ncols + 7) // 8  # null bitmap
             # optional-metadata TLVs (MySQL 8): SIGNEDNESS carries the
-            # unsigned bits for numeric columns, MSB-first
+            # unsigned bits for numeric columns, MSB-first; with
+            # binlog_row_metadata=FULL the stream also self-describes
+            # column names, ENUM/SET labels, and the simple primary key
             unsigned: set[int] = set()
+            col_names: list[str] | None = None
+            pk: list[int] | None = None
+            enum_labels: dict[int, list[str]] = {}
+            set_labels: dict[int, list[str]] = {}
+
+            def _read_label_lists(val: bytes, targets: list[int]) -> dict:
+                out: dict[int, list[str]] = {}
+                vp = 0
+                for col in targets:
+                    if vp >= len(val):
+                        break
+                    cnt, vp = _read_lenenc(val, vp)
+                    labels = []
+                    for _ in range(cnt):
+                        ln, vp = _read_lenenc(val, vp)
+                        labels.append(val[vp : vp + ln].decode())
+                        vp += ln
+                    out[col] = labels
+                return out
+
             while p < len(body):
                 tlv_type = body[p]
                 tlv_len, q = _read_lenenc(body, p + 1)
@@ -996,8 +1074,46 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                     for bit, col in enumerate(numeric_idx):
                         if val[bit // 8] & (0x80 >> (bit % 8)):
                             unsigned.add(col)
-            tables[tid] = TableDef(db, tbl, types, unsigned)
+                elif tlv_type == _COLUMN_NAME_TLV:
+                    col_names = []
+                    vp = 0
+                    while vp < len(val):
+                        ln, vp = _read_lenenc(val, vp)
+                        col_names.append(val[vp : vp + ln].decode())
+                        vp += ln
+                elif tlv_type == _ENUM_STR_VALUE_TLV:
+                    targets = [
+                        i for i, (rt, m) in enumerate(types)
+                        if rt == TYPE_STRING and isinstance(m, tuple)
+                        and m[0] == TYPE_ENUM
+                    ]
+                    enum_labels = _read_label_lists(val, targets)
+                elif tlv_type == _SET_STR_VALUE_TLV:
+                    targets = [
+                        i for i, (rt, m) in enumerate(types)
+                        if rt == TYPE_STRING and isinstance(m, tuple)
+                        and m[0] == TYPE_SET
+                    ]
+                    set_labels = _read_label_lists(val, targets)
+                elif tlv_type == _SIMPLE_PRIMARY_KEY_TLV:
+                    pk = []
+                    vp = 0
+                    while vp < len(val):
+                        idx, vp = _read_lenenc(val, vp)
+                        pk.append(idx)
+            tables[tid] = TableDef(
+                db, tbl, types, unsigned, col_names=col_names, pk=pk,
+                enum_labels=enum_labels, set_labels=set_labels,
+            )
             ev.update(table_id=tid, db=db, tbl=tbl, types=types, unsigned=unsigned)
+            if col_names is not None:
+                ev["col_names"] = col_names
+            if pk is not None:
+                ev["pk_columns"] = pk
+            if enum_labels:
+                ev["enum_labels"] = enum_labels
+            if set_labels:
+                ev["set_labels"] = set_labels
         elif tc in ROWS_EVENTS:
             tid = int.from_bytes(body[0:6], "little")
             td = tables[tid]
@@ -1021,6 +1137,10 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                     img, p = _decode_image(td, body, p)
                     rows.append(img)
             ev.update(table_id=tid, db=td.db, tbl=td.tbl, rows=rows)
+            if td.col_names is not None:
+                ev["col_names"] = td.col_names
+                if td.pk is not None:
+                    ev["pk_columns"] = td.pk
         elif tc == QUERY_EVENT:
             _tid, _et, dlen, _ec, svlen = struct.unpack_from("<IIBHH", body, 0)
             p = 13 + svlen
@@ -1048,6 +1168,65 @@ def decode_events(buf: bytes, verify_crc: bool = True,
         events.append(ev)
         pos += elen
     return events
+
+
+def decode_named_rows(buf: bytes, verify_crc: bool = True) -> list[dict]:
+    """Registry-FREE attach: decode a binlog_row_metadata=FULL byte stream
+    into named row changes — ``{db, tbl, action, pk, values: {col: v}}``
+    with ENUM indexes / SET bitmasks resolved to labels from the wire's
+    own TLVs. This is what lets a downstream consume a stream it has
+    never seen a schema for (the reference's column-aware processing
+    reads the same TABLE_MAP fields, TableMapLogEvent.java)."""
+    _ACTION = {
+        WRITE_ROWS_EVENT: "INSERT", UPDATE_ROWS_EVENT: "UPDATE",
+        DELETE_ROWS_EVENT: "DELETE", WRITE_ROWS_EVENT_V1: "INSERT",
+        UPDATE_ROWS_EVENT_V1: "UPDATE", DELETE_ROWS_EVENT_V1: "DELETE",
+    }
+    out: list[dict] = []
+    defs: dict[tuple[str, str], dict] = {}
+    for ev in decode_events(buf, verify_crc=verify_crc):
+        if ev["type"] == TABLE_MAP_EVENT and "col_names" in ev:
+            defs[(ev["db"], ev["tbl"])] = ev
+        elif ev["type"] in _ACTION:
+            dmap = defs.get((ev["db"], ev["tbl"]))
+            names = ev.get("col_names") or (dmap or {}).get("col_names")
+            if names is None:
+                raise ValueError(
+                    f"{ev['db']}.{ev['tbl']}: stream carries no COLUMN_NAME "
+                    "metadata (binlog_row_metadata=FULL required)"
+                )
+            enum_l = (dmap or {}).get("enum_labels", {})
+            set_l = (dmap or {}).get("set_labels", {})
+            pk_cols = ev.get("pk_columns") or (dmap or {}).get("pk_columns") or []
+
+            def named(img):
+                vals = {}
+                for i, (n, v) in enumerate(zip(names, img)):
+                    if v is not None and i in enum_l:
+                        v = enum_l[i][v - 1] if v else ""
+                    elif v is not None and i in set_l:
+                        v = ",".join(
+                            s for b, s in enumerate(set_l[i]) if v >> b & 1
+                        )
+                    vals[n] = v
+                return vals
+
+            for row in ev["rows"]:
+                if ev["type"] in UPDATE_EVENTS:
+                    before, after = named(row[0]), named(row[1])
+                    img = after
+                else:
+                    before, after = None, None
+                    img = named(row)
+                out.append({
+                    "db": ev["db"], "tbl": ev["tbl"],
+                    "action": _ACTION[ev["type"]],
+                    "pk": {names[i]: img[names[i]] for i in pk_cols},
+                    "values": img,
+                    **({"before": before, "after": after}
+                       if before is not None else {}),
+                })
+    return out
 
 
 def write_binlog_file(path: str, events: list[bytes],

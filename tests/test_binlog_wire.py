@@ -993,3 +993,64 @@ def test_legacy_time_wire_bytes_match_spec():
     td2 = W.TableDef("d", "t", [(W.TYPE_DATETIME, None)])
     img2 = W._encode_image(td2, [datetime.datetime(2003, 12, 31, 1, 2, 3)])
     assert img2[1:9] == struct.pack("<Q", 20031231010203)
+
+
+def test_full_row_metadata_tlvs_round_trip():
+    """binlog_row_metadata=FULL: COLUMN_NAME / ENUM+SET_STR_VALUE /
+    SIMPLE_PRIMARY_KEY TLVs round-trip through the TABLE_MAP, so the
+    stream self-describes (rows_event.h optional metadata;
+    TableMapLogEvent.java read side)."""
+    td = W.TableDef.from_mysql_types(
+        "shop", "orders",
+        ["bigint unsigned", "varchar(32)", "enum('new','paid','shipped')",
+         "set('a','b','c')"],
+        col_names=["id", "note", "status", "flags"],
+        pk=[0],
+    )
+    blob = W.encode_table_map(11, td)
+    ev = W.decode_events(blob)[0]
+    assert ev["col_names"] == ["id", "note", "status", "flags"]
+    assert ev["pk_columns"] == [0]
+    assert ev["enum_labels"] == {2: ["new", "paid", "shipped"]}
+    assert ev["set_labels"] == {3: ["a", "b", "c"]}
+    assert ev["unsigned"] == {0}
+
+
+def test_registry_free_named_decode():
+    """A consumer with NO schema registry decodes a FULL-metadata stream
+    into named, label-resolved row changes — including v1 framing."""
+    td = W.TableDef.from_mysql_types(
+        "shop", "orders",
+        ["bigint", "varchar(32)", "enum('new','paid','shipped')", "set('a','b','c')"],
+        col_names=["id", "note", "status", "flags"],
+        pk=[0],
+    )
+    blob = (
+        W.encode_table_map(7, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 7, td, [[1, "hi", 2, 0b101]])
+        + W.encode_rows_event(
+            W.UPDATE_ROWS_EVENT_V1, 7, td,
+            [([1, "hi", 2, 0b101], [1, "bye", 3, 0b010])],
+        )
+    )
+    rows = W.decode_named_rows(blob)
+    assert rows[0]["action"] == "INSERT"
+    assert rows[0]["pk"] == {"id": 1}
+    assert rows[0]["values"] == {"id": 1, "note": "hi", "status": "paid",
+                                 "flags": "a,c"}
+    assert rows[1]["action"] == "UPDATE"
+    assert rows[1]["before"]["status"] == "paid"
+    assert rows[1]["after"] == {"id": 1, "note": "bye", "status": "shipped",
+                                "flags": "b"}
+
+
+def test_minimal_metadata_stream_still_decodes_positionally():
+    """Without FULL metadata the legacy surface is unchanged; the named
+    decoder refuses cleanly instead of guessing."""
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    blob = W.encode_table_map(5, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 5, td, [[42]]
+    )
+    assert W.decode_events(blob)[1]["rows"] == [[42]]
+    with pytest.raises(ValueError, match="COLUMN_NAME"):
+        W.decode_named_rows(blob)
