@@ -290,3 +290,125 @@ def bm25_scores(
     p = per.groupBy(id_col).agg(*combine)
     total = " + ".join(f"coalesce(_s{i}, 0)" for i in range(len(terms)))
     return p.select(F.col(id_col), F.expr(f"round({total}, 6)").alias("bm25"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE (byte-pair-encoding) tokenizer training
+# ---------------------------------------------------------------------------
+#
+# The tokenizer-training half of a training-data pipeline: classic BPE
+# (Sennrich et al. 2016) over the corpus's word-frequency table. Scale
+# shape: the corpus collapses ONCE to (word, count) — the only pass over
+# raw text; every merge iteration then runs on that (much smaller,
+# still-distributed) vocab frame: explode weighted adjacent pairs →
+# one partial-agg groupBy → argmax (1-row collect) → JVM-side fold merge
+# (higher-order aggregate(), no Python in the loop). localCheckpoint
+# every few rounds caps lineage/plan growth exactly like the k-means and
+# connected-components loops.
+
+
+def word_freq(df, text_col: str = "text"):
+    """(word, count) over lowercase whitespace words — the single raw-text
+    pass BPE training needs."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_pair_stats(df, text_col: str = "text", top_k: int = 20):
+    """Adjacent character-pair frequencies over the corpus (weighted by
+    occurrence) — the statistic BPE's FIRST merge maximizes, exposed as a
+    one-shot diagnostic. Deterministic order: count desc, then pair."""
+    wf = word_freq(df, text_col)
+    chars = F.split(F.col("w"), "")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(chars) - 1),
+        lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + 1)),
+    )
+    return (
+        wf.filter(F.length("w") > 1)
+        .select(F.explode(pairs).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_k)
+    )
+
+
+def _merge_pair_col(symbols, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) inside a symbol
+    array — pure Catalyst fold (aggregate), no UDF."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(df, text_col: str = "text", n_merges: int = 10,
+              checkpoint_every: int = 4) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges over the corpus; returns the ordered
+    merge list [(a, b), ...]. Ties break lexicographically on (a, b) so
+    the result is deterministic across partitionings/engines.
+
+    Per iteration the ONLY driver materialization is the argmax pair
+    (1 row); the vocab frame stays distributed and the merge itself is a
+    JVM-side array fold."""
+    vocab = word_freq(df, text_col).select(
+        F.split(F.col("w"), "").alias("sym"), "cnt"
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("sym") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("sym"), i).alias("a"),
+                F.element_at(F.col("sym"), i + 1).alias("b"),
+            ),
+        )
+        top = (
+            vocab.filter(F.size("sym") > 1)
+            .select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(_merge_pair_col(F.col("sym"), a, b).alias("sym"), "cnt")
+        if (it + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(df, merges: list[tuple[str, str]], text_col: str = "text",
+               out_col: str = "bpe_tokens"):
+    """Apply a trained merge list to a corpus: per word, chars → fold
+    each merge in training order. Map-only (no shuffle); merge rules are
+    plan literals, the per-row work is JVM-side."""
+    chars = F.split(F.lower(F.col(text_col)), r"\s+")
+    word_syms = lambda w: F.split(w, "")  # noqa: E731
+
+    def encode_word(w):
+        syms = word_syms(w)
+        for a, b in merges:
+            syms = _merge_pair_col(syms, a, b)
+        return syms
+
+    return df.withColumn(
+        out_col,
+        F.flatten(F.transform(chars, encode_word)),
+    )
