@@ -80,6 +80,7 @@ HEADLINE = [
     "cdc_ivm_join_view",
     "lineitem_wire_v1_typed",
     "orders_wire_legacy_temporal",
+    "text_bpe_pair_stats",
 ]
 
 

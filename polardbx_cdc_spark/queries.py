@@ -128,6 +128,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "cdc_ivm_join_view",
     "lineitem_wire_v1_typed",
     "orders_wire_legacy_temporal",
+    "text_bpe_pair_stats",
 )
 
 #: Oracle-backed entries outside the round-6 window. Every name here is
@@ -5285,6 +5286,36 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, rounded at 6 decimals like the log-family queries."""
     d = load_table(spark, sf_dir, "documents")
     return text.bm25_scores(d, ["join", "scan", "filter"])
+
+
+@register(
+    "text_bpe_pair_stats",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS cnt FROM toks WHERE w <> '' GROUP BY 1),
+    pairs AS (
+      SELECT substring(w, i, 2) AS pair, cnt
+      FROM (
+        SELECT w, cnt, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM wf WHERE length(w) > 1
+      )
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+    FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character-pair frequencies over the corpus — the
+    statistic a BPE tokenizer's first merge maximizes (text.bpe_pair_stats;
+    the full distributed trainer ``text.bpe_train`` iterates this on the
+    collapsed word-frequency table and is verified against a pure-Python
+    reference in tests/test_bpe.py). One raw-text pass, one partial-agg
+    shuffle; deterministic (count desc, pair) order on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bpe_pair_stats(d, top_k=20)
 
 
 @register(
