@@ -167,3 +167,88 @@ def test_jpeg_dims_exact_and_error_bounded(h, w, seed):
     # random noise is the worst case for DCT coding; the bound is loose
     # but must hold for EVERY image (dims/layout bugs explode it)
     assert np.abs(back.astype(int) - arr.astype(int)).mean() < 24
+
+
+# --- ROWS v1 framing + pre-5.6 legacy temporals ----------------------------
+
+_LEGACY_KINDS = [
+    (
+        "datetime legacy",
+        st.datetimes(
+            datetime.datetime(1000, 1, 1), datetime.datetime(9999, 12, 28)
+        ).map(lambda d: d.replace(microsecond=0)),
+    ),
+    (
+        "timestamp legacy",
+        st.datetimes(
+            datetime.datetime(1970, 1, 2), datetime.datetime(2106, 2, 6)
+        ).map(lambda d: d.replace(microsecond=0)),
+    ),
+    (
+        "time legacy",
+        st.timedeltas(
+            min_value=-datetime.timedelta(hours=838),
+            max_value=datetime.timedelta(hours=838),
+        ).map(lambda t: t - datetime.timedelta(microseconds=t.microseconds)),
+    ),
+]
+
+
+@st.composite
+def _legacy_tables(draw):
+    cols = draw(
+        st.lists(
+            st.sampled_from(_COLUMN_KINDS[:8] + _LEGACY_KINDS),
+            min_size=1, max_size=6,
+        )
+    )
+    rows = []
+    for _ in range(draw(st.integers(1, 4))):
+        rows.append(
+            [None if draw(st.booleans()) and draw(st.booleans()) else draw(vs)
+             for _, vs in cols]
+        )
+    return [d for d, _ in cols], rows
+
+
+@given(_legacy_tables(), st.sampled_from([W.WRITE_ROWS_EVENT, W.WRITE_ROWS_EVENT_V1]))
+@settings(max_examples=120, deadline=None)
+def test_legacy_temporals_round_trip_in_both_framings(table, event_type):
+    """Any mix of numeric + legacy-temporal columns must round trip
+    bit-exact through BOTH v2 and v1 rows-event framing."""
+    decls, rows = table
+    td = W.TableDef.from_mysql_types("d", "t", decls)
+    buf = (
+        W.encode_fde()
+        + W.encode_table_map(1, td)
+        + W.encode_rows_event(event_type, 1, td, rows)
+    )
+    got = [e for e in W.decode_events(buf) if e["type"] == event_type][0]["rows"]
+    assert len(got) == len(rows)
+    for grow, row in zip(got, rows):
+        for gv, v, decl in zip(grow, row, decls):
+            if v is None:
+                assert gv is None
+            elif decl.startswith("double"):
+                assert gv == v
+            elif decl.startswith("decimal"):
+                assert Decimal(gv) == Decimal(v)
+            else:
+                assert gv == v, (decl, v, gv)
+
+
+@given(_tables())
+@settings(max_examples=60, deadline=None)
+def test_v1_and_v2_bodies_differ_only_by_var_header(table):
+    """For any schema+rows: the v1 event equals the v2 event minus the
+    2-byte var-header (modulo type code and recomputed lengths/CRC)."""
+    decls, rows = table
+    td = W.TableDef.from_mysql_types("d", "t", decls)
+    v2 = W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td, rows)
+    v1 = W.encode_rows_event(W.WRITE_ROWS_EVENT_V1, 1, td, rows)
+    assert len(v1) == len(v2) - 2
+    # identical decoded payloads
+    base = W.encode_fde() + W.encode_table_map(1, td)
+    r2 = W.decode_events(base + v2)[-1]["rows"]
+    r1 = W.decode_events(base + v1)[-1]["rows"]
+    assert r1 == r2
