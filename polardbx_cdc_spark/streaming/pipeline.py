@@ -1169,3 +1169,135 @@ class AggViewSink:
 
             shutil.rmtree(pk_path, ignore_errors=True)
             shutil.rmtree(view_path, ignore_errors=True)
+
+
+class JoinViewSink(AggViewSink):
+    """Durable JOIN-view maintenance across micro-batches: the streaming
+    twin of ``apply.maintain_join_agg_view`` — a (dim-attribute, COUNT,
+    SUM) rollup of the live fact state joined to a dimension, kept
+    current from the change stream alone. Extends :class:`AggViewSink`'s
+    versioned pk-state machinery; the view delta broadcast-joins the
+    TOUCHED per-PK contributions to the dimension (ΔF ⋈ D per batch),
+    and :meth:`apply_dim_update` folds a dimension change in WITHOUT a
+    fact rescan (F ⋈ ΔD — the dim delta is broadcast against the durable
+    per-PK state)."""
+
+    def __init__(self, state_dir: str, dim: DataFrame,
+                 dim_key: str = "dim_key", attr: str = "grp") -> None:
+        super().__init__(state_dir)
+        self.dim = dim.select(
+            F.col(dim_key).alias("dim_key"), F.col(attr).alias("grp")
+        )
+
+    def view(self, spark) -> DataFrame:
+        _, view_path = self._paths(self._current())
+        if not os.path.isdir(view_path):
+            return spark.createDataFrame([], "grp long, n_rows long, value_cents long")
+        return spark.read.parquet(view_path).filter(F.col("n_rows") > 0)
+
+    def _group_contrib(self, pk_frame: DataFrame, negate: bool = False) -> DataFrame:
+        joined = pk_frame.join(
+            F.broadcast(self.dim), pk_frame["pk"] == self.dim["dim_key"], "inner"
+        )
+        sign = -1 if negate else 1
+        return joined.groupBy("grp").agg(
+            (F.lit(sign) * F.sum("n_rows")).alias("n_rows"),
+            (F.lit(sign) * F.sum("value_cents")).alias("value_cents"),
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from polardbx_cdc_spark.operators import apply as apply_ops
+
+        spark = batch_df.sparkSession
+        cur = self._current()
+        pk_path, view_path = self._paths(cur)
+        have_state = os.path.isdir(pk_path)
+
+        batch_df = batch_df.select("db", "tbl", "pk", "tso", "action", "value")
+        touched = batch_df.select("db", "tbl", "pk").distinct()
+
+        if have_state:
+            old_pk = spark.read.parquet(pk_path)
+            old_touched = old_pk.join(touched, ["db", "tbl", "pk"], "left_semi")
+            seed = old_touched.filter(F.col("n_rows") > 0).select(
+                "db", "tbl", "pk",
+                F.lit("0" * 48).alias("tso"),
+                F.lit("INSERT").alias("action"),
+                (F.col("value_cents") / 100.0).alias("value"),
+            )
+            folded = batch_df.unionByName(seed)
+        else:
+            old_pk = old_touched = None
+            folded = batch_df
+
+        new_touched = apply_ops.maintain_pk_state(folded).localCheckpoint(eager=True)
+        plus = self._group_contrib(new_touched)
+        if old_touched is not None:
+            minus = self._group_contrib(old_touched, negate=True)
+            old_view = spark.read.parquet(view_path)
+            view_new = (
+                old_view.unionByName(plus).unionByName(minus)
+                .groupBy("grp")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("value_cents").cast("long").alias("value_cents"),
+                )
+            )
+            pk_new = old_pk.join(
+                touched, ["db", "tbl", "pk"], "left_anti"
+            ).unionByName(new_touched)
+        else:
+            view_new = plus.select(
+                "grp",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("value_cents").cast("long").alias("value_cents"),
+            )
+            pk_new = new_touched
+
+        nxt = cur + 1
+        pk_next, view_next = self._paths(nxt)
+        pk_new.write.mode("overwrite").parquet(pk_next)
+        view_new.write.mode("overwrite").parquet(view_next)
+        self._commit(nxt)
+        if have_state:
+            import shutil
+
+            shutil.rmtree(pk_path, ignore_errors=True)
+            shutil.rmtree(view_path, ignore_errors=True)
+
+    def apply_dim_update(self, spark, dim_delta: DataFrame) -> None:
+        """Fold a dimension change (dim_key, old_grp, new_grp) into the
+        maintained view from the durable per-PK state — the F ⋈ ΔD rule;
+        also updates the sink's dim so later batches join the new
+        mapping. The dim delta is broadcast; the fact side is the
+        pk-state table, never raw history."""
+        from polardbx_cdc_spark.operators import apply as apply_ops
+
+        cur = self._current()
+        pk_path, view_path = self._paths(cur)
+        if not os.path.isdir(pk_path):
+            return
+        pk_state = spark.read.parquet(pk_path)
+        old_view = spark.read.parquet(view_path)
+        view_new = apply_ops.apply_dim_delta_to_join_view(
+            old_view, pk_state, dim_delta, attr="grp"
+        )
+        delta = dim_delta.select(
+            "dim_key", F.col("new_grp").alias("grp_new")
+        )
+        self.dim = (
+            self.dim.join(F.broadcast(delta), "dim_key", "left")
+            .select(
+                "dim_key",
+                F.coalesce("grp_new", "grp").alias("grp"),
+            )
+        )
+        nxt = cur + 1
+        pk_next, view_next = self._paths(nxt)
+        pk_state.write.mode("overwrite").parquet(pk_next)
+        view_new.write.mode("overwrite").parquet(view_next)
+        self._commit(nxt)
+        import shutil
+
+        shutil.rmtree(pk_path, ignore_errors=True)
+        shutil.rmtree(view_path, ignore_errors=True)

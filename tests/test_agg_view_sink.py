@@ -69,3 +69,69 @@ def test_crash_replay_is_idempotent(spark, tmp_path):
     sink(b1, batch_id=1)
     got = sink.view(spark).orderBy("db", "tbl").collect()
     assert got == _ground_truth(spark)
+
+
+def _dim(spark):
+    from polardbx_cdc_spark.session import load_table
+
+    return load_table(spark, SF, "customer").select(
+        F.col("c_custkey").cast("string").alias("dim_key"),
+        F.col("c_nationkey").cast("long").alias("grp"),
+    )
+
+
+def _join_ground_truth(spark, dim):
+    from polardbx_cdc_spark.streaming.pipeline import JoinViewSink  # noqa: F401
+
+    cdc = derive_cdc_stream(spark, SF)
+    view = apply_ops.maintain_join_agg_view(cdc, dim, dim_key="dim_key", attrs=("grp",))
+    return view.filter(F.col("n_rows") > 0).orderBy("grp").collect()
+
+
+def test_join_view_sink_multi_batch_equals_batch_ivm(spark, tmp_path):
+    from polardbx_cdc_spark.streaming.pipeline import JoinViewSink
+
+    dim = _dim(spark)
+    cdc = derive_cdc_stream(spark, SF).select(
+        "db", "tbl", "pk", "tso", "action", "value"
+    )
+    rows = cdc.orderBy("tso").collect()
+    for n in (1, 4):
+        sink = JoinViewSink(str(tmp_path / f"jv{n}"), dim)
+        per = (len(rows) + n - 1) // n
+        for i in range(n):
+            chunk = rows[i * per : (i + 1) * per]
+            if chunk:
+                sink(spark.createDataFrame(chunk, cdc.schema), batch_id=i)
+        got = sink.view(spark).orderBy("grp").collect()
+        assert got == _join_ground_truth(spark, dim), f"{n} batches diverged"
+
+
+def test_join_view_sink_dim_update_without_fact_rescan(spark, tmp_path):
+    """A dimension change folds into the maintained view via the durable
+    pk-state (F⋈ΔD) and must equal a from-scratch recompute with the
+    UPDATED dim; subsequent batches join the new mapping."""
+    from polardbx_cdc_spark.streaming.pipeline import JoinViewSink
+
+    dim = _dim(spark)
+    cdc = derive_cdc_stream(spark, SF).select(
+        "db", "tbl", "pk", "tso", "action", "value"
+    )
+    rows = cdc.orderBy("tso").collect()
+    half = len(rows) // 2
+    sink = JoinViewSink(str(tmp_path / "jvdim"), dim)
+    sink(spark.createDataFrame(rows[:half], cdc.schema), batch_id=0)
+
+    delta = dim.filter(F.col("dim_key").cast("long") % 7 == 0).select(
+        "dim_key",
+        F.col("grp").alias("old_grp"),
+        ((F.col("grp") + 7) % 25).alias("new_grp"),
+    )
+    sink.apply_dim_update(spark, delta)
+    sink(spark.createDataFrame(rows[half:], cdc.schema), batch_id=1)
+
+    updated_dim = dim.join(
+        delta.select("dim_key", F.col("new_grp")), "dim_key", "left"
+    ).select("dim_key", F.coalesce("new_grp", "grp").alias("grp"))
+    got = sink.view(spark).orderBy("grp").collect()
+    assert got == _join_ground_truth(spark, updated_dim)

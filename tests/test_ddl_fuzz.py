@@ -307,3 +307,42 @@ def test_database_level_ddl():
     assert list(reg.find("dbx", "a", "350").columns) == ["x"]
     assert "dbx" not in reg.databases()
     assert "other" in reg.databases()
+
+
+def test_sanitizer_hypothesis_roundtrip():
+    """Property fuzz of the quoting sanitizer: ANY identifier content
+    (keywords, commas, parens, quotes, escaped backticks) and ANY comment
+    string must round trip through parse_ddl — names come back lowercased
+    but otherwise verbatim, and comment content never leaks into types."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polardbx_cdc_spark import ddl
+
+    ident_chars = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"),
+            whitelist_characters=" ,()'`$_",
+        ),
+        min_size=1,
+        max_size=16,
+    ).filter(lambda s: s.strip() and not s.strip().isdigit())
+    comment_chars = st.text(
+        alphabet=st.characters(blacklist_characters="\\", blacklist_categories=("Cs",)),
+        max_size=24,
+    )
+
+    @given(ident_chars, ident_chars, comment_chars)
+    @settings(max_examples=150, deadline=None)
+    def run(tbl, col, comment):
+        bt = lambda s: "`" + s.replace("`", "``") + "`"  # noqa: E731
+        sq = comment.replace("'", "''")
+        sql = f"ALTER TABLE {bt(tbl)} ADD COLUMN {bt(col)} VARCHAR(10) COMMENT '{sq}'"
+        ops = ddl.parse_ddl(sql)
+        assert len(ops) == 1
+        assert ops[0]["op"] == "add_column"
+        assert ops[0]["tbl"] == tbl.lower()
+        assert ops[0]["column"] == col.lower()
+        assert ops[0]["mysql_type"] == "VARCHAR(10)"
+
+    run()
