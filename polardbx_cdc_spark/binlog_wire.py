@@ -71,6 +71,12 @@ XA_PREPARE_EVENT = 38  # XA branch prepare (XaPrepareLogEvent.java)
 SEQUENCE_EVENT = 80  # PolarDB-X sequence/TSO carrier (SequenceLogEvent.java)
 GCN_EVENT = 105  # PolarDB-X DN 8.0 commit-GCN carrier (GcnLogEvent.java)
 ROWS_QUERY_EVENT = 29  # original-SQL / ::TRACE:: marker (RowsQueryEventBuilder.java)
+# GTID family (5.6+; LogEvent.java:161-171) — every real archived binlog
+# carries PREVIOUS_GTIDS after the FDE and a GTID before each txn
+GTID_LOG_EVENT = 33
+ANONYMOUS_GTID_LOG_EVENT = 34
+PREVIOUS_GTIDS_LOG_EVENT = 35
+HEARTBEAT_LOG_EVENT = 27  # connection-liveness filler, no payload semantics
 
 # column type codes (public protocol)
 TYPE_TINY = 1
@@ -924,6 +930,38 @@ def encode_xid(xid: int, timestamp: int = 0) -> bytes:
     return encode_event(XID_EVENT, struct.pack("<Q", xid), timestamp)
 
 
+def encode_gtid(sid: bytes, gno: int, last_committed: int = 0,
+                sequence_number: int = 0, anonymous: bool = False,
+                timestamp: int = 0) -> bytes:
+    """GTID_LOG_EVENT (public layout, 5.7+): commit_flag(1) sid(16)
+    gno(8 LE) lt_type(1=G_COMMIT_TS2) last_committed(8) sequence_number(8)
+    — the per-txn global id + the logical clock MTS schedulers use
+    (LogEvent.java:161-165 event codes)."""
+    if len(sid) != 16:
+        raise ValueError("GTID sid must be 16 bytes")
+    payload = (
+        b"\x01" + sid + struct.pack("<q", gno)
+        + b"\x02" + struct.pack("<qq", last_committed, sequence_number)
+    )
+    tc = ANONYMOUS_GTID_LOG_EVENT if anonymous else GTID_LOG_EVENT
+    return encode_event(tc, payload, timestamp)
+
+
+def encode_previous_gtids(gtid_set: dict[bytes, list[tuple[int, int]]],
+                          timestamp: int = 0) -> bytes:
+    """PREVIOUS_GTIDS_LOG_EVENT: n_sids(8) then per sid 16-byte uuid +
+    n_intervals(8) + (start, end)×8 LE pairs — end is EXCLUSIVE, matching
+    the server's Gtid_set encoding."""
+    payload = bytearray(struct.pack("<Q", len(gtid_set)))
+    for sid, intervals in gtid_set.items():
+        if len(sid) != 16:
+            raise ValueError("GTID sid must be 16 bytes")
+        payload += sid + struct.pack("<Q", len(intervals))
+        for start, end in intervals:
+            payload += struct.pack("<QQ", start, end)
+    return encode_event(PREVIOUS_GTIDS_LOG_EVENT, bytes(payload), timestamp)
+
+
 def encode_xa_prepare(gtrid: bytes, bqual: bytes, format_id: int = 1,
                       one_phase: bool = False, timestamp: int = 0) -> bytes:
     """XA_PREPARE event — one_phase(1) format_id(4) gtrid_len(4)
@@ -1162,6 +1200,31 @@ def decode_events(buf: bytes, verify_crc: bool = True,
             ev["rows_query"] = body[1:].decode()  # skip vestigial len byte
         elif tc == XID_EVENT:
             ev["xid"] = struct.unpack_from("<Q", body, 0)[0]
+        elif tc in (GTID_LOG_EVENT, ANONYMOUS_GTID_LOG_EVENT):
+            ev["commit_flag"] = bool(body[0])
+            ev["sid"] = bytes(body[1:17])
+            ev["gno"] = struct.unpack_from("<q", body, 17)[0]
+            if len(body) >= 42:  # 5.7+ logical timestamps present
+                ev["last_committed"], ev["sequence_number"] = struct.unpack_from(
+                    "<qq", body, 26
+                )
+        elif tc == PREVIOUS_GTIDS_LOG_EVENT:
+            n_sids = struct.unpack_from("<Q", body, 0)[0]
+            gtid_set: dict[bytes, list[tuple[int, int]]] = {}
+            p2 = 8
+            for _ in range(n_sids):
+                sid = bytes(body[p2 : p2 + 16])
+                n_iv = struct.unpack_from("<Q", body, p2 + 16)[0]
+                p2 += 24
+                ivs = []
+                for _ in range(n_iv):
+                    s0, e0 = struct.unpack_from("<QQ", body, p2)
+                    ivs.append((s0, e0))
+                    p2 += 16
+                gtid_set[sid] = ivs
+            ev["gtid_set"] = gtid_set
+        elif tc == HEARTBEAT_LOG_EVENT:
+            ev["log_ident"] = body.decode(errors="replace")
         elif tc == ROTATE_EVENT:
             ev["position"] = struct.unpack_from("<Q", body, 0)[0]
             ev["next_file"] = body[8:].decode()

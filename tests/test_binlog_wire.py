@@ -1054,3 +1054,50 @@ def test_minimal_metadata_stream_still_decodes_positionally():
     assert W.decode_events(blob)[1]["rows"] == [[42]]
     with pytest.raises(ValueError, match="COLUMN_NAME"):
         W.decode_named_rows(blob)
+
+
+def test_gtid_family_round_trip():
+    """GTID / ANONYMOUS_GTID / PREVIOUS_GTIDS (5.6+, LogEvent.java:161-171):
+    every real archived binlog carries these; decode must surface
+    (sid, gno, logical timestamps) and the full Gtid_set."""
+    import uuid
+
+    sid = uuid.UUID("12345678-9abc-def0-1234-56789abcdef0").bytes
+    sid2 = uuid.UUID("00000000-0000-0000-0000-000000000001").bytes
+    blob = (
+        W.encode_previous_gtids({sid: [(1, 100), (200, 250)], sid2: [(5, 6)]})
+        + W.encode_gtid(sid, 100, last_committed=98, sequence_number=99)
+        + W.encode_gtid(sid, 0, anonymous=True)
+    )
+    evs = W.decode_events(blob)
+    assert evs[0]["type"] == W.PREVIOUS_GTIDS_LOG_EVENT
+    assert evs[0]["gtid_set"] == {sid: [(1, 100), (200, 250)], sid2: [(5, 6)]}
+    assert evs[1]["type"] == W.GTID_LOG_EVENT
+    assert (evs[1]["sid"], evs[1]["gno"]) == (sid, 100)
+    assert (evs[1]["last_committed"], evs[1]["sequence_number"]) == (98, 99)
+    assert evs[2]["type"] == W.ANONYMOUS_GTID_LOG_EVENT
+
+
+def test_gtid_interleaves_with_rows_stream():
+    """A realistic 5.7-era stream shape: PREVIOUS_GTIDS, then per txn
+    GTID → QUERY(BEGIN) → TABLE_MAP → ROWS → XID. The rows decode exactly
+    as in a GTID-free stream."""
+    import uuid
+
+    sid = uuid.uuid4().bytes
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    blob = (
+        W.encode_previous_gtids({sid: [(1, 3)]})
+        + W.encode_gtid(sid, 3)
+        + W.encode_query("d", "BEGIN")
+        + W.encode_table_map(1, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td, [[11], [12]])
+        + W.encode_xid(77)
+    )
+    evs = W.decode_events(blob)
+    kinds = [e["type"] for e in evs]
+    assert kinds == [
+        W.PREVIOUS_GTIDS_LOG_EVENT, W.GTID_LOG_EVENT, W.QUERY_EVENT,
+        W.TABLE_MAP_EVENT, W.WRITE_ROWS_EVENT, W.XID_EVENT,
+    ]
+    assert evs[4]["rows"] == [[11], [12]]
