@@ -5387,8 +5387,16 @@ def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").cast("string").alias("dim_key"),
         F.col("c_nationkey").cast("long").alias("grp"),
     )
-    view = apply_ops.maintain_join_agg_view(cdc, dim, dim_key="dim_key", attrs=("grp",))
-    pk_state = apply_ops.maintain_pk_state(cdc)
+    # ONE fold over the fact stream: the per-PK state feeds both delta
+    # rules (localCheckpoint so ΔF⋈D and F⋈ΔD don't re-scan events —
+    # at 100 TB the fact pass is the whole cost)
+    pk_state = apply_ops.maintain_pk_state(cdc).localCheckpoint(eager=True)
+    view = pk_state.join(
+        F.broadcast(dim), pk_state["pk"] == dim["dim_key"], "inner"
+    ).groupBy(dim["grp"]).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+    )
     dim_delta = cust.filter(F.col("c_custkey") % 7 == 0).select(
         F.col("c_custkey").cast("string").alias("dim_key"),
         F.col("c_nationkey").cast("long").alias("old_grp"),

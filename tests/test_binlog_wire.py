@@ -1101,3 +1101,43 @@ def test_gtid_interleaves_with_rows_stream():
         W.TABLE_MAP_EVENT, W.WRITE_ROWS_EVENT, W.XID_EVENT,
     ]
     assert evs[4]["rows"] == [[11], [12]]
+
+
+def test_mid_stream_schema_change_rebinds_table_map():
+    """A TABLE_MAP with the SAME table_id but a new column layout mid
+    stream (ALTER between transactions) must rebind: later row events
+    decode under the new layout, earlier ones keep the old decode."""
+    td1 = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    td2 = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 256)])
+    blob = (
+        W.encode_table_map(5, td1)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 5, td1, [[1]])
+        + W.encode_table_map(5, td2)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 5, td2, [[2, "x"]])
+    )
+    evs = W.decode_events(blob)
+    assert evs[1]["rows"] == [[1]]
+    assert evs[3]["rows"] == [[2, "x"]]
+
+
+def test_random_garbage_rejected_cleanly():
+    """Arbitrary bytes must raise ValueError (strict) or stop cleanly at
+    the tear (tolerant) — never hang, never mis-decode silently."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(50):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+        try:
+            evs = W.decode_events(junk)
+            # if it "decoded", CRC must genuinely hold for every event
+            assert evs == [] or all("type" in e for e in evs)
+        except (ValueError, KeyError, struct.error, IndexError, UnicodeDecodeError):
+            pass
+        # tolerant mode never raises on junk appended to a valid stream
+        td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+        good = W.encode_table_map(1, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 1, td, [[9]]
+        )
+        evs = W.decode_events(good + junk, tolerate_truncation=True)
+        assert evs[1]["rows"] == [[9]]
