@@ -1051,21 +1051,30 @@ class AggViewSink:
     REPLACE semantics), expressed as a foreachBatch sink.
 
     State layout under ``state_dir`` (version-pointer commit, crash-safe):
-    ``pk_v{N}/`` per-PK live state (db, tbl, pk, n_rows, value_cents),
-    ``view_v{N}/`` the maintained view, ``CURRENT`` = N (atomic file
-    replace). A crash between writes leaves CURRENT pointing at the
-    previous consistent pair; the batch replays idempotently because the
-    per-PK fold is an absolute (telescoped) state, not an increment.
+    ``pk_v{N}/bucket=K/`` per-PK live state (db, tbl, pk, n_rows,
+    value_cents) HASH-BUCKETED on the key, ``view_v{N}/`` the maintained
+    view, ``CURRENT`` = N (atomic file replace). Per batch only the
+    TOUCHED buckets are read (partition pruning on ``bucket``) and
+    rewritten; untouched bucket directories are carried into the new
+    version as hardlinks — per-batch I/O is ∝ touched keys, NOT state
+    size (the ReplicaTableSink discipline; a full-state rewrite per
+    micro-batch would be a 100 TB-scale non-starter). A crash between
+    writes leaves CURRENT at the previous consistent pair; redelivery of
+    the LAST batch is idempotent because the per-PK fold is an absolute
+    (telescoped) state, not an increment. Contract: batches arrive in
+    stream order (the watermark-gated merge upstream guarantees it) — an
+    event OLDER than a key's already-folded history would regress that
+    key, exactly as it would against a REPLACE-applied replica table."""
 
-    Scale shape: per batch the work is proportional to TOUCHED keys —
-    prior state is semi-joined down to the batch's pks before the window,
-    untouched pk-state rows are carried over by an anti-join, and the view
-    update is a two-frame union-aggregate. The only full-history item
-    (the pk-state table itself) is the same size a replica table would be.
-    """
+    #: hash buckets for the pk-state table; at 100 TB size so one bucket
+    #: fits an executor comfortably (the constant only shapes file
+    #: layout — correctness is bucket-count independent)
+    n_buckets = 64
 
-    def __init__(self, state_dir: str) -> None:
+    def __init__(self, state_dir: str, n_buckets: int | None = None) -> None:
         self.state_dir = state_dir
+        if n_buckets is not None:
+            self.n_buckets = n_buckets
         os.makedirs(state_dir, exist_ok=True)
 
     # -- version-pointer helpers -------------------------------------------
@@ -1088,15 +1097,56 @@ class AggViewSink:
             os.path.join(self.state_dir, f"view_v{version}"),
         )
 
+    def _bucket_col(self):
+        return F.pmod(
+            F.xxhash64(F.col("db"), F.col("tbl"), F.col("pk")),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    @staticmethod
+    def _link_dir(src: str, dst: str) -> None:
+        """Carry an untouched bucket directory into the next version
+        without copying bytes (hardlink per file; copy as fallback)."""
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            s, d = os.path.join(src, f), os.path.join(dst, f)
+            if os.path.isdir(s):
+                AggViewSink._link_dir(s, d)
+                continue
+            try:
+                os.link(s, d)
+            except OSError:
+                import shutil
+
+                shutil.copy2(s, d)
+
+    # -- view helpers (overridden by JoinViewSink) -------------------------
+    _view_schema = "db string, tbl string, n_rows long, value_cents long"
+    _view_keys = ("db", "tbl")
+
+    def _contrib(self, pk_frame: DataFrame, negate: bool = False) -> DataFrame:
+        sign = -1 if negate else 1
+        return pk_frame.groupBy(*self._view_keys).agg(
+            (F.lit(sign) * F.sum("n_rows")).alias("n_rows"),
+            (F.lit(sign) * F.sum("value_cents")).alias("value_cents"),
+        )
+
     def view(self, spark) -> DataFrame:
         """The maintained view at the last committed version (live groups
         only, matching the fresh-aggregate contract)."""
         _, view_path = self._paths(self._current())
         if not os.path.isdir(view_path):
-            return spark.createDataFrame(
-                [], "db string, tbl string, n_rows long, value_cents long"
-            )
+            return spark.createDataFrame([], self._view_schema)
         return spark.read.parquet(view_path).filter(F.col("n_rows") > 0)
+
+    def pk_state(self, spark) -> DataFrame:
+        pk_path, _ = self._paths(self._current())
+        if not os.path.isdir(pk_path):
+            return spark.createDataFrame(
+                [], "db string, tbl string, pk string, n_rows long, "
+                    "value_cents long, bucket int"
+            )
+        return spark.read.parquet(pk_path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from polardbx_cdc_spark.operators import apply as apply_ops
@@ -1107,15 +1157,24 @@ class AggViewSink:
         have_state = os.path.isdir(pk_path)
 
         batch_df = batch_df.select("db", "tbl", "pk", "tso", "action", "value")
-        touched = batch_df.select("db", "tbl", "pk").distinct()
+        touched = (
+            batch_df.select("db", "tbl", "pk").distinct()
+            .withColumn("bucket", self._bucket_col())
+            .localCheckpoint(eager=True)
+        )
+        # bounded driver list (≤ n_buckets): which state partitions the
+        # batch can possibly touch
+        touched_buckets = sorted(
+            r["bucket"] for r in touched.select("bucket").distinct().collect()
+        )
 
         if have_state:
-            old_pk = spark.read.parquet(pk_path)
-            old_touched = old_pk.join(touched, ["db", "tbl", "pk"], "left_semi")
-            # prior live values re-enter the fold as synthetic seed events
-            # ordered before every real TSO (48-digit TSOs; "0"*48 sorts
-            # first), so the same telescoping window yields ABSOLUTE new
-            # per-PK state for the touched keys
+            old_pk = spark.read.parquet(pk_path).filter(
+                F.col("bucket").isin(touched_buckets)  # partition pruning
+            )
+            old_touched = old_pk.join(
+                touched, ["db", "tbl", "pk"], "left_semi"
+            ).localCheckpoint(eager=True)
             seed = old_touched.filter(F.col("n_rows") > 0).select(
                 "db", "tbl", "pk",
                 F.lit("0" * 48).alias("tso"),
@@ -1127,43 +1186,50 @@ class AggViewSink:
             old_pk = old_touched = None
             folded = batch_df
 
-        new_touched = apply_ops.maintain_pk_state(folded).localCheckpoint(eager=True)
-
-        # view delta = new contributions minus old contributions, per group
-        plus = new_touched.groupBy("db", "tbl").agg(
-            F.sum("n_rows").alias("n_rows"), F.sum("value_cents").alias("value_cents")
+        new_touched = (
+            apply_ops.maintain_pk_state(folded)
+            .withColumn("bucket", self._bucket_col())
+            .localCheckpoint(eager=True)
         )
+
+        plus = self._contrib(new_touched)
+        nxt = cur + 1
+        pk_next, view_next = self._paths(nxt)
         if old_touched is not None:
-            minus = old_touched.groupBy("db", "tbl").agg(
-                (-F.sum("n_rows")).alias("n_rows"),
-                (-F.sum("value_cents")).alias("value_cents"),
-            )
+            minus = self._contrib(old_touched, negate=True)
             old_view = spark.read.parquet(view_path)
             view_new = (
                 old_view.unionByName(plus).unionByName(minus)
-                .groupBy("db", "tbl")
+                .groupBy(*self._view_keys)
                 .agg(
                     F.sum("n_rows").cast("long").alias("n_rows"),
                     F.sum("value_cents").cast("long").alias("value_cents"),
                 )
             )
-            pk_new = old_pk.join(
+            # rewrite ONLY touched buckets: surviving old rows + new state
+            pk_changed = old_pk.join(
                 touched, ["db", "tbl", "pk"], "left_anti"
-            ).unionByName(new_touched)
+            ).unionByName(new_touched.select(*old_pk.columns))
         else:
             view_new = plus.select(
-                "db", "tbl",
+                *self._view_keys,
                 F.col("n_rows").cast("long").alias("n_rows"),
                 F.col("value_cents").cast("long").alias("value_cents"),
             )
-            pk_new = new_touched
+            pk_changed = new_touched
 
-        nxt = cur + 1
-        pk_next, view_next = self._paths(nxt)
-        pk_new.write.mode("overwrite").parquet(pk_next)
+        pk_changed.write.partitionBy("bucket").mode("overwrite").parquet(pk_next)
+        if have_state:
+            # carry untouched bucket partitions forward as hardlinks
+            touched_set = {f"bucket={b}" for b in touched_buckets}
+            for entry in os.listdir(pk_path):
+                if entry.startswith("bucket=") and entry not in touched_set:
+                    self._link_dir(
+                        os.path.join(pk_path, entry),
+                        os.path.join(pk_next, entry),
+                    )
         view_new.write.mode("overwrite").parquet(view_next)
         self._commit(nxt)
-        # retire the superseded version (best effort; CURRENT already moved)
         if have_state:
             import shutil
 
@@ -1175,27 +1241,25 @@ class JoinViewSink(AggViewSink):
     """Durable JOIN-view maintenance across micro-batches: the streaming
     twin of ``apply.maintain_join_agg_view`` — a (dim-attribute, COUNT,
     SUM) rollup of the live fact state joined to a dimension, kept
-    current from the change stream alone. Extends :class:`AggViewSink`'s
-    versioned pk-state machinery; the view delta broadcast-joins the
-    TOUCHED per-PK contributions to the dimension (ΔF ⋈ D per batch),
-    and :meth:`apply_dim_update` folds a dimension change in WITHOUT a
-    fact rescan (F ⋈ ΔD — the dim delta is broadcast against the durable
-    per-PK state)."""
+    current from the change stream alone. Inherits the hash-bucketed
+    pk-state machinery (per-batch I/O ∝ touched buckets); the view delta
+    broadcast-joins the TOUCHED per-PK contributions to the dimension
+    (ΔF ⋈ D per batch), and :meth:`apply_dim_update` folds a dimension
+    change in WITHOUT a fact rescan (F ⋈ ΔD — the dim delta is broadcast
+    against the durable per-PK state)."""
+
+    _view_schema = "grp long, n_rows long, value_cents long"
+    _view_keys = ("grp",)
 
     def __init__(self, state_dir: str, dim: DataFrame,
-                 dim_key: str = "dim_key", attr: str = "grp") -> None:
-        super().__init__(state_dir)
+                 dim_key: str = "dim_key", attr: str = "grp",
+                 n_buckets: int | None = None) -> None:
+        super().__init__(state_dir, n_buckets=n_buckets)
         self.dim = dim.select(
             F.col(dim_key).alias("dim_key"), F.col(attr).alias("grp")
         )
 
-    def view(self, spark) -> DataFrame:
-        _, view_path = self._paths(self._current())
-        if not os.path.isdir(view_path):
-            return spark.createDataFrame([], "grp long, n_rows long, value_cents long")
-        return spark.read.parquet(view_path).filter(F.col("n_rows") > 0)
-
-    def _group_contrib(self, pk_frame: DataFrame, negate: bool = False) -> DataFrame:
+    def _contrib(self, pk_frame: DataFrame, negate: bool = False) -> DataFrame:
         joined = pk_frame.join(
             F.broadcast(self.dim), pk_frame["pk"] == self.dim["dim_key"], "inner"
         )
@@ -1204,66 +1268,6 @@ class JoinViewSink(AggViewSink):
             (F.lit(sign) * F.sum("n_rows")).alias("n_rows"),
             (F.lit(sign) * F.sum("value_cents")).alias("value_cents"),
         )
-
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from polardbx_cdc_spark.operators import apply as apply_ops
-
-        spark = batch_df.sparkSession
-        cur = self._current()
-        pk_path, view_path = self._paths(cur)
-        have_state = os.path.isdir(pk_path)
-
-        batch_df = batch_df.select("db", "tbl", "pk", "tso", "action", "value")
-        touched = batch_df.select("db", "tbl", "pk").distinct()
-
-        if have_state:
-            old_pk = spark.read.parquet(pk_path)
-            old_touched = old_pk.join(touched, ["db", "tbl", "pk"], "left_semi")
-            seed = old_touched.filter(F.col("n_rows") > 0).select(
-                "db", "tbl", "pk",
-                F.lit("0" * 48).alias("tso"),
-                F.lit("INSERT").alias("action"),
-                (F.col("value_cents") / 100.0).alias("value"),
-            )
-            folded = batch_df.unionByName(seed)
-        else:
-            old_pk = old_touched = None
-            folded = batch_df
-
-        new_touched = apply_ops.maintain_pk_state(folded).localCheckpoint(eager=True)
-        plus = self._group_contrib(new_touched)
-        if old_touched is not None:
-            minus = self._group_contrib(old_touched, negate=True)
-            old_view = spark.read.parquet(view_path)
-            view_new = (
-                old_view.unionByName(plus).unionByName(minus)
-                .groupBy("grp")
-                .agg(
-                    F.sum("n_rows").cast("long").alias("n_rows"),
-                    F.sum("value_cents").cast("long").alias("value_cents"),
-                )
-            )
-            pk_new = old_pk.join(
-                touched, ["db", "tbl", "pk"], "left_anti"
-            ).unionByName(new_touched)
-        else:
-            view_new = plus.select(
-                "grp",
-                F.col("n_rows").cast("long").alias("n_rows"),
-                F.col("value_cents").cast("long").alias("value_cents"),
-            )
-            pk_new = new_touched
-
-        nxt = cur + 1
-        pk_next, view_next = self._paths(nxt)
-        pk_new.write.mode("overwrite").parquet(pk_next)
-        view_new.write.mode("overwrite").parquet(view_next)
-        self._commit(nxt)
-        if have_state:
-            import shutil
-
-            shutil.rmtree(pk_path, ignore_errors=True)
-            shutil.rmtree(view_path, ignore_errors=True)
 
     def apply_dim_update(self, spark, dim_delta: DataFrame) -> None:
         """Fold a dimension change (dim_key, old_grp, new_grp) into the
@@ -1282,19 +1286,15 @@ class JoinViewSink(AggViewSink):
         view_new = apply_ops.apply_dim_delta_to_join_view(
             old_view, pk_state, dim_delta, attr="grp"
         )
-        delta = dim_delta.select(
-            "dim_key", F.col("new_grp").alias("grp_new")
-        )
+        delta = dim_delta.select("dim_key", F.col("new_grp").alias("grp_new"))
         self.dim = (
             self.dim.join(F.broadcast(delta), "dim_key", "left")
-            .select(
-                "dim_key",
-                F.coalesce("grp_new", "grp").alias("grp"),
-            )
+            .select("dim_key", F.coalesce("grp_new", "grp").alias("grp"))
         )
         nxt = cur + 1
         pk_next, view_next = self._paths(nxt)
-        pk_state.write.mode("overwrite").parquet(pk_next)
+        # pk-state unchanged: hardlink every bucket forward
+        self._link_dir(pk_path, pk_next)
         view_new.write.mode("overwrite").parquet(view_next)
         self._commit(nxt)
         import shutil

@@ -135,3 +135,69 @@ def test_join_view_sink_dim_update_without_fact_rescan(spark, tmp_path):
     ).select("dim_key", F.coalesce("new_grp", "grp").alias("grp"))
     got = sink.view(spark).orderBy("grp").collect()
     assert got == _join_ground_truth(spark, updated_dim)
+
+
+def test_untouched_buckets_carried_by_hardlink(spark, tmp_path):
+    """Scale contract: a batch touching one key must rewrite ONLY that
+    key's bucket; every other bucket directory is carried into the new
+    version as hardlinks (same inode), so per-batch I/O ∝ touched keys
+    and not state size."""
+    import os
+
+    from polardbx_cdc_spark.streaming.pipeline import AggViewSink
+
+    cdc = derive_cdc_stream(spark, SF).select(
+        "db", "tbl", "pk", "tso", "action", "value"
+    )
+    rows = cdc.orderBy("tso").collect()
+    sink = AggViewSink(str(tmp_path / "mv_bkt"), n_buckets=16)
+    sink(spark.createDataFrame(rows, cdc.schema), batch_id=0)
+    v1_pk, _ = sink._paths(sink._current())
+    inodes_before = {}
+    for b in os.listdir(v1_pk):
+        if b.startswith("bucket="):
+            for f in os.listdir(os.path.join(v1_pk, b)):
+                if f.endswith(".parquet"):
+                    inodes_before[(b, f)] = os.stat(
+                        os.path.join(v1_pk, b, f)
+                    ).st_ino
+
+    base = [r for r in rows if r["action"] != "DELETE"][0]
+    one = base.asDict()
+    one["tso"] = "9" * 48  # a NEW event past every prior TSO
+    one["action"] = "UPDATE"
+    one["value"] = 123.45
+    batch2 = spark.createDataFrame([tuple(one[c] for c in cdc.columns)], cdc.schema)
+    sink(batch2, batch_id=1)
+    v2_pk, _ = sink._paths(sink._current())
+    assert v2_pk != v1_pk and not os.path.isdir(v1_pk)
+
+    touched_bucket = sink.pk_state(spark).filter(
+        (F.col("db") == one["db"]) & (F.col("tbl") == one["tbl"])
+        & (F.col("pk") == one["pk"])
+    ).collect()[0]["bucket"]
+    linked = rewritten = 0
+    for (b, f), ino in inodes_before.items():
+        new_path = os.path.join(v2_pk, b, f)
+        if b == f"bucket={touched_bucket}":
+            # touched bucket: rewritten (old files gone or new inodes)
+            rewritten += 1
+            assert not os.path.exists(new_path) or os.stat(new_path).st_ino != ino
+        elif os.path.exists(new_path):
+            assert os.stat(new_path).st_ino == ino, (b, f)
+            linked += 1
+    assert linked > 0, "no untouched bucket was hardlink-carried"
+    # and the view stays correct after the touched-bucket-only rewrite:
+    # ground truth = batch IVM over the full stream + the new event
+    full = rows + [type(base)(**one)]
+    cdc_all = spark.createDataFrame(
+        [tuple(r[c] for c in cdc.columns) for r in full], cdc.schema
+    )
+    expected = (
+        apply_ops.maintain_agg_view(cdc_all)
+        .filter(F.col("n_rows") > 0)
+        .orderBy("db", "tbl")
+        .collect()
+    )
+    got = sink.view(spark).orderBy("db", "tbl").collect()
+    assert got == expected
