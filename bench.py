@@ -81,6 +81,7 @@ HEADLINE = [
     "lineitem_wire_v1_typed",
     "orders_wire_legacy_temporal",
     "text_bpe_pair_stats",
+    "events_wire_gtid_stream",
 ]
 
 

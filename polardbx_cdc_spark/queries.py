@@ -129,6 +129,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "lineitem_wire_v1_typed",
     "orders_wire_legacy_temporal",
     "text_bpe_pair_stats",
+    "events_wire_gtid_stream",
 )
 
 #: Oracle-backed entries outside the round-6 window. Every name here is
@@ -4083,6 +4084,97 @@ def cdc_binlog_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.conv(F.substring(F.md5("pk"), 1, 8), 16, 10).cast("long"))
         .cast("long")
         .alias("pk_hash_sum"),
+    )
+
+
+@register(
+    "events_wire_gtid_stream",
+    oracle_cdc_query(
+        """
+        , txns AS (
+          SELECT txn_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM cdc WHERE action = 'INSERT' GROUP BY txn_id
+        )
+        SELECT CAST(txn_id % 8 AS BIGINT) AS gno_band,
+               CAST(count(*) AS BIGINT) AS n_txns,
+               CAST(sum(txn_id) AS BIGINT) AS gno_sum,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM txns GROUP BY 1
+        """
+    ),
+)
+def events_wire_gtid_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID-framed wire stream, decoded back and hash-checked: the CDC
+    INSERT stream is serialized as a realistic 5.7-era byte stream —
+    PREVIOUS_GTIDS, then per transaction GTID(sid, gno=txn_id) →
+    TABLE_MAP → WRITE_ROWS → XID (LogEvent.java:161-171 event family) —
+    then DECODED, pairing each txn's rows with the gno its GTID carried.
+    The oracle recomputes per-txn aggregates straight from the cdc view,
+    so the GTID payloads AND the row images must survive the bytes
+    exactly. Arrow-batched mapInPandas both ways; partitions encode and
+    decode independently (each partition is its own well-formed stream —
+    the same per-file independence a rotated binlog chain has)."""
+    import uuid as _uuid
+
+    from polardbx_cdc_spark import binlog_wire as BW
+
+    cdc = derive_cdc_stream(spark, sf_dir).filter(
+        F.col("action") == "INSERT"
+    ).select("txn_id", "pk", "value")
+    # hash-partition by txn so each partition's stream carries whole
+    # transactions (and every core encodes)
+    par = spark.sparkContext.defaultParallelism
+    cdc = cdc.repartition(par, "txn_id")
+
+    sid = _uuid.UUID("12345678-9abc-def0-1234-56789abcdef0").bytes
+    td_types = ["varchar(64)", "double"]
+
+    def encode_part(batches):
+        import pandas as pd
+
+        td = BW.TableDef.from_mysql_types("db", "t", td_types)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blob = bytearray(BW.encode_previous_gtids({sid: [(1, 2)]}))
+            for txn_id, grp in pdf.groupby("txn_id", sort=True):
+                blob += BW.encode_gtid(sid, int(txn_id))
+                blob += BW.encode_table_map(3, td)
+                rows = [[p, float(v)] for p, v in zip(grp["pk"], grp["value"])]
+                blob += BW.encode_rows_event(BW.WRITE_ROWS_EVENT, 3, td, rows)
+                blob += BW.encode_xid(int(txn_id))
+            yield pd.DataFrame({"payload": [bytes(blob)]})
+
+    blobs = cdc.mapInPandas(encode_part, "payload binary")
+
+    def decode_part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for blob in pdf["payload"]:
+                gno = None
+                for ev in BW.decode_events(bytes(blob)):
+                    if ev["type"] == BW.GTID_LOG_EVENT:
+                        gno = ev["gno"]
+                    elif ev["type"] == BW.WRITE_ROWS_EVENT:
+                        for pk, value in ev["rows"]:
+                            out.append((gno, pk, value))
+            yield pd.DataFrame(out, columns=["gno", "pk", "value"])
+
+    decoded = blobs.mapInPandas(decode_part, "gno long, pk string, value double")
+    per_txn = decoded.groupBy("gno").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents"),
+    )
+    return per_txn.groupBy((F.col("gno") % 8).cast("long").alias("gno_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_txns"),
+        F.sum("gno").cast("long").alias("gno_sum"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("value_cents"),
     )
 
 
