@@ -122,3 +122,84 @@ def show_binary_streams(spark: SparkSession, routed: DataFrame) -> DataFrame:
         )
         .orderBy("stream_id")
     )
+
+
+def show_binlog_events_wire(
+    spark: SparkSession,
+    wire_dir: str,
+    log_name: str | None = None,
+    from_pos: int = 4,
+    limit: int | None = None,
+) -> DataFrame:
+    """``SHOW BINLOG EVENTS [IN 'file'] [FROM pos] [LIMIT n]`` over REAL
+    wire files — one row per event with its BYTE position (Log_name, Pos,
+    Event_type, Server_id, End_log_pos, Info), the exact surface a MySQL
+    client gets from the reference's dump server (CdcServer.java:154-286
+    serves the same files). Distributed: binaryFile scan + per-file
+    header walk in mapInPandas; only headers are parsed, so Info is the
+    event-type summary, not a row decode."""
+    from polardbx_cdc_spark import binlog_wire as BW
+
+    _NAMES = {
+        BW.QUERY_EVENT: "Query", BW.FORMAT_DESCRIPTION_EVENT: "Format_desc",
+        BW.XID_EVENT: "Xid", BW.TABLE_MAP_EVENT: "Table_map",
+        BW.WRITE_ROWS_EVENT: "Write_rows", BW.UPDATE_ROWS_EVENT: "Update_rows",
+        BW.DELETE_ROWS_EVENT: "Delete_rows",
+        BW.WRITE_ROWS_EVENT_V1: "Write_rows_v1",
+        BW.UPDATE_ROWS_EVENT_V1: "Update_rows_v1",
+        BW.DELETE_ROWS_EVENT_V1: "Delete_rows_v1",
+        BW.ROTATE_EVENT: "Rotate", BW.XA_PREPARE_EVENT: "XA_prepare",
+        BW.SEQUENCE_EVENT: "Sequence", BW.GCN_EVENT: "Gcn",
+        BW.ROWS_QUERY_EVENT: "Rows_query", BW.GTID_LOG_EVENT: "Gtid",
+        BW.ANONYMOUS_GTID_LOG_EVENT: "Anonymous_Gtid",
+        BW.PREVIOUS_GTIDS_LOG_EVENT: "Previous_gtids",
+        BW.HEARTBEAT_LOG_EVENT: "Heartbeat",
+    }
+
+    def walk_files(batches):
+        import os as _os
+        import struct as _struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = _os.path.basename(path)
+                buf = bytes(content)
+                if buf[:4] != BW.MAGIC:
+                    continue
+                pos = 4
+                body = buf
+                while pos + BW.HEADER_LEN <= len(body):
+                    ts, tc, sid, elen, npos, _fl = _struct.unpack_from(
+                        "<IBIIIH", body, pos
+                    )
+                    if elen < BW.HEADER_LEN + BW.CHECKSUM_LEN or pos + elen > len(body):
+                        break
+                    out.append(
+                        (name, pos, _NAMES.get(tc, f"Unknown({tc})"), sid,
+                         pos + elen, ts)
+                    )
+                    pos += elen
+            yield pd.DataFrame(
+                out,
+                columns=["log_name", "pos", "event_type", "server_id",
+                         "end_log_pos", "ts"],
+            )
+
+    glob = log_name if log_name else "binlog.*"
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(wire_dir)
+        .select("path", "content")
+        .mapInPandas(
+            walk_files,
+            "log_name string, pos long, event_type string, server_id long, "
+            "end_log_pos long, ts long",
+        )
+        .filter(F.col("pos") >= from_pos)
+        .orderBy("log_name", "pos")
+    )
+    return df.limit(limit) if limit else df

@@ -1301,3 +1301,31 @@ class JoinViewSink(AggViewSink):
 
         shutil.rmtree(pk_path, ignore_errors=True)
         shutil.rmtree(view_path, ignore_errors=True)
+
+
+def run_materialized_view_pipeline(
+    cdc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    dim: DataFrame | None = None,
+    dim_key: str = "dim_key",
+    attr: str = "grp",
+):
+    """CDC stream → durable incrementally-maintained aggregate view
+    (AggViewSink), or — with ``dim`` — a fact⋈dim rollup (JoinViewSink).
+    Trigger.AvailableNow like the other test-mode pipelines; drop the
+    trigger for continuous operation. Returns (query, sink); read the
+    current view any time with ``sink.view(spark)``. The downstream-table
+    pattern a reference replica serves its consumers from, kept current
+    without ever rescanning fact history."""
+    if dim is not None:
+        sink: AggViewSink = JoinViewSink(state_dir, dim, dim_key=dim_key, attr=attr)
+    else:
+        sink = AggViewSink(state_dir)
+    q = (
+        cdc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, sink

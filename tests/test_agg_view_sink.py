@@ -201,3 +201,19 @@ def test_untouched_buckets_carried_by_hardlink(spark, tmp_path):
     )
     got = sink.view(spark).orderBy("db", "tbl").collect()
     assert got == expected
+
+
+def test_streaming_pipeline_wrapper_end_to_end(spark, tmp_path):
+    """run_materialized_view_pipeline: the real Structured Streaming
+    entry (foreachBatch over the file-stream CDC source) converges to the
+    batch IVM ground truth."""
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    q, sink = pipeline.run_materialized_view_pipeline(
+        source.cdc_stream(spark, SF),
+        str(tmp_path / "mv_stream"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = sink.view(spark).orderBy("db", "tbl").collect()
+    assert got == _ground_truth(spark)

@@ -258,3 +258,30 @@ def test_consumer_group_resume_over_network(spark, tmp_path):
             group.commit({"wire": "binlog.000001:000000000004"}, stale_gen)
     finally:
         srv.stop()
+
+
+def test_show_binlog_events_wire_positions_match_dump_offsets(spark, wire_setup):
+    """SHOW BINLOG EVENTS over the wire files: byte positions must be
+    exact dump offsets — dumping from any listed Pos yields a stream
+    whose first event is that row's event type."""
+    from polardbx_cdc_spark import catalog
+
+    ev = catalog.show_binlog_events_wire(spark, wire_setup["wire"], limit=200)
+    rows = ev.collect()
+    assert rows and rows[0]["event_type"] == "Format_desc" and rows[0]["pos"] == 4
+    # chain contiguity: each end_log_pos is the next event's pos
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["log_name"], []).append(r)
+    for evs in by_file.values():
+        for a, b in zip(evs, evs[1:]):
+            assert a["end_log_pos"] == b["pos"]
+    # a mid-file row's Pos is a valid dump offset
+    mid = by_file[rows[0]["log_name"]][3]
+    blob = D.dump_fetch(
+        wire_setup["host"], wire_setup["port"], mid["log_name"], mid["pos"]
+    )
+    first = W.decode_events(blob, tolerate_truncation=True)[0]
+    name_of = {2: "Query", 16: "Xid", 19: "Table_map", 30: "Write_rows",
+               105: "Gcn", 29: "Rows_query", 4: "Rotate", 15: "Format_desc"}
+    assert name_of.get(first["type"], str(first["type"])) == mid["event_type"]
