@@ -67,6 +67,11 @@ def register(name: str, oracle: str | None):
 #: flagship veterans kept as cross-round anchors. Everything evicted is
 #: green in some prior CORRECTNESS file AND re-verified every run by
 #: tests/test_oracle_parity.py (identical multiset compare at sf0.01).
+#: ROUND-7 ROTATION NOTE: after round 6 grades this window, every
+#: oracle-backed query registered through round 6 will have at least one
+#: official CORRECTNESS entry. Next rotation: promote the veterans whose
+#: LAST official grade is oldest (the r3-graded block in _GRADE_DEFER),
+#: plus any round-7 newcomers; keep the 5 flagship anchors.
 #: Round-6 rotation: the 27 oracle-backed queries registered after the
 #: round-5 rotation (never driver-graded), the 12 veterans last graded in
 #: r1/r2 (longest without an official hash-check), 5 flagship anchors,
