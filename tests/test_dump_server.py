@@ -339,3 +339,25 @@ def test_wire_flashback_point_in_time_recovery(spark, wire_setup):
     )
     assert after_undo.exceptAll(state_at_cut).count() == 0
     assert state_at_cut.exceptAll(after_undo).count() == 0
+
+
+def test_concurrent_consumers_independent_streams(wire_setup):
+    """The dump server is multi-consumer (ThreadingTCPServer, like the
+    reference's per-subscriber gRPC streams): N clients dumping from
+    DIFFERENT positions concurrently each receive exactly the bytes a
+    solo client would."""
+    import concurrent.futures as cf
+
+    files = D.list_files(wire_setup["host"], wire_setup["port"])
+    first = files[0]["file_name"]
+    positions = [4, 200, 1000, 4, 500]
+    solo = {p: D.dump_fetch(wire_setup["host"], wire_setup["port"], first, p)
+            for p in set(positions)}
+    with cf.ThreadPoolExecutor(max_workers=5) as ex:
+        futs = [
+            ex.submit(D.dump_fetch, wire_setup["host"], wire_setup["port"], first, p)
+            for p in positions
+        ]
+        results = [f.result(timeout=60) for f in futs]
+    for p, body in zip(positions, results):
+        assert body == solo[p], f"pos {p}: concurrent dump diverged"
