@@ -265,7 +265,8 @@ def dump_fetch(host: str, port: int, file_name: str, pos: int = 4,
     return body
 
 
-def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"):
+def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0",
+                       spool_dir: str | None = None):
     """Consumer-group resume over the NETWORK attach path: join the
     group, dump from the group's durable committed wire position (or the
     chain start on first attach), decode with the engine decoder, and
@@ -279,7 +280,13 @@ def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"
     zero-padded so the group's lexicographic max-merge equals positional
     order across the rotated chain. Returns the decoded frame of NEW
     events since the last commit (empty frame when caught up), or None
-    when the server has no files yet."""
+    when the server has no files yet.
+
+    ``spool_dir`` (shared filesystem/object-store path): land the fetched
+    bytes there, event-boundary-split into ~16 MB segment files, and
+    decode via a distributed ``binaryFile`` scan — the scale path when a
+    resume spans many rotated files (without it, the whole delta rides
+    through one driver row)."""
     gen = group.join(member_id)
     committed = group.committed().get("wire")
     if committed:
@@ -294,7 +301,45 @@ def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"
     files = list_files(host, port)
     last = files[-1]
     group.commit({"wire": f"{last['file_name']}:{last['size']:012d}"}, gen)
-    payload = spark.createDataFrame([(bytearray(blob),)], "payload binary")
+    if spool_dir:
+        seg_limit = 16 << 20
+        os.makedirs(spool_dir, exist_ok=True)
+        seg, seg_n = bytearray(), 0
+
+        def _flush():
+            nonlocal seg, seg_n
+            if seg:
+                path = os.path.join(spool_dir, f"segment_{seg_n:06d}.bin")
+                with open(path + ".tmp", "wb") as fh:
+                    fh.write(seg)
+                os.replace(path + ".tmp", path)
+                seg, seg_n = bytearray(), seg_n + 1
+
+        # split ONLY at event boundaries so each segment decodes alone;
+        # TABLE_MAP context restarts per txn in our streams, and a split
+        # is forced before TABLE_MAP so row events stay with their map
+        for off, tc, frame in _walk_events(bytes(blob)):
+            if len(seg) >= seg_limit and tc in (
+                W.TABLE_MAP_EVENT, W.QUERY_EVENT, W.GTID_LOG_EVENT,
+                W.FORMAT_DESCRIPTION_EVENT,
+            ):
+                _flush()
+            seg += frame
+        _flush()
+        if seg_n == 0:
+            return spark.createDataFrame(
+                [], "db string, tbl string, action string, pk string, value double"
+            )
+        from pyspark.sql import functions as F  # local: module stays server-usable without Spark
+
+        payload = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "segment_*.bin")
+            .load(spool_dir)
+            .select(F.col("content").alias("payload"))
+        )
+    else:
+        payload = spark.createDataFrame([(bytearray(blob),)], "payload binary")
     return W.binlog_to_events(payload)
 
 

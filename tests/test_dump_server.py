@@ -243,7 +243,10 @@ def test_consumer_group_resume_over_network(spark, tmp_path):
             fh.write(rows_event([["3", 3.0]]))
         W.write_binlog_file(wire + "/binlog.000002", [rows_event([["4", 4.0]])])
 
-        second = D.consume_from_group(spark, host, port, group, "m0")
+        second = D.consume_from_group(
+            spark, host, port, group, "m0",
+            spool_dir=str(tmp_path / "spool"),  # scale path: segments + binaryFile
+        )
         assert [int(r["pk"]) for r in second.orderBy("pk").collect()] == [3, 4]
 
         # caught up → empty delta
