@@ -82,6 +82,7 @@ HEADLINE = [
     "orders_wire_legacy_temporal",
     "text_bpe_pair_stats",
     "events_wire_gtid_stream",
+    "dedup_minhash_lsh_xxhash",
 ]
 
 
