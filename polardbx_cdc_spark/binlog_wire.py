@@ -1627,13 +1627,31 @@ def read_wire_binlog(spark, wire_dir: str, glob: str = "binlog.*"):
                     if tc in _ACTION:
                         for row in ev["rows"]:
                             img = row[1] if tc in UPDATE_EVENTS else row
+                            # frame contract is (pk, value); narrower or
+                            # differently-typed tables surface what they
+                            # have (typed decode uses binlog_to_table)
+                            pk = str(img[0]) if img else None
+                            val = img[1] if len(img) > 1 else None
                             out.append(
                                 (name, pos, _ACTION[tc], ev["db"], ev["tbl"],
-                                 img[0], img[1], None)
+                                 pk, val if isinstance(val, float) else None,
+                                 None)
                             )
                             pos += 1
                     elif tc == QUERY_EVENT:
-                        out.append((name, pos, "BEGIN", None, None, None, None, None))
+                        q = ev.get("query", "")
+                        if q.strip().upper() == "BEGIN":
+                            out.append(
+                                (name, pos, "BEGIN", None, None, None, None, None)
+                            )
+                        else:
+                            # DDL statement travelling as a QUERY event
+                            # (QueryEventReformator path): text surfaces
+                            # in the pk slot, like TRACE markers
+                            out.append(
+                                (name, pos, "DDL", ev.get("db"), None, q,
+                                 None, None)
+                            )
                         pos += 1
                     elif tc == XID_EVENT:
                         out.append(

@@ -435,3 +435,42 @@ def rebuild_events_versioned(df, registry: SchemaRegistry):
     if "before" in df.columns:
         out = out.withColumn("before", prune(F.col("before")))
     return out.drop("_vdb", "_vtbl", "_from", "_to", "_keep")
+
+
+def replay_wire_ddl(spark, wire_dir: str, registry: "SchemaRegistry | None" = None,
+                    glob: str = "binlog.*") -> "SchemaRegistry":
+    """Rebuild a :class:`SchemaRegistry` from the DDL QUERY events inside
+    REAL wire binlog files — the LogDecoder ↔ MemoryTableMeta integration
+    (the reference's decoder consults the meta's state per position;
+    polardbx-cdc-canal MemoryTableMeta.apply on QUERY events). The scan
+    and decode run distributed (``read_wire_binlog``); only the DDL rows
+    come back to the driver — DDL is rare by construction, so the collect
+    is bounded the way the reference's meta snapshot is.
+
+    Positions: each DDL versions the registry at
+    ``{file_seq:06d}{row_pos:012d}`` — zero-padded so registry string
+    comparison equals replication order across the rotated chain. Use the
+    same recipe to build an at-position key for ``find``/``typed
+    decode``."""
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark.binlog_wire import read_wire_binlog
+
+    reg = registry if registry is not None else SchemaRegistry()
+    rows = (
+        read_wire_binlog(spark, wire_dir, glob)
+        .filter(F.col("kind") == "DDL")
+        .select("file_name", "pos", "db", "pk")
+        .orderBy("file_name", "pos")
+        .collect()
+    )
+    for r in rows:
+        reg.apply_sql(wire_position_key(r["file_name"], r["pos"]), r["pk"],
+                      default_db=r["db"] or None)
+    return reg
+
+
+def wire_position_key(file_name: str, pos: int) -> str:
+    """(binlog file, event index) → the registry's sortable position key."""
+    seq = file_name.rsplit(".", 1)[-1]
+    return f"{int(seq):06d}{int(pos):012d}"

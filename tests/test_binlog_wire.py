@@ -1141,3 +1141,49 @@ def test_random_garbage_rejected_cleanly():
         )
         evs = W.decode_events(good + junk, tolerate_truncation=True)
         assert evs[1]["rows"] == [[9]]
+
+
+def test_wire_ddl_drives_schema_registry_and_typed_decode(spark, tmp_path):
+    """End-to-end LogDecoder ↔ MemoryTableMeta story on real bytes: DDL
+    QUERY events inside the wire stream rebuild the schema registry; the
+    registry's per-position column model then types later row events —
+    schema evolution mid-stream included."""
+    import os
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl, wire_position_key
+
+    wire = str(tmp_path / "wire")
+    os.makedirs(wire)
+    td1 = W.TableDef.from_mysql_types("shop", "t", ["bigint"])
+    td2 = W.TableDef.from_mysql_types("shop", "t", ["bigint", "varchar(32)"])
+    events = [
+        W.encode_query("shop", "CREATE TABLE t (id BIGINT PRIMARY KEY)"),
+        W.encode_table_map(1, td1),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td1, [[10], [11]]),
+        W.encode_query("shop", "ALTER TABLE t ADD COLUMN note VARCHAR(32)"),
+        W.encode_table_map(1, td2),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td2, [[12, "hello"]]),
+    ]
+    W.write_binlog_file(wire + "/binlog.000001", events)
+
+    reg = replay_wire_ddl(spark, wire)
+    frame = W.read_wire_binlog(spark, wire).orderBy("pos").collect()
+    ddl_rows = [r for r in frame if r["kind"] == "DDL"]
+    assert [r["pk"].split()[0] for r in ddl_rows] == ["CREATE", "ALTER"]
+
+    # schema AT each DDL horizon (find at a position just past the event)
+    after_create = reg.find(
+        "shop", "t", wire_position_key("binlog.000001", ddl_rows[0]["pos"]) + "9"
+    )
+    assert list(after_create.columns) == ["id"]
+    after_alter = reg.find(
+        "shop", "t", wire_position_key("binlog.000001", ddl_rows[1]["pos"]) + "9"
+    )
+    assert list(after_alter.columns) == ["id", "note"]
+
+    # the registry's column model types the wire rows at each horizon
+    td_from_reg = W.TableDef.from_mysql_types("shop", "t", list(after_alter.types))
+    assert [t[0] for t in td_from_reg.types] == [t[0] for t in td2.types]
+    evs = W.read_binlog_file(wire + "/binlog.000001")
+    rows2 = [e for e in evs if e["type"] == W.WRITE_ROWS_EVENT][1]["rows"]
+    assert rows2 == [[12, "hello"]]
