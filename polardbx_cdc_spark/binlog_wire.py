@@ -77,6 +77,8 @@ GTID_LOG_EVENT = 33
 ANONYMOUS_GTID_LOG_EVENT = 34
 PREVIOUS_GTIDS_LOG_EVENT = 35
 HEARTBEAT_LOG_EVENT = 27  # connection-liveness filler, no payload semantics
+#: fixed server UUID for GTID framing of exported files (any stable 16 bytes)
+_ENGINE_SID = bytes.fromhex("c0ffee00c0ffee00c0ffee00c0ffee00")
 
 # column type codes (public protocol)
 TYPE_TINY = 1
@@ -1441,7 +1443,8 @@ def binlog_to_events(df, payload_col: str = "payload",
 
 def export_wire_files(spark, sink_dir: str, wire_dir: str,
                       incremental: bool = False,
-                      trace_markers: bool = False):
+                      trace_markers: bool = False,
+                      emit_gtid: bool = False):
     """Materialize a BinlogSink parquet directory as REAL MySQL binlog
     files — the attach surface for a downstream that speaks the wire
     format (LogFileGenerator.java:624-757 writes these natively; here the
@@ -1539,6 +1542,11 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
                     # commit TSO physical prefix as the txn's GCN event —
                     # seek-by-time works on the rendered files
                     events.append(encode_gcn(int(r.txn_commit_tso[:19])))
+                    if emit_gtid:
+                        # 5.6+-replica-shaped framing: a GTID event per
+                        # txn (fixed engine sid, gno = txn id) so a
+                        # GTID-aware consumer tracks positions natively
+                        events.append(encode_gtid(_ENGINE_SID, int(r.txn_id)))
                 events.append(encode_query("", "BEGIN"))
                 if trace_markers and framed:
                     # per-txn ROWS_QUERY trace marker, the PolarDB-X

@@ -1187,3 +1187,33 @@ def test_wire_ddl_drives_schema_registry_and_typed_decode(spark, tmp_path):
     evs = W.read_binlog_file(wire + "/binlog.000001")
     rows2 = [e for e in evs if e["type"] == W.WRITE_ROWS_EVENT][1]["rows"]
     assert rows2 == [[12, "hello"]]
+
+
+def test_export_with_gtid_framing(spark, sf_dir, tmp_path):
+    """emit_gtid: the rendered chain carries a GTID event per transaction
+    (gno = txn id) alongside the GCN carrier — a GTID-aware replica
+    tracks positions natively; decode/count surfaces are unchanged."""
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.streaming import pipeline
+
+    out, wire = str(tmp_path / "binlog"), str(tmp_path / "wire")
+    sink = pipeline.BinlogSink(out, rotate_rows=500, frame_txns=True)
+    sink.recover(spark)
+    sink(derive_cdc_stream(spark, sf_dir), batch_id=0)
+    sink.flush()
+    W.export_wire_files(spark, out, wire, emit_gtid=True).collect()
+
+    import os
+
+    gtids, xids = [], 0
+    for f in sorted(os.listdir(wire)):
+        if not f.startswith("binlog."):
+            continue
+        for ev in W.read_binlog_file(os.path.join(wire, f)):
+            if ev["type"] == W.GTID_LOG_EVENT:
+                gtids.append(ev["gno"])
+                assert ev["sid"] == W._ENGINE_SID
+            elif ev["type"] == W.XID_EVENT:
+                xids += 1
+    assert len(gtids) == xids > 0  # one GTID per committed txn
+    assert len(set(gtids)) == len(gtids)  # gno = unique txn id
