@@ -89,3 +89,39 @@ def test_large_event_split_across_packets(tmp_path):
     evs = W.decode_events(relay)
     got = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
     assert got == [[big]]
+
+
+def test_replica_attach_to_pipeline_rendered_gtid_files(spark, sf_dir, tmp_path):
+    """Full-stack integration: streaming pipeline renders GTID-framed
+    wire files; a MySQL-protocol replica client attaches and its relay
+    log decodes to the sink's exact row count with per-txn GTIDs."""
+    from polardbx_cdc_spark import binlog_wire as BW
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.streaming import pipeline
+
+    out, wire = str(tmp_path / "binlog"), str(tmp_path / "wire")
+    sink = pipeline.BinlogSink(out, rotate_rows=400, frame_txns=True)
+    sink.recover(spark)
+    sink(derive_cdc_stream(spark, sf_dir), batch_id=0)
+    sink.flush()
+    BW.export_wire_files(spark, out, wire, emit_gtid=True).collect()
+
+    import os
+
+    first = sorted(f for f in os.listdir(wire) if f.startswith("binlog."))[0]
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        relay = M.binlog_dump_fetch(host, port, first, 4)
+    evs = W.decode_events(relay)
+    n_rows = sum(len(e["rows"]) for e in evs if e["type"] in W.ROWS_EVENTS)
+    from pyspark.sql import functions as F
+
+    expected = (
+        spark.read.parquet(out)
+        .filter(F.col("action").isin("INSERT", "UPDATE", "DELETE"))
+        .count()
+    )
+    assert n_rows == expected
+    gtids = [e["gno"] for e in evs if e["type"] == W.GTID_LOG_EVENT]
+    xids = [e for e in evs if e["type"] == W.XID_EVENT]
+    assert len(gtids) == len(xids) > 0
