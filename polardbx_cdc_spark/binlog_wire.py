@@ -1847,11 +1847,19 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
 
 
 def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
-                    payload_col: str = "payload"):
+                    payload_col: str = "payload",
+                    include_action: bool = False):
     """Decode typed wire blobs back into a Spark frame with faithful
     types (``types.spark_type_for`` per declaration; DATETIME2 and
     TIMESTAMP2 both surface as TIMESTAMP_NTZ — the wire carries zone-less
-    fields / UTC epochs; TIME as MySQL text form)."""
+    fields / UTC epochs; TIME as MySQL text form).
+
+    Default reads WRITE_ROWS only (the snapshot/export shape).
+    ``include_action=True`` decodes the full change stream —
+    WRITE/UPDATE/DELETE in both v1 and v2 framing — prepending an
+    ``action`` column; UPDATE rows surface their AFTER image (the REPLACE
+    model — pair the flag with the registry/last-image machinery when the
+    before image matters)."""
     from decimal import Decimal
 
     from pyspark.sql import types as T
@@ -1859,6 +1867,8 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
     from polardbx_cdc_spark.types import spark_type_for
 
     fields = []
+    if include_action:
+        fields.append(T.StructField("action", T.StringType(), False))
     for name, decl in zip(columns, mysql_types):
         st = spark_type_for(decl)
         if isinstance(st, (T.TimestampType, T.TimestampNTZType)):
@@ -1877,10 +1887,20 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
             out = []
             for blob in pdf[payload_col]:
                 for ev in decode_events(bytes(blob)):
-                    if ev["type"] not in (WRITE_ROWS_EVENT, WRITE_ROWS_EVENT_V1):
+                    if include_action:
+                        if ev["type"] not in ROWS_EVENTS:
+                            continue
+                        act = {
+                            WRITE_ROWS_EVENT: "INSERT", WRITE_ROWS_EVENT_V1: "INSERT",
+                            UPDATE_ROWS_EVENT: "UPDATE", UPDATE_ROWS_EVENT_V1: "UPDATE",
+                            DELETE_ROWS_EVENT: "DELETE", DELETE_ROWS_EVENT_V1: "DELETE",
+                        }[ev["type"]]
+                    elif ev["type"] not in (WRITE_ROWS_EVENT, WRITE_ROWS_EVENT_V1):
                         continue
                     for row in ev["rows"]:
-                        rec = []
+                        if include_action and ev["type"] in UPDATE_EVENTS:
+                            row = row[1]  # after image (REPLACE model)
+                        rec = [act] if include_action else []
                         for v, decl, f, codec in zip(
                             row, decls, out_schema.fields, codecs
                         ):
@@ -1897,7 +1917,10 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
                             else:
                                 rec.append(v)
                         out.append(rec)
-            yield pd.DataFrame(out, columns=columns)
+            yield pd.DataFrame(
+                out,
+                columns=(["action"] + columns) if include_action else columns,
+            )
 
     return blobs.mapInPandas(decode_partition, out_schema)
 

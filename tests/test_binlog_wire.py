@@ -1217,3 +1217,32 @@ def test_export_with_gtid_framing(spark, sf_dir, tmp_path):
                 xids += 1
     assert len(gtids) == xids > 0  # one GTID per committed txn
     assert len(set(gtids)) == len(gtids)  # gno = unique txn id
+
+
+def test_typed_change_stream_decode_with_actions(spark):
+    """binlog_to_table(include_action=True): a mixed v1/v2 change stream
+    decodes typed with an action column; UPDATE surfaces the after image."""
+    import datetime
+
+    decls = ["bigint", "varchar(8)", "date"]
+    td = W.TableDef.from_mysql_types("d", "t", decls)
+    d0 = datetime.date(2020, 1, 2)
+    blob = (
+        W.encode_table_map(1, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td, [[1, "a", d0]])
+        + W.encode_rows_event(
+            W.UPDATE_ROWS_EVENT, 1, td, [([1, "a", d0], [1, "b", d0])]
+        )
+        + W.encode_rows_event(W.DELETE_ROWS_EVENT_V1, 1, td, [[1, "b", d0]])
+    )
+    blobs = spark.createDataFrame([(bytearray(blob),)], "payload binary")
+    got = W.binlog_to_table(
+        blobs, decls, ["id", "v", "dt"], include_action=True
+    ).collect()
+    assert [(r["action"], r["id"], r["v"]) for r in got] == [
+        ("INSERT", 1, "a"), ("UPDATE", 1, "b"), ("DELETE", 1, "b"),
+    ]
+    assert all(r["dt"] == d0 for r in got)
+    # default path unchanged: WRITE rows only, no action column
+    plain = W.binlog_to_table(blobs, decls, ["id", "v", "dt"]).collect()
+    assert len(plain) == 1 and "action" not in plain[0].asDict()

@@ -125,3 +125,28 @@ def test_replica_attach_to_pipeline_rendered_gtid_files(spark, sf_dir, tmp_path)
     gtids = [e["gno"] for e in evs if e["type"] == W.GTID_LOG_EVENT]
     xids = [e for e in evs if e["type"] == W.XID_EVENT]
     assert len(gtids) == len(xids) > 0
+
+
+def test_protocol_robustness_garbage_and_bad_pos(served_wire):
+    """Protocol edge cases: a client sending garbage after handshake gets
+    an OK (unknown command) not a hang; a dump from a mid-event (invalid)
+    byte position terminates cleanly at the walk's broken header."""
+    import socket
+    import struct as _s
+
+    host, port = served_wire["host"], served_wire["port"]
+    with socket.create_connection((host, port), timeout=15) as sock:
+        rf, wf = sock.makefile("rb"), sock.makefile("wb")
+        greet = M._read_packet(rf)
+        assert greet is not None
+        M._write_packet(wf, greet[0] + 1, b"\x00" * 40)  # junk handshake resp
+        ok = M._read_packet(rf)
+        assert ok is not None and ok[1][:1] == b"\x00"
+        M._write_packet(wf, 0, b"\x63garbage-command")  # unknown cmd 0x63
+        resp = M._read_packet(rf)
+        assert resp is not None and resp[1][:1] == b"\x00"
+
+    # dump from a non-boundary position: server streams zero events and
+    # EOFs (the walk sees an invalid header) — no crash, no hang
+    relay = M.binlog_dump_fetch(host, port, "binlog.000001", 7)
+    assert relay == b"" or W.decode_events(relay, tolerate_truncation=True) is not None
