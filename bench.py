@@ -83,6 +83,7 @@ HEADLINE = [
     "text_bpe_pair_stats",
     "events_wire_gtid_stream",
     "dedup_minhash_lsh_xxhash",
+    "orders_wire_change_stream_typed",
 ]
 
 

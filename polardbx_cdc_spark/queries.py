@@ -135,6 +135,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "orders_wire_legacy_temporal",
     "text_bpe_pair_stats",
     "events_wire_gtid_stream",
+    "orders_wire_change_stream_typed",
 )
 
 #: Oracle-backed entries outside the round-6 window. Every name here is
@@ -4199,6 +4200,84 @@ def events_wire_gtid_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gno").cast("long").alias("gno_sum"),
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("value_cents"),
+    )
+
+
+@register(
+    "orders_wire_change_stream_typed",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ev AS (
+      SELECT 'INSERT' AS action, okey, cents FROM base
+      UNION ALL
+      SELECT 'UPDATE', okey, cents + 150 FROM base WHERE okey % 3 = 0
+      UNION ALL
+      SELECT 'DELETE', okey, cents FROM base WHERE okey % 7 = 0
+    )
+    SELECT action,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(okey) AS BIGINT) AS okey_sum,
+           CAST(sum(cents) AS BIGINT) AS price_cents
+    FROM ev GROUP BY action
+    """,
+)
+def orders_wire_change_stream_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED CHANGE STREAM through the wire: a deterministic
+    INSERT/UPDATE/DELETE event stream derived from orders is serialized
+    as real WRITE/UPDATE/DELETE_ROWS events (UPDATE with genuine
+    before+after images, DELETE v1-framed) and decoded back with
+    ``binlog_to_table(include_action=True)`` — the consumer surface a
+    typed replica reads. The oracle recomputes the same stream
+    analytically, so the action routing AND the packed-decimal after
+    images must survive the bytes exactly."""
+    from decimal import Decimal
+
+    from polardbx_cdc_spark import binlog_wire as BW
+
+    o = load_table(spark, sf_dir, "orders")
+    par = spark.sparkContext.defaultParallelism
+    typed = o.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+    ).repartition(par)
+    decls = ["bigint", "decimal(14,2)"]
+
+    def encode_part(batches):
+        import pandas as pd
+
+        td = BW.TableDef.from_mysql_types("tpch", "orders", decls)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blob = bytearray(BW.encode_table_map(5, td))
+            ins, upd, dele = [], [], []
+            for okey, cents in zip(pdf["okey"], pdf["cents"]):
+                okey, cents = int(okey), int(cents)
+                price = Decimal(cents) / 100
+                ins.append([okey, price])
+                if okey % 3 == 0:
+                    upd.append(([okey, price], [okey, Decimal(cents + 150) / 100]))
+                if okey % 7 == 0:
+                    dele.append([okey, price])
+            blob += BW.encode_rows_event(BW.WRITE_ROWS_EVENT, 5, td, ins)
+            if upd:
+                blob += BW.encode_rows_event(BW.UPDATE_ROWS_EVENT, 5, td, upd)
+            if dele:
+                blob += BW.encode_rows_event(BW.DELETE_ROWS_EVENT_V1, 5, td, dele)
+            yield pd.DataFrame({"payload": [bytes(blob)]})
+
+    blobs = typed.mapInPandas(encode_part, "payload binary")
+    back = BW.binlog_to_table(
+        blobs, decls, ["okey", "price"], include_action=True
+    )
+    return back.groupBy("action").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("okey").cast("long").alias("okey_sum"),
+        F.sum((F.col("price") * 100).cast("long")).cast("long").alias("price_cents"),
     )
 
 
