@@ -1483,6 +1483,50 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
         ["txn_id", "txn_commit_tso"] if framed else []
     )
 
+    # GTID bookkeeping: each file opens with PREVIOUS_GTIDS carrying the
+    # gno (= txn_id) intervals of every txn in PRECEDING files — what a
+    # COM_BINLOG_DUMP_GTID attach resolves its start file against.
+    # Interval compression happens executor-side (per-file applyInPandas);
+    # only the compressed intervals — near-sequential txn ids collapse to
+    # a handful per file — reach the driver for the cumulative fold.
+    prev_by_seq: dict[int, list[tuple[int, int]]] = {}
+    if emit_gtid and framed:
+        import pandas as _pd
+
+        def _file_intervals(key, pdf):
+            ids = sorted({int(t) for t in pdf["txn_id"]})
+            ivs: list[list[int]] = []
+            for i in ids:
+                if ivs and i <= ivs[-1][1]:
+                    ivs[-1][1] = max(ivs[-1][1], i + 1)
+                else:
+                    ivs.append([i, i + 1])
+            return _pd.DataFrame(
+                {"file_seq": [int(key[0])] * len(ivs),
+                 "s": [a for a, _ in ivs], "e": [b for _, b in ivs]}
+            )
+
+        iv_rows = (
+            df.filter(F.col("action") == "COMMIT")
+            .select("file_seq", "txn_id")
+            .groupBy("file_seq")
+            .applyInPandas(_file_intervals, "file_seq bigint, s bigint, e bigint")
+            .collect()
+        )
+        by_seq: dict[int, list[tuple[int, int]]] = {}
+        for r in iv_rows:
+            by_seq.setdefault(int(r["file_seq"]), []).append((int(r["s"]), int(r["e"])))
+        cum: list[tuple[int, int]] = []
+        for seq in range(int(max_seq) + 1):
+            prev_by_seq[seq] = list(cum)
+            merged: list[tuple[int, int]] = []
+            for s, e in sorted(cum + by_seq.get(seq, [])):
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            cum = merged
+
     manifest_path = os.path.join(wire_dir, "_manifest.json")
     if incremental:
         try:
@@ -1519,6 +1563,11 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
         seq = int(key[0])
         pdf = pdf.sort_values("offset")
         events: list[bytes] = []
+        if emit_gtid and framed:
+            ivs = prev_by_seq.get(seq, [])
+            events.append(
+                encode_previous_gtids({_ENGINE_SID: ivs} if ivs else {})
+            )
         current_table: tuple[str, str] | None = None
         # run buffer: consecutive same-(action, table) rows share ONE
         # multi-row event — a header+CRC per run instead of per row (the

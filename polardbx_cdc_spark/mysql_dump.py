@@ -37,8 +37,69 @@ COM_QUIT = 0x01
 COM_QUERY = 0x03
 COM_BINLOG_DUMP = 0x12
 COM_REGISTER_SLAVE = 0x15
+COM_BINLOG_DUMP_GTID = 0x1E
 
 _MAX_PACKET = 0xFFFFFF
+
+GtidSet = dict[bytes, list[tuple[int, int]]]
+
+
+def _parse_gtid_set(data: bytes) -> GtidSet:
+    """Decode the Gtid_set wire encoding (same layout as the
+    PREVIOUS_GTIDS payload): n_sids(8) then per sid 16-byte uuid +
+    n_intervals(8) + (start, end)×8 LE pairs, end EXCLUSIVE."""
+    out: GtidSet = {}
+    n_sids = struct.unpack_from("<Q", data, 0)[0]
+    p = 8
+    for _ in range(n_sids):
+        sid = bytes(data[p : p + 16])
+        n_iv = struct.unpack_from("<Q", data, p + 16)[0]
+        p += 24
+        ivs = []
+        for _ in range(n_iv):
+            s0, e0 = struct.unpack_from("<QQ", data, p)
+            ivs.append((s0, e0))
+            p += 16
+        out[sid] = ivs
+    return out
+
+
+def encode_gtid_set(gtid_set: GtidSet) -> bytes:
+    """Inverse of :func:`_parse_gtid_set` — used by the replica-side
+    client to build the COM_BINLOG_DUMP_GTID data payload."""
+    payload = bytearray(struct.pack("<Q", len(gtid_set)))
+    for sid, intervals in gtid_set.items():
+        payload += sid + struct.pack("<Q", len(intervals))
+        for start, end in intervals:
+            payload += struct.pack("<QQ", start, end)
+    return bytes(payload)
+
+
+def _merged(intervals: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    ivs = sorted(intervals)
+    out: list[tuple[int, int]] = []
+    for s, e in ivs:
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def _gtid_covers(gtid_set: GtidSet, sid: bytes, gno: int) -> bool:
+    return any(s <= gno < e for s, e in gtid_set.get(sid, ()))
+
+
+def _gtid_subset(a: GtidSet, b: GtidSet) -> bool:
+    """True iff every gtid in *a* is in *b*."""
+    for sid, ivs in a.items():
+        cov = _merged(b.get(sid, []))
+        for s, e in ivs:
+            if s >= e:
+                continue
+            if not any(cs <= s and e <= ce for cs, ce in cov):
+                return False
+    return True
 
 
 def _write_packet(wfile, seq: int, payload: bytes) -> int:
@@ -90,10 +151,17 @@ class _Handler(socketserver.StreamRequestHandler):
             + b"8.0.32-polardbx-cdc-spark\x00"
             + struct.pack("<I", 1)  # thread id
             + auth1 + b"\x00"
-            + struct.pack("<H", 0x80FF)  # capabilities (lower)
+            # capabilities lower: LONG_PASSWORD..TRANSACTIONS (0x00FF) |
+            # CLIENT_PROTOCOL_41 (0x0200) | CLIENT_SECURE_CONNECTION (0x8000)
+            # — PROTOCOL_41 is mandatory for stock clients/mysqlbinlog, and
+            # the #HY000 sql-state marker in our ERR packets is only valid
+            # under it.
+            + struct.pack("<H", 0x82FF)
             + b"\x21"  # charset utf8
             + struct.pack("<H", 0x0002)  # status: autocommit
-            + struct.pack("<H", 0x0000)  # capabilities (upper)
+            # capabilities upper: CLIENT_PLUGIN_AUTH (0x0008 here = 0x00080000)
+            # — required because the greeting appends an auth-plugin name.
+            + struct.pack("<H", 0x0008)
             + bytes([len(auth1) + len(auth2)])
             + b"\x00" * 10
             + auth2
@@ -124,6 +192,15 @@ class _Handler(socketserver.StreamRequestHandler):
                 fname = payload[11:].split(b"\x00")[0].decode() or None
                 self._stream_dump(srv, fname, pos)
                 return  # dump holds the connection; done = close
+            if cmd == COM_BINLOG_DUMP_GTID:
+                # flags(2) server_id(4) name_len(4) name pos(8) data_len(4) data
+                name_len = struct.unpack_from("<I", payload, 7)[0]
+                p = 11 + name_len
+                p += 8  # pos — GTID attach resolves its own start
+                data_len = struct.unpack_from("<I", payload, p)[0]
+                executed = _parse_gtid_set(payload[p + 4 : p + 4 + data_len])
+                self._stream_dump_gtid(srv, executed)
+                return
             # anything else: OK (catalog.py owns the SQL surface)
             _write_packet(self.wfile, 1, _ok_packet())
 
@@ -160,6 +237,85 @@ class _Handler(socketserver.StreamRequestHandler):
                 )
                 off += elen
         # end of chain: EOF packet (a live server would block and push)
+        _write_packet(self.wfile, seq, b"\xfe\x00\x00\x02\x00")
+
+    def _file_prev_gtids(self, srv: "MySQLDumpServer",
+                         name: str) -> GtidSet | None:
+        """First PREVIOUS_GTIDS payload of *name*; None if the file
+        carries none (a non-GTID-framed export — start resolution must
+        not scan past it)."""
+        with open(os.path.join(srv.wire_dir, name), "rb") as fh:
+            buf = fh.read()
+        if buf[:4] != W.MAGIC:
+            return None
+        body, off = buf[4:], 0
+        while off + W.HEADER_LEN <= len(body):
+            elen = struct.unpack_from("<I", body, off + 9)[0]
+            if elen < W.HEADER_LEN + W.CHECKSUM_LEN or off + elen > len(body):
+                break
+            if body[off + 4] == W.PREVIOUS_GTIDS_LOG_EVENT:
+                payload = body[off + W.HEADER_LEN : off + elen - W.CHECKSUM_LEN]
+                return _parse_gtid_set(payload)
+            off += elen
+        return None
+
+    def _stream_dump_gtid(self, srv: "MySQLDumpServer",
+                          executed: GtidSet) -> None:
+        """COM_BINLOG_DUMP_GTID: resolve the replica's executed-GTID set
+        to a start file (latest file whose PREVIOUS_GTIDS ⊆ executed —
+        the server's Gtid_state::find lookup), then stream the chain
+        skipping every transaction group whose GTID the replica already
+        has. Requires GTID-framed wire files (export_wire_files with
+        gtid framing on); the dump contract is CdcServer.java:154,
+        GTID event codes LogEvent.java:161-171."""
+        files = srv.files()
+        if not files:
+            _write_packet(self.wfile, 1, _err_packet(1236, "no binlog files"))
+            return
+        start_idx = None
+        for i, name in enumerate(files):
+            prev = self._file_prev_gtids(srv, name)
+            if prev is None:
+                # un-bookkept file: attach from the chain head and let the
+                # per-transaction skip below do the filtering
+                if i == 0:
+                    start_idx = 0
+                break
+            if _gtid_subset(prev, executed):
+                start_idx = i
+            else:
+                break  # PREVIOUS_GTIDS grows monotonically along the chain
+        if start_idx is None:
+            _write_packet(self.wfile, 1, _err_packet(
+                1236,
+                "Cannot replicate: required binary logs have been purged",
+            ))
+            return
+        seq = 1
+        for name in files[start_idx:]:
+            with open(os.path.join(srv.wire_dir, name), "rb") as fh:
+                buf = fh.read()
+            if buf[:4] != W.MAGIC:
+                continue
+            body, off, skip = buf[4:], 0, False
+            while off + W.HEADER_LEN <= len(body):
+                elen = struct.unpack_from("<I", body, off + 9)[0]
+                if elen < W.HEADER_LEN + W.CHECKSUM_LEN or off + elen > len(body):
+                    break
+                tc = body[off + 4]
+                if tc == W.GTID_LOG_EVENT:
+                    # commit_flag(1) sid(16) gno(8) — group starts here
+                    sid = bytes(body[off + 20 : off + 36])
+                    gno = struct.unpack_from("<q", body, off + 36)[0]
+                    skip = _gtid_covers(executed, sid, gno)
+                elif tc in (W.FORMAT_DESCRIPTION_EVENT,
+                            W.PREVIOUS_GTIDS_LOG_EVENT, W.ROTATE_EVENT):
+                    skip = False  # bookkeeping always flows; groups don't span files
+                if not skip:
+                    seq = _write_packet(
+                        self.wfile, seq, b"\x00" + body[off : off + elen]
+                    )
+                off += elen
         _write_packet(self.wfile, seq, b"\xfe\x00\x00\x02\x00")
 
 
@@ -237,16 +393,54 @@ def binlog_dump_fetch(host: str, port: int, file_name: str = "",
             + file_name.encode()
         )
         _write_packet(wf, 0, dump)
-        out = bytearray()
-        while True:
-            pkt = _read_packet(rf)
-            if pkt is None:
-                break
-            payload = pkt[1]
-            if payload[:1] == b"\xfe" and len(payload) < 9:
-                break  # EOF
-            if payload[:1] == b"\xff":
-                raise ValueError(f"server error: {payload[9:].decode(errors='replace')}")
-            assert payload[:1] == b"\x00"
-            out += payload[1:]
-        return bytes(out)
+        return _collect_event_packets(rf)
+
+
+def binlog_dump_gtid_fetch(host: str, port: int, executed: GtidSet,
+                           server_id: int = 99) -> bytes:
+    """Attach like a GTID replica: handshake → COM_BINLOG_DUMP_GTID with
+    the executed-GTID set → collect raw event bytes until EOF. The server
+    resolves the start file from its PREVIOUS_GTIDS chain and skips every
+    transaction the set already covers."""
+    with socket.create_connection((host, port), timeout=30) as sock:
+        rf = sock.makefile("rb")
+        wf = sock.makefile("wb")
+        greet = _read_packet(rf)
+        assert greet is not None and greet[1][0] == 0x0A, "bad greeting"
+        resp = (
+            struct.pack("<I", 0x0200 | 0x8000)
+            + struct.pack("<I", 1 << 24)
+            + b"\x21" + b"\x00" * 23
+            + b"replica\x00" + b"\x00"
+        )
+        _write_packet(wf, greet[0] + 1, resp)
+        ok = _read_packet(rf)
+        assert ok is not None and ok[1][:1] == b"\x00", "auth rejected"
+        data = encode_gtid_set(executed)
+        dump = (
+            bytes([COM_BINLOG_DUMP_GTID])
+            + struct.pack("<H", 0x04)  # BINLOG_THROUGH_GTID
+            + struct.pack("<I", server_id)
+            + struct.pack("<I", 0)  # name_len: server resolves the file
+            + struct.pack("<Q", 4)
+            + struct.pack("<I", len(data))
+            + data
+        )
+        _write_packet(wf, 0, dump)
+        return _collect_event_packets(rf)
+
+
+def _collect_event_packets(rf) -> bytes:
+    out = bytearray()
+    while True:
+        pkt = _read_packet(rf)
+        if pkt is None:
+            break
+        payload = pkt[1]
+        if payload[:1] == b"\xfe" and len(payload) < 9:
+            break  # EOF
+        if payload[:1] == b"\xff":
+            raise ValueError(f"server error: {payload[9:].decode(errors='replace')}")
+        assert payload[:1] == b"\x00"
+        out += payload[1:]
+    return bytes(out)

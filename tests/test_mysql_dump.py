@@ -127,6 +127,172 @@ def test_replica_attach_to_pipeline_rendered_gtid_files(spark, sf_dir, tmp_path)
     assert len(gtids) == len(xids) > 0
 
 
+SID_A = bytes(range(16))
+
+
+def _txn(td, gno: int, vals, xid: int) -> bytes:
+    """One GTID-framed transaction: GTID + TABLE_MAP + WRITE_ROWS + XID."""
+    return (
+        W.encode_gtid(SID_A, gno)
+        + W.encode_table_map(3, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, vals)
+        + W.encode_xid(xid)
+    )
+
+
+@pytest.fixture()
+def gtid_wire(tmp_path):
+    """Two-file GTID-framed chain: txns gno 1-2 in file 1 (prev = {}),
+    gno 3-4 in file 2 (prev = 1..2)."""
+    wire = str(tmp_path / "gwire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_previous_gtids({}),
+         _txn(td, 1, [[10]], 1), _txn(td, 2, [[20]], 2)],
+        next_file="binlog.000002",
+    )
+    W.write_binlog_file(
+        wire + "/binlog.000002",
+        [W.encode_previous_gtids({SID_A: [(1, 3)]}),
+         _txn(td, 3, [[30]], 3), _txn(td, 4, [[40]], 4)],
+    )
+    srv = M.MySQLDumpServer(wire)
+    host, port = srv.start()
+    yield {"wire": wire, "host": host, "port": port}
+    srv.stop()
+
+
+def _txn_bytes(relay: bytes) -> bytes:
+    """Strip bookkeeping (FDE/PREVIOUS_GTIDS/ROTATE) frames, keep the
+    transaction-bearing raw bytes — the hash-comparable payload."""
+    import struct as _s
+
+    skip_types = {W.FORMAT_DESCRIPTION_EVENT, W.PREVIOUS_GTIDS_LOG_EVENT,
+                  W.ROTATE_EVENT}
+    out, off = bytearray(), 0
+    while off + W.HEADER_LEN <= len(relay):
+        elen = _s.unpack_from("<I", relay, off + 9)[0]
+        if relay[off + 4] not in skip_types:
+            out += relay[off : off + elen]
+        off += elen
+    return bytes(out)
+
+
+def test_gtid_attach_skips_executed_transactions(gtid_wire):
+    """A replica that has executed gno 1..3 receives exactly txn 4 —
+    hash-equal to a file+pos attach just past txn 3."""
+    host, port = gtid_wire["host"], gtid_wire["port"]
+    relay = M.binlog_dump_gtid_fetch(host, port, {SID_A: [(1, 4)]})
+    evs = W.decode_events(relay)
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[40]]
+    assert [e["gno"] for e in evs if e["type"] == W.GTID_LOG_EVENT] == [4]
+
+    # equivalent file+pos attach: walk binlog.000002 to the start of txn 4
+    with open(gtid_wire["wire"] + "/binlog.000002", "rb") as fh:
+        buf = fh.read()
+    import struct as _s
+
+    off, seen_gtids = 4, 0
+    while True:
+        if buf[off + 4] == W.GTID_LOG_EVENT:
+            seen_gtids += 1
+            if seen_gtids == 2:  # txn 4's GTID frame
+                break
+        off += _s.unpack_from("<I", buf, off + 9)[0]
+    by_pos = M.binlog_dump_fetch(host, port, "binlog.000002", off)
+    assert _txn_bytes(relay) == _txn_bytes(by_pos)
+
+
+def test_gtid_attach_resolves_start_file_from_previous_gtids(gtid_wire):
+    """executed = gno 1..2 == file 2's PREVIOUS_GTIDS → the dump starts
+    at file 2 (file 1 is never read) and delivers txns 3 and 4."""
+    relay = M.binlog_dump_gtid_fetch(
+        gtid_wire["host"], gtid_wire["port"], {SID_A: [(1, 3)]}
+    )
+    evs = W.decode_events(relay)
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[30], [40]]
+    # exactly one FDE + one PREVIOUS_GTIDS — file 1's were never streamed
+    assert sum(1 for e in evs if e["type"] == W.FORMAT_DESCRIPTION_EVENT) == 1
+    by_file = M.binlog_dump_fetch(
+        gtid_wire["host"], gtid_wire["port"], "binlog.000002", 4
+    )
+    assert _txn_bytes(relay) == _txn_bytes(by_file)
+
+
+def test_gtid_attach_empty_set_streams_everything(gtid_wire):
+    relay = M.binlog_dump_gtid_fetch(gtid_wire["host"], gtid_wire["port"], {})
+    by_file = M.binlog_dump_fetch(
+        gtid_wire["host"], gtid_wire["port"], "binlog.000001", 4
+    )
+    assert relay == by_file  # byte-identical: nothing skipped, same start
+    rows = [
+        r for e in W.decode_events(relay)
+        if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]
+    ]
+    assert rows == [[10], [20], [30], [40]]
+
+
+def test_gtid_attach_purged_chain_errors(tmp_path):
+    """If even the oldest file's PREVIOUS_GTIDS is not covered by the
+    replica's executed set, the master has purged required binlogs —
+    protocol error 1236, matching the server's contract."""
+    wire = str(tmp_path / "pwire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    W.write_binlog_file(
+        wire + "/binlog.000007",
+        [W.encode_previous_gtids({SID_A: [(1, 7)]}), _txn(td, 7, [[70]], 7)],
+    )
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        with pytest.raises(ValueError, match="purged"):
+            M.binlog_dump_gtid_fetch(host, port, {SID_A: [(1, 3)]})
+        # a replica holding everything the chain presumes attaches fine
+        relay = M.binlog_dump_gtid_fetch(host, port, {SID_A: [(1, 7)]})
+        evs = W.decode_events(relay)
+        assert [e["gno"] for e in evs if e["type"] == W.GTID_LOG_EVENT] == [7]
+
+
+def test_gtid_attach_mid_stream_of_pipeline_rendered_files(spark, sf_dir, tmp_path):
+    """Full stack: GTID-framed wire files rendered by the pipeline; a
+    replica presents the executed set covering the first half of the
+    GTIDs and receives exactly the rest."""
+    from polardbx_cdc_spark import binlog_wire as BW
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.streaming import pipeline
+
+    out, wire = str(tmp_path / "binlog"), str(tmp_path / "wire")
+    sink = pipeline.BinlogSink(out, rotate_rows=400, frame_txns=True)
+    sink.recover(spark)
+    sink(derive_cdc_stream(spark, sf_dir), batch_id=0)
+    sink.flush()
+    BW.export_wire_files(spark, out, wire, emit_gtid=True).collect()
+
+    first = sorted(f for f in os.listdir(wire) if f.startswith("binlog."))[0]
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        full = M.binlog_dump_fetch(host, port, first, 4)
+        all_gtids = [
+            (e["sid"], e["gno"]) for e in W.decode_events(full)
+            if e["type"] == W.GTID_LOG_EVENT
+        ]
+        assert len(all_gtids) > 1
+        sid = all_gtids[0][0]
+        gnos = sorted(g for s, g in all_gtids if s == sid)
+        half = gnos[len(gnos) // 2]
+        executed = {sid: [(gnos[0], half + 1)]}  # covers gnos[0]..half
+        relay = M.binlog_dump_gtid_fetch(host, port, executed)
+    got = [
+        e["gno"] for e in W.decode_events(relay)
+        if e["type"] == W.GTID_LOG_EVENT and e["sid"] == sid
+    ]
+    assert sorted(got) == [g for g in gnos if g > half]
+
+
 def test_protocol_robustness_garbage_and_bad_pos(served_wire):
     """Protocol edge cases: a client sending garbage after handshake gets
     an OK (unknown command) not a hang; a dump from a mid-event (invalid)
