@@ -114,6 +114,7 @@ class _Handler(socketserver.StreamRequestHandler):
         import time as _time
 
         cur, off = name, pos
+        stable_size = -1  # size of `cur` at the previous no-progress poll
         deadline = _time.monotonic() + idle_timeout
         while _time.monotonic() < deadline:
             path = os.path.join(srv.wire_dir, cur)
@@ -139,13 +140,21 @@ class _Handler(socketserver.StreamRequestHandler):
                     self.wfile.flush()
                     off += span
                     sent = True
+                    stable_size = -1
                     deadline = _time.monotonic() + idle_timeout
             if not sent:
+                # Rotate to the successor ONLY once the current file is
+                # fully drained (off == size: every complete frame up to
+                # EOF was forwarded) AND its size held stable across two
+                # polls — a torn/in-flight tail (or a ROTATE the exporter
+                # is about to append to the old tail) keeps us here until
+                # the re-render lands, instead of being skipped forever.
                 nxt = srv.chain_from(cur)[1:2]
-                if nxt:  # rotated: successor exists and current is drained
-                    cur, off = nxt[0], 4
+                if nxt and off == size and size == stable_size:
+                    cur, off, stable_size = nxt[0], 4, -1
                     deadline = _time.monotonic() + idle_timeout
                     continue
+                stable_size = size
                 _time.sleep(0.05)
 
 
@@ -297,10 +306,25 @@ def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"
         if not files:
             return None
         fname, pos = files[0]["file_name"], 4
-    blob = dump_fetch(host, port, fname, pos)
-    files = list_files(host, port)
-    last = files[-1]
-    group.commit({"wire": f"{last['file_name']}:{last['size']:012d}"}, gen)
+    meta, blob = _request(
+        host, port, {"cmd": "dump", "file": fname, "pos": int(pos), "follow": 0}
+    )
+    if not meta.get("ok"):
+        raise ValueError(meta.get("error", "dump failed"))
+    # Commit the position of the bytes ACTUALLY fetched — never a
+    # listing taken after the fetch (bytes appended in between would be
+    # committed-but-undelivered, i.e. silently skipped on resume). Walk
+    # the blob: every mid-chain file is streamed from byte 4 and opens
+    # with its FDE, so an FDE at a non-zero blob offset marks the hop to
+    # the next file of the chain the dump meta announced.
+    chain, idx, cur_pos = meta["files"], 0, pos
+    for _off, tc, frame in _walk_events(bytes(blob)):
+        if tc == W.FORMAT_DESCRIPTION_EVENT and _off > 0:
+            idx, cur_pos = idx + 1, 4
+        cur_pos += len(frame)
+    group.commit(
+        {"wire": f"{chain[min(idx, len(chain) - 1)]}:{cur_pos:012d}"}, gen
+    )
     if spool_dir:
         seg_limit = 16 << 20
         os.makedirs(spool_dir, exist_ok=True)

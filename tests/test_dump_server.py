@@ -208,6 +208,53 @@ def test_follow_mode_withholds_torn_tail(tmp_path):
         srv.stop()
 
 
+def test_consumer_group_commits_fetched_bytes_not_later_listing(spark, tmp_path):
+    """The committed offset must equal the end of the bytes ACTUALLY
+    delivered — bytes appended between the fetch and the commit must
+    stay uncommitted so the next resume delivers them (regression: the
+    old code committed a post-fetch list_files() bound, silently
+    skipping any in-between append)."""
+    import os
+
+    from polardbx_cdc_spark.streaming.consumer import ConsumerGroup
+
+    wire = str(tmp_path / "wire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_VARCHAR, 256), (W.TYPE_DOUBLE, 8)])
+
+    def rows_event(vals):
+        return W.encode_table_map(3, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, vals
+        )
+
+    W.write_binlog_file(
+        wire + "/binlog.000001", [rows_event([["1", 1.0], ["2", 2.0]])]
+    )
+    group = ConsumerGroup("g-commit", str(tmp_path / "offsets"))
+    with D.DumpServer(wire) as srv:
+        host, port = srv.address
+        first = D.consume_from_group(spark, host, port, group, "m0")
+        assert first.count() == 2
+        size1 = os.path.getsize(wire + "/binlog.000001")
+        assert group.committed()["wire"] == f"binlog.000001:{size1:012d}"
+
+        # chain spans two files; commit must land at the END of file 2
+        with open(wire + "/binlog.000001", "ab") as fh:
+            fh.write(rows_event([["3", 3.0]]))
+        W.write_binlog_file(wire + "/binlog.000002", [rows_event([["4", 4.0]])])
+        second = D.consume_from_group(spark, host, port, group, "m0")
+        assert sorted(int(r["pk"]) for r in second.collect()) == [3, 4]
+        size2 = os.path.getsize(wire + "/binlog.000002")
+        assert group.committed()["wire"] == f"binlog.000002:{size2:012d}"
+
+        # an append the server never served stays UNcommitted → delivered
+        # by the next consume (the data-loss case the fix closes)
+        with open(wire + "/binlog.000002", "ab") as fh:
+            fh.write(rows_event([["5", 5.0]]))
+        third = D.consume_from_group(spark, host, port, group, "m0")
+        assert [int(r["pk"]) for r in third.collect()] == [5]
+
+
 def test_consumer_group_resume_over_network(spark, tmp_path):
     """Consumer-group + dump-server integration: first consume delivers
     everything and commits the end position; after the chain grows, a
