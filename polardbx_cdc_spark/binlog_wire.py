@@ -13,24 +13,30 @@ polardbx-cdc-dumper/.../logfile/LogFileGenerator.java:624-757.
 
 Scope (honest slice, round-trip-tested byte-for-byte):
 - file layout: 4-byte magic, FORMAT_DESCRIPTION, events, ROTATE chain
-- events: FORMAT_DESCRIPTION, TABLE_MAP (incl. the MySQL-8
-  optional-metadata SIGNEDNESS TLV), WRITE/UPDATE/DELETE_ROWS v2, QUERY,
-  XID, ROTATE, XA_PREPARE, ROWS_QUERY (per-txn ::TRACE:: markers,
-  RowsQueryEventBuilder.java), and the PolarDB-X SEQUENCE/GCN carriers —
-  each with trailing CRC32; torn-tail tolerant decode + file recovery
-- column types (the RowsLogBuffer.java surface minus enum/set/json/
-  geometry): TINY/SHORT/INT24/LONG/LONGLONG signed+unsigned,
-  FLOAT/DOUBLE, NEWDECIMAL (packed 9-digit groups, negative inversion —
-  LogBuffer.getDecimal / format/field/DecimalField.java), BIT, YEAR,
-  DATE, DATETIME2/TIMESTAMP2/TIME2 with fractional seconds, VARCHAR
+- events: FORMAT_DESCRIPTION, TABLE_MAP (incl. MySQL-8 optional-metadata
+  TLVs — SIGNEDNESS always; with ``binlog_row_metadata=FULL`` also
+  COLUMN_NAME, ENUM/SET string values, and PRIMARY_KEY, enabling the
+  registry-free ``decode_named_rows`` attach), WRITE/UPDATE/DELETE_ROWS
+  v2 AND v1 (codes 23–25, no var-header), QUERY, XID, ROTATE,
+  XA_PREPARE, ROWS_QUERY (per-txn ::TRACE:: markers,
+  RowsQueryEventBuilder.java), the GTID family (GTID / ANONYMOUS_GTID /
+  PREVIOUS_GTIDS, codes 33–35, plus HEARTBEAT — LogEvent.java:161-171),
+  and the PolarDB-X SEQUENCE/GCN carriers — each with trailing CRC32;
+  torn-tail tolerant decode + file recovery
+- column types (the RowsLogBuffer.java surface): TINY/SHORT/INT24/LONG/
+  LONGLONG signed+unsigned, FLOAT/DOUBLE, NEWDECIMAL (packed 9-digit
+  groups, negative inversion — LogBuffer.getDecimal /
+  format/field/DecimalField.java), BIT, YEAR, DATE, DATETIME2/
+  TIMESTAMP2/TIME2 with fractional seconds (signed TIME2 incl. the
+  negative complement encoding) AND the pre-5.6 legacy DATETIME/
+  TIMESTAMP/TIME (``from_mysql_types`` " legacy" decl marker), VARCHAR
   (1/2-byte length per metadata), BLOB family (1–4 byte length prefix),
-  NULL bitmaps, ENUM/SET (via TYPE_STRING metadata), signed TIME2
-  including the negative complement encoding.
-  JSON columns carry the server's BINARY json document
-  (json_binary.h small/large objects+arrays, inlined scalars, varlen
-  strings — decode parity JsonConversion.java), round-tripped to Python
-  values. Everything else (compressed/encrypted binlog, GTID
-  bookkeeping, geometry) stays out of scope by SURVEY §7.
+  NULL bitmaps, ENUM/SET (via TYPE_STRING metadata), GEOMETRY (opaque
+  WKB-with-SRID blob), and JSON columns carrying the server's BINARY
+  json document (json_binary.h small/large objects+arrays, inlined
+  scalars, varlen strings — decode parity JsonConversion.java),
+  round-tripped to Python values. Out of scope: compressed
+  (TRANSACTION_PAYLOAD) and encrypted binlog.
 
 Spark-side plumbing is in ``events_to_binlog`` / ``binlog_to_events``:
 Arrow-batched ``mapInPandas`` over the CDC frame — serialization is

@@ -50,11 +50,14 @@ def _ident(s: str) -> str:
 # spellings in the emitted ops. Identifiers restore lowercased — the
 # registry's existing normalization for plain identifiers.
 
-_PLACEHOLDER = re.compile(r"zzq(?:id|str)\d+zz")
-
-
 def _sanitize(sql: str) -> tuple[str, dict[str, str]]:
-    """Returns (sanitized_sql, placeholder → original-spelling map)."""
+    """Returns (sanitized_sql, placeholder → original-spelling map).
+    The placeholder prefix is bumped until no placeholder-shaped token
+    pre-exists in the input, so a literal ``zzqid0zz`` in the SQL can
+    never be captured (or rewritten) by :func:`_restore`."""
+    prefix = "zzq"
+    while re.search(rf"{prefix}(?:id|str)\d+zz", sql):
+        prefix += "q"
     out: list[str] = []
     subs: dict[str, str] = {}
     i, n = 0, len(sql)
@@ -74,7 +77,7 @@ def _sanitize(sql: str) -> tuple[str, dict[str, str]]:
             if j >= n:  # unterminated — pass through, grammar will reject
                 out.append(sql[i:])
                 break
-            key = f"zzqid{len(subs)}zz"
+            key = f"{prefix}id{len(subs)}zz"
             subs[key] = "".join(buf).lower()
             out.append(key)
             i = j + 1
@@ -97,7 +100,7 @@ def _sanitize(sql: str) -> tuple[str, dict[str, str]]:
             if j >= n:
                 out.append(sql[i:])
                 break
-            key = f"zzqstr{len(subs)}zz"
+            key = f"{prefix}str{len(subs)}zz"
             subs[key] = "".join(buf)
             out.append("'" + key + "'")  # keep the quotes: still a literal
             i = j + 1
@@ -108,9 +111,14 @@ def _sanitize(sql: str) -> tuple[str, dict[str, str]]:
 
 
 def _restore(obj, subs: dict[str, str]):
-    """Substitute placeholders back into every string of an op tree."""
+    """Substitute placeholders back into every string of an op tree —
+    matching EXACTLY the keys _sanitize generated for this call, never a
+    generic placeholder shape (collision-proofing's second half)."""
+    if not subs:
+        return obj
     if isinstance(obj, str):
-        return _PLACEHOLDER.sub(lambda m: subs.get(m.group(0), m.group(0)), obj)
+        pat = re.compile("|".join(re.escape(k) for k in subs))
+        return pat.sub(lambda m: subs[m.group(0)], obj)
     if isinstance(obj, list):
         return [_restore(v, subs) for v in obj]
     if isinstance(obj, tuple):
@@ -141,7 +149,59 @@ def _split_top_level(s: str) -> list[str]:
 _COL_DEF = re.compile(rf"^{_IDENT}\s+([A-Za-z]+(?:\s*\([^)]*\))?(?:\s+UNSIGNED)?(?:\s+ZEROFILL)?)", re.I)
 _PK_INLINE = re.compile(r"\bPRIMARY\s+KEY\b", re.I)
 _PK_CONSTRAINT = re.compile(r"^(?:CONSTRAINT\s+\S+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)", re.I)
-_KEY_DEF = re.compile(r"^(?:UNIQUE\s+)?(?:KEY|INDEX|CONSTRAINT|FULLTEXT|FOREIGN)\b", re.I)
+_KEY_DEF = re.compile(r"^(?:UNIQUE\s+)?(?:KEY|INDEX|CONSTRAINT|FULLTEXT|FOREIGN|CHECK)\b", re.I)
+
+
+# -- balanced-paren expression consumer --------------------------------------
+# MySQL 8 grammar embeds arbitrarily nested expressions in column clauses:
+# expression DEFAULT ``DEFAULT (expr)``, ``CHECK (expr)``, generated columns
+# ``[GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]``, functional index parts
+# ``((col + 1))``. A regex can't match balanced parens; this consumer walks
+# them (the reference's druid parser digests all of these —
+# MemoryTableMeta.java).
+
+def _consume_balanced(s: str, i: int) -> int:
+    """``s[i] == '('`` → index just past its matching ``)``; unbalanced
+    input returns ``len(s)`` (the grammar rejects downstream)."""
+    depth = 0
+    while i < len(s):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return len(s)
+
+
+_EXPR_CLAUSE = re.compile(
+    r"\b(?:(?P<gen>(?:GENERATED\s+ALWAYS\s+)?AS)|DEFAULT|CHECK)\s*(?=\()",
+    re.I,
+)
+
+
+def _strip_expr_clauses(element: str) -> tuple[str, bool]:
+    """Remove paren-nested expression clauses from one column declaration
+    — ``DEFAULT (expr)``, ``CHECK (expr)``, ``[GENERATED ALWAYS] AS
+    (expr) [VIRTUAL|STORED]`` — consuming balanced parens at ANY nesting
+    depth. Returns (stripped declaration, is_generated)."""
+    out: list[str] = []
+    i, generated = 0, False
+    while True:
+        m = _EXPR_CLAUSE.search(element, i)
+        if not m:
+            out.append(element[i:])
+            break
+        out.append(element[i : m.start()])
+        end = _consume_balanced(element, m.end())
+        if m.group("gen"):
+            generated = True
+            tail = re.match(r"\s+(?:VIRTUAL|STORED)\b", element[end:], re.I)
+            if tail:
+                end += tail.end()
+        i = end
+    return " ".join("".join(out).split()), generated
 
 #: ALTER actions that change indexes/constraints, not the visible column
 #: set — the reference models these as CINDEX/DINDEX actions
@@ -155,8 +215,8 @@ _INDEX_ACTION = re.compile(
     r"ADD\s+(?:CONSTRAINT(?:\s+`?[A-Za-z0-9_$]+`?)?\s+)?"
     r"(?:UNIQUE(?:\s+(?:GLOBAL|CLUSTERED|LOCAL))?(?:\s+(?:INDEX|KEY))?\s*[(`A-Za-z0-9_$]"
     r"|PRIMARY\s+KEY|FOREIGN\s+KEY|CHECK\s*\("
-    r"|(?:FULLTEXT|SPATIAL|GLOBAL|CLUSTERED|LOCAL)(?:\s+(?:INDEX|KEY))?\s"
-    r"|(?:INDEX|KEY)\s)"
+    r"|(?:FULLTEXT|SPATIAL|GLOBAL|CLUSTERED|LOCAL)(?:\s+(?:INDEX|KEY))?[\s(]"
+    r"|(?:INDEX|KEY)[\s(])"
     r"|DROP\s+(?:PRIMARY\s+KEY|FOREIGN\s+KEY\s+\S+|(?:INDEX|KEY)\s+\S+"
     r"|CONSTRAINT\s+\S+|CHECK\s+\S+)"
     r"|RENAME\s+(?:INDEX|KEY)\s+\S+\s+TO\s+\S+"
@@ -220,14 +280,6 @@ _ACTION_START = re.compile(
 #: trailing column-position clause on ADD/MODIFY/CHANGE — captured
 #: separately and applied as a registry reorder
 _POSITION_TAIL = re.compile(rf"\s+(?:(FIRST)|AFTER\s+{_IDENT})\s*$", re.I)
-
-#: generated-column clause — [GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]
-_GENERATED = re.compile(
-    r"\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\((?:[^()]|\([^()]*\))*\)"
-    r"(?:\s+(?:VIRTUAL|STORED))?",
-    re.I,
-)
-
 
 def _merge_continuations(parts: list[str]) -> list[str]:
     """Re-join top-level-comma fragments that continue the previous action
@@ -303,11 +355,11 @@ def _parse_column_element(element: str) -> dict:
     generated, inline_pk}. The generated clause (``[GENERATED ALWAYS] AS
     (expr) [VIRTUAL|STORED]``) is recorded as a flag and stripped from the
     type declaration so ``typed_images`` sees a clean type."""
+    element, generated = _strip_expr_clauses(element)
     cd = _COL_DEF.match(element)
     if not cd:
         raise ValueError(f"unparsable column def: {element!r}")
     name = _ident(cd.group(1))
-    generated = bool(_GENERATED.search(element))
     mysql_type = cd.group(2).strip()
     return {
         "name": name,
@@ -432,10 +484,11 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
             a = re.match(rf"CHANGE\s+(?:COLUMN\s+)?{_IDENT}\s+{_IDENT}\s+(.+)$", action, re.I | re.S)
             if a:
                 decl, position = _strip_position(a.group(3))
+                c = _parse_column_element(f"{a.group(2)} {decl}")
                 ops.append({
                     "db": db, "tbl": tbl, "op": "rename_column",
                     "from": _ident(a.group(1)), "to": _ident(a.group(2)),
-                    "mysql_type": decl,
+                    "mysql_type": c["mysql_type"],
                     **({"position": position} if position else {}),
                 })
                 continue
@@ -449,9 +502,10 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
             a = re.match(rf"MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+(.+)$", action, re.I | re.S)
             if a:
                 decl, position = _strip_position(a.group(2))
+                c = _parse_column_element(f"{a.group(1)} {decl}")
                 ops.append({
                     "db": db, "tbl": tbl, "op": "modify_column",
-                    "column": _ident(a.group(1)), "mysql_type": decl,
+                    "column": _ident(a.group(1)), "mysql_type": c["mysql_type"],
                     **({"position": position} if position else {}),
                 })
                 continue

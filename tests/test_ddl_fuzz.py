@@ -50,6 +50,20 @@ NOOP_ACTIONS = [
     "MERGE PARTITIONS a{n}, b{n} TO px{n}",
     "ROW_FORMAT=DYNAMIC",
     "DEFAULT CHARACTER SET utf8mb4",
+    "ADD INDEX fidx_{n} ((`{col}` + 1))",
+    "ADD UNIQUE KEY fuk_{n} ((LOWER(`{col}`)), `{col}`)",
+    "ADD CONSTRAINT chk_{n} CHECK (`{col}` IS NOT NULL AND ((1) < 2))",
+    "ADD CHECK ((`{col}` >= (0)))",
+    "DROP CHECK chk_{n}",
+]
+
+#: expression DEFAULT clauses riding random ADD/MODIFY/CHANGE column decls
+#: — registry must strip them from the stored type (MySQL 8 paren grammar)
+EXPR_DEFAULTS = [
+    "", "", "", "",
+    " DEFAULT (uuid_to_bin(uuid(), true))",
+    " DEFAULT ((1 + 2) * 3)",
+    " DEFAULT (concat('p(', (('q'))))",
 ]
 
 
@@ -149,7 +163,7 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
             sql = (
                 f"ALTER TABLE db0.fz {_kw(rng, 'add')} "
                 f"{_maybe_column_kw(rng)}{_fmt_col(rng, name)} {typ}"
-                f"{rng.choice(_COMMENTS)}{tail}"
+                f"{rng.choice(EXPR_DEFAULTS)}{rng.choice(_COMMENTS)}{tail}"
             )
             model.insert(name, typ, pos)
         elif kind < 0.4 and len(names) > 2:
@@ -174,7 +188,8 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
             )
             sql = (
                 f"ALTER TABLE db0.fz {_kw(rng, 'modify')} "
-                f"{_maybe_column_kw(rng)}{_fmt_col(rng, target)} {typ}{tail}"
+                f"{_maybe_column_kw(rng)}{_fmt_col(rng, target)} {typ}"
+                f"{rng.choice(EXPR_DEFAULTS)}{tail}"
             )
             if pos:
                 # model replays drop-then-insert exactly like MySQL reorder:
@@ -209,7 +224,8 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
                 sql = (
                     f"ALTER TABLE db0.fz {_kw(rng, 'change')} "
                     f"{_maybe_column_kw(rng)}{_fmt_col(rng, target)} "
-                    f"{_fmt_col(rng, name)} {typ}{tail}"
+                    f"{_fmt_col(rng, name)} {typ}"
+                    f"{rng.choice(EXPR_DEFAULTS)}{tail}"
                 )
             i = model.names().index(target)
             old_pos_prev = model.names()[i - 1] if i else "first"
@@ -268,6 +284,72 @@ def test_generated_columns_parse_and_register():
         " GENERATED ALWAYS AS (CONCAT(a, '-', b)) VIRTUAL AFTER a",
     )
     assert list(reg.find("db0", "g", "400").columns) == ["a", "d", "b", "c"]
+
+
+def test_expression_defaults_checks_and_functional_indexes():
+    """MySQL-8 paren-nested expression grammar: DEFAULT (expr) at any
+    nesting depth, bare and CONSTRAINT-named CHECK clauses, functional
+    index key parts ((expr)) — all registry-visible as clean column sets
+    (the reference's druid parser digests these; MemoryTableMeta.java)."""
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE db0.e ("
+        " a INT PRIMARY KEY,"
+        " b VARCHAR(36) DEFAULT (uuid_to_bin(uuid(), true)),"
+        " c INT DEFAULT ((1 + 2) * pow(2, (3))),"
+        " d INT CHECK (d > (a + (1))),"
+        " CHECK (c > (a + 1)),"
+        " CONSTRAINT c2 CHECK (b <> 'y))z'),"
+        " KEY fidx ((c + 1)),"
+        " UNIQUE KEY fuk ((LOWER(b)))"
+        ")",
+    )
+    found = reg.find("db0", "e", "200")
+    assert list(found.columns) == ["a", "b", "c", "d"]
+    assert [t.upper() for t in found.types] == ["INT", "VARCHAR(36)", "INT", "INT"]
+
+    # ALTER forms: functional index adds are index no-ops; expression
+    # DEFAULT rides ADD/MODIFY COLUMN declarations
+    reg.apply_sql("300", "ALTER TABLE db0.e ADD INDEX f2 ((a * 2), b)")
+    reg.apply_sql("310", "ALTER TABLE db0.e ADD UNIQUE INDEX((a + c))")
+    reg.apply_sql("320", "ALTER TABLE db0.e ADD CONSTRAINT chk3 CHECK (c < (1000))")
+    reg.apply_sql(
+        "330",
+        "ALTER TABLE db0.e ADD COLUMN f DATETIME DEFAULT (NOW()) AFTER a",
+    )
+    reg.apply_sql("340", "ALTER TABLE db0.e DROP CHECK chk3")
+    found = reg.find("db0", "e", "400")
+    assert list(found.columns) == ["a", "f", "b", "c", "d"]
+    assert [t.upper() for t in found.types][1] == "DATETIME"
+
+
+def test_generated_column_deeply_nested_expression():
+    """Generated-column expressions nest beyond one paren level — the
+    old regex matched a single nesting depth only."""
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE db0.n (a INT PRIMARY KEY,"
+        " g INT GENERATED ALWAYS AS (IF(a > 0, POW(a, (2)), -(POW(-a, (2))))) STORED,"
+        " h VARCHAR(8) AS (SUBSTR(CONCAT('x', (a)), 1, (3))))",
+    )
+    found = reg.find("db0", "n", "200")
+    assert list(found.columns) == ["a", "g", "h"]
+    assert [t.upper() for t in found.types] == ["INT", "INT", "VARCHAR(8)"]
+
+
+def test_sanitizer_placeholder_collision_in_input():
+    """A literal placeholder-shaped token in the SQL itself must survive
+    untouched — the sanitizer bumps its prefix until collision-free."""
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE db0.z (zzqid0zz INT PRIMARY KEY,"
+        " `weird col` VARCHAR(4) COMMENT 'zzqstr0zz and zzqid0zz')",
+    )
+    found = reg.find("db0", "z", "200")
+    assert list(found.columns) == ["zzqid0zz", "weird col"]
 
 
 def test_semicolons_inside_string_literals_do_not_split():
