@@ -67,132 +67,20 @@ def register(name: str, oracle: str | None):
 #: flagship veterans kept as cross-round anchors. Everything evicted is
 #: green in some prior CORRECTNESS file AND re-verified every run by
 #: tests/test_oracle_parity.py (identical multiset compare at sf0.01).
-#: ROUND-7 ROTATION NOTE: after round 6 grades this window, every
-#: oracle-backed query registered through round 6 will have at least one
-#: official CORRECTNESS entry. Next rotation: promote the veterans whose
-#: LAST official grade is oldest (the r3-graded block in _GRADE_DEFER),
-#: plus any round-7 newcomers; keep the 5 flagship anchors.
-#: Round-6 rotation: the 27 oracle-backed queries registered after the
-#: round-5 rotation (never driver-graded), the 12 veterans last graded in
-#: r1/r2 (longest without an official hash-check), 5 flagship anchors,
-#: and any new round-6 queries. Evicted r5-graded names move to
-#: _GRADE_DEFER (all green in CORRECTNESS_r05.json and re-verified each
-#: run by tests/test_oracle_parity.py).
+#: ROUND-7 ROTATION (executed): the window holds the 48 oracle-backed
+#: queries whose LAST official grade was oldest (3 last graded in r3,
+#: 45 last graded in r4 — nothing oracle-backed is older), the round-7
+#: newcomers, and the cdc_full_pipeline flagship anchor. The other four
+#: r6 anchors rotate out this round (they were graded freshest, in r6);
+#: every evicted name is green in a prior CORRECTNESS_r*.json AND
+#: re-hashed every run by tests/test_oracle_parity.py. Round-8 rotation:
+#: promote the r5-graded block at the head of _GRADE_DEFER.
 _GRADE_PRIORITY: tuple[str, ...] = (
-    # -- never-graded (post-r5-rotation additions): TPC-H ----------------
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q20_majority_volume_suppliers",
-    "q21_waiting_suppliers",
-    # -- never-graded: CDC spine -----------------------------------------
-    "cdc_asof_enrich",
-    "cdc_watermark_snapshot",
-    "cdc_ivm_agg_view",
-    "cdc_replica_lag_report",
-    "events_json_wire_roundtrip",
-    "orders_wire_enum_typed",
-    # -- never-graded: sketches / text / layout --------------------------
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    "sketch_cm_heavy_hitters",
-    "sketch_hist_quantiles",
-    "sketch_bloom_decontaminate",
-    "dedup_lsh_bucket_stats",
-    "text_bm25_scores",
-    "layout_zorder_orders",
-    "stats_analyze_orders",
-    # -- never-graded: media ---------------------------------------------
-    "media_gif_frames",
-    "media_mp4_meta",
-    # -- oldest veterans (last graded r1/r2) -----------------------------
-    "cdc_position_seek",
-    "checksum_diff_drilldown",
-    "q5_nation_revenue",
-    "q4_order_priority",
-    "q18_large_orders",
-    "cheapest_part_per_type",
-    "supplier_running_revenue",
-    "events_distinct_stats",
-    "events_session_windows",
-    "events_rollup_hierarchy",
-    "events_type_pivot",
-    "events_signup_funnel",
-    # -- flagship veterans (anchors; green every graded round) -----------
-    "cdc_full_pipeline",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "dedup_minhash_lsh",
-    "embed_kmeans_assign",
-    # -- new this round (round 6) ----------------------------------------
-    "cdc_ivm_join_view",
-    "lineitem_wire_v1_typed",
-    "orders_wire_legacy_temporal",
-    "text_bpe_pair_stats",
-    "events_wire_gtid_stream",
-    "orders_wire_change_stream_typed",
-)
-
-#: Oracle-backed entries outside the round-6 window. Every name here is
-#: green in a prior CORRECTNESS_r*.json (or, for the round-4 defers noted,
-#: in the local parity suite) and re-verified each run by
-#: tests/test_oracle_parity.py.
-_GRADE_DEFER: tuple[str, ...] = (
-    "events_daily_rollup",  # §2.5 agg family graded via q1/checksum family
-    "events_date_format_roundtrip",  # §2.8 date/format also exercised by checksum_all_types
-    "parts_never_bulk_shipped",  # anti-join shape graded via q16 parity + q4 plan gate
-    # round-6 evictions — every one graded green in r5:
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_count",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    "events_type_day_cube",
-    "orders_price_quartiles",
-    "orders_weekly_moving_avg",
-    "events_cohort_retention",
-    "promo_large_common_suppliers",
-    "promo_only_suppliers",
-    "cdc_txn_integrity",
-    "rpl_reconcile_repair",
-    "cdc_last_image_salted",
-    "cdc_stream_rebalance_plan",
-    "cdc_source_lag_report",
-    "cdc_flashback_by_time",
-    "cdc_logical_ddl_emit",
-    "dedup_chunk_spans",
-    "dedup_rate_by_source",
-    "dedup_apply",
-    "dedup_simhash_pairs",
-    "dedup_embed_clusters",
-    "text_char_entropy",
-    "text_winnow_fingerprint",
-    "embed_norm_stats",
-    "embed_kmeans_purity",
-    "embed_pq_codes",
-    "embed_ivf_topk_quantized",
-    "embed_quantize_int8",
-    "curation_stratified_sample",
-    "curation_pack_sequences",
-    "curation_pii_scrub",
-    "curation_corpus_freq",
-    "curation_keyword_extract",
-    "curation_mixture_weights",
-    "curation_chunk_documents",
-    "curation_decontaminate",
-    "curation_shard_shuffle",
-    "curation_lm_perplexity",
-    "cdc_binlog_wire_roundtrip",
-    "lineitem_wire_typed",
-    "media_real_decode",
-    # round-5 evictions — every one graded green in r3 and r4:
+    # -- oldest grades in the registry (last official hash-check r3) --
+    "events_daily_rollup",
+    "parts_never_bulk_shipped",
+    "events_date_format_roundtrip",
+    # -- veterans last graded r4 (the remaining oldest block) ---------
     "cdc_accept_filter",
     "cdc_min_tso_filter",
     "cdc_blacklist_filter",
@@ -215,10 +103,10 @@ _GRADE_DEFER: tuple[str, ...] = (
     "cdc_txn_apply_order",
     "cdc_stream_ordered_head",
     "cdc_flashback_sql",
-    "cdc_incremental_checksum",
     "checksum_lineitem",
     "checksum_orders_chunked",
     "full_copy_chunks",
+    "checksum_all_types",
     "top_customers_per_nation",
     "events_sessionize",
     "cdc_backfill_union",
@@ -233,8 +121,117 @@ _GRADE_DEFER: tuple[str, ...] = (
     "dedup_embed_cosine",
     "embed_lsh_topk",
     "media_stats",
+    "media_features",
     "curation_repetition_stats",
     "curation_quality_filter",
+    "cdc_incremental_checksum",
+    "embed_pq_topk",
+    # -- new this round (round 7) -------------------------------------
+    "cdc_ivm_join_view_stream",
+    # -- flagship anchor (green every graded round) --------------------
+    "cdc_full_pipeline",
+)
+
+#: Oracle-backed entries outside the round-7 window. Every name here is
+#: green in a prior CORRECTNESS_r*.json and re-verified each run by
+#: tests/test_oracle_parity.py (identical multiset compare).
+_GRADE_DEFER: tuple[str, ...] = (
+    # last graded r5 — next rotation (round 8) promotes this block:
+    "cdc_binlog_wire_roundtrip",
+    "cdc_flashback_by_time",
+    "cdc_last_image_salted",
+    "cdc_logical_ddl_emit",
+    "cdc_source_lag_report",
+    "cdc_stream_rebalance_plan",
+    "cdc_txn_integrity",
+    "curation_chunk_documents",
+    "curation_corpus_freq",
+    "curation_decontaminate",
+    "curation_keyword_extract",
+    "curation_lm_perplexity",
+    "curation_mixture_weights",
+    "curation_pack_sequences",
+    "curation_pii_scrub",
+    "curation_shard_shuffle",
+    "curation_stratified_sample",
+    "dedup_apply",
+    "dedup_chunk_spans",
+    "dedup_embed_clusters",
+    "dedup_rate_by_source",
+    "dedup_simhash_pairs",
+    "embed_ivf_topk_quantized",
+    "embed_kmeans_purity",
+    "embed_norm_stats",
+    "embed_pq_codes",
+    "embed_quantize_int8",
+    "events_cohort_retention",
+    "events_type_day_cube",
+    "lineitem_wire_typed",
+    "media_real_decode",
+    "orders_price_quartiles",
+    "orders_weekly_moving_avg",
+    "promo_large_common_suppliers",
+    "promo_only_suppliers",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_count",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "rpl_reconcile_repair",
+    "text_char_entropy",
+    "text_winnow_fingerprint",
+    # last graded r6 (freshest grades, incl. 4 of the 5 r6 anchors):
+    "cdc_asof_enrich",
+    "cdc_ivm_agg_view",
+    "cdc_ivm_join_view",
+    "cdc_position_seek",
+    "cdc_replica_lag_report",
+    "cdc_watermark_snapshot",
+    "cheapest_part_per_type",
+    "checksum_diff_drilldown",
+    "dedup_lsh_bucket_stats",
+    "dedup_minhash_lsh",
+    "embed_kmeans_assign",
+    "events_distinct_stats",
+    "events_json_wire_roundtrip",
+    "events_rollup_hierarchy",
+    "events_session_windows",
+    "events_signup_funnel",
+    "events_type_pivot",
+    "events_wire_gtid_stream",
+    "layout_zorder_orders",
+    "lineitem_wire_v1_typed",
+    "media_gif_frames",
+    "media_mp4_meta",
+    "orders_wire_change_stream_typed",
+    "orders_wire_enum_typed",
+    "orders_wire_legacy_temporal",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q20_majority_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "sketch_bloom_decontaminate",
+    "sketch_cm_heavy_hitters",
+    "sketch_hist_quantiles",
+    "sketch_hll_estimate",
+    "sketch_hll_registers",
+    "stats_analyze_orders",
+    "supplier_running_revenue",
+    "text_bm25_scores",
+    "text_bpe_pair_stats",
 )
 
 
@@ -5601,6 +5598,82 @@ def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updated.filter(F.col("n_rows") > 0).select(
         F.col("grp").alias("nation"), "n_rows", "value_cents"
     )
+
+
+@register(
+    "cdc_ivm_join_view_stream",
+    oracle_cdc_query(
+        """
+        , fin AS (
+          SELECT db, tbl, pk, arg_max(action, tso) AS la, arg_max(value, tso) AS v
+          FROM cdc GROUP BY db, tbl, pk
+        ),
+        live AS (
+          SELECT pk, CAST(round(v * 100) AS BIGINT) AS cents
+          FROM fin WHERE la <> 'DELETE'
+        ),
+        dim AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS k,
+                 CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 7) % 25
+                      ELSE c_nationkey END AS grp
+          FROM customer
+        )
+        SELECT CAST(grp AS BIGINT) AS nation,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM live JOIN dim ON live.pk = dim.k
+        GROUP BY 1
+        """
+    ),
+)
+def cdc_ivm_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``cdc_ivm_join_view``: the same change stream
+    replayed through real Structured Streaming (Trigger.AvailableNow →
+    foreachBatch → durable hash-bucketed JoinViewSink,
+    streaming/pipeline.py), then the same dimension UPDATE folded via
+    ``apply_dim_update`` (F ⋈ ΔD against the durable per-PK state, never
+    fact history). Hash-matching the batch oracle proves batch/stream
+    parity for the join-view IVM family — the view a replica would serve
+    consumers from while the pipeline runs continuously
+    (LogFileGenerator's downstream-table pattern)."""
+    import os
+    import shutil
+    import tempfile
+
+    from polardbx_cdc_spark.streaming import pipeline as streaming_pipeline
+    from polardbx_cdc_spark.streaming import source as streaming_source
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").cast("string").alias("dim_key"),
+        F.col("c_nationkey").cast("long").alias("grp"),
+    )
+    work = tempfile.mkdtemp(prefix="ivm_jv_stream_")
+    try:
+        q, sink = streaming_pipeline.run_materialized_view_pipeline(
+            streaming_source.cdc_stream(spark, sf_dir),
+            os.path.join(work, "state"),
+            os.path.join(work, "ckpt"),
+            dim=dim,
+        )
+        q.awaitTermination(600)
+        dim_delta = cust.filter(F.col("c_custkey") % 7 == 0).select(
+            F.col("c_custkey").cast("string").alias("dim_key"),
+            F.col("c_nationkey").cast("long").alias("old_grp"),
+            ((F.col("c_nationkey") + 7) % 25).cast("long").alias("new_grp"),
+        )
+        sink.apply_dim_update(spark, dim_delta)
+        rows = (
+            sink.view(spark)
+            .filter(F.col("n_rows") > 0)
+            .select(F.col("grp").alias("nation"), "n_rows", "value_cents")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # the view is a ≤|nation| rollup: rebuild it session-side so the
+    # returned frame doesn't depend on the (deleted) state directory
+    return spark.createDataFrame(rows, "nation long, n_rows long, value_cents long")
 
 
 @register(

@@ -293,6 +293,79 @@ def test_gtid_attach_mid_stream_of_pipeline_rendered_files(spark, sf_dir, tmp_pa
     assert sorted(got) == [g for g in gnos if g > half]
 
 
+# -- off-the-shelf replica clients (opt-in: tools not in this container) ----
+# The strongest interop proof is a client we didn't write. Both tests run
+# automatically wherever the tool exists and skip cleanly otherwise:
+#
+#   pip install mysql-replication   # enables the pymysqlreplication test
+#   apt install mysql-client        # provides mysqlbinlog for the CLI test
+#
+# Manual equivalent of the CLI test against a running MySQLDumpServer:
+#   mysqlbinlog --read-from-remote-server --host=127.0.0.1 --port=<port> \
+#               --user=replica --raw binlog.000001
+
+_HAS_PYMYSQLREPL = True
+try:  # pragma: no cover - presence probe only
+    import pymysqlreplication  # noqa: F401
+except ImportError:
+    _HAS_PYMYSQLREPL = False
+
+import shutil as _shutil
+
+_MYSQLBINLOG = _shutil.which("mysqlbinlog")
+
+
+@pytest.mark.skipif(not _HAS_PYMYSQLREPL,
+                    reason="pymysqlreplication not installed")
+def test_pymysqlreplication_consumer_attach(served_wire):
+    """An off-the-shelf pure-Python replication client
+    (python-mysql-replication's BinLogStreamReader) attaches over the
+    real protocol and decodes the same rows the engine decoder sees —
+    the replica-through-the-CN contract
+    (docs/zh_CN/binlog-commands-intro.md)."""
+    from pymysqlreplication import BinLogStreamReader
+    from pymysqlreplication.row_event import WriteRowsEvent
+
+    stream = BinLogStreamReader(
+        connection_settings={
+            "host": served_wire["host"], "port": served_wire["port"],
+            "user": "replica", "passwd": "",
+        },
+        server_id=77,
+        log_file="binlog.000001",
+        log_pos=4,
+        blocking=False,
+    )
+    got = []
+    for ev in stream:
+        if isinstance(ev, WriteRowsEvent):
+            for row in ev.rows:
+                got.append(list(row["values"].values()))
+    stream.close()
+    assert got == [[1, "a"], [2, "b"], [3, "c"]]
+
+
+@pytest.mark.skipif(not _MYSQLBINLOG, reason="mysqlbinlog binary not on PATH")
+def test_mysqlbinlog_remote_dump(served_wire, tmp_path):
+    """`mysqlbinlog --read-from-remote-server --raw` writes a relay file
+    whose decoded events equal the served wire file's."""
+    import subprocess
+
+    subprocess.run(
+        [_MYSQLBINLOG, "--read-from-remote-server",
+         f"--host={served_wire['host']}", f"--port={served_wire['port']}",
+         "--user=replica", "--raw", f"--result-file={tmp_path}/",
+         "binlog.000001"],
+        check=True, timeout=60,
+    )
+    with open(tmp_path / "binlog.000001", "rb") as fh:
+        buf = fh.read()
+    assert buf[:4] == W.MAGIC
+    evs = W.decode_events(buf[4:], tolerate_truncation=True)
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert [1, "a"] in [list(map(lambda x: x, r)) for r in rows]
+
+
 def test_protocol_robustness_garbage_and_bad_pos(served_wire):
     """Protocol edge cases: a client sending garbage after handshake gets
     an OK (unknown command) not a hang; a dump from a mid-event (invalid)

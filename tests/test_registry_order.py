@@ -29,28 +29,32 @@ def test_registry_has_no_dangling_oracle():
     assert set(Q.oracle_sql()) <= names
 
 
-def test_round6_rotation_window_grades_every_never_graded_oracle():
-    """Round-6 rotation policy: every oracle-backed query with no official
-    CORRECTNESS_r1–r5 entry sits INSIDE the 50-slot window (so after this
-    round's grading NOTHING oracle-backed remains never-graded), plus the
-    five flagship anchors and the veterans last graded in r1/r2."""
+def _latest_grade_by_query() -> dict[str, int]:
     import json
     import os
 
-    names = list(Q.queries())
-    window = set(names[:GRADE_WINDOW])
-    graded_ever: set[str] = set()
-    for r in ("01", "02", "03", "04", "05"):
+    last: dict[str, int] = {}
+    for r in ("01", "02", "03", "04", "05", "06"):
         path = f"/root/repo/CORRECTNESS_r{r}.json"
         if os.path.exists(path):
             with open(path) as fh:
-                graded_ever |= set(json.load(fh))
+                for name in json.load(fh):
+                    last[name] = int(r)
+    return last
+
+
+def test_round7_rotation_window_holds_the_oldest_grades():
+    """Round-7 rotation policy: the 50-slot window contains every
+    oracle-backed query whose latest official grade is r4 or older (the
+    3 r3-graded veterans + the 45 r4-graded block), every never-graded
+    round-7 newcomer, and the cdc_full_pipeline flagship anchor — so
+    after this round's grading no oracle-backed query's latest grade is
+    older than r4."""
+    names = list(Q.queries())
+    window = set(names[:GRADE_WINDOW])
     oracles = set(Q.oracle_sql())
-    never_graded = oracles - graded_ever
-    missing = never_graded - window
-    assert not missing, f"never-graded oracles outside the graded window: {missing}"
-    anchors = {
-        "cdc_full_pipeline", "q1_pricing_summary", "q3_shipping_priority",
-        "dedup_minhash_lsh", "embed_kmeans_assign",
-    }
-    assert anchors <= window
+    last = _latest_grade_by_query()
+    stale = {n for n in oracles if last.get(n, 0) <= 4}  # incl. never-graded
+    missing = stale - window
+    assert not missing, f"stale/never-graded oracles outside the window: {missing}"
+    assert "cdc_full_pipeline" in window
