@@ -389,18 +389,34 @@ def minhash_lsh_candidates(
     # that blowup is inherent to LSH; ``max_bucket`` bounds it.
     group_cols = ["band_idx", "band_hash"]
     if max_bucket is not None:
-        # window count = one extra shuffle of a 3-long-wide frame; rows of
-        # a bucket are then co-partitioned, and the salt subdivides only
-        # oversized buckets (n_sub == 1 → salt 0 → byte-identical output
+        # Bucket sizing WITHOUT a window pass (profiled r7: the count-over-
+        # window needed a full exchange+sort of the banded frame, +17% on
+        # the banding stage at sf1): aggregate per-bucket counts (map-side
+        # combinable, so the shuffle carries one row per bucket, not per
+        # member), keep only OVERSIZED buckets — ≤ rows/max_bucket of them
+        # by construction — and join that small set back; AQE broadcasts
+        # it in the common case, leaving the banded frame's single shuffle
+        # to the groupBy below. Salt subdivides only oversized buckets
+        # (no oversize → every sub_bucket is 0 → byte-identical output
         # for every corpus whose buckets fit the cap).
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band_idx", "band_hash")
-        n_sub = F.ceil(
-            F.count(F.lit(1)).over(w) / F.lit(max_bucket)
-        ).cast("long")
-        banded = banded.withColumn(
-            "sub_bucket", F.pmod(F.xxhash64(F.col("id")), n_sub)
+        oversized = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select(
+                "band_idx", "band_hash",
+                F.ceil(F.col("_bn") / F.lit(max_bucket)).cast("long").alias("_n_sub"),
+            )
+        )
+        banded = (
+            banded.join(oversized, ["band_idx", "band_hash"], "left")
+            .withColumn(
+                "sub_bucket",
+                F.when(F.col("_n_sub").isNull(), F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col("id")), F.col("_n_sub"))
+                ),
+            )
+            .drop("_n_sub")
         )
         group_cols.append("sub_bucket")
     buckets = (
