@@ -35,8 +35,10 @@ Scope (honest slice, round-trip-tested byte-for-byte):
   WKB-with-SRID blob), and JSON columns carrying the server's BINARY
   json document (json_binary.h small/large objects+arrays, inlined
   scalars, varlen strings — decode parity JsonConversion.java),
-  round-tripped to Python values. Out of scope: compressed
-  (TRANSACTION_PAYLOAD) and encrypted binlog.
+  round-tripped to Python values, and TRANSACTION_PAYLOAD
+  (MySQL 8.0.20+ binlog transaction compression — TLV header, checksum-
+  off inner events re-framed on decode; NONE natively, ZSTD when the
+  zstandard package is present). Out of scope: encrypted binlog.
 
 Spark-side plumbing is in ``events_to_binlog`` / ``binlog_to_events``:
 Arrow-batched ``mapInPandas`` over the CDC frame — serialization is
@@ -83,6 +85,13 @@ GTID_LOG_EVENT = 33
 ANONYMOUS_GTID_LOG_EVENT = 34
 PREVIOUS_GTIDS_LOG_EVENT = 35
 HEARTBEAT_LOG_EVENT = 27  # connection-liveness filler, no payload semantics
+#: MySQL 8.0.20+ binlog transaction compression: the transaction's whole
+#: event stream rides inside ONE payload event (TLV header + compressed
+#: body; inner events carry no per-event checksum)
+TRANSACTION_PAYLOAD_EVENT = 40
+#: payload compression algorithms (public protocol values)
+COMPRESS_ZSTD = 0
+COMPRESS_NONE = 255
 #: fixed server UUID for GTID framing of exported files (any stable 16 bytes)
 _ENGINE_SID = bytes.fromhex("c0ffee00c0ffee00c0ffee00c0ffee00")
 
@@ -970,6 +979,97 @@ def encode_previous_gtids(gtid_set: dict[bytes, list[tuple[int, int]]],
     return encode_event(PREVIOUS_GTIDS_LOG_EVENT, bytes(payload), timestamp)
 
 
+# -- transaction payload (MySQL 8.0.20+ binlog transaction compression) -----
+# Retires the "compressed binlog out of scope" carve-out: the server with
+# binlog_transaction_compression=ON wraps each transaction's event stream
+# in ONE TRANSACTION_PAYLOAD event — TLV header fields, then the (zstd-
+# compressed or raw) concatenation of the inner events, which carry NO
+# per-event checksum. Public format: libbinlogevents' Transaction_payload
+# _event (control events); the reference's decoder consumes the expanded
+# stream the same way (LogDecoder.java handles the post-expansion events).
+
+_OTW_HEADER_END = 0
+_OTW_PAYLOAD_SIZE = 1
+_OTW_COMPRESSION_TYPE = 2
+_OTW_UNCOMPRESSED_SIZE = 3
+
+
+def _zstd_module():
+    try:
+        import zstandard  # type: ignore[import-not-found]
+
+        return zstandard
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "TRANSACTION_PAYLOAD with ZSTD compression needs the "
+            "'zstandard' package (not in this container); use "
+            "COMPRESS_NONE, or install zstandard for full parity"
+        ) from exc
+
+
+def strip_event_checksums(stream: bytes) -> bytes:
+    """Rewrite a checksummed event stream to checksum-off form: each
+    header's event_len shrinks by CHECKSUM_LEN and the trailing CRC32
+    drops — the serialization of events INSIDE a TRANSACTION_PAYLOAD."""
+    out, pos = bytearray(), 0
+    while pos + HEADER_LEN <= len(stream):
+        elen = struct.unpack_from("<I", stream, pos + 9)[0]
+        if elen < HEADER_LEN + CHECKSUM_LEN or pos + elen > len(stream):
+            raise ValueError("torn event in payload input")
+        ev = bytearray(stream[pos : pos + elen - CHECKSUM_LEN])
+        struct.pack_into("<I", ev, 9, elen - CHECKSUM_LEN)
+        out += ev
+        pos += elen
+    return bytes(out)
+
+
+def add_event_checksums(stream: bytes) -> bytes:
+    """Inverse of :func:`strip_event_checksums`: re-frame a checksum-off
+    inner stream as standard checksummed events so the normal decoder
+    (and every downstream consumer) digests it unchanged."""
+    out, pos = bytearray(), 0
+    while pos + HEADER_LEN <= len(stream):
+        elen = struct.unpack_from("<I", stream, pos + 9)[0]
+        if elen < HEADER_LEN or pos + elen > len(stream):
+            raise ValueError("torn event in payload")
+        ev = bytearray(stream[pos : pos + elen])
+        struct.pack_into("<I", ev, 9, elen + CHECKSUM_LEN)
+        out += _finish(bytes(ev))
+        pos += elen
+    return bytes(out)
+
+
+def encode_transaction_payload(events: list[bytes] | bytes,
+                               compression: int = COMPRESS_NONE,
+                               timestamp: int = 0) -> bytes:
+    """One TRANSACTION_PAYLOAD event wrapping a transaction's events.
+    ``events``: list of standard checksummed event byte strings (what
+    every ``encode_*`` here produces) or one concatenated stream. TLV
+    fields (each: type, length, value as length-encoded ints): payload
+    size, compression type, uncompressed size, then the header-end mark
+    and the payload bytes."""
+    stream = b"".join(events) if isinstance(events, (list, tuple)) else events
+    raw = strip_event_checksums(stream)
+    if compression == COMPRESS_ZSTD:
+        body = _zstd_module().ZstdCompressor().compress(raw)
+    elif compression == COMPRESS_NONE:
+        body = raw
+    else:
+        raise ValueError(f"unknown payload compression type {compression}")
+
+    def field(ftype: int, value: int) -> bytes:
+        v = _lenenc(value)
+        return _lenenc(ftype) + _lenenc(len(v)) + v
+
+    hdr = (
+        field(_OTW_COMPRESSION_TYPE, compression)
+        + field(_OTW_UNCOMPRESSED_SIZE, len(raw))
+        + field(_OTW_PAYLOAD_SIZE, len(body))
+        + _lenenc(_OTW_HEADER_END)
+    )
+    return encode_event(TRANSACTION_PAYLOAD_EVENT, hdr + body, timestamp)
+
+
 def encode_xa_prepare(gtrid: bytes, bqual: bytes, format_id: int = 1,
                       one_phase: bool = False, timestamp: int = 0) -> bytes:
     """XA_PREPARE event — one_phase(1) format_id(4) gtrid_len(4)
@@ -1231,6 +1331,37 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                     p2 += 16
                 gtid_set[sid] = ivs
             ev["gtid_set"] = gtid_set
+        elif tc == TRANSACTION_PAYLOAD_EVENT:
+            p2, comp, usize, psize = 0, COMPRESS_NONE, None, None
+            while True:
+                ftype, p2 = _read_lenenc(body, p2)
+                if ftype == _OTW_HEADER_END:
+                    break
+                flen, p2 = _read_lenenc(body, p2)
+                if ftype == _OTW_COMPRESSION_TYPE:
+                    comp, _ = _read_lenenc(body, p2)
+                elif ftype == _OTW_UNCOMPRESSED_SIZE:
+                    usize, _ = _read_lenenc(body, p2)
+                elif ftype == _OTW_PAYLOAD_SIZE:
+                    psize, _ = _read_lenenc(body, p2)
+                p2 += flen  # unknown fields skip by length (forward compat)
+            blob = bytes(body[p2 : p2 + psize] if psize is not None else body[p2:])
+            if comp == COMPRESS_ZSTD:
+                raw = _zstd_module().ZstdDecompressor().decompress(
+                    blob, max_output_size=usize or 0
+                )
+            elif comp == COMPRESS_NONE:
+                raw = blob
+            else:
+                raise ValueError(f"unknown payload compression type {comp}")
+            ev["compression_type"] = comp
+            ev["uncompressed_size"] = len(raw)
+            # re-frame checksum-off inner events and decode them with the
+            # SAME decoder — a payload is self-contained (its TABLE_MAPs
+            # ride inside), so the fresh inner registry is correct
+            ev["events"] = decode_events(
+                add_event_checksums(raw), verify_crc=verify_crc
+            )
         elif tc == HEARTBEAT_LOG_EVENT:
             ev["log_ident"] = body.decode(errors="replace")
         elif tc == ROTATE_EVENT:

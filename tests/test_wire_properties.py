@@ -252,3 +252,22 @@ def test_v1_and_v2_bodies_differ_only_by_var_header(table):
     r2 = W.decode_events(base + v2)[-1]["rows"]
     r1 = W.decode_events(base + v1)[-1]["rows"]
     assert r1 == r2
+
+
+@given(_tables())
+@settings(max_examples=60, deadline=None)
+def test_transaction_payload_wrap_is_transparent(table):
+    """Property: wrapping ANY transaction stream in a TRANSACTION_PAYLOAD
+    (compression NONE) and decoding yields exactly the decode of the
+    plain stream — payload framing is transparent to every column kind."""
+    decls, rows = table
+    td = W.TableDef.from_mysql_types("d", "t", decls)
+    evs = [
+        W.encode_query("", "BEGIN"),
+        W.encode_table_map(1, td),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td, rows),
+        W.encode_xid(7),
+    ]
+    wrapped = W.encode_transaction_payload(evs)
+    inner = W.decode_events(wrapped)[0]["events"]
+    assert inner == W.decode_events(b"".join(evs))
