@@ -639,9 +639,26 @@ def _decode_datetime2(buf: bytes, pos: int, fsp: int):
     )
 
 
-def _encode_image(td: TableDef, values: list) -> bytes:
+def _sub_def(td: TableDef, present: list[bool]) -> tuple[TableDef, list[int]]:
+    """Project a TableDef onto the PRESENT columns of a partial row image
+    (binlog_row_image=MINIMAL/NOBLOB): the image's null bitmap and value
+    stream cover present columns only, in ordinal order."""
+    idx = [i for i, p in enumerate(present) if p]
+    sub = TableDef(
+        td.db, td.tbl, [td.types[i] for i in idx],
+        unsigned={j for j, i in enumerate(idx) if i in td.unsigned},
+    )
+    return sub, idx
+
+
+def _encode_image(td: TableDef, values: list,
+                  present: list[bool] | None = None) -> bytes:
     """One row image: null bitmap + packed non-null values — the write
-    twin of RowsLogBuffer.fetchValue's per-type decode."""
+    twin of RowsLogBuffer.fetchValue's per-type decode. ``present``
+    restricts the image to those columns (partial row images)."""
+    if present is not None and not all(present):
+        sub, idx = _sub_def(td, present)
+        return _encode_image(sub, [values[i] for i in idx])
     out = bytearray(_bitmap([v is None for v in values]))
     for i, ((tc, m), v) in enumerate(zip(td.types, values)):
         if v is None:
@@ -760,7 +777,15 @@ def _encode_image(td: TableDef, values: list) -> bytes:
     return bytes(out)
 
 
-def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
+def _decode_image(td: TableDef, buf: bytes, pos: int,
+                  present: list[bool] | None = None) -> tuple[list, int]:
+    if present is not None and not all(present):
+        sub, idx = _sub_def(td, present)
+        compact, pos = _decode_image(sub, buf, pos)
+        full: list = [None] * len(td.types)
+        for j, i in enumerate(idx):
+            full[i] = compact[j]
+        return full, pos
     n = len(td.types)
     nb = (n + 7) // 8
     nulls, pos = buf[pos : pos + nb], pos + nb
@@ -921,25 +946,35 @@ def _decode_image(td: TableDef, buf: bytes, pos: int) -> tuple[list, int]:
 
 
 def encode_rows_event(type_code: int, table_id: int, td: TableDef,
-                      rows: list, timestamp: int = 0) -> bytes:
+                      rows: list, timestamp: int = 0,
+                      present: list[bool] | None = None,
+                      present_after: list[bool] | None = None) -> bytes:
     """ROWS v2 event. ``rows``: list of value-lists (WRITE/DELETE) or
     (before, after) pairs (UPDATE). Post-header: table_id(6) flags(2)
     extra_len(2)=2; body: col-count, present-bitmap(s), images
-    (RowsLogEvent.java read side)."""
+    (RowsLogEvent.java read side).
+
+    ``present`` / ``present_after`` restrict the (before / after) images
+    to those columns — the binlog_row_image=MINIMAL/NOBLOB shape, where
+    an UPDATE's before-image carries only the PK and its after-image only
+    the changed columns. Value lists stay full-length; absent positions
+    are ignored."""
     n = len(td.types)
+    pb = present if present is not None else [True] * n
+    pa = present_after if present_after is not None else [True] * n
     body = bytearray(struct.pack("<Q", table_id)[:6] + struct.pack("<H", 0))
     if type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
         body += struct.pack("<H", 2)  # v2 extra-data length (just itself)
     # else ROWS v1: no var-header — fixture-building path only; the
     # production writer always emits v2
-    body += _lenenc(n) + _bitmap([True] * n)
+    body += _lenenc(n) + _bitmap(pb)
     if type_code in UPDATE_EVENTS:
-        body += _bitmap([True] * n)  # after-image present bitmap
+        body += _bitmap(pa)  # after-image present bitmap
         for before, after in rows:
-            body += _encode_image(td, before) + _encode_image(td, after)
+            body += _encode_image(td, before, pb) + _encode_image(td, after, pa)
     else:
         for values in rows:
-            body += _encode_image(td, values)
+            body += _encode_image(td, values, pb)
     return encode_event(type_code, bytes(body), timestamp)
 
 
@@ -1270,19 +1305,29 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                 p = 8  # ROWS v1: post-header ends after flags, no var-header
             ncols, p = _read_lenenc(body, p)
             nb = (ncols + 7) // 8
-            p += nb  # present bitmap (we emit all-set)
+            # present bitmap(s): all-set for binlog_row_image=FULL; a
+            # partial bitmap (MINIMAL: PK-only before-images, changed-only
+            # after-images; NOBLOB) restricts the per-row value streams
+            pb = [_bit_at(body[p : p + nb], i) for i in range(ncols)]
+            p += nb
+            pa = pb
             if tc in UPDATE_EVENTS:
-                p += nb  # after-image present bitmap
+                pa = [_bit_at(body[p : p + nb], i) for i in range(ncols)]
+                p += nb
             rows = []
             while p < len(body):
                 if tc in UPDATE_EVENTS:
-                    before, p = _decode_image(td, body, p)
-                    after, p = _decode_image(td, body, p)
+                    before, p = _decode_image(td, body, p, pb)
+                    after, p = _decode_image(td, body, p, pa)
                     rows.append((before, after))
                 else:
-                    img, p = _decode_image(td, body, p)
+                    img, p = _decode_image(td, body, p, pb)
                     rows.append(img)
             ev.update(table_id=tid, db=td.db, tbl=td.tbl, rows=rows)
+            if not all(pb):
+                ev["present_columns"] = [i for i, x in enumerate(pb) if x]
+            if tc in UPDATE_EVENTS and not all(pa):
+                ev["present_columns_after"] = [i for i, x in enumerate(pa) if x]
             if td.col_names is not None:
                 ev["col_names"] = td.col_names
                 if td.pk is not None:

@@ -1341,3 +1341,66 @@ def test_transaction_payload_zstd_gated():
     except ImportError:
         with pytest.raises(NotImplementedError, match="zstandard"):
             W.encode_transaction_payload(evs, compression=W.COMPRESS_ZSTD)
+
+
+# -- partial row images (binlog_row_image=MINIMAL / NOBLOB) -------------------
+
+def test_minimal_row_image_update_roundtrip():
+    """binlog_row_image=MINIMAL: an UPDATE's before-image carries only the
+    PK, its after-image only the changed columns — present bitmaps differ
+    per image and the null bitmap covers PRESENT columns only."""
+    td = W.TableDef(
+        "d", "t",
+        [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 256), (W.TYPE_DOUBLE, 8)],
+    )
+    before = [7, None, None]      # PK only
+    after = [None, "new", None]   # changed column only
+    ev_bytes = W.encode_table_map(3, td) + W.encode_rows_event(
+        W.UPDATE_ROWS_EVENT, 3, td, [(before, after)],
+        present=[True, False, False], present_after=[False, True, False],
+    )
+    evs = W.decode_events(ev_bytes)
+    upd = next(e for e in evs if e["type"] == W.UPDATE_ROWS_EVENT)
+    assert upd["rows"] == [([7, None, None], [None, "new", None])]
+    assert upd["present_columns"] == [0]
+    assert upd["present_columns_after"] == [1]
+
+
+def test_minimal_delete_and_null_vs_absent():
+    """A MINIMAL DELETE carries only the PK; a present column that is
+    NULL must decode as NULL (null bitmap is ordinal over present
+    columns, not absolute)."""
+    td = W.TableDef(
+        "d", "t",
+        [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 64), (W.TYPE_LONG, None)],
+    )
+    ev_bytes = W.encode_table_map(3, td) + W.encode_rows_event(
+        W.DELETE_ROWS_EVENT, 3, td, [[5, None, None]],
+        present=[True, False, False],
+    ) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 3, td, [[6, None, 9]],
+        present=[True, True, True],
+    ) + W.encode_rows_event(
+        # present columns 0 and 2; column 2's value is NULL → its null
+        # bit is ordinal 1 in the 2-bit image bitmap
+        W.WRITE_ROWS_EVENT, 3, td, [[8, None, None]],
+        present=[True, False, True],
+    )
+    evs = [e for e in W.decode_events(ev_bytes) if e["type"] in W.ROWS_EVENTS]
+    assert evs[0]["rows"] == [[5, None, None]]
+    assert evs[0]["present_columns"] == [0]
+    assert evs[1]["rows"] == [[6, None, 9]]
+    assert "present_columns" not in evs[1]  # FULL image: no partial marker
+    assert evs[2]["rows"] == [[8, None, None]]
+    assert evs[2]["present_columns"] == [0, 2]
+
+
+def test_full_image_bytes_unchanged_by_present_param():
+    """present=all-True must be byte-identical to the historical encoding
+    (every existing wire file and oracle hash depends on it)."""
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 32)])
+    rows = [[1, "a"], [2, None]]
+    a = W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, rows)
+    b = W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, rows,
+                            present=[True, True])
+    assert a == b
