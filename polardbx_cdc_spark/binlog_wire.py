@@ -1417,6 +1417,21 @@ def decode_events(buf: bytes, verify_crc: bool = True,
     return events
 
 
+
+def expand_payload_events(events: list[dict]) -> list[dict]:
+    """Flatten TRANSACTION_PAYLOAD wrappers: a compressed transaction's
+    inner events surface inline, in order, exactly where the payload
+    event sat — consumers see the same stream the server would have
+    written with transaction compression OFF."""
+    out: list[dict] = []
+    for ev in events:
+        if ev["type"] == TRANSACTION_PAYLOAD_EVENT and "events" in ev:
+            out.extend(ev["events"])
+        else:
+            out.append(ev)
+    return out
+
+
 def decode_named_rows(buf: bytes, verify_crc: bool = True) -> list[dict]:
     """Registry-FREE attach: decode a binlog_row_metadata=FULL byte stream
     into named row changes — ``{db, tbl, action, pk, values: {col: v}}``
@@ -1431,7 +1446,7 @@ def decode_named_rows(buf: bytes, verify_crc: bool = True) -> list[dict]:
     }
     out: list[dict] = []
     defs: dict[tuple[str, str], dict] = {}
-    for ev in decode_events(buf, verify_crc=verify_crc):
+    for ev in expand_payload_events(decode_events(buf, verify_crc=verify_crc)):
         if ev["type"] == TABLE_MAP_EVENT and "col_names" in ev:
             defs[(ev["db"], ev["tbl"])] = ev
         elif ev["type"] in _ACTION:
@@ -1608,7 +1623,7 @@ def binlog_to_events(df, payload_col: str = "payload",
         for pdf in batches:
             out = []
             for blob in pdf[payload_col]:
-                for ev in decode_events(bytes(blob)):
+                for ev in expand_payload_events(decode_events(bytes(blob))):
                     if ev["type"] not in _ACTION:
                         continue
                     for row in ev["rows"]:
@@ -1626,7 +1641,8 @@ def binlog_to_events(df, payload_col: str = "payload",
 def export_wire_files(spark, sink_dir: str, wire_dir: str,
                       incremental: bool = False,
                       trace_markers: bool = False,
-                      emit_gtid: bool = False):
+                      emit_gtid: bool = False,
+                      compress_txns: bool = False):
     """Materialize a BinlogSink parquet directory as REAL MySQL binlog
     files — the attach surface for a downstream that speaks the wire
     format (LogFileGenerator.java:624-757 writes these natively; here the
@@ -1637,6 +1653,13 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
     events in offset order; BEGIN frame rows become QUERY("BEGIN") events
     (writeBegin:624), COMMIT rows become XID events keyed by txn_id
     (writeCommit:713), each file ends with a ROTATE to its successor.
+
+    ``compress_txns`` (requires a txn-framed sink): each transaction's
+    body (BEGIN through XID) renders as ONE TRANSACTION_PAYLOAD event —
+    binlog_transaction_compression=ON framing; GCN/GTID carriers stay
+    outside the payload exactly like the server leaves the GTID event
+    uncompressed. Decoders expand payloads transparently
+    (``expand_payload_events``).
 
     ``incremental=True`` is the CONTINUOUS-operation mode (schedule after
     each micro-batch or on a timer): a ``_manifest.json`` in ``wire_dir``
@@ -1751,18 +1774,24 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
                 encode_previous_gtids({_ENGINE_SID: ivs} if ivs else {})
             )
         current_table: tuple[str, str] | None = None
+        # txn buffer: with compress_txns the BEGIN..XID body collects here
+        # and lands as ONE TRANSACTION_PAYLOAD event at commit
+        txn_buf: list[bytes] | None = None
         # run buffer: consecutive same-(action, table) rows share ONE
         # multi-row event — a header+CRC per run instead of per row (the
         # reference's dumper also packs row batches per event)
         run_type: int | None = None
         run_rows: list = []
 
+        def sink_list() -> list[bytes]:
+            return events if txn_buf is None else txn_buf
+
         def flush_run():
             nonlocal run_type, run_rows
             if run_rows:
                 td = TableDef.from_mysql_types(*current_table, CDC_TABLE_TYPES)
                 tid = zlib.crc32(".".join(current_table).encode()) & 0x7FFFFFFF
-                events.append(encode_rows_event(run_type, tid, td, run_rows))
+                sink_list().append(encode_rows_event(run_type, tid, td, run_rows))
                 run_rows = []
             run_type = None
 
@@ -1778,19 +1807,24 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
                         # txn (fixed engine sid, gno = txn id) so a
                         # GTID-aware consumer tracks positions natively
                         events.append(encode_gtid(_ENGINE_SID, int(r.txn_id)))
-                events.append(encode_query("", "BEGIN"))
+                if compress_txns and framed:
+                    txn_buf = []
+                sink_list().append(encode_query("", "BEGIN"))
                 if trace_markers and framed:
                     # per-txn ROWS_QUERY trace marker, the PolarDB-X
                     # ::TRACE:: convention (RowsQueryEventBuilder.java;
                     # LogFileGenerator writes one per txn) — consumers
                     # correlate downstream rows back to the origin txn
-                    events.append(
+                    sink_list().append(
                         encode_rows_query(f"/*DRDS /txn/{int(r.txn_id)}/ */")
                     )
                 continue
             if r.action == "COMMIT":
                 flush_run()
-                events.append(encode_xid(int(r.txn_id)))
+                sink_list().append(encode_xid(int(r.txn_id)))
+                if txn_buf is not None:
+                    events.append(encode_transaction_payload(txn_buf))
+                    txn_buf = None
                 current_table = None  # next txn re-announces its table
                 continue
             tc = _ROW_TYPE[r.action]
@@ -1799,12 +1833,16 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
                 current_table = (r.db, r.tbl)
                 td = TableDef.from_mysql_types(r.db, r.tbl, CDC_TABLE_TYPES)
                 tid = zlib.crc32(f"{r.db}.{r.tbl}".encode()) & 0x7FFFFFFF
-                events.append(encode_table_map(tid, td))
+                sink_list().append(encode_table_map(tid, td))
             elif tc != run_type:
                 flush_run()
             vals = [r.pk, None if pd.isna(r.value) else float(r.value)]
             run_type = tc
             run_rows.append((vals, vals) if tc == UPDATE_ROWS_EVENT else vals)
+        if txn_buf is not None:  # torn tail: flush an open txn uncompressed
+            flush_run()
+            events.extend(txn_buf)
+            txn_buf = None
         flush_run()
         name = f"binlog.{seq + 1:06d}"
         nxt = f"binlog.{seq + 2:06d}" if seq < max_seq else None
@@ -1861,7 +1899,7 @@ def read_wire_binlog(spark, wire_dir: str, glob: str = "binlog.*"):
                 if buf[:4] != MAGIC:
                     raise ValueError(f"{name}: not a binlog file (bad magic)")
                 pos = 0
-                for ev in decode_events(buf[4:]):
+                for ev in expand_payload_events(decode_events(buf[4:])):
                     tc = ev["type"]
                     if tc in _ACTION:
                         for row in ev["rows"]:
@@ -2117,7 +2155,7 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
         for pdf in batches:
             out = []
             for blob in pdf[payload_col]:
-                for ev in decode_events(bytes(blob)):
+                for ev in expand_payload_events(decode_events(bytes(blob))):
                     if include_action:
                         if ev["type"] not in ROWS_EVENTS:
                             continue
