@@ -86,6 +86,7 @@ HEADLINE = [
     "orders_wire_change_stream_typed",
     # round 7 additions
     "cdc_ivm_join_view_stream",
+    "cdc_binlog_wire_compressed",
 ]
 
 

@@ -44,17 +44,23 @@ def _latest_grade_by_query() -> dict[str, int]:
 
 
 def test_round7_rotation_window_holds_the_oldest_grades():
-    """Round-7 rotation policy: the 50-slot window contains every
-    oracle-backed query whose latest official grade is r4 or older (the
-    3 r3-graded veterans + the 45 r4-graded block), every never-graded
-    round-7 newcomer, and the cdc_full_pipeline flagship anchor — so
-    after this round's grading no oracle-backed query's latest grade is
-    older than r4."""
+    """Round-7 rotation policy: every oracle-backed query whose latest
+    official grade is r3 (the oldest in the registry) or that has never
+    been graded sits INSIDE the 50-slot window; every other window slot
+    holds an r4-graded veteran (the next-oldest block) except the
+    cdc_full_pipeline flagship anchor — so after this round's grading no
+    oracle-backed query's latest grade is older than r4."""
     names = list(Q.queries())
-    window = set(names[:GRADE_WINDOW])
+    window = names[:GRADE_WINDOW]
+    wset = set(window)
     oracles = set(Q.oracle_sql())
     last = _latest_grade_by_query()
-    stale = {n for n in oracles if last.get(n, 0) <= 4}  # incl. never-graded
-    missing = stale - window
-    assert not missing, f"stale/never-graded oracles outside the window: {missing}"
-    assert "cdc_full_pipeline" in window
+    must = {n for n in oracles if last.get(n, 3) <= 3}  # r3 + never-graded
+    missing = must - wset
+    assert not missing, f"r3/never-graded oracles outside the window: {missing}"
+    assert "cdc_full_pipeline" in wset
+    fresh = [
+        n for n in window
+        if n != "cdc_full_pipeline" and last.get(n, 0) > 4
+    ]
+    assert not fresh, f"window slots wasted on freshly-graded queries: {fresh}"
