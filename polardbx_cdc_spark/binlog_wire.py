@@ -1147,6 +1147,13 @@ def encode_query(db: str, query: str, timestamp: int = 0) -> bytes:
     return encode_event(QUERY_EVENT, payload, timestamp)
 
 
+def encode_heartbeat(log_ident: str, timestamp: int = 0) -> bytes:
+    """HEARTBEAT_LOG_EVENT — the master's connection-liveness filler sent
+    while a blocking dump has nothing new; payload is the current binlog
+    file name (the replica uses it to advance its relay position)."""
+    return encode_event(HEARTBEAT_LOG_EVENT, log_ident.encode(), timestamp)
+
+
 def encode_rows_query(text: str, timestamp: int = 0) -> bytes:
     """ROWS_QUERY event — the original SQL (or PolarDB-X ::TRACE:: marker)
     attached to the row events that follow

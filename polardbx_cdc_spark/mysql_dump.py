@@ -188,9 +188,15 @@ class _Handler(socketserver.StreamRequestHandler):
                 continue
             if cmd == COM_BINLOG_DUMP:
                 pos = struct.unpack_from("<I", payload, 1)[0]
-                # flags(2) @5, server_id(4) @7, file @11
+                flags = struct.unpack_from("<H", payload, 5)[0]
+                # server_id(4) @7, file @11
                 fname = payload[11:].split(b"\x00")[0].decode() or None
-                self._stream_dump(srv, fname, pos)
+                # flag 0x01 = BINLOG_DUMP_NON_BLOCK (mysqlbinlog's default:
+                # EOF at end-of-chain). A real replica leaves it CLEAR and
+                # the master keeps the stream open, pushing appended events
+                # and heartbeats while idle.
+                self._stream_dump(srv, fname, pos,
+                                  block=not (flags & 0x01))
                 return  # dump holds the connection; done = close
             if cmd == COM_BINLOG_DUMP_GTID:
                 # flags(2) server_id(4) name_len(4) name pos(8) data_len(4) data
@@ -205,7 +211,7 @@ class _Handler(socketserver.StreamRequestHandler):
             _write_packet(self.wfile, 1, _ok_packet())
 
     def _stream_dump(self, srv: "MySQLDumpServer", fname: str | None,
-                     pos: int) -> None:
+                     pos: int, block: bool = False) -> None:
         files = srv.files()
         if not files:
             _write_packet(self.wfile, 1, _err_packet(1236, "no binlog files"))
@@ -219,6 +225,7 @@ class _Handler(socketserver.StreamRequestHandler):
             )
             return
         seq = 1
+        cur, cur_off = fname, max(pos, 4)
         for name in files[files.index(fname):]:
             with open(os.path.join(srv.wire_dir, name), "rb") as fh:
                 buf = fh.read()
@@ -236,8 +243,84 @@ class _Handler(socketserver.StreamRequestHandler):
                     self.wfile, seq, b"\x00" + body[off : off + elen]
                 )
                 off += elen
-        # end of chain: EOF packet (a live server would block and push)
-        _write_packet(self.wfile, seq, b"\xfe\x00\x00\x02\x00")
+            cur, cur_off = name, off + 4
+        if block:
+            seq = self._follow_live(srv, cur, cur_off, seq)
+        # end of chain (or live idle limit): EOF packet
+        try:
+            _write_packet(self.wfile, seq, b"\xfe\x00\x00\x02\x00")
+        except OSError:
+            pass  # replica already detached
+
+    def _follow_live(self, srv: "MySQLDumpServer", cur: str, off: int,
+                     seq: int) -> int:
+        """Blocking-dump live loop (the master side of a replica that
+        attached WITHOUT BINLOG_DUMP_NON_BLOCK — CdcServer.java:154-286
+        keeps its stream open the same way): push CRC-complete appended
+        frames, follow rotation once the tail file is drained AND
+        size-stable across polls, and send HEARTBEAT events while idle.
+        Ends after ``srv.live_idle_timeout`` seconds with no new bytes
+        (a real master never ends; the slice bounds it) or when the
+        replica detaches."""
+        import time as _time
+        import zlib as _zlib
+
+        deadline = _time.monotonic() + srv.live_idle_timeout
+        next_hb = _time.monotonic() + srv.heartbeat_interval
+        stable_size = -1
+        while _time.monotonic() < deadline:
+            path = os.path.join(srv.wire_dir, cur)
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                size = 0
+            sent = False
+            if size > off:
+                with open(path, "rb") as fh:
+                    fh.seek(off)
+                    tail = fh.read()
+                span = 0
+                while span + W.HEADER_LEN <= len(tail):
+                    elen = struct.unpack_from("<I", tail, span + 9)[0]
+                    if (elen < W.HEADER_LEN + W.CHECKSUM_LEN
+                            or span + elen > len(tail)):
+                        break
+                    frame = tail[span : span + elen]
+                    want = struct.unpack_from(
+                        "<I", frame, elen - W.CHECKSUM_LEN
+                    )[0]
+                    if _zlib.crc32(frame[: -W.CHECKSUM_LEN]) & 0xFFFFFFFF != want:
+                        break  # torn/in-flight: retry next poll
+                    try:
+                        seq = _write_packet(self.wfile, seq, b"\x00" + frame)
+                    except OSError:
+                        return seq  # replica detached
+                    span += elen
+                if span:
+                    off += span
+                    sent = True
+                    stable_size = -1
+                    deadline = _time.monotonic() + srv.live_idle_timeout
+            if not sent:
+                files = srv.files()
+                nxt = files[files.index(cur) + 1 : files.index(cur) + 2] \
+                    if cur in files else []
+                if nxt and off == size and size == stable_size:
+                    cur, off, stable_size = nxt[0], 4, -1
+                    deadline = _time.monotonic() + srv.live_idle_timeout
+                    continue
+                stable_size = size
+                if _time.monotonic() >= next_hb:
+                    try:
+                        seq = _write_packet(
+                            self.wfile, seq,
+                            b"\x00" + W.encode_heartbeat(cur),
+                        )
+                    except OSError:
+                        return seq
+                    next_hb = _time.monotonic() + srv.heartbeat_interval
+                _time.sleep(0.05)
+        return seq
 
     def _file_prev_gtids(self, srv: "MySQLDumpServer",
                          name: str) -> GtidSet | None:
@@ -327,8 +410,15 @@ class _Server(socketserver.ThreadingTCPServer):
 class MySQLDumpServer:
     """Serve a wire-binlog directory over the MySQL protocol."""
 
-    def __init__(self, wire_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, wire_dir: str, host: str = "127.0.0.1", port: int = 0,
+                 live_idle_timeout: float = 10.0,
+                 heartbeat_interval: float = 0.5):
         self.wire_dir = wire_dir
+        #: blocking dumps (replica attach without BINLOG_DUMP_NON_BLOCK)
+        #: end after this many idle seconds — a real master never ends;
+        #: the slice bounds it so tests and ad-hoc consumers terminate
+        self.live_idle_timeout = live_idle_timeout
+        self.heartbeat_interval = heartbeat_interval
         self._srv = _Server((host, port), _Handler)
         self._srv.dump_server = self  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
@@ -365,11 +455,16 @@ class MySQLDumpServer:
 # -- minimal replica-side client (protocol exerciser) -----------------------
 
 def binlog_dump_fetch(host: str, port: int, file_name: str = "",
-                      pos: int = 4, server_id: int = 99) -> bytes:
+                      pos: int = 4, server_id: int = 99,
+                      block: bool = False, timeout: float = 30.0) -> bytes:
     """Attach like a replica: handshake → COM_BINLOG_DUMP → collect the
     raw event bytes from the event packets until EOF. Returns bytes that
-    feed straight into ``binlog_wire.decode_events`` — a relay log."""
-    with socket.create_connection((host, port), timeout=30) as sock:
+    feed straight into ``binlog_wire.decode_events`` — a relay log.
+
+    ``block=True`` leaves BINLOG_DUMP_NON_BLOCK clear (a real replica's
+    posture): the server keeps the stream open, pushing appended events
+    and HEARTBEAT filler until its live-idle limit ends the dump."""
+    with socket.create_connection((host, port), timeout=timeout) as sock:
         rf = sock.makefile("rb")
         wf = sock.makefile("wb")
         greet = _read_packet(rf)
@@ -388,7 +483,7 @@ def binlog_dump_fetch(host: str, port: int, file_name: str = "",
         dump = (
             bytes([COM_BINLOG_DUMP])
             + struct.pack("<I", pos)
-            + struct.pack("<H", 0)
+            + struct.pack("<H", 0 if block else 0x01)  # NON_BLOCK flag
             + struct.pack("<I", server_id)
             + file_name.encode()
         )

@@ -389,3 +389,68 @@ def test_protocol_robustness_garbage_and_bad_pos(served_wire):
     # EOFs (the walk sees an invalid header) — no crash, no hang
     relay = M.binlog_dump_fetch(host, port, "binlog.000001", 7)
     assert relay == b"" or W.decode_events(relay, tolerate_truncation=True) is not None
+
+
+def test_blocking_dump_live_pushes_appends_and_heartbeats(tmp_path):
+    """A replica attached WITHOUT BINLOG_DUMP_NON_BLOCK stays connected:
+    events appended after the attach stream live, rotation is followed,
+    HEARTBEAT filler arrives while idle, and the dump ends at the
+    server's live-idle limit."""
+    import threading
+    import time
+
+    wire = str(tmp_path / "wire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+
+    def rows_event(vals):
+        return W.encode_table_map(3, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, vals
+        )
+
+    W.write_binlog_file(wire + "/binlog.000001", [rows_event([[1], [2]])])
+    srv = M.MySQLDumpServer(wire, live_idle_timeout=1.5,
+                            heartbeat_interval=0.2)
+    host, port = srv.start()
+    try:
+        result: dict = {}
+
+        def fetch():
+            result["body"] = M.binlog_dump_fetch(
+                host, port, "binlog.000001", 4, block=True, timeout=60
+            )
+
+        t = threading.Thread(target=fetch)
+        t.start()
+        time.sleep(0.5)
+        with open(wire + "/binlog.000001", "ab") as fh:  # live append
+            fh.write(rows_event([[3]]))
+        time.sleep(0.5)
+        W.write_binlog_file(wire + "/binlog.000002", [rows_event([[4]])])
+        t.join(timeout=30)
+        assert not t.is_alive(), "blocking dump did not end at idle limit"
+        evs = W.decode_events(result["body"])
+        rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+        assert rows == [[1], [2], [3], [4]]
+        hbs = [e for e in evs if e["type"] == W.HEARTBEAT_LOG_EVENT]
+        assert hbs, "no heartbeat filler while idle"
+        assert any(e["log_ident"].startswith("binlog.") for e in hbs)
+    finally:
+        srv.stop()
+
+
+def test_non_block_dump_still_eofs_at_chain_end(served_wire):
+    """The NON_BLOCK posture (mysqlbinlog default, and this client's
+    default) is unchanged: EOF at end of chain, no waiting."""
+    import time
+
+    t0 = time.monotonic()
+    relay = M.binlog_dump_fetch(
+        served_wire["host"], served_wire["port"], "binlog.000001", 4
+    )
+    assert time.monotonic() - t0 < 5
+    rows = [
+        r for e in W.decode_events(relay)
+        if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]
+    ]
+    assert rows == [[1, "a"], [2, "b"], [3, "c"]]
