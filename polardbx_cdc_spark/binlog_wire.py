@@ -1467,30 +1467,44 @@ def decode_named_rows(buf: bytes, verify_crc: bool = True) -> list[dict]:
             enum_l = (dmap or {}).get("enum_labels", {})
             set_l = (dmap or {}).get("set_labels", {})
             pk_cols = ev.get("pk_columns") or (dmap or {}).get("pk_columns") or []
+            # partial row images (binlog_row_image=MINIMAL/NOBLOB): the
+            # named dicts carry PRESENT columns only — an absent column is
+            # "not in the image", which is different from NULL
+            pres_b = ev.get("present_columns")
+            pres_a = ev.get("present_columns_after")
 
-            def named(img):
+            def named(img, present=None):
                 vals = {}
-                for i, (n, v) in enumerate(zip(names, img)):
+                for i in (present if present is not None else range(len(names))):
+                    v = img[i]
                     if v is not None and i in enum_l:
                         v = enum_l[i][v - 1] if v else ""
                     elif v is not None and i in set_l:
                         v = ",".join(
                             s for b, s in enumerate(set_l[i]) if v >> b & 1
                         )
-                    vals[n] = v
+                    vals[names[i]] = v
                 return vals
 
             for row in ev["rows"]:
                 if ev["type"] in UPDATE_EVENTS:
-                    before, after = named(row[0]), named(row[1])
+                    before, after = named(row[0], pres_b), named(row[1], pres_a)
                     img = after
+                    # MINIMAL updates identify the row by the BEFORE image
+                    # (PK-only); fall back to the after image when the PK
+                    # column only rides there
+                    pkd = {
+                        names[i]: before.get(names[i], after.get(names[i]))
+                        for i in pk_cols
+                    }
                 else:
                     before, after = None, None
-                    img = named(row)
+                    img = named(row, pres_b)
+                    pkd = {names[i]: img.get(names[i]) for i in pk_cols}
                 out.append({
                     "db": ev["db"], "tbl": ev["tbl"],
                     "action": _ACTION[ev["type"]],
-                    "pk": {names[i]: img[names[i]] for i in pk_cols},
+                    "pk": pkd,
                     "values": img,
                     **({"before": before, "after": after}
                        if before is not None else {}),

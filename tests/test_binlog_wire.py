@@ -1448,3 +1448,27 @@ def test_export_compressed_txns_roundtrip(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in a.select(cols).collect()] == [
         tuple(r) for r in b.select(cols).collect()
     ]
+
+
+def test_named_decode_minimal_update_images():
+    """decode_named_rows over a MINIMAL stream: the named dicts carry
+    PRESENT columns only (absent != NULL), the UPDATE's pk comes from the
+    before-image, and before/after reflect their own present sets."""
+    td = W.TableDef(
+        "d", "t",
+        [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 128), (W.TYPE_DOUBLE, 8)],
+        col_names=["id", "name", "score"], pk=[0],
+    )
+    buf = W.encode_table_map(5, td) + W.encode_rows_event(
+        W.UPDATE_ROWS_EVENT, 5, td,
+        [([7, None, None], [None, "renamed", None])],
+        present=[True, False, False], present_after=[False, True, False],
+    )
+    rows = W.decode_named_rows(buf)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["action"] == "UPDATE"
+    assert r["pk"] == {"id": 7}           # from the before-image
+    assert r["before"] == {"id": 7}       # present columns only
+    assert r["after"] == {"name": "renamed"}
+    assert r["values"] == {"name": "renamed"}  # "score" absent, not None
