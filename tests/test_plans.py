@@ -592,3 +592,19 @@ def test_ivm_join_view_broadcasts_dim_and_dim_delta(spark):
     plan = _plan(spark, "cdc_ivm_join_view")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_lsh_cap_sizing_has_no_window_sort(spark, sf_dir):
+    """The max_bucket guard must size buckets via a map-side-combinable
+    aggregate joined back, NEVER a count-over-window: the window variant
+    exchanges AND sorts the whole banded frame, concentrating each bucket
+    in one partition — skew-exposed on exactly the adversarial input the
+    cap defends against (PERF_CLUSTER_r7.md)."""
+    from polardbx_cdc_spark.functions import dedupe
+    from polardbx_cdc_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan_of(dedupe.minhash_lsh_candidates(d, use_md5=True, max_bucket=1000))
+    assert "Window" not in plan
+    # partial aggregation (map-side combine) feeds the bucket sizing
+    assert "partial_count" in plan or "HashAggregate" in plan
