@@ -367,6 +367,72 @@ def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"
     return W.binlog_to_events(payload)
 
 
+def relay_copy(host: str, port: int, dest_dir: str,
+               follow: float = 0) -> list[str]:
+    """Master→standby wire-file replication over the dump protocol — the
+    reference's dumper file copier (LogFileCopier.java keeps a slave
+    dumper's binlog directory in sync from the master's dump stream).
+
+    Resumable: the copy restarts from the last local file's byte size, so
+    a re-run fetches only appended bytes and new files. The streamed
+    frames split back into files at their FDE boundaries (every file is
+    streamed from byte 4 and opens with its FDE), named by the preceding
+    ROTATE's next-file payload; only COMPLETE frames land (a torn tail on
+    the master is refetched next run, never persisted). Returns the list
+    of local files touched this call."""
+    os.makedirs(dest_dir, exist_ok=True)
+    local = sorted(
+        f for f in os.listdir(dest_dir)
+        if f.startswith("binlog.") and f.split(".")[-1].isdigit()
+    )
+    if local:
+        start_file = local[-1]
+        start_pos = os.path.getsize(os.path.join(dest_dir, start_file))
+    else:
+        files = list_files(host, port)
+        if not files:
+            return []
+        start_file, start_pos = files[0]["file_name"], 4
+    meta, blob = _request(
+        host, port,
+        {"cmd": "dump", "file": start_file, "pos": int(start_pos),
+         "follow": follow},
+    )
+    if not meta.get("ok"):
+        raise ValueError(meta.get("error", "dump failed"))
+    chain = meta["files"]
+    touched: list[str] = []
+    cur, idx = start_file, 0
+
+    def _open(name: str):
+        path = os.path.join(dest_dir, name)
+        if not os.path.exists(path):
+            with open(path, "wb") as fh:
+                fh.write(W.MAGIC)
+        if name not in touched:
+            touched.append(name)
+        return open(path, "ab")
+
+    out = _open(cur)
+    try:
+        for _off, tc, frame in _walk_events(bytes(blob)):
+            # an FDE marks the next file of the chain — except the very
+            # first frame when we attached at the head of `cur` itself
+            # (its own FDE at byte 4); attaching mid-file (start_pos > 4)
+            # means ANY streamed FDE belongs to a successor
+            if tc == W.FORMAT_DESCRIPTION_EVENT and (_off > 0 or start_pos > 4):
+                out.close()
+                idx += 1
+                cur = chain[idx] if idx < len(chain) else (
+                    f"binlog.{int(cur.split('.')[-1]) + 1:06d}"
+                )
+                out = _open(cur)
+            out.write(frame)
+    finally:
+        out.close()
+    return touched
+
+
 def attach_from_tso(spark, host: str, port: int, tso: str):
     """Attach a consumer at a TSO: seek over the network, dump the byte
     stream, decode it with the SAME decoder the batch attach path uses

@@ -411,3 +411,94 @@ def test_concurrent_consumers_independent_streams(wire_setup):
         results = [f.result(timeout=60) for f in futs]
     for p, body in zip(positions, results):
         assert body == solo[p], f"pos {p}: concurrent dump diverged"
+
+
+def test_relay_copy_replicates_and_resumes(tmp_path):
+    """LogFileCopier analogue: a standby replicates the master's wire
+    directory over the dump protocol — byte-identical files — and a
+    re-run after the master grows fetches ONLY the delta (appends and new
+    files), resuming from local sizes."""
+    import os
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    os.makedirs(src)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 64)])
+
+    def rows_event(vals):
+        return W.encode_table_map(3, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, vals
+        )
+
+    W.write_binlog_file(src + "/binlog.000001",
+                        [rows_event([[1, "a"], [2, "b"]])],
+                        next_file="binlog.000002")
+    W.write_binlog_file(src + "/binlog.000002", [rows_event([[3, "c"]])])
+
+    with D.DumpServer(src) as srv:
+        host, port = srv.address
+        touched = D.relay_copy(host, port, dst)
+        assert touched == ["binlog.000001", "binlog.000002"]
+        for f in touched:
+            with open(os.path.join(src, f), "rb") as a, \
+                 open(os.path.join(dst, f), "rb") as b:
+                assert a.read() == b.read(), f
+
+        # master grows: tail append + a new file; resume copies the delta
+        with open(src + "/binlog.000002", "ab") as fh:
+            fh.write(rows_event([[4, "d"]]))
+        W.write_binlog_file(src + "/binlog.000003", [rows_event([[5, "e"]])])
+        touched2 = D.relay_copy(host, port, dst)
+        assert touched2 == ["binlog.000002", "binlog.000003"]
+        for f in ["binlog.000001", "binlog.000002", "binlog.000003"]:
+            with open(os.path.join(src, f), "rb") as a, \
+                 open(os.path.join(dst, f), "rb") as b:
+                assert a.read() == b.read(), f
+
+        # caught up: a third run touches the tail file but appends nothing
+        size_before = os.path.getsize(dst + "/binlog.000003")
+        D.relay_copy(host, port, dst)
+        assert os.path.getsize(dst + "/binlog.000003") == size_before
+
+        # the replica directory is itself servable: decode equality
+        evs_src = [e["type"] for f in sorted(os.listdir(src))
+                   for e in W.read_binlog_file(os.path.join(src, f))]
+        evs_dst = [e["type"] for f in sorted(os.listdir(dst))
+                   for e in W.read_binlog_file(os.path.join(dst, f))]
+        assert evs_src == evs_dst
+
+
+def test_relay_copy_drops_master_torn_tail(tmp_path):
+    """A torn (half-written) event on the master must NOT reach the
+    standby; the next run picks it up once complete."""
+    import os
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    os.makedirs(src)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    full = W.encode_table_map(9, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 9, td, [[7]]
+    )
+    W.write_binlog_file(src + "/binlog.000001", [full])
+    extra = W.encode_rows_event(W.WRITE_ROWS_EVENT, 9, td, [[8]])
+    with open(src + "/binlog.000001", "ab") as fh:
+        fh.write(extra[: len(extra) // 2])  # torn
+
+    with D.DumpServer(src) as srv:
+        host, port = srv.address
+        D.relay_copy(host, port, dst)
+        # local file holds ONLY complete frames: the torn first half
+        # (len(extra)//2 bytes) never lands
+        assert os.path.getsize(dst + "/binlog.000001") == (
+            os.path.getsize(src + "/binlog.000001") - len(extra) // 2
+        )
+        evs = W.read_binlog_file(dst + "/binlog.000001")
+        rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+        assert rows == [[7]]
+
+        # master completes the event → resume fetches exactly the rest
+        with open(src + "/binlog.000001", "ab") as fh:
+            fh.write(extra[len(extra) // 2 :])
+        D.relay_copy(host, port, dst)
+        evs = W.read_binlog_file(dst + "/binlog.000001")
+        rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+        assert rows == [[7], [8]]
