@@ -454,3 +454,25 @@ def test_non_block_dump_still_eofs_at_chain_end(served_wire):
         if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]
     ]
     assert rows == [[1, "a"], [2, "b"], [3, "c"]]
+
+
+def test_show_master_status_wire_reports_executed_gtid_set(gtid_wire, spark):
+    """SHOW MASTER STATUS over GTID-framed wire files: Executed_Gtid_Set
+    = last file's PREVIOUS_GTIDS merged with its own GTIDs — and a
+    replica presenting exactly that set attaches caught-up (zero new
+    transactions)."""
+    import uuid
+
+    from polardbx_cdc_spark import catalog
+
+    row = catalog.show_master_status_wire(spark, gtid_wire["wire"]).collect()[0]
+    assert row["log_name"] == "binlog.000002"
+    expected_uuid = str(uuid.UUID(bytes=SID_A))
+    assert row["executed_gtid_set"] == f"{expected_uuid}:1-4"
+
+    relay = M.binlog_dump_gtid_fetch(
+        gtid_wire["host"], gtid_wire["port"], {SID_A: [(1, 5)]}
+    )
+    evs = W.decode_events(relay)
+    assert not [e for e in evs if e["type"] == W.GTID_LOG_EVENT]
+    assert not [e for e in evs if e["type"] == W.WRITE_ROWS_EVENT]
