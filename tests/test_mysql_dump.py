@@ -476,3 +476,35 @@ def test_show_master_status_wire_reports_executed_gtid_set(gtid_wire, spark):
     evs = W.decode_events(relay)
     assert not [e for e in evs if e["type"] == W.GTID_LOG_EVENT]
     assert not [e for e in evs if e["type"] == W.WRITE_ROWS_EVENT]
+
+
+def test_gtid_attach_skips_compressed_transactions(tmp_path):
+    """GTID auto-position attach over TRANSACTION_PAYLOAD-framed files:
+    the per-transaction skip keys on the (uncompressed) GTID event and
+    carries over the payload frames, so executed compressed transactions
+    are withheld whole."""
+    wire = str(tmp_path / "cwire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+
+    def ctxn(gno: int, vals, xid: int) -> bytes:
+        body = [
+            W.encode_query("", "BEGIN"),
+            W.encode_table_map(3, td),
+            W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, vals),
+            W.encode_xid(xid),
+        ]
+        return W.encode_gtid(SID_A, gno) + W.encode_transaction_payload(body)
+
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_previous_gtids({}), ctxn(1, [[10]], 1), ctxn(2, [[20]], 2),
+         ctxn(3, [[30]], 3)],
+    )
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        relay = M.binlog_dump_gtid_fetch(host, port, {SID_A: [(1, 3)]})
+    evs = W.expand_payload_events(W.decode_events(relay))
+    got = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert got == [[30]]
+    assert [e["gno"] for e in evs if e["type"] == W.GTID_LOG_EVENT] == [3]

@@ -271,3 +271,34 @@ def test_transaction_payload_wrap_is_transparent(table):
     wrapped = W.encode_transaction_payload(evs)
     inner = W.decode_events(wrapped)[0]["events"]
     assert inner == W.decode_events(b"".join(evs))
+
+
+@given(_tables(), st.data())
+@settings(max_examples=60, deadline=None)
+def test_partial_row_images_round_trip_any_mask(table, data):
+    """Property: for ANY schema and ANY non-empty present mask, a partial
+    row image round-trips — present columns keep their values, absent
+    columns come back None, and the partial marker lists exactly the
+    mask."""
+    decls, rows = table
+    td = W.TableDef.from_mysql_types("d", "t", decls)
+    n = len(decls)
+    mask = data.draw(
+        st.lists(st.booleans(), min_size=n, max_size=n).filter(any)
+    )
+    buf = W.encode_table_map(1, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 1, td, rows, present=mask
+    )
+    ev = [e for e in W.decode_events(buf) if e["type"] == W.WRITE_ROWS_EVENT][0]
+    full_buf = W.encode_table_map(1, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 1, td, rows
+    )
+    full = [e for e in W.decode_events(full_buf)
+            if e["type"] == W.WRITE_ROWS_EVENT][0]["rows"]
+    for got, ref in zip(ev["rows"], full):
+        for i in range(n):
+            assert got[i] == (ref[i] if mask[i] else None)
+    if all(mask):
+        assert "present_columns" not in ev
+    else:
+        assert ev["present_columns"] == [i for i, m in enumerate(mask) if m]
