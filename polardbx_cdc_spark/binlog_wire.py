@@ -1709,50 +1709,7 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
         ["txn_id", "txn_commit_tso"] if framed else []
     )
 
-    # GTID bookkeeping: each file opens with PREVIOUS_GTIDS carrying the
-    # gno (= txn_id) intervals of every txn in PRECEDING files — what a
-    # COM_BINLOG_DUMP_GTID attach resolves its start file against.
-    # Interval compression happens executor-side (per-file applyInPandas);
-    # only the compressed intervals — near-sequential txn ids collapse to
-    # a handful per file — reach the driver for the cumulative fold.
-    prev_by_seq: dict[int, list[tuple[int, int]]] = {}
-    if emit_gtid and framed:
-        import pandas as _pd
-
-        def _file_intervals(key, pdf):
-            ids = sorted({int(t) for t in pdf["txn_id"]})
-            ivs: list[list[int]] = []
-            for i in ids:
-                if ivs and i <= ivs[-1][1]:
-                    ivs[-1][1] = max(ivs[-1][1], i + 1)
-                else:
-                    ivs.append([i, i + 1])
-            return _pd.DataFrame(
-                {"file_seq": [int(key[0])] * len(ivs),
-                 "s": [a for a, _ in ivs], "e": [b for _, b in ivs]}
-            )
-
-        iv_rows = (
-            df.filter(F.col("action") == "COMMIT")
-            .select("file_seq", "txn_id")
-            .groupBy("file_seq")
-            .applyInPandas(_file_intervals, "file_seq bigint, s bigint, e bigint")
-            .collect()
-        )
-        by_seq: dict[int, list[tuple[int, int]]] = {}
-        for r in iv_rows:
-            by_seq.setdefault(int(r["file_seq"]), []).append((int(r["s"]), int(r["e"])))
-        cum: list[tuple[int, int]] = []
-        for seq in range(int(max_seq) + 1):
-            prev_by_seq[seq] = list(cum)
-            merged: list[tuple[int, int]] = []
-            for s, e in sorted(cum + by_seq.get(seq, [])):
-                if merged and s <= merged[-1][1]:
-                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
-                else:
-                    merged.append((s, e))
-            cum = merged
-
+    full_df = df  # GTID bookkeeping below always folds over the FULL sink
     manifest_path = os.path.join(wire_dir, "_manifest.json")
     if incremental:
         try:
@@ -1776,6 +1733,52 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
                 [], "file_seq bigint, file_name string, n_events bigint, n_bytes bigint"
             )
         df = df.filter(F.col("file_seq").isin([int(s) for s in changed]))
+
+    # GTID bookkeeping: each file opens with PREVIOUS_GTIDS carrying the
+    # gno (= txn_id) intervals of every txn in PRECEDING files — what a
+    # COM_BINLOG_DUMP_GTID attach resolves its start file against.
+    # Interval compression happens executor-side (per-file applyInPandas);
+    # only the compressed intervals — near-sequential txn ids collapse to
+    # a handful per file — reach the driver for the cumulative fold. This
+    # runs AFTER the incremental no-change early-return so a caught-up
+    # export cycle costs zero extra jobs.
+    prev_by_seq: dict[int, list[tuple[int, int]]] = {}
+    if emit_gtid and framed:
+        import pandas as _pd
+
+        def _file_intervals(key, pdf):
+            ids = sorted({int(t) for t in pdf["txn_id"]})
+            ivs: list[list[int]] = []
+            for i in ids:
+                if ivs and i <= ivs[-1][1]:
+                    ivs[-1][1] = max(ivs[-1][1], i + 1)
+                else:
+                    ivs.append([i, i + 1])
+            return _pd.DataFrame(
+                {"file_seq": [int(key[0])] * len(ivs),
+                 "s": [a for a, _ in ivs], "e": [b for _, b in ivs]}
+            )
+
+        iv_rows = (
+            full_df.filter(F.col("action") == "COMMIT")
+            .select("file_seq", "txn_id")
+            .groupBy("file_seq")
+            .applyInPandas(_file_intervals, "file_seq bigint, s bigint, e bigint")
+            .collect()
+        )
+        by_seq: dict[int, list[tuple[int, int]]] = {}
+        for r in iv_rows:
+            by_seq.setdefault(int(r["file_seq"]), []).append((int(r["s"]), int(r["e"])))
+        cum: list[tuple[int, int]] = []
+        for seq in range(int(max_seq) + 1):
+            prev_by_seq[seq] = list(cum)
+            merged: list[tuple[int, int]] = []
+            for s, e in sorted(cum + by_seq.get(seq, [])):
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            cum = merged
 
     _ROW_TYPE = {
         "INSERT": WRITE_ROWS_EVENT,
