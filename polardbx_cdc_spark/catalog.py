@@ -228,44 +228,13 @@ def show_master_status_wire(spark: SparkSession, wire_dir: str) -> DataFrame:
     Executed_Gtid_Set column a GTID-aware client reads: the last file's
     PREVIOUS_GTIDS merged with the GTID events inside it (exactly the set
     the server would report; binlog-commands-intro.md:7). Driver-side:
-    one header walk of the LAST file only — O(tail file bytes)."""
-    import os
-    import struct
+    one header walk of the LAST file only — O(tail file bytes); the walk
+    itself lives Spark-free in ``mysql_dump.master_status`` (the MySQL
+    COM_QUERY surface answers from the same function)."""
+    from polardbx_cdc_spark.mysql_dump import master_status
 
-    from polardbx_cdc_spark import binlog_wire as W
-    from polardbx_cdc_spark.mysql_dump import _merged, _parse_gtid_set
-
-    files = sorted(
-        f for f in os.listdir(wire_dir)
-        if f.startswith("binlog.") and f.split(".")[-1].isdigit()
-    )
     schema = "log_name string, position bigint, executed_gtid_set string"
-    if not files:
+    hit = master_status(wire_dir)
+    if hit is None:
         return spark.createDataFrame([], schema)
-    last = files[-1]
-    with open(os.path.join(wire_dir, last), "rb") as fh:
-        buf = fh.read()
-    gtids: dict[bytes, list[tuple[int, int]]] = {}
-    pos, body = 4, buf[4:]
-    off = 0
-    while off + W.HEADER_LEN <= len(body):
-        elen = struct.unpack_from("<I", body, off + 9)[0]
-        if elen < W.HEADER_LEN + W.CHECKSUM_LEN or off + elen > len(body):
-            break
-        tc = body[off + 4]
-        if tc == W.PREVIOUS_GTIDS_LOG_EVENT:
-            prev = _parse_gtid_set(
-                body[off + W.HEADER_LEN : off + elen - W.CHECKSUM_LEN]
-            )
-            for sid, ivs in prev.items():
-                gtids.setdefault(sid, []).extend(ivs)
-        elif tc == W.GTID_LOG_EVENT:
-            sid = bytes(body[off + 20 : off + 36])
-            gno = struct.unpack_from("<q", body, off + 36)[0]
-            gtids.setdefault(sid, []).append((gno, gno + 1))
-        off += elen
-    pos = off + 4
-    merged = {sid: _merged(ivs) for sid, ivs in gtids.items()}
-    return spark.createDataFrame(
-        [(last, pos, gtid_set_text(merged))], schema
-    )
+    return spark.createDataFrame([hit], schema)

@@ -141,6 +141,95 @@ def _err_packet(code: int, msg: str) -> bytes:
     )
 
 
+def master_status(wire_dir: str) -> tuple[str, int, str] | None:
+    """(file, position, executed_gtid_set_text) of the wire directory's
+    tail file — the pure-Python walk behind SHOW MASTER STATUS (the
+    Spark-facing twin is ``catalog.show_master_status_wire``)."""
+    import uuid as _uuid
+
+    files = sorted(
+        f for f in os.listdir(wire_dir)
+        if f.startswith("binlog.") and f.split(".")[-1].isdigit()
+    )
+    if not files:
+        return None
+    last = files[-1]
+    with open(os.path.join(wire_dir, last), "rb") as fh:
+        buf = fh.read()
+    gtids: GtidSet = {}
+    body, off = buf[4:], 0
+    while off + W.HEADER_LEN <= len(body):
+        elen = struct.unpack_from("<I", body, off + 9)[0]
+        if elen < W.HEADER_LEN + W.CHECKSUM_LEN or off + elen > len(body):
+            break
+        tc = body[off + 4]
+        if tc == W.PREVIOUS_GTIDS_LOG_EVENT:
+            prev = _parse_gtid_set(
+                body[off + W.HEADER_LEN : off + elen - W.CHECKSUM_LEN]
+            )
+            for sid, ivs in prev.items():
+                gtids.setdefault(sid, []).extend(ivs)
+        elif tc == W.GTID_LOG_EVENT:
+            sid = bytes(body[off + 20 : off + 36])
+            gno = struct.unpack_from("<q", body, off + 36)[0]
+            gtids.setdefault(sid, []).append((gno, gno + 1))
+        off += elen
+    parts = []
+    for sid in sorted(gtids, key=lambda b: str(_uuid.UUID(bytes=b))):
+        ivs = ":".join(
+            f"{s}-{e - 1}" if e - 1 > s else f"{s}"
+            for s, e in _merged(gtids[sid]) if s < e
+        )
+        if ivs:
+            parts.append(f"{_uuid.UUID(bytes=sid)}:{ivs}")
+    return last, off + 4, ",".join(parts)
+
+
+#: session/global variables the COM_QUERY surface answers — the set a
+#: stock replica / replication client probes before COM_BINLOG_DUMP
+_SERVER_VARS = {
+    "server_id": "1",
+    "server_uuid": "c0ffee00-c0ff-ee00-c0ff-ee00c0ffee00",
+    "version": "8.0.32-polardbx-cdc-spark",
+    "version_comment": "polardbx-cdc-spark dump endpoint",
+    "binlog_checksum": "CRC32",
+    "master_binlog_checksum": "CRC32",
+    "binlog_format": "ROW",
+    "binlog_row_image": "FULL",
+    "binlog_row_metadata": "FULL",
+    "gtid_mode": "ON",
+    "lower_case_table_names": "0",
+    "character_set_server": "utf8mb4",
+    "collation_server": "utf8mb4_general_ci",
+    "read_only": "0",
+}
+
+
+def _col_def(name: str) -> bytes:
+    """Protocol-41 column definition: every catalog field var_string."""
+    def lcs(s: bytes) -> bytes:
+        return _lenenc_bytes(s)
+
+    return (
+        lcs(b"def") + lcs(b"") + lcs(b"") + lcs(b"")
+        + lcs(name.encode()) + lcs(name.encode())
+        + b"\x0c" + struct.pack("<H", 33) + struct.pack("<I", 1024)
+        + b"\xfd" + struct.pack("<H", 0) + b"\x00" + b"\x00\x00"
+    )
+
+
+def _lenenc_bytes(b: bytes) -> bytes:
+    if len(b) < 251:
+        return bytes([len(b)]) + b
+    if len(b) < 1 << 16:
+        return b"\xfc" + struct.pack("<H", len(b)) + b
+    return b"\xfd" + len(b).to_bytes(3, "little") + b
+
+
+def _eof_packet() -> bytes:
+    return b"\xfe\x00\x00\x02\x00"
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):  # noqa: D102
         srv: MySQLDumpServer = self.server.dump_server  # type: ignore[attr-defined]
@@ -207,8 +296,97 @@ class _Handler(socketserver.StreamRequestHandler):
                 executed = _parse_gtid_set(payload[p + 4 : p + 4 + data_len])
                 self._stream_dump_gtid(srv, executed)
                 return
-            # anything else: OK (catalog.py owns the SQL surface)
+            if cmd == COM_QUERY:
+                self._answer_query(srv, payload[1:].decode(errors="replace"))
+                continue
+            # anything else: OK (catalog.py owns the full SQL surface)
             _write_packet(self.wfile, 1, _ok_packet())
+
+    def _send_result_set(self, names: list[str],
+                         rows: list[list[str | None]]) -> None:
+        """Text-protocol result set: column count, column definitions,
+        EOF, row packets (lenenc strings, 0xFB = NULL), EOF."""
+        seq = _write_packet(self.wfile, 1, bytes([len(names)]))  # lenenc count (< 251 cols)
+        for n in names:
+            seq = _write_packet(self.wfile, seq, _col_def(n))
+        seq = _write_packet(self.wfile, seq, _eof_packet())
+        for row in rows:
+            blob = b"".join(
+                b"\xfb" if v is None else _lenenc_bytes(str(v).encode())
+                for v in row
+            )
+            seq = _write_packet(self.wfile, seq, blob)
+        _write_packet(self.wfile, seq, _eof_packet())
+
+    def _answer_query(self, srv: "MySQLDumpServer", sql: str) -> None:
+        """The replication-preamble SQL surface a stock client issues
+        before COM_BINLOG_DUMP (the reference CN answers the same set;
+        catalog.py carries the engine's full Spark-side SQL commands):
+        SELECT @@vars / VERSION() / UNIX_TIMESTAMP(), SHOW MASTER STATUS,
+        SHOW BINARY LOGS, SHOW VARIABLES [LIKE], SET → OK."""
+        import fnmatch
+        import re as _re
+        import time as _time
+
+        q = sql.strip().rstrip(";").strip()
+        u = q.upper()
+        if u.startswith("SET "):
+            _write_packet(self.wfile, 1, _ok_packet())
+            return
+        if u in ("SHOW MASTER STATUS", "SHOW BINARY LOG STATUS"):
+            hit = master_status(srv.wire_dir)
+            names = ["File", "Position", "Binlog_Do_DB",
+                     "Binlog_Ignore_DB", "Executed_Gtid_Set"]
+            rows = [] if hit is None else [
+                [hit[0], str(hit[1]), "", "", hit[2]]
+            ]
+            self._send_result_set(names, rows)
+            return
+        if u in ("SHOW BINARY LOGS", "SHOW MASTER LOGS"):
+            rows = [
+                [f, str(os.path.getsize(os.path.join(srv.wire_dir, f)))]
+                for f in srv.files()
+            ]
+            self._send_result_set(["Log_name", "File_size"], rows)
+            return
+        m = _re.match(r"SHOW (?:GLOBAL |SESSION )?VARIABLES(?:\s+LIKE\s+'([^']*)')?$",
+                      q, _re.I)
+        if m:
+            pat = (m.group(1) or "%").replace("%", "*").replace("_", "?")
+            rows = [
+                [k, v] for k, v in sorted(_SERVER_VARS.items())
+                if fnmatch.fnmatch(k, pat.lower())
+            ]
+            self._send_result_set(["Variable_name", "Value"], rows)
+            return
+        if u.startswith("SELECT"):
+            exprs = [e.strip() for e in q[6:].split(",")]
+            names, vals = [], []
+            for e in exprs:
+                alias = None
+                am = _re.match(r"(.*?)\s+AS\s+(\S+)$", e, _re.I)
+                if am:
+                    e, alias = am.group(1).strip(), am.group(2).strip("`'\"")
+                ue = e.upper()
+                if ue.startswith("@@"):
+                    var = e[2:].split(".")[-1].lower()
+                    names.append(alias or e)
+                    vals.append(_SERVER_VARS.get(var))
+                elif ue == "VERSION()":
+                    names.append(alias or "VERSION()")
+                    vals.append(_SERVER_VARS["version"])
+                elif ue == "UNIX_TIMESTAMP()":
+                    names.append(alias or "UNIX_TIMESTAMP()")
+                    vals.append(str(int(_time.time())))
+                elif ue.startswith("'") or ue.isdigit():
+                    names.append(alias or e)
+                    vals.append(e.strip("'"))
+                else:
+                    names.append(alias or e)
+                    vals.append(None)
+            self._send_result_set(names, [vals])
+            return
+        _write_packet(self.wfile, 1, _ok_packet())
 
     def _stream_dump(self, srv: "MySQLDumpServer", fname: str | None,
                      pos: int, block: bool = False) -> None:
@@ -523,6 +701,76 @@ def binlog_dump_gtid_fetch(host: str, port: int, executed: GtidSet,
         )
         _write_packet(wf, 0, dump)
         return _collect_event_packets(rf)
+
+
+def _read_lenenc_str(buf: bytes, pos: int) -> tuple[bytes | None, int]:
+    first = buf[pos]
+    if first == 0xFB:
+        return None, pos + 1
+    if first < 251:
+        ln, pos = first, pos + 1
+    elif first == 0xFC:
+        ln, pos = struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+    elif first == 0xFD:
+        ln, pos = int.from_bytes(buf[pos + 1 : pos + 4], "little"), pos + 4
+    else:
+        ln, pos = struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+    return bytes(buf[pos : pos + ln]), pos + ln
+
+
+def query(host: str, port: int, sql: str
+          ) -> tuple[list[str], list[list[str | None]]]:
+    """Issue one COM_QUERY like a stock client and parse the text-protocol
+    response: returns (column_names, rows); an OK (e.g. for SET) returns
+    ([], []); a server ERR raises."""
+    with socket.create_connection((host, port), timeout=30) as sock:
+        rf = sock.makefile("rb")
+        wf = sock.makefile("wb")
+        greet = _read_packet(rf)
+        assert greet is not None and greet[1][0] == 0x0A, "bad greeting"
+        resp = (
+            struct.pack("<I", 0x0200 | 0x8000)
+            + struct.pack("<I", 1 << 24)
+            + b"\x21" + b"\x00" * 23
+            + b"client\x00" + b"\x00"
+        )
+        _write_packet(wf, greet[0] + 1, resp)
+        ok = _read_packet(rf)
+        assert ok is not None and ok[1][:1] == b"\x00", "auth rejected"
+        _write_packet(wf, 0, b"\x03" + sql.encode())
+        first = _read_packet(rf)
+        assert first is not None
+        p = first[1]
+        if p[:1] == b"\x00":
+            return [], []
+        if p[:1] == b"\xff":
+            raise ValueError(p[9:].decode(errors="replace"))
+        n_cols = p[0]  # lenenc, < 251 in this surface
+        names: list[str] = []
+        for _ in range(n_cols):
+            pkt = _read_packet(rf)
+            assert pkt is not None
+            buf, pos = pkt[1], 0
+            parts = []
+            for _f in range(5):  # def, schema, table, org_table, name
+                v, pos = _read_lenenc_str(buf, pos)
+                parts.append(v)
+            names.append((parts[4] or b"").decode())
+        eof = _read_packet(rf)
+        assert eof is not None and eof[1][:1] == b"\xfe"
+        rows: list[list[str | None]] = []
+        while True:
+            pkt = _read_packet(rf)
+            assert pkt is not None
+            buf = pkt[1]
+            if buf[:1] == b"\xfe" and len(buf) < 9:
+                break
+            pos, row = 0, []
+            for _ in range(n_cols):
+                v, pos = _read_lenenc_str(buf, pos)
+                row.append(None if v is None else v.decode())
+            rows.append(row)
+        return names, rows
 
 
 def _collect_event_packets(rf) -> bytes:

@@ -508,3 +508,41 @@ def test_gtid_attach_skips_compressed_transactions(tmp_path):
     got = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
     assert got == [[30]]
     assert [e["gno"] for e in evs if e["type"] == W.GTID_LOG_EVENT] == [3]
+
+
+def test_com_query_replication_preamble(gtid_wire):
+    """The SQL preamble a stock replica/replication client issues before
+    COM_BINLOG_DUMP gets REAL answers over the text protocol: result-set
+    framing (column defs + rows + EOF), server variables, master status
+    with the executed GTID set, binary log listing, SET → OK."""
+    import uuid
+
+    host, port = gtid_wire["host"], gtid_wire["port"]
+    names, rows = M.query(host, port, "SELECT VERSION()")
+    assert names == ["VERSION()"] and "polardbx" in rows[0][0]
+
+    names, rows = M.query(
+        host, port,
+        "SELECT @@server_id AS sid, @@global.binlog_checksum, @@version_comment",
+    )
+    assert names[0] == "sid" and rows[0][0] == "1"
+    assert rows[0][1] == "CRC32"
+
+    names, rows = M.query(host, port, "SHOW MASTER STATUS")
+    assert names[:2] == ["File", "Position"]
+    assert rows[0][0] == "binlog.000002"
+    expected_uuid = str(uuid.UUID(bytes=SID_A))
+    assert rows[0][4] == f"{expected_uuid}:1-4"
+
+    names, rows = M.query(host, port, "SHOW BINARY LOGS")
+    assert [r[0] for r in rows] == ["binlog.000001", "binlog.000002"]
+    assert all(int(r[1]) > 0 for r in rows)
+
+    names, rows = M.query(host, port, "SHOW VARIABLES LIKE 'binlog_%'")
+    d = dict(rows)
+    assert d["binlog_format"] == "ROW" and d["binlog_checksum"] == "CRC32"
+
+    assert M.query(host, port, "SET @master_binlog_checksum = 'CRC32'") == ([], [])
+
+    names, rows = M.query(host, port, "SELECT UNIX_TIMESTAMP()")
+    assert int(rows[0][0]) > 1_700_000_000
