@@ -1663,7 +1663,8 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
                       incremental: bool = False,
                       trace_markers: bool = False,
                       emit_gtid: bool = False,
-                      compress_txns: bool = False):
+                      compress_txns: bool = False,
+                      row_metadata_full: bool = False):
     """Materialize a BinlogSink parquet directory as REAL MySQL binlog
     files — the attach surface for a downstream that speaks the wire
     format (LogFileGenerator.java:624-757 writes these natively; here the
@@ -1681,6 +1682,10 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
     outside the payload exactly like the server leaves the GTID event
     uncompressed. Decoders expand payloads transparently
     (``expand_payload_events``).
+
+    ``row_metadata_full``: TABLE_MAPs carry the binlog_row_metadata=FULL
+    TLVs (COLUMN_NAME + PRIMARY_KEY), so a consumer that has never seen a
+    schema attaches registry-free via ``decode_named_rows``.
 
     ``incremental=True`` is the CONTINUOUS-operation mode (schedule after
     each micro-batch or on a timer): a ``_manifest.json`` in ``wire_dir``
@@ -1810,10 +1815,17 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
         def sink_list() -> list[bytes]:
             return events if txn_buf is None else txn_buf
 
+        meta_kw = (
+            {"col_names": ["pk", "value"], "pk": [0]}
+            if row_metadata_full else {}
+        )
+
         def flush_run():
             nonlocal run_type, run_rows
             if run_rows:
-                td = TableDef.from_mysql_types(*current_table, CDC_TABLE_TYPES)
+                td = TableDef.from_mysql_types(
+                    *current_table, CDC_TABLE_TYPES, **meta_kw
+                )
                 tid = zlib.crc32(".".join(current_table).encode()) & 0x7FFFFFFF
                 sink_list().append(encode_rows_event(run_type, tid, td, run_rows))
                 run_rows = []
@@ -1855,7 +1867,9 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
             if current_table != (r.db, r.tbl):
                 flush_run()
                 current_table = (r.db, r.tbl)
-                td = TableDef.from_mysql_types(r.db, r.tbl, CDC_TABLE_TYPES)
+                td = TableDef.from_mysql_types(
+                    r.db, r.tbl, CDC_TABLE_TYPES, **meta_kw
+                )
                 tid = zlib.crc32(f"{r.db}.{r.tbl}".encode()) & 0x7FFFFFFF
                 sink_list().append(encode_table_map(tid, td))
             elif tc != run_type:

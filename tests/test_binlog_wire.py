@@ -1472,3 +1472,31 @@ def test_named_decode_minimal_update_images():
     assert r["before"] == {"id": 7}       # present columns only
     assert r["after"] == {"name": "renamed"}
     assert r["values"] == {"name": "renamed"}  # "score" absent, not None
+
+
+def test_export_row_metadata_full_enables_registry_free_attach(spark, sf_dir, tmp_path):
+    """row_metadata_full export: a consumer with NO schema knowledge
+    attaches to the rendered files via decode_named_rows and gets named,
+    pk-keyed changes — and the plain export stays byte-lean (no TLVs)."""
+    import os
+
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.streaming import pipeline
+
+    out = str(tmp_path / "binlog")
+    wire = str(tmp_path / "wf")
+    sink = pipeline.BinlogSink(out, rotate_rows=400, frame_txns=True)
+    sink.recover(spark)
+    sink(derive_cdc_stream(spark, sf_dir), batch_id=0)
+    sink.flush()
+    W.export_wire_files(spark, out, wire, row_metadata_full=True).collect()
+
+    first = sorted(f for f in os.listdir(wire) if f.startswith("binlog."))[0]
+    with open(os.path.join(wire, first), "rb") as fh:
+        buf = fh.read()
+    rows = W.decode_named_rows(buf[4:])
+    assert rows, "no named rows decoded"
+    r = rows[0]
+    assert set(r["values"]) == {"pk", "value"}
+    assert list(r["pk"]) == ["pk"] and r["pk"]["pk"] == r["values"]["pk"]
+    assert r["action"] in ("INSERT", "UPDATE", "DELETE")
