@@ -1500,3 +1500,59 @@ def test_export_row_metadata_full_enables_registry_free_attach(spark, sf_dir, tm
     assert set(r["values"]) == {"pk", "value"}
     assert list(r["pk"]) == ["pk"] and r["pk"]["pk"] == r["values"]["pk"]
     assert r["action"] in ("INSERT", "UPDATE", "DELETE")
+
+
+def test_export_all_framing_flags_compose(spark, sf_dir, tmp_path):
+    """emit_gtid + compress_txns + row_metadata_full compose: GTID/GCN
+    carriers stay OUTSIDE payloads (so GTID attach and TSO seek still
+    work), PREVIOUS_GTIDS opens each file, payload bodies carry
+    FULL-metadata TABLE_MAPs, and the decoded stream equals the plain
+    export's."""
+    import os
+
+    from polardbx_cdc_spark.model import derive_cdc_stream
+    from polardbx_cdc_spark.streaming import pipeline
+    from polardbx_cdc_spark import dump_server as D
+
+    out = str(tmp_path / "binlog")
+    wire_all, wire_plain = str(tmp_path / "wa"), str(tmp_path / "wp")
+    sink = pipeline.BinlogSink(out, rotate_rows=400, frame_txns=True)
+    sink.recover(spark)
+    sink(derive_cdc_stream(spark, sf_dir), batch_id=0)
+    sink.flush()
+    W.export_wire_files(spark, out, wire_all, emit_gtid=True,
+                        compress_txns=True, row_metadata_full=True).collect()
+    W.export_wire_files(spark, out, wire_plain).collect()
+
+    files = sorted(f for f in os.listdir(wire_all) if f.startswith("binlog."))
+    first_events = W.read_binlog_file(os.path.join(wire_all, files[0]))
+    kinds = [e["type"] for e in first_events]
+    assert kinds[1] == W.PREVIOUS_GTIDS_LOG_EVENT  # right after FDE
+    assert W.TRANSACTION_PAYLOAD_EVENT in kinds
+    # GTID and GCN ride OUTSIDE payloads
+    assert W.GTID_LOG_EVENT in kinds and W.GCN_EVENT in kinds
+
+    # registry-free named attach through the compressed framing
+    with open(os.path.join(wire_all, files[0]), "rb") as fh:
+        named = W.decode_named_rows(fh.read()[4:])
+    assert named and set(named[0]["values"]) == {"pk", "value"}
+
+    # consumer equality vs the plain export
+    a = W.read_wire_binlog(spark, wire_plain).orderBy("file_name", "pos")
+    b = W.read_wire_binlog(spark, wire_all).orderBy("file_name", "pos")
+    cols = ["kind", "db", "tbl", "pk", "value", "xid"]
+    rows_a = [tuple(r) for r in a.select(cols).collect()]
+    rows_b = [tuple(r) for r in b.select(cols).collect()
+              if r["kind"] not in ("GTID",)]
+    assert [r for r in rows_a] == [r for r in rows_b]
+
+    # TSO seek still lands on GCN carriers outside the payloads
+    commits = (
+        spark.read.parquet(out).filter("action = 'COMMIT'")
+        .orderBy("txn_commit_tso").collect()
+    )
+    mid = commits[len(commits) // 2]["txn_commit_tso"]
+    with D.DumpServer(wire_all) as srv:
+        host, port = srv.address
+        hit = D.seek_tso(host, port, mid)
+    assert hit is not None and hit["gcn"] >= int(mid[:19])
