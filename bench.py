@@ -257,6 +257,9 @@ def main() -> None:
             "cdc_incremental_checksum",
             "curation_chunk_documents",
             "q19_disjunctive_revenue",
+            # round 7: join-view IVM — one fact fold + broadcast dim
+            # delta; the ratio proves the fold is linear in data size
+            "cdc_ivm_join_view",
         ]
         try:
             factor = 10.0
