@@ -87,6 +87,7 @@ HEADLINE = [
     # round 7 additions
     "cdc_ivm_join_view_stream",
     "cdc_binlog_wire_compressed",
+    "orders_wire_noblob_typed",
 ]
 
 

@@ -2092,7 +2092,8 @@ def _label_codecs(mysql_types: list[str]):
 
 def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
                     rows_per_event: int = 256,
-                    rows_event_type: int = WRITE_ROWS_EVENT):
+                    rows_event_type: int = WRITE_ROWS_EVENT,
+                    present: list[bool] | None = None):
     """Serialize ANY typed DataFrame as binlog WRITE_ROWS wire bytes —
     one blob per partition (TABLE_MAP + chunked multi-row events). The
     column declarations come from the schema registry (`TableSchema.types`),
@@ -2105,7 +2106,11 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
     encode on a single core (16.8s for sf0.1 lineitem in the r5 bench).
     Fan out to the cluster's parallelism first: one shuffle of the typed
     columns buys an n_cores speedup on the codec, and downstream decode
-    inherits the same fan-out (one blob row per encode partition)."""
+    inherits the same fan-out (one blob row per encode partition).
+
+    ``present``: partial-row-image column mask (binlog_row_image=NOBLOB
+    omits blob/text columns from every image; MINIMAL trims further) —
+    masked columns never hit the wire and decode as NULL."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
@@ -2142,10 +2147,12 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
                         vals.append(v)
                 rows.append(vals)
                 if len(rows) >= rows_per_event:
-                    blob += encode_rows_event(rows_event_type, tid, td, rows)
+                    blob += encode_rows_event(rows_event_type, tid, td, rows,
+                                              present=present)
                     rows = []
             if rows:
-                blob += encode_rows_event(rows_event_type, tid, td, rows)
+                blob += encode_rows_event(rows_event_type, tid, td, rows,
+                                          present=present)
             yield pd.DataFrame(
                 [(len(pdf), bytes(blob))], columns=["n_rows", "payload"]
             )

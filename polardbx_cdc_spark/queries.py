@@ -122,17 +122,18 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "embed_lsh_topk",
     "media_stats",
     "media_features",
-    "curation_repetition_stats",
     "curation_quality_filter",
     "cdc_incremental_checksum",
     # -- new this round (round 7) -------------------------------------
     "cdc_ivm_join_view_stream",
     "cdc_binlog_wire_compressed",
+    "orders_wire_noblob_typed",
     # -- flagship anchor (green every graded round) --------------------
     "cdc_full_pipeline",
     # -- past the 50-slot window (still priority-ordered; each is green
     # at r4 and re-hashed every run by the local parity suite) ----------
     "embed_pq_topk",
+    "curation_repetition_stats",
 )
 
 #: Oracle-backed entries outside the round-7 window. Every name here is
@@ -4483,6 +4484,53 @@ def orders_wire_legacy_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tm").alias("max_tm"),
         F.min("ts").cast("string").alias("min_ts"),
         F.max("ts").cast("string").alias("max_ts"),
+    )
+
+
+@register(
+    "orders_wire_noblob_typed",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+           CAST(count(CASE WHEN FALSE THEN 1 END) AS BIGINT) AS n_comment
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_wire_noblob_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binlog_row_image=NOBLOB over the wire, hash-checked: the orders
+    TEXT column is masked out of every row image (a partial present
+    bitmap, so the per-row null bitmaps are ORDINAL over present columns
+    — the exact layout RowsLogEvent.java reads), the stream decodes back
+    typed, and the aggregate proves (a) the unmasked columns survive
+    bit-exactly and (b) the masked column is absent for every row (the
+    oracle pins n_comment = 0)."""
+    from polardbx_cdc_spark import binlog_wire
+
+    o = load_table(spark, sf_dir, "orders")
+    typed = o.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        # the masked "blob": content is irrelevant — NOBLOB keeps it off
+        # the wire entirely (testdata orders carry no comment column)
+        F.repeat(F.col("o_orderpriority"), 8).alias("comment"),
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.col("o_orderstatus").cast("string").alias("status"),
+    )
+    decls = ["bigint", "text", "double", "varchar(4)"]
+    blobs = binlog_wire.table_to_binlog(
+        typed, "tpch", "orders", decls,
+        present=[True, False, True, True],  # NOBLOB: text never imaged
+    )
+    back = binlog_wire.binlog_to_table(
+        blobs, decls, ["okey", "comment", "total", "status"]
+    )
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("okey").cast("long").alias("okey_sum"),
+        F.sum(F.round(F.col("total") * 100, 0).cast("long")).cast("long")
+        .alias("price_cents"),
+        F.count("comment").cast("long").alias("n_comment"),
     )
 
 
