@@ -546,3 +546,44 @@ def test_com_query_replication_preamble(gtid_wire):
 
     names, rows = M.query(host, port, "SELECT UNIX_TIMESTAMP()")
     assert int(rows[0][0]) > 1_700_000_000
+
+
+# -- GTID set algebra (pure helpers behind the attach resolution) ------------
+
+def test_gtid_interval_algebra_edges():
+    sid = SID_A
+    # adjacency merges ((1,3)+(3,5) = one interval), gaps don't
+    assert M._merged([(1, 3), (3, 5)]) == [(1, 5)]
+    assert M._merged([(1, 3), (4, 5)]) == [(1, 3), (4, 5)]
+    assert M._merged([(4, 5), (1, 3), (2, 4)]) == [(1, 5)]
+    # covers: end exclusive
+    assert M._gtid_covers({sid: [(1, 3)]}, sid, 2)
+    assert not M._gtid_covers({sid: [(1, 3)]}, sid, 3)
+    assert not M._gtid_covers({}, sid, 1)
+    # subset: empty ⊆ anything; empty intervals ignored; spanning works
+    assert M._gtid_subset({}, {})
+    assert M._gtid_subset({sid: [(2, 2)]}, {})  # empty interval
+    assert M._gtid_subset({sid: [(1, 3), (5, 7)]}, {sid: [(1, 8)]})
+    assert M._gtid_subset({sid: [(1, 7)]}, {sid: [(1, 4), (4, 8)]})  # merged cover
+    assert not M._gtid_subset({sid: [(1, 7)]}, {sid: [(1, 4), (5, 8)]})  # gap at 4
+    other = bytes(range(16, 32))
+    assert not M._gtid_subset({other: [(1, 2)]}, {sid: [(1, 9)]})
+
+
+def test_gtid_set_wire_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sids = st.binary(min_size=16, max_size=16)
+    interval = st.tuples(st.integers(1, 1 << 40), st.integers(1, 1 << 10)).map(
+        lambda t: (t[0], t[0] + t[1])
+    )
+    gtid_sets = st.dictionaries(sids, st.lists(interval, min_size=1, max_size=4),
+                                max_size=4)
+
+    @given(gtid_sets)
+    @settings(max_examples=80, deadline=None)
+    def check(gs):
+        assert M._parse_gtid_set(M.encode_gtid_set(gs)) == gs
+
+    check()
