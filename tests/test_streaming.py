@@ -1455,3 +1455,70 @@ def test_session_windows_stream_parity_with_batch(spark):
     assert got  # sessions actually closed and emitted
     assert got <= batch, f"{len(got - batch)} emitted sessions disagree with batch"
     assert len(got) / len(batch) > 0.9  # only the watermark tail stays open
+
+
+def test_wire_stream_tails_relay_directory(spark, tmp_path):
+    """Structured Streaming over a wire-file relay directory: the first
+    availableNow pass consumes the landed files; files appearing later
+    stream through the SAME checkpoint exactly once; rows equal the
+    batch attach path (read_wire_binlog) column-for-column."""
+    import os
+
+    from polardbx_cdc_spark import binlog_wire as W
+    from polardbx_cdc_spark.streaming import source
+
+    wire = str(tmp_path / "relay")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_VARCHAR, 64), (W.TYPE_DOUBLE, 8)])
+
+    def rows_event(vals):
+        return W.encode_table_map(3, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, vals
+        )
+
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_query("", "BEGIN"), rows_event([["1", 1.0], ["2", 2.0]]),
+         W.encode_xid(11)],
+        next_file="binlog.000002",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            source.wire_stream(spark, wire)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert sorted(
+        r["pk"] for r in got.filter("kind = 'INSERT'").collect()
+    ) == ["1", "2"]
+    assert got.filter("kind = 'COMMIT' AND xid = 11").count() == 1
+
+    # batch-path equality on the same directory
+    batch = W.read_wire_binlog(spark, wire)
+    cols = ["file_name", "pos", "kind", "db", "tbl", "pk", "value", "xid"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, batch.select(cols).collect())
+    )
+
+    # a NEW rotation-complete file (payload-compressed) lands: the next
+    # pass over the same checkpoint delivers exactly its rows
+    body = [W.encode_query("", "BEGIN"), rows_event([["3", 3.0]]),
+            W.encode_xid(12)]
+    W.write_binlog_file(
+        wire + "/binlog.000002", [W.encode_transaction_payload(body)]
+    )
+    run_once()
+    got2 = spark.read.parquet(out)
+    assert sorted(
+        r["pk"] for r in got2.filter("kind = 'INSERT'").collect()
+    ) == ["1", "2", "3"]
+    assert got2.filter("kind = 'COMMIT'").count() == 2
