@@ -234,6 +234,7 @@ class BinlogSink:
         strict: bool = False,
         txn_gap_seconds: int = 60,
         wire_dir: str | None = None,
+        wire_flags: dict | None = None,
     ) -> None:
         self.out_dir = out_dir
         self.rotate_rows = rotate_rows
@@ -243,8 +244,11 @@ class BinlogSink:
         #: when set, every batch also renders REAL binlog wire files into
         #: this directory (incremental — only the grown tail re-renders),
         #: so a wire consumer can tail the stream continuously, the
-        #: reference dumper's native output mode
+        #: reference dumper's native output mode. ``wire_flags`` pass
+        #: through to export_wire_files (emit_gtid / compress_txns /
+        #: row_metadata_full / trace_markers).
         self.wire_dir = wire_dir
+        self.wire_flags = dict(wire_flags or {})
         self._offset = 0
         self._last_tso = ""  # non-frame mode: per-event high-water mark
         self._last_commit_tso = ""  # frame mode: per-txn high-water mark
@@ -256,7 +260,8 @@ class BinlogSink:
         if self.wire_dir is not None:
             from polardbx_cdc_spark.binlog_wire import export_wire_files
 
-            export_wire_files(spark, self.out_dir, self.wire_dir, incremental=True)
+            export_wire_files(spark, self.out_dir, self.wire_dir,
+                              incremental=True, **self.wire_flags)
 
     def recover(self, spark) -> None:
         """seekLastTso: resume offset/tso from what is already durable."""
@@ -844,6 +849,7 @@ def run_binlog_pipeline(
     strict: bool = False,
     txn_gap_seconds: int = 60,
     wire_dir: str | None = None,
+    wire_flags: dict | None = None,
 ):
     """The flagship streaming query: CDC stream → epoch-ordered rotated
     binlog sink, Trigger.AvailableNow (bounded replay in tests; remove the
@@ -863,6 +869,7 @@ def run_binlog_pipeline(
     sink = BinlogSink(
         out_dir, rotate_rows, frame_txns=frame_txns, strict=strict,
         txn_gap_seconds=txn_gap_seconds, wire_dir=wire_dir,
+        wire_flags=wire_flags,
     )
     sink.recover(cdc_stream.sparkSession)
     observed = with_stream_metrics(cdc_stream)

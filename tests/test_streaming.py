@@ -1522,3 +1522,46 @@ def test_wire_stream_tails_relay_directory(spark, tmp_path):
         r["pk"] for r in got2.filter("kind = 'INSERT'").collect()
     ) == ["1", "2", "3"]
     assert got2.filter("kind = 'COMMIT'").count() == 2
+
+
+def test_continuous_wire_export_with_flags(spark, sf_dir, tmp_path):
+    """run_binlog_pipeline(wire_dir=, wire_flags=): every micro-batch
+    renders GTID-framed, transaction-compressed wire files continuously;
+    a GTID auto-position replica attaches to the live output and the
+    relay decodes to the sink's rows."""
+    import os
+
+    from polardbx_cdc_spark import binlog_wire as W
+    from polardbx_cdc_spark import mysql_dump as M
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    tmpdir = str(tmp_path)
+    out, wire = tmpdir + "/binlog", tmpdir + "/wire"
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, sf_dir), out, tmpdir + "/ckpt",
+        rotate_rows=400, frame_txns=True, wire_dir=wire,
+        wire_flags={"emit_gtid": True, "compress_txns": True},
+    )
+    q.awaitTermination(120)
+    sink.flush()
+    sink._export_wire(spark)  # post-flush tail render
+
+    files = sorted(f for f in os.listdir(wire) if f.startswith("binlog."))
+    assert files
+    kinds = [e["type"] for e in W.read_binlog_file(os.path.join(wire, files[0]))]
+    assert W.PREVIOUS_GTIDS_LOG_EVENT in kinds
+    assert W.TRANSACTION_PAYLOAD_EVENT in kinds
+
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        relay = M.binlog_dump_gtid_fetch(host, port, {})
+    evs = W.expand_payload_events(W.decode_events(relay))
+    n_rows = sum(len(e["rows"]) for e in evs if e["type"] in W.ROWS_EVENTS)
+    from pyspark.sql import functions as F
+
+    expected = (
+        spark.read.parquet(out)
+        .filter(F.col("action").isin("INSERT", "UPDATE", "DELETE"))
+        .count()
+    )
+    assert n_rows == expected
