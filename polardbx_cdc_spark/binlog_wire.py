@@ -1906,6 +1906,90 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
     return spark.createDataFrame(rows, out_schema) if rows else spark.createDataFrame([], out_schema)
 
 
+def wire_frame_rows(name: str, buf: bytes,
+                    tolerate_truncation: bool = False) -> list[tuple]:
+    """Decode ONE wire file's bytes (magic optional) into the consumer
+    frame rows — (file_name, pos, kind, db, tbl, pk, value, xid). The
+    SINGLE implementation behind the batch attach (`read_wire_binlog`)
+    and the streaming attach (`streaming.source.wire_stream`): ``pos``
+    is the row index within the file counting EVERY surfaced row (rows,
+    BEGIN/COMMIT, DDL, TRACE, GCN), so both paths assign identical
+    replication positions and an applier can move between them."""
+    _ACTION = {
+        WRITE_ROWS_EVENT: "INSERT",
+        UPDATE_ROWS_EVENT: "UPDATE",
+        DELETE_ROWS_EVENT: "DELETE",
+        WRITE_ROWS_EVENT_V1: "INSERT",
+        UPDATE_ROWS_EVENT_V1: "UPDATE",
+        DELETE_ROWS_EVENT_V1: "DELETE",
+    }
+    if buf[:4] == MAGIC:
+        buf = buf[4:]
+    elif not tolerate_truncation:
+        raise ValueError(f"{name}: not a binlog file (bad magic)")
+    out: list[tuple] = []
+    pos = 0
+    for ev in expand_payload_events(
+        decode_events(buf, tolerate_truncation=tolerate_truncation)
+    ):
+        tc = ev["type"]
+        if tc in _ACTION:
+            for row in ev["rows"]:
+                img = row[1] if tc in UPDATE_EVENTS else row
+                # frame contract is (pk, value); narrower or
+                # differently-typed tables surface what they
+                # have (typed decode uses binlog_to_table)
+                pk = str(img[0]) if img else None
+                val = img[1] if len(img) > 1 else None
+                out.append(
+                    (name, pos, _ACTION[tc], ev["db"], ev["tbl"],
+                     pk, val if isinstance(val, float) else None,
+                     None)
+                )
+                pos += 1
+        elif tc == QUERY_EVENT:
+            q = ev.get("query", "")
+            if q.strip().upper() == "BEGIN":
+                out.append(
+                    (name, pos, "BEGIN", None, None, None, None, None)
+                )
+            else:
+                # DDL statement travelling as a QUERY event
+                # (QueryEventReformator path): text surfaces
+                # in the pk slot, like TRACE markers
+                out.append(
+                    (name, pos, "DDL", ev.get("db"), None, q,
+                     None, None)
+                )
+            pos += 1
+        elif tc == XID_EVENT:
+            out.append(
+                (name, pos, "COMMIT", None, None, None, None, ev["xid"])
+            )
+            pos += 1
+        elif tc == ROWS_QUERY_EVENT:
+            # trace marker: text surfaces in the pk slot
+            out.append(
+                (name, pos, "TRACE", None, None,
+                 ev["rows_query"], None, None)
+            )
+            pos += 1
+        elif tc == GCN_EVENT:
+            # txn commit-time carrier: gcn surfaces in the xid
+            # column (both are the txn-scope bigint slot)
+            out.append(
+                (name, pos, "GCN", None, None, None, None, ev["gcn"])
+            )
+            pos += 1
+    return out
+
+
+WIRE_FRAME_SCHEMA = (
+    "file_name string, pos long, kind string, db string, tbl string, "
+    "pk string, value double, xid bigint"
+)
+
+
 def read_wire_binlog(spark, wire_dir: str, glob: str = "binlog.*"):
     """Decode a directory of wire binlog files back into an event frame
     (file_name, pos, kind, db, tbl, pk, value, xid) — the consumer attach
@@ -1915,14 +1999,6 @@ def read_wire_binlog(spark, wire_dir: str, glob: str = "binlog.*"):
     within its file: (file_name, pos) is the real binlog consumer's
     replication position, totally ordering the stream across the rotated
     chain (files sort by name) — appliers replay by it."""
-    _ACTION = {
-        WRITE_ROWS_EVENT: "INSERT",
-        UPDATE_ROWS_EVENT: "UPDATE",
-        DELETE_ROWS_EVENT: "DELETE",
-        WRITE_ROWS_EVENT_V1: "INSERT",
-        UPDATE_ROWS_EVENT_V1: "UPDATE",
-        DELETE_ROWS_EVENT_V1: "DELETE",
-    }
 
     def decode_files(batches):
         import os
@@ -1932,61 +2008,9 @@ def read_wire_binlog(spark, wire_dir: str, glob: str = "binlog.*"):
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                name = os.path.basename(path)
-                buf = bytes(content)
-                if buf[:4] != MAGIC:
-                    raise ValueError(f"{name}: not a binlog file (bad magic)")
-                pos = 0
-                for ev in expand_payload_events(decode_events(buf[4:])):
-                    tc = ev["type"]
-                    if tc in _ACTION:
-                        for row in ev["rows"]:
-                            img = row[1] if tc in UPDATE_EVENTS else row
-                            # frame contract is (pk, value); narrower or
-                            # differently-typed tables surface what they
-                            # have (typed decode uses binlog_to_table)
-                            pk = str(img[0]) if img else None
-                            val = img[1] if len(img) > 1 else None
-                            out.append(
-                                (name, pos, _ACTION[tc], ev["db"], ev["tbl"],
-                                 pk, val if isinstance(val, float) else None,
-                                 None)
-                            )
-                            pos += 1
-                    elif tc == QUERY_EVENT:
-                        q = ev.get("query", "")
-                        if q.strip().upper() == "BEGIN":
-                            out.append(
-                                (name, pos, "BEGIN", None, None, None, None, None)
-                            )
-                        else:
-                            # DDL statement travelling as a QUERY event
-                            # (QueryEventReformator path): text surfaces
-                            # in the pk slot, like TRACE markers
-                            out.append(
-                                (name, pos, "DDL", ev.get("db"), None, q,
-                                 None, None)
-                            )
-                        pos += 1
-                    elif tc == XID_EVENT:
-                        out.append(
-                            (name, pos, "COMMIT", None, None, None, None, ev["xid"])
-                        )
-                        pos += 1
-                    elif tc == ROWS_QUERY_EVENT:
-                        # trace marker: text surfaces in the pk slot
-                        out.append(
-                            (name, pos, "TRACE", None, None,
-                             ev["rows_query"], None, None)
-                        )
-                        pos += 1
-                    elif tc == GCN_EVENT:
-                        # txn commit-time carrier: gcn surfaces in the xid
-                        # column (both are the txn-scope bigint slot)
-                        out.append(
-                            (name, pos, "GCN", None, None, None, None, ev["gcn"])
-                        )
-                        pos += 1
+                out.extend(
+                    wire_frame_rows(os.path.basename(path), bytes(content))
+                )
             yield pd.DataFrame(
                 out,
                 columns=["file_name", "pos", "kind", "db", "tbl", "pk",
@@ -1998,11 +2022,7 @@ def read_wire_binlog(spark, wire_dir: str, glob: str = "binlog.*"):
         .option("pathGlobFilter", glob)  # default skips _manifest.json + X chains
         .load(wire_dir)
         .select("path", "content")
-        .mapInPandas(
-            decode_files,
-            "file_name string, pos long, kind string, db string, tbl string, "
-            "pk string, value double, xid bigint",
-        )
+        .mapInPandas(decode_files, WIRE_FRAME_SCHEMA)
     )
 
 

@@ -206,21 +206,13 @@ def show_binlog_events_wire(
 
 
 def gtid_set_text(gtid_set: dict[bytes, list[tuple[int, int]]]) -> str:
-    """Canonical Executed_Gtid_Set rendering: ``uuid:start-end[:...]``
-    per sid (end INCLUSIVE in the text form, exclusive in the wire
-    intervals), sids comma-joined in uuid order."""
-    import uuid as _uuid
+    """Canonical Executed_Gtid_Set rendering — re-exported from the
+    Spark-free implementation (``mysql_dump.gtid_set_text``), which
+    merges overlapping/adjacent intervals first so this always agrees
+    with SHOW MASTER STATUS output."""
+    from polardbx_cdc_spark.mysql_dump import gtid_set_text as _impl
 
-    parts = []
-    for sid in sorted(gtid_set, key=lambda b: str(_uuid.UUID(bytes=b))):
-        ivs = ":".join(
-            f"{s}-{e - 1}" if e - 1 > s else f"{s}"
-            for s, e in sorted(gtid_set[sid])
-            if s < e
-        )
-        if ivs:
-            parts.append(f"{_uuid.UUID(bytes=sid)}:{ivs}")
-    return ",".join(parts)
+    return _impl(gtid_set)
 
 
 def show_master_status_wire(spark: SparkSession, wire_dir: str) -> DataFrame:

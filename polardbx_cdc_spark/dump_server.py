@@ -319,7 +319,10 @@ def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"
     # the next file of the chain the dump meta announced.
     chain, idx, cur_pos = meta["files"], 0, pos
     for _off, tc, frame in _walk_events(bytes(blob)):
-        if tc == W.FORMAT_DESCRIPTION_EVENT and _off > 0:
+        # an FDE marks the hop to the next chain file — including at blob
+        # offset 0 when the resume position was a fully-drained file
+        # (pos > 4): the first streamed frame is then the SUCCESSOR's FDE
+        if tc == W.FORMAT_DESCRIPTION_EVENT and (_off > 0 or pos > 4):
             idx, cur_pos = idx + 1, 4
         cur_pos += len(frame)
     group.commit(
@@ -368,7 +371,7 @@ def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"
 
 
 def relay_copy(host: str, port: int, dest_dir: str,
-               follow: float = 0) -> list[str]:
+               follow: float = 0, stage_tail: bool = False) -> list[str]:
     """Master→standby wire-file replication over the dump protocol — the
     reference's dumper file copier (LogFileCopier.java keeps a slave
     dumper's binlog directory in sync from the master's dump stream).
@@ -376,18 +379,40 @@ def relay_copy(host: str, port: int, dest_dir: str,
     Resumable: the copy restarts from the last local file's byte size, so
     a re-run fetches only appended bytes and new files. The streamed
     frames split back into files at their FDE boundaries (every file is
-    streamed from byte 4 and opens with its FDE), named by the preceding
-    ROTATE's next-file payload; only COMPLETE frames land (a torn tail on
-    the master is refetched next run, never persisted). Returns the list
-    of local files touched this call."""
+    streamed from byte 4 and opens with its FDE), named by the dump
+    meta's chain; only COMPLETE frames land (a torn tail on the master is
+    refetched next run, never persisted). Returns the list of local files
+    touched this call (by their real names).
+
+    ``stage_tail=True``: the in-flight chain tail is kept under an
+    underscore-prefixed staging name (``_<name>.inprogress``) — which
+    Spark's file listings ignore — and renamed into view only once its
+    successor starts, so a Structured Streaming consumer
+    (`streaming.source.wire_stream`) never half-reads a growing file."""
     os.makedirs(dest_dir, exist_ok=True)
+
+    def _staged(name: str) -> str:
+        return f"_{name}.inprogress"
+
+    def _local_size(name: str) -> int | None:
+        for cand in (name, _staged(name)):
+            p = os.path.join(dest_dir, cand)
+            if os.path.exists(p):
+                return os.path.getsize(p)
+        return None
+
     local = sorted(
         f for f in os.listdir(dest_dir)
         if f.startswith("binlog.") and f.split(".")[-1].isdigit()
     )
-    if local:
-        start_file = local[-1]
-        start_pos = os.path.getsize(os.path.join(dest_dir, start_file))
+    staged = sorted(
+        f[1:].removesuffix(".inprogress") for f in os.listdir(dest_dir)
+        if f.startswith("_binlog.") and f.endswith(".inprogress")
+    )
+    all_local = sorted(set(local) | set(staged))
+    if all_local:
+        start_file = all_local[-1]
+        start_pos = _local_size(start_file) or 4
     else:
         files = list_files(host, port)
         if not files:
@@ -404,14 +429,27 @@ def relay_copy(host: str, port: int, dest_dir: str,
     touched: list[str] = []
     cur, idx = start_file, 0
 
+    def _disk_name(name: str) -> str:
+        if not stage_tail:
+            return name
+        # already-final files stay final; everything else stages
+        return name if os.path.exists(os.path.join(dest_dir, name)) \
+            else _staged(name)
+
     def _open(name: str):
-        path = os.path.join(dest_dir, name)
+        path = os.path.join(dest_dir, _disk_name(name))
         if not os.path.exists(path):
             with open(path, "wb") as fh:
                 fh.write(W.MAGIC)
         if name not in touched:
             touched.append(name)
         return open(path, "ab")
+
+    def _finalize(name: str) -> None:
+        """A successor started: the staged file is complete — reveal it."""
+        sp = os.path.join(dest_dir, _staged(name))
+        if stage_tail and os.path.exists(sp):
+            os.replace(sp, os.path.join(dest_dir, name))
 
     out = _open(cur)
     try:
@@ -422,6 +460,7 @@ def relay_copy(host: str, port: int, dest_dir: str,
             # means ANY streamed FDE belongs to a successor
             if tc == W.FORMAT_DESCRIPTION_EVENT and (_off > 0 or start_pos > 4):
                 out.close()
+                _finalize(cur)
                 idx += 1
                 cur = chain[idx] if idx < len(chain) else (
                     f"binlog.{int(cur.split('.')[-1]) + 1:06d}"

@@ -141,12 +141,30 @@ def _err_packet(code: int, msg: str) -> bytes:
     )
 
 
+def gtid_set_text(gtid_set: GtidSet) -> str:
+    """Canonical Executed_Gtid_Set rendering: intervals MERGED first
+    (overlap/adjacency collapse exactly like the server's Gtid_set
+    print), then ``uuid:start-end[:...]`` per sid (end INCLUSIVE in text,
+    exclusive on the wire), sids comma-joined in uuid order. The single
+    source of truth — SHOW MASTER STATUS (both surfaces) and any client
+    rendering go through here."""
+    import uuid as _uuid
+
+    parts = []
+    for sid in sorted(gtid_set, key=lambda b: str(_uuid.UUID(bytes=b))):
+        ivs = ":".join(
+            f"{s}-{e - 1}" if e - 1 > s else f"{s}"
+            for s, e in _merged(gtid_set[sid]) if s < e
+        )
+        if ivs:
+            parts.append(f"{_uuid.UUID(bytes=sid)}:{ivs}")
+    return ",".join(parts)
+
+
 def master_status(wire_dir: str) -> tuple[str, int, str] | None:
     """(file, position, executed_gtid_set_text) of the wire directory's
     tail file — the pure-Python walk behind SHOW MASTER STATUS (the
     Spark-facing twin is ``catalog.show_master_status_wire``)."""
-    import uuid as _uuid
-
     files = sorted(
         f for f in os.listdir(wire_dir)
         if f.startswith("binlog.") and f.split(".")[-1].isdigit()
@@ -174,15 +192,7 @@ def master_status(wire_dir: str) -> tuple[str, int, str] | None:
             gno = struct.unpack_from("<q", body, off + 36)[0]
             gtids.setdefault(sid, []).append((gno, gno + 1))
         off += elen
-    parts = []
-    for sid in sorted(gtids, key=lambda b: str(_uuid.UUID(bytes=b))):
-        ivs = ":".join(
-            f"{s}-{e - 1}" if e - 1 > s else f"{s}"
-            for s, e in _merged(gtids[sid]) if s < e
-        )
-        if ivs:
-            parts.append(f"{_uuid.UUID(bytes=sid)}:{ivs}")
-    return last, off + 4, ",".join(parts)
+    return last, off + 4, gtid_set_text(gtids)
 
 
 #: session/global variables the COM_QUERY surface answers — the set a
@@ -360,7 +370,11 @@ class _Handler(socketserver.StreamRequestHandler):
             self._send_result_set(["Variable_name", "Value"], rows)
             return
         if u.startswith("SELECT"):
-            exprs = [e.strip() for e in q[6:].split(",")]
+            # the stock mysql client's opening statement is
+            # "select @@version_comment limit 1" — strip the LIMIT tail
+            body = _re.sub(r"\s+LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?\s*$", "",
+                           q[6:], flags=_re.I)
+            exprs = [e.strip() for e in body.split(",")]
             names, vals = [], []
             for e in exprs:
                 alias = None
@@ -502,23 +516,30 @@ class _Handler(socketserver.StreamRequestHandler):
 
     def _file_prev_gtids(self, srv: "MySQLDumpServer",
                          name: str) -> GtidSet | None:
-        """First PREVIOUS_GTIDS payload of *name*; None if the file
-        carries none (a non-GTID-framed export — start resolution must
-        not scan past it)."""
+        """First PREVIOUS_GTIDS payload of *name*; None if the file's
+        head carries none (a non-GTID-framed export — start resolution
+        must not scan past it). Reads event headers only and stops at the
+        first non-bookkeeping event, so resolving a long chain costs
+        O(file-head bytes) per file, never whole-file reads."""
         with open(os.path.join(srv.wire_dir, name), "rb") as fh:
-            buf = fh.read()
-        if buf[:4] != W.MAGIC:
-            return None
-        body, off = buf[4:], 0
-        while off + W.HEADER_LEN <= len(body):
-            elen = struct.unpack_from("<I", body, off + 9)[0]
-            if elen < W.HEADER_LEN + W.CHECKSUM_LEN or off + elen > len(body):
-                break
-            if body[off + 4] == W.PREVIOUS_GTIDS_LOG_EVENT:
-                payload = body[off + W.HEADER_LEN : off + elen - W.CHECKSUM_LEN]
-                return _parse_gtid_set(payload)
-            off += elen
-        return None
+            if fh.read(4) != W.MAGIC:
+                return None
+            while True:
+                head = fh.read(W.HEADER_LEN)
+                if len(head) < W.HEADER_LEN:
+                    return None
+                elen = struct.unpack_from("<I", head, 9)[0]
+                if elen < W.HEADER_LEN + W.CHECKSUM_LEN:
+                    return None
+                tc = head[4]
+                if tc == W.PREVIOUS_GTIDS_LOG_EVENT:
+                    rest = fh.read(elen - W.HEADER_LEN)
+                    if len(rest) < elen - W.HEADER_LEN:
+                        return None
+                    return _parse_gtid_set(rest[: -W.CHECKSUM_LEN])
+                if tc != W.FORMAT_DESCRIPTION_EVENT:
+                    return None  # past the file head: no bookkeeping here
+                fh.seek(elen - W.HEADER_LEN, 1)
 
     def _stream_dump_gtid(self, srv: "MySQLDumpServer",
                           executed: GtidSet) -> None:
@@ -559,11 +580,21 @@ class _Handler(socketserver.StreamRequestHandler):
             if buf[:4] != W.MAGIC:
                 continue
             body, off, skip = buf[4:], 0, False
+            # GCN/SEQUENCE carriers precede their transaction's GTID
+            # (render order: GCN, GTID, BEGIN, …, XID) — hold them until
+            # the skip decision so they share their OWN txn's fate, not
+            # the previous one's
+            pending: list[bytes] = []
             while off + W.HEADER_LEN <= len(body):
                 elen = struct.unpack_from("<I", body, off + 9)[0]
                 if elen < W.HEADER_LEN + W.CHECKSUM_LEN or off + elen > len(body):
                     break
                 tc = body[off + 4]
+                frame = body[off : off + elen]
+                if tc in (W.GCN_EVENT, W.SEQUENCE_EVENT):
+                    pending.append(bytes(frame))
+                    off += elen
+                    continue
                 if tc == W.GTID_LOG_EVENT:
                     # commit_flag(1) sid(16) gno(8) — group starts here
                     sid = bytes(body[off + 20 : off + 36])
@@ -573,9 +604,10 @@ class _Handler(socketserver.StreamRequestHandler):
                             W.PREVIOUS_GTIDS_LOG_EVENT, W.ROTATE_EVENT):
                     skip = False  # bookkeeping always flows; groups don't span files
                 if not skip:
-                    seq = _write_packet(
-                        self.wfile, seq, b"\x00" + body[off : off + elen]
-                    )
+                    for held in pending:
+                        seq = _write_packet(self.wfile, seq, b"\x00" + held)
+                    seq = _write_packet(self.wfile, seq, b"\x00" + frame)
+                pending = []
                 off += elen
         _write_packet(self.wfile, seq, b"\xfe\x00\x00\x02\x00")
 

@@ -185,18 +185,21 @@ def read_socket_cdc(
 
 def wire_stream(spark: SparkSession, wire_dir: str) -> DataFrame:
     """STREAMING attach to a directory of REAL binlog wire files — tail a
-    relay/standby directory (e.g. one `dump_server.relay_copy` maintains)
-    with Structured Streaming: each newly-LANDED rotation-complete file
-    streams through the engine decoder as one Arrow batch. The streaming
-    twin of `binlog_wire.read_wire_binlog` (same output columns, so
-    appliers replay by (file_name, pos) identically); the reference's
+    relay/standby directory with Structured Streaming: each newly-LANDED
+    file streams through the engine decoder as one Arrow batch. The
+    streaming twin of `binlog_wire.read_wire_binlog`: BOTH paths decode
+    through `binlog_wire.wire_frame_rows`, so (file_name, pos) positions
+    are identical and an applier can move between them. The reference's
     BinlogExtractor tails local binlog files the same way
     (BinlogExtractor.java:161-236).
 
-    File-source semantics: a file is consumed ONCE when it appears —
-    rotation-complete files only (the live-growing tail file belongs to
-    the follow-mode dump or the next availableNow pass after it rotates).
-    Payload-compressed (TRANSACTION_PAYLOAD) files expand transparently.
+    File-source semantics: a file is consumed ONCE when it first appears
+    — bytes appended later are NOT re-read. Point this at a directory
+    where files land COMPLETE: `dump_server.relay_copy(stage_tail=True)`
+    keeps the in-flight tail under an underscore-prefixed name (which
+    Spark's listing ignores) and renames it into view only when its
+    successor starts, exactly for this consumer. Payload-compressed
+    (TRANSACTION_PAYLOAD) files expand transparently.
     """
     from polardbx_cdc_spark import binlog_wire as W
 
@@ -208,56 +211,27 @@ def wire_stream(spark: SparkSession, wire_dir: str) -> DataFrame:
                 "length long, content binary")
         .option("pathGlobFilter", "binlog.*")
         .load(wire_dir)
-        .select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
-            F.col("content").alias("payload"),
-        )
-    )
-
-    out_schema = (
-        "file_name string, pos long, kind string, db string, tbl string, "
-        "pk string, value double, xid long"
+        .select("path", "content")
     )
 
     def decode_files(batches):
+        import os
+
         import pandas as pd
 
-        _ACTION = {
-            W.WRITE_ROWS_EVENT: "INSERT", W.UPDATE_ROWS_EVENT: "UPDATE",
-            W.DELETE_ROWS_EVENT: "DELETE", W.WRITE_ROWS_EVENT_V1: "INSERT",
-            W.UPDATE_ROWS_EVENT_V1: "UPDATE", W.DELETE_ROWS_EVENT_V1: "DELETE",
-        }
         for pdf in batches:
-            rows = []
-            for fname, blob in zip(pdf["file_name"], pdf["payload"]):
-                buf = bytes(blob)
-                if buf[:4] == W.MAGIC:
-                    buf = buf[4:]
-                pos = 0
-                for ev in W.expand_payload_events(
-                    W.decode_events(buf, tolerate_truncation=True)
-                ):
-                    if ev["type"] in _ACTION:
-                        for row in ev["rows"]:
-                            img = (
-                                row[1] if ev["type"] in W.UPDATE_EVENTS else row
-                            )
-                            rows.append((fname, pos, _ACTION[ev["type"]],
-                                         ev["db"], ev["tbl"],
-                                         img[0], img[1], None))
-                            pos += 1
-                    elif ev["type"] == W.XID_EVENT:
-                        rows.append((fname, pos, "COMMIT", None, None,
-                                     None, None, ev["xid"]))
-                        pos += 1
-                    elif ev["type"] == W.QUERY_EVENT and ev.get("query") == "BEGIN":
-                        rows.append((fname, pos, "BEGIN", None, None,
-                                     None, None, None))
-                        pos += 1
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                out.extend(
+                    W.wire_frame_rows(
+                        os.path.basename(path), bytes(content),
+                        tolerate_truncation=True,
+                    )
+                )
             yield pd.DataFrame(
-                rows,
+                out,
                 columns=["file_name", "pos", "kind", "db", "tbl",
                          "pk", "value", "xid"],
             )
 
-    return blobs.mapInPandas(decode_files, out_schema)
+    return blobs.mapInPandas(decode_files, W.WIRE_FRAME_SCHEMA)

@@ -254,6 +254,18 @@ def test_consumer_group_commits_fetched_bytes_not_later_listing(spark, tmp_path)
         third = D.consume_from_group(spark, host, port, group, "m0")
         assert [int(r["pk"]) for r in third.collect()] == [5]
 
+        # resume position = a fully-DRAINED file, successor appears with
+        # no further append: the blob's first frame is the successor's
+        # FDE at offset 0 — the hop must still be detected or the commit
+        # records a bogus ever-growing offset on the old file and every
+        # consume re-delivers the successor (duplicate-delivery class)
+        W.write_binlog_file(wire + "/binlog.000003", [rows_event([["6", 6.0]])])
+        fourth = D.consume_from_group(spark, host, port, group, "m0")
+        assert [int(r["pk"]) for r in fourth.collect()] == [6]
+        size3 = os.path.getsize(wire + "/binlog.000003")
+        assert group.committed()["wire"] == f"binlog.000003:{size3:012d}"
+        assert D.consume_from_group(spark, host, port, group, "m0").count() == 0
+
 
 def test_consumer_group_resume_over_network(spark, tmp_path):
     """Consumer-group + dump-server integration: first consume delivers

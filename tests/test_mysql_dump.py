@@ -547,6 +547,10 @@ def test_com_query_replication_preamble(gtid_wire):
     names, rows = M.query(host, port, "SELECT UNIX_TIMESTAMP()")
     assert int(rows[0][0]) > 1_700_000_000
 
+    # the stock mysql client's OPENING statement carries a LIMIT tail
+    names, rows = M.query(host, port, "select @@version_comment limit 1")
+    assert rows[0][0] == "polardbx-cdc-spark dump endpoint"
+
 
 # -- GTID set algebra (pure helpers behind the attach resolution) ------------
 
@@ -587,3 +591,39 @@ def test_gtid_set_wire_roundtrip_property():
         assert M._parse_gtid_set(M.encode_gtid_set(gs)) == gs
 
     check()
+
+
+def test_gtid_attach_keeps_next_txns_gcn_carrier(tmp_path):
+    """GCN carriers precede their txn's GTID on exported files; the skip
+    from an executed txn must not swallow the NEXT txn's GCN (regression:
+    skip cleared only at the next GTID, which is after the carrier)."""
+    wire = str(tmp_path / "gcnw")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+
+    def gtxn(gno, gcn, vals):
+        return (
+            W.encode_gcn(gcn)
+            + W.encode_gtid(SID_A, gno)
+            + W.encode_query("", "BEGIN")
+            + W.encode_table_map(3, td)
+            + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, vals)
+            + W.encode_xid(gno)
+        )
+
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_previous_gtids({}),
+         gtxn(1, 1111, [[10]]), gtxn(2, 2222, [[20]])],
+    )
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        relay = M.binlog_dump_gtid_fetch(host, port, {SID_A: [(1, 2)]})
+    evs = W.decode_events(relay)
+    # txn 2 arrives COMPLETE: its GCN carrier, GTID, rows, XID
+    assert [e["gcn"] for e in evs if e["type"] == W.GCN_EVENT] == [2222]
+    assert [e["gno"] for e in evs if e["type"] == W.GTID_LOG_EVENT] == [2]
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[20]]
+    # and the SKIPPED txn's carrier did not leak through
+    assert all(e.get("gcn") != 1111 for e in evs)

@@ -1565,3 +1565,65 @@ def test_continuous_wire_export_with_flags(spark, sf_dir, tmp_path):
         .count()
     )
     assert n_rows == expected
+
+
+def test_relay_stage_tail_feeds_wire_stream_without_loss(spark, tmp_path):
+    """relay_copy(stage_tail=True) + wire_stream: the growing chain tail
+    stays hidden (underscore-staged) until its successor starts, so the
+    streaming consumer NEVER half-reads a file — bytes appended to the
+    tail between passes are not lost (the file-source consumes each path
+    exactly once)."""
+    import os
+
+    from polardbx_cdc_spark import binlog_wire as W
+    from polardbx_cdc_spark import dump_server as D
+    from polardbx_cdc_spark.streaming import source
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    os.makedirs(src)
+    td = W.TableDef("d", "t", [(W.TYPE_VARCHAR, 64), (W.TYPE_DOUBLE, 8)])
+
+    def rows_event(vals):
+        return W.encode_table_map(3, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, vals
+        )
+
+    W.write_binlog_file(src + "/binlog.000001", [rows_event([["1", 1.0]])],
+                        next_file="binlog.000002")
+    W.write_binlog_file(src + "/binlog.000002", [rows_event([["2", 2.0]])])
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def stream_once():
+        q = (
+            source.wire_stream(spark, dst)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    with D.DumpServer(src) as srv:
+        host, port = srv.address
+        D.relay_copy(host, port, dst, stage_tail=True)
+        # the chain tail (000002) is staged out of view; 000001 visible
+        assert sorted(os.listdir(dst)) == [
+            "_binlog.000002.inprogress", "binlog.000001"
+        ]
+        stream_once()
+        got = spark.read.parquet(out)
+        assert sorted(r["pk"] for r in got.filter("kind='INSERT'").collect()) == ["1"]
+
+        # the tail GROWS after the first stream pass — the appended row
+        # must not be lost when the file later becomes visible
+        with open(src + "/binlog.000002", "ab") as fh:
+            fh.write(rows_event([["3", 3.0]]))
+        W.write_binlog_file(src + "/binlog.000003", [rows_event([["4", 4.0]])])
+        D.relay_copy(host, port, dst, stage_tail=True)
+        assert "binlog.000002" in os.listdir(dst)  # finalized, complete
+        stream_once()
+        got = spark.read.parquet(out)
+        assert sorted(r["pk"] for r in got.filter("kind='INSERT'").collect()) == [
+            "1", "2", "3"
+        ]  # row 3 arrived WITH its file; row 4 still staged in the tail
+        assert "_binlog.000003.inprogress" in os.listdir(dst)
