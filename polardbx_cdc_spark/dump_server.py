@@ -68,9 +68,13 @@ class _Handler(socketserver.StreamRequestHandler):
         cmd = req.get("cmd")
         srv: DumpServer = self.server.dump_server  # type: ignore[attr-defined]
         if cmd == "list":
-            self._meta({"ok": True, "files": srv.list_files()})
+            self._meta({"ok": True,
+                        "files": srv.list_files(req.get("stream") or None)})
+        elif cmd == "streams":
+            self._meta({"ok": True, "streams": srv.list_streams()})
         elif cmd == "seek_tso":
-            hit = srv.seek_tso(str(req.get("tso", "")))
+            hit = srv.seek_tso(str(req.get("tso", "")),
+                               req.get("stream") or None)
             self._meta({"ok": True, "position": hit})
         elif cmd == "dump":
             name, pos = req.get("file"), int(req.get("pos", 4))
@@ -195,33 +199,55 @@ class DumpServer:
         self.stop()
 
     # -- catalog helpers (driver-side, bounded: one stat per file) ---------
-    def _files(self) -> list[str]:
+    @staticmethod
+    def _prefix(stream: str | None) -> str:
+        """File-name prefix of one chain: the global binlog, or a
+        Binlog-X per-stream chain (export_wire_files_x naming
+        ``binlog-x-<stream>.NNNNNN``)."""
+        return f"binlog-x-{stream}." if stream else "binlog."
+
+    def _files(self, stream: str | None = None) -> list[str]:
+        pre = self._prefix(stream)
         return sorted(
             f for f in os.listdir(self.wire_dir)
-            if f.startswith("binlog.") and f.split(".")[-1].isdigit()
+            if f.startswith(pre) and f.split(".")[-1].isdigit()
+            and f[len(pre):].isdigit()
         )
 
-    def list_files(self) -> list[dict]:
+    def list_streams(self) -> list[str]:
+        """SHOW BINARY STREAMS over the wire directory: distinct Binlog-X
+        stream names present (the multi-stream catalog surface,
+        binlog-commands-intro.md:169)."""
+        names = set()
+        for f in os.listdir(self.wire_dir):
+            if f.startswith("binlog-x-") and f.split(".")[-1].isdigit():
+                names.add(f[len("binlog-x-"):].rsplit(".", 1)[0])
+        return sorted(names)
+
+    def list_files(self, stream: str | None = None) -> list[dict]:
         return [
             {"file_name": f,
              "size": os.path.getsize(os.path.join(self.wire_dir, f))}
-            for f in self._files()
+            for f in self._files(stream)
         ]
 
     def chain_from(self, name: str | None) -> list[str]:
-        files = self._files()
+        stream = None
+        if name and name.startswith("binlog-x-"):
+            stream = name[len("binlog-x-"):].rsplit(".", 1)[0]
+        files = self._files(stream)
         if name not in files:
             return []
         return files[files.index(name):]
 
-    def seek_tso(self, tso: str) -> dict | None:
+    def seek_tso(self, tso: str, stream: str | None = None) -> dict | None:
         """Byte-offset variant of ``binlog_wire.seek_wire_position``: walk
         the rotated chain in order and return the first GCN event at or
         past the target. The walk reads headers only (no row decode) and
         each file is rotation-bounded, so the scan is O(chain bytes) worst
         case and stops at the first hit."""
         target = min(int(str(tso)[:19].ljust(19, "0")), (1 << 63) - 1)
-        for fname in self._files():
+        for fname in self._files(stream):
             with open(os.path.join(self.wire_dir, fname), "rb") as fh:
                 buf = fh.read()
             if buf[:4] != W.MAGIC:
@@ -249,13 +275,23 @@ def _request(host: str, port: int, req: dict) -> tuple[dict, bytes]:
     return meta, body
 
 
-def list_files(host: str, port: int) -> list[dict]:
-    meta, _ = _request(host, port, {"cmd": "list"})
+def list_files(host: str, port: int, stream: str | None = None) -> list[dict]:
+    meta, _ = _request(host, port, {"cmd": "list", "stream": stream or ""})
     return meta["files"]
 
 
-def seek_tso(host: str, port: int, tso: str) -> dict | None:
-    meta, _ = _request(host, port, {"cmd": "seek_tso", "tso": str(tso)})
+def list_streams(host: str, port: int) -> list[str]:
+    """SHOW BINARY STREAMS: the Binlog-X stream names the server carries."""
+    meta, _ = _request(host, port, {"cmd": "streams"})
+    return meta["streams"]
+
+
+def seek_tso(host: str, port: int, tso: str,
+             stream: str | None = None) -> dict | None:
+    meta, _ = _request(
+        host, port,
+        {"cmd": "seek_tso", "tso": str(tso), "stream": stream or ""},
+    )
     return meta["position"]
 
 

@@ -514,3 +514,54 @@ def test_relay_copy_drops_master_torn_tail(tmp_path):
         evs = W.read_binlog_file(dst + "/binlog.000001")
         rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
         assert rows == [[7], [8]]
+
+
+def test_binlog_x_streams_served_per_chain(spark, sf_dir, tmp_path):
+    """Binlog-X multi-stream dump serving: the per-stream wire chains
+    (binlog-x-<stream>.NNNNNN) list, seek and dump independently; SHOW
+    BINARY STREAMS surfaces the stream names; each stream's relay decodes
+    to exactly its routed subset."""
+    import os
+
+    from polardbx_cdc_spark import binlog_wire as W
+    from polardbx_cdc_spark.operators import routing
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    cfg = routing.StreamRoutingConfig(stream_count=2, default_level="TABLE")
+    tmpdir = str(tmp_path)
+    out, wire = tmpdir + "/binlog_x", tmpdir + "/wire_x"
+    q, sink = pipeline.run_binlog_x_pipeline(
+        source.cdc_stream(spark, sf_dir), cfg, out, tmpdir + "/ckpt",
+        rotate_rows=300,
+    )
+    q.awaitTermination(120)
+    W.export_wire_files_x(spark, out, wire).collect()
+
+    with D.DumpServer(wire) as srv:
+        host, port = srv.address
+        streams = D.list_streams(host, port)
+        assert len(streams) == 2
+        # the default (global) listing stays empty here: no binlog.* chain
+        assert D.list_files(host, port) == []
+        total = 0
+        for st in streams:
+            files = D.list_files(host, port, stream=st)
+            assert files and all(
+                f["file_name"].startswith(f"binlog-x-{st}.") for f in files
+            )
+            blob = D.dump_fetch(host, port, files[0]["file_name"], 4)
+            evs = W.decode_events(blob)
+            n = sum(len(e["rows"]) for e in evs if e["type"] in W.ROWS_EVENTS)
+            expected = (
+                spark.read.parquet(out)
+                .filter(f"stream_id = '{st}'")
+                .filter("action in ('INSERT','UPDATE','DELETE')")
+                .count()
+            )
+            assert n == expected > 0
+            total += n
+    assert total == (
+        spark.read.parquet(out)
+        .filter("action in ('INSERT','UPDATE','DELETE')")
+        .count()
+    )
