@@ -407,7 +407,8 @@ def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"
 
 
 def relay_copy(host: str, port: int, dest_dir: str,
-               follow: float = 0, stage_tail: bool = False) -> list[str]:
+               follow: float = 0, stage_tail: bool = False,
+               stream: str | None = None) -> list[str]:
     """Master→standby wire-file replication over the dump protocol — the
     reference's dumper file copier (LogFileCopier.java keeps a slave
     dumper's binlog directory in sync from the master's dump stream).
@@ -420,12 +421,17 @@ def relay_copy(host: str, port: int, dest_dir: str,
     refetched next run, never persisted). Returns the list of local files
     touched this call (by their real names).
 
+    ``stream``: replicate one Binlog-X per-stream chain
+    (``binlog-x-<stream>.NNNNNN``) instead of the global chain — run one
+    copier per stream for a full Binlog-X standby.
+
     ``stage_tail=True``: the in-flight chain tail is kept under an
     underscore-prefixed staging name (``_<name>.inprogress``) — which
     Spark's file listings ignore — and renamed into view only once its
     successor starts, so a Structured Streaming consumer
     (`streaming.source.wire_stream`) never half-reads a growing file."""
     os.makedirs(dest_dir, exist_ok=True)
+    pre = DumpServer._prefix(stream)
 
     def _staged(name: str) -> str:
         return f"_{name}.inprogress"
@@ -439,18 +445,18 @@ def relay_copy(host: str, port: int, dest_dir: str,
 
     local = sorted(
         f for f in os.listdir(dest_dir)
-        if f.startswith("binlog.") and f.split(".")[-1].isdigit()
+        if f.startswith(pre) and f[len(pre):].isdigit()
     )
     staged = sorted(
         f[1:].removesuffix(".inprogress") for f in os.listdir(dest_dir)
-        if f.startswith("_binlog.") and f.endswith(".inprogress")
+        if f.startswith("_" + pre) and f.endswith(".inprogress")
     )
     all_local = sorted(set(local) | set(staged))
     if all_local:
         start_file = all_local[-1]
         start_pos = _local_size(start_file) or 4
     else:
-        files = list_files(host, port)
+        files = list_files(host, port, stream)
         if not files:
             return []
         start_file, start_pos = files[0]["file_name"], 4
@@ -499,7 +505,7 @@ def relay_copy(host: str, port: int, dest_dir: str,
                 _finalize(cur)
                 idx += 1
                 cur = chain[idx] if idx < len(chain) else (
-                    f"binlog.{int(cur.split('.')[-1]) + 1:06d}"
+                    f"{pre}{int(cur.rsplit('.', 1)[-1]) + 1:06d}"
                 )
                 out = _open(cur)
             out.write(frame)

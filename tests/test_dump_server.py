@@ -565,3 +565,33 @@ def test_binlog_x_streams_served_per_chain(spark, sf_dir, tmp_path):
         .filter("action in ('INSERT','UPDATE','DELETE')")
         .count()
     )
+
+
+def test_relay_copy_per_stream(tmp_path):
+    """One copier per Binlog-X stream: each replicates its own chain
+    byte-identically and independently resumes."""
+    import os
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    os.makedirs(src)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+
+    def rows_event(vals):
+        return W.encode_table_map(3, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, vals
+        )
+
+    W.write_binlog_file(src + "/binlog-x-s0.000001", [rows_event([[1]])])
+    W.write_binlog_file(src + "/binlog-x-s1.000001", [rows_event([[2]])])
+    with D.DumpServer(src) as srv:
+        host, port = srv.address
+        assert D.relay_copy(host, port, dst, stream="s0") == ["binlog-x-s0.000001"]
+        assert D.relay_copy(host, port, dst, stream="s1") == ["binlog-x-s1.000001"]
+        # grow s0 only; per-stream resume copies only its delta
+        with open(src + "/binlog-x-s0.000001", "ab") as fh:
+            fh.write(rows_event([[3]]))
+        assert D.relay_copy(host, port, dst, stream="s0") == ["binlog-x-s0.000001"]
+        for f in ("binlog-x-s0.000001", "binlog-x-s1.000001"):
+            with open(os.path.join(src, f), "rb") as a, \
+                 open(os.path.join(dst, f), "rb") as b:
+                assert a.read() == b.read(), f
