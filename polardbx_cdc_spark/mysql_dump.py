@@ -299,12 +299,14 @@ class _Handler(socketserver.StreamRequestHandler):
                 return  # dump holds the connection; done = close
             if cmd == COM_BINLOG_DUMP_GTID:
                 # flags(2) server_id(4) name_len(4) name pos(8) data_len(4) data
+                gflags = struct.unpack_from("<H", payload, 1)[0]
                 name_len = struct.unpack_from("<I", payload, 7)[0]
                 p = 11 + name_len
                 p += 8  # pos — GTID attach resolves its own start
                 data_len = struct.unpack_from("<I", payload, p)[0]
                 executed = _parse_gtid_set(payload[p + 4 : p + 4 + data_len])
-                self._stream_dump_gtid(srv, executed)
+                self._stream_dump_gtid(srv, executed,
+                                       block=not (gflags & 0x01))
                 return
             if cmd == COM_QUERY:
                 self._answer_query(srv, payload[1:].decode(errors="replace"))
@@ -542,7 +544,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 fh.seek(elen - W.HEADER_LEN, 1)
 
     def _stream_dump_gtid(self, srv: "MySQLDumpServer",
-                          executed: GtidSet) -> None:
+                          executed: GtidSet, block: bool = False) -> None:
         """COM_BINLOG_DUMP_GTID: resolve the replica's executed-GTID set
         to a start file (latest file whose PREVIOUS_GTIDS ⊆ executed —
         the server's Gtid_state::find lookup), then stream the chain
@@ -574,6 +576,7 @@ class _Handler(socketserver.StreamRequestHandler):
             ))
             return
         seq = 1
+        cur, cur_off = files[start_idx], 4
         for name in files[start_idx:]:
             with open(os.path.join(srv.wire_dir, name), "rb") as fh:
                 buf = fh.read()
@@ -609,7 +612,17 @@ class _Handler(socketserver.StreamRequestHandler):
                     seq = _write_packet(self.wfile, seq, b"\x00" + frame)
                 pending = []
                 off += elen
-        _write_packet(self.wfile, seq, b"\xfe\x00\x00\x02\x00")
+            cur, cur_off = name, off + 4
+        if block:
+            # auto-position replicas block by default too: after catch-up
+            # the stream stays open and newly-appended transactions push
+            # live (fresh GTIDs are by construction not in the replica's
+            # executed set, so no skip evaluation is needed on the tail)
+            seq = self._follow_live(srv, cur, cur_off, seq)
+        try:
+            _write_packet(self.wfile, seq, b"\xfe\x00\x00\x02\x00")
+        except OSError:
+            pass  # replica already detached
 
 
 class _Server(socketserver.ThreadingTCPServer):
@@ -702,12 +715,13 @@ def binlog_dump_fetch(host: str, port: int, file_name: str = "",
 
 
 def binlog_dump_gtid_fetch(host: str, port: int, executed: GtidSet,
-                           server_id: int = 99) -> bytes:
+                           server_id: int = 99, block: bool = False,
+                           timeout: float = 30.0) -> bytes:
     """Attach like a GTID replica: handshake → COM_BINLOG_DUMP_GTID with
     the executed-GTID set → collect raw event bytes until EOF. The server
     resolves the start file from its PREVIOUS_GTIDS chain and skips every
     transaction the set already covers."""
-    with socket.create_connection((host, port), timeout=30) as sock:
+    with socket.create_connection((host, port), timeout=timeout) as sock:
         rf = sock.makefile("rb")
         wf = sock.makefile("wb")
         greet = _read_packet(rf)
@@ -724,7 +738,8 @@ def binlog_dump_gtid_fetch(host: str, port: int, executed: GtidSet,
         data = encode_gtid_set(executed)
         dump = (
             bytes([COM_BINLOG_DUMP_GTID])
-            + struct.pack("<H", 0x04)  # BINLOG_THROUGH_GTID
+            # BINLOG_THROUGH_GTID (0x04) | NON_BLOCK unless blocking
+            + struct.pack("<H", 0x04 | (0 if block else 0x01))
             + struct.pack("<I", server_id)
             + struct.pack("<I", 0)  # name_len: server resolves the file
             + struct.pack("<Q", 4)

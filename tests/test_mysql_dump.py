@@ -627,3 +627,44 @@ def test_gtid_attach_keeps_next_txns_gcn_carrier(tmp_path):
     assert rows == [[20]]
     # and the SKIPPED txn's carrier did not leak through
     assert all(e.get("gcn") != 1111 for e in evs)
+
+
+def test_gtid_blocking_attach_receives_live_txns(tmp_path):
+    """Auto-position attach WITHOUT NON_BLOCK: the replica catches up
+    (skipping executed txns) and then receives transactions appended
+    AFTER it attached, until the live-idle limit."""
+    import threading
+    import time
+
+    wire = str(tmp_path / "lwire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_previous_gtids({}), _txn(td, 1, [[10]], 1),
+         _txn(td, 2, [[20]], 2)],
+    )
+    srv = M.MySQLDumpServer(wire, live_idle_timeout=1.5,
+                            heartbeat_interval=0.3)
+    host, port = srv.start()
+    try:
+        result: dict = {}
+
+        def fetch():
+            result["body"] = M.binlog_dump_gtid_fetch(
+                host, port, {SID_A: [(1, 2)]}, block=True, timeout=60
+            )
+
+        t = threading.Thread(target=fetch)
+        t.start()
+        time.sleep(0.5)
+        with open(wire + "/binlog.000001", "ab") as fh:  # live txn 3
+            fh.write(_txn(td, 3, [[30]], 3))
+        t.join(timeout=30)
+        assert not t.is_alive()
+        evs = W.decode_events(result["body"])
+        assert [e["gno"] for e in evs if e["type"] == W.GTID_LOG_EVENT] == [2, 3]
+        rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+        assert rows == [[20], [30]]
+    finally:
+        srv.stop()
