@@ -30,6 +30,7 @@ _NAMES = {
     W.ANONYMOUS_GTID_LOG_EVENT: "Anonymous_Gtid",
     W.PREVIOUS_GTIDS_LOG_EVENT: "Previous_gtids",
     W.HEARTBEAT_LOG_EVENT: "Heartbeat",
+    W.TRANSACTION_PAYLOAD_EVENT: "Transaction_payload",
 }
 
 
@@ -59,6 +60,18 @@ def _info(ev: dict) -> str:
         return ev.get("rows_query", "")[:120]
     if t == W.ROTATE_EVENT:
         return f"next={ev['next_file']} pos={ev['position']}"
+    if t == W.TRANSACTION_PAYLOAD_EVENT:
+        alg = {W.COMPRESS_ZSTD: "ZSTD", W.COMPRESS_NONE: "NONE"}.get(
+            ev["compression_type"], ev["compression_type"]
+        )
+        inner = ", ".join(
+            _NAMES.get(e["type"], f"Unknown({e['type']})")
+            for e in ev.get("events", [])
+        )
+        return (f"{alg} uncompressed={ev['uncompressed_size']}B "
+                f"[{inner}]")[:160]
+    if t == W.HEARTBEAT_LOG_EVENT:
+        return ev.get("log_ident", "")
     return ""
 
 
