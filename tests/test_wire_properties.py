@@ -302,3 +302,27 @@ def test_partial_row_images_round_trip_any_mask(table, data):
         assert "present_columns" not in ev
     else:
         assert ev["present_columns"] == [i for i, m in enumerate(mask) if m]
+
+
+@given(_tables(), st.data())
+@settings(max_examples=40, deadline=None)
+def test_payload_wrap_of_partial_images(table, data):
+    """Interaction property: TRANSACTION_PAYLOAD framing over PARTIAL row
+    images — wrap(mask(events)) decodes exactly like mask(events), with
+    the partial markers intact inside the payload."""
+    decls, rows = table
+    td = W.TableDef.from_mysql_types("d", "t", decls)
+    n = len(decls)
+    mask = data.draw(
+        st.lists(st.booleans(), min_size=n, max_size=n).filter(any)
+    )
+    evs = [
+        W.encode_table_map(1, td),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td, rows, present=mask),
+    ]
+    plain = W.decode_events(b"".join(evs))
+    wrapped = W.decode_events(W.encode_transaction_payload(evs))[0]["events"]
+    assert wrapped == plain
+    ev = [e for e in wrapped if e["type"] == W.WRITE_ROWS_EVENT][0]
+    if not all(mask):
+        assert ev["present_columns"] == [i for i, m in enumerate(mask) if m]
