@@ -54,9 +54,16 @@ def main() -> None:
         sa, sb = (a.get(sec) or {}).get("ratio_vs_base"), (b.get(sec) or {}).get("ratio_vs_base")
         if sa and sb:
             ks = sorted(set(sa) & set(sb), key=lambda k: sb[k] - sa[k], reverse=True)
-            print(f"\n{sec} ratio-vs-base drift (top 5):")
+            print(f"\n{sec} ratio-vs-base drift (top 5, SHARED-JVM — noisy):")
             for k in ks[:5]:
                 print(f"  {k:40s} {sa[k]:.1f}x -> {sb[k]:.1f}x")
+        # clean-JVM re-measures (round 7+): the trustworthy cross-round axis
+        ca, cb = (a.get(sec) or {}).get("clean"), (b.get(sec) or {}).get("clean")
+        if cb:
+            print(f"\n{sec} clean-JVM timings (fresh subprocess, best-of-2):")
+            for k in sorted(cb, key=lambda k: -cb[k]):
+                prev = f"{ca[k]:7.3f}s ->" if ca and k in ca else "   (new)   "
+                print(f"  {k:40s} {prev} {cb[k]:7.3f}s")
 
 
 if __name__ == "__main__":
