@@ -1627,3 +1627,68 @@ def test_relay_stage_tail_feeds_wire_stream_without_loss(spark, tmp_path):
             "1", "2", "3"
         ]  # row 3 arrived WITH its file; row 4 still staged in the tail
         assert "_binlog.000003.inprogress" in os.listdir(dst)
+
+
+def test_full_standby_topology_converges_to_master_state(spark, sf_dir, tmp_path):
+    """Capstone: master pipeline renders wire files → dump server serves
+    them → relay_copy maintains a standby directory (staged tail) →
+    wire_stream consumes it → last-image collapse = the replica's final
+    table state, equal to the master's own collapse over its sink. The
+    reference's full master→standby→replica topology in one test."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark import dump_server as D
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    tmpdir = str(tmp_path)
+    out, wire, relay = tmpdir + "/binlog", tmpdir + "/wire", tmpdir + "/relay"
+    q, sink = pipeline.run_binlog_pipeline(
+        source.cdc_stream(spark, sf_dir), out, tmpdir + "/ckpt",
+        rotate_rows=300, frame_txns=True, wire_dir=wire,
+    )
+    q.awaitTermination(120)
+    sink.flush()
+    sink._export_wire(spark)
+
+    with D.DumpServer(wire) as srv:
+        host, port = srv.address
+        D.relay_copy(host, port, relay, stage_tail=True)
+
+    sq = (
+        source.wire_stream(spark, relay)
+        .writeStream.format("parquet")
+        .option("path", tmpdir + "/replica_feed")
+        .option("checkpointLocation", tmpdir + "/sckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+
+    def last_image(df):
+        w = Window.partitionBy("db", "tbl", "pk").orderBy(
+            F.desc("file_name"), F.desc("pos")
+        )
+        return (
+            df.filter(F.col("kind").isin("INSERT", "UPDATE", "DELETE"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1 AND kind <> 'DELETE'")
+            .select("db", "tbl", "pk", "value")
+        )
+
+    # replica state from the STREAMED relay; master state from its own
+    # wire files (minus the staged tail, which the stream can't see yet)
+    visible = sorted(
+        f for f in os.listdir(relay) if f.startswith("binlog.")
+    )
+    from polardbx_cdc_spark import binlog_wire as W
+
+    master = W.read_wire_binlog(spark, wire).filter(
+        F.col("file_name").isin(visible)
+    )
+    replica = spark.read.parquet(tmpdir + "/replica_feed")
+    a = last_image(master).orderBy("db", "tbl", "pk").collect()
+    b = last_image(replica).orderBy("db", "tbl", "pk").collect()
+    assert a == b and len(a) > 0
