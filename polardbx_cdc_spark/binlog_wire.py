@@ -1029,17 +1029,54 @@ _OTW_COMPRESSION_TYPE = 2
 _OTW_UNCOMPRESSED_SIZE = 3
 
 
-def _zstd_module():
+def _zstd_compress(raw: bytes) -> bytes:
+    """ZSTD-compress a payload: real entropy coding when the
+    ``zstandard`` package is present, else a spec-valid raw-block frame
+    from the vendored :mod:`polardbx_cdc_spark.zstd_mini` codec (legal
+    Zstandard any conforming decoder reads — the libzstd stored-block
+    fallback — just without size reduction)."""
     try:
         import zstandard  # type: ignore[import-not-found]
 
-        return zstandard
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "TRANSACTION_PAYLOAD with ZSTD compression needs the "
-            "'zstandard' package (not in this container); use "
-            "COMPRESS_NONE, or install zstandard for full parity"
-        ) from exc
+        return zstandard.ZstdCompressor().compress(raw)
+    except ImportError:
+        from polardbx_cdc_spark import zstd_mini
+
+        return zstd_mini.compress(raw)
+
+
+def _zstd_decompress(blob: bytes, usize: int | None) -> bytes:
+    """Decode a ZSTD payload body. The vendored frame codec handles
+    raw/RLE-block frames with zero dependencies; entropy-coded frames
+    (a real 8.0.20+ server's output) fall back to the ``zstandard``
+    package. ``usize`` (the payload TLV's UNCOMPRESSED_SIZE) is
+    optional on the wire — when absent the fallback streams instead of
+    pre-allocating (frames need not embed a content size)."""
+    from polardbx_cdc_spark import zstd_mini
+
+    try:
+        raw = zstd_mini.decompress(blob)
+    except zstd_mini.UnsupportedFrame:
+        try:
+            import zstandard  # type: ignore[import-not-found]
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "entropy-coded ZSTD TRANSACTION_PAYLOAD needs the "
+                "'zstandard' package (not in this container); raw-block "
+                "frames decode natively"
+            ) from exc
+        if usize:
+            return zstandard.ZstdDecompressor().decompress(
+                blob, max_output_size=usize
+            )
+        # no UNCOMPRESSED_SIZE TLV: streaming decompress (no content-size
+        # requirement on the frame)
+        return zstandard.ZstdDecompressor().decompressobj().decompress(blob)
+    if usize is not None and len(raw) != usize:
+        raise ValueError(
+            f"payload UNCOMPRESSED_SIZE mismatch: TLV {usize}, frame {len(raw)}"
+        )
+    return raw
 
 
 def strip_event_checksums(stream: bytes) -> bytes:
@@ -1086,7 +1123,7 @@ def encode_transaction_payload(events: list[bytes] | bytes,
     stream = b"".join(events) if isinstance(events, (list, tuple)) else events
     raw = strip_event_checksums(stream)
     if compression == COMPRESS_ZSTD:
-        body = _zstd_module().ZstdCompressor().compress(raw)
+        body = _zstd_compress(raw)
     elif compression == COMPRESS_NONE:
         body = raw
     else:
@@ -1386,10 +1423,25 @@ def decode_events(buf: bytes, verify_crc: bool = True,
         elif tc == TRANSACTION_PAYLOAD_EVENT:
             p2, comp, usize, psize = 0, COMPRESS_NONE, None, None
             while True:
+                # bound the TLV walk by the event body: a truncated or
+                # malformed header is a ValueError (torn-frame class),
+                # never an IndexError out of _read_lenenc
+                if p2 >= len(body):
+                    raise ValueError(
+                        "truncated TRANSACTION_PAYLOAD header (no end mark)"
+                    )
                 ftype, p2 = _read_lenenc(body, p2)
                 if ftype == _OTW_HEADER_END:
                     break
+                if p2 >= len(body):
+                    raise ValueError(
+                        "truncated TRANSACTION_PAYLOAD header field"
+                    )
                 flen, p2 = _read_lenenc(body, p2)
+                if p2 + flen > len(body):
+                    raise ValueError(
+                        "TRANSACTION_PAYLOAD header field overruns event body"
+                    )
                 if ftype == _OTW_COMPRESSION_TYPE:
                     comp, _ = _read_lenenc(body, p2)
                 elif ftype == _OTW_UNCOMPRESSED_SIZE:
@@ -1399,9 +1451,7 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                 p2 += flen  # unknown fields skip by length (forward compat)
             blob = bytes(body[p2 : p2 + psize] if psize is not None else body[p2:])
             if comp == COMPRESS_ZSTD:
-                raw = _zstd_module().ZstdDecompressor().decompress(
-                    blob, max_output_size=usize or 0
-                )
+                raw = _zstd_decompress(blob, usize)
             elif comp == COMPRESS_NONE:
                 raw = blob
             else:
@@ -1939,7 +1989,17 @@ def wire_frame_rows(name: str, buf: bytes,
                 # frame contract is (pk, value); narrower or
                 # differently-typed tables surface what they
                 # have (typed decode uses binlog_to_table)
-                pk = str(img[0]) if img else None
+                pk_img = img
+                if tc in UPDATE_EVENTS and (not img or img[0] is None):
+                    # MINIMAL after-images omit the unchanged pk — the
+                    # before-image carries it; never render the literal
+                    # string "None" as a key
+                    pk_img = row[0]
+                pk = (
+                    str(pk_img[0])
+                    if pk_img and pk_img[0] is not None
+                    else None
+                )
                 val = img[1] if len(img) > 1 else None
                 out.append(
                     (name, pos, _ACTION[tc], ev["db"], ev["tbl"],

@@ -437,7 +437,10 @@ def relay_copy(host: str, port: int, dest_dir: str,
         return f"_{name}.inprogress"
 
     def _local_size(name: str) -> int | None:
-        for cand in (name, _staged(name)):
+        # a staged twin supersedes the final name: it is the in-flight
+        # tail a prior stage_tail run left, and _open below guarantees
+        # the write target holds exactly these bytes before appending
+        for cand in (_staged(name), name):
             p = os.path.join(dest_dir, cand)
             if os.path.exists(p):
                 return os.path.getsize(p)
@@ -472,9 +475,20 @@ def relay_copy(host: str, port: int, dest_dir: str,
     cur, idx = start_file, 0
 
     def _disk_name(name: str) -> str:
+        sp = os.path.join(dest_dir, _staged(name))
         if not stage_tail:
+            # adopt a leftover staged twin from a prior stage_tail run:
+            # the resume offset (_local_size) measured ITS bytes, so the
+            # append target must be the same file — else events
+            # [4, staged_size) vanish from the revealed file
+            if os.path.exists(sp):
+                os.replace(sp, os.path.join(dest_dir, name))
             return name
-        # already-final files stay final; everything else stages
+        # a staged twin is canonical wherever it exists (matches
+        # _local_size); otherwise already-final files stay final and
+        # new files stage
+        if os.path.exists(sp):
+            return _staged(name)
         return name if os.path.exists(os.path.join(dest_dir, name)) \
             else _staged(name)
 

@@ -215,6 +215,33 @@ _SERVER_VARS = {
 }
 
 
+def _split_select_list(body: str) -> list[str]:
+    """Split a SELECT expression list on TOP-LEVEL commas only —
+    paren-depth and quote aware, so ``CONCAT('a','b'), @@x`` is two
+    expressions, not three. Backslash escapes inside quotes honored."""
+    parts: list[str] = []
+    depth, quote, start, i = 0, "", 0, 0
+    while i < len(body):
+        c = body[i]
+        if quote:
+            if c == "\\" and quote in "'\"":
+                i += 1  # skip escaped char
+            elif c == quote:
+                quote = ""
+        elif c in "'\"`":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+        i += 1
+    parts.append(body[start:])
+    return [p.strip() for p in parts]
+
+
 def _col_def(name: str) -> bytes:
     """Protocol-41 column definition: every catalog field var_string."""
     def lcs(s: bytes) -> bytes:
@@ -376,7 +403,7 @@ class _Handler(socketserver.StreamRequestHandler):
             # "select @@version_comment limit 1" — strip the LIMIT tail
             body = _re.sub(r"\s+LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?\s*$", "",
                            q[6:], flags=_re.I)
-            exprs = [e.strip() for e in body.split(",")]
+            exprs = _split_select_list(body)
             names, vals = [], []
             for e in exprs:
                 alias = None
@@ -397,6 +424,15 @@ class _Handler(socketserver.StreamRequestHandler):
                 elif ue.startswith("'") or ue.isdigit():
                     names.append(alias or e)
                     vals.append(e.strip("'"))
+                elif "(" in e:
+                    # an unsupported function call: a NULL here would be
+                    # silently wrong — answer the way a server answers an
+                    # unknown function
+                    _write_packet(
+                        self.wfile, 1,
+                        _err_packet(1305, f"FUNCTION {e} does not exist"),
+                    )
+                    return
                 else:
                     names.append(alias or e)
                     vals.append(None)
@@ -606,11 +642,20 @@ class _Handler(socketserver.StreamRequestHandler):
                 elif tc in (W.FORMAT_DESCRIPTION_EVENT,
                             W.PREVIOUS_GTIDS_LOG_EVENT, W.ROTATE_EVENT):
                     skip = False  # bookkeeping always flows; groups don't span files
+                elif tc == W.ANONYMOUS_GTID_LOG_EVENT:
+                    # anonymous groups are never in the replica's executed
+                    # set — always stream them
+                    skip = False
                 if not skip:
                     for held in pending:
                         seq = _write_packet(self.wfile, seq, b"\x00" + held)
                     seq = _write_packet(self.wfile, seq, b"\x00" + frame)
                 pending = []
+                if tc == W.XID_EVENT:
+                    # transaction group ends at its XID: the skip decision
+                    # must not leak onto a following anonymous
+                    # (non-GTID-framed) transaction's events
+                    skip = False
                 off += elen
             cur, cur_off = name, off + 4
         if block:

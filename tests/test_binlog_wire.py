@@ -1325,22 +1325,22 @@ def test_transaction_payload_unknown_tlv_field_skipped():
     assert ev["events"] == W.decode_events(b"".join(evs))
 
 
-def test_transaction_payload_zstd_gated():
-    """ZSTD path: full round trip when the zstandard package exists,
-    a clear NotImplementedError when it doesn't (this container lacks
-    it — the NONE path above carries the format coverage)."""
+def test_transaction_payload_zstd_roundtrip():
+    """ZSTD path (round-8): always round-trips — real entropy coding
+    when the zstandard package exists, spec-valid raw-block frames from
+    the vendored zstd_mini codec when it doesn't (tests/test_zstd_payload
+    carries the frame-layer coverage)."""
     evs = _payload_txn_events()
+    wrapped = W.encode_transaction_payload(evs, compression=W.COMPRESS_ZSTD)
+    ev = W.decode_events(wrapped)[0]
+    assert ev["compression_type"] == W.COMPRESS_ZSTD
+    assert ev["events"] == W.decode_events(b"".join(evs))
     try:
         import zstandard  # noqa: F401
 
-        wrapped = W.encode_transaction_payload(evs, compression=W.COMPRESS_ZSTD)
         assert len(wrapped) < len(b"".join(evs))  # it actually compressed
-        ev = W.decode_events(wrapped)[0]
-        assert ev["compression_type"] == W.COMPRESS_ZSTD
-        assert ev["events"] == W.decode_events(b"".join(evs))
     except ImportError:
-        with pytest.raises(NotImplementedError, match="zstandard"):
-            W.encode_transaction_payload(evs, compression=W.COMPRESS_ZSTD)
+        pass  # raw-block frames: framing overhead only, no reduction
 
 
 # -- partial row images (binlog_row_image=MINIMAL / NOBLOB) -------------------

@@ -595,3 +595,51 @@ def test_relay_copy_per_stream(tmp_path):
             with open(os.path.join(src, f), "rb") as a, \
                  open(os.path.join(dst, f), "rb") as b:
                 assert a.read() == b.read(), f
+
+
+def test_relay_copy_mixed_stage_tail_runs_never_lose_bytes(tmp_path):
+    """ADVICE r7: a stage_tail=True run leaves the chain tail staged as
+    ``_<name>.inprogress``; a later stage_tail=False run must adopt that
+    staged twin (resume offset and write target = the same bytes), not
+    open a fresh final-name file missing [4, staged_size)."""
+    import os
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    os.makedirs(src)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+
+    def rows_event(vals):
+        return W.encode_table_map(3, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, vals
+        )
+
+    W.write_binlog_file(src + "/binlog.000001", [rows_event([[1], [2]])])
+    with D.DumpServer(src) as srv:
+        host, port = srv.address
+        D.relay_copy(host, port, dst, stage_tail=True)
+        # the chain tail is staged, invisible to file listings
+        assert os.path.exists(dst + "/_binlog.000001.inprogress")
+        assert not os.path.exists(dst + "/binlog.000001")
+
+        # master grows, then a NON-staging run resumes
+        with open(src + "/binlog.000001", "ab") as fh:
+            fh.write(rows_event([[3]]))
+        D.relay_copy(host, port, dst, stage_tail=False)
+        assert not os.path.exists(dst + "/_binlog.000001.inprogress")
+        with open(src + "/binlog.000001", "rb") as a, \
+             open(dst + "/binlog.000001", "rb") as b:
+            assert a.read() == b.read()
+        rows = [
+            r for e in W.read_binlog_file(dst + "/binlog.000001")
+            if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]
+        ]
+        assert rows == [[1], [2], [3]]
+
+        # and the inverse order (final exists, then stage_tail=True run)
+        # keeps appending to the revealed file, byte-identical
+        with open(src + "/binlog.000001", "ab") as fh:
+            fh.write(rows_event([[4]]))
+        D.relay_copy(host, port, dst, stage_tail=True)
+        with open(src + "/binlog.000001", "rb") as a, \
+             open(dst + "/binlog.000001", "rb") as b:
+            assert a.read() == b.read()

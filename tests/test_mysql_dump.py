@@ -668,3 +668,49 @@ def test_gtid_blocking_attach_receives_live_txns(tmp_path):
         assert rows == [[20], [30]]
     finally:
         srv.stop()
+
+
+def test_gtid_skip_resets_at_xid_for_following_anonymous_txn(tmp_path):
+    """ADVICE r7: the skip decision of an executed GTID transaction must
+    end at its XID — a following transaction with NO GTID framing (an
+    anonymous group) must stream, not inherit the skip."""
+    wire = str(tmp_path / "anonw")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+
+    def body(vals, xid):
+        return (
+            W.encode_query("", "BEGIN")
+            + W.encode_table_map(3, td)
+            + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, vals)
+            + W.encode_xid(xid)
+        )
+
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_previous_gtids({}),
+         W.encode_gtid(SID_A, 1) + body([[10]], 1),
+         body([[20]], 2),  # anonymous: no GTID event at all
+         W.encode_gtid(SID_A, 2, anonymous=True) + body([[30]], 3)],
+    )
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        relay = M.binlog_dump_gtid_fetch(host, port, {SID_A: [(1, 2)]})
+    evs = W.decode_events(relay)
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    # txn 1 skipped (executed); the anonymous txns both flow
+    assert rows == [[20], [30]]
+
+
+def test_query_select_splits_on_top_level_commas_only(gtid_wire):
+    """ADVICE r7: SELECT CONCAT('a','b') must not be mis-split into bogus
+    NULL columns — unsupported function calls answer an ERR packet, and
+    commas inside quotes/parens never split the expression list."""
+    host, port = gtid_wire["host"], gtid_wire["port"]
+    names, rows = M.query(
+        host, port, "SELECT @@server_id, 'x,y', @@version_comment"
+    )
+    assert names == ["@@server_id", "'x,y'", "@@version_comment"]
+    assert rows[0][1] == "x,y"
+    with pytest.raises(Exception):
+        M.query(host, port, "SELECT CONCAT('a','b'), @@server_id")
