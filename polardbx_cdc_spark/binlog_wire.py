@@ -69,11 +69,25 @@ DELETE_ROWS_EVENT = 32
 WRITE_ROWS_EVENT_V1 = 23
 UPDATE_ROWS_EVENT_V1 = 24
 DELETE_ROWS_EVENT_V1 = 25
+#: MySQL 8.0.3+ binlog_row_value_options=PARTIAL_JSON (reference enum
+#: BinlogEventType.java:39): UPDATEs carry JSON columns as DIFF VECTORS,
+#: not full documents. Body = UPDATE_ROWS v2 plus, per after-image row,
+#: a value_options lenenc int and (when bit 0 set) a partial_bits bitmap
+#: over the JSON columns present in the after image (rows_event.h
+#: "partial_columns"; diff format json_diff.h: op, path, value).
+PARTIAL_UPDATE_ROWS_EVENT = 39
 ROWS_EVENTS = frozenset(
     (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT,
-     WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1, DELETE_ROWS_EVENT_V1)
+     WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1, DELETE_ROWS_EVENT_V1,
+     PARTIAL_UPDATE_ROWS_EVENT)
 )
-UPDATE_EVENTS = frozenset((UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V1))
+UPDATE_EVENTS = frozenset(
+    (UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V1, PARTIAL_UPDATE_ROWS_EVENT)
+)
+#: json_diff.h enum_json_diff_operation
+JSON_DIFF_REPLACE = 0
+JSON_DIFF_INSERT = 1
+JSON_DIFF_REMOVE = 2
 ROTATE_EVENT = 4
 XA_PREPARE_EVENT = 38  # XA branch prepare (XaPrepareLogEvent.java)
 SEQUENCE_EVENT = 80  # PolarDB-X sequence/TSO carrier (SequenceLogEvent.java)
@@ -139,6 +153,7 @@ _POST_HEADER_LEN = {
     WRITE_ROWS_EVENT_V1: 8,
     UPDATE_ROWS_EVENT_V1: 8,
     DELETE_ROWS_EVENT_V1: 8,
+    PARTIAL_UPDATE_ROWS_EVENT: 10,
 }
 _LAST_EVENT_TYPE = 42  # table covers types 1..42 (5.7-era layout)
 
@@ -757,8 +772,14 @@ def _encode_image(td: TableDef, values: list,
             out += len(b).to_bytes(m, "little") + b
         elif tc == TYPE_JSON:
             # Python value (or pre-serialized document bytes) → binary
-            # JSON blob, BLOB-style length prefix
-            b = v if isinstance(v, (bytes, bytearray)) else json_serialize(v)
+            # JSON blob, BLOB-style length prefix; a JsonDiffVector is a
+            # partial-format value (type-39 after images only)
+            if isinstance(v, JsonDiffVector):
+                b: bytes | bytearray = encode_json_diffs(v)
+            elif isinstance(v, (bytes, bytearray)):
+                b = v
+            else:
+                b = json_serialize(v)
             out += len(b).to_bytes(m, "little") + bytes(b)
         elif tc == TYPE_GEOMETRY:
             b = bytes(v)
@@ -778,10 +799,13 @@ def _encode_image(td: TableDef, values: list,
 
 
 def _decode_image(td: TableDef, buf: bytes, pos: int,
-                  present: list[bool] | None = None) -> tuple[list, int]:
+                  present: list[bool] | None = None,
+                  json_partial: frozenset | set = frozenset()
+                  ) -> tuple[list, int]:
     if present is not None and not all(present):
         sub, idx = _sub_def(td, present)
-        compact, pos = _decode_image(sub, buf, pos)
+        sub_partial = {j for j, i in enumerate(idx) if i in json_partial}
+        compact, pos = _decode_image(sub, buf, pos, json_partial=sub_partial)
         full: list = [None] * len(td.types)
         for j, i in enumerate(idx):
             full[i] = compact[j]
@@ -923,7 +947,10 @@ def _decode_image(td: TableDef, buf: bytes, pos: int,
         elif tc == TYPE_JSON:
             ln = int.from_bytes(buf[pos : pos + m], "little")
             pos += m
-            values.append(json_parse(bytes(buf[pos : pos + ln])))
+            raw = bytes(buf[pos : pos + ln])
+            values.append(
+                decode_json_diffs(raw) if i in json_partial else json_parse(raw)
+            )
             pos += ln
         elif tc == TYPE_GEOMETRY:
             ln = int.from_bytes(buf[pos : pos + m], "little")
@@ -963,12 +990,30 @@ def encode_rows_event(type_code: int, table_id: int, td: TableDef,
     pb = present if present is not None else [True] * n
     pa = present_after if present_after is not None else [True] * n
     body = bytearray(struct.pack("<Q", table_id)[:6] + struct.pack("<H", 0))
-    if type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+    if type_code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT,
+                     PARTIAL_UPDATE_ROWS_EVENT):
         body += struct.pack("<H", 2)  # v2 extra-data length (just itself)
     # else ROWS v1: no var-header — fixture-building path only; the
     # production writer always emits v2
     body += _lenenc(n) + _bitmap(pb)
-    if type_code in UPDATE_EVENTS:
+    if type_code == PARTIAL_UPDATE_ROWS_EVENT:
+        # after-image rows carry value_options (+ partial_bits over the
+        # JSON columns present in the after image): a JSON value given as
+        # a JsonDiffVector is stored in partial (diff) format
+        body += _bitmap(pa)
+        jcols = [
+            i for i in range(n) if pa[i] and td.types[i][0] == TYPE_JSON
+        ]
+        for before, after in rows:
+            body += _encode_image(td, before, pb)
+            partial = [isinstance(after[c], JsonDiffVector) for c in jcols]
+            if any(partial):
+                body += _lenenc(1)  # value_options: PARTIAL_JSON bit
+                body += _bitmap(partial)
+            else:
+                body += _lenenc(0)
+            body += _encode_image(td, after, pa)
+    elif type_code in UPDATE_EVENTS:
         body += _bitmap(pa)  # after-image present bitmap
         for before, after in rows:
             body += _encode_image(td, before, pb) + _encode_image(td, after, pa)
@@ -1342,7 +1387,8 @@ def decode_events(buf: bytes, verify_crc: bool = True,
         elif tc in ROWS_EVENTS:
             tid = int.from_bytes(body[0:6], "little")
             td = tables[tid]
-            if tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+            if tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT,
+                      PARTIAL_UPDATE_ROWS_EVENT):
                 extra_len = struct.unpack_from("<H", body, 8)[0]
                 p = 8 + extra_len  # extra_len counts its own 2 bytes
             else:
@@ -1358,9 +1404,30 @@ def decode_events(buf: bytes, verify_crc: bool = True,
             if tc in UPDATE_EVENTS:
                 pa = [_bit_at(body[p : p + nb], i) for i in range(ncols)]
                 p += nb
+            jcols = [
+                i for i in range(ncols)
+                if pa[i] and td.types[i][0] == TYPE_JSON
+            ] if tc == PARTIAL_UPDATE_ROWS_EVENT else []
             rows = []
             while p < len(body):
-                if tc in UPDATE_EVENTS:
+                if tc == PARTIAL_UPDATE_ROWS_EVENT:
+                    before, p = _decode_image(td, body, p, pb)
+                    # value_options lenenc precedes each after image;
+                    # bit 0 = PARTIAL_JSON → partial_bits over the JSON
+                    # columns present in the after image
+                    vopt, p = _read_lenenc(body, p)
+                    partial: set[int] = set()
+                    if vopt & 1:
+                        jb = (len(jcols) + 7) // 8
+                        bits = body[p : p + jb]
+                        p += jb
+                        partial = {
+                            c for k, c in enumerate(jcols) if _bit_at(bits, k)
+                        }
+                    after, p = _decode_image(td, body, p, pa,
+                                             json_partial=partial)
+                    rows.append((before, after))
+                elif tc in UPDATE_EVENTS:
                     before, p = _decode_image(td, body, p, pb)
                     after, p = _decode_image(td, body, p, pa)
                     rows.append((before, after))
@@ -1500,6 +1567,7 @@ def decode_named_rows(buf: bytes, verify_crc: bool = True) -> list[dict]:
         WRITE_ROWS_EVENT: "INSERT", UPDATE_ROWS_EVENT: "UPDATE",
         DELETE_ROWS_EVENT: "DELETE", WRITE_ROWS_EVENT_V1: "INSERT",
         UPDATE_ROWS_EVENT_V1: "UPDATE", DELETE_ROWS_EVENT_V1: "DELETE",
+        PARTIAL_UPDATE_ROWS_EVENT: "UPDATE",
     }
     out: list[dict] = []
     defs: dict[tuple[str, str], dict] = {}
@@ -1539,6 +1607,12 @@ def decode_named_rows(buf: bytes, verify_crc: bool = True) -> list[dict]:
             for row in ev["rows"]:
                 if ev["type"] in UPDATE_EVENTS:
                     before, after = named(row[0], pres_b), named(row[1], pres_a)
+                    # partial JSON (type 39): materialize the diff vector
+                    # against the before-image document when it rides the
+                    # same event; otherwise surface the diffs themselves
+                    for k, v in list(after.items()):
+                        if isinstance(v, JsonDiffVector) and k in before:
+                            after[k] = apply_json_diffs(before[k], v)
                     img = after
                     # MINIMAL updates identify the row by the BEFORE image
                     # (PK-only); fall back to the after image when the PK
@@ -1686,6 +1760,7 @@ def binlog_to_events(df, payload_col: str = "payload",
         WRITE_ROWS_EVENT_V1: "INSERT",
         UPDATE_ROWS_EVENT_V1: "UPDATE",
         DELETE_ROWS_EVENT_V1: "DELETE",
+        PARTIAL_UPDATE_ROWS_EVENT: "UPDATE",
     }
 
     def decode_partition(batches):
@@ -1972,6 +2047,7 @@ def wire_frame_rows(name: str, buf: bytes,
         WRITE_ROWS_EVENT_V1: "INSERT",
         UPDATE_ROWS_EVENT_V1: "UPDATE",
         DELETE_ROWS_EVENT_V1: "DELETE",
+        PARTIAL_UPDATE_ROWS_EVENT: "UPDATE",
     }
     if buf[:4] == MAGIC:
         buf = buf[4:]
@@ -2288,6 +2364,7 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
                             WRITE_ROWS_EVENT: "INSERT", WRITE_ROWS_EVENT_V1: "INSERT",
                             UPDATE_ROWS_EVENT: "UPDATE", UPDATE_ROWS_EVENT_V1: "UPDATE",
                             DELETE_ROWS_EVENT: "DELETE", DELETE_ROWS_EVENT_V1: "DELETE",
+                            PARTIAL_UPDATE_ROWS_EVENT: "UPDATE",
                         }[ev["type"]]
                     elif ev["type"] not in (WRITE_ROWS_EVENT, WRITE_ROWS_EVENT_V1):
                         continue
@@ -2555,6 +2632,161 @@ def json_parse(doc: bytes):
     if not doc:
         return None
     return _json_parse_value(doc[0], doc, 1)
+
+
+# ---------------------------------------------------------------------------
+# Partial JSON (PARTIAL_UPDATE_ROWS_EVENT, type 39) — JSON diff vectors.
+# Wire format per diff (json_diff.h Json_diff_vector::read_binary):
+#   operation(1)  path_len(lenenc)  path_bytes
+#   [ value_len(lenenc)  value_bytes(binary JSON) ]   -- absent for REMOVE
+# Paths are MySQL JSON path expressions ($.member, $[N], $."quoted").
+# ---------------------------------------------------------------------------
+
+class JsonDiff:
+    """One JSON diff: (op, path, value). ``value`` is a decoded Python
+    JSON value for REPLACE/INSERT, None for REMOVE."""
+
+    __slots__ = ("op", "path", "value")
+
+    def __init__(self, op: int, path: str, value=None):
+        self.op, self.path, self.value = op, path, value
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, JsonDiff)
+            and (self.op, self.path, self.value)
+            == (other.op, other.path, other.value)
+        )
+
+    def __repr__(self):
+        name = {0: "REPLACE", 1: "INSERT", 2: "REMOVE"}.get(self.op, self.op)
+        return f"JsonDiff({name}, {self.path!r}, {self.value!r})"
+
+
+class JsonDiffVector(list):
+    """After-image value of a partial-format JSON column: a list of
+    :class:`JsonDiff` applied in order to the before-image document."""
+
+
+def encode_json_diffs(diffs: JsonDiffVector | list) -> bytes:
+    out = bytearray()
+    for d in diffs:
+        out.append(d.op)
+        pb = d.path.encode()
+        out += _lenenc(len(pb)) + pb
+        if d.op != JSON_DIFF_REMOVE:
+            vb = json_serialize(d.value)
+            out += _lenenc(len(vb)) + vb
+    return bytes(out)
+
+
+def decode_json_diffs(buf: bytes) -> JsonDiffVector:
+    diffs = JsonDiffVector()
+    pos = 0
+    while pos < len(buf):
+        op = buf[pos]
+        pos += 1
+        if op not in (JSON_DIFF_REPLACE, JSON_DIFF_INSERT, JSON_DIFF_REMOVE):
+            raise ValueError(f"unknown JSON diff operation {op}")
+        plen, pos = _read_lenenc(buf, pos)
+        path = buf[pos : pos + plen].decode()
+        pos += plen
+        value = None
+        if op != JSON_DIFF_REMOVE:
+            vlen, pos = _read_lenenc(buf, pos)
+            if pos + vlen > len(buf):
+                raise ValueError("JSON diff value overruns buffer")
+            value = json_parse(bytes(buf[pos : pos + vlen]))
+            pos += vlen
+        diffs.append(JsonDiff(op, path, value))
+    return diffs
+
+
+def _parse_json_path(path: str) -> list:
+    """MySQL JSON path → legs: ('member', name) | ('index', n).
+    Supports $, .name, ."quoted name", [N] — the shapes the server emits
+    in diffs (wildcards never appear in Json_diff paths)."""
+    s = path.strip()
+    if not s.startswith("$"):
+        raise ValueError(f"JSON path must start with $: {path!r}")
+    legs: list = []
+    i = 1
+    while i < len(s):
+        c = s[i]
+        if c == ".":
+            i += 1
+            if i < len(s) and s[i] == '"':
+                j = i + 1
+                name = []
+                while j < len(s) and s[j] != '"':
+                    if s[j] == "\\" and j + 1 < len(s):
+                        j += 1
+                    name.append(s[j])
+                    j += 1
+                if j >= len(s):
+                    raise ValueError(f"unterminated quoted member: {path!r}")
+                legs.append(("member", "".join(name)))
+                i = j + 1
+            else:
+                j = i
+                while j < len(s) and s[j] not in ".[":
+                    j += 1
+                if j == i:
+                    raise ValueError(f"empty member name in {path!r}")
+                legs.append(("member", s[i:j]))
+                i = j
+        elif c == "[":
+            j = s.index("]", i)
+            legs.append(("index", int(s[i + 1 : j])))
+            i = j + 1
+        else:
+            raise ValueError(f"bad JSON path syntax at {i}: {path!r}")
+    return legs
+
+
+def apply_json_diffs(doc, diffs: list):
+    """Materialize a partial JSON update: apply the diff vector to the
+    before-image document (the server's apply_json_diff semantics:
+    REPLACE sets an existing member/element, INSERT adds a new member or
+    splices an array element at the index, REMOVE deletes). Returns the
+    new document; the input is not mutated."""
+    import copy
+
+    out = copy.deepcopy(doc)
+    for d in diffs:
+        legs = _parse_json_path(d.path)
+        if not legs:
+            if d.op == JSON_DIFF_REPLACE:
+                out = d.value
+                continue
+            raise ValueError(f"cannot {d.op} at root path $")
+        parent = out
+        for kind, key in legs[:-1]:
+            parent = parent[key] if kind == "member" else parent[key]
+        kind, key = legs[-1]
+        if d.op == JSON_DIFF_REPLACE:
+            if kind == "member":
+                if not isinstance(parent, dict) or key not in parent:
+                    raise ValueError(f"REPLACE path missing: {d.path}")
+                parent[key] = d.value
+            else:
+                parent[key] = d.value
+        elif d.op == JSON_DIFF_INSERT:
+            if kind == "member":
+                if not isinstance(parent, dict):
+                    raise ValueError(f"INSERT into non-object: {d.path}")
+                parent[key] = d.value
+            else:
+                if not isinstance(parent, list):
+                    raise ValueError(f"INSERT into non-array: {d.path}")
+                parent.insert(key, d.value)
+        else:  # REMOVE
+            if kind == "member":
+                parent.pop(key, None)
+            else:
+                if isinstance(parent, list) and 0 <= key < len(parent):
+                    parent.pop(key)
+    return out
 
 
 def export_wire_files_x(spark, sink_dir: str, wire_dir: str,

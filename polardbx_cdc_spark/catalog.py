@@ -148,6 +148,7 @@ def show_binlog_events_wire(
         BW.WRITE_ROWS_EVENT_V1: "Write_rows_v1",
         BW.UPDATE_ROWS_EVENT_V1: "Update_rows_v1",
         BW.DELETE_ROWS_EVENT_V1: "Delete_rows_v1",
+        BW.PARTIAL_UPDATE_ROWS_EVENT: "Update_rows_partial",
         BW.ROTATE_EVENT: "Rotate", BW.XA_PREPARE_EVENT: "XA_prepare",
         BW.SEQUENCE_EVENT: "Sequence", BW.GCN_EVENT: "Gcn",
         BW.ROWS_QUERY_EVENT: "Rows_query", BW.GTID_LOG_EVENT: "Gtid",

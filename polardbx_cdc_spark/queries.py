@@ -67,80 +67,21 @@ def register(name: str, oracle: str | None):
 #: flagship veterans kept as cross-round anchors. Everything evicted is
 #: green in some prior CORRECTNESS file AND re-verified every run by
 #: tests/test_oracle_parity.py (identical multiset compare at sf0.01).
-#: ROUND-7 ROTATION (executed): the window holds the 48 oracle-backed
-#: queries whose LAST official grade was oldest (3 last graded in r3,
-#: 45 last graded in r4 — nothing oracle-backed is older), the round-7
-#: newcomers, and the cdc_full_pipeline flagship anchor. The other four
-#: r6 anchors rotate out this round (they were graded freshest, in r6);
-#: every evicted name is green in a prior CORRECTNESS_r*.json AND
-#: re-hashed every run by tests/test_oracle_parity.py. Round-8 rotation:
-#: promote the r5-graded block at the head of _GRADE_DEFER.
+#: ROUND-8 ROTATION (executed): the window leads with the 2 r4-stale
+#: names the round-7 verdict flagged (embed_pq_topk,
+#: curation_repetition_stats — the oldest official grades left), then
+#: the 45-name block whose last official grade was r5 (promoted from
+#: _GRADE_DEFER's head exactly as round 7 directed), the 2 round-8
+#: newcomers (cdc_binlog_wire_zstd, orders_wire_partial_json), and the
+#: cdc_full_pipeline flagship anchor. Everything evicted was graded
+#: r6/r7 (the freshest grades) and stays re-hashed every run by
+#: tests/test_oracle_parity.py. After this round's grading no
+#: oracle-backed query's latest official grade is older than r5.
 _GRADE_PRIORITY: tuple[str, ...] = (
-    # -- oldest grades in the registry (last official hash-check r3) --
-    "events_daily_rollup",
-    "parts_never_bulk_shipped",
-    "events_date_format_roundtrip",
-    # -- veterans last graded r4 (the remaining oldest block) ---------
-    "cdc_accept_filter",
-    "cdc_min_tso_filter",
-    "cdc_blacklist_filter",
-    "cdc_replica_filter",
-    "cdc_data_import_filter",
-    "cdc_txn_assemble",
-    "cdc_disorder_report",
-    "cdc_heartbeat_epochs",
-    "cdc_kway_merge_head",
-    "cdc_multi_stream_alignment",
-    "cdc_last_image",
-    "cdc_replay_state",
-    "cdc_apply_snapshot",
-    "cdc_xa_parties",
-    "cdc_ddl_replay",
-    "cdc_logical_rebuild",
-    "cdc_stream_routing",
-    "cdc_render_dml_sql",
-    "cdc_seek_by_timestamp",
-    "cdc_txn_apply_order",
-    "cdc_stream_ordered_head",
-    "cdc_flashback_sql",
-    "checksum_lineitem",
-    "checksum_orders_chunked",
-    "full_copy_chunks",
-    "checksum_all_types",
-    "top_customers_per_nation",
-    "events_sessionize",
-    "cdc_backfill_union",
-    "events_json_props",
-    "text_stats",
-    "text_token_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_groups",
-    "dedup_simhash",
-    "embed_cosine_topk",
-    "dedup_embed_cosine",
-    "embed_lsh_topk",
-    "media_stats",
-    "media_features",
-    "curation_quality_filter",
-    "cdc_incremental_checksum",
-    # -- new this round (round 7) -------------------------------------
-    "cdc_ivm_join_view_stream",
-    "cdc_binlog_wire_compressed",
-    "orders_wire_noblob_typed",
-    # -- flagship anchor (green every graded round) --------------------
-    "cdc_full_pipeline",
-    # -- past the 50-slot window (still priority-ordered; each is green
-    # at r4 and re-hashed every run by the local parity suite) ----------
+    # -- oldest grades left in the registry (last official check r4) --
     "embed_pq_topk",
     "curation_repetition_stats",
-)
-
-#: Oracle-backed entries outside the round-7 window. Every name here is
-#: green in a prior CORRECTNESS_r*.json and re-verified each run by
-#: tests/test_oracle_parity.py (identical multiset compare).
-_GRADE_DEFER: tuple[str, ...] = (
-    # last graded r5 — next rotation (round 8) promotes this block:
+    # -- the r5-graded block (promoted per the round-7 rotation plan) --
     "cdc_binlog_wire_roundtrip",
     "cdc_flashback_by_time",
     "cdc_last_image_salted",
@@ -186,7 +127,69 @@ _GRADE_DEFER: tuple[str, ...] = (
     "rpl_reconcile_repair",
     "text_char_entropy",
     "text_winnow_fingerprint",
-    # last graded r6 (freshest grades, incl. 4 of the 5 r6 anchors):
+    # -- new this round (round 8) --------------------------------------
+    "cdc_binlog_wire_zstd",
+    "orders_wire_partial_json",
+    # -- flagship anchor (green every graded round) --------------------
+    "cdc_full_pipeline",
+)
+
+#: Oracle-backed entries outside the round-8 window. Every name here is
+#: green in a prior CORRECTNESS_r*.json (r6 or r7 — the freshest grades)
+#: and re-verified each run by tests/test_oracle_parity.py (identical
+#: multiset compare).
+_GRADE_DEFER: tuple[str, ...] = (
+    # last graded r7:
+    "events_daily_rollup",
+    "parts_never_bulk_shipped",
+    "events_date_format_roundtrip",
+    "cdc_accept_filter",
+    "cdc_min_tso_filter",
+    "cdc_blacklist_filter",
+    "cdc_replica_filter",
+    "cdc_data_import_filter",
+    "cdc_txn_assemble",
+    "cdc_disorder_report",
+    "cdc_heartbeat_epochs",
+    "cdc_kway_merge_head",
+    "cdc_multi_stream_alignment",
+    "cdc_last_image",
+    "cdc_replay_state",
+    "cdc_apply_snapshot",
+    "cdc_xa_parties",
+    "cdc_ddl_replay",
+    "cdc_logical_rebuild",
+    "cdc_stream_routing",
+    "cdc_render_dml_sql",
+    "cdc_seek_by_timestamp",
+    "cdc_txn_apply_order",
+    "cdc_stream_ordered_head",
+    "cdc_flashback_sql",
+    "checksum_lineitem",
+    "checksum_orders_chunked",
+    "full_copy_chunks",
+    "checksum_all_types",
+    "top_customers_per_nation",
+    "events_sessionize",
+    "cdc_backfill_union",
+    "events_json_props",
+    "text_stats",
+    "text_token_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_groups",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "dedup_embed_cosine",
+    "embed_lsh_topk",
+    "media_stats",
+    "media_features",
+    "curation_quality_filter",
+    "cdc_incremental_checksum",
+    "cdc_ivm_join_view_stream",
+    "cdc_binlog_wire_compressed",
+    "orders_wire_noblob_typed",
+    # last graded r6:
     "cdc_asof_enrich",
     "cdc_ivm_agg_view",
     "cdc_ivm_join_view",
@@ -4157,6 +4160,166 @@ def cdc_binlog_wire_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.conv(F.substring(F.md5("pk"), 1, 8), 16, 10).cast("long"))
         .cast("long")
         .alias("pk_hash_sum"),
+    )
+
+
+@register(
+    "cdc_binlog_wire_zstd",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, action,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+               CAST(sum(CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT)) AS BIGINT) AS pk_hash_sum
+        FROM cdc GROUP BY db, tbl, action
+        """
+    ),
+)
+def cdc_binlog_wire_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cdc_binlog_wire_compressed`` with compression=ZSTD (the
+    algorithm a real 8.0.20+ server uses, BinlogEventType.java:38):
+    payload bodies are Zstandard FRAMES — entropy-coded when the
+    zstandard package exists, spec-valid raw-block frames from the
+    vendored zstd_mini codec otherwise — decoded back through the same
+    transparent payload expansion. Same raw-cdc oracle: the hash match
+    proves the ZSTD branch (TLV header, frame codec, size bookkeeping)
+    is lossless, closing the round-7 "ZSTD path never exercised" gap."""
+    from polardbx_cdc_spark import binlog_wire
+
+    cdc = derive_cdc_stream(spark, sf_dir).select(
+        "db", "tbl", "action", "pk", "value", "tso"
+    )
+    par = spark.sparkContext.defaultParallelism
+    if cdc.rdd.getNumPartitions() < par:
+        cdc = cdc.repartition(par)
+    blobs = binlog_wire.events_to_binlog(cdc)
+
+    @F.pandas_udf("binary")
+    def _wrap(col):
+        return col.map(
+            lambda b: binlog_wire.encode_transaction_payload(
+                bytes(b), compression=binlog_wire.COMPRESS_ZSTD
+            )
+        )
+
+    wrapped = blobs.select(_wrap("payload").alias("payload"))
+    decoded = binlog_wire.binlog_to_events(wrapped)
+    return decoded.groupBy("db", "tbl", "action").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("value_cents"),
+        F.sum(F.conv(F.substring(F.md5("pk"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("pk_hash_sum"),
+    )
+
+
+@register(
+    "orders_wire_partial_json",
+    """
+    SELECT lower(o_orderstatus) AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(sum(CAST(('0x' || substr(md5(
+                lower(o_orderstatus) || '|'
+                || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                || '|' || CAST(o_custkey AS VARCHAR) || ':' || o_orderpriority
+                || '|0'
+           ), 1, 8)) AS BIGINT)) AS BIGINT) AS sig_hash_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_wire_partial_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL_UPDATE_ROWS_EVENT (type 39, binlog_row_value_options=
+    PARTIAL_JSON; reference enum BinlogEventType.java:39) end to end:
+    each order becomes a JSON document updated by a DIFF VECTOR —
+    REPLACE lowercases $.status, REMOVE deletes $.prio, INSERT adds
+    $.note — encoded in the server's partial-JSON wire format
+    (value_options + partial_bits + json_diff sequences), decoded back,
+    and MATERIALIZED with apply_json_diffs against the before-image.
+    The signature string folds all three operations (status must be the
+    replaced value, note the inserted one, and the trailing 0 pins that
+    $.prio is GONE), so a wrong diff op, path parse, or binary-JSON
+    value breaks the hash. Arrow-batched mapInPandas both ways;
+    partitions encode/decode independently (per-file independence)."""
+    from polardbx_cdc_spark import binlog_wire as BW
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_orderstatus").cast("string").alias("status"),
+        F.lower(F.col("o_orderstatus")).alias("status_lc"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderpriority").cast("string").alias("prio"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    if o.rdd.getNumPartitions() < par:
+        o = o.repartition(par)
+
+    def encode_part(batches):
+        import pandas as pd
+
+        td = BW.TableDef(
+            "tpch", "orders", [(BW.TYPE_LONGLONG, None), (BW.TYPE_JSON, 4)]
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blob = bytearray(BW.encode_table_map(7, td))
+            rows = []
+            for r in pdf.itertuples():
+                before = [
+                    int(r.okey),
+                    {"status": r.status, "prio": r.prio, "cents": int(r.cents)},
+                ]
+                diffs = BW.JsonDiffVector([
+                    BW.JsonDiff(BW.JSON_DIFF_REPLACE, "$.status", r.status_lc),
+                    BW.JsonDiff(BW.JSON_DIFF_REMOVE, "$.prio"),
+                    BW.JsonDiff(
+                        BW.JSON_DIFF_INSERT, "$.note", f"{r.custkey}:{r.prio}"
+                    ),
+                ])
+                rows.append((before, [int(r.okey), diffs]))
+                if len(rows) >= 1000:  # bounded event size, like a server
+                    blob += BW.encode_rows_event(
+                        BW.PARTIAL_UPDATE_ROWS_EVENT, 7, td, rows
+                    )
+                    rows = []
+            if rows:
+                blob += BW.encode_rows_event(
+                    BW.PARTIAL_UPDATE_ROWS_EVENT, 7, td, rows
+                )
+            yield pd.DataFrame({"payload": [bytes(blob)]})
+
+    def decode_part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = {"status": [], "cents": [], "sig": []}
+            for blob in pdf["payload"]:
+                for ev in BW.expand_payload_events(
+                    BW.decode_events(bytes(blob))
+                ):
+                    if ev["type"] != BW.PARTIAL_UPDATE_ROWS_EVENT:
+                        continue
+                    for before, after in ev["rows"]:
+                        doc = BW.apply_json_diffs(before[1], after[1])
+                        sig = (
+                            f"{doc['status']}|{doc['cents']}|{doc['note']}"
+                            f"|{int('prio' in doc)}"
+                        )
+                        outs["status"].append(doc["status"])
+                        outs["cents"].append(doc["cents"])
+                        outs["sig"].append(sig)
+            yield pd.DataFrame(outs)
+
+    blobs = o.mapInPandas(encode_part, "payload binary")
+    back = blobs.mapInPandas(decode_part, "status string, cents long, sig string")
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum(F.conv(F.substring(F.md5("sig"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("sig_hash_sum"),
     )
 
 

@@ -1,0 +1,142 @@
+"""PARTIAL_UPDATE_ROWS_EVENT (type 39) — partial JSON diff vectors.
+
+Round-8 closure of the last enumerated event type neither side decoded
+(reference enum BinlogEventType.java:39; wire format rows_event.h
+value_options/partial_columns + json_diff.h read_binary)."""
+
+from __future__ import annotations
+
+import pytest
+
+from polardbx_cdc_spark import binlog_wire as W
+
+TD = W.TableDef(
+    "d", "t",
+    [(W.TYPE_LONGLONG, None), (W.TYPE_JSON, 4), (W.TYPE_VARCHAR, 32)],
+)
+
+
+def _roundtrip(rows, **kw):
+    ev = W.encode_table_map(5, TD) + W.encode_rows_event(
+        W.PARTIAL_UPDATE_ROWS_EVENT, 5, TD, rows, **kw
+    )
+    out = W.decode_events(W.encode_fde() + ev)
+    return [e for e in out if e["type"] == W.PARTIAL_UPDATE_ROWS_EVENT][0]
+
+
+def test_diff_vector_survives_the_wire():
+    before = [1, {"a": 1, "b": [1, 2, 3]}, "x"]
+    diffs = W.JsonDiffVector([
+        W.JsonDiff(W.JSON_DIFF_REPLACE, "$.a", {"deep": [True, None]}),
+        W.JsonDiff(W.JSON_DIFF_INSERT, "$.b[0]", -7),
+        W.JsonDiff(W.JSON_DIFF_REMOVE, "$.b[2]"),
+    ])
+    ev = _roundtrip([(before, [1, diffs, "y"])])
+    b, a = ev["rows"][0]
+    assert b == before
+    assert isinstance(a[1], W.JsonDiffVector) and a[1] == diffs
+    assert a[2] == "y"
+
+
+def test_mixed_partial_and_full_rows_in_one_event():
+    """Per-row value_options: a full-document after-image (options=0)
+    and a diff-vector one (options=1) coexist in the same event."""
+    d1 = W.JsonDiffVector([W.JsonDiff(W.JSON_DIFF_REPLACE, "$", 42)])
+    rows = [
+        ([1, {"k": 1}, "a"], [1, {"k": 2}, "a"]),       # full after-image
+        ([2, {"k": 1}, "b"], [2, d1, "b"]),             # partial
+    ]
+    ev = _roundtrip(rows)
+    (b0, a0), (b1, a1) = ev["rows"]
+    assert a0[1] == {"k": 2} and not isinstance(a0[1], W.JsonDiffVector)
+    assert a1[1] == d1
+
+
+def test_partial_json_composes_with_minimal_after_image():
+    """binlog_row_image=MINIMAL composes with PARTIAL_JSON: the after
+    image omits unchanged columns AND the JSON column rides as diffs —
+    partial_bits covers the JSON columns PRESENT in the after image."""
+    diffs = W.JsonDiffVector([W.JsonDiff(W.JSON_DIFF_INSERT, "$.n", 5)])
+    ev = _roundtrip(
+        [([7, None, None], [None, diffs, None])],
+        present=[True, False, False],          # before: pk only
+        present_after=[False, True, False],    # after: JSON col only
+    )
+    b, a = ev["rows"][0]
+    assert b == [7, None, None]
+    assert a == [None, diffs, None]
+    assert ev["present_columns"] == [0]
+    assert ev["present_columns_after"] == [1]
+
+
+def test_apply_json_diffs_semantics():
+    doc = {"a": {"b": [10, 20]}, "keep": 1}
+    out = W.apply_json_diffs(doc, [
+        W.JsonDiff(W.JSON_DIFF_REPLACE, "$.a.b[1]", 99),
+        W.JsonDiff(W.JSON_DIFF_INSERT, "$.a.b[0]", 0),
+        W.JsonDiff(W.JSON_DIFF_REMOVE, "$.keep"),
+        W.JsonDiff(W.JSON_DIFF_INSERT, '$."spaced key"', "v"),
+    ])
+    assert out == {"a": {"b": [0, 10, 99]}, "spaced key": "v"}
+    assert doc == {"a": {"b": [10, 20]}, "keep": 1}  # input not mutated
+    # root replace
+    assert W.apply_json_diffs({"x": 1},
+                              [W.JsonDiff(W.JSON_DIFF_REPLACE, "$", [1])]) == [1]
+    # REPLACE of a missing member is an error (server refuses too)
+    with pytest.raises(ValueError, match="REPLACE path missing"):
+        W.apply_json_diffs({}, [W.JsonDiff(W.JSON_DIFF_REPLACE, "$.nope", 1)])
+
+
+def test_json_path_parser_rejects_garbage():
+    for bad in ("a.b", "$..x", "$.", "$[x]", '$."unterminated'):
+        with pytest.raises(ValueError):
+            W._parse_json_path(bad)
+
+
+def test_named_attach_materializes_partial_json():
+    td = W.TableDef(
+        "d", "t", [(W.TYPE_LONGLONG, None), (W.TYPE_JSON, 4)],
+        col_names=["id", "doc"], pk=[0],
+    )
+    before = [3, {"s": "old", "drop": True}]
+    diffs = W.JsonDiffVector([
+        W.JsonDiff(W.JSON_DIFF_REPLACE, "$.s", "new"),
+        W.JsonDiff(W.JSON_DIFF_REMOVE, "$.drop"),
+    ])
+    evn = W.encode_table_map(6, td) + W.encode_rows_event(
+        W.PARTIAL_UPDATE_ROWS_EVENT, 6, td, [(before, [3, diffs])]
+    )
+    named = W.decode_named_rows(W.encode_fde() + evn)
+    assert named[0]["action"] == "UPDATE"
+    assert named[0]["values"]["doc"] == {"s": "new"}
+    assert named[0]["pk"] == {"id": 3}
+
+
+def test_type39_rides_inside_transaction_payload():
+    """Composability: a partial-JSON update compressed inside a
+    TRANSACTION_PAYLOAD expands through the standard consumer path."""
+    diffs = W.JsonDiffVector([W.JsonDiff(W.JSON_DIFF_REPLACE, "$.v", 2)])
+    inner = (
+        W.encode_table_map(5, TD)
+        + W.encode_rows_event(
+            W.PARTIAL_UPDATE_ROWS_EVENT, 5, TD,
+            [([1, {"v": 1}, "x"], [1, diffs, "x"])],
+        )
+        + W.encode_xid(11)
+    )
+    payload = W.encode_transaction_payload(
+        inner, compression=W.COMPRESS_ZSTD
+    )
+    flat = W.expand_payload_events(W.decode_events(payload))
+    rows_ev = [e for e in flat if e["type"] == W.PARTIAL_UPDATE_ROWS_EVENT][0]
+    assert rows_ev["rows"][0][1][1] == diffs
+
+
+def test_diff_decode_rejects_malformed():
+    with pytest.raises(ValueError, match="unknown JSON diff"):
+        W.decode_json_diffs(b"\x09\x01$")
+    good = W.encode_json_diffs(
+        [W.JsonDiff(W.JSON_DIFF_REPLACE, "$.a", "xyz")]
+    )
+    with pytest.raises(ValueError):
+        W.decode_json_diffs(good[:-2])  # truncated value

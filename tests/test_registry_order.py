@@ -34,7 +34,7 @@ def _latest_grade_by_query() -> dict[str, int]:
     import os
 
     last: dict[str, int] = {}
-    for r in ("01", "02", "03", "04", "05", "06"):
+    for r in ("01", "02", "03", "04", "05", "06", "07"):
         path = f"/root/repo/CORRECTNESS_r{r}.json"
         if os.path.exists(path):
             with open(path) as fh:
@@ -43,24 +43,24 @@ def _latest_grade_by_query() -> dict[str, int]:
     return last
 
 
-def test_round7_rotation_window_holds_the_oldest_grades():
-    """Round-7 rotation policy: every oracle-backed query whose latest
-    official grade is r3 (the oldest in the registry) or that has never
-    been graded sits INSIDE the 50-slot window; every other window slot
-    holds an r4-graded veteran (the next-oldest block) except the
+def test_round8_rotation_window_holds_the_oldest_grades():
+    """Round-8 rotation policy: every oracle-backed query whose latest
+    official grade is r4 (the oldest left in the registry) or that has
+    never been graded sits INSIDE the 50-slot window; every other window
+    slot holds an r5-graded veteran (the next-oldest block) except the
     cdc_full_pipeline flagship anchor — so after this round's grading no
-    oracle-backed query's latest grade is older than r4."""
+    oracle-backed query's latest grade is older than r5."""
     names = list(Q.queries())
     window = names[:GRADE_WINDOW]
     wset = set(window)
     oracles = set(Q.oracle_sql())
     last = _latest_grade_by_query()
-    must = {n for n in oracles if last.get(n, 3) <= 3}  # r3 + never-graded
+    must = {n for n in oracles if last.get(n, 4) <= 4}  # r4 + never-graded
     missing = must - wset
-    assert not missing, f"r3/never-graded oracles outside the window: {missing}"
+    assert not missing, f"r4/never-graded oracles outside the window: {missing}"
     assert "cdc_full_pipeline" in wset
     fresh = [
         n for n in window
-        if n != "cdc_full_pipeline" and last.get(n, 0) > 4
+        if n != "cdc_full_pipeline" and last.get(n, 0) > 5
     ]
     assert not fresh, f"window slots wasted on freshly-graded queries: {fresh}"
