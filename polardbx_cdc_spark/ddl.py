@@ -383,11 +383,22 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
     s = sql.strip().rstrip(";").strip()
 
     m = re.match(
-        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QUALIFIED}\s*\((.*)\)\s*[^)]*$",
+        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QUALIFIED}\s*(?=\()",
         s, re.I | re.S,
     )
     if m:
-        db, tbl, body = m.group(1), _ident(m.group(2)), m.group(3)
+        # balanced scan for the COLUMN-LIST body: a greedy regex would
+        # swallow table-tail clauses that themselves end in ')' — e.g.
+        # PARTITION BY RANGE (f(c)) (PARTITION p0 VALUES LESS THAN (...))
+        # — and surface a phantom 'partition' column (round-8 fuzz find)
+        open_i = m.end()
+        close_i = _consume_balanced(s, open_i)
+        if close_i >= len(s) + 1:
+            return []  # unbalanced: not a digestible CREATE
+        db, tbl, body = m.group(1), _ident(m.group(2)), s[open_i + 1 : close_i - 1]
+        # table tail (engine/charset/partitioning/dbpartition) carries no
+        # column info — intentionally ignored, like MemoryTableMeta's
+        # schema projection
         cols: list[str] = []
         types: list[str] = []
         pks: list[str] = []

@@ -428,3 +428,159 @@ def test_sanitizer_hypothesis_roundtrip():
         assert ops[0]["mysql_type"] == "VARCHAR(10)"
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Round-8: the reference QA generator's clause inventory, ported as fuzz
+# dimensions (qatest/.../random/SqlConstants.java T_RANDOM_CREATE_SQL +
+# DdlSqlBuilder.java buildAdd/Drop/ModifyColumnSql). Every (type, default)
+# shape that generator can emit must digest: bit literals b'…', hex 0x… and
+# x'…' defaults, UNSIGNED ZEROFILL, display widths, float/double/decimal
+# precision forms, dec/numeric aliases, boolean, year(4), enum/set with
+# quoted labels, CURRENT_TIMESTAMP defaults, inline COMMENT, and the
+# PolarDB-X dbpartition tail.
+# ---------------------------------------------------------------------------
+
+#: (type, [default clauses legal for it]) — the SqlConstants matrix
+_REF_TYPE_DEFAULTS: list[tuple[str, list[str]]] = [
+    ("bit(1)", ["b'1'", "0x1", "x'01'"]),
+    ("bit(64)", ["b'1111111111111111111111111111111111111111111111111111111111111111'", "0xFFFFFFFFFFFFFFFF"]),
+    ("tinyint(1)", ["true", "false", "127", "0x3F", "x'1F'"]),
+    ("tinyint(3) UNSIGNED ZEROFILL", ["255", "0x2F", "x'FF'"]),
+    ("boolean", ["false", "true"]),
+    ("smallint(6)", ["-32768", "0x4FEF", "x'2FEF'"]),
+    ("smallint(5) UNSIGNED ZEROFILL", ["65535", "0x8EFF"]),
+    ("mediumint(24)", ["-1845105", "0x5FCC", "x'1FCC'"]),
+    ("mediumint(8) UNSIGNED ZEROFILL", ["7788"]),
+    ("int(11)", ["2147483647", "0xEEFFFF"]),
+    ("int(10) UNSIGNED ZEROFILL", ["4294967295", "x'FFFFFF'"]),
+    ("bigint(20)", ["-9223372036854775808", "0xFFFFFFFFFEFFFF"]),
+    ("bigint(64) unsigned", ["18446744073709551615", "x'FFFFFFFFFFFFFF'"]),
+    ("decimal", ["-1613793319", "0xFFFFFF", "x'FFFFFFFF'"]),
+    ("decimal(10,3)", ["1223077.292", "0xEFFF"]),
+    ("decimal(10,0) UNSIGNED", ["10234273", "x'FFFF'"]),
+    ("numeric(10,6) UNSIGNED", ["1"]),
+    ("dec(10,5)", ["1"]),
+    ("float", ["9.1096275E8", "0xEFFF"]),
+    ("float(10,3) unsigned", ["2648.644", "x'FFFF'"]),
+    ("double", ["4.334081673614155E9", "0xFFFFEFFF"]),
+    ("double(10,3)", ["6973286.176"]),
+    ("date", ["'2019-02-15'"]),
+    ("datetime", ["'2019-02-15 14:54:41'", "CURRENT_TIMESTAMP"]),
+    ("datetime(3)", ["'2019-02-15 14:54:41.789'"]),
+    ("timestamp", ["CURRENT_TIMESTAMP", "'2020-12-29 12:27:30'", "NULL"]),
+    ("time(3)", ["'12:30'"]),
+    ("year(4)", ["'2029'"]),
+    ("char(50)", ["'sjdlfjsdljldfjsldfsd'"]),
+    ("char", ["'x'"]),
+    ("varchar(50)", ["'sjdlfjsldhgowuere'"]),
+    ("binary", ["'x'"]),
+    ("binary(200)", ["'qoeuroieshdfs'"]),
+    ("varbinary(200)", ["'sdfjsljlewwfs'"]),
+    ("tinyblob", ["NULL"]),
+    ("longblob", ["NULL"]),
+    ("mediumtext", ["NULL"]),
+    ("enum('a','b','c')", ["'a'"]),
+    ("enum('x-small', 'small', 'medium', 'large', 'x-large')", ["'small'"]),
+    ("set('a','b','c')", ["'a'"]),
+    ("json", ["NULL"]),
+    ("geometry", ["NULL"]),
+]
+
+
+def _base_type(decl: str) -> str:
+    return decl
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_reference_generator_corpus_digests(seed):
+    """A T_RANDOM_CREATE_SQL-shaped table (every reference type/default
+    pair, COMMENT sprinkled, PolarDB-X dbpartition tail) followed by
+    DdlSqlBuilder-shaped ALTERs (add-with-AFTER / drop / modify-retype)
+    must track an analytic column model exactly, including time travel."""
+    rng = random.Random(1000 + seed)
+    reg = SchemaRegistry()
+    model = Model()
+
+    pairs = list(_REF_TYPE_DEFAULTS)
+    rng.shuffle(pairs)
+    decls = ["`id` bigint(20) NOT NULL AUTO_INCREMENT"]
+    model.insert("id", "bigint(20)", None)
+    for i, (typ, dfls) in enumerate(pairs):
+        name = f"c_{i}"
+        clause = f"`{name}` {typ} DEFAULT {rng.choice(dfls)}"
+        if rng.random() < 0.2:
+            clause += " COMMENT 'date'"
+        decls.append(clause)
+        model.insert(name, typ, None)
+    create = (
+        "CREATE TABLE IF NOT EXISTS `t_random_1`\n("
+        + ",\n".join(decls)
+        + ",\nPRIMARY KEY (`id`)) dbpartition by hash(`id`) "
+        "tbpartition by hash(`id`) tbpartitions 3"
+    )
+    reg.apply_sql("10000", create, default_db="qa")
+    snap = reg.find("qa", "t_random_1", "99999")
+    assert list(snap.columns) == model.names()
+    assert snap.pks == ("id",)
+    got_types = dict(zip(snap.columns, snap.types))
+    for name, typ in model.cols:
+        assert got_types[name].lower().split(" comment")[0].startswith(
+            typ.split(" ")[0].lower().split("(")[0]
+        ), (name, typ, got_types[name])
+
+    history = [("10000", model.snapshot())]
+    tso, next_id = 10000, 0
+    for step in range(25):
+        tso += 100
+        names = model.names()
+        roll = rng.random()
+        if roll < 0.45:  # DdlSqlBuilder.buildAddColumnSql
+            typ, dfls = rng.choice(_REF_TYPE_DEFAULTS)
+            name = f"zz_{next_id}"
+            next_id += 1
+            after = rng.choice(names) if rng.random() < 0.5 else None
+            sql = (
+                f"alter table t_random_1 add column `{name}` {typ} "
+                f"DEFAULT {rng.choice(dfls)}"
+                + (f" after `{after}`" if after else "")
+            )
+            model.insert(name, typ, after)
+        elif roll < 0.7 and len(names) > 3:  # buildDropColumnSql
+            victim = rng.choice([n for n in names if n != "id"])
+            sql = f"alter table `t_random_1` drop column `{victim}`"
+            model.drop(victim)
+        else:  # buildModifyColumnSql — retype in place
+            target = rng.choice([n for n in names if n != "id"])
+            typ, dfls = rng.choice(_REF_TYPE_DEFAULTS)
+            sql = (
+                f"alter table `t_random_1` modify column `{target}` {typ} "
+                f"DEFAULT {rng.choice(dfls)}"
+            )
+            i = model.names().index(target)
+            model.cols[i] = (target, typ)
+        reg.apply_sql(str(tso), sql, default_db="qa")
+        history.append((str(tso), model.snapshot()))
+
+    # final + historical snapshots all match
+    for htso, hsnap in history:
+        found = reg.find("qa", "t_random_1", f"{htso}99")
+        assert list(found.columns) == [c for c, _ in hsnap], htso
+
+
+def test_partition_definition_tail_is_not_a_column():
+    """Round-8 regression: a native partition-definition list after the
+    column list (PARTITION BY RANGE (...) (PARTITION p0 ...)) must not
+    surface a phantom 'partition' column."""
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE t7 (id bigint, dt datetime, PRIMARY KEY (id, dt)) "
+        "PARTITION BY RANGE (TO_DAYS(dt)) ("
+        "PARTITION p0 VALUES LESS THAN (TO_DAYS('2020-01-01')), "
+        "PARTITION p1 VALUES LESS THAN MAXVALUE)",
+        default_db="db1",
+    )
+    s = reg.find("db1", "t7", "999")
+    assert list(s.columns) == ["id", "dt"]
+    assert s.pks == ("id", "dt")
