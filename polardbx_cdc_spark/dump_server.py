@@ -429,7 +429,20 @@ def relay_copy(host: str, port: int, dest_dir: str,
     underscore-prefixed staging name (``_<name>.inprogress``) — which
     Spark's file listings ignore — and renamed into view only once its
     successor starts, so a Structured Streaming consumer
-    (`streaming.source.wire_stream`) never half-reads a growing file."""
+    (`streaming.source.wire_stream`) never half-reads a growing file.
+
+    Scale posture (100 TB): relay_copy is CONTROL PLANE, not data plane
+    — it is the reference's standby file-copier daemon
+    (LogFileCopier.java), a single sequential TCP byte pump per chain
+    whose throughput requirement is the MASTER'S WRITE RATE (one
+    binlog stream), not the table-scan rate. It never decodes events
+    (frame-boundary scanning only, zero Python per field), is
+    size-resumable so restarts cost O(delta bytes), and runs one
+    instance per stream — Binlog-X with N streams runs N independent
+    copiers (`stream=`), which is exactly how the reference scales its
+    dumper replication. Analytics over the relayed bytes goes through
+    `wire_stream`/`read_wire_binlog`, which fan the decode out across
+    executors."""
     os.makedirs(dest_dir, exist_ok=True)
     pre = DumpServer._prefix(stream)
 

@@ -21,6 +21,20 @@ larger than 0xFFFFFF are split per the protocol. The event bytes come
 from the same wire files `binlog_wire.export_wire_files` renders, so a
 consumer that speaks MySQL replication gets CRC-checksummed binlog v4
 events with FDE/TABLE_MAP/ROWS/GTID framing.
+
+Scale posture (100 TB): this endpoint — including the blocking live
+push and the COM_BINLOG_DUMP_GTID auto-position attach — is CONTROL
+PLANE: a protocol SERVING slice whose job is replica attach, exactly
+like the reference's CdcServer dump endpoint. Its unit of work is one
+replica connection streaming one binlog chain at the master's write
+rate; bytes are pumped frame-whole with no per-event decode (the GTID
+skip path reads 2 fixed header fields per event, nothing per column).
+The DATA PLANE — bulk encode of table data into wire bytes and bulk
+decode back into DataFrames — never passes through this socket: it
+runs distributed in `binlog_wire.events_to_binlog`/`binlog_to_events`
+(Arrow-batched mapInPandas on executors). Scaling replica fan-out =
+more handler threads (ThreadingTCPServer, one per replica); scaling
+data volume = Spark parallelism, untouched by this module.
 """
 
 from __future__ import annotations

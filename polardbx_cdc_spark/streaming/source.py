@@ -200,6 +200,17 @@ def wire_stream(spark: SparkSession, wire_dir: str) -> DataFrame:
     Spark's listing ignores) and renames it into view only when its
     successor starts, exactly for this consumer. Payload-compressed
     (TRANSACTION_PAYLOAD) files expand transparently.
+
+    Scale posture (100 TB): this IS the data plane and it rides Spark
+    end to end — file listing/scheduling is the Structured Streaming
+    file source (driver lists, executors read), and ALL byte decoding
+    happens inside `mapInPandas` on executors (one wire file per task,
+    Arrow-batched out). Nothing per-event touches the driver; a
+    1000-executor cluster tails 1000 relay files concurrently. Per-file
+    memory is bounded by the relay's rotate size (the writer rotates by
+    `rotate_rows`/size), so raise rotation frequency, not executor
+    memory, for bigger streams. Micro-batch cadence is the file-landing
+    cadence — the `maxFilesPerTrigger` option bounds catch-up bursts.
     """
     from polardbx_cdc_spark import binlog_wire as W
 

@@ -714,3 +714,101 @@ def test_query_select_splits_on_top_level_commas_only(gtid_wire):
     assert rows[0][1] == "x,y"
     with pytest.raises(Exception):
         M.query(host, port, "SELECT CONCAT('a','b'), @@server_id")
+
+
+def test_strict_stock_client_handshake_negotiation(gtid_wire):
+    """Round-8 interop hardening: a STRICT client that parses HandshakeV10
+    exactly the way libmysqlclient does (fixed greeting layout, capability
+    negotiation = client_wants AND server_advertises, HandshakeResponse41
+    with PLUGIN_AUTH lenenc auth + plugin name) — not the in-repo
+    permissive helpers. Asserts every field a stock mysqlbinlog would
+    depend on, then runs REGISTER_SLAVE + COM_BINLOG_DUMP end to end."""
+    import socket
+    import struct as _s
+
+    CLIENT_LONG_PASSWORD = 0x0001
+    CLIENT_PROTOCOL_41 = 0x0200
+    CLIENT_SECURE_CONNECTION = 0x8000
+    CLIENT_PLUGIN_AUTH = 1 << 19
+
+    host, port = gtid_wire["host"], gtid_wire["port"]
+    with socket.create_connection((host, port), timeout=30) as sock:
+        rf, wf = sock.makefile("rb"), sock.makefile("wb")
+        seq0, greet = M._read_packet(rf)
+        # --- HandshakeV10 strict parse (mysql_real_connect read path) ---
+        assert greet[0] == 0x0A, "protocol version must be 10"
+        p = 1
+        nul = greet.index(b"\x00", p)
+        server_version = greet[p:nul].decode()
+        assert server_version and server_version[0].isdigit()
+        p = nul + 1
+        thread_id = _s.unpack_from("<I", greet, p)[0]
+        assert thread_id >= 1
+        p += 4
+        auth1 = greet[p : p + 8]
+        p += 8
+        assert greet[p] == 0, "filler after auth-plugin-data-part-1"
+        p += 1
+        cap_lo = _s.unpack_from("<H", greet, p)[0]
+        p += 2
+        charset = greet[p]
+        p += 1
+        status = _s.unpack_from("<H", greet, p)[0]
+        p += 2
+        cap_hi = _s.unpack_from("<H", greet, p)[0]
+        p += 2
+        caps = cap_lo | (cap_hi << 16)
+        # the three capabilities a stock replication client REQUIRES
+        assert caps & CLIENT_PROTOCOL_41, "PROTOCOL_41 not advertised"
+        assert caps & CLIENT_SECURE_CONNECTION
+        assert caps & CLIENT_PLUGIN_AUTH, "PLUGIN_AUTH not advertised"
+        auth_len = greet[p]
+        p += 1
+        assert greet[p : p + 10] == b"\x00" * 10, "reserved must be zeros"
+        p += 10
+        # part-2: max(13, auth_len - 8) bytes, NUL-terminated scramble
+        part2_len = max(13, auth_len - 8)
+        auth2 = greet[p : p + part2_len]
+        p += part2_len
+        assert auth_len == len(auth1) + len(auth2)
+        assert auth2.endswith(b"\x00"), "scramble part-2 ends with NUL"
+        nul2 = greet.index(b"\x00", p)
+        assert greet[p:nul2].decode() == "mysql_native_password"
+
+        # --- HandshakeResponse41: request only what the server offers ---
+        want = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
+                | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH)
+        use = want & caps
+        assert use == want, "server must offer everything a replica needs"
+        resp = (
+            _s.pack("<I", use)
+            + _s.pack("<I", 1 << 24)
+            + bytes([charset])
+            + b"\x00" * 23
+            + b"repl_strict\x00"
+            + b"\x00"  # lenenc empty auth response (no password)
+            + b"mysql_native_password\x00"  # PLUGIN_AUTH negotiated
+        )
+        M._write_packet(wf, seq0 + 1, resp)
+        sq, ok = M._read_packet(rf)
+        assert ok[:1] == b"\x00", f"auth rejected: {ok!r}"
+
+        # --- COM_REGISTER_SLAVE then COM_BINLOG_DUMP (NON_BLOCK) ---
+        M._write_packet(wf, 0, bytes([M.COM_REGISTER_SLAVE])
+                        + _s.pack("<I", 7) + b"\x00" * 18)
+        _sq, ok2 = M._read_packet(rf)
+        assert ok2[:1] == b"\x00"
+        first = gtid_wire["wire"] and sorted(
+            __import__("os").listdir(gtid_wire["wire"])
+        )[0]
+        M._write_packet(
+            wf, 0,
+            bytes([M.COM_BINLOG_DUMP]) + _s.pack("<I", 4)
+            + _s.pack("<H", 0x01) + _s.pack("<I", 7) + first.encode(),
+        )
+        stream = M._collect_event_packets(rf)
+    evs = W.decode_events(stream)
+    assert evs[0]["type"] == W.FORMAT_DESCRIPTION_EVENT
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[10], [20], [30], [40]]
+    assert status & 0x0002  # autocommit, like a real server
