@@ -88,6 +88,9 @@ HEADLINE = [
     "cdc_ivm_join_view_stream",
     "cdc_binlog_wire_compressed",
     "orders_wire_noblob_typed",
+    # round 8 additions
+    "cdc_binlog_wire_zstd",
+    "orders_wire_partial_json",
 ]
 
 

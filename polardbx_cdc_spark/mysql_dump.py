@@ -384,6 +384,14 @@ class _Handler(socketserver.StreamRequestHandler):
         q = sql.strip().rstrip(";").strip()
         u = q.upper()
         if u.startswith("SET "):
+            # honor @master_heartbeat_period (nanoseconds, like a real
+            # master): a stock replica sets it before COM_BINLOG_DUMP and
+            # expects idle HEARTBEATs at that cadence on the live stream
+            m = _re.match(
+                r"SET\s+@MASTER_HEARTBEAT_PERIOD\s*=\s*(\d+)", u
+            )
+            if m:
+                self._heartbeat_period = max(int(m.group(1)) / 1e9, 0.05)
             _write_packet(self.wfile, 1, _ok_packet())
             return
         if u in ("SHOW MASTER STATUS", "SHOW BINARY LOG STATUS"):
@@ -509,8 +517,11 @@ class _Handler(socketserver.StreamRequestHandler):
         import time as _time
         import zlib as _zlib
 
+        # a replica's SET @master_heartbeat_period (captured per
+        # connection by _answer_query) overrides the server default
+        hb = getattr(self, "_heartbeat_period", None) or srv.heartbeat_interval
         deadline = _time.monotonic() + srv.live_idle_timeout
-        next_hb = _time.monotonic() + srv.heartbeat_interval
+        next_hb = _time.monotonic() + hb
         stable_size = -1
         while _time.monotonic() < deadline:
             path = os.path.join(srv.wire_dir, cur)
@@ -562,7 +573,7 @@ class _Handler(socketserver.StreamRequestHandler):
                         )
                     except OSError:
                         return seq
-                    next_hb = _time.monotonic() + srv.heartbeat_interval
+                    next_hb = _time.monotonic() + hb
                 _time.sleep(0.05)
         return seq
 
