@@ -89,6 +89,12 @@ JSON_DIFF_REPLACE = 0
 JSON_DIFF_INSERT = 1
 JSON_DIFF_REMOVE = 2
 ROTATE_EVENT = 4
+#: statement-era session-context carriers (LogEvent.java:121-157 lists
+#: them; archived 5.x mixed-mode binlogs interleave these with QUERY
+#: events) — decode-only: the row-based pipeline never emits them
+INTVAR_EVENT = 5
+RAND_EVENT = 13
+USER_VAR_EVENT = 14
 XA_PREPARE_EVENT = 38  # XA branch prepare (XaPrepareLogEvent.java)
 SEQUENCE_EVENT = 80  # PolarDB-X sequence/TSO carrier (SequenceLogEvent.java)
 GCN_EVENT = 105  # PolarDB-X DN 8.0 commit-GCN carrier (GcnLogEvent.java)
@@ -204,10 +210,59 @@ _SIGNEDNESS_TLV = 1
 #: lets a consumer decode fully-NAMED, label-resolved rows from the wire
 #: alone, no external schema registry (TableMapLogEvent.java reads the
 #: same fields for the reference's column-aware processing)
-_SET_STR_VALUE_TLV = 3
+#: rows_event.h Optional_metadata_field_type — the PUBLIC 8.0 numbering.
+#: (Round-8 conformance fix: SET/ENUM label TLVs previously used 3/5,
+#: which are COLUMN_CHARSET/SET_STR_VALUE on a real server — an
+#: interop-only bug the self-roundtrip tests could not see.)
+_DEFAULT_CHARSET_TLV = 2
+_COLUMN_CHARSET_TLV = 3
 _COLUMN_NAME_TLV = 4
-_ENUM_STR_VALUE_TLV = 5
+_SET_STR_VALUE_TLV = 5
+_ENUM_STR_VALUE_TLV = 6
+_GEOMETRY_TYPE_TLV = 7
 _SIMPLE_PRIMARY_KEY_TLV = 8
+_COLUMN_VISIBILITY_TLV = 12
+
+#: MySQL collation id → Python codec for CHAR/VARCHAR/TEXT value bytes.
+#: Covers the collations a real DN emits (collation ids are public
+#: protocol constants); utf8/utf8mb4 collation blocks and unknown ids
+#: fall back to utf-8; id 63 (binary pseudo-charset) decodes latin-1
+#: (byte-transparent).
+_COLLATION_CODECS: dict[int, str] = {
+    5: "latin-1", 8: "latin-1", 15: "latin-1", 31: "latin-1",
+    47: "latin-1", 48: "latin-1", 49: "latin-1", 94: "latin-1",
+    11: "ascii", 65: "ascii",
+    28: "gbk", 87: "gbk",
+    24: "gb2312", 86: "gb2312",
+    95: "cp932", 96: "cp932",
+    63: "latin-1",
+}
+
+
+#: charset NAME → default collation id (the ids SHOW COLLATION lists)
+_CHARSET_NAME_IDS: dict[str, int] = {
+    "latin1": 8, "ascii": 11, "gbk": 28, "gb2312": 24, "cp932": 95,
+    "utf8": 33, "utf8mb3": 33, "utf8mb4": 255, "binary": 63,
+}
+
+
+def _codec_for(collation: int | None) -> str:
+    if collation is None:
+        return "utf-8"
+    return _COLLATION_CODECS.get(collation, "utf-8")
+
+
+def _character_columns(types: list[tuple[int, object]]) -> list[int]:
+    """Column indexes the charset TLVs cover, in column order: CHAR and
+    VARCHAR (ENUM/SET ride their own label TLVs; TEXT travels as BLOB)."""
+    out = []
+    for i, (tc, m) in enumerate(types):
+        if tc == TYPE_VARCHAR:
+            out.append(i)
+        elif tc == TYPE_STRING and isinstance(m, tuple) \
+                and m[0] not in (TYPE_ENUM, TYPE_SET):
+            out.append(i)
+    return out
 
 #: fsp → fractional-second byte count (DATETIME2/TIMESTAMP2/TIME2 tail)
 def _frac_bytes(fsp: int) -> int:
@@ -235,7 +290,11 @@ class TableDef:
                  col_names: list[str] | None = None,
                  pk: list[int] | None = None,
                  enum_labels: dict[int, list[str]] | None = None,
-                 set_labels: dict[int, list[str]] | None = None):
+                 set_labels: dict[int, list[str]] | None = None,
+                 charsets: dict[int, int] | None = None,
+                 default_charset: int | None = None,
+                 geometry_types: dict[int, int] | None = None,
+                 invisible: set[int] | None = None):
         self.db = db
         self.tbl = tbl
         self.types = types
@@ -246,6 +305,20 @@ class TableDef:
         self.pk = pk
         self.enum_labels = enum_labels or {}
         self.set_labels = set_labels or {}
+        #: per-column MySQL collation id for character columns (the
+        #: DEFAULT_CHARSET/COLUMN_CHARSET TLVs); value bytes of CHAR/
+        #: VARCHAR columns encode/decode with the mapped codec —
+        #: None = utf-8 (the modern server default)
+        self.charsets = charsets or {}
+        self.default_charset = default_charset
+        #: GEOMETRY_TYPE TLV: geometry column index → geometry type code
+        self.geometry_types = geometry_types or {}
+        #: COLUMN_VISIBILITY TLV: indexes of INVISIBLE columns (8.0.23) —
+        #: row images still carry their values; metadata only
+        self.invisible = invisible or set()
+
+    def charset_of(self, i: int) -> int | None:
+        return self.charsets.get(i, self.default_charset)
 
     @classmethod
     def from_mysql_types(cls, db: str, tbl: str, decls: list[str],
@@ -259,10 +332,19 @@ class TableDef:
         unsigned: set[int] = set()
         enum_labels: dict[int, list[str]] = {}
         set_labels: dict[int, list[str]] = {}
+        charsets: dict[int, int] = {}
         for i, d in enumerate(decls):
             t = d.strip().lower()
             if "unsigned" in t:
                 unsigned.add(i)
+            # "varchar(64) charset latin1" → per-column collation carried
+            # in the charset TLVs and used for the value bytes
+            import re as _re2
+            cm = _re2.search(r"charset\s+([a-z0-9_]+)", t)
+            if cm:
+                cs = _CHARSET_NAME_IDS.get(cm.group(1))
+                if cs is not None:
+                    charsets[i] = cs
             if t.startswith("enum("):
                 enum_labels[i] = _decl_labels(d)
             elif t.startswith("set("):
@@ -359,7 +441,8 @@ class TableDef:
             else:
                 raise ValueError(f"wire slice does not cover type {d!r}")
         return cls(db, tbl, types, unsigned, col_names=col_names, pk=pk,
-                   enum_labels=enum_labels, set_labels=set_labels)
+                   enum_labels=enum_labels, set_labels=set_labels,
+                   charsets=charsets or None)
 
 
 def _encode_header(type_code: int, payload_len: int, timestamp: int,
@@ -497,6 +580,33 @@ def encode_table_map(table_id: int, td: TableDef, timestamp: int = 0) -> bytes:
     if td.pk:
         blob = b"".join(_lenenc(i) for i in td.pk)
         opt += bytes([_SIMPLE_PRIMARY_KEY_TLV]) + _lenenc(len(blob)) + blob
+    # charset TLVs (rows_event.h): DEFAULT_CHARSET = default collation +
+    # (char-column-ordinal, collation) overrides; COLUMN_CHARSET = one
+    # collation per character column. Character columns here = CHAR/
+    # VARCHAR (TEXT travels as BLOB and is byte-addressed on this slice).
+    char_cols = _character_columns(td.types)
+    if td.default_charset is not None:
+        blob = _lenenc(td.default_charset)
+        for ordinal, col in enumerate(char_cols):
+            cs = td.charsets.get(col)
+            if cs is not None and cs != td.default_charset:
+                blob += _lenenc(ordinal) + _lenenc(cs)
+        opt += bytes([_DEFAULT_CHARSET_TLV]) + _lenenc(len(blob)) + blob
+    elif td.charsets:
+        blob = b"".join(
+            _lenenc(td.charsets.get(c, 255)) for c in char_cols
+        )
+        opt += bytes([_COLUMN_CHARSET_TLV]) + _lenenc(len(blob)) + blob
+    if td.geometry_types:
+        geo_cols = [i for i, (tc, _) in enumerate(td.types) if tc == TYPE_GEOMETRY]
+        blob = b"".join(_lenenc(td.geometry_types.get(c, 0)) for c in geo_cols)
+        opt += bytes([_GEOMETRY_TYPE_TLV]) + _lenenc(len(blob)) + blob
+    if td.invisible:
+        bits = bytearray((len(td.types) + 7) // 8)
+        for i in range(len(td.types)):
+            if i not in td.invisible:  # bit SET = visible
+                bits[i // 8] |= 0x80 >> (i % 8)
+        opt += bytes([_COLUMN_VISIBILITY_TLV]) + _lenenc(len(bits)) + bytes(bits)
     payload = (
         struct.pack("<Q", table_id)[:6] + struct.pack("<H", 1)
         + bytes([len(db_b)]) + db_b + b"\x00"
@@ -662,6 +772,10 @@ def _sub_def(td: TableDef, present: list[bool]) -> tuple[TableDef, list[int]]:
     sub = TableDef(
         td.db, td.tbl, [td.types[i] for i in idx],
         unsigned={j for j, i in enumerate(idx) if i in td.unsigned},
+        charsets={
+            j: td.charsets[i] for j, i in enumerate(idx) if i in td.charsets
+        },
+        default_charset=td.default_charset,
     )
     return sub, idx
 
@@ -765,7 +879,9 @@ def _encode_image(td: TableDef, values: list,
                 if nb:
                     out += frac_units.to_bytes(nb, "big")
         elif tc == TYPE_VARCHAR:
-            b = v if isinstance(v, bytes) else str(v).encode()
+            b = v if isinstance(v, bytes) else str(v).encode(
+                _codec_for(td.charset_of(i))
+            )
             out += (bytes([len(b)]) if m < 256 else struct.pack("<H", len(b))) + b
         elif tc == TYPE_BLOB:
             b = bytes(v)
@@ -791,7 +907,9 @@ def _encode_image(td: TableDef, values: list,
         elif tc == TYPE_STRING:
             # CHAR(n): stored unpadded with a length prefix sized by the
             # declared max bytes (RowsLogBuffer STRING == VAR_STRING path)
-            b = v if isinstance(v, bytes) else str(v).encode()
+            b = v if isinstance(v, bytes) else str(v).encode(
+                _codec_for(td.charset_of(i))
+            )
             out += (bytes([len(b)]) if m[1] < 256 else struct.pack("<H", len(b))) + b
         else:
             raise ValueError(f"unsupported wire type {tc}")
@@ -937,7 +1055,9 @@ def _decode_image(td: TableDef, buf: bytes, pos: int,
                 ln, pos = buf[pos], pos + 1
             else:
                 ln, pos = struct.unpack_from("<H", buf, pos)[0], pos + 2
-            values.append(buf[pos : pos + ln].decode())
+            values.append(
+                buf[pos : pos + ln].decode(_codec_for(td.charset_of(i)))
+            )
             pos += ln
         elif tc == TYPE_BLOB:
             ln = int.from_bytes(buf[pos : pos + m], "little")
@@ -965,7 +1085,9 @@ def _decode_image(td: TableDef, buf: bytes, pos: int,
                 ln, pos = buf[pos], pos + 1
             else:
                 ln, pos = struct.unpack_from("<H", buf, pos)[0], pos + 2
-            values.append(buf[pos : pos + ln].decode())
+            values.append(
+                buf[pos : pos + ln].decode(_codec_for(td.charset_of(i)))
+            )
             pos += ln
         else:
             raise ValueError(f"unsupported wire type {tc}")
@@ -1021,6 +1143,41 @@ def encode_rows_event(type_code: int, table_id: int, td: TableDef,
         for values in rows:
             body += _encode_image(td, values, pb)
     return encode_event(type_code, bytes(body), timestamp)
+
+
+def encode_intvar(intvar_type: int, value: int, timestamp: int = 0) -> bytes:
+    """INTVAR (type 5): session INSERT_ID / LAST_INSERT_ID carrier for
+    statement-based replay — fixture builder for the decode path."""
+    return encode_event(
+        INTVAR_EVENT, bytes([intvar_type]) + struct.pack("<Q", value),
+        timestamp,
+    )
+
+
+def encode_rand(seed1: int, seed2: int, timestamp: int = 0) -> bytes:
+    """RAND (type 13): the session RAND() seeds."""
+    return encode_event(
+        RAND_EVENT, struct.pack("<QQ", seed1, seed2), timestamp
+    )
+
+
+def encode_user_var(name: str, value, timestamp: int = 0) -> bytes:
+    """USER_VAR (type 14): @name = value; value None/str/float/int map to
+    is_null / STRING_RESULT / REAL_RESULT / INT_RESULT."""
+    nb = name.encode()
+    body = struct.pack("<I", len(nb)) + nb
+    if value is None:
+        body += b"\x01"
+    else:
+        if isinstance(value, bool) or isinstance(value, int):
+            vtype, raw = 2, int(value).to_bytes(8, "little", signed=True)
+        elif isinstance(value, float):
+            vtype, raw = 1, struct.pack("<d", value)
+        else:
+            vtype, raw = 0, str(value).encode()
+        body += b"\x00" + bytes([vtype]) + struct.pack("<I", 33)
+        body += struct.pack("<I", len(raw)) + raw
+    return encode_event(USER_VAR_EVENT, body, timestamp)
 
 
 def encode_xid(xid: int, timestamp: int = 0) -> bytes:
@@ -1316,6 +1473,10 @@ def decode_events(buf: bytes, verify_crc: bool = True,
             pk: list[int] | None = None
             enum_labels: dict[int, list[str]] = {}
             set_labels: dict[int, list[str]] = {}
+            charsets: dict[int, int] = {}
+            default_cs: int | None = None
+            geometry_types: dict[int, int] = {}
+            invisible: set[int] = set()
 
             def _read_label_lists(val: bytes, targets: list[int]) -> dict:
                 out: dict[int, list[str]] = {}
@@ -1371,11 +1532,55 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                     while vp < len(val):
                         idx, vp = _read_lenenc(val, vp)
                         pk.append(idx)
+                elif tlv_type == _DEFAULT_CHARSET_TLV:
+                    # default collation + (char-column-ordinal, collation)
+                    # override pairs
+                    vp = 0
+                    default_cs, vp = _read_lenenc(val, vp)
+                    char_cols = _character_columns(types)
+                    while vp < len(val):
+                        ordinal, vp = _read_lenenc(val, vp)
+                        cs, vp = _read_lenenc(val, vp)
+                        if ordinal < len(char_cols):
+                            charsets[char_cols[ordinal]] = cs
+                elif tlv_type == _COLUMN_CHARSET_TLV:
+                    vp = 0
+                    for col in _character_columns(types):
+                        if vp >= len(val):
+                            break
+                        cs, vp = _read_lenenc(val, vp)
+                        charsets[col] = cs
+                elif tlv_type == _GEOMETRY_TYPE_TLV:
+                    vp = 0
+                    for col in (
+                        i for i, (rt, _) in enumerate(types)
+                        if rt == TYPE_GEOMETRY
+                    ):
+                        if vp >= len(val):
+                            break
+                        gt, vp = _read_lenenc(val, vp)
+                        geometry_types[col] = gt
+                elif tlv_type == _COLUMN_VISIBILITY_TLV:
+                    for i in range(len(types)):
+                        if i // 8 < len(val) and not (
+                            val[i // 8] & (0x80 >> (i % 8))
+                        ):
+                            invisible.add(i)
             tables[tid] = TableDef(
                 db, tbl, types, unsigned, col_names=col_names, pk=pk,
                 enum_labels=enum_labels, set_labels=set_labels,
+                charsets=charsets, default_charset=default_cs,
+                geometry_types=geometry_types, invisible=invisible,
             )
             ev.update(table_id=tid, db=db, tbl=tbl, types=types, unsigned=unsigned)
+            if charsets or default_cs is not None:
+                ev["charsets"] = dict(charsets)
+                if default_cs is not None:
+                    ev["default_charset"] = default_cs
+            if geometry_types:
+                ev["geometry_types"] = dict(geometry_types)
+            if invisible:
+                ev["invisible_columns"] = sorted(invisible)
             if col_names is not None:
                 ev["col_names"] = col_names
             if pk is not None:
@@ -1531,6 +1736,36 @@ def decode_events(buf: bytes, verify_crc: bool = True,
             ev["events"] = decode_events(
                 add_event_checksums(raw), verify_crc=verify_crc
             )
+        elif tc == INTVAR_EVENT:
+            # type(1): 1 = LAST_INSERT_ID, 2 = INSERT_ID; value(8)
+            ev["intvar_type"] = body[0]
+            ev["intvar_value"] = struct.unpack_from("<Q", body, 1)[0]
+        elif tc == RAND_EVENT:
+            ev["rand_seed1"], ev["rand_seed2"] = struct.unpack_from(
+                "<QQ", body, 0
+            )
+        elif tc == USER_VAR_EVENT:
+            nlen = struct.unpack_from("<I", body, 0)[0]
+            ev["var_name"] = bytes(body[4 : 4 + nlen]).decode(
+                errors="replace"
+            )
+            p2 = 4 + nlen
+            if body[p2]:  # is_null
+                ev["var_value"] = None
+            else:
+                vtype = body[p2 + 1]
+                vlen = struct.unpack_from("<I", body, p2 + 6)[0]
+                raw = bytes(body[p2 + 10 : p2 + 10 + vlen])
+                if vtype == 0:  # STRING_RESULT
+                    ev["var_value"] = raw.decode(errors="replace")
+                elif vtype == 1:  # REAL_RESULT
+                    ev["var_value"] = struct.unpack("<d", raw)[0]
+                elif vtype == 2:  # INT_RESULT
+                    ev["var_value"] = int.from_bytes(
+                        raw, "little", signed=True
+                    )
+                else:  # DECIMAL_RESULT (4): packed; surface raw bytes
+                    ev["var_value"] = raw
         elif tc == HEARTBEAT_LOG_EVENT:
             ev["log_ident"] = body.decode(errors="replace")
         elif tc == ROTATE_EVENT:

@@ -4324,6 +4324,51 @@ def orders_wire_partial_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_wire_latin1_typed",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
+           CAST(sum(CAST(('0x' || substr(md5(
+                o_orderpriority || '·' || o_orderstatus || 'é'
+           ), 1, 8)) AS BIGINT)) AS BIGINT) AS name_hash_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_wire_latin1_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware wire round trip (round-8 DEFAULT_CHARSET/
+    COLUMN_CHARSET TLVs): a latin1-declared VARCHAR column carrying
+    non-ASCII text (· and é — multi-byte in utf-8, single-byte in
+    latin1) travels the wire in TRUE latin1 bytes, self-described by the
+    charset TLV, and decodes back to the identical Unicode string. The
+    md5 hash of the decoded text proves the transcoding is lossless both
+    ways; a utf-8-assuming decoder would double-encode and break it."""
+    from polardbx_cdc_spark import binlog_wire
+
+    o = load_table(spark, sf_dir, "orders")
+    typed = o.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.concat(
+            F.col("o_orderpriority"), F.lit("·"),
+            F.col("o_orderstatus"), F.lit("é"),
+        ).alias("name"),
+        F.col("o_orderstatus").cast("string").alias("status"),
+    )
+    decls = ["bigint", "varchar(64) charset latin1", "varchar(4)"]
+    blobs = binlog_wire.table_to_binlog(typed, "tpch", "orders", decls)
+    back = binlog_wire.binlog_to_table(
+        blobs, decls, ["okey", "name", "status"]
+    )
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("okey").cast("long").alias("okey_sum"),
+        F.sum(F.conv(F.substring(F.md5("name"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("name_hash_sum"),
+    )
+
+
+@register(
     "events_wire_gtid_stream",
     oracle_cdc_query(
         """

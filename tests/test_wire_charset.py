@@ -1,0 +1,130 @@
+"""Round-8 wire fidelity: charset TLVs (DEFAULT_CHARSET/COLUMN_CHARSET),
+GEOMETRY_TYPE, COLUMN_VISIBILITY, the spec-conformant TLV numbering, and
+the statement-era INTVAR/RAND/USER_VAR carriers.
+
+Layouts are the public rows_event.h Optional_metadata_field_type ones;
+the reference decodes the same statement events (LogDecoder.java)."""
+
+from __future__ import annotations
+
+import pytest
+
+from polardbx_cdc_spark import binlog_wire as W
+
+
+def test_tlv_numbering_matches_public_spec():
+    """SET=5/ENUM=6/COLUMN_CHARSET=3/DEFAULT_CHARSET=2 — the 8.0
+    rows_event.h numbering. (Regression: 3/5 were previously swapped in
+    as SET/ENUM, which only self-roundtrips could tolerate.)"""
+    assert W._DEFAULT_CHARSET_TLV == 2
+    assert W._COLUMN_CHARSET_TLV == 3
+    assert W._COLUMN_NAME_TLV == 4
+    assert W._SET_STR_VALUE_TLV == 5
+    assert W._ENUM_STR_VALUE_TLV == 6
+    assert W._GEOMETRY_TYPE_TLV == 7
+    assert W._SIMPLE_PRIMARY_KEY_TLV == 8
+    assert W._COLUMN_VISIBILITY_TLV == 12
+
+
+def _roundtrip_table(td, rows, rows_type=W.WRITE_ROWS_EVENT):
+    ev = W.encode_table_map(9, td) + W.encode_rows_event(rows_type, 9, td, rows)
+    out = W.decode_events(W.encode_fde() + ev)
+    tm = [e for e in out if e["type"] == W.TABLE_MAP_EVENT][0]
+    rws = [e for e in out if e["type"] == rows_type][0]["rows"]
+    return ev, tm, rws
+
+
+def test_latin1_and_gbk_columns_roundtrip_with_true_wire_bytes():
+    td = W.TableDef(
+        "d", "t",
+        [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 64),
+         (W.TYPE_STRING, (W.TYPE_STRING, 40))],
+        charsets={1: 8, 2: 28},  # latin1_swedish_ci, gbk_chinese_ci
+        default_charset=8,
+    )
+    rows = [[1, "café", "中文"], [2, "naïve", "汉字"]]
+    ev, tm, rws = _roundtrip_table(td, rows)
+    assert rws == rows
+    # override pair only (col 1 == default) + default collation
+    assert tm["default_charset"] == 8
+    assert tm["charsets"] == {2: 28}
+    # the VALUE BYTES are the declared charsets, not utf-8
+    assert "café".encode("latin-1") in bytes(ev)
+    assert "café".encode("utf-8") not in bytes(ev)
+    assert "中文".encode("gbk") in bytes(ev)
+
+
+def test_column_charset_tlv_without_default():
+    td = W.TableDef(
+        "d", "t", [(W.TYPE_VARCHAR, 32), (W.TYPE_VARCHAR, 32)],
+        charsets={0: 8, 1: 45},
+    )
+    _, tm, rws = _roundtrip_table(td, [["ü", "ü"]])
+    assert tm["charsets"] == {0: 8, 1: 45}
+    assert rws == [["ü", "ü"]]
+
+
+def test_charset_survives_partial_row_images():
+    """_sub_def projection must carry the charset map (present-column
+    re-indexing included) — MINIMAL images of latin1 columns."""
+    td = W.TableDef(
+        "d", "t",
+        [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 64), (W.TYPE_VARCHAR, 64)],
+        charsets={2: 8}, default_charset=45,
+    )
+    ev = W.encode_table_map(5, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 5, td, [[None, None, "née"]],
+        present=[False, False, True],
+    )
+    out = W.decode_events(W.encode_fde() + ev)
+    rows = [e for e in out if e["type"] == W.WRITE_ROWS_EVENT][0]["rows"]
+    assert rows == [[None, None, "née"]]
+    assert "née".encode("latin-1") in bytes(ev)
+
+
+def test_geometry_type_and_column_visibility_tlvs():
+    td = W.TableDef(
+        "d", "t2", [(W.TYPE_LONGLONG, None), (W.TYPE_GEOMETRY, 4)],
+        geometry_types={1: 1},  # LINESTRING
+        invisible={1},
+    )
+    out = W.decode_events(W.encode_fde() + W.encode_table_map(10, td))
+    tm = out[-1]
+    assert tm["geometry_types"] == {1: 1}
+    assert tm["invisible_columns"] == [1]
+
+
+def test_unknown_collation_falls_back_to_utf8():
+    assert W._codec_for(9999) == "utf-8"
+    assert W._codec_for(None) == "utf-8"
+    assert W._codec_for(63) == "latin-1"  # binary: byte-transparent
+
+
+def test_statement_era_events_decode():
+    evs = W.decode_events(
+        W.encode_intvar(2, 12345)
+        + W.encode_rand(7, 9)
+        + W.encode_user_var("v1", "txt")
+        + W.encode_user_var("v2", -5)
+        + W.encode_user_var("v3", 2.5)
+        + W.encode_user_var("v4", None)
+    )
+    assert evs[0]["type"] == W.INTVAR_EVENT
+    assert (evs[0]["intvar_type"], evs[0]["intvar_value"]) == (2, 12345)
+    assert (evs[1]["rand_seed1"], evs[1]["rand_seed2"]) == (7, 9)
+    assert [(e["var_name"], e.get("var_value")) for e in evs[2:]] == [
+        ("v1", "txt"), ("v2", -5), ("v3", 2.5), ("v4", None)
+    ]
+
+
+def test_named_attach_resolves_charset_strings():
+    td = W.TableDef(
+        "d", "t", [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 64)],
+        col_names=["id", "name"], pk=[0],
+        charsets={1: 8}, default_charset=8,
+    )
+    ev = W.encode_table_map(6, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 6, td, [[1, "Ångström"]]
+    )
+    named = W.decode_named_rows(W.encode_fde() + ev)
+    assert named[0]["values"] == {"id": 1, "name": "Ångström"}
