@@ -1232,47 +1232,50 @@ _OTW_UNCOMPRESSED_SIZE = 3
 
 
 def _zstd_compress(raw: bytes) -> bytes:
-    """ZSTD-compress a payload: real entropy coding when the
-    ``zstandard`` package is present, else a spec-valid raw-block frame
-    from the vendored :mod:`polardbx_cdc_spark.zstd_mini` codec (legal
-    Zstandard any conforming decoder reads — the libzstd stored-block
-    fallback — just without size reduction)."""
+    """ZSTD-compress a payload with the best codec on the machine:
+    the ``zstandard`` package, else the system ``libzstd`` via ctypes
+    (:mod:`polardbx_cdc_spark.zstd_ffi` — real entropy coding, zero
+    Python dependencies), else a spec-valid raw-block frame from the
+    vendored :mod:`polardbx_cdc_spark.zstd_mini` codec (legal Zstandard
+    any conforming decoder reads — just without size reduction)."""
     try:
         import zstandard  # type: ignore[import-not-found]
 
         return zstandard.ZstdCompressor().compress(raw)
     except ImportError:
-        from polardbx_cdc_spark import zstd_mini
+        pass
+    from polardbx_cdc_spark import zstd_ffi, zstd_mini
 
-        return zstd_mini.compress(raw)
+    if zstd_ffi.available():
+        return zstd_ffi.compress(raw)
+    return zstd_mini.compress(raw)
 
 
 def _zstd_decompress(blob: bytes, usize: int | None) -> bytes:
     """Decode a ZSTD payload body. The vendored frame codec handles
     raw/RLE-block frames with zero dependencies; entropy-coded frames
-    (a real 8.0.20+ server's output) fall back to the ``zstandard``
-    package. ``usize`` (the payload TLV's UNCOMPRESSED_SIZE) is
-    optional on the wire — when absent the fallback streams instead of
-    pre-allocating (frames need not embed a content size)."""
-    from polardbx_cdc_spark import zstd_mini
+    (a real 8.0.20+ server's output) decode through the system libzstd
+    (ctypes) or the ``zstandard`` package. ``usize`` (the payload TLV's
+    UNCOMPRESSED_SIZE) is optional on the wire — when absent the codecs
+    use the frame's own content size or stream."""
+    from polardbx_cdc_spark import zstd_ffi, zstd_mini
 
     try:
         raw = zstd_mini.decompress(blob)
     except zstd_mini.UnsupportedFrame:
+        if zstd_ffi.available():
+            return zstd_ffi.decompress(blob, usize)
         try:
             import zstandard  # type: ignore[import-not-found]
         except ImportError as exc:  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "entropy-coded ZSTD TRANSACTION_PAYLOAD needs the "
-                "'zstandard' package (not in this container); raw-block "
-                "frames decode natively"
+                "entropy-coded ZSTD TRANSACTION_PAYLOAD needs libzstd or "
+                "the 'zstandard' package; raw-block frames decode natively"
             ) from exc
         if usize:
             return zstandard.ZstdDecompressor().decompress(
                 blob, max_output_size=usize
             )
-        # no UNCOMPRESSED_SIZE TLV: streaming decompress (no content-size
-        # requirement on the frame)
         return zstandard.ZstdDecompressor().decompressobj().decompress(blob)
     if usize is not None and len(raw) != usize:
         raise ValueError(

@@ -4178,12 +4178,13 @@ def cdc_binlog_wire_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_binlog_wire_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``cdc_binlog_wire_compressed`` with compression=ZSTD (the
     algorithm a real 8.0.20+ server uses, BinlogEventType.java:38):
-    payload bodies are Zstandard FRAMES — entropy-coded when the
-    zstandard package exists, spec-valid raw-block frames from the
-    vendored zstd_mini codec otherwise — decoded back through the same
-    transparent payload expansion. Same raw-cdc oracle: the hash match
-    proves the ZSTD branch (TLV header, frame codec, size bookkeeping)
-    is lossless, closing the round-7 "ZSTD path never exercised" gap."""
+    payload bodies are Zstandard FRAMES — REAL entropy coding via the
+    zstandard package or the system libzstd ctypes binding (zstd_ffi),
+    spec-valid raw-block frames from the vendored zstd_mini codec as
+    the last resort — decoded back through the same transparent payload
+    expansion. Same raw-cdc oracle: the hash match proves the ZSTD
+    branch (TLV header, frame codec, size bookkeeping) is lossless,
+    closing the round-7 "ZSTD path never exercised" gap."""
     from polardbx_cdc_spark import binlog_wire
 
     cdc = derive_cdc_stream(spark, sf_dir).select(

@@ -131,3 +131,64 @@ def test_wire_frame_rows_partial_update_pk_comes_from_before_image():
     upd = [r for r in rows if r[2] == "UPDATE"]
     assert len(upd) == 1
     assert upd[0][5] == "41"  # pk from the before-image, never "None"
+
+
+def test_zstd_ffi_full_entropy_codec_roundtrip():
+    """System-libzstd ctypes tier: real entropy coding both ways, frames
+    interchangeable with zstd_mini's raw-block frames, mini correctly
+    refusing entropy frames into the ffi fallback."""
+    from polardbx_cdc_spark import zstd_ffi as FFI
+
+    if not FFI.available():
+        pytest.skip("no system libzstd")
+    data = b"binlog event stream " * 5000
+    c = FFI.compress(data)
+    assert len(c) < len(data) // 10  # genuinely entropy-coded
+    assert FFI.decompress(c) == data
+    assert FFI.decompress(c, usize=len(data)) == data
+    assert FFI.decompress(Z.compress(data)) == data  # raw-block interop
+    with pytest.raises(Z.UnsupportedFrame):
+        Z.decompress(c)
+
+
+def test_zstd_ffi_interops_with_zstd_cli():
+    """Cross-implementation check against the zstd CLI binary: our
+    frames decode under the reference implementation and vice versa —
+    the interop a real MySQL server round-trip would exercise."""
+    import shutil
+    import subprocess
+
+    from polardbx_cdc_spark import zstd_ffi as FFI
+
+    if not FFI.available() or not shutil.which("zstd"):
+        pytest.skip("no libzstd / zstd CLI")
+    data = os.urandom(1000) + b"compressible " * 2000
+    out = subprocess.run(["zstd", "-d", "-c"], input=FFI.compress(data),
+                         capture_output=True)
+    assert out.returncode == 0 and out.stdout == data
+    out2 = subprocess.run(["zstd", "-c", "-19"], input=data,
+                          capture_output=True)
+    assert FFI.decompress(out2.stdout) == data
+    # raw-block mini frames decode under the CLI too
+    out3 = subprocess.run(["zstd", "-d", "-c"], input=Z.compress(data),
+                          capture_output=True)
+    assert out3.returncode == 0 and out3.stdout == data
+
+
+def test_payload_entropy_zstd_end_to_end():
+    """With libzstd present the TRANSACTION_PAYLOAD ZSTD branch carries
+    REAL entropy-coded bodies — and they are smaller than the events."""
+    from polardbx_cdc_spark import zstd_ffi as FFI
+
+    if not FFI.available():
+        pytest.skip("no system libzstd")
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None), (W.TYPE_VARCHAR, 64)])
+    evs = [W.encode_table_map(5, td)] + [
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 5, td,
+                            [[i, f"row-{i % 7}"] for i in range(50)])
+    ] + [W.encode_xid(1)]
+    p = W.encode_transaction_payload(evs, compression=W.COMPRESS_ZSTD)
+    assert len(p) < len(b"".join(evs)) // 2
+    flat = W.expand_payload_events(W.decode_events(p))
+    rows = [r for e in flat if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert len(rows) == 50 and rows[7] == [7, "row-0"]
