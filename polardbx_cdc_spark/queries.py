@@ -4370,6 +4370,91 @@ def orders_wire_latin1_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_wire_named_attach",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
+           CAST(sum(CAST(('0x' || substr(md5(o_orderpriority || 'é'), 1, 8))
+                AS BIGINT)) AS BIGINT) AS prio_hash_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_wire_named_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-FREE distributed attach (binlog_row_metadata=FULL): the
+    stream self-describes — COLUMN_NAME, SIMPLE_PRIMARY_KEY, ENUM label
+    and charset TLVs ride the TABLE_MAP — and the consumer decodes NAMED
+    rows with ``decode_named_rows`` knowing NOTHING about the schema
+    (the reference's column-aware processing over TableMapLogEvent
+    optional metadata). The status column travels as a 1-based ENUM
+    index resolved back to its label from the wire's own TLV; the
+    priority column travels in latin1 bytes. Hash-checked against the
+    plain table: a wrong label table, pk TLV, or charset breaks it."""
+    from polardbx_cdc_spark import binlog_wire as BW
+
+    labels = ["F", "O", "P"]
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.array_position(
+            F.lit(labels), F.col("o_orderstatus")
+        ).cast("int").alias("status_idx"),  # 1-based, like ENUM
+        F.concat(F.col("o_orderpriority"), F.lit("é")).alias("prio"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    if o.rdd.getNumPartitions() < par:
+        o = o.repartition(par)
+
+    def encode_part(batches):
+        import pandas as pd
+
+        td = BW.TableDef(
+            "tpch", "orders",
+            [(BW.TYPE_LONGLONG, None),
+             (BW.TYPE_STRING, (BW.TYPE_ENUM, 1)),
+             (BW.TYPE_VARCHAR, 64)],
+            col_names=["okey", "status", "prio"], pk=[0],
+            enum_labels={1: labels},
+            charsets={2: 8}, default_charset=8,
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blob = bytearray(BW.encode_table_map(11, td))
+            rows = [
+                [int(r.okey), int(r.status_idx), r.prio]
+                for r in pdf.itertuples()
+            ]
+            for i in range(0, len(rows), 1000):
+                blob += BW.encode_rows_event(
+                    BW.WRITE_ROWS_EVENT, 11, td, rows[i : i + 1000]
+                )
+            yield pd.DataFrame({"payload": [bytes(blob)]})
+
+    def decode_part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = {"status": [], "okey": [], "prio": []}
+            for blob in pdf["payload"]:
+                # NO schema passed: names/labels/pk come from the wire
+                for ch in BW.decode_named_rows(bytes(blob)):
+                    outs["status"].append(ch["values"]["status"])
+                    outs["okey"].append(ch["values"]["okey"])
+                    outs["prio"].append(ch["values"]["prio"])
+            yield pd.DataFrame(outs)
+
+    blobs = o.mapInPandas(encode_part, "payload binary")
+    back = blobs.mapInPandas(decode_part, "status string, okey long, prio string")
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("okey").cast("long").alias("okey_sum"),
+        F.sum(F.conv(F.substring(F.md5("prio"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("prio_hash_sum"),
+    )
+
+
+@register(
     "events_wire_gtid_stream",
     oracle_cdc_query(
         """
