@@ -330,7 +330,13 @@ def main() -> None:
                     os.path.dirname(os.path.abspath(__file__)),
                     "tools", "bisect_stress.py",
                 )
-                worst = sorted(s_ratio, key=lambda k: -s_ratio[k])[:5]
+                # registry queries only: the pipeline stress names have no
+                # bisect_stress entry point (their clean twin is the
+                # fresh-JVM pipeline run itself)
+                worst = [
+                    n for n in sorted(s_ratio, key=lambda k: -s_ratio[k])
+                    if n in registry
+                ][:5]
                 clean_t: dict[str, float] = {}
                 clean_ratio: dict[str, float] = {}
                 c_budget, c_t0 = 300.0, time.perf_counter()
