@@ -95,6 +95,14 @@ ROTATE_EVENT = 4
 INTVAR_EVENT = 5
 RAND_EVENT = 13
 USER_VAR_EVENT = 14
+#: server-lifecycle / LOAD DATA / incident markers the reference's
+#: LogDecoder.java:294-330 constructs as first-class events —
+#: decode-only here as well
+STOP_EVENT = 3
+BEGIN_LOAD_QUERY_EVENT = 17
+EXECUTE_LOAD_QUERY_EVENT = 18
+INCIDENT_EVENT = 26
+IGNORABLE_LOG_EVENT = 28
 XA_PREPARE_EVENT = 38  # XA branch prepare (XaPrepareLogEvent.java)
 SEQUENCE_EVENT = 80  # PolarDB-X sequence/TSO carrier (SequenceLogEvent.java)
 GCN_EVENT = 105  # PolarDB-X DN 8.0 commit-GCN carrier (GcnLogEvent.java)
@@ -160,6 +168,9 @@ _POST_HEADER_LEN = {
     UPDATE_ROWS_EVENT_V1: 8,
     DELETE_ROWS_EVENT_V1: 8,
     PARTIAL_UPDATE_ROWS_EVENT: 10,
+    BEGIN_LOAD_QUERY_EVENT: 4,
+    EXECUTE_LOAD_QUERY_EVENT: 26,
+    INCIDENT_EVENT: 2,
 }
 _LAST_EVENT_TYPE = 42  # table covers types 1..42 (5.7-era layout)
 
@@ -1739,6 +1750,33 @@ def decode_events(buf: bytes, verify_crc: bool = True,
             ev["events"] = decode_events(
                 add_event_checksums(raw), verify_crc=verify_crc
             )
+        elif tc == INCIDENT_EVENT:
+            # incident number(2) | msg_len(1) msg — LOST_EVENTS marker; a
+            # replica must treat the gap as unrecoverable
+            ev["incident_number"] = struct.unpack_from("<H", body, 0)[0]
+            mlen = body[2] if len(body) > 2 else 0
+            ev["incident_message"] = bytes(body[3 : 3 + mlen]).decode(
+                errors="replace"
+            )
+        elif tc == BEGIN_LOAD_QUERY_EVENT:
+            # file_id(4) | raw block bytes (LOAD DATA LOCAL INFILE chunk)
+            ev["file_id"] = struct.unpack_from("<I", body, 0)[0]
+            ev["block"] = bytes(body[4:])
+        elif tc == EXECUTE_LOAD_QUERY_EVENT:
+            # QUERY post-header + file_id(4) start(4) end(4) dup(1),
+            # then status-vars / db / query text like QUERY_EVENT
+            _tid, _et, dlen, _ec, svlen = struct.unpack_from("<IIBHH", body, 0)
+            ev["file_id"], ev["fn_pos_start"], ev["fn_pos_end"] = (
+                struct.unpack_from("<III", body, 13)
+            )
+            ev["dup_handling"] = body[25]
+            p2 = 26 + svlen
+            ev["db"] = bytes(body[p2 : p2 + dlen]).decode()
+            ev["query"] = bytes(body[p2 + dlen + 1 :]).decode(
+                errors="replace"
+            )
+        elif tc in (STOP_EVENT, IGNORABLE_LOG_EVENT):
+            pass  # typed marker, no payload semantics (LogDecoder parity)
         elif tc == INTVAR_EVENT:
             # type(1): 1 = LAST_INSERT_ID, 2 = INSERT_ID; value(8)
             ev["intvar_type"] = body[0]

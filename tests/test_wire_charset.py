@@ -128,3 +128,40 @@ def test_named_attach_resolves_charset_strings():
     )
     named = W.decode_named_rows(W.encode_fde() + ev)
     assert named[0]["values"] == {"id": 1, "name": "Ångström"}
+
+
+def test_lifecycle_and_load_query_events_decode():
+    """STOP / INCIDENT / IGNORABLE / BEGIN+EXECUTE_LOAD_QUERY — the
+    events LogDecoder.java:294-330 constructs as first-class objects."""
+    import struct
+
+    stop = W.encode_event(W.STOP_EVENT, b"", 0)
+    ign = W.encode_event(W.IGNORABLE_LOG_EVENT, b"\x00\x01", 0)
+    inc = W.encode_event(
+        W.INCIDENT_EVENT,
+        struct.pack("<H", 1) + bytes([10]) + b"lost-bytes",
+        0,
+    )
+    blq = W.encode_event(
+        W.BEGIN_LOAD_QUERY_EVENT, struct.pack("<I", 77) + b"csv,chunk", 0
+    )
+    db, q = b"d1", b"LOAD DATA LOCAL INFILE 'x.csv' INTO TABLE t"
+    elq = W.encode_event(
+        W.EXECUTE_LOAD_QUERY_EVENT,
+        struct.pack("<IIBHH", 9, 0, len(db), 0, 0)
+        + struct.pack("<III", 77, 12, 30) + bytes([2])
+        + db + b"\x00" + q,
+        0,
+    )
+    evs = W.decode_events(stop + ign + inc + blq + elq)
+    assert [e["type"] for e in evs] == [
+        W.STOP_EVENT, W.IGNORABLE_LOG_EVENT, W.INCIDENT_EVENT,
+        W.BEGIN_LOAD_QUERY_EVENT, W.EXECUTE_LOAD_QUERY_EVENT,
+    ]
+    assert evs[2]["incident_number"] == 1
+    assert evs[2]["incident_message"] == "lost-bytes"
+    assert evs[3]["file_id"] == 77 and evs[3]["block"] == b"csv,chunk"
+    assert evs[4]["file_id"] == 77
+    assert (evs[4]["fn_pos_start"], evs[4]["fn_pos_end"]) == (12, 30)
+    assert evs[4]["dup_handling"] == 2
+    assert evs[4]["db"] == "d1" and evs[4]["query"].startswith("LOAD DATA")
