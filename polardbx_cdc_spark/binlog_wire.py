@@ -250,6 +250,10 @@ _COLLATION_CODECS: dict[int, str] = {
 }
 
 
+import re as _re_mod
+
+_CHARSET_DECL_RE = _re_mod.compile(r"charset\s+([a-z0-9_]+)")
+
 #: charset NAME → default collation id (the ids SHOW COLLATION lists)
 _CHARSET_NAME_IDS: dict[str, int] = {
     "latin1": 8, "ascii": 11, "gbk": 28, "gb2312": 24, "cp932": 95,
@@ -264,11 +268,16 @@ def _codec_for(collation: int | None) -> str:
 
 
 def _character_columns(types: list[tuple[int, object]]) -> list[int]:
-    """Column indexes the charset TLVs cover, in column order: CHAR and
-    VARCHAR (ENUM/SET ride their own label TLVs; TEXT travels as BLOB)."""
+    """Column indexes the charset TLVs cover, in column order — the
+    server's is_character_type set (rows_event.cc): CHAR, VARCHAR, and
+    BLOB (TEXT travels as MYSQL_TYPE_BLOB and occupies an ordinal even
+    though this slice keeps its VALUE bytes opaque). ENUM/SET ride their
+    own ENUM_AND_SET_* charset TLVs and are excluded. Getting the
+    ordinal space right is what keeps a real server's COLUMN_CHARSET
+    list aligned to the right columns."""
     out = []
     for i, (tc, m) in enumerate(types):
-        if tc == TYPE_VARCHAR:
+        if tc in (TYPE_VARCHAR, TYPE_BLOB):
             out.append(i)
         elif tc == TYPE_STRING and isinstance(m, tuple) \
                 and m[0] not in (TYPE_ENUM, TYPE_SET):
@@ -350,8 +359,7 @@ class TableDef:
                 unsigned.add(i)
             # "varchar(64) charset latin1" → per-column collation carried
             # in the charset TLVs and used for the value bytes
-            import re as _re2
-            cm = _re2.search(r"charset\s+([a-z0-9_]+)", t)
+            cm = _CHARSET_DECL_RE.search(t)
             if cm:
                 cs = _CHARSET_NAME_IDS.get(cm.group(1))
                 if cs is not None:
@@ -2050,8 +2058,19 @@ def binlog_to_events(df, payload_col: str = "payload",
                         continue
                     for row in ev["rows"]:
                         img = row[1] if ev["type"] in UPDATE_EVENTS else row
+                        val = img[1]
+                        if isinstance(val, JsonDiffVector):
+                            # partial JSON (type 39): never surface raw
+                            # JsonDiff objects into the double column —
+                            # materialize against the before image and
+                            # keep only a numeric result
+                            doc = apply_json_diffs(row[0][1], val)
+                            val = float(doc) if isinstance(
+                                doc, (int, float)
+                            ) else None
                         out.append(
-                            (ev["db"], ev["tbl"], _ACTION[ev["type"]], img[0], img[1])
+                            (ev["db"], ev["tbl"], _ACTION[ev["type"]],
+                             img[0], val)
                         )
             yield pd.DataFrame(
                 out, columns=["db", "tbl", "action", "pk", "value"]
@@ -2646,7 +2665,18 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
                         continue
                     for row in ev["rows"]:
                         if include_action and ev["type"] in UPDATE_EVENTS:
+                            before = row[0]
                             row = row[1]  # after image (REPLACE model)
+                            # partial JSON (type 39): materialize diff
+                            # vectors against the before image — typed
+                            # columns must carry documents, never
+                            # JsonDiff objects
+                            if ev["type"] == PARTIAL_UPDATE_ROWS_EVENT:
+                                row = [
+                                    apply_json_diffs(b, v)
+                                    if isinstance(v, JsonDiffVector) else v
+                                    for b, v in zip(before, row)
+                                ]
                         rec = [act] if include_action else []
                         for v, decl, f, codec in zip(
                             row, decls, out_schema.fields, codecs
@@ -2965,6 +2995,8 @@ def decode_json_diffs(buf: bytes) -> JsonDiffVector:
         if op not in (JSON_DIFF_REPLACE, JSON_DIFF_INSERT, JSON_DIFF_REMOVE):
             raise ValueError(f"unknown JSON diff operation {op}")
         plen, pos = _read_lenenc(buf, pos)
+        if pos + plen > len(buf):
+            raise ValueError("JSON diff path overruns buffer")
         path = buf[pos : pos + plen].decode()
         pos += plen
         value = None
@@ -3037,8 +3069,13 @@ def apply_json_diffs(doc, diffs: list):
                 continue
             raise ValueError(f"cannot {d.op} at root path $")
         parent = out
-        for kind, key in legs[:-1]:
-            parent = parent[key] if kind == "member" else parent[key]
+        for _kind, key in legs[:-1]:
+            try:
+                parent = parent[key]
+            except (KeyError, IndexError, TypeError) as exc:
+                raise ValueError(
+                    f"JSON diff path missing intermediate: {d.path}"
+                ) from exc
         kind, key = legs[-1]
         if d.op == JSON_DIFF_REPLACE:
             if kind == "member":

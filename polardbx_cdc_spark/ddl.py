@@ -390,10 +390,23 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
         # balanced scan for the COLUMN-LIST body: a greedy regex would
         # swallow table-tail clauses that themselves end in ')' — e.g.
         # PARTITION BY RANGE (f(c)) (PARTITION p0 VALUES LESS THAN (...))
-        # — and surface a phantom 'partition' column (round-8 fuzz find)
+        # — and surface a phantom 'partition' column (round-8 fuzz find).
+        # Track closure explicitly: _consume_balanced returns len(s) both
+        # for "matched at the last char" and "never matched", so a
+        # truncated CREATE (torn QUERY event) must be rejected here, not
+        # parsed with a corrupted last column.
         open_i = m.end()
-        close_i = _consume_balanced(s, open_i)
-        if close_i >= len(s) + 1:
+        depth, close_i = 0, -1
+        for j in range(open_i, len(s)):
+            c = s[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    close_i = j + 1
+                    break
+        if close_i < 0:
             return []  # unbalanced: not a digestible CREATE
         db, tbl, body = m.group(1), _ident(m.group(2)), s[open_i + 1 : close_i - 1]
         # table tail (engine/charset/partitioning/dbpartition) carries no

@@ -354,6 +354,20 @@ def _merge_pair_col(symbols, a: str, b: str):
     )
 
 
+def _utf16_units(w: str) -> list[str]:
+    """Split a word the way Spark's ``split(w, '')`` does: into UTF-16
+    code units (Java string semantics), so the driver-exact BPE path and
+    the distributed fold see IDENTICAL symbols even for astral-plane
+    characters (emoji split into surrogate halves on both sides)."""
+    if all(ord(c) < 0x10000 for c in w):  # BMP fast path == list(w)
+        return list(w)
+    enc = w.encode("utf-16-be", "surrogatepass")
+    return [
+        enc[i : i + 2].decode("utf-16-be", "surrogatepass")
+        for i in range(0, len(enc), 2)
+    ]
+
+
 def _bpe_exact_driver(words: list[tuple[list[str], int]],
                       n_merges: int) -> list[tuple[str, str]]:
     """Exact classic BPE (Sennrich 2016 dict algorithm) over an
@@ -442,10 +456,12 @@ def bpe_train(df, text_col: str = "text", n_merges: int = 10,
 
     ``stats``: optional dict receiving {"passes": N, "mode": ...}."""
     wf = word_freq(df, text_col)
-    if wf.count() <= driver_vocab_limit:
-        rows = wf.collect()  # bounded by driver_vocab_limit
+    # one job gates AND fetches: take(limit+1) computes the collapse once
+    # and ships at most limit+1 rows — no separate count() pass
+    rows = wf.take(driver_vocab_limit + 1) if driver_vocab_limit > 0 else []
+    if driver_vocab_limit > 0 and len(rows) <= driver_vocab_limit:
         merges = _bpe_exact_driver(
-            [(list(r["w"]), int(r["cnt"])) for r in rows], n_merges
+            [(_utf16_units(r["w"]), int(r["cnt"])) for r in rows], n_merges
         )
         if stats is not None:
             stats["passes"] = 1

@@ -391,7 +391,10 @@ class _Handler(socketserver.StreamRequestHandler):
                 r"SET\s+@MASTER_HEARTBEAT_PERIOD\s*=\s*(\d+)", u
             )
             if m:
-                self._heartbeat_period = max(int(m.group(1)) / 1e9, 0.05)
+                ns = int(m.group(1))
+                # 0 = heartbeats OFF (the protocol's disable value), else
+                # clamp to a 50ms floor like the server's 1ms granularity
+                self._heartbeat_period = 0.0 if ns == 0 else max(ns / 1e9, 0.05)
             _write_packet(self.wfile, 1, _ok_packet())
             return
         if u in ("SHOW MASTER STATUS", "SHOW BINARY LOG STATUS"):
@@ -518,10 +521,13 @@ class _Handler(socketserver.StreamRequestHandler):
         import zlib as _zlib
 
         # a replica's SET @master_heartbeat_period (captured per
-        # connection by _answer_query) overrides the server default
-        hb = getattr(self, "_heartbeat_period", None) or srv.heartbeat_interval
+        # connection by _answer_query) overrides the server default;
+        # an explicit 0 DISABLES heartbeats entirely
+        hb = getattr(self, "_heartbeat_period", None)
+        if hb is None:
+            hb = srv.heartbeat_interval
         deadline = _time.monotonic() + srv.live_idle_timeout
-        next_hb = _time.monotonic() + hb
+        next_hb = _time.monotonic() + hb if hb > 0 else float("inf")
         stable_size = -1
         while _time.monotonic() < deadline:
             path = os.path.join(srv.wire_dir, cur)

@@ -859,3 +859,48 @@ def test_master_heartbeat_period_honored_per_connection(tmp_path):
                     hb += 1
     # 1.2s idle at 0.2s cadence → ~5 beats; the 5s default would give 0
     assert hb >= 3, f"heartbeat period not honored (got {hb} beats)"
+
+
+def test_master_heartbeat_period_zero_disables_heartbeats(tmp_path):
+    """SET @master_heartbeat_period=0 is the protocol's OFF switch —
+    the idle live stream must stay silent (round-8 review)."""
+    import socket
+    import struct as _s
+    import time as _t
+
+    wire = str(tmp_path / "hb0wire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_table_map(3, td)
+         + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, [[1]])],
+    )
+    with M.MySQLDumpServer(wire, live_idle_timeout=0.8,
+                           heartbeat_interval=0.1) as srv:
+        host, port = srv.address
+        with socket.create_connection((host, port), timeout=30) as sock:
+            rf, wf = sock.makefile("rb"), sock.makefile("wb")
+            greet = M._read_packet(rf)
+            M._write_packet(wf, greet[0] + 1,
+                            _s.pack("<I", 0x0200 | 0x8000)
+                            + _s.pack("<I", 1 << 24) + b"\x21"
+                            + b"\x00" * 23 + b"c\x00" + b"\x00")
+            assert M._read_packet(rf)[1][:1] == b"\x00"
+            M._write_packet(wf, 0, b"\x03SET @master_heartbeat_period=0")
+            assert M._read_packet(rf)[1][:1] == b"\x00"
+            M._write_packet(
+                wf, 0,
+                bytes([M.COM_BINLOG_DUMP]) + _s.pack("<I", 4)
+                + _s.pack("<H", 0x00) + _s.pack("<I", 7) + b"binlog.000001",
+            )
+            hb = 0
+            t0 = _t.monotonic()
+            while _t.monotonic() - t0 < 10:
+                pkt = M._read_packet(rf)
+                if pkt is None or (pkt[1][:1] == b"\xfe" and len(pkt[1]) < 9):
+                    break
+                if pkt[1][:1] == b"\x00" and pkt[1][5] == W.HEARTBEAT_LOG_EVENT:
+                    hb += 1
+    # server default 0.1s over 0.8s idle would give ~8 beats; 0 = silence
+    assert hb == 0, f"heartbeats not disabled (got {hb})"

@@ -165,3 +165,49 @@ def test_lifecycle_and_load_query_events_decode():
     assert (evs[4]["fn_pos_start"], evs[4]["fn_pos_end"]) == (12, 30)
     assert evs[4]["dup_handling"] == 2
     assert evs[4]["db"] == "d1" and evs[4]["query"].startswith("LOAD DATA")
+
+
+def test_blob_text_columns_occupy_charset_ordinals():
+    """rows_event.cc is_character_type includes BLOB/TEXT: a real
+    server's COLUMN_CHARSET list covers them, so the ordinal space must
+    too — else collations land on the wrong columns (round-8 review)."""
+    td = W.TableDef(
+        "d", "t",
+        [(W.TYPE_BLOB, 2), (W.TYPE_VARCHAR, 32)],  # TEXT first, like a
+        charsets={0: 45, 1: 8},                     # real table layout
+    )
+    out = W.decode_events(W.encode_fde() + W.encode_table_map(4, td))
+    tm = out[-1]
+    # the VARCHAR got ITS latin1, not the TEXT column's utf8mb4
+    assert tm["charsets"] == {0: 45, 1: 8}
+
+
+def test_truncated_create_is_rejected_not_misparsed():
+    """A torn CREATE (truncated QUERY event) must parse to NOTHING, not
+    to a table with a corrupted last column (round-8 review: the
+    unbalanced guard was dead code)."""
+    from polardbx_cdc_spark.ddl import parse_ddl
+
+    assert parse_ddl("CREATE TABLE t (a int, b varchar(10") == []
+    assert parse_ddl("CREATE TABLE t (a int, b f(1)") == []
+
+
+def test_typed_decode_materializes_partial_json(spark):
+    """binlog_to_table(include_action=True) over a type-39 stream must
+    surface the MATERIALIZED document, never raw JsonDiff objects."""
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None), (W.TYPE_JSON, 4)])
+    diffs = W.JsonDiffVector([W.JsonDiff(W.JSON_DIFF_REPLACE, "$.a", 9)])
+    ev = W.encode_table_map(5, td) + W.encode_rows_event(
+        W.PARTIAL_UPDATE_ROWS_EVENT, 5, td, [([1, {"a": 1}], [1, diffs])]
+    )
+    blobs = spark.createDataFrame(
+        [(bytearray(W.encode_fde() + ev),)], "payload binary"
+    )
+    back = W.binlog_to_table(
+        blobs, ["bigint", "json"], ["id", "doc"], include_action=True
+    )
+    rows = back.collect()
+    assert rows[0]["action"] == "UPDATE"
+    import json as _json
+
+    assert _json.loads(rows[0]["doc"]) == {"a": 9}
