@@ -103,6 +103,13 @@ BEGIN_LOAD_QUERY_EVENT = 17
 EXECUTE_LOAD_QUERY_EVENT = 18
 INCIDENT_EVENT = 26
 IGNORABLE_LOG_EVENT = 28
+#: MariaDB event family (LogEvent.java:188-206 enumerates them; the
+#: reference decodes them as ignorables — here the GTID carriers decode
+#: typed so a MariaDB archive's txn boundaries survive)
+MARIA_ANNOTATE_ROWS_EVENT = 160
+MARIA_BINLOG_CHECKPOINT_EVENT = 161
+MARIA_GTID_EVENT = 162
+MARIA_GTID_LIST_EVENT = 163
 XA_PREPARE_EVENT = 38  # XA branch prepare (XaPrepareLogEvent.java)
 SEQUENCE_EVENT = 80  # PolarDB-X sequence/TSO carrier (SequenceLogEvent.java)
 GCN_EVENT = 105  # PolarDB-X DN 8.0 commit-GCN carrier (GcnLogEvent.java)
@@ -1785,6 +1792,28 @@ def decode_events(buf: bytes, verify_crc: bool = True,
             )
         elif tc in (STOP_EVENT, IGNORABLE_LOG_EVENT):
             pass  # typed marker, no payload semantics (LogDecoder parity)
+        elif tc == MARIA_GTID_EVENT:
+            # seq_no(8) domain_id(4) flags(1) — mariadb replication doc
+            ev["gtid_seq_no"] = struct.unpack_from("<Q", body, 0)[0]
+            ev["gtid_domain_id"] = struct.unpack_from("<I", body, 8)[0]
+            ev["gtid_flags"] = body[12] if len(body) > 12 else 0
+        elif tc == MARIA_GTID_LIST_EVENT:
+            cnt = struct.unpack_from("<I", body, 0)[0] & 0x0FFFFFFF
+            lst = []
+            p2 = 4
+            for _ in range(cnt):
+                dom, srv_id, seq = struct.unpack_from("<IIQ", body, p2)
+                lst.append((dom, srv_id, seq))
+                p2 += 16
+            ev["gtid_list"] = lst
+        elif tc == MARIA_BINLOG_CHECKPOINT_EVENT:
+            flen = struct.unpack_from("<I", body, 0)[0]
+            ev["checkpoint_file"] = bytes(body[4 : 4 + flen]).decode(
+                errors="replace"
+            )
+        elif tc == MARIA_ANNOTATE_ROWS_EVENT:
+            # the original statement text, like ROWS_QUERY
+            ev["rows_query"] = bytes(body).decode(errors="replace")
         elif tc == INTVAR_EVENT:
             # type(1): 1 = LAST_INSERT_ID, 2 = INSERT_ID; value(8)
             ev["intvar_type"] = body[0]
@@ -2410,6 +2439,16 @@ def wire_frame_rows(name: str, buf: bytes,
             # column (both are the txn-scope bigint slot)
             out.append(
                 (name, pos, "GCN", None, None, None, None, ev["gcn"])
+            )
+            pos += 1
+        elif tc == INCIDENT_EVENT:
+            # LOST_EVENTS marker: appliers must see the gap as a typed
+            # row (a real replica stops with ER_SLAVE_INCIDENT) — the
+            # message travels in the pk slot like TRACE markers
+            out.append(
+                (name, pos, "INCIDENT", None, None,
+                 ev.get("incident_message") or "", None,
+                 ev.get("incident_number"))
             )
             pos += 1
     return out
@@ -3050,6 +3089,91 @@ def _parse_json_path(path: str) -> list:
         else:
             raise ValueError(f"bad JSON path syntax at {i}: {path!r}")
     return legs
+
+
+_NEEDS_QUOTE = _re_mod.compile(r"[^A-Za-z0-9_]|^$|^\d")
+
+
+def _path_member(p: str, k: str) -> str:
+    if _NEEDS_QUOTE.search(k):
+        esc = k.replace("\\", "\\\\").replace('"', '\\"')
+        return f'{p}."{esc}"'
+    return f"{p}.{k}"
+
+
+def compute_json_diffs(before, after,
+                       path: str = "$") -> JsonDiffVector | None:
+    """The server side of partial JSON: derive a MINIMAL diff vector
+    turning *before* into *after* (what the optimizer's
+    Json_diff_vector collection does before logging a type-39 event).
+    Returns None when replacing the whole document is no smaller than
+    diffing — mirroring the server's fall-back-to-full-value behavior
+    (it logs the full value when the binary diff would be larger).
+
+    Law (property-tested): ``apply_json_diffs(before,
+    compute_json_diffs(before, after)) == after`` whenever a vector is
+    returned. Objects diff member-wise (REPLACE changed, REMOVE absent,
+    INSERT new); arrays diff by a common-prefix/suffix splice (the
+    server's log_array_diff heuristic class): element REPLACEs inside
+    the window, INSERTs/REMOVEs at one splice point."""
+    diffs = JsonDiffVector()
+
+    def walk(b, a, p: str) -> bool:
+        """Append diffs turning b→a under path p; False = must REPLACE
+        at p (types differ or scalar change)."""
+        if type(b) is not type(a):
+            return False
+        if isinstance(b, dict):
+            for k in b:
+                child = _path_member(p, k)
+                if k not in a:
+                    diffs.append(JsonDiff(JSON_DIFF_REMOVE, child))
+                elif b[k] != a[k]:
+                    if not walk(b[k], a[k], child):
+                        diffs.append(JsonDiff(JSON_DIFF_REPLACE, child, a[k]))
+            for k in a:
+                if k not in b:
+                    diffs.append(
+                        JsonDiff(JSON_DIFF_INSERT, _path_member(p, k), a[k])
+                    )
+            return True
+        if isinstance(b, list):
+            # common prefix / suffix, one splice in the middle
+            pre = 0
+            while pre < len(b) and pre < len(a) and b[pre] == a[pre]:
+                pre += 1
+            suf = 0
+            while (
+                suf < len(b) - pre and suf < len(a) - pre
+                and b[len(b) - 1 - suf] == a[len(a) - 1 - suf]
+            ):
+                suf += 1
+            mid_b, mid_a = len(b) - pre - suf, len(a) - pre - suf
+            for i in range(min(mid_b, mid_a)):
+                bi, ai = b[pre + i], a[pre + i]
+                if not walk(bi, ai, f"{p}[{pre + i}]"):
+                    diffs.append(
+                        JsonDiff(JSON_DIFF_REPLACE, f"{p}[{pre + i}]", ai)
+                    )
+            if mid_b > mid_a:  # remove extras — indexes shift, remove at
+                for _ in range(mid_b - mid_a):  # the same splice point
+                    diffs.append(
+                        JsonDiff(JSON_DIFF_REMOVE, f"{p}[{pre + mid_a}]")
+                    )
+            elif mid_a > mid_b:  # insert extras in order
+                for i in range(mid_b, mid_a):
+                    diffs.append(
+                        JsonDiff(JSON_DIFF_INSERT, f"{p}[{pre + i}]",
+                                 a[pre + i])
+                    )
+            return True
+        return b == a  # scalars: equal = nothing to do, else REPLACE
+
+    if before == after:
+        return JsonDiffVector()
+    if not walk(before, after, path):
+        return None  # whole-document type/scalar change: log full value
+    return diffs
 
 
 def apply_json_diffs(doc, diffs: list):

@@ -140,3 +140,87 @@ def test_diff_decode_rejects_malformed():
     )
     with pytest.raises(ValueError):
         W.decode_json_diffs(good[:-2])  # truncated value
+
+
+# -- server-side diff computation (round-8 extension) -------------------------
+
+def _json_values(depth=3):
+    from hypothesis import strategies as st
+
+    scal = st.one_of(
+        st.none(), st.booleans(), st.integers(-2**40, 2**40),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(max_size=8),
+    )
+    return st.recursive(
+        scal,
+        lambda ch: st.one_of(
+            st.lists(ch, max_size=5),
+            st.dictionaries(st.text(max_size=6), ch, max_size=5),
+        ),
+        max_leaves=12,
+    )
+
+
+def test_compute_apply_roundtrip_property():
+    """Law: apply(before, compute(before, after)) == after whenever a
+    diff vector is returned (None = server logs the full value)."""
+    from hypothesis import given, settings
+
+    @given(_json_values(), _json_values())
+    @settings(max_examples=250, deadline=None)
+    def check(before, after):
+        diffs = W.compute_json_diffs(before, after)
+        if diffs is None:
+            return  # whole-value replace: full-format logging path
+        got = W.apply_json_diffs(before, diffs)
+        assert got == after, (before, after, diffs)
+
+    check()
+
+
+def test_compute_json_diffs_is_minimal_on_member_changes():
+    before = {"a": 1, "b": [1, 2, 3], "drop": True, "keep": "x"}
+    after = {"a": 2, "b": [1, 9, 3], "new": None, "keep": "x"}
+    diffs = W.compute_json_diffs(before, after)
+    ops = {(d.op, d.path) for d in diffs}
+    assert ops == {
+        (W.JSON_DIFF_REPLACE, "$.a"),
+        (W.JSON_DIFF_REPLACE, "$.b[1]"),
+        (W.JSON_DIFF_REMOVE, "$.drop"),
+        (W.JSON_DIFF_INSERT, "$.new"),
+    }
+    # untouched members generate NO diffs
+    assert not any("keep" in d.path for d in diffs)
+
+
+def test_compute_json_diffs_array_splice():
+    # middle insert and removal splice against common prefix/suffix
+    assert W.apply_json_diffs(
+        [1, 2, 3, 4], W.compute_json_diffs([1, 2, 3, 4], [1, 9, 9, 9, 4])
+    ) == [1, 9, 9, 9, 4]
+    assert W.apply_json_diffs(
+        [1, 2, 3, 4, 5], W.compute_json_diffs([1, 2, 3, 4, 5], [1, 5])
+    ) == [1, 5]
+
+
+def test_computed_diffs_travel_the_wire_as_type39():
+    """End-to-end symmetry: compute → encode type 39 → decode → apply."""
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None), (W.TYPE_JSON, 4)])
+    before = {"user": {"name": "a b", "tags": ["x", "y"]}, "v": 1}
+    after = {"user": {"name": "a b", "tags": ["x", "z", "y"]}, "v": 2}
+    diffs = W.compute_json_diffs(before, after)
+    assert diffs is not None and len(diffs) >= 2
+    ev = W.encode_table_map(5, td) + W.encode_rows_event(
+        W.PARTIAL_UPDATE_ROWS_EVENT, 5, td, [([1, before], [1, diffs])]
+    )
+    out = W.decode_events(W.encode_fde() + ev)
+    b, a = [e for e in out if e["type"] == W.PARTIAL_UPDATE_ROWS_EVENT][0]["rows"][0]
+    assert W.apply_json_diffs(b[1], a[1]) == after
+
+
+def test_quoted_member_paths_roundtrip():
+    before = {"weird key": 1, 'q"uote': {"x\\y": [1]}}
+    after = {"weird key": 2, 'q"uote': {"x\\y": [1, 2]}}
+    diffs = W.compute_json_diffs(before, after)
+    assert W.apply_json_diffs(before, diffs) == after

@@ -211,3 +211,56 @@ def test_typed_decode_materializes_partial_json(spark):
     import json as _json
 
     assert _json.loads(rows[0]["doc"]) == {"a": 9}
+
+
+def test_mariadb_gtid_family_decodes_typed():
+    """MariaDB GTID/GTID_LIST/BINLOG_CHECKPOINT/ANNOTATE_ROWS (types
+    160-163): the reference enumerates and ignores them; here the txn
+    carriers decode typed so a MariaDB archive's boundaries survive."""
+    import struct
+
+    g = W.encode_event(
+        W.MARIA_GTID_EVENT,
+        struct.pack("<QIB", 42, 3, 1), 0,
+    )
+    gl = W.encode_event(
+        W.MARIA_GTID_LIST_EVENT,
+        struct.pack("<I", 2)
+        + struct.pack("<IIQ", 0, 1, 10) + struct.pack("<IIQ", 3, 1, 42),
+        0,
+    )
+    cp = W.encode_event(
+        W.MARIA_BINLOG_CHECKPOINT_EVENT,
+        struct.pack("<I", 13) + b"binlog.000007", 0,
+    )
+    an = W.encode_event(
+        W.MARIA_ANNOTATE_ROWS_EVENT, b"INSERT INTO t VALUES (1)", 0
+    )
+    evs = W.decode_events(g + gl + cp + an)
+    assert (evs[0]["gtid_seq_no"], evs[0]["gtid_domain_id"]) == (42, 3)
+    assert evs[1]["gtid_list"] == [(0, 1, 10), (3, 1, 42)]
+    assert evs[2]["checkpoint_file"] == "binlog.000007"
+    assert evs[3]["rows_query"].startswith("INSERT INTO")
+
+
+def test_incident_surfaces_in_consumer_frame():
+    """An INCIDENT (LOST_EVENTS) must reach appliers as a typed frame
+    row, not vanish — a real replica stops on it."""
+    import struct
+
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    blob = (
+        W.MAGIC + W.encode_fde()
+        + W.encode_table_map(3, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, [[1]])
+        + W.encode_event(
+            W.INCIDENT_EVENT,
+            struct.pack("<H", 1) + bytes([4]) + b"gap!", 0,
+        )
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, [[2]])
+    )
+    rows = W.wire_frame_rows("f", blob)
+    kinds = [r[2] for r in rows]
+    assert kinds == ["INSERT", "INCIDENT", "INSERT"]
+    inc = rows[1]
+    assert inc[5] == "gap!" and inc[7] == 1
