@@ -4455,6 +4455,121 @@ def orders_wire_named_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_wire_json_diff_computed",
+    """
+    SELECT lower(o_orderstatus) AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CAST(('0x' || substr(md5(
+                lower(o_orderstatus) || '#' || o_orderpriority || '#'
+                || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+           ), 1, 8)) AS BIGINT)) AS BIGINT) AS doc_hash_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_wire_json_diff_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL partial-JSON loop, server side included: per order a
+    before/after document pair is DIFFED with ``compute_json_diffs``
+    (the optimizer-side minimal-vector derivation), shipped as a type-39
+    event, decoded, and MATERIALIZED with ``apply_json_diffs`` — then
+    the rebuilt document's fields are hash-checked against the plain
+    table. Changes exercised per row: scalar REPLACE ($.status →
+    lowercase), member REPLACE inside nesting ($.meta.prio), and an
+    array splice ($.cents history append). The apply∘compute identity
+    is also property-tested (tests/test_partial_json.py); this query
+    grades it against an independent engine."""
+    from polardbx_cdc_spark import binlog_wire as BW
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_orderstatus").cast("string").alias("status"),
+        F.lower(F.col("o_orderstatus")).alias("status_lc"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_orderpriority").cast("string").alias("prio"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    if o.rdd.getNumPartitions() < par:
+        o = o.repartition(par)
+
+    def encode_part(batches):
+        import pandas as pd
+
+        td = BW.TableDef(
+            "tpch", "orders", [(BW.TYPE_LONGLONG, None), (BW.TYPE_JSON, 4)]
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blob = bytearray(BW.encode_table_map(8, td))
+            rows = []
+            for r in pdf.itertuples():
+                before = {
+                    "status": r.status,
+                    "meta": {"prio": "1-URGENT", "src": "tpch"},
+                    "cents": [int(r.cents)],
+                }
+                after = {
+                    "status": r.status_lc,
+                    "meta": {"prio": r.prio, "src": "tpch"},
+                    "cents": [int(r.cents), int(r.cents)],
+                }
+                diffs = BW.compute_json_diffs(before, after)
+                # identical docs (prio already 1-URGENT AND status
+                # already lowercase never happens — status is upper) →
+                # diffs is a possibly-empty vector, still type-39 legal
+                rows.append((
+                    [int(r.okey), before], [int(r.okey), diffs],
+                ))
+                if len(rows) >= 1000:
+                    blob += BW.encode_rows_event(
+                        BW.PARTIAL_UPDATE_ROWS_EVENT, 8, td, rows
+                    )
+                    rows = []
+            if rows:
+                blob += BW.encode_rows_event(
+                    BW.PARTIAL_UPDATE_ROWS_EVENT, 8, td, rows
+                )
+            yield pd.DataFrame({"payload": [bytes(blob)]})
+
+    def decode_part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = {"status": [], "changed": [], "sig": []}
+            for blob in pdf["payload"]:
+                for ev in BW.expand_payload_events(
+                    BW.decode_events(bytes(blob))
+                ):
+                    if ev["type"] != BW.PARTIAL_UPDATE_ROWS_EVENT:
+                        continue
+                    for before, after in ev["rows"]:
+                        doc = BW.apply_json_diffs(before[1], after[1])
+                        assert doc["cents"][0] == doc["cents"][1]
+                        outs["status"].append(doc["status"])
+                        outs["changed"].append(
+                            int(doc["meta"]["prio"] != "1-URGENT")
+                        )
+                        outs["sig"].append(
+                            f"{doc['status']}#{doc['meta']['prio']}"
+                            f"#{doc['cents'][1]}"
+                        )
+            yield pd.DataFrame(outs)
+
+    blobs = o.mapInPandas(encode_part, "payload binary")
+    back = blobs.mapInPandas(
+        decode_part, "status string, changed int, sig string"
+    )
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("changed").cast("long").alias("n_changed"),
+        F.sum(F.conv(F.substring(F.md5("sig"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("doc_hash_sum"),
+    )
+
+
+@register(
     "events_wire_gtid_stream",
     oracle_cdc_query(
         """
