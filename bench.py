@@ -91,6 +91,9 @@ HEADLINE = [
     # round 8 additions
     "cdc_binlog_wire_zstd",
     "orders_wire_partial_json",
+    "orders_wire_latin1_typed",
+    "orders_wire_named_attach",
+    "orders_wire_json_diff_computed",
 ]
 
 
