@@ -1794,11 +1794,17 @@ def decode_events(buf: bytes, verify_crc: bool = True,
             pass  # typed marker, no payload semantics (LogDecoder parity)
         elif tc == MARIA_GTID_EVENT:
             # seq_no(8) domain_id(4) flags(1) — mariadb replication doc
+            if len(body) < 12:
+                raise ValueError("truncated MariaDB GTID event body")
             ev["gtid_seq_no"] = struct.unpack_from("<Q", body, 0)[0]
             ev["gtid_domain_id"] = struct.unpack_from("<I", body, 8)[0]
             ev["gtid_flags"] = body[12] if len(body) > 12 else 0
         elif tc == MARIA_GTID_LIST_EVENT:
+            if len(body) < 4:
+                raise ValueError("truncated MariaDB GTID_LIST event body")
             cnt = struct.unpack_from("<I", body, 0)[0] & 0x0FFFFFFF
+            if 4 + 16 * cnt > len(body):
+                raise ValueError("MariaDB GTID_LIST overruns event body")
             lst = []
             p2 = 4
             for _ in range(cnt):
@@ -1807,7 +1813,13 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                 p2 += 16
             ev["gtid_list"] = lst
         elif tc == MARIA_BINLOG_CHECKPOINT_EVENT:
+            if len(body) < 4:
+                raise ValueError("truncated MariaDB checkpoint event body")
             flen = struct.unpack_from("<I", body, 0)[0]
+            if 4 + flen > len(body):
+                raise ValueError(
+                    "MariaDB checkpoint filename overruns event body"
+                )
             ev["checkpoint_file"] = bytes(body[4 : 4 + flen]).decode(
                 errors="replace"
             )
@@ -2362,8 +2374,12 @@ def wire_frame_rows(name: str, buf: bytes,
     SINGLE implementation behind the batch attach (`read_wire_binlog`)
     and the streaming attach (`streaming.source.wire_stream`): ``pos``
     is the row index within the file counting EVERY surfaced row (rows,
-    BEGIN/COMMIT, DDL, TRACE, GCN), so both paths assign identical
-    replication positions and an applier can move between them."""
+    BEGIN/COMMIT, DDL, TRACE, GCN, and — since round 8 — INCIDENT
+    markers), so both paths assign identical replication positions and
+    an applier can move between them. Offsets persisted BEFORE incident
+    surfacing remain valid for incident-free files (no in-repo exporter
+    ever emits INCIDENT; the row exists for externally produced
+    streams, where a replica must stop at the gap anyway)."""
     _ACTION = {
         WRITE_ROWS_EVENT: "INSERT",
         UPDATE_ROWS_EVENT: "UPDATE",
@@ -3094,6 +3110,23 @@ def _parse_json_path(path: str) -> list:
 _NEEDS_QUOTE = _re_mod.compile(r"[^A-Za-z0-9_]|^$|^\d")
 
 
+def _json_eq(a, b) -> bool:
+    """JSON-semantics equality: MySQL distinguishes what Python ``==``
+    conflates — true/1, false/0, 1/1.0 serialize to DIFFERENT binary
+    JSON (JSON_LITERAL vs JSON_INT vs JSON_DOUBLE) and must diff."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return type(a) is type(b) and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return type(a) is type(b) and a == b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(
+            _json_eq(a[k], b[k]) for k in a
+        )
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(map(_json_eq, a, b))
+    return type(a) is type(b) and a == b
+
+
 def _path_member(p: str, k: str) -> str:
     if _NEEDS_QUOTE.search(k):
         esc = k.replace("\\", "\\\\").replace('"', '\\"')
@@ -3128,7 +3161,7 @@ def compute_json_diffs(before, after,
                 child = _path_member(p, k)
                 if k not in a:
                     diffs.append(JsonDiff(JSON_DIFF_REMOVE, child))
-                elif b[k] != a[k]:
+                elif not _json_eq(b[k], a[k]):
                     if not walk(b[k], a[k], child):
                         diffs.append(JsonDiff(JSON_DIFF_REPLACE, child, a[k]))
             for k in a:
@@ -3140,12 +3173,12 @@ def compute_json_diffs(before, after,
         if isinstance(b, list):
             # common prefix / suffix, one splice in the middle
             pre = 0
-            while pre < len(b) and pre < len(a) and b[pre] == a[pre]:
+            while pre < len(b) and pre < len(a) and _json_eq(b[pre], a[pre]):
                 pre += 1
             suf = 0
             while (
                 suf < len(b) - pre and suf < len(a) - pre
-                and b[len(b) - 1 - suf] == a[len(a) - 1 - suf]
+                and _json_eq(b[len(b) - 1 - suf], a[len(a) - 1 - suf])
             ):
                 suf += 1
             mid_b, mid_a = len(b) - pre - suf, len(a) - pre - suf
@@ -3167,9 +3200,9 @@ def compute_json_diffs(before, after,
                                  a[pre + i])
                     )
             return True
-        return b == a  # scalars: equal = nothing to do, else REPLACE
+        return _json_eq(b, a)  # scalars: equal = no-op, else REPLACE
 
-    if before == after:
+    if _json_eq(before, after):
         return JsonDiffVector()
     if not walk(before, after, path):
         return None  # whole-document type/scalar change: log full value

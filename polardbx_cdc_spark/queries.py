@@ -4214,6 +4214,38 @@ def cdc_binlog_wire_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _type39_encode_partition(batches, table_id: int, build_pair):
+    """Shared type-39 encode scaffold for the partial-JSON graded
+    queries: per Arrow batch, one blob = TABLE_MAP + PARTIAL_UPDATE
+    events batched at 1000 rows (bounded event size, like a server).
+    ``build_pair(row) -> (before_image, after_image)``."""
+    import pandas as pd
+
+    from polardbx_cdc_spark import binlog_wire as BW
+
+    td = BW.TableDef(
+        "tpch", "orders", [(BW.TYPE_LONGLONG, None), (BW.TYPE_JSON, 4)]
+    )
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        blob = bytearray(BW.encode_table_map(table_id, td))
+        rows = []
+        for r in pdf.itertuples():
+            rows.append(build_pair(r))
+            if len(rows) >= 1000:
+                blob += BW.encode_rows_event(
+                    BW.PARTIAL_UPDATE_ROWS_EVENT, table_id, td, rows
+                )
+                rows = []
+        if rows:
+            blob += BW.encode_rows_event(
+                BW.PARTIAL_UPDATE_ROWS_EVENT, table_id, td, rows
+            )
+        yield pd.DataFrame({"payload": [bytes(blob)]})
+
+
 @register(
     "orders_wire_partial_json",
     """
@@ -4256,40 +4288,22 @@ def orders_wire_partial_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     if o.rdd.getNumPartitions() < par:
         o = o.repartition(par)
 
-    def encode_part(batches):
-        import pandas as pd
+    def build_pair(r):
+        before = [
+            int(r.okey),
+            {"status": r.status, "prio": r.prio, "cents": int(r.cents)},
+        ]
+        diffs = BW.JsonDiffVector([
+            BW.JsonDiff(BW.JSON_DIFF_REPLACE, "$.status", r.status_lc),
+            BW.JsonDiff(BW.JSON_DIFF_REMOVE, "$.prio"),
+            BW.JsonDiff(
+                BW.JSON_DIFF_INSERT, "$.note", f"{r.custkey}:{r.prio}"
+            ),
+        ])
+        return before, [int(r.okey), diffs]
 
-        td = BW.TableDef(
-            "tpch", "orders", [(BW.TYPE_LONGLONG, None), (BW.TYPE_JSON, 4)]
-        )
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            blob = bytearray(BW.encode_table_map(7, td))
-            rows = []
-            for r in pdf.itertuples():
-                before = [
-                    int(r.okey),
-                    {"status": r.status, "prio": r.prio, "cents": int(r.cents)},
-                ]
-                diffs = BW.JsonDiffVector([
-                    BW.JsonDiff(BW.JSON_DIFF_REPLACE, "$.status", r.status_lc),
-                    BW.JsonDiff(BW.JSON_DIFF_REMOVE, "$.prio"),
-                    BW.JsonDiff(
-                        BW.JSON_DIFF_INSERT, "$.note", f"{r.custkey}:{r.prio}"
-                    ),
-                ])
-                rows.append((before, [int(r.okey), diffs]))
-                if len(rows) >= 1000:  # bounded event size, like a server
-                    blob += BW.encode_rows_event(
-                        BW.PARTIAL_UPDATE_ROWS_EVENT, 7, td, rows
-                    )
-                    rows = []
-            if rows:
-                blob += BW.encode_rows_event(
-                    BW.PARTIAL_UPDATE_ROWS_EVENT, 7, td, rows
-                )
-            yield pd.DataFrame({"payload": [bytes(blob)]})
+    def encode_part(batches):
+        yield from _type39_encode_partition(batches, 7, build_pair)
 
     def decode_part(batches):
         import pandas as pd
@@ -4492,45 +4506,24 @@ def orders_wire_json_diff_computed(spark: SparkSession, sf_dir: str) -> DataFram
     if o.rdd.getNumPartitions() < par:
         o = o.repartition(par)
 
-    def encode_part(batches):
-        import pandas as pd
+    def build_pair(r):
+        before = {
+            "status": r.status,
+            "meta": {"prio": "1-URGENT", "src": "tpch"},
+            "cents": [int(r.cents)],
+        }
+        after = {
+            "status": r.status_lc,
+            "meta": {"prio": r.prio, "src": "tpch"},
+            "cents": [int(r.cents), int(r.cents)],
+        }
+        # the computed vector may be empty (identical docs) — still a
+        # legal type-39 after image
+        diffs = BW.compute_json_diffs(before, after)
+        return [int(r.okey), before], [int(r.okey), diffs]
 
-        td = BW.TableDef(
-            "tpch", "orders", [(BW.TYPE_LONGLONG, None), (BW.TYPE_JSON, 4)]
-        )
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            blob = bytearray(BW.encode_table_map(8, td))
-            rows = []
-            for r in pdf.itertuples():
-                before = {
-                    "status": r.status,
-                    "meta": {"prio": "1-URGENT", "src": "tpch"},
-                    "cents": [int(r.cents)],
-                }
-                after = {
-                    "status": r.status_lc,
-                    "meta": {"prio": r.prio, "src": "tpch"},
-                    "cents": [int(r.cents), int(r.cents)],
-                }
-                diffs = BW.compute_json_diffs(before, after)
-                # identical docs (prio already 1-URGENT AND status
-                # already lowercase never happens — status is upper) →
-                # diffs is a possibly-empty vector, still type-39 legal
-                rows.append((
-                    [int(r.okey), before], [int(r.okey), diffs],
-                ))
-                if len(rows) >= 1000:
-                    blob += BW.encode_rows_event(
-                        BW.PARTIAL_UPDATE_ROWS_EVENT, 8, td, rows
-                    )
-                    rows = []
-            if rows:
-                blob += BW.encode_rows_event(
-                    BW.PARTIAL_UPDATE_ROWS_EVENT, 8, td, rows
-                )
-            yield pd.DataFrame({"payload": [bytes(blob)]})
+    def encode_part(batches):
+        yield from _type39_encode_partition(batches, 8, build_pair)
 
     def decode_part(batches):
         import pandas as pd

@@ -175,6 +175,11 @@ def test_compute_apply_roundtrip_property():
             return  # whole-value replace: full-format logging path
         got = W.apply_json_diffs(before, diffs)
         assert got == after, (before, after, diffs)
+        # Python == conflates bool/int/float — the BINARY serialization
+        # is the true wire-level equality (round-8 review)
+        assert W.json_serialize(got) == W.json_serialize(after), (
+            before, after, diffs
+        )
 
     check()
 
@@ -224,3 +229,24 @@ def test_quoted_member_paths_roundtrip():
     after = {"weird key": 2, 'q"uote': {"x\\y": [1, 2]}}
     diffs = W.compute_json_diffs(before, after)
     assert W.apply_json_diffs(before, diffs) == after
+
+
+def test_compute_diffs_distinguishes_bool_int_float():
+    """Round-8 review: MySQL JSON distinguishes true/1, false/0, 1/1.0
+    (different binary serializations) — Python == conflates them, so the
+    diff computation must use JSON-semantics equality."""
+    d = W.compute_json_diffs({"x": 1}, {"x": True})
+    assert d == W.JsonDiffVector(
+        [W.JsonDiff(W.JSON_DIFF_REPLACE, "$.x", True)]
+    )
+    assert W.apply_json_diffs({"x": 1}, d) == {"x": True}
+    assert W.compute_json_diffs({"x": 0}, {"x": False}) != W.JsonDiffVector()
+    # int→float inside an array replaces the element
+    d2 = W.compute_json_diffs([1], [1.0])
+    assert W.apply_json_diffs([1], d2) == [1.0] and isinstance(
+        W.apply_json_diffs([1], d2)[0], float
+    )
+    # whole-scalar type change → None (full-value logging path)
+    assert W.compute_json_diffs(1.0, 1) is None
+    # serialized twins really differ on the wire
+    assert W.json_serialize(1) != W.json_serialize(True)
