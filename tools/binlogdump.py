@@ -31,6 +31,16 @@ _NAMES = {
     W.PREVIOUS_GTIDS_LOG_EVENT: "Previous_gtids",
     W.HEARTBEAT_LOG_EVENT: "Heartbeat",
     W.TRANSACTION_PAYLOAD_EVENT: "Transaction_payload",
+    W.PARTIAL_UPDATE_ROWS_EVENT: "Update_rows_partial",
+    W.INTVAR_EVENT: "Intvar", W.RAND_EVENT: "Rand",
+    W.USER_VAR_EVENT: "User_var", W.STOP_EVENT: "Stop",
+    W.INCIDENT_EVENT: "Incident", W.IGNORABLE_LOG_EVENT: "Ignorable",
+    W.BEGIN_LOAD_QUERY_EVENT: "Begin_load_query",
+    W.EXECUTE_LOAD_QUERY_EVENT: "Execute_load_query",
+    W.MARIA_GTID_EVENT: "Maria_gtid",
+    W.MARIA_GTID_LIST_EVENT: "Maria_gtid_list",
+    W.MARIA_BINLOG_CHECKPOINT_EVENT: "Maria_binlog_checkpoint",
+    W.MARIA_ANNOTATE_ROWS_EVENT: "Maria_annotate_rows",
 }
 
 
@@ -72,6 +82,22 @@ def _info(ev: dict) -> str:
                 f"[{inner}]")[:160]
     if t == W.HEARTBEAT_LOG_EVENT:
         return ev.get("log_ident", "")
+    if t == W.INCIDENT_EVENT:
+        return (f"#{ev.get('incident_number')} "
+                f"{ev.get('incident_message', '')}")[:120]
+    if t == W.INTVAR_EVENT:
+        kind = {1: "LAST_INSERT_ID", 2: "INSERT_ID"}.get(
+            ev.get("intvar_type"), ev.get("intvar_type"))
+        return f"{kind}={ev.get('intvar_value')}"
+    if t == W.USER_VAR_EVENT:
+        return f"@{ev.get('var_name')}={ev.get('var_value')!r}"[:120]
+    if t == W.EXECUTE_LOAD_QUERY_EVENT:
+        return f"file_id={ev.get('file_id')} {ev.get('query', '')[:100]}"
+    if t == W.MARIA_GTID_EVENT:
+        return (f"{ev.get('gtid_domain_id')}-{ev.get('server_id')}"
+                f"-{ev.get('gtid_seq_no')}")
+    if t == W.MARIA_BINLOG_CHECKPOINT_EVENT:
+        return ev.get("checkpoint_file", "")
     return ""
 
 
