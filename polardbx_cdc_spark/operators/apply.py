@@ -451,3 +451,80 @@ def apply_dim_delta_to_join_view(
             F.sum("value_cents").cast("long").alias("value_cents"),
         )
     )
+
+
+def json_table_delta(before: DataFrame, after: DataFrame,
+                     key: str, doc: str) -> DataFrame:
+    """Compact JSON changefeed between two versions of a document table
+    — the operator form of PARTIAL_JSON logging (binlog_row_value_options;
+    reference surface: the type-39 event family BinlogEventType.java:39):
+    per key, INSERT (new), DELETE (gone), or UPDATE with the MINIMAL
+    diff-vector `binlog_wire.compute_json_diffs` derives. Unchanged
+    documents produce NO row, so the output is the true delta.
+
+    Input ``doc`` columns are JSON text; output:
+    ``(key, action, n_ops, ops)`` where ``ops`` is the diff vector as
+    JSON text ([{op, path, value}...]) — feed it back through
+    `binlog_wire.apply_json_diffs` (ops REPLACE=0/INSERT=1/REMOVE=2) to
+    materialize.
+
+    Scale shape: ONE full-outer shuffle join on the key co-locates the
+    document pairs; the diff computation is Arrow-batched mapInPandas
+    over the joined frame (pure per-row Python on two local documents,
+    no state, no driver materialization) — the same posture as the wire
+    codec tier. 100 TB = key-partitioned join + embarrassingly parallel
+    diffing."""
+    import json as _json
+
+    from polardbx_cdc_spark import binlog_wire as BW
+
+    b = before.select(F.col(key).alias("k"), F.col(doc).alias("b_doc"))
+    a = after.select(F.col(key).alias("k"), F.col(doc).alias("a_doc"))
+    joined = b.join(a, "k", "full_outer")
+
+    def diff_part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = {"key": [], "action": [], "n_ops": [], "ops": []}
+            for r in pdf.itertuples():
+                b_doc = None if r.b_doc is None else _json.loads(r.b_doc)
+                has_b = r.b_doc is not None
+                has_a = r.a_doc is not None
+                if has_b and not has_a:
+                    outs["key"].append(r.k)
+                    outs["action"].append("DELETE")
+                    outs["n_ops"].append(0)
+                    outs["ops"].append(None)
+                    continue
+                a_doc = _json.loads(r.a_doc)
+                if not has_b:
+                    outs["key"].append(r.k)
+                    outs["action"].append("INSERT")
+                    outs["n_ops"].append(0)
+                    outs["ops"].append(_json.dumps(a_doc, sort_keys=True))
+                    continue
+                diffs = BW.compute_json_diffs(b_doc, a_doc)
+                if diffs is None:
+                    # whole-value replace (type change): one synthetic
+                    # root REPLACE — still apply_json_diffs-compatible
+                    diffs = BW.JsonDiffVector(
+                        [BW.JsonDiff(BW.JSON_DIFF_REPLACE, "$", a_doc)]
+                    )
+                if not diffs:
+                    continue  # unchanged: no delta row
+                outs["key"].append(r.k)
+                outs["action"].append("UPDATE")
+                outs["n_ops"].append(len(diffs))
+                outs["ops"].append(_json.dumps(
+                    [
+                        {"op": d.op, "path": d.path, "value": d.value}
+                        for d in diffs
+                    ],
+                    sort_keys=True,
+                ))
+            yield pd.DataFrame(outs)
+
+    return joined.mapInPandas(
+        diff_part, "key long, action string, n_ops int, ops string"
+    )

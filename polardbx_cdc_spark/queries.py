@@ -4563,6 +4563,76 @@ def orders_wire_json_diff_computed(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "orders_json_table_delta",
+    """
+    WITH b AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+         a AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+         d AS (
+           SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS k,
+                  CASE WHEN a.o_orderkey IS NULL THEN 'DELETE'
+                       WHEN b.o_orderkey IS NULL THEN 'INSERT'
+                       ELSE 'UPDATE' END AS action,
+                  CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+                       THEN 0
+                       ELSE 1 + CASE WHEN COALESCE(b.o_orderkey, a.o_orderkey) % 3 = 0
+                                     THEN 1 ELSE 0 END END AS n_ops
+           FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+         )
+    SELECT action,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_ops) AS BIGINT) AS ops_sum,
+           CAST(sum(CAST(('0x' || substr(md5(
+                CAST(k AS VARCHAR) || '|' || action || '|'
+                || CAST(n_ops AS VARCHAR)
+           ), 1, 8)) AS BIGINT)) AS BIGINT) AS row_hash_sum
+    FROM d GROUP BY action
+    """,
+)
+def orders_json_table_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`json_table_delta` graded: two versions of a document table (keys
+    dropped on one side = DELETEs, added on the other = INSERTs, shared
+    keys mutated = UPDATEs with a MINIMAL diff vector) reduce to a
+    compact changefeed. The oracle derives every row's action AND exact
+    op count analytically — status always REPLACEs (upper→lower) and
+    keys divisible by 3 also INSERT a member, so n_ops = 1 or 2 — which
+    pins the diff computation's minimality, not just correctness.
+    Unchanged-document suppression is pinned by construction: every
+    surviving pair changes, and counts must match the join arithmetic
+    exactly."""
+    from polardbx_cdc_spark.operators import apply as apply_ops
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_orderstatus").cast("string").alias("status"),
+        F.col("o_orderpriority").cast("string").alias("prio"),
+    )
+    before = o.filter(F.col("okey") % 7 != 0).select(
+        "okey",
+        F.to_json(F.struct(
+            F.col("status").alias("status"), F.col("prio").alias("p"),
+        )).alias("doc"),
+    )
+    after = o.filter(F.col("okey") % 10 != 0).select(
+        "okey",
+        F.to_json(F.struct(
+            F.lower(F.col("status")).alias("status"),
+            F.col("prio").alias("p"),
+            # keys % 3 == 0 gain one member → exactly one extra op
+            F.when(F.col("okey") % 3 == 0, F.lit(1)).alias("extra"),
+        )).alias("doc"),
+    )
+    delta = apply_ops.json_table_delta(before, after, "okey", "doc")
+    return delta.groupBy("action").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_ops").cast("long").alias("ops_sum"),
+        F.sum(F.conv(F.substring(F.md5(
+            F.concat_ws("|", F.col("key").cast("string"), F.col("action"),
+                        F.col("n_ops").cast("string"))
+        ), 1, 8), 16, 10).cast("long")).cast("long").alias("row_hash_sum"),
+    )
+
+
+@register(
     "events_wire_gtid_stream",
     oracle_cdc_query(
         """

@@ -250,3 +250,39 @@ def test_compute_diffs_distinguishes_bool_int_float():
     assert W.compute_json_diffs(1.0, 1) is None
     # serialized twins really differ on the wire
     assert W.json_serialize(1) != W.json_serialize(True)
+
+
+def test_json_table_delta_materializes_back(spark):
+    """The changefeed is sufficient: applying each UPDATE's ops to the
+    before-doc reproduces the after-doc; unchanged docs emit nothing."""
+    import json
+
+    from polardbx_cdc_spark.operators import apply as apply_ops
+
+    before = spark.createDataFrame(
+        [(1, '{"a": 1, "b": [1, 2]}'),
+         (2, '{"same": true}'),
+         (3, '{"gone": 1}')],
+        "k long, doc string",
+    )
+    after = spark.createDataFrame(
+        [(1, '{"a": 2, "b": [1, 2, 3]}'),
+         (2, '{"same": true}'),
+         (4, '{"new": 1}')],
+        "k long, doc string",
+    )
+    rows = {r["key"]: r for r in
+            apply_ops.json_table_delta(before, after, "k", "doc").collect()}
+    assert set(rows) == {1, 3, 4}  # key 2 unchanged → suppressed
+    assert rows[3]["action"] == "DELETE"
+    assert rows[4]["action"] == "INSERT"
+    assert json.loads(rows[4]["ops"]) == {"new": 1}
+    upd = rows[1]
+    assert upd["action"] == "UPDATE" and upd["n_ops"] == 2
+    diffs = W.JsonDiffVector([
+        W.JsonDiff(d["op"], d["path"], d.get("value"))
+        for d in json.loads(upd["ops"])
+    ])
+    assert W.apply_json_diffs({"a": 1, "b": [1, 2]}, diffs) == {
+        "a": 2, "b": [1, 2, 3]
+    }
