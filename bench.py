@@ -94,6 +94,7 @@ HEADLINE = [
     "orders_wire_latin1_typed",
     "orders_wire_named_attach",
     "orders_wire_json_diff_computed",
+    "orders_json_table_delta",
 ]
 
 
