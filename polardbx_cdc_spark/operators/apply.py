@@ -481,6 +481,7 @@ def json_table_delta(before: DataFrame, after: DataFrame,
     b = before.select(F.col(key).alias("k"), F.col(doc).alias("b_doc"))
     a = after.select(F.col(key).alias("k"), F.col(doc).alias("a_doc"))
     joined = b.join(a, "k", "full_outer")
+    key_type = dict(before.dtypes)[key]  # key keeps its input type
 
     def diff_part(batches):
         import pandas as pd
@@ -526,5 +527,5 @@ def json_table_delta(before: DataFrame, after: DataFrame,
             yield pd.DataFrame(outs)
 
     return joined.mapInPandas(
-        diff_part, "key long, action string, n_ops int, ops string"
+        diff_part, f"key {key_type}, action string, n_ops int, ops string"
     )

@@ -183,7 +183,8 @@ def read_socket_cdc(
     return derive_cdc_stream(spark, sf_dir="", events=ev).withWatermark("ts", watermark)
 
 
-def wire_stream(spark: SparkSession, wire_dir: str) -> DataFrame:
+def wire_stream(spark: SparkSession, wire_dir: str,
+                stream: str | None = None) -> DataFrame:
     """STREAMING attach to a directory of REAL binlog wire files — tail a
     relay/standby directory with Structured Streaming: each newly-LANDED
     file streams through the engine decoder as one Arrow batch. The
@@ -220,7 +221,13 @@ def wire_stream(spark: SparkSession, wire_dir: str) -> DataFrame:
         # binaryFile's fixed one
         .schema("path string, modificationTime timestamp, "
                 "length long, content binary")
-        .option("pathGlobFilter", "binlog.*")
+        .option(
+            "pathGlobFilter",
+            # global chain by default; a Binlog-X standby tails one
+            # per-stream chain (binlog-x-<stream>.NNNNNN — the layout
+            # relay_copy(stream=...) replicates) per wire_stream instance
+            f"binlog-x-{stream}.*" if stream else "binlog.*",
+        )
         .load(wire_dir)
         .select("path", "content")
     )

@@ -1692,3 +1692,39 @@ def test_full_standby_topology_converges_to_master_state(spark, sf_dir, tmp_path
     a = last_image(master).orderBy("db", "tbl", "pk").collect()
     b = last_image(replica).orderBy("db", "tbl", "pk").collect()
     assert a == b and len(a) > 0
+
+
+def test_wire_stream_per_stream_chain(spark, tmp_path):
+    """Binlog-X standby tailing: wire_stream(stream=) consumes exactly
+    one per-stream chain (the layout relay_copy(stream=) replicates)."""
+    import os
+
+    from polardbx_cdc_spark import binlog_wire as W
+    from polardbx_cdc_spark.streaming import source
+
+    wire = str(tmp_path / "xwire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None), (W.TYPE_DOUBLE, 8)])
+
+    def rows_event(vals):
+        return W.encode_table_map(3, td) + W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, vals
+        )
+
+    W.write_binlog_file(wire + "/binlog-x-s0.000001",
+                        [rows_event([["1", 1.0], ["2", 2.0]])])
+    W.write_binlog_file(wire + "/binlog-x-s1.000001",
+                        [rows_event([["9", 9.0]])])
+    out = str(tmp_path / "out")
+    q = (
+        source.wire_stream(spark, wire, stream="s0")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert {r["file_name"] for r in rows} == {"binlog-x-s0.000001"}
+    assert sorted(r["pk"] for r in rows if r["kind"] == "INSERT") == ["1", "2"]
