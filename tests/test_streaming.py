@@ -1728,3 +1728,77 @@ def test_wire_stream_per_stream_chain(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r["file_name"] for r in rows} == {"binlog-x-s0.000001"}
     assert sorted(r["pk"] for r in rows if r["kind"] == "INSERT") == ["1", "2"]
+
+
+def test_binlog_x_standby_topology_per_stream(spark, sf_dir, tmp_path):
+    """Binlog-X capstone: master renders PER-STREAM wire chains → one
+    relay_copy(stream=) per stream maintains the standby → one
+    wire_stream(stream=) per stream consumes it — and the union of the
+    per-stream replicas equals the single-stream topology's state (the
+    routing is a partition of the events, never a filter)."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from polardbx_cdc_spark import binlog_wire as W
+    from polardbx_cdc_spark import dump_server as D
+    from polardbx_cdc_spark.operators import routing
+    from polardbx_cdc_spark.streaming import pipeline, source
+
+    tmpdir = str(tmp_path)
+    cfg = routing.StreamRoutingConfig(stream_count=2, default_level="TABLE")
+    q, sink = pipeline.run_binlog_x_pipeline(
+        source.cdc_stream(spark, sf_dir), cfg,
+        tmpdir + "/xout", tmpdir + "/xckpt",
+    )
+    q.awaitTermination(120)
+    wire = tmpdir + "/xwire"
+    W.export_wire_files_x(spark, tmpdir + "/xout", wire).collect()
+    streams = sorted({
+        f.split(".")[0].removeprefix("binlog-x-")
+        for f in os.listdir(wire) if f.startswith("binlog-x-")
+    })
+    assert len(streams) == 2
+
+    relay = tmpdir + "/xrelay"
+    with D.DumpServer(wire) as srv:
+        host, port = srv.address
+        for s in streams:
+            D.relay_copy(host, port, relay, stream=s)
+
+    for s in streams:
+        sq = (
+            source.wire_stream(spark, relay, stream=s)
+            .writeStream.format("parquet")
+            .option("path", f"{tmpdir}/feed_{s}")
+            .option("checkpointLocation", f"{tmpdir}/fckpt_{s}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(120)
+
+    union = spark.read.parquet(*[f"{tmpdir}/feed_{s}" for s in streams])
+    # per-(db,tbl,pk) last image: ordering within a key is per-stream
+    # (routing pins a table to ONE stream at TABLE level), so the
+    # per-stream (file_name, pos) order is authoritative per key
+    w = Window.partitionBy("db", "tbl", "pk").orderBy(
+        F.desc("file_name"), F.desc("pos")
+    )
+    replica = (
+        union.filter(F.col("kind").isin("INSERT", "UPDATE", "DELETE"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1 AND kind <> 'DELETE'")
+        .select("db", "tbl", "pk", "value")
+    )
+    # ground truth: last image straight from the routed sink parquet
+    sink_df = spark.read.parquet(tmpdir + "/xout")
+    w2 = Window.partitionBy("db", "tbl", "pk").orderBy(F.desc("tso"))
+    truth = (
+        sink_df.withColumn("_rn", F.row_number().over(w2))
+        .filter("_rn = 1 AND action <> 'DELETE'")
+        .select("db", "tbl", "pk", "value")
+    )
+    a = replica.orderBy("db", "tbl", "pk").collect()
+    b = truth.orderBy("db", "tbl", "pk").collect()
+    assert len(a) > 0 and a == b
