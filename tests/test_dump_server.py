@@ -535,7 +535,7 @@ def test_binlog_x_streams_served_per_chain(spark, sf_dir, tmp_path):
         rotate_rows=300,
     )
     q.awaitTermination(120)
-    W.export_wire_files_x(spark, out, wire).collect()
+    W.export_wire_files_x(spark, out, wire)  # eager since round 9: files land before return
 
     with D.DumpServer(wire) as srv:
         host, port = srv.address

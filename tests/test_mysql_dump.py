@@ -904,3 +904,43 @@ def test_master_heartbeat_period_zero_disables_heartbeats(tmp_path):
                     hb += 1
     # server default 0.1s over 0.8s idle would give ~8 beats; 0 = silence
     assert hb == 0, f"heartbeats not disabled (got {hb})"
+
+
+def test_gtid_skip_resets_at_query_commit_and_ddl_group_ends(tmp_path):
+    """ADVICE r8: a skipped transaction group that terminates with a
+    QUERY COMMIT (statement-era) or is a lone DDL QUERY — no XID — must
+    still unlatch the skip state, or following non-GTID-framed events
+    are wrongly suppressed."""
+    wire = str(tmp_path / "qterm")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+
+    def body(vals):
+        return (
+            W.encode_query("", "BEGIN")
+            + W.encode_table_map(3, td)
+            + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, vals)
+        )
+
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_previous_gtids({}),
+         # executed txn ending in QUERY(COMMIT), not XID
+         W.encode_gtid(SID_A, 1) + body([[10]]) + W.encode_query("", "COMMIT"),
+         # anonymous (no GTID framing) — must flow
+         body([[20]]) + W.encode_xid(2),
+         # executed lone-DDL group (implicit commit, no XID)
+         W.encode_gtid(SID_A, 2) + W.encode_query("d", "ALTER TABLE t ADD c INT"),
+         # anonymous again — must flow
+         body([[30]]) + W.encode_xid(3)],
+    )
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        relay = M.binlog_dump_gtid_fetch(host, port, {SID_A: [(1, 3)]})
+    evs = W.decode_events(relay)
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[20], [30]]
+    # the skipped groups' events really were suppressed
+    queries = [e["query"] for e in evs if e["type"] == W.QUERY_EVENT]
+    assert "ALTER TABLE t ADD c INT" not in queries
+    assert queries == ["BEGIN", "BEGIN"]  # only the anonymous groups'

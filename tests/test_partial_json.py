@@ -286,3 +286,15 @@ def test_json_table_delta_materializes_back(spark):
     assert W.apply_json_diffs({"a": 1, "b": [1, 2]}, diffs) == {
         "a": 2, "b": [1, 2, 3]
     }
+
+
+def test_replace_out_of_range_array_index_raises_valueerror():
+    """ADVICE r8: REPLACE on an out-of-range array element must raise the
+    documented ValueError, not IndexError — malformed external diff
+    vectors take the handled-error path."""
+    doc = {"a": [1, 2, 3]}
+    bad = W.JsonDiff(W.JSON_DIFF_REPLACE, "$.a[9]", 99)
+    with pytest.raises(ValueError):
+        W.apply_json_diffs(doc, [bad])
+    neg = W.JsonDiff(W.JSON_DIFF_REPLACE, "$.a[2]", 99)
+    assert W.apply_json_diffs(doc, [neg]) == {"a": [1, 2, 99]}

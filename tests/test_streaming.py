@@ -1754,7 +1754,7 @@ def test_binlog_x_standby_topology_per_stream(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     wire = tmpdir + "/xwire"
-    W.export_wire_files_x(spark, tmpdir + "/xout", wire).collect()
+    W.export_wire_files_x(spark, tmpdir + "/xout", wire)  # eager since round 9: files land before return
     streams = sorted({
         f.split(".")[0].removeprefix("binlog-x-")
         for f in os.listdir(wire) if f.startswith("binlog-x-")

@@ -264,3 +264,22 @@ def test_incident_surfaces_in_consumer_frame():
     assert kinds == ["INSERT", "INCIDENT", "INSERT"]
     inc = rows[1]
     assert inc[5] == "gap!" and inc[7] == 1
+
+
+def test_canonical_character_set_and_collate_decls_map_charsets():
+    """ADVICE r8: the canonical SHOW CREATE TABLE spellings — 'CHARACTER
+    SET latin1' and bare 'COLLATE latin1_swedish_ci' — must map to the
+    charset TLV exactly like the shorthand 'charset latin1'."""
+    td = W.TableDef.from_mysql_types(
+        "d", "t",
+        ["bigint", "varchar(64) CHARACTER SET latin1",
+         "varchar(32) COLLATE latin1_swedish_ci",
+         "varchar(16) CHARACTER SET gbk COLLATE gbk_chinese_ci",
+         "varchar(8) COLLATE utf8mb4_general_ci"],
+    )
+    assert td.charsets == {1: 8, 2: 8, 3: 28, 4: 255}
+    rows = [[1, "café", "naïve", "中文", "ok"]]
+    ev, tm, rws = _roundtrip_table(td, rows)
+    assert rws == rows
+    # latin1 value bytes really are latin-1 on the wire (1 byte per char)
+    assert "café".encode("latin-1") in ev

@@ -192,3 +192,47 @@ def test_payload_entropy_zstd_end_to_end():
     flat = W.expand_payload_events(W.decode_events(p))
     rows = [r for e in flat if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
     assert len(rows) == 50 and rows[7] == [7, "row-0"]
+
+
+def test_mini_windowed_frame_for_oversize_payloads():
+    """ADVICE r8: payloads above the 128 MiB single-segment limit must
+    emit a bounded Window_Descriptor (non-single-segment header) or real
+    decoders reject the frame. Exercised via the testable threshold."""
+    data = (b"0123456789abcdef" * 5000) + os.urandom(4096)  # ~84 KB
+    frame = Z.compress(data, single_segment_max=1 << 14)
+    fhd = frame[4]
+    assert not (fhd >> 5) & 1, "Single_Segment_Flag must be clear"
+    assert frame[5] == 7 << 3, "Window_Descriptor: 128 KiB window"
+    assert Z.decompress(frame) == data
+    # small payloads keep the exact single-segment form
+    small = Z.compress(data)
+    assert (small[4] >> 5) & 1
+
+
+def test_mini_windowed_frame_decodes_under_reference_zstd():
+    import shutil
+    import subprocess
+
+    from polardbx_cdc_spark import zstd_ffi as FFI
+
+    data = b"windowed-frame " * 20000  # ~300 KB, multi-block
+    frame = Z.compress(data, single_segment_max=1 << 14)
+    if FFI.available():
+        assert FFI.decompress(frame) == data
+    if shutil.which("zstd"):
+        out = subprocess.run(["zstd", "-d", "-c"], input=frame,
+                             capture_output=True)
+        assert out.returncode == 0 and out.stdout == data
+
+
+def test_ffi_available_degrades_on_missing_symbols(monkeypatch):
+    """ADVICE r8: an old libzstd missing a declared symbol raises
+    AttributeError from _load(); available() must answer False, not
+    crash the compress/decompress fallback chain."""
+    from polardbx_cdc_spark import zstd_ffi as FFI
+
+    def boom():
+        raise AttributeError("ZSTD_getFrameContentSize")
+
+    monkeypatch.setattr(FFI, "_load", boom)
+    assert FFI.available() is False
