@@ -67,131 +67,30 @@ def register(name: str, oracle: str | None):
 #: flagship veterans kept as cross-round anchors. Everything evicted is
 #: green in some prior CORRECTNESS file AND re-verified every run by
 #: tests/test_oracle_parity.py (identical multiset compare at sf0.01).
-#: ROUND-8 ROTATION (executed): the window leads with the 2 r4-stale
-#: names the round-7 verdict flagged (embed_pq_topk,
-#: curation_repetition_stats — the oldest official grades left), then
-#: the 45-name block whose last official grade was r5 (promoted from
-#: _GRADE_DEFER's head exactly as round 7 directed), the 2 round-8
-#: newcomers (cdc_binlog_wire_zstd, orders_wire_partial_json), and the
-#: cdc_full_pipeline flagship anchor. Everything evicted was graded
-#: r6/r7 (the freshest grades) and stays re-hashed every run by
+#: ROUND-9 ROTATION (executed): the window leads with the 5 never-graded
+#: oracle-backed names (the 4 round-8 late additions queued at positions
+#: 50-53 plus this round's cdc_wire_stream_tail newcomer), then 44 of
+#: the 49 names whose last official grade was r6 (the oldest grades left
+#: in the registry), and the cdc_full_pipeline flagship anchor = exactly
+#: 50. Five r6-graded names with an in-window operator sibling
+#: (sketch_hll_registers ~ sketch_hll_estimate, events_type_pivot ~
+#: events_rollup_hierarchy, cdc_ivm_agg_view ~ cdc_ivm_join_view,
+#: q12_late_shipment_priority ~ q4_order_priority, media_gif_frames ~
+#: media_mp4_meta) sit at _GRADE_DEFER's HEAD — positions 50-54 — for
+#: round 10's window. Everything else evicted was graded r7/r8 (the
+#: freshest grades) and stays re-hashed every run by
 #: tests/test_oracle_parity.py. After this round's grading no
-#: oracle-backed query's latest official grade is older than r5.
+#: oracle-backed query's latest official grade is older than r6, and
+#: only those 5 sibling-covered names remain at r6.
 _GRADE_PRIORITY: tuple[str, ...] = (
-    # -- oldest grades left in the registry (last official check r4) --
-    "embed_pq_topk",
-    "curation_repetition_stats",
-    # -- the r5-graded block (promoted per the round-7 rotation plan) --
-    "cdc_binlog_wire_roundtrip",
-    "cdc_flashback_by_time",
-    "cdc_last_image_salted",
-    "cdc_logical_ddl_emit",
-    "cdc_source_lag_report",
-    "cdc_stream_rebalance_plan",
-    "cdc_txn_integrity",
-    "curation_chunk_documents",
-    "curation_corpus_freq",
-    "curation_decontaminate",
-    "curation_keyword_extract",
-    "curation_lm_perplexity",
-    "curation_mixture_weights",
-    "curation_pack_sequences",
-    "curation_pii_scrub",
-    "curation_shard_shuffle",
-    "curation_stratified_sample",
-    "dedup_apply",
-    "dedup_chunk_spans",
-    "dedup_embed_clusters",
-    "dedup_rate_by_source",
-    "dedup_simhash_pairs",
-    "embed_ivf_topk_quantized",
-    "embed_kmeans_purity",
-    "embed_norm_stats",
-    "embed_pq_codes",
-    "embed_quantize_int8",
-    "events_cohort_retention",
-    "events_type_day_cube",
-    "lineitem_wire_typed",
-    "media_real_decode",
-    "orders_price_quartiles",
-    "orders_weekly_moving_avg",
-    "promo_large_common_suppliers",
-    "promo_only_suppliers",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_count",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "rpl_reconcile_repair",
-    "text_char_entropy",
-    "text_winnow_fingerprint",
-    # -- new this round (round 8) --------------------------------------
-    "cdc_binlog_wire_zstd",
-    "orders_wire_partial_json",
-    # -- flagship anchor (green every graded round) --------------------
-    "cdc_full_pipeline",
-)
-
-#: Oracle-backed entries outside the round-8 window. Every name here is
-#: green in a prior CORRECTNESS_r*.json (r6 or r7 — the freshest grades)
-#: and re-verified each run by tests/test_oracle_parity.py (identical
-#: multiset compare).
-_GRADE_DEFER: tuple[str, ...] = (
-    # last graded r7:
-    "events_daily_rollup",
-    "parts_never_bulk_shipped",
-    "events_date_format_roundtrip",
-    "cdc_accept_filter",
-    "cdc_min_tso_filter",
-    "cdc_blacklist_filter",
-    "cdc_replica_filter",
-    "cdc_data_import_filter",
-    "cdc_txn_assemble",
-    "cdc_disorder_report",
-    "cdc_heartbeat_epochs",
-    "cdc_kway_merge_head",
-    "cdc_multi_stream_alignment",
-    "cdc_last_image",
-    "cdc_replay_state",
-    "cdc_apply_snapshot",
-    "cdc_xa_parties",
-    "cdc_ddl_replay",
-    "cdc_logical_rebuild",
-    "cdc_stream_routing",
-    "cdc_render_dml_sql",
-    "cdc_seek_by_timestamp",
-    "cdc_txn_apply_order",
-    "cdc_stream_ordered_head",
-    "cdc_flashback_sql",
-    "checksum_lineitem",
-    "checksum_orders_chunked",
-    "full_copy_chunks",
-    "checksum_all_types",
-    "top_customers_per_nation",
-    "events_sessionize",
-    "cdc_backfill_union",
-    "events_json_props",
-    "text_stats",
-    "text_token_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_groups",
-    "dedup_simhash",
-    "embed_cosine_topk",
-    "dedup_embed_cosine",
-    "embed_lsh_topk",
-    "media_stats",
-    "media_features",
-    "curation_quality_filter",
-    "cdc_incremental_checksum",
-    "cdc_ivm_join_view_stream",
-    "cdc_binlog_wire_compressed",
-    "orders_wire_noblob_typed",
-    # last graded r6:
+    # -- never officially graded (round-8 late additions + round 9) ----
+    "orders_wire_latin1_typed",
+    "orders_wire_named_attach",
+    "orders_wire_json_diff_computed",
+    "orders_json_table_delta",
+    "cdc_wire_stream_tail",
+    # -- the 44-name r6-graded block (oldest grades left) --------------
     "cdc_asof_enrich",
-    "cdc_ivm_agg_view",
     "cdc_ivm_join_view",
     "cdc_position_seek",
     "cdc_replica_lag_report",
@@ -206,18 +105,15 @@ _GRADE_DEFER: tuple[str, ...] = (
     "events_rollup_hierarchy",
     "events_session_windows",
     "events_signup_funnel",
-    "events_type_pivot",
     "events_wire_gtid_stream",
     "layout_zorder_orders",
     "lineitem_wire_v1_typed",
-    "media_gif_frames",
     "media_mp4_meta",
     "orders_wire_change_stream_typed",
     "orders_wire_enum_typed",
     "orders_wire_legacy_temporal",
     "q10_returned_items",
     "q11_important_parts",
-    "q12_late_shipment_priority",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_orders",
@@ -234,11 +130,126 @@ _GRADE_DEFER: tuple[str, ...] = (
     "sketch_cm_heavy_hitters",
     "sketch_hist_quantiles",
     "sketch_hll_estimate",
-    "sketch_hll_registers",
     "stats_analyze_orders",
     "supplier_running_revenue",
     "text_bm25_scores",
     "text_bpe_pair_stats",
+    # -- flagship anchor (green every graded round) --------------------
+    "cdc_full_pipeline",
+)
+
+#: Oracle-backed entries outside the round-9 window. HEAD = the 5
+#: r6-graded names deferred this round (round 10 promotes them first);
+#: the rest were graded r7/r8. Every name is green in a prior
+#: CORRECTNESS_r*.json and re-verified each run by
+#: tests/test_oracle_parity.py (identical multiset compare).
+_GRADE_DEFER: tuple[str, ...] = (
+    # r6-graded, deferred to round 10 (operator sibling in the window):
+    "sketch_hll_registers",
+    "events_type_pivot",
+    "cdc_ivm_agg_view",
+    "q12_late_shipment_priority",
+    "media_gif_frames",
+    # last graded r8:
+    "cdc_binlog_wire_roundtrip",
+    "cdc_binlog_wire_zstd",
+    "cdc_flashback_by_time",
+    "cdc_last_image_salted",
+    "cdc_logical_ddl_emit",
+    "cdc_source_lag_report",
+    "cdc_stream_rebalance_plan",
+    "cdc_txn_integrity",
+    "curation_chunk_documents",
+    "curation_corpus_freq",
+    "curation_decontaminate",
+    "curation_keyword_extract",
+    "curation_lm_perplexity",
+    "curation_mixture_weights",
+    "curation_pack_sequences",
+    "curation_pii_scrub",
+    "curation_repetition_stats",
+    "curation_shard_shuffle",
+    "curation_stratified_sample",
+    "dedup_apply",
+    "dedup_chunk_spans",
+    "dedup_embed_clusters",
+    "dedup_rate_by_source",
+    "dedup_simhash_pairs",
+    "embed_ivf_topk_quantized",
+    "embed_kmeans_purity",
+    "embed_norm_stats",
+    "embed_pq_codes",
+    "embed_pq_topk",
+    "embed_quantize_int8",
+    "events_cohort_retention",
+    "events_type_day_cube",
+    "lineitem_wire_typed",
+    "media_real_decode",
+    "orders_price_quartiles",
+    "orders_weekly_moving_avg",
+    "orders_wire_partial_json",
+    "promo_large_common_suppliers",
+    "promo_only_suppliers",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_count",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "rpl_reconcile_repair",
+    "text_char_entropy",
+    "text_winnow_fingerprint",
+    # last graded r7:
+    "cdc_accept_filter",
+    "cdc_apply_snapshot",
+    "cdc_backfill_union",
+    "cdc_binlog_wire_compressed",
+    "cdc_blacklist_filter",
+    "cdc_data_import_filter",
+    "cdc_ddl_replay",
+    "cdc_disorder_report",
+    "cdc_flashback_sql",
+    "cdc_heartbeat_epochs",
+    "cdc_incremental_checksum",
+    "cdc_ivm_join_view_stream",
+    "cdc_kway_merge_head",
+    "cdc_last_image",
+    "cdc_logical_rebuild",
+    "cdc_min_tso_filter",
+    "cdc_multi_stream_alignment",
+    "cdc_render_dml_sql",
+    "cdc_replay_state",
+    "cdc_replica_filter",
+    "cdc_seek_by_timestamp",
+    "cdc_stream_ordered_head",
+    "cdc_stream_routing",
+    "cdc_txn_apply_order",
+    "cdc_txn_assemble",
+    "cdc_xa_parties",
+    "checksum_all_types",
+    "checksum_lineitem",
+    "checksum_orders_chunked",
+    "curation_quality_filter",
+    "dedup_cluster_groups",
+    "dedup_embed_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+    "events_daily_rollup",
+    "events_date_format_roundtrip",
+    "events_json_props",
+    "events_sessionize",
+    "full_copy_chunks",
+    "media_features",
+    "media_stats",
+    "orders_wire_noblob_typed",
+    "parts_never_bulk_shipped",
+    "text_stats",
+    "text_token_stats",
+    "top_customers_per_nation",
 )
 
 
@@ -250,7 +261,9 @@ def _ordered() -> list[str]:
         for n in names
         if _REGISTRY[n][1] is not None and n not in _GRADE_DEFER and n not in prio
     ]
-    deferred = [n for n in names if n in _GRADE_DEFER]
+    # _GRADE_DEFER tuple order is the NEXT-ROUND promotion queue: its
+    # head (the oldest grades) sits right behind the window
+    deferred = [n for n in _GRADE_DEFER if n in names]
     weak = [n for n in names if _REGISTRY[n][1] is None]
     return prio + strong + deferred + weak
 
@@ -6603,3 +6616,102 @@ def media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "media_id long, duration_ms long, n_tracks long, width long, height long",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming wire attach: relay-dir tail through wire_stream (SURVEY §2.1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_wire_stream_tail",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, action,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+               CAST(sum(CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT)) AS BIGINT) AS pk_hash_sum
+        FROM cdc GROUP BY db, tbl, action
+        """
+    ),
+)
+def cdc_wire_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read path of the wire format, end to end: the CDC frame
+    renders to REAL binlog v4 files (`export_wire_files` — the same
+    bytes `dump_server.relay_copy` lands in a standby's relay dir,
+    byte-identity pytest-proven by the Binlog-X capstone), then a
+    Structured Streaming `wire_stream` attach (Trigger.AvailableNow)
+    tails the directory, decodes every file executor-side through
+    `wire_frame_rows`, and lands the frames in a parquet sink; the
+    decoded DML rows aggregate back to the raw-cdc oracle. Grades what
+    the pytest capstones exercise: the reference's BinlogExtractor
+    file-tail attach (BinlogExtractor.java:161-236) re-expressed as a
+    Spark streaming file source + Arrow-batched decode."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from polardbx_cdc_spark import binlog_wire
+    from polardbx_cdc_spark.streaming import source as streaming_source
+
+    cdc = derive_cdc_stream(spark, sf_dir).select(
+        "txn_id", "tso", "action", "db", "tbl", "pk", "value"
+    )
+    # deterministic sink shape: 8 rotated files (txn-bucketed so a txn
+    # never splits), offsets assigned per file in TSO order — the same
+    # layout the streaming BinlogSink writes, derived batch-side
+    sink = cdc.select(
+        F.pmod(F.col("txn_id"), F.lit(8)).cast("long").alias("file_seq"),
+        F.row_number()
+        .over(Window.partitionBy(F.pmod(F.col("txn_id"), F.lit(8)))
+              .orderBy("tso", "pk"))
+        .cast("long")
+        .alias("offset"),
+        "action", "db", "tbl", "pk", "value",
+    )
+    work = tempfile.mkdtemp(prefix="wire_stream_tail_")
+    try:
+        wire = os.path.join(work, "relay")
+        binlog_wire.export_wire_files(spark, _persist_parquet(sink, work), wire)
+        frames = streaming_source.wire_stream(spark, wire)
+        out = os.path.join(work, "frames")
+        q = (
+            frames.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        rows = (
+            spark.read.parquet(out)
+            .filter(F.col("kind").isin("INSERT", "UPDATE", "DELETE"))
+            .groupBy("db", "tbl", F.col("kind").alias("action"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .cast("long").alias("value_cents"),
+                F.sum(F.conv(F.substring(F.md5("pk"), 1, 8), 16, 10).cast("long"))
+                .cast("long").alias("pk_hash_sum"),
+            )
+            .collect()  # bounded: ≤ |db|×|tbl|×|action| = 45 rollup rows
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "db string, tbl string, action string, n long, "
+        "value_cents long, pk_hash_sum long",
+    )
+
+
+def _persist_parquet(df: DataFrame, work: str) -> str:
+    """Write *df* under *work* and return the path (exporters read a
+    sink DIRECTORY, the shape the streaming BinlogSink leaves)."""
+    import os
+
+    path = os.path.join(work, "sink")
+    df.write.parquet(path)
+    return path

@@ -34,7 +34,7 @@ def _latest_grade_by_query() -> dict[str, int]:
     import os
 
     last: dict[str, int] = {}
-    for r in ("01", "02", "03", "04", "05", "06", "07"):
+    for r in ("01", "02", "03", "04", "05", "06", "07", "08"):
         path = f"/root/repo/CORRECTNESS_r{r}.json"
         if os.path.exists(path):
             with open(path) as fh:
@@ -43,29 +43,36 @@ def _latest_grade_by_query() -> dict[str, int]:
     return last
 
 
-def test_round8_rotation_window_holds_the_oldest_grades():
-    """Round-8 rotation policy: every oracle-backed query whose latest
-    official grade is r4 (the oldest left in the registry) or that has
-    never been graded sits INSIDE the 50-slot window; every other window
-    slot holds an r5-graded veteran (the next-oldest block) except the
-    cdc_full_pipeline flagship anchor — so after this round's grading no
-    oracle-backed query's latest grade is older than r5."""
+def test_round9_rotation_window_holds_the_oldest_grades():
+    """Round-9 rotation policy: every never-graded oracle-backed query
+    sits INSIDE the 50-slot window; every other window slot holds an
+    r6-graded veteran (the oldest grades left after round 8) except the
+    cdc_full_pipeline flagship anchor. The ≤5 r6-graded names that don't
+    fit (each has an in-window operator sibling) queue at _GRADE_DEFER's
+    HEAD — positions right after the window — as round 10's first
+    promotions. After this round's grading no oracle-backed query's
+    latest official grade is older than r6, and only those queued
+    names remain at r6."""
     names = list(Q.queries())
     window = names[:GRADE_WINDOW]
     wset = set(window)
     oracles = set(Q.oracle_sql())
     last = _latest_grade_by_query()
-    must = {n for n in oracles if last.get(n, 99) <= 4}  # r4-stale grades
-    missing = must - wset
-    assert not missing, f"r4-stale oracles outside the window: {missing}"
-    # never-graded entries either sit in the window or queue at its edge
-    # (positions right after 50 — next round's rotation picks them up)
+    # every never-graded oracle is in the window (nothing stays ungraded)
     never = [n for n in names if n in oracles and n not in last]
-    stragglers = [n for n in never if names.index(n) >= GRADE_WINDOW + 10]
-    assert not stragglers, f"never-graded oracles buried deep: {stragglers}"
+    missing = set(never) - wset
+    assert not missing, f"never-graded oracles outside the window: {missing}"
+    # r5-or-older grades must not exist anywhere (round 8 retired them)
+    stale = {n for n in oracles if last.get(n, 99) <= 5}
+    assert not stale, f"r5-stale grades resurfaced: {stale}"
+    # the r6 block fills the window; at most 5 queue right behind it
+    r6_out = [n for n in names if last.get(n) == 6 and n not in wset]
+    assert len(r6_out) <= 5, f"too many r6-graded names deferred: {r6_out}"
+    deep = [n for n in r6_out if names.index(n) >= GRADE_WINDOW + len(r6_out)]
+    assert not deep, f"deferred r6 names buried behind fresher grades: {deep}"
     assert "cdc_full_pipeline" in wset
     fresh = [
         n for n in window
-        if n != "cdc_full_pipeline" and last.get(n, 0) > 5
+        if n != "cdc_full_pipeline" and last.get(n, 0) > 6
     ]
     assert not fresh, f"window slots wasted on freshly-graded queries: {fresh}"
