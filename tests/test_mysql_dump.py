@@ -944,3 +944,81 @@ def test_gtid_skip_resets_at_query_commit_and_ddl_group_ends(tmp_path):
     queries = [e["query"] for e in evs if e["type"] == W.QUERY_EVENT]
     assert "ALTER TABLE t ADD c INT" not in queries
     assert queries == ["BEGIN", "BEGIN"]  # only the anonymous groups'
+
+
+# ---------------------------------------------------------------------------
+# Round-9 interop: an INDEPENDENT spec-derived client (shares zero code
+# with mysql_dump.py) drives both attach paths end to end. See
+# tests/vendored_repl_client.py — packet framing, handshake parse, auth
+# scramble, dump commands all re-derived from the public protocol docs.
+# ---------------------------------------------------------------------------
+
+
+def test_native_password_scramble_matches_published_algorithm():
+    """Pin the Authentication::Native41 scramble to an externally
+    computable vector: SHA1(pwd) XOR SHA1(nonce + SHA1(SHA1(pwd)))."""
+    import hashlib
+
+    from tests.vendored_repl_client import native_password_scramble
+
+    nonce = bytes(range(20))
+    pwd = "s3cret"
+    h1 = hashlib.sha1(b"s3cret").digest()
+    expected = bytes(
+        a ^ b
+        for a, b in zip(h1, hashlib.sha1(nonce + hashlib.sha1(h1).digest()).digest())
+    )
+    assert native_password_scramble(pwd, nonce) == expected
+    assert len(expected) == 20
+    assert native_password_scramble("", nonce) == b""
+
+
+def test_vendored_spec_client_plain_attach(served_wire):
+    """COM_BINLOG_DUMP through the independent client: handshake parsed
+    field-exactly, native-password auth, REGISTER_SLAVE, dump from
+    (binlog.000001, 4) — the received event stream decodes to the same
+    rows the wire files hold, across the ROTATE chain."""
+    from tests.vendored_repl_client import SpecReplicationClient
+
+    with SpecReplicationClient(
+        served_wire["host"], served_wire["port"], password="s3cret"
+    ) as cli:
+        hs = cli.handshake
+        assert hs.server_version.startswith("8.0")
+        assert hs.auth_plugin_name == "mysql_native_password"
+        assert len(hs.nonce) == 20
+        cli.register_slave()
+        frames = list(cli.binlog_dump("binlog.000001", 4))
+    evs = W.decode_events(b"".join(frames))
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[1, "a"], [2, "b"], [3, "c"]]
+    kinds = [e["type"] for e in evs]
+    assert W.FORMAT_DESCRIPTION_EVENT in kinds and W.ROTATE_EVENT in kinds
+    assert any(e["type"] == W.XID_EVENT and e["xid"] == 7 for e in evs)
+
+
+def test_vendored_spec_client_gtid_attach(gtid_wire):
+    """COM_BINLOG_DUMP_GTID through the independent client: the binary
+    Gtid_set payload (n_sids / sid / intervals, end-exclusive) encodes
+    gno 1..3 as executed — exactly txn 4 arrives, resolved from the
+    PREVIOUS_GTIDS chain."""
+    from tests.vendored_repl_client import SpecReplicationClient
+
+    with SpecReplicationClient(gtid_wire["host"], gtid_wire["port"]) as cli:
+        frames = list(cli.binlog_dump_gtid({SID_A: [(1, 4)]}))
+    evs = W.decode_events(b"".join(frames))
+    gnos = [e["gno"] for e in evs if e["type"] == W.GTID_LOG_EVENT]
+    assert gnos == [4]
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[40]]
+
+
+def test_vendored_spec_client_rejects_err_packet(served_wire):
+    """The independent client surfaces a server ERR as ServerError with
+    the protocol-41 sql-state parsed off the #HY000 marker."""
+    from tests.vendored_repl_client import ServerError, SpecReplicationClient
+
+    with SpecReplicationClient(served_wire["host"], served_wire["port"]) as cli:
+        with pytest.raises(ServerError) as ei:
+            list(cli.binlog_dump("binlog.000099", 4))
+    assert ei.value.code == 1236
