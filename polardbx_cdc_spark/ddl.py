@@ -408,6 +408,16 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
                     break
         if close_i < 0:
             return []  # unbalanced: not a digestible CREATE
+        # CREATE TABLE t (…) [IGNORE|REPLACE] [AS] SELECT …: the final
+        # column set also contains the SELECT's output columns, which a
+        # registry cannot resolve without executing the query — REJECT
+        # loudly rather than record a wrong (partial) column set. The
+        # sanitizer has already hidden string literals, so a bare SELECT
+        # keyword in the tail is unambiguous. (MySQL 8.0 with GTIDs
+        # forbids CREATE TABLE … SELECT on the wire for the same
+        # atomicity reason; the reference never digests one either.)
+        if re.search(r"\bSELECT\b", s[close_i:], re.I):
+            raise ValueError(f"CREATE TABLE ... SELECT is not digestible: {sql!r}")
         db, tbl, body = m.group(1), _ident(m.group(2)), s[open_i + 1 : close_i - 1]
         # table tail (engine/charset/partitioning/dbpartition) carries no
         # column info — intentionally ignored, like MemoryTableMeta's
@@ -598,6 +608,15 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
     if m:
         # charset/collation defaults only — no table metadata changes
         return [{"db": _ident(m.group(1)), "tbl": None, "op": "alter_database"}]
+
+    # column-list-free CTAS (CREATE TABLE t [AS] SELECT …): same
+    # rejection contract as the parenthesized form above, specific error
+    if re.match(
+        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QUALIFIED}\s+"
+        r"(?:IGNORE\s+|REPLACE\s+)?(?:AS\s+)?SELECT\b",
+        s, re.I | re.S,
+    ):
+        raise ValueError(f"CREATE TABLE ... SELECT is not digestible: {sql!r}")
 
     raise ValueError(f"unsupported DDL: {sql!r}")
 
