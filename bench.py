@@ -268,6 +268,9 @@ def main() -> None:
             # round 7: join-view IVM — one fact fold + broadcast dim
             # delta; the ratio proves the fold is linear in data size
             "cdc_ivm_join_view",
+            # round 9: the JSON changefeed's full-outer-join shape gets
+            # the same 10x-data scrutiny as the dedup tier
+            "orders_json_table_delta",
         ]
         try:
             factor = 10.0
@@ -341,6 +344,11 @@ def main() -> None:
                     n for n in sorted(s_ratio, key=lambda k: -s_ratio[k])
                     if n in registry
                 ][:5]
+                # round-9 newcomer: always clean-measure the delta
+                # operator until it has a cross-round clean baseline
+                if "orders_json_table_delta" in s_timings \
+                        and "orders_json_table_delta" not in worst:
+                    worst.append("orders_json_table_delta")
                 clean_t: dict[str, float] = {}
                 clean_ratio: dict[str, float] = {}
                 c_budget, c_t0 = 300.0, time.perf_counter()

@@ -282,8 +282,12 @@ class BinlogSink:
         if batch_id in self._seen_batches:
             return
         self._seen_batches.add(batch_id)
-        # one materialization: the sink takes several actions (stats, write)
-        # — without a persist each one would recompute the whole batch plan
+        # one materialization: the sink takes several actions (disorder
+        # probe, range sampling, shuffle map / framed-mode joins) and the
+        # upstream plan may carry an observe() CollectMetrics node —
+        # without the cache those metrics would double-count on every
+        # re-execution (r9 found this the hard way; skipping the persist
+        # saved 0.35s/batch but broke exact per-batch counters)
         batch_df.persist()
         try:
             if self.frame_txns:
@@ -432,10 +436,16 @@ class BinlogSink:
         shift each partition by the cumulative count of its predecessors.
         The only serial step is a tiny per-partition-count collect."""
         spark = df.sparkSession
-        n_part = spark.sparkContext.defaultParallelism
         # no sortWithinPartitions here: the row_number window below sorts
-        # each partition anyway — pre-sorting would pay for the sort twice
-        ranged = df.repartitionByRange(n_part, range_key)
+        # each partition anyway — pre-sorting would pay for the sort twice.
+        # No explicit partition count: AQE right-sizes the range exchange
+        # to the BATCH volume (a 100k-row micro-batch coalesces to a few
+        # tasks instead of defaultParallelism near-empty ones — r9
+        # profile: −0.4s/batch; a multi-GB backfill batch still fans out
+        # to advisory-sized partitions). Coalescing merges ADJACENT range
+        # partitions, so partition i still wholly precedes partition i+1
+        # and the dense-offset math below is unaffected.
+        ranged = df.repartitionByRange(range_key)
         with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
         try:
             # one pass yields both the per-partition counts (offset bases)
@@ -505,60 +515,59 @@ class BinlogXSink:
                 self._last_tso[r["stream_id"]] = r["mx"]
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            # per-stream seekLastTso dedup
-            if self._last_tso:
-                spark = batch_df.sparkSession
-                wm = spark.createDataFrame(
-                    [(k, v) for k, v in self._last_tso.items()], "stream_id int, _wm string"
-                )
-                filtered = (
-                    batch_df.join(F.broadcast(wm), "stream_id", "left")
-                    .filter(F.col("_wm").isNull() | (F.col("tso") > F.col("_wm")))
-                    .drop("_wm")
-                )
-            else:
-                filtered = batch_df
-            # per-stream dense offsets: one window partitioned by stream —
-            # parallel across streams (each stream is one reducer, the
-            # reference's per-stream single-threaded dumper)
-            w = Window.partitionBy("stream_id").orderBy("tso")
-            if self._offsets:
-                base = F.create_map(*[F.lit(x) for kv in self._offsets.items() for x in kv])
-                shift = F.coalesce(base[F.col("stream_id")], F.lit(0))
-            else:
-                shift = F.lit(0)
-            # persist the windowed frame itself: both downstream actions
-            # (stats collect + write) reuse it, so the per-stream
-            # row_number window executes once per batch, not twice
-            out = (
-                filtered.withColumn(
-                    "offset",
-                    (F.row_number().over(w) - 1 + shift).cast("long"),
-                )
-                .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))
-                .persist()
+        # no batch-level cache: the batch plan feeds exactly ONE consumer
+        # (the windowed frame below, which is itself persisted for its
+        # two actions) — caching it would be a pure extra materialization
+        # per-stream seekLastTso dedup
+        if self._last_tso:
+            spark = batch_df.sparkSession
+            wm = spark.createDataFrame(
+                [(k, v) for k, v in self._last_tso.items()], "stream_id int, _wm string"
             )
-            try:
-                stats = (
-                    out.groupBy("stream_id")
-                    .agg(F.count(F.lit(1)).alias("n"), F.max("tso").alias("mx"))
-                    .collect()
-                )
-                if not stats:
-                    return
-                out.write.mode("append").partitionBy("stream_id", "file_seq").parquet(
-                    self.out_dir
-                )
-                for r in stats:
-                    sid = r["stream_id"]
-                    self._offsets[sid] = self._offsets.get(sid, 0) + r["n"]
-                    self._last_tso[sid] = max(self._last_tso.get(sid, ""), r["mx"])
-            finally:
-                out.unpersist()
+            filtered = (
+                batch_df.join(F.broadcast(wm), "stream_id", "left")
+                .filter(F.col("_wm").isNull() | (F.col("tso") > F.col("_wm")))
+                .drop("_wm")
+            )
+        else:
+            filtered = batch_df
+        # per-stream dense offsets: one window partitioned by stream —
+        # parallel across streams (each stream is one reducer, the
+        # reference's per-stream single-threaded dumper)
+        w = Window.partitionBy("stream_id").orderBy("tso")
+        if self._offsets:
+            base = F.create_map(*[F.lit(x) for kv in self._offsets.items() for x in kv])
+            shift = F.coalesce(base[F.col("stream_id")], F.lit(0))
+        else:
+            shift = F.lit(0)
+        # persist the windowed frame itself: both downstream actions
+        # (stats collect + write) reuse it, so the per-stream
+        # row_number window executes once per batch, not twice
+        out = (
+            filtered.withColumn(
+                "offset",
+                (F.row_number().over(w) - 1 + shift).cast("long"),
+            )
+            .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))
+            .persist()
+        )
+        try:
+            stats = (
+                out.groupBy("stream_id")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("tso").alias("mx"))
+                .collect()
+            )
+            if not stats:
+                return
+            out.write.mode("append").partitionBy("stream_id", "file_seq").parquet(
+                self.out_dir
+            )
+            for r in stats:
+                sid = r["stream_id"]
+                self._offsets[sid] = self._offsets.get(sid, 0) + r["n"]
+                self._last_tso[sid] = max(self._last_tso.get(sid, ""), r["mx"])
         finally:
-            batch_df.unpersist()
+            out.unpersist()
 
 
 def run_binlog_x_pipeline(

@@ -49,14 +49,26 @@ def _as_stream_dir(sf_dir: str, name: str) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       fan_out: bool = True) -> DataFrame:
     """events parquet as an unbounded stream (schema pinned from the batch
-    read; nanos ts handled identically to session.load_table)."""
+    read; nanos ts handled identically to session.load_table).
+
+    ``fan_out`` (default on) inserts a round-robin exchange on the RAW
+    rows before any derivation: a micro-batch whose files are few or
+    unsplittable (single row-group parquet, a fresh relay file) otherwise
+    runs the whole derive + sink pipeline on as many cores as it has
+    files (r9 profile: 0.7s of a 2.2s batch was single-task derive).
+    The exchange is one narrow pass of raw columns — at large file
+    counts it also levels skewed file sizes; disable it only when the
+    source is already wide and evenly sized."""
     from polardbx_cdc_spark.session import ensure_nanos_readable, normalize_event_ts
 
     ensure_nanos_readable(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(_as_stream_dir(sf_dir, "events"))
+    if fan_out:
+        stream = stream.repartition(spark.sparkContext.defaultParallelism)
     return normalize_event_ts(stream)
 
 
