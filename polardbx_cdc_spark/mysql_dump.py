@@ -334,6 +334,17 @@ class _Handler(socketserver.StreamRequestHandler):
             if cmd == COM_REGISTER_SLAVE:
                 _write_packet(self.wfile, 1, _ok_packet())
                 continue
+            if cmd in (COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID) and getattr(
+                self, "_checksum_mode", "CRC32"
+            ) not in ("CRC32", "@@GLOBAL.BINLOG_CHECKSUM"):
+                # replica declared a checksum mode it can verify that is
+                # NOT what the binlog carries — refuse like a real master
+                _write_packet(self.wfile, 1, _err_packet(
+                    1236,
+                    "Slave can not handle replication events with the "
+                    "checksum that master is configured to log",
+                ))
+                return
             if cmd == COM_BINLOG_DUMP:
                 pos = struct.unpack_from("<I", payload, 1)[0]
                 flags = struct.unpack_from("<H", payload, 5)[0]
@@ -403,6 +414,22 @@ class _Handler(socketserver.StreamRequestHandler):
                 # 0 = heartbeats OFF (the protocol's disable value), else
                 # clamp to a 50ms floor like the server's 1ms granularity
                 self._heartbeat_period = 0.0 if ns == 0 else max(ns / 1e9, 0.05)
+            # checksum negotiation: a stock replica declares what it can
+            # verify with SET @master_binlog_checksum = 'X' (libmysql
+            # sends the expression form @@global.binlog_checksum == our
+            # CRC32). Every wire file this endpoint serves carries CRC32,
+            # so a replica declaring NONE must be refused at dump time
+            # exactly like a real master (ER_MASTER_FATAL_ERROR 1236) —
+            # streaming events it would mis-parse is worse than an error.
+            mc = _re.match(
+                r"SET\s+@MASTER_BINLOG_CHECKSUM\s*=\s*(?:'|\")?"
+                r"(@@GLOBAL\.BINLOG_CHECKSUM|[A-Z0-9_]+)", u
+            )
+            if mc:
+                self._checksum_mode = (
+                    "CRC32" if mc.group(1) == "@@GLOBAL.BINLOG_CHECKSUM"
+                    else mc.group(1)
+                )
             _write_packet(self.wfile, 1, _ok_packet())
             return
         if u in ("SHOW MASTER STATUS", "SHOW BINARY LOG STATUS"):

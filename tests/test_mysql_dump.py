@@ -1022,3 +1022,26 @@ def test_vendored_spec_client_rejects_err_packet(served_wire):
         with pytest.raises(ServerError) as ei:
             list(cli.binlog_dump("binlog.000099", 4))
     assert ei.value.code == 1236
+
+
+def test_checksum_negotiation_refuses_none_declaring_replica(served_wire):
+    """A replica that declares SET @master_binlog_checksum='NONE' cannot
+    verify the CRC32 frames this endpoint serves — the dump must answer
+    ERR 1236 like a real master, never stream events it would mis-parse.
+    The stock libmysql form (= @@global.binlog_checksum) keeps working."""
+    from tests.vendored_repl_client import ServerError, SpecReplicationClient
+
+    host, port = served_wire["host"], served_wire["port"]
+    # libmysql expression form → CRC32 → dump proceeds
+    M.query(host, port, "SET @master_binlog_checksum = @@global.binlog_checksum")
+    with SpecReplicationClient(host, port) as cli:
+        cli._send_packet(
+            b"\x03SET @master_binlog_checksum = @@global.binlog_checksum", 0)
+        cli._expect_ok()
+        assert list(cli.binlog_dump("binlog.000001", 4))
+    with SpecReplicationClient(host, port) as cli:
+        cli._send_packet(b"\x03SET @master_binlog_checksum = 'NONE'", 0)
+        cli._expect_ok()
+        with pytest.raises(ServerError) as ei:
+            list(cli.binlog_dump("binlog.000001", 4))
+    assert ei.value.code == 1236 and "checksum" in ei.value.message
