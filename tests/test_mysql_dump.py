@@ -1045,3 +1045,26 @@ def test_checksum_negotiation_refuses_none_declaring_replica(served_wire):
         with pytest.raises(ServerError) as ei:
             list(cli.binlog_dump("binlog.000001", 4))
     assert ei.value.code == 1236 and "checksum" in ei.value.message
+
+
+def test_vendored_spec_client_reassembles_16mb_split_packets(tmp_path):
+    """The 0xFFFFFF continuation rule, exercised end to end through the
+    independent client: an event bigger than one MySQL packet arrives
+    reassembled and byte-intact."""
+    from tests.vendored_repl_client import SpecReplicationClient
+
+    wire = str(tmp_path / "wire")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_BLOB, 4)])
+    big = bytes(range(256)) * 70_000  # ~17.9 MB blob
+    ev = W.encode_table_map(1, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 1, td, [[big]]
+    )
+    W.write_binlog_file(wire + "/binlog.000001", [ev])
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        with SpecReplicationClient(host, port) as cli:
+            frames = list(cli.binlog_dump("binlog.000001", 4))
+    evs = W.decode_events(b"".join(frames))
+    got = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert got == [[big]]
