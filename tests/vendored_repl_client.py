@@ -167,7 +167,11 @@ class SpecReplicationClient:
         if caps & CLIENT_PLUGIN_AUTH:
             zp = b.index(0, q)
             plugin = b[q:zp].decode()
-        nonce = (part1 + part2).rstrip(b"\x00")
+        # auth-plugin-data is exactly 20 bytes; part 2 carries a trailing
+        # NUL filler. Slice, don't rstrip — a nonce whose 20th byte IS
+        # 0x00 must survive intact or the scramble diverges.
+        blob = part1 + part2
+        nonce = blob[:20] if len(blob) >= 20 else blob.rstrip(b"\x00")
         return HandshakeV10(version, thread_id, caps, charset, status,
                             plugin, nonce, raw=b)
 
