@@ -95,6 +95,8 @@ HEADLINE = [
     "orders_wire_named_attach",
     "orders_wire_json_diff_computed",
     "orders_json_table_delta",
+    # round 9 additions
+    "cdc_wire_stream_tail",
 ]
 
 

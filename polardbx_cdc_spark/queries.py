@@ -6659,13 +6659,17 @@ def cdc_wire_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = derive_cdc_stream(spark, sf_dir).select(
         "txn_id", "tso", "action", "db", "tbl", "pk", "value"
     )
-    # deterministic sink shape: 8 rotated files (txn-bucketed so a txn
+    # deterministic sink shape: 16 rotated files (txn-bucketed so a txn
     # never splits), offsets assigned per file in TSO order — the same
-    # layout the streaming BinlogSink writes, derived batch-side
+    # layout the streaming BinlogSink writes, derived batch-side. The
+    # 8-way window here is FIXTURE construction (building a reproducible
+    # wire directory for the oracle), not the production offset path —
+    # the real sink (BinlogSink._emit) range-partitions adaptively. 16
+    # files = 16-way encode AND decode tasks at bench scale.
     sink = cdc.select(
-        F.pmod(F.col("txn_id"), F.lit(8)).cast("long").alias("file_seq"),
+        F.pmod(F.col("txn_id"), F.lit(16)).cast("long").alias("file_seq"),
         F.row_number()
-        .over(Window.partitionBy(F.pmod(F.col("txn_id"), F.lit(8)))
+        .over(Window.partitionBy(F.pmod(F.col("txn_id"), F.lit(16)))
               .orderBy("tso", "pk"))
         .cast("long")
         .alias("offset"),
