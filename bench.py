@@ -97,6 +97,7 @@ HEADLINE = [
     "orders_json_table_delta",
     # round 9 additions
     "cdc_wire_stream_tail",
+    "text_bpe_encode_corpus",
 ]
 
 

@@ -6719,3 +6719,74 @@ def _persist_parquet(df: DataFrame, work: str) -> str:
     path = os.path.join(work, "sink")
     df.write.parquet(path)
     return path
+
+
+# --------------------------------------------------------------------------
+# BPE encode: apply trained merges to a corpus (SURVEY LLM-pipeline tier)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_encode_corpus",
+    """
+    WITH enc AS (
+      SELECT doc_id % 25 AS grp,
+             replace(replace(replace(replace(trim(text),
+               'th', '~'), '~e', '^'), 'at', '#'), 'ro', '@') AS s
+      FROM documents
+    )
+    SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(replace(s, ' ', ''))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(s) - length(replace(s, '~', ''))) AS BIGINT) AS n_th,
+           CAST(sum(length(s) - length(replace(s, '^', ''))) AS BIGINT) AS n_the,
+           CAST(sum(length(s) - length(replace(s, '#', ''))) AS BIGINT) AS n_at,
+           CAST(sum(length(s) - length(replace(s, '@', ''))) AS BIGINT) AS n_ro
+    FROM enc GROUP BY grp
+    """,
+)
+def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODE — the missing half of the tokenizer pair
+    (bpe_train produces merges; this applies them): every document's
+    words fold the ordered merge list into symbols, map-only and
+    JVM-side (functions/text.py::bpe_encode — no Python in the row
+    path, no shuffle before the final rollup). The oracle replays the
+    exact merge semantics as a sentinel-substitution chain (each merge
+    output becomes ONE fresh symbol, so rank-ordered full-string
+    replaces are provably equivalent to BPE's greedy fold: a merge
+    consumes its pair into a fresh symbol and can never recreate an
+    earlier merge's pair), checking total token counts AND per-merged-
+    token counts per doc group. Scale: encode is embarrassingly
+    parallel; merges ride the plan as literals exactly like a broadcast
+    vocabulary."""
+    from polardbx_cdc_spark.functions import text as text_fns
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(F.col("text")).alias("text")
+    )
+    merges = [("t", "h"), ("th", "e"), ("a", "t"), ("r", "o")]
+    enc = text_fns.bpe_encode(docs, merges)
+    tok = F.col("bpe_tokens")
+
+    def n_of(sym: str) -> Column:
+        return F.size(F.filter(tok, lambda x: x == F.lit(sym)))
+
+    return (
+        enc.select(
+            (F.col("doc_id") % 25).cast("long").alias("grp"),
+            F.size(tok).alias("nt"),
+            n_of("th").alias("c_th"),
+            n_of("the").alias("c_the"),
+            n_of("at").alias("c_at"),
+            n_of("ro").alias("c_ro"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("c_th").cast("long").alias("n_th"),
+            F.sum("c_the").cast("long").alias("n_the"),
+            F.sum("c_at").cast("long").alias("n_at"),
+            F.sum("c_ro").cast("long").alias("n_ro"),
+        )
+    )
