@@ -2371,8 +2371,7 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
         # return writes nothing until some later action, and a double
         # action double-renders). One row per file comes back; bounded.
         rows = result.collect()
-        return spark.createDataFrame(rows, out_schema) if rows \
-            else spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(rows, out_schema)
     rows = result.collect()  # bounded: one row per re-rendered file
     merged = dict(prev)
     for r in rows:
@@ -2381,7 +2380,7 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
     with open(tmp, "w") as fh:
         json.dump({str(k): v for k, v in merged.items()}, fh)
     os.replace(tmp, manifest_path)
-    return spark.createDataFrame(rows, out_schema) if rows else spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(rows, out_schema)
 
 
 def wire_frame_rows(name: str, buf: bytes,
@@ -3402,8 +3401,7 @@ def export_wire_files_x(spark, sink_dir: str, wire_dir: str,
         # EAGER by contract (same as export_wire_files): render now,
         # return the materialized one-row-per-file manifest.
         rows = result.collect()
-        return spark.createDataFrame(rows, out_schema) if rows \
-            else spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(rows, out_schema)
     rows = result.collect()  # bounded: one row per re-rendered file
     merged = dict(prev)
     for r in rows:

@@ -419,6 +419,11 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
         if re.search(r"\bSELECT\b", s[close_i:], re.I):
             raise ValueError(f"CREATE TABLE ... SELECT is not digestible: {sql!r}")
         db, tbl, body = m.group(1), _ident(m.group(2)), s[open_i + 1 : close_i - 1]
+        # the parenthesized no-AS CTAS form — CREATE TABLE t (SELECT …) —
+        # puts the query INSIDE the parens; digesting it as a column list
+        # would record garbage columns ('select', …)
+        if re.match(r"\s*SELECT\b", body, re.I):
+            raise ValueError(f"CREATE TABLE ... SELECT is not digestible: {sql!r}")
         # table tail (engine/charset/partitioning/dbpartition) carries no
         # column info — intentionally ignored, like MemoryTableMeta's
         # schema projection

@@ -52,8 +52,27 @@ from . import binlog_wire as W
 #: in BEGIN…XID). Used to unlatch the GTID-dump skip state at group end.
 _DDL_HEADS = frozenset((
     "CREATE", "ALTER", "DROP", "RENAME", "TRUNCATE", "ANALYZE",
-    "OPTIMIZE", "REPAIR", "GRANT", "REVOKE", "FLUSH", "XA",
+    "OPTIMIZE", "REPAIR", "GRANT", "REVOKE", "FLUSH",
 ))
+
+
+def _query_ends_group(q: str) -> bool:
+    """True iff a QUERY event's text terminates its transaction group.
+    COMMIT/ROLLBACK and implicit-commit DDL do; BEGIN, statement-era DML,
+    XA START/END (they OPEN/continue a group), and CREATE/DROP TEMPORARY
+    TABLE (MySQL's documented no-implicit-commit exceptions) do NOT."""
+    words = q.split(None, 2)
+    if not words:
+        return False
+    head = words[0].upper()
+    if head in ("COMMIT", "ROLLBACK"):
+        return True
+    if head == "XA":
+        return len(words) > 1 and words[1].upper() in ("COMMIT", "ROLLBACK")
+    if head in ("CREATE", "DROP") and len(words) > 1 \
+            and words[1].upper() == "TEMPORARY":
+        return False
+    return head in _DDL_HEADS
 
 COM_QUIT = 0x01
 COM_QUERY = 0x03
@@ -724,18 +743,23 @@ class _Handler(socketserver.StreamRequestHandler):
                     skip = False
                 elif tc == W.QUERY_EVENT and skip:
                     # groups may also terminate at a QUERY event — COMMIT
-                    # / ROLLBACK text or a DDL statement (which is its
-                    # whole group). BEGIN opens a group and statement-era
-                    # DML QUERYs sit inside one, so neither clears skip.
+                    # / ROLLBACK text or an implicit-commit DDL (which is
+                    # its whole group). BEGIN / XA START open a group and
+                    # statement-era DML QUERYs sit inside one, so none of
+                    # those clears skip (_query_ends_group).
                     b0 = off + W.HEADER_LEN
                     dlen = body[b0 + 8]
                     svlen = struct.unpack_from("<H", body, b0 + 11)[0]
                     q = bytes(
                         body[b0 + 13 + svlen + dlen + 1 : off + elen - W.CHECKSUM_LEN]
                     ).decode(errors="replace").strip()
-                    head = q.split(None, 1)[0].upper() if q else ""
-                    if head in ("COMMIT", "ROLLBACK") or head in _DDL_HEADS:
+                    if _query_ends_group(q):
                         skip = False
+                elif tc == W.XA_PREPARE_EVENT:
+                    # an XA transaction's group ends at its XA_PREPARE
+                    # (one-phase or not) — the XA COMMIT arrives later as
+                    # its OWN GTID-framed group
+                    skip = False
                 off += elen
             cur, cur_off = name, off + 4
         if block:

@@ -6239,7 +6239,9 @@ def cdc_ivm_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(work, "ckpt"),
             dim=dim,
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("IVM streaming pass exceeded 600s")
         dim_delta = cust.filter(F.col("c_custkey") % 7 == 0).select(
             F.col("c_custkey").cast("string").alias("dim_key"),
             F.col("c_nationkey").cast("long").alias("old_grp"),
@@ -6688,7 +6690,10 @@ def cdc_wire_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # timed out — never aggregate a partially-written sink
+            q.stop()
+            raise RuntimeError("wire_stream availableNow pass exceeded 600s")
         rows = (
             spark.read.parquet(out)
             .filter(F.col("kind").isin("INSERT", "UPDATE", "DELETE"))
@@ -6731,13 +6736,13 @@ def _persist_parquet(df: DataFrame, work: str) -> str:
     """
     WITH enc AS (
       SELECT doc_id % 25 AS grp,
-             replace(replace(replace(replace(trim(text),
+             replace(replace(replace(replace(lower(text),
                'th', '~'), '~e', '^'), 'at', '#'), 'ro', '@') AS s
       FROM documents
     )
     SELECT CAST(grp AS BIGINT) AS grp,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(length(replace(s, ' ', ''))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(regexp_replace(s, '\s', '', 'g'))) AS BIGINT) AS n_tokens,
            CAST(sum(length(s) - length(replace(s, '~', ''))) AS BIGINT) AS n_th,
            CAST(sum(length(s) - length(replace(s, '^', ''))) AS BIGINT) AS n_the,
            CAST(sum(length(s) - length(replace(s, '#', ''))) AS BIGINT) AS n_at,
@@ -6758,15 +6763,19 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier merge's pair), checking total token counts AND per-merged-
     token counts per doc group. Scale: encode is embarrassingly
     parallel; merges ride the plan as literals exactly like a broadcast
-    vocabulary."""
+    vocabulary. Both sides normalize identically (lowercase; all
+    whitespace is a token boundary and never a token), so the pair stays
+    hash-equal on any corpus casing/whitespace."""
     from polardbx_cdc_spark.functions import text as text_fns
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.trim(F.col("text")).alias("text")
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = [("t", "h"), ("th", "e"), ("a", "t"), ("r", "o")]
     enc = text_fns.bpe_encode(docs, merges)
-    tok = F.col("bpe_tokens")
+    # bpe_encode lowercases and splits on \s+; edge/empty words surface
+    # as '' symbols — drop them so token counts mirror the oracle's
+    # strip-all-whitespace semantics on ANY text, not just the clean
+    # single-space corpus (round-9 review find)
+    tok = F.filter(F.col("bpe_tokens"), lambda x: x != F.lit(""))
 
     def n_of(sym: str) -> Column:
         return F.size(F.filter(tok, lambda x: x == F.lit(sym)))

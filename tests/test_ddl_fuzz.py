@@ -751,3 +751,16 @@ def test_create_table_select_is_rejected_not_misparsed():
         "CREATE TABLE t3 (`select` int, c varchar(8) COMMENT 'select me', "
         "PRIMARY KEY (`select`)) PARTITION BY KEY (`select`)", "qa")
     assert ops[0]["columns"] == ["select", "c"]
+
+
+def test_parenthesized_ctas_form_is_rejected():
+    """Round-9 review find: MySQL's legal no-AS parenthesized CTAS —
+    CREATE TABLE t (SELECT ...) — must be rejected like the other three
+    forms, never digested as a column list named 'select'."""
+    from polardbx_cdc_spark import ddl
+
+    with pytest.raises(ValueError, match="SELECT is not digestible"):
+        ddl.parse_ddl("CREATE TABLE t2 (SELECT a, b FROM t1 WHERE x=1)", "qa")
+    # a backticked column NAMED select still parses (sanitizer hides it)
+    ops = ddl.parse_ddl("CREATE TABLE t3 (`select` int, c int)", "qa")
+    assert ops[0]["columns"] == ["select", "c"]

@@ -204,3 +204,37 @@ def test_asof_state_multiple_probes_per_key_one_pass(spark):
     assert by_probe[tsos[0]] is None
     for i in range(1, 10):
         assert by_probe[tsos[i]] == float(i - 1)
+
+
+def test_bpe_encode_corpus_oracle_symmetry_on_hostile_text(spark, tmp_path):
+    """Round-9 review find: the text_bpe_encode_corpus query/oracle pair
+    must stay hash-equal on MIXED-CASE and tab/newline/multi-space text,
+    not just the clean lowercase single-space corpus the generator
+    happens to emit."""
+    import duckdb
+
+    from polardbx_cdc_spark import queries as Q
+
+    docs = [
+        (0, "srcA", "The THeatre  at\tRome"),
+        (1, "srcB", " that\nrobot ate the\t\tro "),
+        (2, "srcC", "ATRO path   math\n"),
+        (3, "srcD", "THE the ThE tHe"),
+        (4, "srcE", "a"),
+    ]
+    d = str(tmp_path / "hostile")
+    import os
+
+    os.makedirs(d)
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    sdf = Q.queries()["text_bpe_encode_corpus"](spark, d)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    from tests.oracle_compare import compare
+
+    ok, detail = compare(sdf, con, Q.oracle_sql()["text_bpe_encode_corpus"])
+    assert ok, detail

@@ -1068,3 +1068,39 @@ def test_vendored_spec_client_reassembles_16mb_split_packets(tmp_path):
     evs = W.decode_events(b"".join(frames))
     got = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
     assert got == [[big]]
+
+
+def test_gtid_skip_does_not_unlatch_on_xa_start_or_temp_table(tmp_path):
+    """Round-9 review find: 'XA START' OPENS a group and CREATE TEMPORARY
+    TABLE is MySQL's documented no-implicit-commit exception — neither
+    may clear the skip latch mid-group, or a skipped XA transaction's
+    rows leak to the replica. The group ends at XA_PREPARE."""
+    wire = str(tmp_path / "xaw")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_previous_gtids({}),
+         # executed XA txn: XA START ... rows ... XA END, XA_PREPARE
+         W.encode_gtid(SID_A, 1)
+         + W.encode_query("", "XA START X'ab',X'cd',1")
+         + W.encode_query("", "CREATE TEMPORARY TABLE tmp1 (i INT)")
+         + W.encode_table_map(3, td)
+         + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, [[111]])
+         + W.encode_query("", "XA END X'ab',X'cd',1")
+         + W.encode_xa_prepare(b"ab", b"cd", 1),
+         # anonymous follow-up — must flow
+         W.encode_query("", "BEGIN")
+         + W.encode_table_map(3, td)
+         + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, [[222]])
+         + W.encode_xid(9)],
+    )
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        relay = M.binlog_dump_gtid_fetch(host, port, {SID_A: [(1, 2)]})
+    evs = W.decode_events(relay)
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[222]]
+    queries = [e["query"] for e in evs if e["type"] == W.QUERY_EVENT]
+    assert "XA START X'ab',X'cd',1" not in queries
+    assert queries == ["BEGIN"]
