@@ -3132,6 +3132,10 @@ def _json_eq(a, b) -> bool:
     JSON (JSON_LITERAL vs JSON_INT vs JSON_DOUBLE) and must diff."""
     if isinstance(a, bool) or isinstance(b, bool):
         return type(a) is type(b) and a == b
+    if isinstance(a, float) and isinstance(b, float):
+        # bit-level: 0.0 and -0.0 compare == in Python but serialize to
+        # DIFFERENT JSON_DOUBLE bytes (sign bit) — they must diff
+        return struct.pack("<d", a) == struct.pack("<d", b)
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
         return type(a) is type(b) and a == b
     if isinstance(a, dict) and isinstance(b, dict):

@@ -298,3 +298,16 @@ def test_replace_out_of_range_array_index_raises_valueerror():
         W.apply_json_diffs(doc, [bad])
     neg = W.JsonDiff(W.JSON_DIFF_REPLACE, "$.a[2]", 99)
     assert W.apply_json_diffs(doc, [neg]) == {"a": [1, 2, 99]}
+
+
+def test_compute_diffs_distinguishes_signed_zero():
+    """-0.0 and 0.0 are Python-equal but serialize to different
+    JSON_DOUBLE bytes (sign bit) — compute must emit a REPLACE, and the
+    law apply∘compute == identity holds at the byte level (hypothesis
+    find, round 9)."""
+    before, after = {"v": 0.0}, {"v": -0.0}
+    diffs = W.compute_json_diffs(before, after)
+    assert diffs is not None and len(diffs) == 1
+    got = W.apply_json_diffs(before, diffs)
+    assert W.json_serialize(got) == W.json_serialize(after)
+    assert W.compute_json_diffs(after, dict(after)) == W.JsonDiffVector()
