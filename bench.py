@@ -98,6 +98,7 @@ HEADLINE = [
     # round 9 additions
     "cdc_wire_stream_tail",
     "text_bpe_encode_corpus",
+    "cdc_wire_stream_x_tail",
 ]
 
 

@@ -6799,3 +6799,95 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_ro").cast("long").alias("n_ro"),
         )
     )
+
+
+@register(
+    "cdc_wire_stream_x_tail",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, action,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+               CAST(sum(CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT)) AS BIGINT) AS pk_hash_sum
+        FROM cdc GROUP BY db, tbl, action
+        """
+    ),
+)
+def cdc_wire_stream_x_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog-X STREAMING read path, end to end: the CDC frame routes to
+    4 streams (table-hash, the dispatcher's TABLE level), renders as
+    per-stream REAL wire chains (`export_wire_files_x` — the layout
+    `relay_copy(stream=...)` replicates to a standby), then FOUR
+    `wire_stream(stream=k)` Structured Streaming attaches union into one
+    availableNow pass and land in a parquet sink; the decoded DML rows
+    aggregate back to the raw-cdc oracle. Every row must arrive exactly
+    once across the per-stream chains or the hash check fails — the
+    driver-graded twin of the round-8 Binlog-X standby capstone.
+    Scale: each stream is an independent file-source; a standby tails
+    all streams with per-stream parallelism, no cross-stream barrier."""
+    import os
+    import shutil
+    import tempfile
+
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from polardbx_cdc_spark import binlog_wire
+    from polardbx_cdc_spark.streaming import source as streaming_source
+
+    cdc = derive_cdc_stream(spark, sf_dir).select(
+        "txn_id", "tso", "action", "db", "tbl", "pk", "value"
+    )
+    stream_id = F.pmod(
+        F.crc32(F.concat_ws(".", F.col("db"), F.col("tbl"))), F.lit(4)
+    ).cast("int")
+    fseq = F.pmod(F.col("txn_id"), F.lit(4)).cast("long")
+    sink = cdc.select(
+        stream_id.alias("stream_id"),
+        fseq.alias("file_seq"),
+        F.row_number()
+        .over(Window.partitionBy(stream_id, fseq).orderBy("tso", "pk"))
+        .cast("long")
+        .alias("offset"),
+        "action", "db", "tbl", "pk", "value",
+    )
+    work = tempfile.mkdtemp(prefix="wire_stream_x_tail_")
+    try:
+        wire = os.path.join(work, "relay")
+        binlog_wire.export_wire_files_x(spark, _persist_parquet(sink, work), wire)
+        frames = reduce(
+            lambda a, b: a.unionByName(b),
+            [streaming_source.wire_stream(spark, wire, stream=s) for s in range(4)],
+        )
+        out = os.path.join(work, "frames")
+        q = (
+            frames.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("Binlog-X wire_stream pass exceeded 600s")
+        rows = (
+            spark.read.parquet(out)
+            .filter(F.col("kind").isin("INSERT", "UPDATE", "DELETE"))
+            .groupBy("db", "tbl", F.col("kind").alias("action"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .cast("long").alias("value_cents"),
+                F.sum(F.conv(F.substring(F.md5("pk"), 1, 8), 16, 10).cast("long"))
+                .cast("long").alias("pk_hash_sum"),
+            )
+            .collect()  # bounded: ≤ |db|×|tbl|×|action| = 45 rollup rows
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "db string, tbl string, action string, n long, "
+        "value_cents long, pk_hash_sum long",
+    )

@@ -237,8 +237,11 @@ def wire_stream(spark: SparkSession, wire_dir: str,
             "pathGlobFilter",
             # global chain by default; a Binlog-X standby tails one
             # per-stream chain (binlog-x-<stream>.NNNNNN — the layout
-            # relay_copy(stream=...) replicates) per wire_stream instance
-            f"binlog-x-{stream}.*" if stream else "binlog.*",
+            # relay_copy(stream=...) replicates) per wire_stream
+            # instance. `is not None`, NOT truthiness: integer stream id
+            # 0 is a valid Binlog-X stream (round-9 find — `if stream`
+            # silently fell back to the global glob and read nothing)
+            f"binlog-x-{stream}.*" if stream is not None else "binlog.*",
         )
         .load(wire_dir)
         .select("path", "content")

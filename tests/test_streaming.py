@@ -1802,3 +1802,31 @@ def test_binlog_x_standby_topology_per_stream(spark, sf_dir, tmp_path):
     a = replica.orderBy("db", "tbl", "pk").collect()
     b = truth.orderBy("db", "tbl", "pk").collect()
     assert len(a) > 0 and a == b
+
+
+def test_wire_stream_integer_stream_zero(spark, tmp_path):
+    """Round-9 find: stream id 0 (a perfectly valid Binlog-X stream) is
+    falsy — `wire_stream(stream=0)` must tail binlog-x-0.*, never fall
+    back to the global binlog.* glob and silently read nothing."""
+    import os
+
+    from polardbx_cdc_spark import binlog_wire as W
+
+    wire = str(tmp_path / "z")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    ev = W.encode_table_map(3, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 3, td, [[1], [2]]
+    )
+    W.write_binlog_file(wire + "/binlog-x-0.000001", [ev])
+    q = (
+        source.wire_stream(spark, wire, stream=0)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "o"))
+    assert got.filter(got.kind == "INSERT").count() == 2
