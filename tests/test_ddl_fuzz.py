@@ -764,3 +764,40 @@ def test_parenthesized_ctas_form_is_rejected():
     # a backticked column NAMED select still parses (sanitizer hides it)
     ops = ddl.parse_ddl("CREATE TABLE t3 (`select` int, c int)", "qa")
     assert ops[0]["columns"] == ["select", "c"]
+
+
+def test_deeply_composed_alter_chains_classify_correctly():
+    """Round-9 sweep of the 'deeply composed ALTERs' residual: partition
+    maintenance + column ops + index options + ALGORITHM/LOCK tails in
+    ONE statement classify into the right op kinds, in order."""
+    from polardbx_cdc_spark import ddl
+
+    def kinds(sql):
+        return [o["op"] for o in ddl.parse_ddl(sql, "db")]
+
+    assert kinds(
+        "ALTER TABLE t ADD COLUMN c9 INT AFTER a, ADD PARTITION "
+        "(PARTITION p9 VALUES LESS THAN (100)), ALGORITHM=INPLACE, LOCK=NONE"
+    ) == ["add_column", "partition", "index", "index"]
+    assert kinds(
+        "ALTER TABLE t REORGANIZE PARTITION p0, p1 INTO (PARTITION pn "
+        "VALUES LESS THAN MAXVALUE), DROP COLUMN b, ADD INDEX i9 (c) USING BTREE"
+    ) == ["partition", "drop_column", "index"]
+    assert kinds(
+        "ALTER TABLE t CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_bin, "
+        "MODIFY c VARCHAR(99) CHARACTER SET latin1, RENAME COLUMN d TO e"
+    ) == ["index", "modify_column", "rename_column"]
+    assert kinds(
+        "ALTER TABLE t EXCHANGE PARTITION p0 WITH TABLE t2, ADD COLUMN z INT FIRST"
+    ) == ["partition", "add_column"]
+    assert kinds(
+        "ALTER TABLE t PARTITION BY HASH(id) PARTITIONS 8, ADD COLUMN w INT"
+    ) == ["partition", "add_column"]
+    assert kinds(
+        "ALTER TABLE t REMOVE PARTITIONING, CHANGE COLUMN a a2 BIGINT "
+        "UNSIGNED NOT NULL DEFAULT (1+2), ALGORITHM = COPY"
+    ) == ["partition", "rename_column", "index"]
+    assert kinds(
+        "ALTER TABLE t ADD COLUMN gen1 INT GENERATED ALWAYS AS (a * 2) "
+        "STORED AFTER a, DROP CHECK chk1, LOCK SHARED"
+    ) == ["add_column", "index", "index"]
