@@ -99,6 +99,8 @@ HEADLINE = [
     "cdc_wire_stream_tail",
     "text_bpe_encode_corpus",
     "cdc_wire_stream_x_tail",
+    # round 10 additions
+    "cdc_dump_attach_decode",
 ]
 
 

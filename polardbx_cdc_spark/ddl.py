@@ -149,7 +149,9 @@ def _split_top_level(s: str) -> list[str]:
 _COL_DEF = re.compile(rf"^{_IDENT}\s+([A-Za-z]+(?:\s*\([^)]*\))?(?:\s+UNSIGNED)?(?:\s+ZEROFILL)?)", re.I)
 _PK_INLINE = re.compile(r"\bPRIMARY\s+KEY\b", re.I)
 _PK_CONSTRAINT = re.compile(r"^(?:CONSTRAINT\s+\S+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)", re.I)
-_KEY_DEF = re.compile(r"^(?:UNIQUE\s+)?(?:KEY|INDEX|CONSTRAINT|FULLTEXT|FOREIGN|CHECK)\b", re.I)
+_KEY_DEF = re.compile(
+    r"^(?:UNIQUE\s+)?(?:KEY|INDEX|CONSTRAINT|FULLTEXT|SPATIAL|FOREIGN|CHECK)\b", re.I
+)
 
 
 # -- balanced-paren expression consumer --------------------------------------
@@ -221,6 +223,7 @@ _INDEX_ACTION = re.compile(
     r"|CONSTRAINT\s+\S+|CHECK\s+\S+)"
     r"|RENAME\s+(?:INDEX|KEY)\s+\S+\s+TO\s+\S+"
     r"|ALTER\s+INDEX\s+\S+\s+(?:VISIBLE|INVISIBLE)"
+    r"|ALTER\s+(?:CHECK|CONSTRAINT)\s+\S+\s+(?:NOT\s+)?ENFORCED"
     r")",
     re.I,
 )

@@ -365,30 +365,7 @@ def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"
         {"wire": f"{chain[min(idx, len(chain) - 1)]}:{cur_pos:012d}"}, gen
     )
     if spool_dir:
-        seg_limit = 16 << 20
-        os.makedirs(spool_dir, exist_ok=True)
-        seg, seg_n = bytearray(), 0
-
-        def _flush():
-            nonlocal seg, seg_n
-            if seg:
-                path = os.path.join(spool_dir, f"segment_{seg_n:06d}.bin")
-                with open(path + ".tmp", "wb") as fh:
-                    fh.write(seg)
-                os.replace(path + ".tmp", path)
-                seg, seg_n = bytearray(), seg_n + 1
-
-        # split ONLY at event boundaries so each segment decodes alone;
-        # TABLE_MAP context restarts per txn in our streams, and a split
-        # is forced before TABLE_MAP so row events stay with their map
-        for off, tc, frame in _walk_events(bytes(blob)):
-            if len(seg) >= seg_limit and tc in (
-                W.TABLE_MAP_EVENT, W.QUERY_EVENT, W.GTID_LOG_EVENT,
-                W.FORMAT_DESCRIPTION_EVENT,
-            ):
-                _flush()
-            seg += frame
-        _flush()
+        seg_n = spool_segments(bytes(blob), spool_dir)
         if seg_n == 0:
             return spark.createDataFrame(
                 [], "db string, tbl string, action string, pk string, value double"
@@ -404,6 +381,38 @@ def consume_from_group(spark, host: str, port: int, group, member_id: str = "c0"
     else:
         payload = spark.createDataFrame([(bytearray(blob),)], "payload binary")
     return W.binlog_to_events(payload)
+
+
+def spool_segments(blob: bytes, spool_dir: str,
+                   seg_limit: int = 16 << 20) -> int:
+    """Land a fetched dump blob as ~``seg_limit``-sized segment files that
+    each decode STANDALONE, for a distributed ``binaryFile`` scan —
+    the scale path between a network attach (one driver-side byte pump)
+    and the executor-side decode. Splits ONLY at event boundaries; a
+    split is forced before TABLE_MAP/QUERY/GTID/FDE so row events stay
+    with their table map and txns stay whole per segment. Returns the
+    number of segment files written (atomic .tmp → rename per file)."""
+    os.makedirs(spool_dir, exist_ok=True)
+    seg, seg_n = bytearray(), 0
+
+    def _flush():
+        nonlocal seg, seg_n
+        if seg:
+            path = os.path.join(spool_dir, f"segment_{seg_n:06d}.bin")
+            with open(path + ".tmp", "wb") as fh:
+                fh.write(seg)
+            os.replace(path + ".tmp", path)
+            seg, seg_n = bytearray(), seg_n + 1
+
+    for _off, tc, frame in _walk_events(blob):
+        if len(seg) >= seg_limit and tc in (
+            W.TABLE_MAP_EVENT, W.QUERY_EVENT, W.GTID_LOG_EVENT,
+            W.FORMAT_DESCRIPTION_EVENT,
+        ):
+            _flush()
+        seg += frame
+    _flush()
+    return seg_n
 
 
 def relay_copy(host: str, port: int, dest_dir: str,

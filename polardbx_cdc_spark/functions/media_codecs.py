@@ -4,8 +4,10 @@ neighbor resize (NumPy indexing), and deterministic feature extraction.
 
 Upgrades the multimodal tier's decode step from an md5 stub to genuine
 byte-level decoding for every format the container can handle without
-external codec libraries; formats that genuinely need one (JPEG/PNG/MP4)
-still fall back to the documented stub in ``multimodal.py``. All
+external codec libraries. JPEG/PNG get real header/metadata parsers and
+MP4 a real box-walk parser (``parse_mp4``); only their entropy-coded
+pixel/sample payloads fall back to the documented stub in
+``multimodal.py`` (they need a full codec library). All
 arithmetic is NumPy over the decoded arrays — deterministic for identical
 payload bytes on any platform.
 

@@ -53,14 +53,22 @@ from . import binlog_wire as W
 _DDL_HEADS = frozenset((
     "CREATE", "ALTER", "DROP", "RENAME", "TRUNCATE", "ANALYZE",
     "OPTIMIZE", "REPAIR", "GRANT", "REVOKE", "FLUSH",
+    "INSTALL", "UNINSTALL",  # INSTALL/UNINSTALL PLUGIN implicit-commit
 ))
 
 
-def _query_ends_group(q: str) -> bool:
+def _query_ends_group(q: str, in_group: bool = False) -> bool:
     """True iff a QUERY event's text terminates its transaction group.
-    COMMIT/ROLLBACK and implicit-commit DDL do; BEGIN, statement-era DML,
-    XA START/END (they OPEN/continue a group), and CREATE/DROP TEMPORARY
-    TABLE (MySQL's documented no-implicit-commit exceptions) do NOT."""
+    COMMIT/ROLLBACK and implicit-commit DDL do; BEGIN, statement-era DML
+    and XA START/END (they OPEN/continue a group) do NOT.
+
+    *in_group* says an explicit BEGIN / XA START opened the current
+    group. CREATE/DROP TEMPORARY TABLE is MySQL's documented
+    no-implicit-commit exception, but that only matters MID-group: under
+    GTID mode a lone TEMPORARY DDL is binlogged as its own GTID-framed
+    group with no XID, so standalone it IS the group end — treating it
+    as non-ending there would leave the dump skip-latch stuck across
+    the following non-GTID-framed events."""
     words = q.split(None, 2)
     if not words:
         return False
@@ -69,7 +77,11 @@ def _query_ends_group(q: str) -> bool:
         return True
     if head == "XA":
         return len(words) > 1 and words[1].upper() in ("COMMIT", "ROLLBACK")
-    if head in ("CREATE", "DROP") and len(words) > 1 \
+    if head == "SET":
+        # SET PASSWORD is an implicit commit; every other SET (timestamp,
+        # names, session vars) rides inside its group
+        return len(words) > 1 and words[1].upper() == "PASSWORD"
+    if in_group and head in ("CREATE", "DROP") and len(words) > 1 \
             and words[1].upper() == "TEMPORARY":
         return False
     return head in _DDL_HEADS
@@ -704,6 +716,7 @@ class _Handler(socketserver.StreamRequestHandler):
             if buf[:4] != W.MAGIC:
                 continue
             body, off, skip = buf[4:], 0, False
+            in_group = False  # explicit BEGIN/XA START opened current group
             # GCN/SEQUENCE carriers precede their transaction's GTID
             # (render order: GCN, GTID, BEGIN, …, XID) — hold them until
             # the skip decision so they share their OWN txn's fate, not
@@ -724,6 +737,7 @@ class _Handler(socketserver.StreamRequestHandler):
                     sid = bytes(body[off + 20 : off + 36])
                     gno = struct.unpack_from("<q", body, off + 36)[0]
                     skip = _gtid_covers(executed, sid, gno)
+                    in_group = False  # no explicit BEGIN/XA START seen yet
                 elif tc in (W.FORMAT_DESCRIPTION_EVENT,
                             W.PREVIOUS_GTIDS_LOG_EVENT, W.ROTATE_EVENT):
                     skip = False  # bookkeeping always flows; groups don't span files
@@ -741,20 +755,32 @@ class _Handler(socketserver.StreamRequestHandler):
                     # must not leak onto a following anonymous
                     # (non-GTID-framed) transaction's events
                     skip = False
+                    in_group = False
                 elif tc == W.QUERY_EVENT and skip:
                     # groups may also terminate at a QUERY event — COMMIT
                     # / ROLLBACK text or an implicit-commit DDL (which is
                     # its whole group). BEGIN / XA START open a group and
                     # statement-era DML QUERYs sit inside one, so none of
-                    # those clears skip (_query_ends_group).
+                    # those clears skip (_query_ends_group); a TEMPORARY
+                    # DDL ends the group ONLY when standalone (no opener).
+                    # Bounds-check every derived offset against the frame
+                    # end: the loop guard only proves elen >= 27, so a
+                    # truncated/alien QUERY frame must leave skip alone
+                    # rather than parse adjacent bytes.
                     b0 = off + W.HEADER_LEN
-                    dlen = body[b0 + 8]
-                    svlen = struct.unpack_from("<H", body, b0 + 11)[0]
-                    q = bytes(
-                        body[b0 + 13 + svlen + dlen + 1 : off + elen - W.CHECKSUM_LEN]
-                    ).decode(errors="replace").strip()
-                    if _query_ends_group(q):
-                        skip = False
+                    if elen >= W.HEADER_LEN + 13 + W.CHECKSUM_LEN:
+                        dlen = body[b0 + 8]
+                        svlen = struct.unpack_from("<H", body, b0 + 11)[0]
+                        q_lo = b0 + 13 + svlen + dlen + 1
+                        q_hi = off + elen - W.CHECKSUM_LEN
+                        if q_lo <= q_hi:
+                            q = bytes(body[q_lo:q_hi]).decode(
+                                errors="replace").strip()
+                            words = [w.upper() for w in q.split(None, 2)[:2]]
+                            if words[:1] == ["BEGIN"] or words == ["XA", "START"]:
+                                in_group = True
+                            elif _query_ends_group(q, in_group=in_group):
+                                skip = False
                 elif tc == W.XA_PREPARE_EVENT:
                     # an XA transaction's group ends at its XA_PREPARE
                     # (one-phase or not) — the XA COMMIT arrives later as

@@ -82,74 +82,93 @@ def register(name: str, oracle: str | None):
 #: tests/test_oracle_parity.py. After this round's grading no
 #: oracle-backed query's latest official grade is older than r6, and
 #: only those 5 sibling-covered names remain at r6.
+#: ROUND-10 ROTATION (executed): the window leads with the 2 never-graded
+#: oracle-backed names queued at positions 50-51 last round
+#: (text_bpe_encode_corpus, cdc_wire_stream_x_tail), then this round's
+#: newcomer cdc_dump_attach_decode (the network dump path's first
+#: driver-graded query — graded the same round it ships, the r9
+#: precedent), then the 5 r6-graded defer-head names the r9 verdict
+#: promotes (sketch_hll_registers, events_type_pivot, cdc_ivm_agg_view,
+#: q12_late_shipment_priority, media_gif_frames), then the FIRST 41 of
+#: the r7-graded block (the oldest grades left), and the
+#: cdc_full_pipeline flagship anchor = exactly 50. The 8 r7-graded names
+#: that did not fit sit at _GRADE_DEFER's HEAD as round 11's promotion
+#: queue, followed by the r8 block and the names graded r9. After this
+#: round's grading no oracle-backed query's latest official grade is
+#: older than r7, and only those 8 queue-head names remain at r7.
 _GRADE_PRIORITY: tuple[str, ...] = (
-    # -- never officially graded (round-8 late additions + round 9) ----
-    "orders_wire_latin1_typed",
-    "orders_wire_named_attach",
-    "orders_wire_json_diff_computed",
-    "orders_json_table_delta",
-    "cdc_wire_stream_tail",
-    # -- the 44-name r6-graded block (oldest grades left) --------------
-    "cdc_asof_enrich",
-    "cdc_ivm_join_view",
-    "cdc_position_seek",
-    "cdc_replica_lag_report",
-    "cdc_watermark_snapshot",
-    "cheapest_part_per_type",
-    "checksum_diff_drilldown",
-    "dedup_lsh_bucket_stats",
-    "dedup_minhash_lsh",
-    "embed_kmeans_assign",
-    "events_distinct_stats",
-    "events_json_wire_roundtrip",
-    "events_rollup_hierarchy",
-    "events_session_windows",
-    "events_signup_funnel",
-    "events_wire_gtid_stream",
-    "layout_zorder_orders",
-    "lineitem_wire_v1_typed",
-    "media_mp4_meta",
-    "orders_wire_change_stream_typed",
-    "orders_wire_enum_typed",
-    "orders_wire_legacy_temporal",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q20_majority_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "sketch_bloom_decontaminate",
-    "sketch_cm_heavy_hitters",
-    "sketch_hist_quantiles",
-    "sketch_hll_estimate",
-    "stats_analyze_orders",
-    "supplier_running_revenue",
-    "text_bm25_scores",
-    "text_bpe_pair_stats",
-    # -- flagship anchor (green every graded round) --------------------
-    "cdc_full_pipeline",
-)
-
-#: Oracle-backed entries outside the round-9 window. HEAD = the 5
-#: r6-graded names deferred this round (round 10 promotes them first);
-#: the rest were graded r7/r8. Every name is green in a prior
-#: CORRECTNESS_r*.json and re-verified each run by
-#: tests/test_oracle_parity.py (identical multiset compare).
-_GRADE_DEFER: tuple[str, ...] = (
-    # r6-graded, deferred to round 10 (operator sibling in the window):
+    # -- never officially graded (round-9 late additions) -------------
+    "text_bpe_encode_corpus",
+    "cdc_wire_stream_x_tail",
+    # -- new this round: network dump path, graded same-round ---------
+    "cdc_dump_attach_decode",
+    # -- the 5 r6-graded defer-head names (r9 verdict promotion) ------
     "sketch_hll_registers",
     "events_type_pivot",
     "cdc_ivm_agg_view",
     "q12_late_shipment_priority",
     "media_gif_frames",
+    # -- first 41 of the r7-graded block (oldest grades left) ---------
+    "cdc_accept_filter",
+    "cdc_apply_snapshot",
+    "cdc_backfill_union",
+    "cdc_binlog_wire_compressed",
+    "cdc_blacklist_filter",
+    "cdc_data_import_filter",
+    "cdc_ddl_replay",
+    "cdc_disorder_report",
+    "cdc_flashback_sql",
+    "cdc_heartbeat_epochs",
+    "cdc_incremental_checksum",
+    "cdc_ivm_join_view_stream",
+    "cdc_kway_merge_head",
+    "cdc_last_image",
+    "cdc_logical_rebuild",
+    "cdc_min_tso_filter",
+    "cdc_multi_stream_alignment",
+    "cdc_render_dml_sql",
+    "cdc_replay_state",
+    "cdc_replica_filter",
+    "cdc_seek_by_timestamp",
+    "cdc_stream_ordered_head",
+    "cdc_stream_routing",
+    "cdc_txn_apply_order",
+    "cdc_txn_assemble",
+    "cdc_xa_parties",
+    "checksum_all_types",
+    "checksum_lineitem",
+    "checksum_orders_chunked",
+    "curation_quality_filter",
+    "dedup_cluster_groups",
+    "dedup_embed_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+    "events_daily_rollup",
+    "events_date_format_roundtrip",
+    "events_json_props",
+    "events_sessionize",
+    # -- flagship anchor (green every graded round) --------------------
+    "cdc_full_pipeline",
+)
+
+#: Oracle-backed entries outside the round-10 window. HEAD = the 8
+#: r7-graded names that did not fit this round (round 11 promotes them
+#: first); then the r8-graded block, then the names graded r9. Every
+#: name is green in a prior CORRECTNESS_r*.json and re-verified each
+#: run by tests/test_oracle_parity.py (identical multiset compare).
+_GRADE_DEFER: tuple[str, ...] = (
+    # r7-graded remainder — round 11's promotion queue head:
+    "full_copy_chunks",
+    "media_features",
+    "media_stats",
+    "orders_wire_noblob_typed",
+    "parts_never_bulk_shipped",
+    "text_stats",
+    "text_token_stats",
+    "top_customers_per_nation",
     # last graded r8:
     "cdc_binlog_wire_roundtrip",
     "cdc_binlog_wire_zstd",
@@ -200,56 +219,56 @@ _GRADE_DEFER: tuple[str, ...] = (
     "rpl_reconcile_repair",
     "text_char_entropy",
     "text_winnow_fingerprint",
-    # last graded r7:
-    "cdc_accept_filter",
-    "cdc_apply_snapshot",
-    "cdc_backfill_union",
-    "cdc_binlog_wire_compressed",
-    "cdc_blacklist_filter",
-    "cdc_data_import_filter",
-    "cdc_ddl_replay",
-    "cdc_disorder_report",
-    "cdc_flashback_sql",
-    "cdc_heartbeat_epochs",
-    "cdc_incremental_checksum",
-    "cdc_ivm_join_view_stream",
-    "cdc_kway_merge_head",
-    "cdc_last_image",
-    "cdc_logical_rebuild",
-    "cdc_min_tso_filter",
-    "cdc_multi_stream_alignment",
-    "cdc_render_dml_sql",
-    "cdc_replay_state",
-    "cdc_replica_filter",
-    "cdc_seek_by_timestamp",
-    "cdc_stream_ordered_head",
-    "cdc_stream_routing",
-    "cdc_txn_apply_order",
-    "cdc_txn_assemble",
-    "cdc_xa_parties",
-    "checksum_all_types",
-    "checksum_lineitem",
-    "checksum_orders_chunked",
-    "curation_quality_filter",
-    "dedup_cluster_groups",
-    "dedup_embed_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embed_cosine_topk",
-    "embed_lsh_topk",
-    "events_daily_rollup",
-    "events_date_format_roundtrip",
-    "events_json_props",
-    "events_sessionize",
-    "full_copy_chunks",
-    "media_features",
-    "media_stats",
-    "orders_wire_noblob_typed",
-    "parts_never_bulk_shipped",
-    "text_stats",
-    "text_token_stats",
-    "top_customers_per_nation",
+    # last graded r9:
+    "orders_wire_latin1_typed",
+    "orders_wire_named_attach",
+    "orders_wire_json_diff_computed",
+    "orders_json_table_delta",
+    "cdc_wire_stream_tail",
+    "cdc_asof_enrich",
+    "cdc_ivm_join_view",
+    "cdc_position_seek",
+    "cdc_replica_lag_report",
+    "cdc_watermark_snapshot",
+    "cheapest_part_per_type",
+    "checksum_diff_drilldown",
+    "dedup_lsh_bucket_stats",
+    "dedup_minhash_lsh",
+    "embed_kmeans_assign",
+    "events_distinct_stats",
+    "events_json_wire_roundtrip",
+    "events_rollup_hierarchy",
+    "events_session_windows",
+    "events_signup_funnel",
+    "events_wire_gtid_stream",
+    "layout_zorder_orders",
+    "lineitem_wire_v1_typed",
+    "media_mp4_meta",
+    "orders_wire_change_stream_typed",
+    "orders_wire_enum_typed",
+    "orders_wire_legacy_temporal",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q20_majority_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "sketch_bloom_decontaminate",
+    "sketch_cm_heavy_hitters",
+    "sketch_hist_quantiles",
+    "sketch_hll_estimate",
+    "stats_analyze_orders",
+    "supplier_running_revenue",
+    "text_bm25_scores",
+    "text_bpe_pair_stats",
 )
 
 
@@ -6234,7 +6253,11 @@ def cdc_ivm_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="ivm_jv_stream_")
     try:
         q, sink = streaming_pipeline.run_materialized_view_pipeline(
-            streaming_source.cdc_stream(spark, sf_dir),
+            # fan_out=False: the JoinViewSink's first op is the keyed
+            # per-PK fold — its exchange already spreads the batch, so the
+            # round-robin pass would be a second exchange for nothing
+            # (r9 bench: +34% on this query with fan_out on)
+            streaming_source.cdc_stream(spark, sf_dir, fan_out=False),
             os.path.join(work, "state"),
             os.path.join(work, "ckpt"),
             dim=dim,
@@ -6726,6 +6749,102 @@ def _persist_parquet(df: DataFrame, work: str) -> str:
     return path
 
 
+@register(
+    "cdc_dump_attach_decode",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, action,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+               CAST(sum(CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT)) AS BIGINT) AS pk_hash_sum
+        FROM cdc GROUP BY db, tbl, action
+        """
+    ),
+)
+def cdc_dump_attach_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NETWORK dump path, end to end and driver-graded: the CDC frame
+    renders to real binlog v4 wire files, a `MySQLDumpServer` serves
+    them over localhost TCP (HandshakeV10 → auth → COM_BINLOG_DUMP_GTID,
+    the reference's CdcServer.java:154 dump contract fronted by the
+    MySQL protocol), a GTID auto-position replica attach with an EMPTY
+    executed set pulls the whole rotated chain through the socket, the
+    fetched bytes spool into standalone-decodable segment files
+    (`dump_server.spool_segments` — event-boundary splits), and a
+    distributed `binaryFile` scan decodes them back
+    (`binlog_to_events`, Arrow-batched mapInPandas). The decoded rows
+    hash-check against the raw-cdc oracle, so the handshake, packet
+    framing (incl. >16MB splits), GTID skip evaluation, ROTATE chain
+    walk, AND every row image must survive the socket exactly.
+
+    Scale posture: the TCP attach is CONTROL PLANE — one replica
+    connection pumping frame-whole bytes at the master's write rate
+    (no per-column work on the socket path); the DATA PLANE decode fans
+    out across executors via the segment spool, exactly the
+    consume_from_group spool_dir contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from polardbx_cdc_spark import binlog_wire
+    from polardbx_cdc_spark import dump_server as DS
+    from polardbx_cdc_spark import mysql_dump as MD
+
+    cdc = derive_cdc_stream(spark, sf_dir).select(
+        "txn_id", "tso", "action", "db", "tbl", "pk", "value"
+    )
+    # deterministic sink shape: 16 rotated files (txn-bucketed so a txn
+    # never splits) — the cdc_wire_stream_tail fixture construction
+    sink = cdc.select(
+        F.pmod(F.col("txn_id"), F.lit(16)).cast("long").alias("file_seq"),
+        F.row_number()
+        .over(Window.partitionBy(F.pmod(F.col("txn_id"), F.lit(16)))
+              .orderBy("tso", "pk"))
+        .cast("long")
+        .alias("offset"),
+        "action", "db", "tbl", "pk", "value",
+    )
+    work = tempfile.mkdtemp(prefix="dump_attach_")
+    try:
+        wire = os.path.join(work, "wire")
+        binlog_wire.export_wire_files(spark, _persist_parquet(sink, work), wire)
+        with MD.MySQLDumpServer(wire) as srv:
+            host, port = srv.address
+            # GTID auto-position attach, empty executed set → full chain
+            blob = MD.binlog_dump_gtid_fetch(host, port, {})
+        spool = os.path.join(work, "spool")
+        # 4 MB segments: the sf0.1 chain fans the decode across executors
+        n_seg = DS.spool_segments(blob, spool, seg_limit=4 << 20)
+        if n_seg == 0:
+            raise RuntimeError("dump attach fetched no events")
+        payload = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "segment_*.bin")
+            .load(spool)
+            .select(F.col("content").alias("payload"))
+        )
+        rows = (
+            binlog_wire.binlog_to_events(payload)
+            .groupBy("db", "tbl", "action")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .cast("long").alias("value_cents"),
+                F.sum(F.conv(F.substring(F.md5("pk"), 1, 8), 16, 10).cast("long"))
+                .cast("long").alias("pk_hash_sum"),
+            )
+            .collect()  # bounded: ≤ |db|×|tbl|×|action| = 45 rollup rows
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "db string, tbl string, action string, n long, "
+        "value_cents long, pk_hash_sum long",
+    )
+
+
 # --------------------------------------------------------------------------
 # BPE encode: apply trained merges to a corpus (SURVEY LLM-pipeline tier)
 # --------------------------------------------------------------------------
@@ -6733,7 +6852,7 @@ def _persist_parquet(df: DataFrame, work: str) -> str:
 
 @register(
     "text_bpe_encode_corpus",
-    """
+    r"""
     WITH enc AS (
       SELECT doc_id % 25 AS grp,
              replace(replace(replace(replace(lower(text),
@@ -6777,7 +6896,7 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-space corpus (round-9 review find)
     tok = F.filter(F.col("bpe_tokens"), lambda x: x != F.lit(""))
 
-    def n_of(sym: str) -> Column:
+    def n_of(sym: str) -> F.Column:
         return F.size(F.filter(tok, lambda x: x == F.lit(sym)))
 
     return (

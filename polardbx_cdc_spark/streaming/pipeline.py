@@ -311,52 +311,69 @@ class BinlogSink:
 
     # -- disorder -----------------------------------------------------------
 
-    def _check_disorder(self, suspects: DataFrame, key: str, low_mark: str, batch_id: int) -> DataFrame:
+    def _check_disorder(self, suspects: DataFrame, key: str, low_mark: str,
+                        batch_id: int, n_suspect: int | None = None) -> DataFrame:
         """Rows/txns at or below the durable high-water mark are either a
         recovery replay (present in the sink — fine, dedup below) or real
         disorder (absent — corruption). The anti-join against the durable
         slice is pruned by the parquet ``key`` min/max to the suspect range,
-        so it costs nothing when there is no replay at all."""
-        suspects = suspects.persist()
-        try:
-            n_suspect = suspects.count()
+        so it costs nothing when there is no replay at all.
+
+        ``n_suspect``: pass the already-known suspect count when the caller
+        computed it inside another pass (the _emit stats fold) — skips this
+        method's own persist+count job; the caller's frame must already be
+        cached."""
+        if n_suspect is not None:
             if n_suspect == 0:
                 return suspects
-            durable = (
-                suspects.sparkSession.read.parquet(self.out_dir)
-                .select(key)
-                .filter(F.col(key) >= suspects.agg(F.min(key)).collect()[0][0])
-            )
-            provable = suspects.join(durable, key, "left_anti").limit(1).collect()
-            if provable:
-                msg = (
-                    f"batch {batch_id}: {key} {provable[0][key]} below durable "
-                    f"high-water {low_mark} and absent from sink"
-                )
-                self.disorder_errors.append(msg)
-                if self.strict:
-                    # the reference treats TSO regression as stream
-                    # corruption and halts (LogEventMerger.java:136-141)
-                    raise RuntimeError(f"TSO disorder: {msg}")
-            return suspects
+            return self._probe_durable(suspects, key, low_mark, batch_id)
+        suspects = suspects.persist()
+        try:
+            n = suspects.count()
+            if n == 0:
+                return suspects
+            return self._probe_durable(suspects, key, low_mark, batch_id)
         finally:
             suspects.unpersist()
+
+    def _probe_durable(self, suspects: DataFrame, key: str, low_mark: str,
+                       batch_id: int) -> DataFrame:
+        durable = (
+            suspects.sparkSession.read.parquet(self.out_dir)
+            .select(key)
+            .filter(F.col(key) >= suspects.agg(F.min(key)).collect()[0][0])
+        )
+        provable = suspects.join(durable, key, "left_anti").limit(1).collect()
+        if provable:
+            msg = (
+                f"batch {batch_id}: {key} {provable[0][key]} below durable "
+                f"high-water {low_mark} and absent from sink"
+            )
+            self.disorder_errors.append(msg)
+            if self.strict:
+                # the reference treats TSO regression as stream
+                # corruption and halts (LogEventMerger.java:136-141)
+                raise RuntimeError(f"TSO disorder: {msg}")
+        return suspects
 
     # -- non-framed path ----------------------------------------------------
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self._last_tso:
-            self._check_disorder(
-                batch_df.select("tso").filter(F.col("tso") <= self._last_tso),
-                "tso", self._last_tso, batch_id,
-            )
         # seekLastTso recovery semantics (LogFileGenerator.java:510-545):
         # anything at or below the last durable TSO was already written —
-        # a replay after checkpoint loss resumes, never duplicates.
-        filtered = (
-            batch_df.filter(F.col("tso") > self._last_tso) if self._last_tso else batch_df
+        # a replay after checkpoint loss resumes, never duplicates. The
+        # disorder probe over those rows is FOLDED into _emit's stats
+        # pass (a `_suspect` flag rides the range exchange): steady-state
+        # batches pay zero extra jobs for it, and the durable anti-join
+        # runs only when the stats report suspects (r9 PERF candidate).
+        flagged = batch_df.withColumn(
+            "_suspect",
+            (F.col("tso") <= F.lit(self._last_tso)) if self._last_tso else F.lit(False),
         )
-        n, mx = self._emit(filtered, sort_keys=["tso"], range_key="tso")
+        n, mx = self._emit(
+            flagged, sort_keys=["tso"], range_key="tso",
+            probe=("tso", self._last_tso, batch_id),
+        )
         if n:
             self._last_tso = max(self._last_tso, mx)
 
@@ -429,6 +446,7 @@ class BinlogSink:
         sort_keys: list[str],
         range_key: str,
         max_col: str = "tso",
+        probe: tuple[str, str, int] | None = None,
     ) -> tuple[int, str]:
         """Dense global offsets WITHOUT a single-task global sort: range-
         partition on the sort key (sampled bounds → partition i entirely
@@ -444,31 +462,59 @@ class BinlogSink:
         # profile: −0.4s/batch; a multi-GB backfill batch still fans out
         # to advisory-sized partitions). Coalescing merges ADJACENT range
         # partitions, so partition i still wholly precedes partition i+1
-        # and the dense-offset math below is unaffected.
-        ranged = df.repartitionByRange(range_key)
+        # and the dense-offset math below is unaffected. Without AQE the
+        # exchange would default to spark.sql.shuffle.partitions (200
+        # near-empty tasks + a 200-row stats collect per micro-batch), so
+        # fall back to the source's own width in that deployment.
+        if spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true":
+            ranged = df.repartitionByRange(range_key)
+        else:
+            width = max(1, df.rdd.getNumPartitions())
+            ranged = df.repartitionByRange(width, range_key)
+        has_suspects = probe is not None and "_suspect" in df.columns
         with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
         try:
-            # one pass yields both the per-partition counts (offset bases)
-            # and the global high-water mark — keeps the sink at exactly two
-            # actions per batch (stats + write)
-            stats = (
-                with_pid.groupBy("_pid")
-                .agg(F.count(F.lit(1)).alias("cnt"), F.max(max_col).alias("mx"))
-                .collect()
-            )
+            # one pass yields the per-partition counts (offset bases), the
+            # global high-water mark, AND (when a `_suspect` flag rides
+            # along) the disorder-probe count — keeps the sink at exactly
+            # two actions per steady-state batch (stats + write)
+            live = (~F.col("_suspect")) if has_suspects else F.lit(True)
+            aggs = [
+                F.sum(F.when(live, 1).otherwise(0)).alias("cnt"),
+                F.max(F.when(live, F.col(max_col))).alias("mx"),
+            ]
+            if has_suspects:
+                aggs.append(
+                    F.sum(F.when(F.col("_suspect"), 1).otherwise(0)).alias("n_sus")
+                )
+            stats = with_pid.groupBy("_pid").agg(*aggs).collect()
+            if has_suspects:
+                key, low_mark, batch_id = probe
+                n_sus = sum(r["n_sus"] for r in stats)
+                if n_sus:
+                    # replay/disorder rows exist: the durable anti-join
+                    # reuses the cached exchange output
+                    self._check_disorder(
+                        with_pid.filter(F.col("_suspect")).select(key),
+                        key, low_mark, batch_id, n_suspect=n_sus,
+                    )
             counts = {r["_pid"]: r["cnt"] for r in stats}
-            if not counts:  # pure-replay batch: everything already durable
-                return 0, ""
             n_total = sum(counts.values())
-            mx_total = max(r["mx"] for r in stats)
+            if n_total == 0:  # empty or pure-replay batch
+                return 0, ""
+            mx_total = max(r["mx"] for r in stats if r["mx"] is not None)
             base, acc = {}, self._offset
             for pid in sorted(counts):
                 base[pid] = acc
                 acc += counts[pid]
             base_map = F.create_map(*[F.lit(x) for kv in base.items() for x in kv])
             w_off = F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_keys)) - 1
+            writable = (
+                with_pid.filter(live).drop("_suspect")
+                if has_suspects else with_pid
+            )
             out = (
-                with_pid.withColumn(
+                writable.withColumn(
                     "offset", (w_off + F.coalesce(base_map[F.col("_pid")], F.lit(0))).cast("long")
                 )
                 .withColumn("file_seq", F.expr(f"offset div {self.rotate_rows}").cast("long"))

@@ -60,15 +60,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     runs the whole derive + sink pipeline on as many cores as it has
     files (r9 profile: 0.7s of a 2.2s batch was single-task derive).
     The exchange is one narrow pass of raw columns — at large file
-    counts it also levels skewed file sizes; disable it only when the
-    source is already wide and evenly sized."""
+    counts it also levels skewed file sizes. Pass ``fan_out=False`` when
+    the consumer's FIRST operation is itself a keyed shuffle (e.g. the
+    AggView/JoinView sinks' per-PK fold): the keyed exchange already
+    spreads the work, so the round-robin pass would be a second full
+    exchange bought for nothing (r9 profile: +34% on the IVM pipeline).
+    Even with fan_out on, the exchange is SKIPPED when the staged source
+    is already at least defaultParallelism files wide — those batches
+    arrive well-distributed."""
     from polardbx_cdc_spark.session import ensure_nanos_readable, normalize_event_ts
 
     ensure_nanos_readable(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = spark.readStream.schema(batch.schema).parquet(_as_stream_dir(sf_dir, "events"))
+    src_dir = _as_stream_dir(sf_dir, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
     if fan_out:
-        stream = stream.repartition(spark.sparkContext.defaultParallelism)
+        width = spark.sparkContext.defaultParallelism
+        n_files = sum(1 for f in os.listdir(src_dir) if f.endswith(".parquet"))
+        if n_files < width:
+            stream = stream.repartition(width)
     return normalize_event_ts(stream)
 
 
@@ -85,12 +95,15 @@ def read_binlog(spark: SparkSession, sink_dir: str, from_tso: str = "") -> DataF
     return events.drop(*drop)
 
 
-def cdc_stream(spark: SparkSession, sf_dir: str, watermark: str = "10 minutes") -> DataFrame:
+def cdc_stream(spark: SparkSession, sf_dir: str, watermark: str = "10 minutes",
+               fan_out: bool = True) -> DataFrame:
     """The canonical CDC stream with an event-time watermark on the TSO
     physical time — the Spark-native HeartBeatWindow: the global watermark
     is min over all source partitions, exactly the reference's
-    all-sources-reached-T emission gate (HeartBeatWindow.java:30-71)."""
-    ev = read_events_stream(spark, sf_dir)
+    all-sources-reached-T emission gate (HeartBeatWindow.java:30-71).
+    ``fan_out`` passes through to :func:`read_events_stream` — set False
+    when the consumer's first operation is a keyed shuffle."""
+    ev = read_events_stream(spark, sf_dir, fan_out=fan_out)
     return derive_cdc_stream(spark, sf_dir, events=ev).withWatermark("ts", watermark)
 
 

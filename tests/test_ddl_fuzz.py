@@ -801,3 +801,182 @@ def test_deeply_composed_alter_chains_classify_correctly():
         "ALTER TABLE t ADD COLUMN gen1 INT GENERATED ALWAYS AS (a * 2) "
         "STORED AFTER a, DROP CHECK chk1, LOCK SHARED"
     ) == ["add_column", "index", "index"]
+
+
+# ---------------------------------------------------------------------------
+# Round-10 extension (VERDICT r9 ask #5): SUBPARTITION clauses, CHECK
+# ENFORCED tails, generated-column VIRTUAL/STORED x position combinations,
+# and the remaining FULLTEXT/SPATIAL index forms — the druid-digestible
+# families (MemoryTableMeta.java) the prior corpus still skipped.
+# ---------------------------------------------------------------------------
+
+
+def test_subpartition_clauses_are_not_columns():
+    """SUBPARTITION BY ... SUBPARTITIONS n, and explicit SUBPARTITION
+    definition lists nested inside PARTITION definitions, must parse as
+    layout no-ops — never as phantom columns."""
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE ts (id BIGINT, dt DATETIME, region INT,"
+        " PRIMARY KEY (id, dt))"
+        " PARTITION BY RANGE (TO_DAYS(dt))"
+        " SUBPARTITION BY HASH (id) SUBPARTITIONS 4 ("
+        "  PARTITION p0 VALUES LESS THAN (TO_DAYS('2021-01-01')),"
+        "  PARTITION p1 VALUES LESS THAN MAXVALUE)",
+        default_db="db1",
+    )
+    s = reg.find("db1", "ts", "200")
+    assert list(s.columns) == ["id", "dt", "region"]
+    assert s.pks == ("id", "dt")
+
+    # explicit nested SUBPARTITION definition lists (names + tablespace)
+    reg.apply_sql(
+        "300",
+        "CREATE TABLE ts2 (a INT PRIMARY KEY, b DATE)"
+        " PARTITION BY RANGE (YEAR(b))"
+        " SUBPARTITION BY KEY (a) ("
+        "  PARTITION q0 VALUES LESS THAN (2000) ("
+        "   SUBPARTITION s0 TABLESPACE tsp0,"
+        "   SUBPARTITION s1),"
+        "  PARTITION q1 VALUES LESS THAN MAXVALUE ("
+        "   SUBPARTITION s2,"
+        "   SUBPARTITION s3))",
+        default_db="db1",
+    )
+    s2 = reg.find("db1", "ts2", "400")
+    assert list(s2.columns) == ["a", "b"]
+
+    # LINEAR KEY + ALGORITHM variant
+    reg.apply_sql(
+        "500",
+        "CREATE TABLE ts3 (a INT PRIMARY KEY, b INT)"
+        " PARTITION BY LIST (a)"
+        " SUBPARTITION BY LINEAR KEY ALGORITHM=2 (b) SUBPARTITIONS 2 ("
+        "  PARTITION x0 VALUES IN (1, 2, 3),"
+        "  PARTITION x1 VALUES IN (4, 5))",
+        default_db="db1",
+    )
+    assert list(reg.find("db1", "ts3", "600").columns) == ["a", "b"]
+
+
+def test_subpartition_alter_partition_ops_are_noops():
+    """ALTER partition-management statements carrying SUBPARTITION
+    definitions reorganize layout only — the column model is untouched
+    and later column ops still apply cleanly."""
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE tp (id BIGINT PRIMARY KEY, v INT)"
+        " PARTITION BY RANGE (id) SUBPARTITION BY HASH (id) SUBPARTITIONS 2 ("
+        "  PARTITION p0 VALUES LESS THAN (100),"
+        "  PARTITION p1 VALUES LESS THAN MAXVALUE)",
+        default_db="db1",
+    )
+    reg.apply_sql(
+        "200",
+        "ALTER TABLE tp ADD PARTITION ("
+        " PARTITION p2 VALUES LESS THAN (200) ("
+        "  SUBPARTITION sp4, SUBPARTITION sp5))",
+        default_db="db1",
+    )
+    reg.apply_sql(
+        "300",
+        "ALTER TABLE tp REORGANIZE PARTITION p0 INTO ("
+        " PARTITION p0a VALUES LESS THAN (50) (SUBPARTITION sa),"
+        " PARTITION p0b VALUES LESS THAN (100) (SUBPARTITION sb))",
+        default_db="db1",
+    )
+    reg.apply_sql("400", "ALTER TABLE tp ADD COLUMN w VARCHAR(8)", default_db="db1")
+    s = reg.find("db1", "tp", "500")
+    assert list(s.columns) == ["id", "v", "w"]
+
+
+def test_check_enforced_tails_and_named_drops():
+    """CHECK (...) [NOT] ENFORCED — the 8.0 tail the corpus skipped —
+    plus ALTER CHECK enforcement toggles, all column-model no-ops."""
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE tc (a INT PRIMARY KEY,"
+        " b INT CHECK (b > (0)) ENFORCED,"
+        " c INT,"
+        " CONSTRAINT nn CHECK (c < (a + 10)) NOT ENFORCED)",
+        default_db="db1",
+    )
+    s = reg.find("db1", "tc", "200")
+    assert list(s.columns) == ["a", "b", "c"]
+    reg.apply_sql("300", "ALTER TABLE tc ALTER CHECK nn ENFORCED", default_db="db1")
+    reg.apply_sql(
+        "310",
+        "ALTER TABLE tc ADD CONSTRAINT n2 CHECK (b <> (c)) NOT ENFORCED",
+        default_db="db1",
+    )
+    reg.apply_sql("320", "ALTER TABLE tc DROP CONSTRAINT n2", default_db="db1")
+    assert list(reg.find("db1", "tc", "400").columns) == ["a", "b", "c"]
+
+
+def test_generated_virtual_stored_position_matrix():
+    """Generated-column VIRTUAL/STORED x FIRST/AFTER/append position
+    combinations, through ADD / MODIFY / CHANGE — the column order must
+    track every move and the generated tail must never leak into types."""
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE tg (a INT PRIMARY KEY, z INT)",
+        default_db="db1",
+    )
+    reg.apply_sql(
+        "200",
+        "ALTER TABLE tg ADD COLUMN g1 INT GENERATED ALWAYS AS (a + (1)) VIRTUAL FIRST",
+        default_db="db1",
+    )
+    reg.apply_sql(
+        "210",
+        "ALTER TABLE tg ADD COLUMN g2 BIGINT AS (a * (2)) STORED AFTER a",
+        default_db="db1",
+    )
+    assert list(reg.find("db1", "tg", "300").columns) == ["g1", "a", "g2", "z"]
+    # MODIFY keeps generated-ness, moves the column
+    reg.apply_sql(
+        "310",
+        "ALTER TABLE tg MODIFY COLUMN g1 BIGINT GENERATED ALWAYS AS (a + (10)) VIRTUAL AFTER z",
+        default_db="db1",
+    )
+    s = reg.find("db1", "tg", "400")
+    assert list(s.columns) == ["a", "g2", "z", "g1"]
+    assert [t.upper() for t in s.types] == ["INT", "BIGINT", "INT", "BIGINT"]
+    # CHANGE renames a generated column in place
+    reg.apply_sql(
+        "410",
+        "ALTER TABLE tg CHANGE COLUMN g2 gg VARCHAR(16) AS (CONCAT(a, 'x')) VIRTUAL",
+        default_db="db1",
+    )
+    s = reg.find("db1", "tg", "500")
+    assert list(s.columns) == ["a", "gg", "z", "g1"]
+    assert s.types[1].upper() == "VARCHAR(16)"
+
+
+def test_fulltext_spatial_residual_forms():
+    """Inline SPATIAL INDEX in CREATE, CREATE FULLTEXT/SPATIAL INDEX
+    statements, and ALTER ADD FULLTEXT with a parser tail — index-layer
+    no-ops for the column model."""
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE tf (id INT PRIMARY KEY, body TEXT, pt POINT NOT NULL,"
+        " FULLTEXT INDEX ftb (body) WITH PARSER ngram,"
+        " SPATIAL INDEX spt (pt))",
+        default_db="db1",
+    )
+    s = reg.find("db1", "tf", "200")
+    assert list(s.columns) == ["id", "body", "pt"]
+    reg.apply_sql("300", "CREATE FULLTEXT INDEX ft2 ON tf (body)", default_db="db1")
+    reg.apply_sql("310", "CREATE SPATIAL INDEX sp2 ON tf (pt)", default_db="db1")
+    reg.apply_sql(
+        "320",
+        "ALTER TABLE tf ADD FULLTEXT KEY ft3 (body) WITH PARSER ngram COMMENT 'c'",
+        default_db="db1",
+    )
+    reg.apply_sql("330", "ALTER TABLE tf DROP INDEX ft2", default_db="db1")
+    assert list(reg.find("db1", "tf", "400").columns) == ["id", "body", "pt"]

@@ -5,6 +5,7 @@ log identical to the files' event stream."""
 from __future__ import annotations
 
 import os
+import struct
 
 import pytest
 
@@ -1104,3 +1105,213 @@ def test_gtid_skip_does_not_unlatch_on_xa_start_or_temp_table(tmp_path):
     queries = [e["query"] for e in evs if e["type"] == W.QUERY_EVENT]
     assert "XA START X'ab',X'cd',1" not in queries
     assert queries == ["BEGIN"]
+
+
+def test_query_ends_group_implicit_commit_heads():
+    """ADVICE r9: SET PASSWORD and INSTALL/UNINSTALL PLUGIN are implicit
+    commits (group-ending); other SETs ride inside their group. The
+    TEMPORARY exception applies only mid-group — a lone TEMPORARY DDL is
+    its own GTID group and ends it."""
+    f = M._query_ends_group
+    assert f("SET PASSWORD FOR u = 'x'")
+    assert f("INSTALL PLUGIN p SONAME 's.so'")
+    assert f("UNINSTALL PLUGIN p")
+    assert not f("SET timestamp=123")
+    assert not f("SET NAMES utf8mb4")
+    # mid-group: documented no-implicit-commit exception holds
+    assert not f("CREATE TEMPORARY TABLE tmp1 (i INT)", in_group=True)
+    assert not f("DROP TEMPORARY TABLE tmp1", in_group=True)
+    # standalone: the TEMPORARY DDL IS the whole GTID group
+    assert f("CREATE TEMPORARY TABLE tmp1 (i INT)", in_group=False)
+    assert f("DROP TEMPORARY TABLE IF EXISTS tmp1", in_group=False)
+
+
+def test_gtid_skip_unlatches_on_lone_temporary_ddl_group(tmp_path):
+    """ADVICE r9: under GTID mode a lone DROP TEMPORARY TABLE QUERY is
+    binlogged as its own GTID-framed group with no XID. If that group is
+    skipped, the latch must still clear at the QUERY, or the following
+    non-GTID-framed transaction is wrongly suppressed."""
+    wire = str(tmp_path / "tmpddl")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_previous_gtids({}),
+         # executed lone TEMPORARY-DDL group: GTID + one QUERY, no XID
+         W.encode_gtid(SID_A, 1)
+         + W.encode_query("d", "DROP TEMPORARY TABLE IF EXISTS tmp1"),
+         # anonymous follow-up — must flow
+         W.encode_query("", "BEGIN")
+         + W.encode_table_map(3, td)
+         + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, [[42]])
+         + W.encode_xid(9)],
+    )
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        relay = M.binlog_dump_gtid_fetch(host, port, {SID_A: [(1, 2)]})
+    evs = W.decode_events(relay)
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[42]]
+    queries = [e["query"] for e in evs if e["type"] == W.QUERY_EVENT]
+    assert "DROP TEMPORARY TABLE IF EXISTS tmp1" not in queries
+
+
+def test_gtid_skip_query_parse_is_bounds_checked(tmp_path):
+    """ADVICE r9: a truncated QUERY frame at the buffer tail (valid loop
+    guard: elen >= 23, but too short for the 13-byte post-header) must
+    not read adjacent bytes or raise in the skip-latch parse — skip is
+    left unchanged and the dump completes."""
+    wire = str(tmp_path / "shortq")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    # minimal frame: 19-byte header + 4-byte fake CRC, elen=23 exactly —
+    # the old parse would index body[b0+8] past the buffer end
+    elen = W.HEADER_LEN + W.CHECKSUM_LEN
+    runt = (
+        struct.pack("<IBIIIH", 1, W.QUERY_EVENT, 1, elen, 0, 0)
+        + b"\x00\x00\x00\x00"
+    )
+    assert len(runt) == elen
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_previous_gtids({}),
+         # anonymous txn — must flow
+         W.encode_query("", "BEGIN")
+         + W.encode_table_map(3, td)
+         + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, [[7]])
+         + W.encode_xid(1),
+         # executed group whose LAST frame is the runt QUERY
+         W.encode_gtid(SID_A, 1)
+         + W.encode_query("", "BEGIN")
+         + W.encode_table_map(3, td)
+         + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, [[111]])
+         + runt],
+    )
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        relay = M.binlog_dump_gtid_fetch(host, port, {SID_A: [(1, 2)]})
+    evs = W.decode_events(relay)
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[7]]  # skipped group suppressed, runt did not crash
+
+
+def test_vendored_client_preamble_query_surface(gtid_wire):
+    """Round-10: the vendored client's OWN text-protocol COM_QUERY parser
+    (lenenc column defs/rows re-derived from the spec) drives the stock
+    replica preamble — variables, master status, checksum + heartbeat
+    declarations — against the live endpoint."""
+    from tests.vendored_repl_client import SpecReplicationClient
+
+    host, port = gtid_wire["host"], gtid_wire["port"]
+    with SpecReplicationClient(host, port) as cli:
+        names, rows = cli.query("SELECT VERSION()")
+        assert names == ["VERSION()"] and rows[0][0].startswith("8.0")
+        names, rows = cli.query("SHOW MASTER STATUS")
+        assert "File" in names and rows and rows[0][0].startswith("binlog.")
+        names, rows = cli.query("SELECT @@global.binlog_checksum")
+        assert rows[0][0] == "CRC32"
+        assert cli.query("SET @master_binlog_checksum = 'CRC32'") == ([], [])
+        assert cli.query("SET @master_heartbeat_period = 500000000") == ([], [])
+        # the connection still dumps after the full preamble
+        frames = list(cli.binlog_dump("binlog.000001", 4))
+        assert frames
+
+
+def test_vendored_client_verifies_crc32_frames(served_wire):
+    """Client-side CRC32 verification (zlib polynomial over the frame
+    minus its trailing 4 bytes) passes on every streamed event — and the
+    verifier provably rejects a corrupted frame."""
+    import pytest as _pytest
+
+    from tests.vendored_repl_client import ServerError, SpecReplicationClient
+
+    host, port = served_wire["host"], served_wire["port"]
+    with SpecReplicationClient(host, port) as cli:
+        cli.set_binlog_checksum("CRC32")
+        frames = list(cli.binlog_dump("binlog.000001", 4,
+                                      verify_checksum=True))
+    assert len(frames) >= 5  # FDE + events across the chain, all verified
+    # negative control: flip one payload byte -> the verifier must raise
+    bad = bytearray(frames[-1])
+    bad[len(bad) // 2] ^= 0xFF
+
+    class _OneShot(SpecReplicationClient):
+        def __init__(self):  # bypass socket setup; drive _event_stream
+            self._pkts = [b"\x00" + bytes(bad), b"\xfe\x00\x00\x02\x00"]
+
+        def _read_packet(self):
+            return self._pkts.pop(0)
+
+    with _pytest.raises(ServerError, match="CRC32 mismatch"):
+        list(_OneShot()._event_stream(verify_checksum=True))
+
+
+def test_vendored_client_honors_heartbeat_period(tmp_path):
+    """SET @master_heartbeat_period through the vendored client: a
+    blocking attach on an idle master receives HEARTBEAT filler at the
+    declared cadence; declaring 0 disables it."""
+    from tests.vendored_repl_client import SpecReplicationClient
+
+    wire = str(tmp_path / "hb")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_table_map(3, td)
+         + W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, [[1]])
+         + W.encode_xid(1)],
+    )
+    with M.MySQLDumpServer(wire, live_idle_timeout=0.9,
+                           heartbeat_interval=10.0) as srv:
+        host, port = srv.address
+        with SpecReplicationClient(host, port) as cli:
+            cli.set_heartbeat_period(0.1)  # 100ms, overrides the 10s default
+            kinds = [f[4] for f in cli.binlog_dump(
+                "binlog.000001", 4, non_block=False)]
+        n_hb = sum(1 for k in kinds if k == W.HEARTBEAT_LOG_EVENT)
+        assert n_hb >= 3  # ~0.9s idle at 100ms cadence
+        with SpecReplicationClient(host, port) as cli:
+            cli.set_heartbeat_period(0)  # protocol disable value
+            kinds = [f[4] for f in cli.binlog_dump(
+                "binlog.000001", 4, non_block=False)]
+        assert sum(1 for k in kinds if k == W.HEARTBEAT_LOG_EVENT) == 0
+
+
+def test_vendored_client_transaction_payload_stream(tmp_path):
+    """A TRANSACTION_PAYLOAD-compressed chain through the vendored
+    client: the compressed carrier events arrive frame-whole (CRC32
+    verified client-side) and expand to the exact row stream."""
+    from tests.vendored_repl_client import SpecReplicationClient
+
+    wire = str(tmp_path / "tp")
+    os.makedirs(wire)
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+
+    def ctxn(gno: int, vals, xid: int, compression: int) -> bytes:
+        body = [
+            W.encode_query("", "BEGIN"),
+            W.encode_table_map(3, td),
+            W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td, vals),
+            W.encode_xid(xid),
+        ]
+        return (W.encode_gtid(SID_A, gno)
+                + W.encode_transaction_payload(body, compression=compression))
+
+    W.write_binlog_file(
+        wire + "/binlog.000001",
+        [W.encode_previous_gtids({}),
+         ctxn(1, [[10], [11]], 1, W.COMPRESS_NONE),
+         ctxn(2, [[20]], 2, W.COMPRESS_ZSTD)],
+    )
+    with M.MySQLDumpServer(wire) as srv:
+        host, port = srv.address
+        with SpecReplicationClient(host, port) as cli:
+            cli.set_binlog_checksum("CRC32")
+            frames = list(cli.binlog_dump("binlog.000001", 4,
+                                          verify_checksum=True))
+    raw = W.decode_events(b"".join(frames))
+    assert sum(1 for e in raw if e["type"] == W.TRANSACTION_PAYLOAD_EVENT) == 2
+    evs = W.expand_payload_events(raw)
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[10], [11], [20]]
+    assert [e["gno"] for e in evs if e["type"] == W.GTID_LOG_EVENT] == [1, 2]

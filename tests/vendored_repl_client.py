@@ -9,15 +9,22 @@ a third-party-shaped client, not a self-roundtrip.
 
 Scope: connection-phase HandshakeV10 → HandshakeResponse41 with a real
 ``mysql_native_password`` scramble, COM_REGISTER_SLAVE,
-COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID (binary Gtid_set payload), and
-the binlog event stream (network-stream 0x00 framing, >16MB packet
-reassembly, EOF/ERR packets, HEARTBEAT filtering left to the caller).
+COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID (binary Gtid_set payload), the
+binlog event stream (network-stream 0x00 framing, >16MB packet
+reassembly, EOF/ERR packets, HEARTBEAT filtering left to the caller,
+optional per-event CRC32 verification — ``verify_checksum=True`` checks
+the trailing 4 bytes against zlib.crc32 of the frame, what a replica's
+``binlog_checksum_options`` verify does), and COM_QUERY with a
+text-protocol result-set parser (the stock replica preamble surface:
+SELECT @@vars, SHOW MASTER STATUS, SET @master_binlog_checksum /
+@master_heartbeat_period).
 """
 
 from __future__ import annotations
 
 import hashlib
 import socket
+import zlib
 from dataclasses import dataclass, field
 
 # -- capability flags (Protocol::CapabilityFlags) ---------------------------
@@ -28,6 +35,7 @@ CLIENT_PLUGIN_AUTH = 0x00080000
 
 # -- commands ----------------------------------------------------------------
 COM_QUIT = 0x01
+COM_QUERY = 0x03
 COM_REGISTER_SLAVE = 0x15
 COM_BINLOG_DUMP = 0x12
 COM_BINLOG_DUMP_GTID = 0x1E
@@ -171,7 +179,15 @@ class SpecReplicationClient:
         # NUL filler. Slice, don't rstrip — a nonce whose 20th byte IS
         # 0x00 must survive intact or the scramble diverges.
         blob = part1 + part2
-        nonce = blob[:20] if len(blob) >= 20 else blob.rstrip(b"\x00")
+        if len(blob) >= 20:
+            nonce = blob[:20]
+        elif blob.endswith(b"\x00"):
+            # short blob: strip ONLY the single trailing NUL filler — a
+            # nonce legitimately ending in 0x00 bytes must not be eaten
+            # by an rstrip (same hazard as the normal path above)
+            nonce = blob[:-1]
+        else:
+            nonce = blob
         return HandshakeV10(version, thread_id, caps, charset, status,
                             plugin, nonce, raw=b)
 
@@ -199,8 +215,83 @@ class SpecReplicationClient:
         self._send_packet(body, 0)
         self._expect_ok()
 
+    # -- COM_QUERY (text protocol) -------------------------------------------
+
+    @staticmethod
+    def _lenenc(b: bytes, p: int) -> tuple[int | None, int]:
+        """Length-encoded integer (spec: <251 literal, 0xFC 2-byte,
+        0xFD 3-byte, 0xFE 8-byte, 0xFB = NULL marker in row packets)."""
+        first = b[p]
+        if first < 0xFB:
+            return first, p + 1
+        if first == 0xFB:
+            return None, p + 1
+        if first == 0xFC:
+            return b[p + 1] | b[p + 2] << 8, p + 3
+        if first == 0xFD:
+            return b[p + 1] | b[p + 2] << 8 | b[p + 3] << 16, p + 4
+        return int.from_bytes(b[p + 1 : p + 9], "little"), p + 9
+
+    def query(self, sql: str) -> tuple[list[str], list[list[str | None]]]:
+        """COM_QUERY; returns (column_names, rows) for a result set, or
+        ([], []) for an OK response. Column definition packets are
+        ColumnDefinition41: catalog/schema/table/org_table/name/org_name
+        as length-encoded strings — the name is the 5th."""
+        self._send_packet(bytes((COM_QUERY,)) + sql.encode(), 0)
+        first = self._read_packet()
+        if first and first[0] == 0xFF:
+            code = int.from_bytes(first[1:3], "little")
+            msg = first[3:].decode(errors="replace")
+            state = ""
+            if msg.startswith("#"):
+                state, msg = msg[1:6], msg[6:]
+            raise ServerError(code, state, msg)
+        if first and first[0] == 0x00:
+            return [], []  # OK: no result set
+        n_cols, _ = self._lenenc(first, 0)
+        names: list[str] = []
+        for _i in range(int(n_cols)):
+            col = self._read_packet()
+            p = 0
+            parts = []
+            for _f in range(6):  # catalog schema table org_table name org_name
+                ln, p = self._lenenc(col, p)
+                parts.append(col[p : p + int(ln or 0)])
+                p += int(ln or 0)
+            names.append(parts[4].decode())
+        eof = self._read_packet()
+        if not (eof and eof[0] == 0xFE):
+            raise ServerError(0, "08S01", "missing EOF after column defs")
+        rows: list[list[str | None]] = []
+        while True:
+            pkt = self._read_packet()
+            if pkt and pkt[0] == 0xFE and len(pkt) < 9:
+                return names, rows
+            row: list[str | None] = []
+            p = 0
+            while p < len(pkt):
+                ln, p = self._lenenc(pkt, p)
+                if ln is None:
+                    row.append(None)
+                else:
+                    row.append(pkt[p : p + int(ln)].decode())
+                    p += int(ln)
+            rows.append(row)
+
+    def set_binlog_checksum(self, mode: str) -> None:
+        """Declare what this replica can verify — the libmysql preamble
+        statement (mode "CRC32"/"NONE", or the expression form when mode
+        is "@@global.binlog_checksum")."""
+        val = mode if mode.startswith("@@") else f"'{mode}'"
+        self.query(f"SET @master_binlog_checksum = {val}")
+
+    def set_heartbeat_period(self, seconds: float) -> None:
+        """SET @master_heartbeat_period — NANOSECONDS on the wire, like a
+        real replica (0 disables idle heartbeats)."""
+        self.query(f"SET @master_heartbeat_period = {int(seconds * 1e9)}")
+
     def binlog_dump(self, filename: str, pos: int = 4, *,
-                    non_block: bool = True):
+                    non_block: bool = True, verify_checksum: bool = False):
         """COM_BINLOG_DUMP: pos(4) flags(2) server_id(4) filename(EOF).
         Yields raw event byte strings from the network stream."""
         flags = BINLOG_DUMP_NON_BLOCK if non_block else 0
@@ -210,10 +301,11 @@ class SpecReplicationClient:
                 + self.server_id.to_bytes(4, "little")
                 + filename.encode())
         self._send_packet(body, 0)
-        yield from self._event_stream()
+        yield from self._event_stream(verify_checksum=verify_checksum)
 
     def binlog_dump_gtid(self, executed: dict[bytes, list[tuple[int, int]]],
-                         *, non_block: bool = True):
+                         *, non_block: bool = True,
+                         verify_checksum: bool = False):
         """COM_BINLOG_DUMP_GTID: flags(2) server_id(4) name_len(4) name
         pos(8) data_len(4) Gtid_set. The Gtid_set binary layout (public
         Gtid_set::encode): n_sids(8){ sid(16) n_intervals(8)
@@ -231,11 +323,14 @@ class SpecReplicationClient:
                 + (4).to_bytes(8, "little")   # pos
                 + len(gs).to_bytes(4, "little") + bytes(gs))
         self._send_packet(body, 0)
-        yield from self._event_stream()
+        yield from self._event_stream(verify_checksum=verify_checksum)
 
-    def _event_stream(self):
+    def _event_stream(self, verify_checksum: bool = False):
         """Binlog network stream: each packet is 0x00 + event bytes; a
-        0xFE packet shorter than 9 bytes ends the dump; 0xFF is an ERR."""
+        0xFE packet shorter than 9 bytes ends the dump; 0xFF is an ERR.
+        ``verify_checksum``: check each frame's trailing CRC32 (zlib
+        polynomial over everything before the last 4 bytes) — what a
+        CRC32-negotiated replica verifies before relaying a frame."""
         while True:
             pkt = self._read_packet()
             if not pkt:
@@ -252,7 +347,15 @@ class SpecReplicationClient:
                 raise ServerError(code, state, msg)
             if marker != 0x00:
                 raise ServerError(0, "08S01", f"bad stream marker {marker:#x}")
-            yield pkt[1:]
+            frame = pkt[1:]
+            if verify_checksum and len(frame) >= 23:
+                want = int.from_bytes(frame[-4:], "little")
+                got = zlib.crc32(frame[:-4]) & 0xFFFFFFFF
+                if want != got:
+                    raise ServerError(
+                        0, "HY000",
+                        f"event CRC32 mismatch: {got:#010x} != {want:#010x}")
+            yield frame
 
     def close(self) -> None:
         try:
