@@ -1830,3 +1830,90 @@ def test_wire_stream_integer_stream_zero(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(str(tmp_path / "o"))
     assert got.filter(got.kind == "INSERT").count() == 2
+
+
+def test_disorder_probe_folded_into_stats_pass(spark, tmpdir, monkeypatch):
+    """Round-10 (r9 PERF candidate): the disorder probe rides _emit's
+    stats pass. A steady-state batch (watermark set, zero replay rows)
+    must trigger NO DataFrame.count() job at all — the suspect count
+    arrives inside the per-partition stats collect — while a batch WITH
+    replay rows still runs the durable anti-join and dedups correctly."""
+    from pyspark.sql import DataFrame
+
+    cdc = derive_cdc_stream(spark, SF).persist()
+    try:
+        first = cdc.orderBy("tso").limit(200)
+        out = tmpdir + "/out"
+        sink = pipeline.BinlogSink(out, rotate_rows=500)
+        sink.recover(spark)
+        sink(first, batch_id=0)
+        assert sink._last_tso  # watermark armed: probes active from here
+
+        calls: list[int] = []
+        orig_count = DataFrame.count
+
+        def spy(self):
+            calls.append(1)
+            return orig_count(self)
+
+        monkeypatch.setattr(DataFrame, "count", spy)
+        # steady state: strictly newer rows, no suspects
+        nxt = cdc.filter(F.col("tso") > sink._last_tso).orderBy("tso").limit(200)
+        sink(nxt, batch_id=1)
+        assert calls == [], "steady-state batch ran an extra count() job"
+        assert not sink.disorder_errors
+
+        # replay batch: old rows mixed with new ones — the folded probe
+        # must still classify them as durable replays (no error) and
+        # write only the genuinely-new rows exactly once
+        monkeypatch.setattr(DataFrame, "count", orig_count)
+        # everything durable so far (400 rows) + the next 100 new rows
+        mixed = cdc.orderBy("tso").limit(500)
+        before = spark.read.parquet(out).count()
+        assert before == 400
+        sink(mixed, batch_id=2)
+        assert not sink.disorder_errors  # replays are durable: not disorder
+        after_df = spark.read.parquet(out)
+        assert after_df.count() == before + 100
+        # offsets stay dense across the folded path
+        n_total = after_df.count()
+        offs = sorted(r["offset"] for r in after_df.select("offset").collect())
+        assert offs == list(range(n_total))
+    finally:
+        cdc.unpersist()
+
+
+def test_spool_segments_splits_decode_standalone(tmpdir):
+    """dump_server.spool_segments: segments split only at event
+    boundaries, every segment decodes standalone, and the concatenation
+    is byte-identical to the input blob."""
+    import os
+
+    from polardbx_cdc_spark import binlog_wire as W
+    from polardbx_cdc_spark.dump_server import spool_segments
+
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    blob = bytearray()
+    for txn in range(40):
+        blob += W.encode_query("", "BEGIN")
+        blob += W.encode_table_map(3, td)
+        blob += W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 3, td, [[txn * 10 + i] for i in range(5)]
+        )
+        blob += W.encode_xid(txn)
+    spool = tmpdir + "/spool"
+    n = spool_segments(bytes(blob), spool, seg_limit=2048)
+    assert n > 1  # the limit actually split
+    parts = sorted(os.listdir(spool))
+    assert parts == [f"segment_{i:06d}.bin" for i in range(n)]
+    joined = bytearray()
+    total_rows = 0
+    for p in parts:
+        seg = open(os.path.join(spool, p), "rb").read()
+        evs = W.decode_events(seg)  # standalone decode must not raise
+        total_rows += sum(
+            len(e["rows"]) for e in evs if e["type"] == W.WRITE_ROWS_EVENT
+        )
+        joined += seg
+    assert bytes(joined) == bytes(blob)
+    assert total_rows == 200
