@@ -155,8 +155,14 @@ def _gtid_subset(a: GtidSet, b: GtidSet) -> bool:
     return True
 
 
-def _write_packet(wfile, seq: int, payload: bytes) -> int:
-    """Write one (possibly split) protocol packet; returns next seq."""
+def _write_packet(wfile, seq: int, payload: bytes, flush: bool = True) -> int:
+    """Write one (possibly split) protocol packet; returns next seq.
+
+    ``flush=False`` leaves the bytes in the BufferedWriter — the
+    catch-up dump loops batch a whole file per flush (a syscall per
+    event throttled the byte pump to ~7 MB/s on localhost); anything
+    latency-sensitive (live push, heartbeats, OK/ERR/EOF, result sets)
+    keeps the default immediate flush."""
     view = memoryview(payload)
     while True:
         chunk = view[:_MAX_PACKET]
@@ -165,7 +171,8 @@ def _write_packet(wfile, seq: int, payload: bytes) -> int:
         view = view[_MAX_PACKET:]
         if len(chunk) < _MAX_PACKET:
             break
-    wfile.flush()
+    if flush:
+        wfile.flush()
     return seq
 
 
@@ -559,11 +566,14 @@ class _Handler(socketserver.StreamRequestHandler):
                 elen = struct.unpack_from("<I", body, off + 9)[0]
                 if elen < W.HEADER_LEN + W.CHECKSUM_LEN or off + elen > len(body):
                     break
-                # event packet: OK byte + raw event bytes
+                # event packet: OK byte + raw event bytes (flush batched
+                # per FILE below — per-event flush = syscall per event)
                 seq = _write_packet(
-                    self.wfile, seq, b"\x00" + body[off : off + elen]
+                    self.wfile, seq, b"\x00" + body[off : off + elen],
+                    flush=False,
                 )
                 off += elen
+            self.wfile.flush()
             cur, cur_off = name, off + 4
         if block:
             seq = self._follow_live(srv, cur, cur_off, seq)
@@ -747,8 +757,10 @@ class _Handler(socketserver.StreamRequestHandler):
                     skip = False
                 if not skip:
                     for held in pending:
-                        seq = _write_packet(self.wfile, seq, b"\x00" + held)
-                    seq = _write_packet(self.wfile, seq, b"\x00" + frame)
+                        seq = _write_packet(self.wfile, seq, b"\x00" + held,
+                                            flush=False)
+                    seq = _write_packet(self.wfile, seq, b"\x00" + frame,
+                                        flush=False)
                 pending = []
                 if tc == W.XID_EVENT:
                     # transaction group ends at its XID: the skip decision
@@ -787,6 +799,7 @@ class _Handler(socketserver.StreamRequestHandler):
                     # its OWN GTID-framed group
                     skip = False
                 off += elen
+            self.wfile.flush()  # flush batched per FILE (see _stream_dump)
             cur, cur_off = name, off + 4
         if block:
             # auto-position replicas block by default too: after catch-up

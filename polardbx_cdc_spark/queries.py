@@ -6794,12 +6794,14 @@ def cdc_dump_attach_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = derive_cdc_stream(spark, sf_dir).select(
         "txn_id", "tso", "action", "db", "tbl", "pk", "value"
     )
-    # deterministic sink shape: 16 rotated files (txn-bucketed so a txn
-    # never splits) — the cdc_wire_stream_tail fixture construction
+    # deterministic sink shape: 32 rotated files (txn-bucketed so a txn
+    # never splits) — the cdc_wire_stream_tail fixture construction,
+    # widened to one encode task per core (the render is per-file
+    # applyInPandas, so file count IS the encode parallelism)
     sink = cdc.select(
-        F.pmod(F.col("txn_id"), F.lit(16)).cast("long").alias("file_seq"),
+        F.pmod(F.col("txn_id"), F.lit(32)).cast("long").alias("file_seq"),
         F.row_number()
-        .over(Window.partitionBy(F.pmod(F.col("txn_id"), F.lit(16)))
+        .over(Window.partitionBy(F.pmod(F.col("txn_id"), F.lit(32)))
               .orderBy("tso", "pk"))
         .cast("long")
         .alias("offset"),
@@ -6814,8 +6816,10 @@ def cdc_dump_attach_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             # GTID auto-position attach, empty executed set → full chain
             blob = MD.binlog_dump_gtid_fetch(host, port, {})
         spool = os.path.join(work, "spool")
-        # 4 MB segments: the sf0.1 chain fans the decode across executors
-        n_seg = DS.spool_segments(blob, spool, seg_limit=4 << 20)
+        # 1 MB segments: the sf0.1 chain (~10 MB) fans the decode across
+        # ~10 executors instead of 3; at 100 TB the spool would live on
+        # shared storage and the limit would rise toward row-group size
+        n_seg = DS.spool_segments(blob, spool, seg_limit=1 << 20)
         if n_seg == 0:
             raise RuntimeError("dump attach fetched no events")
         payload = (
