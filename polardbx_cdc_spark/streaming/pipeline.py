@@ -1219,18 +1219,20 @@ class AggViewSink:
         have_state = os.path.isdir(pk_path)
 
         batch_df = batch_df.select("db", "tbl", "pk", "tso", "action", "value")
-        touched = (
-            batch_df.select("db", "tbl", "pk").distinct()
-            .withColumn("bucket", self._bucket_col())
-            .localCheckpoint(eager=True)
-        )
-        # bounded driver list (≤ n_buckets): which state partitions the
-        # batch can possibly touch
-        touched_buckets = sorted(
-            r["bucket"] for r in touched.select("bucket").distinct().collect()
-        )
-
         if have_state:
+            # the touched-key set and its bucket list exist only to prune
+            # and diff PRIOR state — a cold-start batch skips both jobs
+            # (one distinct shuffle + one collect) entirely
+            touched = (
+                batch_df.select("db", "tbl", "pk").distinct()
+                .withColumn("bucket", self._bucket_col())
+                .localCheckpoint(eager=True)
+            )
+            # bounded driver list (≤ n_buckets): which state partitions
+            # the batch can possibly touch
+            touched_buckets = sorted(
+                r["bucket"] for r in touched.select("bucket").distinct().collect()
+            )
             old_pk = spark.read.parquet(pk_path).filter(
                 F.col("bucket").isin(touched_buckets)  # partition pruning
             )
