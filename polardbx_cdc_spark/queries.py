@@ -301,6 +301,11 @@ def oracle_sql() -> dict[str, str]:
 
 _MIN_TSO = "0001705276800000000" + "0" * 29  # 2024-01-15 00:00 UTC
 
+#: rotated-file count for the wire-directory FIXTURES (cdc_wire_stream_tail,
+#: cdc_dump_attach_decode): the render is per-file applyInPandas, so this IS
+#: the encode/decode parallelism — one task per local[32] core.
+_WIRE_FIXTURE_FILES = 32
+
 
 @register(
     "cdc_accept_filter",
@@ -6684,17 +6689,18 @@ def cdc_wire_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = derive_cdc_stream(spark, sf_dir).select(
         "txn_id", "tso", "action", "db", "tbl", "pk", "value"
     )
-    # deterministic sink shape: 16 rotated files (txn-bucketed so a txn
+    # deterministic sink shape: 32 rotated files (txn-bucketed so a txn
     # never splits), offsets assigned per file in TSO order — the same
     # layout the streaming BinlogSink writes, derived batch-side. The
-    # 8-way window here is FIXTURE construction (building a reproducible
-    # wire directory for the oracle), not the production offset path —
-    # the real sink (BinlogSink._emit) range-partitions adaptively. 16
-    # files = 16-way encode AND decode tasks at bench scale.
+    # bucketed window here is FIXTURE construction (building a
+    # reproducible wire directory for the oracle), not the production
+    # offset path — the real sink (BinlogSink._emit) range-partitions
+    # adaptively. 32 files = one encode AND decode task per core at
+    # bench scale (the render is per-file applyInPandas).
     sink = cdc.select(
-        F.pmod(F.col("txn_id"), F.lit(16)).cast("long").alias("file_seq"),
+        F.pmod(F.col("txn_id"), F.lit(_WIRE_FIXTURE_FILES)).cast("long").alias("file_seq"),
         F.row_number()
-        .over(Window.partitionBy(F.pmod(F.col("txn_id"), F.lit(16)))
+        .over(Window.partitionBy(F.pmod(F.col("txn_id"), F.lit(_WIRE_FIXTURE_FILES)))
               .orderBy("tso", "pk"))
         .cast("long")
         .alias("offset"),
@@ -6799,9 +6805,9 @@ def cdc_dump_attach_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widened to one encode task per core (the render is per-file
     # applyInPandas, so file count IS the encode parallelism)
     sink = cdc.select(
-        F.pmod(F.col("txn_id"), F.lit(32)).cast("long").alias("file_seq"),
+        F.pmod(F.col("txn_id"), F.lit(_WIRE_FIXTURE_FILES)).cast("long").alias("file_seq"),
         F.row_number()
-        .over(Window.partitionBy(F.pmod(F.col("txn_id"), F.lit(32)))
+        .over(Window.partitionBy(F.pmod(F.col("txn_id"), F.lit(_WIRE_FIXTURE_FILES)))
               .orderBy("tso", "pk"))
         .cast("long")
         .alias("offset"),
