@@ -1917,3 +1917,30 @@ def test_spool_segments_splits_decode_standalone(tmpdir):
         joined += seg
     assert bytes(joined) == bytes(blob)
     assert total_rows == 200
+
+
+def test_emit_without_aqe_uses_source_width(spark, tmpdir):
+    """ADVICE r9: with spark.sql.adaptive.enabled=false the dense-offset
+    range exchange must size itself from the SOURCE's width, not default
+    to spark.sql.shuffle.partitions' near-empty tasks — and the sink
+    output stays byte-correct (dense offsets, ordered)."""
+    cdc = derive_cdc_stream(spark, SF).orderBy("tso").limit(1000)
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = tmpdir + "/out"
+        sink = pipeline.BinlogSink(out, rotate_rows=400)
+        sink.recover(spark)
+        sink(cdc.repartition(4), batch_id=0)
+        written = spark.read.parquet(out)
+        n = written.count()
+        assert n == 1000
+        offs = sorted(r["offset"] for r in written.select("offset").collect())
+        assert offs == list(range(1000))
+        # the written files reflect a narrow exchange: file_seq rotation
+        # only (1000/400 -> 3 files), not hundreds of near-empty parts
+        import glob
+        parts = glob.glob(out + "/file_seq=*/part-*.parquet")
+        assert 0 < len(parts) <= 4 * 3  # <= source width x file_seq dirs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
