@@ -562,24 +562,43 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
             raise ValueError(f"unsupported ALTER action: {action!r}")
         return ops
 
-    m = re.match(rf"RENAME\s+TABLE\s+{_QUALIFIED}\s+TO\s+{_QUALIFIED}\s*$", s, re.I)
+    # RENAME TABLE a TO b [, c TO d, ...] — the multi-pair statement form
+    # (MySQL swaps atomically; per-pair ops in statement order replay the
+    # same end state for the registry's versioned model)
+    m = re.match(r"RENAME\s+TABLE\s+(.+)$", s, re.I | re.S)
     if m:
-        from_db = _ident(m.group(1)) if m.group(1) else default_db
-        to_db = _ident(m.group(3)) if m.group(3) else default_db
-        return [{
-            "db": from_db, "tbl": _ident(m.group(2)), "op": "rename_table",
-            "to_db": to_db, "to_tbl": _ident(m.group(4)),
-        }]
+        ops = []
+        for pair in _split_top_level(m.group(1)):
+            pm = re.match(rf"{_QUALIFIED}\s+TO\s+{_QUALIFIED}\s*$", pair, re.I)
+            if not pm:
+                raise ValueError(f"unsupported DDL: {sql!r}")
+            from_db = _ident(pm.group(1)) if pm.group(1) else default_db
+            to_db = _ident(pm.group(3)) if pm.group(3) else default_db
+            ops.append({
+                "db": from_db, "tbl": _ident(pm.group(2)), "op": "rename_table",
+                "to_db": to_db, "to_tbl": _ident(pm.group(4)),
+            })
+        return ops
 
     m = re.match(rf"TRUNCATE\s+(?:TABLE\s+)?{_QUALIFIED}\s*$", s, re.I)
     if m:
         db = _ident(m.group(1)) if m.group(1) else default_db
         return [{"db": db, "tbl": _ident(m.group(2)), "op": "truncate"}]
 
-    m = re.match(rf"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_QUALIFIED}\s*$", s, re.I)
+    # DROP TABLE [IF EXISTS] a [, b, ...] [RESTRICT|CASCADE]
+    m = re.match(
+        r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+?)\s*(?:RESTRICT|CASCADE)?\s*$",
+        s, re.I | re.S,
+    )
     if m:
-        db = _ident(m.group(1)) if m.group(1) else default_db
-        return [{"db": db, "tbl": _ident(m.group(2)), "op": "drop"}]
+        ops = []
+        for name in _split_top_level(m.group(1)):
+            nm = re.match(rf"{_QUALIFIED}\s*$", name, re.I)
+            if not nm:
+                raise ValueError(f"unsupported DDL: {sql!r}")
+            db = _ident(nm.group(1)) if nm.group(1) else default_db
+            ops.append({"db": db, "tbl": _ident(nm.group(2)), "op": "drop"})
+        return ops
 
     # statement-level index DDL — registry no-op versions on the target
     # table (CINDEX/DINDEX actions in the reference's DBMSAction model)

@@ -980,3 +980,27 @@ def test_fulltext_spatial_residual_forms():
     )
     reg.apply_sql("330", "ALTER TABLE tf DROP INDEX ft2", default_db="db1")
     assert list(reg.find("db1", "tf", "400").columns) == ["id", "body", "pt"]
+
+
+def test_multi_rename_and_multi_drop_statements():
+    """Round-10: the statement-level RENAME TABLE a TO b, c TO d and
+    DROP TABLE a, b [, ...] multi-object forms (MySQL's atomic swap /
+    batch drop), plus the RESTRICT/CASCADE tail."""
+    reg = SchemaRegistry()
+    reg.apply_sql("100", "CREATE TABLE db0.a (x INT PRIMARY KEY)")
+    reg.apply_sql("110", "CREATE TABLE db0.c (y INT PRIMARY KEY)")
+    reg.apply_sql("200", "RENAME TABLE db0.a TO db0.b, db0.c TO db1.d")
+    assert list(reg.find("db0", "b", "300").columns) == ["x"]
+    assert list(reg.find("db1", "d", "300").columns) == ["y"]
+    assert reg.find("db0", "a", "300") is None
+    # the classic rotation swap: new -> live via a temp slot
+    reg.apply_sql("310", "CREATE TABLE db0.b_new (x INT PRIMARY KEY, z INT)")
+    reg.apply_sql(
+        "320", "RENAME TABLE db0.b TO db0.b_old, db0.b_new TO db0.b"
+    )
+    assert list(reg.find("db0", "b", "400").columns) == ["x", "z"]
+    assert list(reg.find("db0", "b_old", "400").columns) == ["x"]
+    reg.apply_sql("500", "DROP TABLE IF EXISTS db0.b_old, db1.d CASCADE")
+    assert reg.find("db0", "b_old", "600") is None
+    assert reg.find("db1", "d", "600") is None
+    assert list(reg.find("db0", "b", "600").columns) == ["x", "z"]
