@@ -645,6 +645,27 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
     ):
         raise ValueError(f"CREATE TABLE ... SELECT is not digestible: {sql!r}")
 
+    # Table-maintenance admin statements ride the binlog as QUERY events
+    # but never change the column model — digest as explicit no-ops
+    # (MemoryTableMeta ignores them the same way). FLUSH covers both the
+    # TABLES form and the LOGS/PRIVILEGES/… administrative variants.
+    if re.match(
+        r"(?:ANALYZE|OPTIMIZE|REPAIR|CHECK|CHECKSUM)\s+"
+        r"(?:NO_WRITE_TO_BINLOG\s+|LOCAL\s+)?TABLES?\b",
+        s, re.I,
+    ) or re.match(r"FLUSH\b", s, re.I) or re.match(
+        r"(?:CACHE\s+INDEX|LOAD\s+INDEX\s+INTO\s+CACHE)\b", s, re.I
+    ):
+        return []
+
+    # TEMPORARY tables are session-scoped and produce NO row events under
+    # row-based replication — their DDL is a registry no-op (the
+    # reference's meta layer never materializes them either)
+    if re.match(
+        r"(?:CREATE|DROP)\s+TEMPORARY\s+TABLE\b", s, re.I,
+    ):
+        return []
+
     raise ValueError(f"unsupported DDL: {sql!r}")
 
 

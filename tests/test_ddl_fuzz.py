@@ -1004,3 +1004,38 @@ def test_multi_rename_and_multi_drop_statements():
     assert reg.find("db0", "b_old", "600") is None
     assert reg.find("db1", "d", "600") is None
     assert list(reg.find("db0", "b", "600").columns) == ["x", "z"]
+
+
+def test_admin_statements_and_temporary_ddl_are_noops():
+    """Round-10: table-maintenance admin statements (ANALYZE/OPTIMIZE/
+    REPAIR/CHECK/CHECKSUM TABLE, FLUSH, CACHE INDEX) and session-scoped
+    TEMPORARY table DDL ride the binlog as QUERY events but never touch
+    the column model — they digest as no-ops, not errors."""
+    reg = SchemaRegistry()
+    reg.apply_sql("000050", "CREATE TABLE db0.t1 (a INT PRIMARY KEY, c INT)")
+    stmts = [
+        "ANALYZE TABLE db0.t1",
+        "ANALYZE NO_WRITE_TO_BINLOG TABLE db0.t1",
+        "OPTIMIZE LOCAL TABLE db0.t1",
+        "REPAIR TABLE db0.t1 QUICK",
+        "CHECK TABLE db0.t1 EXTENDED",
+        "CHECKSUM TABLE db0.t1",
+        "FLUSH TABLES db0.t1",
+        "FLUSH LOGS",
+        "CACHE INDEX db0.t1 IN hot_cache",
+        "LOAD INDEX INTO CACHE db0.t1",
+        "CREATE TEMPORARY TABLE tmp1 (i INT)",
+        "CREATE TEMPORARY TABLE tmp2 AS SELECT a FROM db0.t1",
+        "DROP TEMPORARY TABLE IF EXISTS tmp1, tmp2",
+    ]
+    tso = 60
+    for sql in stmts:
+        reg.apply_sql(str(tso).zfill(6), sql)
+        tso += 10
+    s = reg.find("db0", "t1", "999999")
+    assert list(s.columns) == ["a", "c"]
+    # temp tables never materialize in the registry
+    assert reg.find("db0", "tmp1", "999999") is None
+    # the non-TEMPORARY forms still apply normally after the no-ops
+    reg.apply_sql("000500", "ALTER TABLE db0.t1 ADD COLUMN z INT")
+    assert list(reg.find("db0", "t1", "999999").columns) == ["a", "c", "z"]
