@@ -238,6 +238,7 @@ _TABLE_OPTION_ACTION = re.compile(
     r"|(?:ENGINE|AUTO_INCREMENT|COMMENT|ROW_FORMAT|KEY_BLOCK_SIZE"
     r"|STATS_PERSISTENT|STATS_AUTO_RECALC|STATS_SAMPLE_PAGES|MAX_ROWS|MIN_ROWS"
     r"|PACK_KEYS|DELAY_KEY_WRITE|CHECKSUM|AVG_ROW_LENGTH|TABLEGROUP)\s*=?"
+    r"|(?:SET\s+)?(?:TABLEGROUP|LOCALITY)\s*=?"
     r"|ALTER\s+(?:COLUMN\s+)?`?[A-Za-z0-9_$]+`?\s+(?:SET\s+DEFAULT|DROP\s+DEFAULT"
     r"|SET\s+(?:VISIBLE|INVISIBLE))"
     r"|(?:ENABLE|DISABLE)\s+KEYS"
@@ -248,18 +249,21 @@ _TABLE_OPTION_ACTION = re.compile(
 )
 
 #: partition-maintenance ALTER actions — MySQL + PolarDB-X forms
-#: (ALTER TABLE … ADD/DROP/TRUNCATE/REORGANIZE/SPLIT/MERGE/MOVE PARTITION,
-#: re-PARTITION BY, REMOVE PARTITIONING; reference normalizes these in
-#: DDLConverter and MemoryTableMeta digests them without touching column
-#: metadata). They change data placement only — a registry no-op — but
-#: MUST be recognized before the ADD/DROP-COLUMN regexes, which would
-#: otherwise misread ``ADD PARTITION (…)`` as adding a column named
-#: ``partition``.
+#: (ALTER TABLE … ADD/DROP/TRUNCATE/REORGANIZE/SPLIT/MERGE/MOVE
+#: [SUB]PARTITION, MODIFY/RENAME [SUB]PARTITION (PolarDB-X list-value and
+#: rename maintenance), re-PARTITION BY, REMOVE PARTITIONING; reference
+#: normalizes these in DDLConverter and MemoryTableMeta digests them
+#: without touching column metadata). They change data placement only — a
+#: registry no-op — but MUST be recognized before the ADD/DROP/MODIFY-
+#: COLUMN regexes, which would otherwise misread ``ADD PARTITION (…)`` as
+#: adding a column named ``partition`` (and ``MODIFY PARTITION p0 ADD
+#: VALUES (…)`` as a column retype — the round-10 fuzz find).
 _PARTITION_ACTION = re.compile(
     r"^(?:"
     r"(?:ADD|DROP|TRUNCATE|COALESCE|REORGANIZE|REBUILD|OPTIMIZE|ANALYZE"
-    r"|CHECK|REPAIR|EXCHANGE|IMPORT|DISCARD|SPLIT|EXTRACT)\s+PARTITION\b"
-    r"|(?:MERGE|MOVE)\s+PARTITIONS?\b"
+    r"|CHECK|REPAIR|EXCHANGE|IMPORT|DISCARD|SPLIT|EXTRACT"
+    r"|MODIFY|RENAME)\s+(?:SUB)?PARTITION\b"
+    r"|(?:MERGE|MOVE)\s+(?:SUB)?PARTITIONS?\b"
     r"|REMOVE\s+PARTITIONING\b"
     r"|PARTITION\s+BY\b"
     r")",
@@ -273,6 +277,7 @@ _ACTION_START = re.compile(
     r"^(?:ADD|DROP|MODIFY|CHANGE|RENAME|ALTER|CONVERT|TRUNCATE|COALESCE"
     r"|REORGANIZE|REBUILD|OPTIMIZE|ANALYZE|CHECK|REPAIR|EXCHANGE|IMPORT"
     r"|DISCARD|SPLIT|MERGE|MOVE|EXTRACT|REMOVE|PARTITION|ENGINE|ALGORITHM"
+    r"|SET|LOCALITY"
     r"|LOCK|DEFAULT|CHARACTER|CHARSET|COLLATE|AUTO_INCREMENT|COMMENT"
     r"|ROW_FORMAT|KEY_BLOCK_SIZE|STATS_PERSISTENT|STATS_AUTO_RECALC"
     r"|STATS_SAMPLE_PAGES|MAX_ROWS|MIN_ROWS|PACK_KEYS|DELAY_KEY_WRITE"
@@ -664,6 +669,13 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
     if re.match(
         r"(?:CREATE|DROP)\s+TEMPORARY\s+TABLE\b", s, re.I,
     ):
+        return []
+
+    # PolarDB-X tablegroup administration (CREATE/DROP/ALTER TABLEGROUP …
+    # SPLIT/MERGE/MOVE PARTITION, SET LOCALITY): pure data-placement DDL —
+    # no table's column model changes, so the registry digests a no-op
+    # (the reference's DDLConverter drops these from the logical stream)
+    if re.match(r"(?:CREATE|DROP|ALTER)\s+TABLEGROUP\b", s, re.I):
         return []
 
     raise ValueError(f"unsupported DDL: {sql!r}")

@@ -50,6 +50,19 @@ NOOP_ACTIONS = [
     "MERGE PARTITIONS a{n}, b{n} TO px{n}",
     "ROW_FORMAT=DYNAMIC",
     "DEFAULT CHARACTER SET utf8mb4",
+    # round-10: subpartition maintenance + PolarDB-X placement forms
+    "ADD SUBPARTITION (SUBPARTITION sx{n} VALUES LESS THAN ({n}000))",
+    "DROP SUBPARTITION sx{n}, sy{n}",
+    "TRUNCATE SUBPARTITION sx{n}",
+    "REORGANIZE SUBPARTITION sx{n} INTO (SUBPARTITION sz{n}, SUBPARTITION sw{n})",
+    "SPLIT SUBPARTITION sx{n} INTO (SUBPARTITION sa{n}, SUBPARTITION sb{n})",
+    "MERGE SUBPARTITIONS sa{n}, sb{n} TO sx{n}",
+    "MODIFY PARTITION px{n} ADD VALUES ({n}7, {n}8)",
+    "MODIFY SUBPARTITION sx{n} DROP VALUES ({n}7)",
+    "RENAME PARTITION px{n} TO pr{n}",
+    "RENAME SUBPARTITION sx{n} TO sr{n}",
+    "SET TABLEGROUP=tg_{n} FORCE",
+    "LOCALITY='dn=dn{n}'",
     "ADD INDEX fidx_{n} ((`{col}` + 1))",
     "ADD UNIQUE KEY fuk_{n} ((LOWER(`{col}`)), `{col}`)",
     "ADD CONSTRAINT chk_{n} CHECK (`{col}` IS NOT NULL AND ((1) < 2))",
@@ -728,6 +741,106 @@ def test_round9_fulltext_with_parser_and_spatial_options():
     )
     s = reg.find("qa", "td", "999")
     assert list(s.columns) == ["id", "txt", "g"]
+
+
+def test_round10_subpartitioned_create_registers_columns_only():
+    """CREATE tails with two-level partitioning (SUBPARTITION BY +
+    explicit per-partition SUBPARTITION lists, LIST COLUMNS, LINEAR KEY
+    ALGORITHM=2) carry no column info — the registry records exactly the
+    declared columns (MemoryTableMeta projects the same way)."""
+    reg = SchemaRegistry()
+    reg.apply_sql(
+        "100",
+        "CREATE TABLE ts (id INT PRIMARY KEY, d DATE) "
+        "PARTITION BY RANGE (YEAR(d)) "
+        "SUBPARTITION BY HASH (TO_DAYS(d)) SUBPARTITIONS 4 "
+        "(PARTITION p0 VALUES LESS THAN (1990) "
+        " (SUBPARTITION s0 DATA DIRECTORY = '/x', SUBPARTITION s1), "
+        " PARTITION p1 VALUES LESS THAN MAXVALUE "
+        " (SUBPARTITION s2, SUBPARTITION s3))",
+        default_db="qa",
+    )
+    reg.apply_sql(
+        "110",
+        "CREATE TABLE tl (a INT, b INT) PARTITION BY LIST COLUMNS(a,b) "
+        "(PARTITION p0 VALUES IN ((1,1),(2,2)), PARTITION p1 VALUES IN ((3,3)))",
+        default_db="qa",
+    )
+    reg.apply_sql(
+        "120",
+        "CREATE TABLE tk (a INT) PARTITION BY LINEAR KEY ALGORITHM=2 (a) PARTITIONS 8",
+        default_db="qa",
+    )
+    assert list(reg.find("qa", "ts", "999").columns) == ["id", "d"]
+    assert list(reg.find("qa", "tl", "999").columns) == ["a", "b"]
+    assert list(reg.find("qa", "tk", "999").columns) == ["a"]
+
+
+def test_round10_subpartition_maintenance_is_registry_noop():
+    """Every MySQL/PolarDB-X [SUB]PARTITION maintenance ALTER form —
+    incl. MODIFY/RENAME [SUB]PARTITION and ADD SUBPARTITION — digests as
+    a placement no-op: the column model never moves."""
+    reg = SchemaRegistry()
+    reg.apply_sql("100", "CREATE TABLE tp (id INT PRIMARY KEY, v INT) "
+                         "PARTITION BY RANGE (id) SUBPARTITION BY HASH (v) "
+                         "SUBPARTITIONS 2 (PARTITION p0 VALUES LESS THAN (100))",
+                  default_db="qa")
+    forms = [
+        "ADD SUBPARTITION (SUBPARTITION s9 VALUES LESS THAN (100))",
+        "DROP SUBPARTITION s0, s1",
+        "TRUNCATE SUBPARTITION s2",
+        "REBUILD SUBPARTITION s0",
+        "ANALYZE SUBPARTITION s0",
+        "REORGANIZE SUBPARTITION s0 INTO (SUBPARTITION u0, SUBPARTITION u1)",
+        "SPLIT SUBPARTITION u0 INTO (SUBPARTITION u2, SUBPARTITION u3)",
+        "MERGE SUBPARTITIONS u2, u3 TO u0",
+        "MOVE SUBPARTITIONS u0 TO 'dn-1'",
+        "MODIFY PARTITION p0 ADD VALUES (10, 11)",
+        "MODIFY SUBPARTITION u0 DROP VALUES (10)",
+        "RENAME PARTITION p0 TO p0x",
+        "RENAME SUBPARTITION u0 TO u0x",
+        "PARTITION BY RANGE (id) SUBPARTITION BY HASH (v) SUBPARTITIONS 4 "
+        "(PARTITION q0 VALUES LESS THAN MAXVALUE)",
+        "EXCHANGE PARTITION q0 WITH TABLE tq WITH VALIDATION",
+    ]
+    for i, action in enumerate(forms):
+        reg.apply_sql(str(200 + i), f"ALTER TABLE tp {action}", default_db="qa")
+        snap = reg.find("qa", "tp", "99999")
+        assert list(snap.columns) == ["id", "v"], action
+
+
+def test_round10_modify_partition_not_misparsed_as_column_retype():
+    """Regression (round-10 fuzz find): ``MODIFY PARTITION p0 ADD VALUES
+    (…)`` used to fall through to the MODIFY-COLUMN regex and record a
+    retype of a phantom column named ``partition``. It must parse as a
+    partition action; a genuinely backquoted `partition` column must
+    still retype."""
+    from polardbx_cdc_spark import ddl
+
+    ops = ddl.parse_ddl("ALTER TABLE t MODIFY PARTITION p0 ADD VALUES (10)", "qa")
+    assert [o["op"] for o in ops] == ["partition"]
+    ops = ddl.parse_ddl("ALTER TABLE t MODIFY COLUMN `partition` VARCHAR(10)", "qa")
+    assert [(o["op"], o["column"]) for o in ops] == [("modify_column", "partition")]
+
+
+def test_round10_tablegroup_and_locality_forms():
+    """PolarDB-X placement surface: SET TABLEGROUP / LOCALITY ALTER
+    actions are table-option no-ops; CREATE/ALTER/DROP TABLEGROUP
+    statements digest as registry no-ops (data placement only)."""
+    reg = SchemaRegistry()
+    reg.apply_sql("100", "CREATE TABLE tg (id INT PRIMARY KEY)", default_db="qa")
+    reg.apply_sql("200", "ALTER TABLE tg SET TABLEGROUP = tg1", default_db="qa")
+    reg.apply_sql("210", "ALTER TABLE tg SET tablegroup=tg1 FORCE", default_db="qa")
+    reg.apply_sql("220", "ALTER TABLE tg LOCALITY = 'dn=dn1'", default_db="qa")
+    reg.apply_sql("230", "ALTER TABLE tg SET LOCALITY = 'dn=dn1'", default_db="qa")
+    reg.apply_sql("240", "ALTER TABLE tg ADD COLUMN v INT, SET TABLEGROUP=tg2, "
+                         "DROP SUBPARTITION s3", default_db="qa")
+    reg.apply_sql("300", "CREATE TABLEGROUP tg2 LOCALITY = 'dn=dn2'", default_db="qa")
+    reg.apply_sql("310", "ALTER TABLEGROUP tg2 SPLIT PARTITION p0 INTO "
+                         "(PARTITION p1 VALUES LESS THAN (10), "
+                         "PARTITION p2 VALUES LESS THAN (20))", default_db="qa")
+    reg.apply_sql("320", "DROP TABLEGROUP IF EXISTS tg2", default_db="qa")
+    assert list(reg.find("qa", "tg", "999").columns) == ["id", "v"]
 
 
 def test_create_table_select_is_rejected_not_misparsed():
