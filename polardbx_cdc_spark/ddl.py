@@ -488,6 +488,17 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
         tbl, actions = _ident(m.group(2)), m.group(3)
         ops = []
         for action in _merge_continuations(_split_top_level(actions)):
+            # MariaDB / PolarDB-X conditional column forms: the guard
+            # changes nothing about the applied schema when the condition
+            # holds (and the binlogged statement only exists because it
+            # DID apply), so digest with the guard stripped. A genuine
+            # column named ``if`` must be backquoted (reserved word) and
+            # arrives as a sanitizer placeholder — never matches here.
+            action = re.sub(
+                r"^(ADD|DROP|MODIFY|CHANGE)\s+(COLUMN\s+)?IF\s+(?:NOT\s+)?EXISTS\s+",
+                lambda m: m.group(1) + " " + (m.group(2) or ""),
+                action, flags=re.I,
+            )
             if _PARTITION_ACTION.match(action):
                 # partition maintenance changes data placement, never the
                 # visible column set — record a no-op version (the
@@ -592,7 +603,7 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
 
     # DROP TABLE [IF EXISTS] a [, b, ...] [RESTRICT|CASCADE]
     m = re.match(
-        r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+?)\s*(?:RESTRICT|CASCADE)?\s*$",
+        r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+?)(?:\s+(?:RESTRICT|CASCADE))?\s*$",
         s, re.I | re.S,
     )
     if m:
@@ -609,14 +620,18 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
     # table (CINDEX/DINDEX actions in the reference's DBMSAction model)
     m = re.match(
         rf"CREATE\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:GLOBAL\s+|CLUSTERED\s+|LOCAL\s+)?"
-        rf"INDEX\s+{_IDENT}\s+ON\s+{_QUALIFIED}\s*\(.*\)\s*[^)]*$",
+        rf"INDEX\s+{_IDENT}\s+(?:USING\s+\w+\s+)?ON\s+{_QUALIFIED}\s*\(.*\)\s*[^)]*$",
         s, re.I | re.S,
     )
     if m:
         db = _ident(m.group(2)) if m.group(2) else default_db
         return [{"db": db, "tbl": _ident(m.group(3)), "op": "index", "action": s}]
 
-    m = re.match(rf"DROP\s+INDEX\s+{_IDENT}\s+ON\s+{_QUALIFIED}\s*$", s, re.I)
+    m = re.match(
+        rf"DROP\s+INDEX\s+{_IDENT}\s+ON\s+{_QUALIFIED}"
+        rf"(?:\s+(?:ALGORITHM|LOCK)\s*=?\s*\w+)*\s*$",
+        s, re.I,
+    )
     if m:
         db = _ident(m.group(2)) if m.group(2) else default_db
         return [{"db": db, "tbl": _ident(m.group(3)), "op": "index", "action": s}]

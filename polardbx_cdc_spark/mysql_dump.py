@@ -768,13 +768,16 @@ class _Handler(socketserver.StreamRequestHandler):
                     # (non-GTID-framed) transaction's events
                     skip = False
                     in_group = False
-                elif tc == W.QUERY_EVENT and skip:
+                elif tc == W.QUERY_EVENT:
                     # groups may also terminate at a QUERY event — COMMIT
                     # / ROLLBACK text or an implicit-commit DDL (which is
                     # its whole group). BEGIN / XA START open a group and
                     # statement-era DML QUERYs sit inside one, so none of
                     # those clears skip (_query_ends_group); a TEMPORARY
                     # DDL ends the group ONLY when standalone (no opener).
+                    # The opener latch is tracked UNconditionally — not
+                    # just while skipping — so a skip source introduced
+                    # mid-group can never observe a stale in_group=False.
                     # Bounds-check every derived offset against the frame
                     # end: the loop guard only proves elen >= 27, so a
                     # truncated/alien QUERY frame must leave skip alone
@@ -793,6 +796,7 @@ class _Handler(socketserver.StreamRequestHandler):
                                 in_group = True
                             elif _query_ends_group(q, in_group=in_group):
                                 skip = False
+                                in_group = False
                 elif tc == W.XA_PREPARE_EVENT:
                     # an XA transaction's group ends at its XA_PREPARE
                     # (one-phase or not) — the XA COMMIT arrives later as

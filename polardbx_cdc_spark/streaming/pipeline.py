@@ -312,36 +312,34 @@ class BinlogSink:
     # -- disorder -----------------------------------------------------------
 
     def _check_disorder(self, suspects: DataFrame, key: str, low_mark: str,
-                        batch_id: int, n_suspect: int | None = None) -> DataFrame:
+                        batch_id: int) -> DataFrame:
         """Rows/txns at or below the durable high-water mark are either a
         recovery replay (present in the sink — fine, dedup below) or real
         disorder (absent — corruption). The anti-join against the durable
         slice is pruned by the parquet ``key`` min/max to the suspect range,
-        so it costs nothing when there is no replay at all.
-
-        ``n_suspect``: pass the already-known suspect count when the caller
-        computed it inside another pass (the _emit stats fold) — skips this
-        method's own persist+count job; the caller's frame must already be
-        cached."""
-        if n_suspect is not None:
-            if n_suspect == 0:
-                return suspects
-            return self._probe_durable(suspects, key, low_mark, batch_id)
+        so it costs nothing when there is no replay at all. (The non-framed
+        path never comes through here: _emit folds the suspect count AND
+        min into its stats pass and calls _probe_durable directly.)"""
         suspects = suspects.persist()
         try:
-            n = suspects.count()
-            if n == 0:
+            row = suspects.agg(
+                F.count(F.lit(1)).alias("n"), F.min(key).alias("mn")
+            ).collect()[0]
+            if row["n"] == 0:
                 return suspects
-            return self._probe_durable(suspects, key, low_mark, batch_id)
+            return self._probe_durable(suspects, key, low_mark, batch_id,
+                                       min_key=row["mn"])
         finally:
             suspects.unpersist()
 
     def _probe_durable(self, suspects: DataFrame, key: str, low_mark: str,
-                       batch_id: int) -> DataFrame:
+                       batch_id: int, min_key=None) -> DataFrame:
+        if min_key is None:
+            min_key = suspects.agg(F.min(key)).collect()[0][0]
         durable = (
             suspects.sparkSession.read.parquet(self.out_dir)
             .select(key)
-            .filter(F.col(key) >= suspects.agg(F.min(key)).collect()[0][0])
+            .filter(F.col(key) >= min_key)
         )
         provable = suspects.join(durable, key, "left_anti").limit(1).collect()
         if provable:
@@ -484,8 +482,12 @@ class BinlogSink:
                 F.max(F.when(live, F.col(max_col))).alias("mx"),
             ]
             if has_suspects:
+                key = probe[0]
                 aggs.append(
                     F.sum(F.when(F.col("_suspect"), 1).otherwise(0)).alias("n_sus")
+                )
+                aggs.append(
+                    F.min(F.when(F.col("_suspect"), F.col(key))).alias("mn_sus")
                 )
             stats = with_pid.groupBy("_pid").agg(*aggs).collect()
             if has_suspects:
@@ -493,10 +495,15 @@ class BinlogSink:
                 n_sus = sum(r["n_sus"] for r in stats)
                 if n_sus:
                     # replay/disorder rows exist: the durable anti-join
-                    # reuses the cached exchange output
-                    self._check_disorder(
+                    # reuses the cached exchange output; the suspect MIN
+                    # rode the same stats pass, so the probe issues only
+                    # the anti-join job itself
+                    mn_sus = min(
+                        r["mn_sus"] for r in stats if r["mn_sus"] is not None
+                    )
+                    self._probe_durable(
                         with_pid.filter(F.col("_suspect")).select(key),
-                        key, low_mark, batch_id, n_suspect=n_sus,
+                        key, low_mark, batch_id, min_key=mn_sus,
                     )
             counts = {r["_pid"]: r["cnt"] for r in stats}
             n_total = sum(counts.values())

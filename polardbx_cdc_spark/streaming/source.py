@@ -50,7 +50,8 @@ def _as_stream_dir(sf_dir: str, name: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
-                       fan_out: bool = True) -> DataFrame:
+                       fan_out: bool = True,
+                       static_source: bool = False) -> DataFrame:
     """events parquet as an unbounded stream (schema pinned from the batch
     read; nanos ts handled identically to session.load_table).
 
@@ -65,9 +66,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     AggView/JoinView sinks' per-PK fold): the keyed exchange already
     spreads the work, so the round-robin pass would be a second full
     exchange bought for nothing (r9 profile: +34% on the IVM pipeline).
-    Even with fan_out on, the exchange is SKIPPED when the staged source
-    is already at least defaultParallelism files wide — those batches
-    arrive well-distributed."""
+    With ``static_source=True`` (a complete backlog consumed in ONE
+    availableNow attach) the exchange is additionally skipped when the
+    staged directory is already at least defaultParallelism files wide —
+    that one batch arrives well-distributed. The skip is opt-in because
+    the census runs at stream-DEFINITION time: a live-tail stream's later
+    micro-batches contain only newly-landed files (often 1-2), exactly
+    the narrow batches the exchange exists for."""
     from polardbx_cdc_spark.session import ensure_nanos_readable, normalize_event_ts
 
     ensure_nanos_readable(spark)
@@ -77,7 +82,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     if fan_out:
         width = spark.sparkContext.defaultParallelism
         n_files = sum(1 for f in os.listdir(src_dir) if f.endswith(".parquet"))
-        if n_files < width:
+        if not (static_source and n_files >= width):
             stream = stream.repartition(width)
     return normalize_event_ts(stream)
 

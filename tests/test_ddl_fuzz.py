@@ -823,6 +823,52 @@ def test_round10_modify_partition_not_misparsed_as_column_retype():
     assert [(o["op"], o["column"]) for o in ops] == [("modify_column", "partition")]
 
 
+def test_round10_conditional_column_forms_strip_the_guard():
+    """MariaDB/PolarDB-X ``IF [NOT] EXISTS`` column guards: the binlogged
+    statement only exists because it applied, so digest with the guard
+    stripped — never record a phantom column named ``if`` (the round-10
+    probe found ADD COLUMN IF NOT EXISTS c INT adding a column 'if')."""
+    from polardbx_cdc_spark import ddl
+
+    ops = ddl.parse_ddl("ALTER TABLE t ADD COLUMN IF NOT EXISTS c INT", "qa")
+    assert [(o["op"], o["column"]) for o in ops] == [("add_column", "c")]
+    ops = ddl.parse_ddl("ALTER TABLE t DROP COLUMN IF EXISTS c", "qa")
+    assert [(o["op"], o["column"]) for o in ops] == [("drop_column", "c")]
+    ops = ddl.parse_ddl("ALTER TABLE t MODIFY COLUMN IF EXISTS c BIGINT", "qa")
+    assert [(o["op"], o["column"]) for o in ops] == [("modify_column", "c")]
+    ops = ddl.parse_ddl("ALTER TABLE t CHANGE COLUMN IF EXISTS c d BIGINT", "qa")
+    assert [(o["op"], o["from"], o["to"]) for o in ops] == [("rename_column", "c", "d")]
+    # a genuine (reserved-word) column named `if` must be backquoted and
+    # still parses as a column op
+    ops = ddl.parse_ddl("ALTER TABLE t ADD COLUMN `if` INT", "qa")
+    assert [(o["op"], o["column"]) for o in ops] == [("add_column", "if")]
+
+
+def test_round10_index_statement_tails():
+    """CREATE INDEX with a pre-ON index_type and DROP INDEX with
+    ALGORITHM/LOCK tails digest as index no-ops."""
+    from polardbx_cdc_spark import ddl
+
+    ops = ddl.parse_ddl("CREATE INDEX ix USING BTREE ON t (a, b DESC)", "qa")
+    assert [o["op"] for o in ops] == ["index"]
+    ops = ddl.parse_ddl("DROP INDEX ix ON t ALGORITHM=INPLACE LOCK=NONE", "qa")
+    assert [o["op"] for o in ops] == ["index"]
+
+
+def test_round10_drop_table_names_ending_in_cascade_restrict():
+    """Regression (round-10 self-review): the optional RESTRICT|CASCADE
+    tail on DROP TABLE must require preceding whitespace — an unquoted
+    table name ENDING in those keywords must not be truncated."""
+    from polardbx_cdc_spark import ddl
+
+    for name in ("on_delete_cascade", "metrics_restrict", "cascade", "restrict"):
+        ops = ddl.parse_ddl(f"DROP TABLE {name}", "qa")
+        assert ops == [{"db": "qa", "tbl": name, "op": "drop"}], name
+    ops = ddl.parse_ddl("DROP TABLE IF EXISTS a_cascade, b_restrict CASCADE", "qa")
+    assert [(o["tbl"], o["op"]) for o in ops] == [
+        ("a_cascade", "drop"), ("b_restrict", "drop")]
+
+
 def test_round10_tablegroup_and_locality_forms():
     """PolarDB-X placement surface: SET TABLEGROUP / LOCALITY ALTER
     actions are table-option no-ops; CREATE/ALTER/DROP TABLEGROUP
