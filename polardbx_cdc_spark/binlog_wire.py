@@ -2384,18 +2384,26 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
 
 
 def wire_frame_rows(name: str, buf: bytes,
-                    tolerate_truncation: bool = False) -> list[tuple]:
+                    tolerate_truncation: bool = False,
+                    include_values: bool = False) -> list[tuple]:
     """Decode ONE wire file's bytes (magic optional) into the consumer
     frame rows — (file_name, pos, kind, db, tbl, pk, value, xid). The
-    SINGLE implementation behind the batch attach (`read_wire_binlog`)
-    and the streaming attach (`streaming.source.wire_stream`): ``pos``
+    SINGLE implementation behind the batch attach (`read_wire_binlog`),
+    the streaming attach (`streaming.source.wire_stream`) AND the
+    registry-typed attach (`decode_wire_with_registry`): ``pos``
     is the row index within the file counting EVERY surfaced row (rows,
     BEGIN/COMMIT, DDL, TRACE, GCN, and — since round 8 — INCIDENT
-    markers), so both paths assign identical replication positions and
+    markers), so all paths assign identical replication positions and
     an applier can move between them. Offsets persisted BEFORE incident
     surfacing remain valid for incident-free files (no in-repo exporter
     ever emits INCIDENT; the row exists for externally produced
-    streams, where a replica must stop at the gap anyway)."""
+    streams, where a replica must stop at the gap anyway).
+
+    ``include_values=True`` appends a 9th element to every tuple: the
+    row's full decoded image values (AFTER image for UPDATEs, with
+    type-39 JSON diff vectors materialized; BEFORE image for DELETEs),
+    ``None`` on non-row kinds — keeping position assignment and typed
+    decode in ONE implementation so they can never drift."""
     _ACTION = {
         WRITE_ROWS_EVENT: "INSERT",
         UPDATE_ROWS_EVENT: "UPDATE",
@@ -2433,11 +2441,19 @@ def wire_frame_rows(name: str, buf: bytes,
                     else None
                 )
                 val = img[1] if len(img) > 1 else None
-                out.append(
-                    (name, pos, _ACTION[tc], ev["db"], ev["tbl"],
-                     pk, val if isinstance(val, float) else None,
-                     None)
-                )
+                rec = (name, pos, _ACTION[tc], ev["db"], ev["tbl"],
+                       pk, val if isinstance(val, float) else None,
+                       None)
+                if include_values:
+                    vals = img
+                    if tc == PARTIAL_UPDATE_ROWS_EVENT:
+                        vals = [
+                            apply_json_diffs(b, v)
+                            if isinstance(v, JsonDiffVector) else v
+                            for b, v in zip(row[0], vals)
+                        ]
+                    rec = rec + (list(vals),)
+                out.append(rec)
                 pos += 1
         elif tc == QUERY_EVENT:
             q = ev.get("query", "")
@@ -2483,6 +2499,8 @@ def wire_frame_rows(name: str, buf: bytes,
                  ev.get("incident_number"))
             )
             pos += 1
+    if include_values:
+        return [t if len(t) == 9 else t + (None,) for t in out]
     return out
 
 
@@ -2682,6 +2700,28 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
     return df.mapInPandas(encode_partition, "n_rows long, payload binary")
 
 
+def _coerce_typed(v, field, codec):
+    """One decoded wire value → its Spark-schema Python form (shared by
+    `binlog_to_table` and `decode_wire_with_registry`): label codecs
+    (ENUM/SET/charset) first, then bool/Decimal widening, MySQL TIME
+    text form for timedeltas, everything else passes through."""
+    import datetime
+    from decimal import Decimal
+
+    if v is None:
+        return None
+    if codec is not None:
+        return codec[1](v)
+    tn = field.dataType.typeName()
+    if tn == "boolean":
+        return bool(v)
+    if tn.startswith("decimal") and not isinstance(v, Decimal):
+        return Decimal(v)
+    if isinstance(v, datetime.timedelta):
+        return _format_time(v)
+    return v
+
+
 def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
                     payload_col: str = "payload",
                     include_action: bool = False):
@@ -2696,8 +2736,6 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
     ``action`` column; UPDATE rows surface their AFTER image (the REPLACE
     model — pair the flag with the registry/last-image machinery when the
     before image matters)."""
-    from decimal import Decimal
-
     from pyspark.sql import types as T
 
     from polardbx_cdc_spark.types import spark_type_for
@@ -2715,8 +2753,6 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
     codecs = _label_codecs(mysql_types)
 
     def decode_partition(batches):
-        import datetime
-
         import pandas as pd
 
         for pdf in batches:
@@ -2749,21 +2785,14 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
                                     for b, v in zip(before, row)
                                 ]
                         rec = [act] if include_action else []
-                        for v, decl, f, codec in zip(
-                            row, decls, out_schema.fields, codecs
-                        ):
-                            if v is None:
-                                rec.append(None)
-                            elif codec is not None:
-                                rec.append(codec[1](v))
-                            elif f.dataType.typeName() == "boolean":
-                                rec.append(bool(v))
-                            elif f.dataType.typeName().startswith("decimal") and not isinstance(v, Decimal):
-                                rec.append(Decimal(v))
-                            elif isinstance(v, datetime.timedelta):
-                                rec.append(_format_time(v))
-                            else:
-                                rec.append(v)
+                        # value fields only — out_schema's leading
+                        # ``action`` field must not shift the zip
+                        vfields = (
+                            out_schema.fields[1:] if include_action
+                            else out_schema.fields
+                        )
+                        for v, f, codec in zip(row, vfields, codecs):
+                            rec.append(_coerce_typed(v, f, codec))
                         out.append(rec)
             yield pd.DataFrame(
                 out,
@@ -2771,6 +2800,131 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
             )
 
     return blobs.mapInPandas(decode_partition, out_schema)
+
+
+def decode_wire_with_registry(spark, wire_dir: str, registry, db: str, tbl: str,
+                              glob: str = "binlog.*",
+                              include_action: bool = False):
+    """Registry-resolved TYPED decode of real wire files — the
+    ``binlog_row_metadata=MINIMAL`` attach, which is the MySQL DEFAULT:
+    the wire carries physical column types but no names/labels, so the
+    consumer resolves every row event against the schema version in
+    effect at its own replication position. This is the LogDecoder ↔
+    TableMetaTSDB pairing (polardbx-cdc-canal MemoryTableMeta.find per
+    position; PolarDbXTableMetaManager.java) and the counterpart of
+    :func:`decode_named_rows`, which needs ``binlog_row_metadata=FULL``
+    TLVs on the wire.
+
+    Output columns follow the registry's LATEST schema for ``(db,
+    tbl)``: rows logged under an older version surface NULL for columns
+    that did not exist yet, and values of since-dropped columns are not
+    carried — the materialize-current-schema contract every CDC
+    consumer applies. A row whose wire width disagrees with its
+    governing version raises (registry drift is corruption, never a
+    silent mis-zip). Full row images are expected; pair MINIMAL-image
+    streams with the last-image machinery first.
+
+    Distributed: binaryFile scan + per-file ``mapInPandas`` (positions
+    come from :func:`wire_frame_rows` ``include_values=True`` — the same
+    counter as every other attach). The version timeline is one row per
+    DDL, shipped to executors as a closure constant the way the
+    reference broadcasts its meta snapshot."""
+    import bisect
+
+    from pyspark.sql import types as T
+
+    from polardbx_cdc_spark.types import spark_type_for
+
+    starts = sorted(
+        from_tso
+        for (d, t, from_tso, _to, _cols) in registry.version_intervals()
+        if (d, t) == (db, tbl)
+    )
+    versions = []  # (from_key, columns, decls) — live versions only
+    for from_tso in starts:
+        s = registry.find(db, tbl, from_tso)
+        if s is not None:
+            versions.append((from_tso, tuple(s.columns), tuple(s.types)))
+    if not versions:
+        raise ValueError(f"registry has no live schema for {db}.{tbl}")
+    fin_cols, fin_decls = versions[-1][1], versions[-1][2]
+
+    fields = []
+    if include_action:
+        fields.append(T.StructField("action", T.StringType(), False))
+    for name, decl in zip(fin_cols, fin_decls):
+        st = spark_type_for(decl)
+        if isinstance(st, (T.TimestampType, T.TimestampNTZType)):
+            st = T.TimestampNTZType()
+        fields.append(T.StructField(name, st, True))
+    out_schema = T.StructType(fields)
+    vfields = fields[1:] if include_action else fields
+
+    # per version: source index + source decl for each FINAL column
+    vkeys = [v[0] for v in versions]
+    vplans = []
+    for _tso, cols, decls in versions:
+        idx = {c: i for i, c in enumerate(cols)}
+        src = [idx.get(c) for c in fin_cols]
+        src_decls = [
+            decls[idx[c]] if c in idx else fd
+            for c, fd in zip(fin_cols, fin_decls)
+        ]
+        vplans.append((len(cols), src, _label_codecs(src_decls)))
+
+    def decode_files(batches):
+        import os
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(path)
+                seq = int(name.rsplit(".", 1)[-1])
+                for rec in wire_frame_rows(name, bytes(content),
+                                           include_values=True):
+                    kind, edb, etbl, values = rec[2], rec[3], rec[4], rec[8]
+                    if values is None or (edb, etbl) != (db, tbl):
+                        continue
+                    if kind == "DELETE" and not include_action:
+                        continue
+                    if kind == "UPDATE" and not include_action:
+                        continue
+                    key = f"{seq:06d}{rec[1]:012d}"
+                    vi = bisect.bisect_right(vkeys, key) - 1
+                    if vi < 0:
+                        raise ValueError(
+                            f"{name} pos {rec[1]}: row event precedes every "
+                            f"registry version of {db}.{tbl}"
+                        )
+                    width, src, codecs = vplans[vi]
+                    if len(values) != width:
+                        raise ValueError(
+                            f"{name} pos {rec[1]}: wire row width "
+                            f"{len(values)} != registry version width "
+                            f"{width} for {db}.{tbl} (registry drift)"
+                        )
+                    row = [None] * len(fin_cols)
+                    for o, (si, f, codec) in enumerate(
+                        zip(src, vfields, codecs)
+                    ):
+                        if si is not None:
+                            row[o] = _coerce_typed(values[si], f, codec)
+                    out.append(([kind] + row) if include_action else row)
+            yield pd.DataFrame(
+                out,
+                columns=(["action"] + list(fin_cols)) if include_action
+                else list(fin_cols),
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(wire_dir)
+        .select("path", "content")
+        .mapInPandas(decode_files, out_schema)
+    )
 
 
 def seek_wire_position(spark, wire_dir: str, tso: str):

@@ -85,23 +85,27 @@ def register(name: str, oracle: str | None):
 #: ROUND-10 ROTATION (executed): the window leads with the 2 never-graded
 #: oracle-backed names queued at positions 50-51 last round
 #: (text_bpe_encode_corpus, cdc_wire_stream_x_tail), then this round's
-#: newcomer cdc_dump_attach_decode (the network dump path's first
-#: driver-graded query — graded the same round it ships, the r9
-#: precedent), then the 5 r6-graded defer-head names the r9 verdict
-#: promotes (sketch_hll_registers, events_type_pivot, cdc_ivm_agg_view,
-#: q12_late_shipment_priority, media_gif_frames), then the FIRST 41 of
-#: the r7-graded block (the oldest grades left), and the
-#: cdc_full_pipeline flagship anchor = exactly 50. The 8 r7-graded names
-#: that did not fit sit at _GRADE_DEFER's HEAD as round 11's promotion
-#: queue, followed by the r8 block and the names graded r9. After this
-#: round's grading no oracle-backed query's latest official grade is
-#: older than r7, and only those 8 queue-head names remain at r7.
+#: TWO newcomers — cdc_dump_attach_decode (the network dump path's
+#: first driver-graded query) and orders_wire_ddl_evolution (the
+#: registry-resolved typed decode / schema-evolution attach) — graded
+#: the same round they ship, the r9 precedent; then the 5 r6-graded
+#: defer-head names the r9 verdict promotes (sketch_hll_registers,
+#: events_type_pivot, cdc_ivm_agg_view, q12_late_shipment_priority,
+#: media_gif_frames), then the FIRST 40 of the r7-graded block (the
+#: oldest grades left), and the cdc_full_pipeline flagship anchor =
+#: exactly 50. The 9 r7-graded names that did not fit sit at
+#: _GRADE_DEFER's HEAD as round 11's promotion queue, followed by the
+#: r8 block and the names graded r9. After this round's grading no
+#: oracle-backed query's latest official grade is older than r7, and
+#: only those 9 queue-head names remain at r7.
 _GRADE_PRIORITY: tuple[str, ...] = (
     # -- never officially graded (round-9 late additions) -------------
     "text_bpe_encode_corpus",
     "cdc_wire_stream_x_tail",
-    # -- new this round: network dump path, graded same-round ---------
+    # -- new this round: network dump path + registry-typed schema
+    #    evolution decode, graded same-round ---------------------------
     "cdc_dump_attach_decode",
+    "orders_wire_ddl_evolution",
     # -- the 5 r6-graded defer-head names (r9 verdict promotion) ------
     "sketch_hll_registers",
     "events_type_pivot",
@@ -149,7 +153,6 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "events_daily_rollup",
     "events_date_format_roundtrip",
     "events_json_props",
-    "events_sessionize",
     # -- flagship anchor (green every graded round) --------------------
     "cdc_full_pipeline",
 )
@@ -161,6 +164,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
 #: run by tests/test_oracle_parity.py (identical multiset compare).
 _GRADE_DEFER: tuple[str, ...] = (
     # r7-graded remainder — round 11's promotion queue head:
+    "events_sessionize",
     "full_copy_chunks",
     "media_features",
     "media_stats",
@@ -6044,6 +6048,135 @@ def orders_wire_enum_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.array_contains(F.split("flags", ","), "a"), 1).otherwise(0)
         ).cast("long").alias("n_flag_a"),
     )
+
+
+@register(
+    "orders_wire_ddl_evolution",
+    """
+    WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders)
+    SELECT (o_orderkey <= (SELECT c FROM cut)) AS phase_a,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum,
+           CAST(count(DISTINCT CASE WHEN o_orderkey > (SELECT c FROM cut)
+                THEN 'Clerk#' || lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0')
+                END) AS BIGINT) AS n_clerks
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_wire_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON THE WIRE, resolved by the registry — the
+    binlog_row_metadata=MINIMAL attach that is MySQL's DEFAULT (no name
+    TLVs on the wire; the consumer pairs LogDecoder with
+    TableMetaTSDB.find per replication position, MemoryTableMeta.java).
+    Phase-A files carry orders rows under the CREATEd 2-column schema;
+    a mid-stream ALTER TABLE ... ADD COLUMN QUERY event versions the
+    registry; phase-B files carry 3-column rows.
+    `decode_wire_with_registry` types every row by the version at its
+    own (file, pos) and materializes the LATEST schema — clerk is NULL
+    exactly for phase-A rows, which is what the oracle derives
+    analytically from the same cut key. A wrong version resolution,
+    column projection, or cut boundary flips the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from polardbx_cdc_spark import binlog_wire
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = o.agg(F.expr("max(o_orderkey) div 2").alias("c")).collect()[0]["c"]
+    half = _WIRE_FIXTURE_FILES // 2
+    rows = o.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.concat(
+            F.lit("Clerk#"),
+            F.lpad((F.col("o_orderkey") % 1000).cast("string"), 3, "0"),
+        ).alias("clerk"),
+        (
+            F.when(
+                F.col("o_orderkey") <= cut,
+                F.pmod(F.col("o_orderkey"), F.lit(half)) + 1,
+            ).otherwise(F.pmod(F.col("o_orderkey"), F.lit(half)) + half + 1)
+        ).cast("long").alias("file_seq"),
+    )
+    # bounded collect: ≤ _WIRE_FIXTURE_FILES distinct buckets — the DDL
+    # events must land in the FIRST populated file of each phase
+    seqs = sorted(
+        r["file_seq"] for r in rows.select("file_seq").distinct().collect()
+    )
+    create_seq = min(s for s in seqs if s <= half)
+    alter_seq = min(s for s in seqs if s > half)
+
+    work = tempfile.mkdtemp(prefix="wire_ddl_evo_")
+    try:
+        wire = os.path.join(work, "wire")
+        os.makedirs(wire)
+
+        def render(pdf):
+            import pandas as pd
+
+            from polardbx_cdc_spark import binlog_wire as W
+
+            seq = int(pdf["file_seq"].iloc[0])
+            phase_b = seq > half
+            events = []
+            if seq == create_seq:
+                events.append(W.encode_query(
+                    "tpch",
+                    "CREATE TABLE orders_evo ("
+                    "okey BIGINT PRIMARY KEY, cents BIGINT)",
+                ))
+            if seq == alter_seq:
+                events.append(W.encode_query(
+                    "tpch",
+                    "ALTER TABLE orders_evo ADD COLUMN clerk VARCHAR(16)",
+                ))
+            decls = ["bigint", "bigint"] + (["varchar(16)"] if phase_b else [])
+            td = W.TableDef.from_mysql_types("tpch", "orders_evo", decls)
+            events.append(W.encode_table_map(seq, td))
+            pdf = pdf.sort_values("okey")
+            if phase_b:
+                vals = [
+                    [int(k), int(c), str(cl)]
+                    for k, c, cl in zip(pdf["okey"], pdf["cents"], pdf["clerk"])
+                ]
+            else:
+                vals = [[int(k), int(c)] for k, c in zip(pdf["okey"], pdf["cents"])]
+            for i in range(0, len(vals), 500):
+                events.append(W.encode_rows_event(
+                    W.WRITE_ROWS_EVENT, seq, td, vals[i : i + 500]
+                ))
+            W.write_binlog_file(os.path.join(wire, f"binlog.{seq:06d}"), events)
+            return pd.DataFrame({"file_seq": [seq], "n": [len(vals)]})
+
+        # materialize the render (one task per file) BEFORE the attach
+        rows.groupBy("file_seq").applyInPandas(
+            render, "file_seq long, n long"
+        ).collect()
+
+        # the registry is rebuilt ENTIRELY from the wire's own DDL events
+        reg = replay_wire_ddl(spark, wire)
+        decoded = binlog_wire.decode_wire_with_registry(
+            spark, wire, reg, "tpch", "orders_evo"
+        )
+        out = decoded.groupBy(
+            F.col("clerk").isNull().alias("phase_a")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("okey").cast("long").alias("okey_sum"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.countDistinct("clerk").cast("long").alias("n_clerks"),
+        ).collect()  # bounded: exactly 2 phase rows
+        return spark.createDataFrame(
+            out, "phase_a boolean, n long, okey_sum long, cents_sum long, "
+                 "n_clerks long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(

@@ -1189,6 +1189,106 @@ def test_wire_ddl_drives_schema_registry_and_typed_decode(spark, tmp_path):
     assert rows2 == [[12, "hello"]]
 
 
+def _evo_wire(tmp_path):
+    """Two-file fixture: CREATE (id, amount) → rows → mid-file ADD note →
+    rows → second file rows → DROP amount → rows. Versions change both
+    MID-file and ACROSS files."""
+    import os
+    from decimal import Decimal
+
+    wire = str(tmp_path / "wire")
+    os.makedirs(wire, exist_ok=True)
+    td1 = W.TableDef.from_mysql_types("shop", "t", ["bigint", "decimal(10,2)"])
+    td2 = W.TableDef.from_mysql_types(
+        "shop", "t", ["bigint", "decimal(10,2)", "varchar(32)"])
+    td3 = W.TableDef.from_mysql_types("shop", "t", ["bigint", "varchar(32)"])
+    W.write_binlog_file(wire + "/binlog.000001", [
+        W.encode_query("shop", "CREATE TABLE t (id BIGINT PRIMARY KEY, "
+                               "amount DECIMAL(10,2))"),
+        W.encode_table_map(1, td1),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td1,
+                            [[1, Decimal("1.50")], [2, Decimal("2.25")]]),
+        W.encode_query("shop", "ALTER TABLE t ADD COLUMN note VARCHAR(32)"),
+        W.encode_table_map(2, td2),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 2, td2,
+                            [[3, Decimal("3.00"), "hi"]]),
+    ])
+    W.write_binlog_file(wire + "/binlog.000002", [
+        W.encode_table_map(2, td2),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 2, td2,
+                            [[4, Decimal("4.75"), "yo"]]),
+        W.encode_rows_event(
+            W.UPDATE_ROWS_EVENT, 2, td2,
+            [[[4, Decimal("4.75"), "yo"], [4, Decimal("9.00"), "up"]]]),
+        W.encode_rows_event(W.DELETE_ROWS_EVENT, 2, td2,
+                            [[3, Decimal("3.00"), "hi"]]),
+        W.encode_query("shop", "ALTER TABLE t DROP COLUMN amount"),
+        W.encode_table_map(3, td3),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 3, td3, [[5, "z"]]),
+    ])
+    return wire
+
+
+def test_decode_wire_with_registry_schema_evolution(spark, tmp_path):
+    """Registry-resolved typed decode (binlog_row_metadata=MINIMAL, the
+    MySQL default): rows logged under older versions materialize under
+    the LATEST schema — missing columns NULL, dropped columns gone —
+    with version resolution both mid-file and across the rotated chain."""
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = _evo_wire(tmp_path)
+    reg = replay_wire_ddl(spark, wire)
+    out = W.decode_wire_with_registry(spark, wire, reg, "shop", "t")
+    rows = {r["id"]: r for r in out.collect()}
+    # final schema = (id, note): amount dropped everywhere
+    assert set(out.columns) == {"id", "note"}
+    assert set(rows) == {1, 2, 3, 4, 5}  # default: WRITE images only
+    assert rows[1]["note"] is None and rows[2]["note"] is None  # v1 era
+    assert rows[3]["note"] == "hi" and rows[4]["note"] == "yo"  # v2 era
+    assert rows[5]["note"] == "z"  # v3 era
+
+
+def test_decode_wire_with_registry_change_stream(spark, tmp_path):
+    """include_action=True surfaces the full change stream: UPDATE rows
+    carry the AFTER image (REPLACE model), DELETE rows the before image."""
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = _evo_wire(tmp_path)
+    reg = replay_wire_ddl(spark, wire)
+    out = W.decode_wire_with_registry(
+        spark, wire, reg, "shop", "t", include_action=True)
+    by_act = {}
+    for r in out.collect():
+        by_act.setdefault(r["action"], []).append((r["id"], r["note"]))
+    assert sorted(by_act["INSERT"]) == [
+        (1, None), (2, None), (3, "hi"), (4, "yo"), (5, "z")]
+    assert by_act["UPDATE"] == [(4, "up")]
+    assert by_act["DELETE"] == [(3, "hi")]
+
+
+def test_decode_wire_with_registry_rejects_width_drift(spark, tmp_path):
+    """A wire row whose width disagrees with its governing registry
+    version is corruption — the decode raises, never silently mis-zips."""
+    import os
+
+    import pytest
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = str(tmp_path / "wire")
+    os.makedirs(wire)
+    td2 = W.TableDef.from_mysql_types("shop", "t", ["bigint", "varchar(8)"])
+    W.write_binlog_file(wire + "/binlog.000001", [
+        W.encode_query("shop", "CREATE TABLE t (id BIGINT PRIMARY KEY)"),
+        W.encode_table_map(1, td2),  # 2-wide rows under a 1-wide version
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td2, [[1, "x"]]),
+    ])
+    reg = replay_wire_ddl(spark, wire)
+    out = W.decode_wire_with_registry(spark, wire, reg, "shop", "t")
+    with pytest.raises(Exception, match="registry drift"):
+        out.collect()
+
+
 def test_export_with_gtid_framing(spark, sf_dir, tmp_path):
     """emit_gtid: the rendered chain carries a GTID event per transaction
     (gno = txn id) alongside the GCN carrier — a GTID-aware replica
