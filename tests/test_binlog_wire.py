@@ -1289,6 +1289,84 @@ def test_decode_wire_with_registry_rejects_width_drift(spark, tmp_path):
         out.collect()
 
 
+def test_decode_wire_with_registry_random_evolution_law(spark, tmp_path):
+    """Seeded-random evolution chains: interleave ADD/DROP COLUMN DDL
+    with inserts at random points, split the stream into random file
+    boundaries, and check the registry-typed decode equals an analytic
+    model that never sees the wire — for every inserted row, the final
+    projection is {col: value if the column existed at insert time}."""
+    import os
+    import random
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        db, tbl = "shop", f"r{seed}"
+        cols = ["rid"]          # rid never dropped (the join key)
+        decls = ["bigint"]
+        next_col = 0
+        steps = []              # each: list of event bytes
+        expected = []           # analytic model: {col: value} per row
+        rid = 0
+        steps.append([W.encode_query(
+            db, f"CREATE TABLE {tbl} (rid BIGINT PRIMARY KEY)")])
+        for _ in range(rng.randrange(4, 8)):
+            roll = rng.random()
+            if roll < 0.35:     # ADD COLUMN
+                name = f"c{next_col}"
+                next_col += 1
+                decl = rng.choice(["bigint", "varchar(16)"])
+                cols.append(name)
+                decls.append(decl)
+                steps.append([W.encode_query(
+                    db, f"ALTER TABLE {tbl} ADD COLUMN {name} "
+                        + ("BIGINT" if decl == "bigint" else "VARCHAR(16)"))])
+            elif roll < 0.55 and len(cols) > 1:  # DROP a non-key column
+                victim = rng.choice(cols[1:])
+                i = cols.index(victim)
+                del cols[i], decls[i]
+                steps.append([W.encode_query(
+                    db, f"ALTER TABLE {tbl} DROP COLUMN {victim}")])
+            else:               # INSERT 1-3 rows under the current schema
+                td = W.TableDef.from_mysql_types(db, tbl, decls)
+                rows = []
+                for _ in range(rng.randrange(1, 4)):
+                    rid += 1
+                    vals = [rid] + [
+                        rng.randrange(1000) if d == "bigint"
+                        else f"s{rng.randrange(1000)}"
+                        for d in decls[1:]
+                    ]
+                    rows.append(vals)
+                    expected.append(dict(zip(cols, vals)))
+                steps.append([W.encode_table_map(1, td),
+                              W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td, rows)])
+        # random file boundaries at whole-step granularity (each insert
+        # step carries its own TABLE_MAP, so any split is a legal file)
+        wire = str(tmp_path / f"wire{seed}")
+        os.makedirs(wire)
+        n_files = rng.randrange(1, 4)
+        bounds = sorted(rng.sample(range(1, len(steps)), n_files - 1))
+        parts = []
+        prev = 0
+        for b in bounds + [len(steps)]:
+            parts.append([e for st in steps[prev:b] for e in st])
+            prev = b
+        for i, events in enumerate(parts):
+            W.write_binlog_file(os.path.join(wire, f"binlog.{i + 1:06d}"), events)
+
+        reg = replay_wire_ddl(spark, wire)
+        out = W.decode_wire_with_registry(spark, wire, reg, db, tbl)
+        got = {r["rid"]: r.asDict() for r in out.collect()}
+        fin_cols = list(out.columns)
+        assert len(got) == len(expected), seed
+        for exp in expected:
+            row = got[exp["rid"]]
+            for c in fin_cols:
+                assert row[c] == exp.get(c), (seed, exp["rid"], c, row, exp)
+
+
 def test_export_with_gtid_framing(spark, sf_dir, tmp_path):
     """emit_gtid: the rendered chain carries a GTID event per transaction
     (gno = txn id) alongside the GCN carrier — a GTID-aware replica
