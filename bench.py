@@ -101,6 +101,7 @@ HEADLINE = [
     "cdc_wire_stream_x_tail",
     # round 10 additions
     "cdc_dump_attach_decode",
+    "orders_wire_ddl_evolution",
 ]
 
 

@@ -2829,6 +2829,24 @@ def decode_wire_with_registry(spark, wire_dir: str, registry, db: str, tbl: str,
     counter as every other attach). The version timeline is one row per
     DDL, shipped to executors as a closure constant the way the
     reference broadcasts its meta snapshot."""
+    decode_files, out_schema = _registry_decode_plan(
+        registry, db, tbl, include_action
+    )
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(wire_dir)
+        .select("path", "content")
+        .mapInPandas(decode_files, out_schema)
+    )
+
+
+def _registry_decode_plan(registry, db: str, tbl: str,
+                          include_action: bool = False):
+    """Shared plan behind the batch (`decode_wire_with_registry`) and
+    streaming (`streaming.source.wire_typed_stream`) registry-typed
+    attaches: returns the per-file ``mapInPandas`` generator and its
+    output schema, built from the registry's version timeline."""
     import bisect
 
     from pyspark.sql import types as T
@@ -2918,13 +2936,7 @@ def decode_wire_with_registry(spark, wire_dir: str, registry, db: str, tbl: str,
                 else list(fin_cols),
             )
 
-    return (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(wire_dir)
-        .select("path", "content")
-        .mapInPandas(decode_files, out_schema)
-    )
+    return decode_files, out_schema
 
 
 def seek_wire_position(spark, wire_dir: str, tso: str):

@@ -286,3 +286,35 @@ def wire_stream(spark: SparkSession, wire_dir: str,
             )
 
     return blobs.mapInPandas(decode_files, W.WIRE_FRAME_SCHEMA)
+
+
+def wire_typed_stream(spark: SparkSession, wire_dir: str, registry,
+                      db: str, tbl: str,
+                      include_action: bool = False) -> DataFrame:
+    """STREAMING registry-typed attach — the streaming twin of
+    `binlog_wire.decode_wire_with_registry` (binlog_row_metadata=MINIMAL,
+    the MySQL default): tail a relay directory and type every row event
+    of ``(db, tbl)`` by the schema version at its own (file, pos),
+    materialized under the registry's LATEST schema. Both paths share
+    ONE decode plan (`_registry_decode_plan`), so batch and stream
+    produce bit-identical rows from the same files.
+
+    The version timeline is fixed at ATTACH time (a broadcast plan, like
+    the reference's meta snapshot): DDL landing after the attach
+    requires re-attaching with the updated registry — pair with
+    `meta.replay_wire_ddl` over the landed chain, which is how the
+    reference's extractor restarts on schema change."""
+    from polardbx_cdc_spark.binlog_wire import _registry_decode_plan
+
+    decode_files, out_schema = _registry_decode_plan(
+        registry, db, tbl, include_action
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "binlog.*")
+        .load(wire_dir)
+        .select("path", "content")
+        .mapInPandas(decode_files, out_schema)
+    )

@@ -1289,6 +1289,35 @@ def test_decode_wire_with_registry_rejects_width_drift(spark, tmp_path):
         out.collect()
 
 
+def test_wire_typed_stream_matches_batch_decode(spark, tmp_path):
+    """The streaming registry-typed attach (wire_typed_stream) produces
+    bit-identical rows to the batch decode over the same files — both
+    ride one shared decode plan, so positions and version resolution can
+    never diverge between the paths."""
+    import os
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+    from polardbx_cdc_spark.streaming.source import wire_typed_stream
+
+    wire = _evo_wire(tmp_path)
+    reg = replay_wire_ddl(spark, wire)
+    batch = W.decode_wire_with_registry(
+        spark, wire, reg, "shop", "t", include_action=True)
+    out = str(tmp_path / "typed")
+    q = (
+        wire_typed_stream(spark, wire, reg, "shop", "t", include_action=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    streamed = spark.read.parquet(out).select(*batch.columns)
+    assert sorted(map(tuple, streamed.collect())) \
+        == sorted(map(tuple, batch.collect()))
+
+
 def test_decode_wire_with_registry_random_evolution_law(spark, tmp_path):
     """Seeded-random evolution chains: interleave ADD/DROP COLUMN DDL
     with inserts at random points, split the stream into random file
