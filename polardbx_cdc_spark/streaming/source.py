@@ -290,7 +290,8 @@ def wire_stream(spark: SparkSession, wire_dir: str,
 
 def wire_typed_stream(spark: SparkSession, wire_dir: str, registry,
                       db: str, tbl: str,
-                      include_action: bool = False) -> DataFrame:
+                      include_action: bool = False,
+                      stream: str | None = None) -> DataFrame:
     """STREAMING registry-typed attach — the streaming twin of
     `binlog_wire.decode_wire_with_registry` (binlog_row_metadata=MINIMAL,
     the MySQL default): tail a relay directory and type every row event
@@ -313,7 +314,13 @@ def wire_typed_stream(spark: SparkSession, wire_dir: str, registry,
         spark.readStream.format("binaryFile")
         .schema("path string, modificationTime timestamp, "
                 "length long, content binary")
-        .option("pathGlobFilter", "binlog.*")
+        # same chain selection as wire_stream: global by default, one
+        # Binlog-X per-stream chain with stream= (id 0 is valid —
+        # `is not None`, never truthiness)
+        .option(
+            "pathGlobFilter",
+            f"binlog-x-{stream}.*" if stream is not None else "binlog.*",
+        )
         .load(wire_dir)
         .select("path", "content")
         .mapInPandas(decode_files, out_schema)

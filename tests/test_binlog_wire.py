@@ -1289,6 +1289,39 @@ def test_decode_wire_with_registry_rejects_width_drift(spark, tmp_path):
         out.collect()
 
 
+def test_decode_wire_with_registry_payload_compressed(spark, tmp_path):
+    """Evolution decode over TRANSACTION_PAYLOAD-framed files: payload
+    expansion happens inside wire_frame_rows, so position assignment —
+    and therefore version resolution — is identical to the uncompressed
+    stream."""
+    import os
+    from decimal import Decimal
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = str(tmp_path / "pz")
+    os.makedirs(wire)
+    td1 = W.TableDef.from_mysql_types("shop", "t", ["bigint"])
+    td2 = W.TableDef.from_mysql_types("shop", "t", ["bigint", "varchar(8)"])
+    W.write_binlog_file(wire + "/binlog.000001", [
+        W.encode_query("shop", "CREATE TABLE t (id BIGINT PRIMARY KEY)"),
+        W.encode_transaction_payload([
+            W.encode_table_map(1, td1),
+            W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td1, [[1], [2]]),
+        ]),
+        W.encode_query("shop", "ALTER TABLE t ADD COLUMN s VARCHAR(8)"),
+        W.encode_transaction_payload([
+            W.encode_table_map(2, td2),
+            W.encode_rows_event(W.WRITE_ROWS_EVENT, 2, td2, [[3, "x"]]),
+        ]),
+    ])
+    reg = replay_wire_ddl(spark, wire)
+    out = {r["id"]: r["s"]
+           for r in W.decode_wire_with_registry(
+               spark, wire, reg, "shop", "t").collect()}
+    assert out == {1: None, 2: None, 3: "x"}
+
+
 def test_wire_typed_stream_matches_batch_decode(spark, tmp_path):
     """The streaming registry-typed attach (wire_typed_stream) produces
     bit-identical rows to the batch decode over the same files — both
