@@ -2700,14 +2700,16 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
     return df.mapInPandas(encode_partition, "n_rows long, payload binary")
 
 
+import datetime as _datetime_mod
+from decimal import Decimal as _Decimal
+
+
 def _coerce_typed(v, field, codec):
     """One decoded wire value → its Spark-schema Python form (shared by
     `binlog_to_table` and `decode_wire_with_registry`): label codecs
     (ENUM/SET/charset) first, then bool/Decimal widening, MySQL TIME
-    text form for timedeltas, everything else passes through."""
-    import datetime
-    from decimal import Decimal
-
+    text form for timedeltas, everything else passes through. Module-
+    level imports — this runs once per VALUE on the decode hot path."""
     if v is None:
         return None
     if codec is not None:
@@ -2715,9 +2717,9 @@ def _coerce_typed(v, field, codec):
     tn = field.dataType.typeName()
     if tn == "boolean":
         return bool(v)
-    if tn.startswith("decimal") and not isinstance(v, Decimal):
-        return Decimal(v)
-    if isinstance(v, datetime.timedelta):
+    if tn.startswith("decimal") and not isinstance(v, _Decimal):
+        return _Decimal(v)
+    if isinstance(v, _datetime_mod.timedelta):
         return _format_time(v)
     return v
 
@@ -2749,7 +2751,9 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
             st = T.TimestampNTZType()
         fields.append(T.StructField(name, st, True))
     out_schema = T.StructType(fields)
-    decls = list(mysql_types)
+    # value fields only — out_schema's leading ``action`` field must not
+    # shift the per-value zip
+    vfields = fields[1:] if include_action else fields
     codecs = _label_codecs(mysql_types)
 
     def decode_partition(batches):
@@ -2785,12 +2789,6 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
                                     for b, v in zip(before, row)
                                 ]
                         rec = [act] if include_action else []
-                        # value fields only — out_schema's leading
-                        # ``action`` field must not shift the zip
-                        vfields = (
-                            out_schema.fields[1:] if include_action
-                            else out_schema.fields
-                        )
                         for v, f, codec in zip(row, vfields, codecs):
                             rec.append(_coerce_typed(v, f, codec))
                         out.append(rec)
@@ -2842,11 +2840,15 @@ def decode_wire_with_registry(spark, wire_dir: str, registry, db: str, tbl: str,
 
 
 def _registry_decode_plan(registry, db: str, tbl: str,
-                          include_action: bool = False):
+                          include_action: bool = False,
+                          tolerate_truncation: bool = False):
     """Shared plan behind the batch (`decode_wire_with_registry`) and
     streaming (`streaming.source.wire_typed_stream`) registry-typed
     attaches: returns the per-file ``mapInPandas`` generator and its
-    output schema, built from the registry's version timeline."""
+    output schema, built from the registry's version timeline.
+    ``tolerate_truncation`` is for tailed relay directories, where a
+    file can land torn — decode stops cleanly at the tear instead of
+    failing the stream (`wire_stream` semantics)."""
     import bisect
 
     from pyspark.sql import types as T
@@ -2858,14 +2860,24 @@ def _registry_decode_plan(registry, db: str, tbl: str,
         for (d, t, from_tso, _to, _cols) in registry.version_intervals()
         if (d, t) == (db, tbl)
     )
-    versions = []  # (from_key, columns, decls) — live versions only
+    versions = []  # (from_key, full physical columns, decls) — live only
+    fin_schema = None
     for from_tso in starts:
         s = registry.find(db, tbl, from_tso)
         if s is not None:
             versions.append((from_tso, tuple(s.columns), tuple(s.types)))
+            fin_schema = s
     if not versions:
         raise ValueError(f"registry has no live schema for {db}.{tbl}")
-    fin_cols, fin_decls = versions[-1][1], versions[-1][2]
+    # output = the latest VISIBLE schema: implicit-PK columns
+    # (hidden_pks) are decoded for width/position but dropped from the
+    # logical surface, like every other logical image (DDLConverter
+    # hidden-PK handling; version_intervals filters the same way)
+    fin_types = dict(zip(fin_schema.columns, fin_schema.types))
+    fin_cols = tuple(
+        c for c in fin_schema.columns if c not in fin_schema.hidden_pks
+    )
+    fin_decls = tuple(fin_types[c] for c in fin_cols)
 
     fields = []
     if include_action:
@@ -2895,21 +2907,23 @@ def _registry_decode_plan(registry, db: str, tbl: str,
 
         import pandas as pd
 
+        # ONE position-key recipe repo-wide: the registry was versioned
+        # by replay_wire_ddl with this exact helper
+        from polardbx_cdc_spark.meta import wire_position_key
+
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path)
-                seq = int(name.rsplit(".", 1)[-1])
                 for rec in wire_frame_rows(name, bytes(content),
-                                           include_values=True):
+                                           include_values=True,
+                                           tolerate_truncation=tolerate_truncation):
                     kind, edb, etbl, values = rec[2], rec[3], rec[4], rec[8]
                     if values is None or (edb, etbl) != (db, tbl):
                         continue
-                    if kind == "DELETE" and not include_action:
+                    if kind != "INSERT" and not include_action:
                         continue
-                    if kind == "UPDATE" and not include_action:
-                        continue
-                    key = f"{seq:06d}{rec[1]:012d}"
+                    key = wire_position_key(name, rec[1])
                     vi = bisect.bisect_right(vkeys, key) - 1
                     if vi < 0:
                         raise ValueError(

@@ -237,7 +237,7 @@ _TABLE_OPTION_ACTION = re.compile(
     r"|CONVERT\s+TO\s+CHARACTER\s+SET\b"
     r"|(?:ENGINE|AUTO_INCREMENT|COMMENT|ROW_FORMAT|KEY_BLOCK_SIZE"
     r"|STATS_PERSISTENT|STATS_AUTO_RECALC|STATS_SAMPLE_PAGES|MAX_ROWS|MIN_ROWS"
-    r"|PACK_KEYS|DELAY_KEY_WRITE|CHECKSUM|AVG_ROW_LENGTH|TABLEGROUP)\s*=?"
+    r"|PACK_KEYS|DELAY_KEY_WRITE|CHECKSUM|AVG_ROW_LENGTH)\s*=?"
     r"|(?:SET\s+)?(?:TABLEGROUP|LOCALITY)\s*=?"
     r"|ALTER\s+(?:COLUMN\s+)?`?[A-Za-z0-9_$]+`?\s+(?:SET\s+DEFAULT|DROP\s+DEFAULT"
     r"|SET\s+(?:VISIBLE|INVISIBLE))"
@@ -258,11 +258,25 @@ _TABLE_OPTION_ACTION = re.compile(
 #: COLUMN regexes, which would otherwise misread ``ADD PARTITION (…)`` as
 #: adding a column named ``partition`` (and ``MODIFY PARTITION p0 ADD
 #: VALUES (…)`` as a column retype — the round-10 fuzz find).
+#:
+#: PARTITION is a reserved word (an unquoted column can never be named
+#: it), so the column-verb × PARTITION forms match freely. SUBPARTITION
+#: is NOT reserved: for the ambiguous column verbs (ADD/DROP/MODIFY/
+#: RENAME) the SUBPARTITION alternative additionally requires the
+#: maintenance form's tail — a definition list / named VALUES clause,
+#: a following name, ADD|DROP VALUES, or TO — so ``DROP subpartition``
+#: (a column genuinely named subpartition) still parses as a column op.
+#: Non-column verbs (TRUNCATE/REORGANIZE/SPLIT/…) carry no ambiguity.
 _PARTITION_ACTION = re.compile(
     r"^(?:"
-    r"(?:ADD|DROP|TRUNCATE|COALESCE|REORGANIZE|REBUILD|OPTIMIZE|ANALYZE"
-    r"|CHECK|REPAIR|EXCHANGE|IMPORT|DISCARD|SPLIT|EXTRACT"
-    r"|MODIFY|RENAME)\s+(?:SUB)?PARTITION\b"
+    r"(?:TRUNCATE|COALESCE|REORGANIZE|REBUILD|OPTIMIZE|ANALYZE"
+    r"|CHECK|REPAIR|EXCHANGE|IMPORT|DISCARD|SPLIT|EXTRACT)"
+    r"\s+(?:SUB)?PARTITION\b"
+    r"|(?:ADD|DROP|MODIFY|RENAME)\s+PARTITION\b"
+    r"|ADD\s+SUBPARTITION\s*(?:\(|\S+\s+VALUES\b)"
+    r"|DROP\s+SUBPARTITION\s+\S"
+    r"|MODIFY\s+SUBPARTITION\s+\S+\s+(?:ADD|DROP)\s+VALUES\b"
+    r"|RENAME\s+SUBPARTITION\s+\S+\s+TO\b"
     r"|(?:MERGE|MOVE)\s+(?:SUB)?PARTITIONS?\b"
     r"|REMOVE\s+PARTITIONING\b"
     r"|PARTITION\s+BY\b"

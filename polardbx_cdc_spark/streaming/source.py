@@ -307,8 +307,10 @@ def wire_typed_stream(spark: SparkSession, wire_dir: str, registry,
     reference's extractor restarts on schema change."""
     from polardbx_cdc_spark.binlog_wire import _registry_decode_plan
 
+    # tolerant decode, like wire_stream: a tailed relay file can land
+    # torn — stop at the tear, never kill the streaming query
     decode_files, out_schema = _registry_decode_plan(
-        registry, db, tbl, include_action
+        registry, db, tbl, include_action, tolerate_truncation=True
     )
     return (
         spark.readStream.format("binaryFile")

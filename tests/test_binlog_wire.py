@@ -1289,6 +1289,33 @@ def test_decode_wire_with_registry_rejects_width_drift(spark, tmp_path):
         out.collect()
 
 
+def test_decode_wire_with_registry_hides_implicit_pk(spark, tmp_path):
+    """A PolarDB-X table created without an explicit PK carries
+    `_drds_implicit_id_` physically; the registry-typed decode consumes
+    it for width/position but drops it from the logical surface — the
+    same hidden-PK handling every other logical image applies."""
+    import os
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = str(tmp_path / "hid")
+    os.makedirs(wire)
+    # physical order (v, _drds_implicit_id_) — the wire carries BOTH
+    td = W.TableDef.from_mysql_types("shop", "t", ["varchar(8)", "bigint"])
+    W.write_binlog_file(wire + "/binlog.000001", [
+        W.encode_query("shop", "CREATE TABLE t (v VARCHAR(8), "
+                               "_drds_implicit_id_ BIGINT AUTO_INCREMENT, "
+                               "PRIMARY KEY(_drds_implicit_id_))"),
+        W.encode_table_map(1, td),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td,
+                            [["a", 1], ["b", 2]]),
+    ])
+    reg = replay_wire_ddl(spark, wire)
+    out = W.decode_wire_with_registry(spark, wire, reg, "shop", "t")
+    assert list(out.columns) == ["v"]
+    assert sorted(r["v"] for r in out.collect()) == ["a", "b"]
+
+
 def test_decode_wire_with_registry_payload_compressed(spark, tmp_path):
     """Evolution decode over TRANSACTION_PAYLOAD-framed files: payload
     expansion happens inside wire_frame_rows, so position assignment —

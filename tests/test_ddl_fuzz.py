@@ -855,6 +855,33 @@ def test_round10_index_statement_tails():
     assert [o["op"] for o in ops] == ["index"]
 
 
+def test_round10_unquoted_column_named_subpartition_still_a_column():
+    """SUBPARTITION is NOT a reserved word — a column can be named it
+    unquoted. The ambiguous column verbs (ADD/DROP/MODIFY/RENAME) must
+    only take the partition-maintenance route when the maintenance
+    form's tail is present."""
+    from polardbx_cdc_spark import ddl
+
+    ops = ddl.parse_ddl("ALTER TABLE t DROP subpartition", "qa")
+    assert [(o["op"], o["column"]) for o in ops] == [("drop_column", "subpartition")]
+    ops = ddl.parse_ddl("ALTER TABLE t ADD subpartition BIGINT", "qa")
+    assert [(o["op"], o["column"]) for o in ops] == [("add_column", "subpartition")]
+    ops = ddl.parse_ddl("ALTER TABLE t MODIFY subpartition VARCHAR(8)", "qa")
+    assert [(o["op"], o["column"]) for o in ops] == [("modify_column", "subpartition")]
+    # RENAME <ident> with no TO-tail is the rename-TABLE form
+    ops = ddl.parse_ddl("ALTER TABLE t RENAME subpartition", "qa")
+    assert [(o["op"], o["to_tbl"]) for o in ops] == [("rename_table", "subpartition")]
+    # ...while the real maintenance forms still route to partition no-ops
+    for sql in [
+        "ALTER TABLE t DROP SUBPARTITION s0, s1",
+        "ALTER TABLE t ADD SUBPARTITION (SUBPARTITION s9 VALUES LESS THAN (9))",
+        "ALTER TABLE t ADD SUBPARTITION s9 VALUES LESS THAN (9)",
+        "ALTER TABLE t MODIFY SUBPARTITION s0 ADD VALUES (7)",
+        "ALTER TABLE t RENAME SUBPARTITION s0 TO s1",
+    ]:
+        assert [o["op"] for o in ddl.parse_ddl(sql, "qa")] == ["partition"], sql
+
+
 def test_round10_drop_table_names_ending_in_cascade_restrict():
     """Regression (round-10 self-review): the optional RESTRICT|CASCADE
     tail on DROP TABLE must require preceding whitespace — an unquoted
