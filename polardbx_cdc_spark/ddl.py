@@ -242,6 +242,10 @@ _TABLE_OPTION_ACTION = re.compile(
     r"|ALTER\s+(?:COLUMN\s+)?`?[A-Za-z0-9_$]+`?\s+(?:SET\s+DEFAULT|DROP\s+DEFAULT"
     r"|SET\s+(?:VISIBLE|INVISIBLE))"
     r"|(?:ENABLE|DISABLE)\s+KEYS"
+    r"|(?:DISCARD|IMPORT)\s+TABLESPACE\b"
+    r"|WITH(?:OUT)?\s+VALIDATION\b"
+    r"|READ\s+(?:ONLY|WRITE)\b"
+    r"|SECONDARY_ENGINE\s*=?"
     r"|ORDER\s+BY\b"
     r"|FORCE$"
     r")",
@@ -295,7 +299,8 @@ _ACTION_START = re.compile(
     r"|LOCK|DEFAULT|CHARACTER|CHARSET|COLLATE|AUTO_INCREMENT|COMMENT"
     r"|ROW_FORMAT|KEY_BLOCK_SIZE|STATS_PERSISTENT|STATS_AUTO_RECALC"
     r"|STATS_SAMPLE_PAGES|MAX_ROWS|MIN_ROWS|PACK_KEYS|DELAY_KEY_WRITE"
-    r"|CHECKSUM|AVG_ROW_LENGTH|TABLEGROUP|ENABLE|DISABLE|ORDER|FORCE)\b",
+    r"|CHECKSUM|AVG_ROW_LENGTH|TABLEGROUP|ENABLE|DISABLE|ORDER|FORCE"
+    r"|WITH|WITHOUT|READ|SECONDARY_ENGINE)\b",
     re.I,
 )
 

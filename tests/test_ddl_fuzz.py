@@ -855,6 +855,25 @@ def test_round10_index_statement_tails():
     assert [o["op"] for o in ops] == ["index"]
 
 
+def test_round10_tablespace_validation_readonly_forms():
+    """Storage/metadata ALTER forms with no column effect digest as
+    no-ops: DISCARD/IMPORT TABLESPACE, standalone WITH[OUT] VALIDATION,
+    MariaDB READ ONLY/WRITE, SECONDARY_ENGINE."""
+    from polardbx_cdc_spark import ddl
+
+    for sql in [
+        "ALTER TABLE t DISCARD TABLESPACE",
+        "ALTER TABLE t IMPORT TABLESPACE",
+        "ALTER TABLE t READ ONLY",
+        "ALTER TABLE t READ WRITE",
+        "ALTER TABLE t SECONDARY_ENGINE = NULL",
+        "ALTER TABLE t SECONDARY_ENGINE RAPID",
+    ]:
+        assert [o["op"] for o in ddl.parse_ddl(sql, "qa")] == ["index"], sql
+    ops = ddl.parse_ddl("ALTER TABLE t ADD COLUMN c INT, DISCARD TABLESPACE", "qa")
+    assert [o["op"] for o in ops] == ["add_column", "index"]
+
+
 def test_round10_unquoted_column_named_subpartition_still_a_column():
     """SUBPARTITION is NOT a reserved word — a column can be named it
     unquoted. The ambiguous column verbs (ADD/DROP/MODIFY/RENAME) must
