@@ -2860,24 +2860,30 @@ def _registry_decode_plan(registry, db: str, tbl: str,
         for (d, t, from_tso, _to, _cols) in registry.version_intervals()
         if (d, t) == (db, tbl)
     )
-    versions = []  # (from_key, full physical columns, decls) — live only
+    versions = []  # (from_key, origin ids, decls, width) — live only
     fin_schema = None
     for from_tso in starts:
         s = registry.find(db, tbl, from_tso)
         if s is not None:
-            versions.append((from_tso, tuple(s.columns), tuple(s.types)))
+            versions.append(
+                (from_tso, s.origin_names(), tuple(s.types), len(s.columns))
+            )
             fin_schema = s
     if not versions:
         raise ValueError(f"registry has no live schema for {db}.{tbl}")
     # output = the latest VISIBLE schema: implicit-PK columns
     # (hidden_pks) are decoded for width/position but dropped from the
     # logical surface, like every other logical image (DDLConverter
-    # hidden-PK handling; version_intervals filters the same way)
-    fin_types = dict(zip(fin_schema.columns, fin_schema.types))
-    fin_cols = tuple(
-        c for c in fin_schema.columns if c not in fin_schema.hidden_pks
-    )
-    fin_decls = tuple(fin_types[c] for c in fin_cols)
+    # hidden-PK handling; version_intervals filters the same way).
+    # Cross-version matching is by ORIGIN identity (birth name@tso,
+    # stable across RENAME COLUMN), so a renamed column's earlier values
+    # carry into its current name — name fallback on legacy snapshots.
+    fin_all = list(zip(fin_schema.columns, fin_schema.origin_names(),
+                       fin_schema.types))
+    fin_cols, fin_origins, fin_decls = map(tuple, zip(*[
+        (c, o, ty) for c, o, ty in fin_all
+        if c not in fin_schema.hidden_pks
+    ]))
 
     fields = []
     if include_action:
@@ -2893,14 +2899,14 @@ def _registry_decode_plan(registry, db: str, tbl: str,
     # per version: source index + source decl for each FINAL column
     vkeys = [v[0] for v in versions]
     vplans = []
-    for _tso, cols, decls in versions:
-        idx = {c: i for i, c in enumerate(cols)}
-        src = [idx.get(c) for c in fin_cols]
+    for _tso, origs, decls, width in versions:
+        idx = {o: i for i, o in enumerate(origs)}
+        src = [idx.get(o) for o in fin_origins]
         src_decls = [
-            decls[idx[c]] if c in idx else fd
-            for c, fd in zip(fin_cols, fin_decls)
+            decls[idx[o]] if o in idx else fd
+            for o, fd in zip(fin_origins, fin_decls)
         ]
-        vplans.append((len(cols), src, _label_codecs(src_decls)))
+        vplans.append((width, src, _label_codecs(src_decls)))
 
     def decode_files(batches):
         import os

@@ -26,15 +26,28 @@ class TableSchema:
     physical→logical column mapping (phyIndex → logicIndex).
 
     ``types`` (when present) parallels ``columns`` with the MySQL type
-    declaration from the DDL — feeds ``typed_images`` directly."""
+    declaration from the DDL — feeds ``typed_images`` directly.
+
+    ``origins`` (when present) parallels ``columns`` with each column's
+    birth identity (``name@birth_tso``) — STABLE across RENAME COLUMN,
+    so cross-version column matching (the registry-typed wire decode)
+    carries a renamed column's values instead of dropping them. Unique
+    even when a later ADD re-uses a renamed-away name. Empty on legacy
+    snapshots; consumers fall back to name identity."""
 
     columns: tuple[str, ...]
     pks: tuple[str, ...] = ()
     hidden_pks: tuple[str, ...] = ()  # implicit PK columns to drop on rebuild
     types: tuple[str, ...] = ()
+    origins: tuple[str, ...] = ()
 
     def column_types(self) -> dict[str, str]:
         return dict(zip(self.columns, self.types))
+
+    def origin_names(self) -> tuple[str, ...]:
+        """Per-column stable identity, name-fallback when unrecorded."""
+        return self.origins if len(self.origins) == len(self.columns) \
+            else tuple(self.columns)
 
 
 @dataclass
@@ -93,6 +106,7 @@ class SchemaRegistry:
                 tuple(ddl.get("pks", ())),
                 tuple(ddl.get("hidden_pks", ())),
                 tuple(ddl.get("types", ())),
+                tuple(f"{c}@{tso}" for c in ddl["columns"]),
             )
         elif op == "create_like":
             src = self.find(ddl["src_db"], ddl["src_tbl"], tso)
@@ -132,8 +146,10 @@ class SchemaRegistry:
                 raise KeyError(f"{db}.{tbl} does not exist at {tso}")
             cols = list(cur.columns)
             types = list(cur.types) if cur.types else [""] * len(cols)
+            origins = list(cur.origin_names())  # name-fallback on legacy
 
-            def _insert_at(name: str, mysql_type: str, position) -> None:
+            def _insert_at(name: str, mysql_type: str, position,
+                           origin: str | None = None) -> None:
                 # FIRST / AFTER x reorder (MemoryTableMeta preserves MySQL
                 # column order — row-image decode depends on it)
                 if position == ("first",):
@@ -144,26 +160,30 @@ class SchemaRegistry:
                     i = len(cols)
                 cols.insert(i, name)
                 types.insert(i, mysql_type)
+                origins.insert(i, origin if origin is not None
+                               else f"{name}@{tso}")
 
             if op == "add_column":
                 _insert_at(ddl["column"], ddl.get("mysql_type", ""), ddl.get("position"))
             elif op == "drop_column":
                 i = cols.index(ddl["column"])
-                del cols[i], types[i]
+                del cols[i], types[i], origins[i]
             elif op == "rename_column":
                 i = cols.index(ddl["from"])
                 name, mysql_type = ddl["to"], ddl.get("mysql_type") or types[i]
+                origin = origins[i]  # lineage survives the rename
                 if ddl.get("position"):
-                    del cols[i], types[i]
-                    _insert_at(name, mysql_type, ddl["position"])
+                    del cols[i], types[i], origins[i]
+                    _insert_at(name, mysql_type, ddl["position"], origin)
                 else:
                     cols[i], types[i] = name, mysql_type
             elif op == "modify_column":
                 i = cols.index(ddl["column"])
                 name, mysql_type = cols[i], ddl["mysql_type"]
+                origin = origins[i]
                 if ddl.get("position"):
-                    del cols[i], types[i]
-                    _insert_at(name, mysql_type, ddl["position"])
+                    del cols[i], types[i], origins[i]
+                    _insert_at(name, mysql_type, ddl["position"], origin)
                 else:
                     types[i] = mysql_type
             else:
@@ -171,6 +191,7 @@ class SchemaRegistry:
             new = TableSchema(
                 tuple(cols), cur.pks, cur.hidden_pks,
                 tuple(types) if any(types) else (),
+                tuple(origins),
             )
         hist.tsos.append(tso)
         hist.schemas.append(new)
@@ -250,6 +271,7 @@ class SchemaRegistry:
                             "pks": list(s.pks),
                             "hidden_pks": list(s.hidden_pks),
                             "types": list(s.types),
+                            "origins": list(s.origins),
                         }
                         for t, s in zip(h.tsos, h.schemas)
                     ],
@@ -280,6 +302,8 @@ class SchemaRegistry:
                         pks=tuple(v["pks"]),
                         hidden_pks=tuple(v["hidden_pks"]),
                         types=tuple(v["types"]),
+                        # absent on pre-round-10 snapshots: name fallback
+                        origins=tuple(v.get("origins", ())),
                     )
                 )
             reg._tables[(t["db"], t["tbl"])] = h

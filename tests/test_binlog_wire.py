@@ -1289,6 +1289,41 @@ def test_decode_wire_with_registry_rejects_width_drift(spark, tmp_path):
         out.collect()
 
 
+def test_decode_wire_with_registry_rename_column_lineage(spark, tmp_path):
+    """RENAME COLUMN must not orphan earlier rows: cross-version column
+    matching is by birth identity (origins), so values written under the
+    old name carry into the renamed output column — even when a LATER
+    ADD COLUMN re-uses the renamed-away name."""
+    import os
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = str(tmp_path / "ren")
+    os.makedirs(wire)
+    td2 = W.TableDef.from_mysql_types("shop", "t", ["bigint", "bigint"])
+    td3 = W.TableDef.from_mysql_types(
+        "shop", "t", ["bigint", "bigint", "varchar(8)"])
+    W.write_binlog_file(wire + "/binlog.000001", [
+        W.encode_query("shop", "CREATE TABLE t (id BIGINT PRIMARY KEY, "
+                               "qty BIGINT)"),
+        W.encode_table_map(1, td2),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td2, [[1, 10]]),
+        W.encode_query("shop", "ALTER TABLE t RENAME COLUMN qty TO quantity"),
+        W.encode_table_map(1, td2),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td2, [[2, 20]]),
+        # a NEW column re-using the renamed-away name — origin identity
+        # keeps old-qty → quantity and new-qty → qty disjoint
+        W.encode_query("shop", "ALTER TABLE t ADD COLUMN qty VARCHAR(8)"),
+        W.encode_table_map(2, td3),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 2, td3, [[3, 30, "x"]]),
+    ])
+    reg = replay_wire_ddl(spark, wire)
+    out = W.decode_wire_with_registry(spark, wire, reg, "shop", "t")
+    assert list(out.columns) == ["id", "quantity", "qty"]
+    rows = {r["id"]: (r["quantity"], r["qty"]) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "x")}
+
+
 def test_decode_wire_with_registry_hides_implicit_pk(spark, tmp_path):
     """A PolarDB-X table created without an explicit PK carries
     `_drds_implicit_id_` physically; the registry-typed decode consumes
