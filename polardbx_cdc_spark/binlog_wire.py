@@ -2861,16 +2861,35 @@ def _registry_decode_plan(registry, db: str, tbl: str,
         if (d, t) == (db, tbl)
     )
     versions = []  # (from_key, origin ids, decls, width) — live only
+    timeline = []  # (from_key, state): plan index | "GONE" (dropped)
     fin_schema = None
     for from_tso in starts:
         s = registry.find(db, tbl, from_tso)
-        if s is not None:
+        if s is None:
+            timeline.append((from_tso, "GONE"))
+        else:
             versions.append(
                 (from_tso, s.origin_names(), tuple(s.types), len(s.columns))
             )
+            timeline.append((from_tso, len(versions) - 1))
             fin_schema = s
     if not versions:
         raise ValueError(f"registry has no live schema for {db}.{tbl}")
+    if timeline[-1][1] == "GONE":
+        raise ValueError(
+            f"{db}.{tbl} is dropped at the registry head "
+            f"({timeline[-1][0]}) — nothing to materialize"
+        )
+    # DROP TABLE + re-CREATE resets the table's GENERATION: rows logged
+    # before the last drop belong to an erased generation sharing no
+    # lineage with the current schema — skip them (they are not part of
+    # any current-state view), never project them to all-NULL noise
+    last_gone = max(
+        (i for i, (_k, st) in enumerate(timeline) if st == "GONE"),
+        default=-1,
+    )
+    for i in range(last_gone):
+        timeline[i] = (timeline[i][0], "STALE")
     # output = the latest VISIBLE schema: implicit-PK columns
     # (hidden_pks) are decoded for width/position but dropped from the
     # logical surface, like every other logical image (DDLConverter
@@ -2897,7 +2916,8 @@ def _registry_decode_plan(registry, db: str, tbl: str,
     vfields = fields[1:] if include_action else fields
 
     # per version: source index + source decl for each FINAL column
-    vkeys = [v[0] for v in versions]
+    tkeys = [k for k, _st in timeline]
+    tstates = [st for _k, st in timeline]
     vplans = []
     for _tso, origs, decls, width in versions:
         idx = {o: i for i, o in enumerate(origs)}
@@ -2930,13 +2950,18 @@ def _registry_decode_plan(registry, db: str, tbl: str,
                     if kind != "INSERT" and not include_action:
                         continue
                     key = wire_position_key(name, rec[1])
-                    vi = bisect.bisect_right(vkeys, key) - 1
-                    if vi < 0:
+                    ti = bisect.bisect_right(tkeys, key) - 1
+                    if ti < 0:
                         raise ValueError(
                             f"{name} pos {rec[1]}: row event precedes every "
                             f"registry version of {db}.{tbl}"
                         )
-                    width, src, codecs = vplans[vi]
+                    state = tstates[ti]
+                    if state == "STALE" or state == "GONE":
+                        # an erased previous generation (rows before the
+                        # last DROP TABLE) — not part of the current view
+                        continue
+                    width, src, codecs = vplans[state]
                     if len(values) != width:
                         raise ValueError(
                             f"{name} pos {rec[1]}: wire row width "

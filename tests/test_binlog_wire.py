@@ -1289,6 +1289,47 @@ def test_decode_wire_with_registry_rejects_width_drift(spark, tmp_path):
         out.collect()
 
 
+def test_decode_wire_with_registry_drop_recreate_generation(spark, tmp_path):
+    """DROP TABLE + re-CREATE resets the generation: rows logged before
+    the drop were erased and share no lineage with the current schema —
+    the decode skips them instead of projecting all-NULL noise. A table
+    dropped at the registry head refuses to materialize."""
+    import os
+
+    import pytest
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = str(tmp_path / "gen")
+    os.makedirs(wire)
+    td1 = W.TableDef.from_mysql_types("shop", "t", ["bigint", "bigint"])
+    td2 = W.TableDef.from_mysql_types("shop", "t", ["bigint", "varchar(8)"])
+    W.write_binlog_file(wire + "/binlog.000001", [
+        W.encode_query("shop", "CREATE TABLE t (a BIGINT PRIMARY KEY, b BIGINT)"),
+        W.encode_table_map(1, td1),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td1, [[1, 10], [2, 20]]),
+        W.encode_query("shop", "DROP TABLE t"),
+        W.encode_query("shop", "CREATE TABLE t (x BIGINT PRIMARY KEY, s VARCHAR(8))"),
+        W.encode_table_map(2, td2),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 2, td2, [[7, "n"]]),
+    ])
+    reg = replay_wire_ddl(spark, wire)
+    out = W.decode_wire_with_registry(spark, wire, reg, "shop", "t")
+    assert list(out.columns) == ["x", "s"]
+    assert [(r["x"], r["s"]) for r in out.collect()] == [(7, "n")]
+
+    # dropped-at-head: refuse to materialize
+    wire2 = str(tmp_path / "gone")
+    os.makedirs(wire2)
+    W.write_binlog_file(wire2 + "/binlog.000001", [
+        W.encode_query("shop", "CREATE TABLE t (a BIGINT PRIMARY KEY)"),
+        W.encode_query("shop", "DROP TABLE t"),
+    ])
+    reg2 = replay_wire_ddl(spark, wire2)
+    with pytest.raises(ValueError, match="dropped at the registry head"):
+        W.decode_wire_with_registry(spark, wire2, reg2, "shop", "t")
+
+
 def test_decode_wire_with_registry_rename_column_lineage(spark, tmp_path):
     """RENAME COLUMN must not orphan earlier rows: cross-version column
     matching is by birth identity (origins), so values written under the
