@@ -2399,11 +2399,15 @@ def wire_frame_rows(name: str, buf: bytes,
     ever emits INCIDENT; the row exists for externally produced
     streams, where a replica must stop at the gap anyway).
 
-    ``include_values=True`` appends a 9th element to every tuple: the
+    ``include_values=True`` appends TWO elements to every tuple: [8] the
     row's full decoded image values (AFTER image for UPDATEs, with
     type-39 JSON diff vectors materialized; BEFORE image for DELETEs),
-    ``None`` on non-row kinds — keeping position assignment and typed
-    decode in ONE implementation so they can never drift."""
+    and [9] the surfaced image's present-column index list when the
+    image is PARTIAL (binlog_row_image=MINIMAL/NOBLOB — absent columns
+    were PADDED to None by the decoder, indistinguishable from real
+    NULLs by value alone) or ``None`` for full images. Both are ``None``
+    on non-row kinds — keeping position assignment and typed decode in
+    ONE implementation so they can never drift."""
     _ACTION = {
         WRITE_ROWS_EVENT: "INSERT",
         UPDATE_ROWS_EVENT: "UPDATE",
@@ -2452,7 +2456,12 @@ def wire_frame_rows(name: str, buf: bytes,
                             if isinstance(v, JsonDiffVector) else v
                             for b, v in zip(row[0], vals)
                         ]
-                    rec = rec + (list(vals),)
+                    present = (
+                        ev.get("present_columns_after")
+                        if tc in UPDATE_EVENTS
+                        else ev.get("present_columns")
+                    )
+                    rec = rec + (list(vals), present)
                 out.append(rec)
                 pos += 1
         elif tc == QUERY_EVENT:
@@ -2500,7 +2509,7 @@ def wire_frame_rows(name: str, buf: bytes,
             )
             pos += 1
     if include_values:
-        return [t if len(t) == 9 else t + (None,) for t in out]
+        return [t if len(t) == 10 else t + (None, None) for t in out]
     return out
 
 
@@ -2815,12 +2824,26 @@ def decode_wire_with_registry(spark, wire_dir: str, registry, db: str, tbl: str,
 
     Output columns follow the registry's LATEST schema for ``(db,
     tbl)``: rows logged under an older version surface NULL for columns
-    that did not exist yet, and values of since-dropped columns are not
-    carried — the materialize-current-schema contract every CDC
-    consumer applies. A row whose wire width disagrees with its
-    governing version raises (registry drift is corruption, never a
-    silent mis-zip). Full row images are expected; pair MINIMAL-image
-    streams with the last-image machinery first.
+    that did not exist yet, values of since-dropped columns are not
+    carried, and a MODIFY COLUMN retype casts older rows forward to the
+    final type (int → str for BIGINT→VARCHAR, etc.; retypes with no
+    lossless forward cast raise at PLAN time) — the
+    materialize-current-schema contract every CDC consumer applies.
+
+    **Row selection: the default (``include_action=False``) decodes
+    WRITE_ROWS (INSERT images) ONLY — the snapshot/export shape.
+    UPDATE and DELETE events are silently skipped**; a consumer
+    attaching to a live CHANGE stream must pass
+    ``include_action=True`` to surface all three actions (UPDATEs as
+    their AFTER image, the REPLACE model), or it will lose rows.
+
+    A row whose wire width disagrees with its governing version raises
+    (registry drift is corruption, never a silent mis-zip). Full row
+    images are REQUIRED and enforced: a MINIMAL/NOBLOB partial image
+    reaching this decode raises (absent columns were padded to NULL by
+    the byte decoder — materializing them would be indistinguishable
+    from real NULLs); pair partial-image streams with the last-image
+    machinery first.
 
     Distributed: binaryFile scan + per-file ``mapInPandas`` (positions
     come from :func:`wire_frame_rows` ``include_values=True`` — the same
@@ -2836,6 +2859,72 @@ def decode_wire_with_registry(spark, wire_dir: str, registry, db: str, tbl: str,
         .load(wire_dir)
         .select("path", "content")
         .mapInPandas(decode_files, out_schema)
+    )
+
+
+def _retype_converter(src_decl: str, fin_decl: str, src_st, fin_st, col: str):
+    """Cross-version MODIFY COLUMN retype: a row logged under *src_decl*
+    decodes to that version's Python form, but the materialized output
+    column carries the FINAL version's Spark type — convert the way a
+    MySQL ``ALTER TABLE ... MODIFY`` converts the stored values
+    (LogDecoder types by the version at the row's position; the
+    current-schema view then casts forward). Returns ``None`` when the
+    Spark types already agree (e.g. VARCHAR(8)→VARCHAR(64)), a
+    value-converter otherwise, and raises a CLEAR plan-time error for
+    retypes with no lossless forward cast (never an opaque Arrow
+    serialization crash — ADVICE r10)."""
+    from pyspark.sql import types as T
+
+    if src_st == fin_st:
+        return None
+    tn = fin_st.typeName()
+    if tn == "string":
+        def conv(v):
+            if isinstance(v, str):
+                return v
+            if isinstance(v, bool):
+                return "1" if v else "0"
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v).decode("utf-8", "replace")
+            if isinstance(v, _datetime_mod.datetime):
+                s = v.strftime("%Y-%m-%d %H:%M:%S")
+                return s + (f".{v.microsecond:06d}" if v.microsecond else "")
+            if isinstance(v, _datetime_mod.date):
+                return v.isoformat()
+            return str(v)
+        return conv
+    if tn in ("long", "integer", "short", "byte"):
+        def conv(v):
+            if isinstance(v, (int, bool)):
+                return int(v)
+            # MySQL integer cast rounds half away from zero
+            return int(_Decimal(str(v)).to_integral_value(
+                rounding="ROUND_HALF_UP"))
+        return conv
+    if tn in ("double", "float"):
+        return lambda v: float(v)
+    if tn == "decimal":
+        scale = fin_st.scale
+        q = _Decimal(1).scaleb(-scale)
+        return lambda v: _Decimal(str(v)).quantize(q, rounding="ROUND_HALF_UP")
+    if tn == "boolean":
+        return lambda v: bool(int(v)) if not isinstance(v, bool) else v
+    if tn == "binary":
+        def conv(v):
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v)
+            if isinstance(v, str):
+                return v.encode("utf-8")
+            raise ValueError(
+                f"column {col}: cannot retype {type(v).__name__} value "
+                f"to binary ({src_decl} -> {fin_decl})"
+            )
+        return conv
+    _ = T  # imported for symmetry with callers; no other targets supported
+    raise ValueError(
+        f"column {col}: retype {src_decl} -> {fin_decl} has no supported "
+        f"forward cast ({src_st.simpleString()} -> {fin_st.simpleString()}) "
+        f"— re-snapshot the table instead of replaying across this ALTER"
     )
 
 
@@ -2919,14 +3008,34 @@ def _registry_decode_plan(registry, db: str, tbl: str,
     tkeys = [k for k, _st in timeline]
     tstates = [st for _k, st in timeline]
     vplans = []
-    for _tso, origs, decls, width in versions:
+    for vtso, origs, decls, width in versions:
         idx = {o: i for i, o in enumerate(origs)}
         src = [idx.get(o) for o in fin_origins]
         src_decls = [
             decls[idx[o]] if o in idx else fd
             for o, fd in zip(fin_origins, fin_decls)
         ]
-        vplans.append((width, src, _label_codecs(src_decls)))
+        # per-column SOURCE-version Spark field (coercion must follow the
+        # type the row was LOGGED under) + forward retype converter to
+        # the FINAL field when a MODIFY COLUMN changed the Spark type
+        # between this version and the head (ADVICE r10: without it, an
+        # int logged under BIGINT reaching a VARCHAR output column dies
+        # as an opaque ArrowTypeError inside mapInPandas)
+        sfields, convs = [], []
+        for sd, fd, f, col in zip(src_decls, fin_decls, vfields, fin_cols):
+            st = spark_type_for(sd)
+            if isinstance(st, (T.TimestampType, T.TimestampNTZType)):
+                st = T.TimestampNTZType()
+            sfields.append(T.StructField(col, st, True))
+            try:
+                convs.append(
+                    _retype_converter(sd, fd, st, f.dataType, col)
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    f"{db}.{tbl} version @{vtso}: {exc}"
+                ) from None
+        vplans.append((width, src, _label_codecs(src_decls), sfields, convs))
 
     def decode_files(batches):
         import os
@@ -2961,7 +3070,21 @@ def _registry_decode_plan(registry, db: str, tbl: str,
                         # an erased previous generation (rows before the
                         # last DROP TABLE) — not part of the current view
                         continue
-                    width, src, codecs = vplans[state]
+                    if rec[9] is not None:
+                        # MINIMAL/NOBLOB image: absent columns were padded
+                        # to None by the decoder — materializing them would
+                        # emit NULLs indistinguishable from real NULLs.
+                        # Registry decode requires FULL row images; pair
+                        # partial-image streams with the last-image
+                        # machinery first (ADVICE r10).
+                        raise ValueError(
+                            f"{name} pos {rec[1]}: PARTIAL row image "
+                            f"(present columns {rec[9]}) reached registry "
+                            f"decode of {db}.{tbl} — full images required "
+                            f"(binlog_row_image=FULL); apply last-image "
+                            f"merge before materializing"
+                        )
+                    width, src, codecs, sfields, convs = vplans[state]
                     if len(values) != width:
                         raise ValueError(
                             f"{name} pos {rec[1]}: wire row width "
@@ -2969,11 +3092,14 @@ def _registry_decode_plan(registry, db: str, tbl: str,
                             f"{width} for {db}.{tbl} (registry drift)"
                         )
                     row = [None] * len(fin_cols)
-                    for o, (si, f, codec) in enumerate(
-                        zip(src, vfields, codecs)
+                    for o, (si, sf, codec, conv) in enumerate(
+                        zip(src, sfields, codecs, convs)
                     ):
                         if si is not None:
-                            row[o] = _coerce_typed(values[si], f, codec)
+                            v = _coerce_typed(values[si], sf, codec)
+                            if conv is not None and v is not None:
+                                v = conv(v)
+                            row[o] = v
                     out.append(([kind] + row) if include_action else row)
             yield pd.DataFrame(
                 out,

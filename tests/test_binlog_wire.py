@@ -1945,3 +1945,129 @@ def test_export_wire_files_is_eager_both_exporters_both_paths(spark, tmp_path):
     wire4 = tmpdir + "/w4"
     W.export_wire_files_x(spark, out2, wire4, incremental=True)
     assert "binlog-x-0.000001" in os.listdir(wire4)
+
+
+def test_decode_wire_with_registry_modify_retype(spark, tmp_path):
+    """Cross-version MODIFY COLUMN retype (ADVICE r10): rows logged
+    under the OLD type cast forward to the final type — BIGINT→VARCHAR
+    surfaces the old ints as their MySQL string form, never an opaque
+    ArrowTypeError inside mapInPandas. DECIMAL and widening retypes go
+    through the same plan-time converter."""
+    import os
+    from decimal import Decimal
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = str(tmp_path / "retype")
+    os.makedirs(wire)
+    td1 = W.TableDef.from_mysql_types("shop", "t", ["bigint", "bigint"])
+    td2 = W.TableDef.from_mysql_types("shop", "t", ["bigint", "varchar(8)"])
+    W.write_binlog_file(wire + "/binlog.000001", [
+        W.encode_query("shop", "CREATE TABLE t (id BIGINT PRIMARY KEY, v BIGINT)"),
+        W.encode_table_map(1, td1),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td1, [[1, 10], [2, -7]]),
+        W.encode_query("shop", "ALTER TABLE t MODIFY COLUMN v VARCHAR(8)"),
+        W.encode_table_map(2, td2),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 2, td2, [[3, "xyz"]]),
+    ])
+    reg = replay_wire_ddl(spark, wire)
+    out = W.decode_wire_with_registry(spark, wire, reg, "shop", "t")
+    assert dict(out.dtypes)["v"] == "string"
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert rows == {1: "10", 2: "-7", 3: "xyz"}
+
+    # numeric retype the other way: VARCHAR-era digits cast to the final
+    # DECIMAL type (quantized to the target scale)
+    wire2 = str(tmp_path / "retype2")
+    os.makedirs(wire2)
+    tdv = W.TableDef.from_mysql_types("shop", "u", ["bigint", "varchar(8)"])
+    tdd = W.TableDef.from_mysql_types("shop", "u", ["bigint", "decimal(10,2)"])
+    W.write_binlog_file(wire2 + "/binlog.000001", [
+        W.encode_query("shop", "CREATE TABLE u (id BIGINT PRIMARY KEY, v VARCHAR(8))"),
+        W.encode_table_map(1, tdv),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, tdv, [[1, "3.5"]]),
+        W.encode_query("shop", "ALTER TABLE u MODIFY COLUMN v DECIMAL(10,2)"),
+        W.encode_table_map(2, tdd),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 2, tdd, [[2, Decimal("9.25")]]),
+    ])
+    reg2 = replay_wire_ddl(spark, wire2)
+    out2 = W.decode_wire_with_registry(spark, wire2, reg2, "shop", "u")
+    rows2 = {r["id"]: r["v"] for r in out2.collect()}
+    assert rows2 == {1: Decimal("3.50"), 2: Decimal("9.25")}
+
+
+def test_decode_wire_with_registry_unsupported_retype_raises_at_plan(spark, tmp_path):
+    """A retype with no lossless forward cast (VARCHAR→DATETIME) raises a
+    CLEAR error at PLAN time — naming the column and both declarations —
+    instead of an Arrow serialization crash mid-stream."""
+    import os
+
+    import pytest
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = str(tmp_path / "badretype")
+    os.makedirs(wire)
+    W.write_binlog_file(wire + "/binlog.000001", [
+        W.encode_query("shop", "CREATE TABLE t (id BIGINT PRIMARY KEY, v VARCHAR(19))"),
+        W.encode_query("shop", "ALTER TABLE t MODIFY COLUMN v DATETIME"),
+    ])
+    reg = replay_wire_ddl(spark, wire)
+    with pytest.raises(ValueError, match="no supported forward cast"):
+        W.decode_wire_with_registry(spark, wire, reg, "shop", "t")
+
+
+def test_decode_wire_with_registry_rejects_partial_images(spark, tmp_path):
+    """MINIMAL/NOBLOB partial images pad absent columns to NULL — the
+    registry decode must REFUSE them (ADVICE r10) instead of emitting
+    NULLs indistinguishable from real NULLs. wire_frame_rows surfaces
+    the present-column info alongside the values for this check."""
+    import os
+
+    import pytest
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = str(tmp_path / "partial")
+    os.makedirs(wire)
+    td = W.TableDef.from_mysql_types("shop", "t", ["bigint", "varchar(8)", "bigint"])
+    # MINIMAL update: before image pk-only, after image changed-only
+    upd = W.encode_rows_event(
+        W.UPDATE_ROWS_EVENT, 1, td,
+        [[[1, None, None], [None, "x", None]]],
+        present=[True, False, False],
+        present_after=[False, True, False],
+    )
+    W.write_binlog_file(wire + "/binlog.000001", [
+        W.encode_query(
+            "shop",
+            "CREATE TABLE t (id BIGINT PRIMARY KEY, s VARCHAR(8), n BIGINT)",
+        ),
+        W.encode_table_map(1, td),
+        upd,
+    ])
+    reg = replay_wire_ddl(spark, wire)
+    out = W.decode_wire_with_registry(
+        spark, wire, reg, "shop", "t", include_action=True)
+    with pytest.raises(Exception, match="PARTIAL row image"):
+        out.collect()
+
+
+def test_wire_frame_rows_surfaces_present_columns():
+    """include_values appends (values, present): full images carry
+    present=None; partial images carry the surfaced image's present
+    index list."""
+    td = W.TableDef.from_mysql_types("d", "t", ["bigint", "varchar(8)"])
+    full = W.encode_table_map(1, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 1, td, [[1, "a"]])
+    recs = W.wire_frame_rows("binlog.000001", W.MAGIC + full,
+                             include_values=True)
+    rows = [r for r in recs if r[2] == "INSERT"]
+    assert rows[0][8] == [1, "a"] and rows[0][9] is None
+
+    noblob = W.encode_table_map(1, td) + W.encode_rows_event(
+        W.WRITE_ROWS_EVENT, 1, td, [[2, None]], present=[True, False])
+    recs2 = W.wire_frame_rows("binlog.000001", W.MAGIC + noblob,
+                              include_values=True)
+    rows2 = [r for r in recs2 if r[2] == "INSERT"]
+    assert rows2[0][9] == [0]
