@@ -89,6 +89,56 @@ def last_image_salted(
     )
 
 
+def estimate_top_key_share(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("db", "tbl", "pk"),
+    fraction: float = 0.02,
+    seed: int = 7,
+) -> tuple[int, int]:
+    """One sampled pass → (est_total_rows, est_max_key_rows). The skew
+    probe behind the adaptive collapse: a 2% Bernoulli sample, keyed
+    count, tiny max — cost is one narrow map + one small agg, no full
+    shuffle of the input."""
+    row = (
+        df.sample(fraction=fraction, seed=seed)
+        .groupBy(*[F.col(k) for k in keys])
+        .count()
+        .agg(F.sum("count").alias("n"), F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    n = int((row["n"] or 0) / fraction)
+    mx = int((row["mx"] or 0) / fraction)
+    return n, mx
+
+
+def last_image_adaptive(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("db", "tbl", "pk"),
+    salt_buckets: int = 16,
+    hot_rows_threshold: int = 4_000_000,
+    sample_fraction: float = 0.02,
+) -> DataFrame:
+    """Skew-GATED last-image collapse (r10 verdict #6): the salt's
+    second shuffle stopped paying at the measured floor (bench skew
+    probe r10: salted/unsalted = 1.07 even on a 90%-hot input — the
+    hash agg absorbs that much skew map-side), so engage it only when a
+    sampled probe estimates some key's chain exceeds
+    ``hot_rows_threshold`` — the regime where one reducer would hold a
+    straggler's worth of rows at cluster scale. Below the threshold the
+    plain one-shuffle ``last_image`` runs, so the adaptive path costs
+    the probe (one sampled map + tiny agg) and nothing else. Mirrors
+    the reference's CONDITIONAL fallback shape (SplitApplier.java:52-92
+    drops to serial apply only when PK conflicts demand it). Both
+    branches produce identical results (pytest-asserted), so the gate
+    is purely a physical-plan decision — exactly what AQE's skew-join
+    handling does for joins, applied to the agg the optimizer can't
+    rewrite itself."""
+    _n, mx = estimate_top_key_share(df, keys, fraction=sample_fraction)
+    if mx > hot_rows_threshold:
+        return last_image_salted(df, keys, salt_buckets)
+    return last_image(df, keys)
+
+
 def collapse_ops(df: DataFrame, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> DataFrame:
     """Last-image merge with action rewrite (MergeTransactionApplier.java:50-105):
     chain ends in DELETE → one DELETE; chain started with INSERT → one

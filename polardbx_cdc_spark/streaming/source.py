@@ -51,7 +51,8 @@ def _as_stream_dir(sf_dir: str, name: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        fan_out: bool = True,
-                       static_source: bool = False) -> DataFrame:
+                       static_source: bool = False,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
     """events parquet as an unbounded stream (schema pinned from the batch
     read; nanos ts handled identically to session.load_table).
 
@@ -72,13 +73,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     that one batch arrives well-distributed. The skip is opt-in because
     the census runs at stream-DEFINITION time: a live-tail stream's later
     micro-batches contain only newly-landed files (often 1-2), exactly
-    the narrow batches the exchange exists for."""
+    the narrow batches the exchange exists for.
+
+    ``max_files_per_trigger`` is a SOURCE option (it must ride the
+    readStream — options on the writeStream never reach a file source):
+    bounds per-micro-batch intake for catch-up bursts and steady-state
+    cadence drives (the FlowLimiter knob, §2.11)."""
     from polardbx_cdc_spark.session import ensure_nanos_readable, normalize_event_ts
 
     ensure_nanos_readable(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src_dir = _as_stream_dir(sf_dir, "events")
-    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
     if fan_out:
         width = spark.sparkContext.defaultParallelism
         n_files = sum(1 for f in os.listdir(src_dir) if f.endswith(".parquet"))
@@ -101,14 +110,17 @@ def read_binlog(spark: SparkSession, sink_dir: str, from_tso: str = "") -> DataF
 
 
 def cdc_stream(spark: SparkSession, sf_dir: str, watermark: str = "10 minutes",
-               fan_out: bool = True) -> DataFrame:
+               fan_out: bool = True,
+               max_files_per_trigger: int | None = None) -> DataFrame:
     """The canonical CDC stream with an event-time watermark on the TSO
     physical time — the Spark-native HeartBeatWindow: the global watermark
     is min over all source partitions, exactly the reference's
     all-sources-reached-T emission gate (HeartBeatWindow.java:30-71).
-    ``fan_out`` passes through to :func:`read_events_stream` — set False
-    when the consumer's first operation is a keyed shuffle."""
-    ev = read_events_stream(spark, sf_dir, fan_out=fan_out)
+    ``fan_out`` and ``max_files_per_trigger`` pass through to
+    :func:`read_events_stream` — set fan_out=False when the consumer's
+    first operation is a keyed shuffle."""
+    ev = read_events_stream(spark, sf_dir, fan_out=fan_out,
+                            max_files_per_trigger=max_files_per_trigger)
     return derive_cdc_stream(spark, sf_dir, events=ev).withWatermark("ts", watermark)
 
 

@@ -44,6 +44,40 @@ def test_big_transaction_collapse(spark):
     assert hot["value"] == float(n - 1)
 
 
+def test_last_image_adaptive_gates_on_skew(spark):
+    """The adaptive collapse (r10 verdict #6) samples the batch and salts
+    only above hot_rows_threshold — both branches produce the plain
+    result exactly, and the gate picks the branch the skew estimate
+    demands (SplitApplier.java:52-92's conditional-fallback shape)."""
+    n = 50_000
+    rows = [(1_000_000, 0, s, "UPDATE" if s else "INSERT", "d", "t", "hot", float(s)) for s in range(n)]
+    rows += [(2_000_000 + s, 1, 0, "UPDATE", "d", "t", f"cold{s}", 42.0) for s in range(100)]
+    df = _mk_cdc(spark, rows).repartition(8)
+
+    plain = {tuple(r[k] for k in ("db", "tbl", "pk")): r.asDict()
+             for r in apply_ops.last_image(df).collect()}
+
+    # probe: the 2% sample must estimate the hot chain within ~±20%
+    est_n, est_mx = apply_ops.estimate_top_key_share(df, ("db", "tbl", "pk"))
+    assert 0.7 * n < est_mx < 1.3 * n
+    assert 0.7 * (n + 100) < est_n < 1.3 * (n + 100)
+
+    # below threshold → plain plan; above → salted plan. Both exact.
+    for threshold in (10 ** 9, 1_000):
+        got = {tuple(r[k] for k in ("db", "tbl", "pk")): r.asDict()
+               for r in apply_ops.last_image_adaptive(
+                   df, hot_rows_threshold=threshold).collect()}
+        assert got == plain, f"threshold={threshold}"
+
+    # the gate itself: plan shape differs (salted = two-stage agg)
+    lo = apply_ops.last_image_adaptive(df, hot_rows_threshold=10 ** 9)
+    hi = apply_ops.last_image_adaptive(df, hot_rows_threshold=1_000)
+    lo_plan = lo._jdf.queryExecution().optimizedPlan().toString()
+    hi_plan = hi._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" not in lo_plan
+    assert "_salt" in hi_plan
+
+
 def test_big_transaction_assembly(spark):
     """One transaction spanning 100k events assembles into one complete
     token (TxnBuffer spill path in the reference; a counter here)."""

@@ -34,7 +34,7 @@ def _latest_grade_by_query() -> dict[str, int]:
     import os
 
     last: dict[str, int] = {}
-    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09"):
+    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09", "10"):
         path = f"/root/repo/CORRECTNESS_r{r}.json"
         if os.path.exists(path):
             with open(path) as fh:
@@ -43,17 +43,18 @@ def _latest_grade_by_query() -> dict[str, int]:
     return last
 
 
-def test_round10_rotation_window_holds_the_oldest_grades():
-    """Round-10 rotation policy: every never-graded oracle-backed query
-    sits INSIDE the 50-slot window (the 2 queued at positions 50-51 last
-    round plus anything new this round); the 5 r6-graded names deferred
-    at round 9's _GRADE_DEFER head are all promoted; the remaining slots
-    hold r7-graded veterans (the oldest grades left after round 9) plus
-    the cdc_full_pipeline flagship anchor. The ≤10 r7-graded names that
-    don't fit queue at _GRADE_DEFER's HEAD — positions right after the
-    window — as round 11's first promotions. After this round's grading
-    no oracle-backed query's latest official grade is older than r7, and
-    only those queued names remain at r7."""
+def test_round11_rotation_window_holds_the_oldest_grades():
+    """Round-11 rotation policy: every never-graded oracle-backed query
+    sits INSIDE the 50-slot window (this round's newcomer
+    orders_wire_typed_stream_evo leads it); the 9 r7-graded names queued
+    at round 10's _GRADE_DEFER head are all promoted (retiring r7
+    entirely); the remaining slots hold r8-graded veterans (the oldest
+    grades left after round 10) plus the cdc_full_pipeline flagship
+    anchor. The ≤10 r8-graded names that don't fit queue at
+    _GRADE_DEFER's HEAD — positions right after the window — as round
+    12's first promotions. After this round's grading no oracle-backed
+    query's latest official grade is older than r8, and only those
+    queued names remain at r8."""
     names = list(Q.queries())
     window = names[:GRADE_WINDOW]
     wset = set(window)
@@ -61,25 +62,25 @@ def test_round10_rotation_window_holds_the_oldest_grades():
     last = _latest_grade_by_query()
     # every never-graded oracle is in the window, or queues right at its
     # edge (positions 50..59 — the round-8 precedent for late additions;
-    # round 11 promotes them first)
+    # round 12 promotes them first)
     never = [n for n in names if n in oracles and n not in last]
     stragglers = [
         n for n in never
         if n not in wset and names.index(n) >= GRADE_WINDOW + 10
     ]
     assert not stragglers, f"never-graded oracles buried deep: {stragglers}"
-    # r6-or-older grades must not exist anywhere (round 10 retired them:
-    # the 5 r6-graded defer-head names are all inside the window)
-    stale = {n for n in oracles if last.get(n, 99) <= 6 and n not in wset}
-    assert not stale, f"r6-stale grades left outside the window: {stale}"
-    # the r7 block fills the window; at most 10 queue right behind it
-    r7_out = [n for n in names if last.get(n) == 7 and n not in wset]
-    assert len(r7_out) <= 10, f"too many r7-graded names deferred: {r7_out}"
-    deep = [n for n in r7_out if names.index(n) >= GRADE_WINDOW + 10]
-    assert not deep, f"deferred r7 names buried behind fresher grades: {deep}"
+    # r7-or-older grades must not exist anywhere (round 11 retired them:
+    # the 9 r7-graded defer-head names are all inside the window)
+    stale = {n for n in oracles if last.get(n, 99) <= 7 and n not in wset}
+    assert not stale, f"r7-stale grades left outside the window: {stale}"
+    # the r8 block fills the window; at most 10 queue right behind it
+    r8_out = [n for n in names if last.get(n) == 8 and n not in wset]
+    assert len(r8_out) <= 10, f"too many r8-graded names deferred: {r8_out}"
+    deep = [n for n in r8_out if names.index(n) >= GRADE_WINDOW + 10]
+    assert not deep, f"deferred r8 names buried behind fresher grades: {deep}"
     assert "cdc_full_pipeline" in wset
     fresh = [
         n for n in window
-        if n != "cdc_full_pipeline" and last.get(n, 0) > 7
+        if n != "cdc_full_pipeline" and last.get(n, 0) > 8
     ]
     assert not fresh, f"window slots wasted on freshly-graded queries: {fresh}"
