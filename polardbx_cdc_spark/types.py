@@ -61,8 +61,13 @@ def spark_type_for(mysql_type: str) -> T.DataType:
         return T.ShortType()
     if base in ("enum", "set"):
         return T.StringType()  # resolved label — EnumField/SetField.java
-    if base in ("binary", "varbinary", "blob", "tinyblob", "mediumblob", "longblob", "geometry"):
-        return T.BinaryType()  # geometry = WKB — GeometryField.java
+    if base in ("binary", "varbinary", "blob", "tinyblob", "mediumblob", "longblob",
+                "geometry", "point", "linestring", "polygon", "multipoint",
+                "multilinestring", "multipolygon", "geometrycollection",
+                "geomcollection"):
+        # every spatial subtype is GEOMETRY on the wire = WKB bytes
+        # (GeometryField.java; MySQL stores the subtype only in metadata)
+        return T.BinaryType()
     if base in ("char", "varchar", "text", "tinytext", "mediumtext", "longtext", "json"):
         return T.StringType()
     raise ValueError(f"unmapped MySQL type: {mysql_type}")

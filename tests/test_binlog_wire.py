@@ -1455,11 +1455,13 @@ def test_wire_typed_stream_matches_batch_decode(spark, tmp_path):
 
 
 def test_decode_wire_with_registry_random_evolution_law(spark, tmp_path):
-    """Seeded-random evolution chains: interleave ADD/DROP COLUMN DDL
-    with inserts at random points, split the stream into random file
-    boundaries, and check the registry-typed decode equals an analytic
-    model that never sees the wire — for every inserted row, the final
-    projection is {col: value if the column existed at insert time}."""
+    """Seeded-random evolution chains: interleave ADD/DROP COLUMN and
+    MODIFY-retype (BIGINT→VARCHAR — ADVICE r10: the retype path was in
+    scope but unfuzzed) DDL with inserts at random points, split the
+    stream into random file boundaries, and check the registry-typed
+    decode equals an analytic model that never sees the wire — for
+    every inserted row, the final projection is {col: value if the
+    column existed at insert time, forward-cast to the head decl}."""
     import os
     import random
 
@@ -1478,7 +1480,9 @@ def test_decode_wire_with_registry_random_evolution_law(spark, tmp_path):
             db, f"CREATE TABLE {tbl} (rid BIGINT PRIMARY KEY)")])
         for _ in range(rng.randrange(4, 8)):
             roll = rng.random()
-            if roll < 0.35:     # ADD COLUMN
+            bigint_cols = [c for c, d in zip(cols[1:], decls[1:])
+                           if d == "bigint"]
+            if roll < 0.3:      # ADD COLUMN
                 name = f"c{next_col}"
                 next_col += 1
                 decl = rng.choice(["bigint", "varchar(16)"])
@@ -1487,12 +1491,18 @@ def test_decode_wire_with_registry_random_evolution_law(spark, tmp_path):
                 steps.append([W.encode_query(
                     db, f"ALTER TABLE {tbl} ADD COLUMN {name} "
                         + ("BIGINT" if decl == "bigint" else "VARCHAR(16)"))])
-            elif roll < 0.55 and len(cols) > 1:  # DROP a non-key column
+            elif roll < 0.45 and len(cols) > 1:  # DROP a non-key column
                 victim = rng.choice(cols[1:])
                 i = cols.index(victim)
                 del cols[i], decls[i]
                 steps.append([W.encode_query(
                     db, f"ALTER TABLE {tbl} DROP COLUMN {victim}")])
+            elif roll < 0.6 and bigint_cols:  # MODIFY retype → VARCHAR
+                target = rng.choice(bigint_cols)
+                decls[cols.index(target)] = "varchar(16)"
+                steps.append([W.encode_query(
+                    db, f"ALTER TABLE {tbl} MODIFY COLUMN {target} "
+                        f"VARCHAR(16)")])
             else:               # INSERT 1-3 rows under the current schema
                 td = W.TableDef.from_mysql_types(db, tbl, decls)
                 rows = []
@@ -1525,11 +1535,18 @@ def test_decode_wire_with_registry_random_evolution_law(spark, tmp_path):
         out = W.decode_wire_with_registry(spark, wire, reg, db, tbl)
         got = {r["rid"]: r.asDict() for r in out.collect()}
         fin_cols = list(out.columns)
+        fin_decl = dict(zip(cols, decls))
         assert len(got) == len(expected), seed
         for exp in expected:
             row = got[exp["rid"]]
             for c in fin_cols:
-                assert row[c] == exp.get(c), (seed, exp["rid"], c, row, exp)
+                want = exp.get(c)
+                # forward cast across a later MODIFY retype: ints logged
+                # under the BIGINT era surface as their string form
+                if (want is not None and isinstance(want, int) and c != "rid"
+                        and fin_decl.get(c, "").startswith("varchar")):
+                    want = str(want)
+                assert row[c] == want, (seed, exp["rid"], c, row, exp)
 
 
 def test_export_with_gtid_framing(spark, sf_dir, tmp_path):

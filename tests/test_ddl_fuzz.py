@@ -31,6 +31,9 @@ TYPES = [
     "TEXT",
     "DATETIME(3)",
     "BIT(8)",
+    # round-11: spatial columns (attribute dimension adds SRID tails)
+    "GEOMETRY",
+    "POINT",
 ]
 
 NOOP_ACTIONS = [
@@ -68,7 +71,36 @@ NOOP_ACTIONS = [
     "ADD CONSTRAINT chk_{n} CHECK (`{col}` IS NOT NULL AND ((1) < 2))",
     "ADD CHECK ((`{col}` >= (0)))",
     "DROP CHECK chk_{n}",
+    # round-11: FOREIGN KEY forms (r10 verdict #4 — happy path was green
+    # but unfuzzed; the action list, ON DELETE/UPDATE referential
+    # actions, and index-name variants must all stay registry no-ops)
+    "ADD CONSTRAINT fk_{n} FOREIGN KEY (`{col}`) REFERENCES rt{n} (rc)"
+    " ON DELETE CASCADE ON UPDATE RESTRICT",
+    "ADD FOREIGN KEY (`{col}`) REFERENCES db1.rt{n} (rc, rc2)"
+    " ON DELETE SET NULL",
+    "ADD CONSTRAINT FOREIGN KEY fk_idx_{n} (`{col}`) REFERENCES rt{n} (rc)"
+    " ON UPDATE NO ACTION",
+    "DROP FOREIGN KEY fk_{n}",
 ]
+
+#: column attributes riding random decls — registry must strip
+#: COLUMN_FORMAT/STORAGE (and SRID on spatial columns) from the stored
+#: type (r10 verdict #4)
+_COL_ATTRS = [
+    "", "", "", "",
+    " COLUMN_FORMAT DYNAMIC",
+    " STORAGE DISK",
+    " COLUMN_FORMAT FIXED STORAGE MEMORY",
+    " NOT NULL COLUMN_FORMAT DEFAULT",
+]
+
+_SPATIAL_ATTRS = ["", " SRID 4326", " NOT NULL SRID 0", " SRID 3857 COMMENT 'geo'"]
+
+
+def _attrs(rng, typ: str) -> str:
+    if typ.upper().startswith(("GEOMETRY", "POINT")):
+        return rng.choice(_SPATIAL_ATTRS)
+    return rng.choice(_COL_ATTRS)
 
 #: expression DEFAULT clauses riding random ADD/MODIFY/CHANGE column decls
 #: — registry must strip them from the stored type (MySQL 8 paren grammar)
@@ -81,28 +113,43 @@ EXPR_DEFAULTS = [
 
 
 class Model:
-    """Analytic twin: ordered (name, type) list driven by intents only."""
+    """Analytic twin: ordered (name, type, origin) list driven by intents
+    only. ``origin`` is the column's birth identity (``name@birth_tso``,
+    the registry lineage surface, meta.py origins): ADD mints a new
+    origin; MODIFY/CHANGE/RENAME — retype, rename, reposition — all
+    PRESERVE it; DROP erases it (r10 verdict #8: lineage under fuzz)."""
 
     def __init__(self):
-        self.cols: list[tuple[str, str]] = []
+        self.cols: list[tuple[str, str, str]] = []
 
     def names(self):
-        return [c for c, _ in self.cols]
+        return [c for c, _, _ in self.cols]
 
-    def insert(self, name, typ, position):
+    def insert(self, name, typ, position, origin=None):
         if position == "first":
             i = 0
         elif position:
             i = self.names().index(position) + 1
         else:
             i = len(self.cols)
-        self.cols.insert(i, (name, typ))
+        # origin defaults to the bare name for callers that don't fuzz
+        # lineage (name-fallback, the legacy-snapshot contract)
+        self.cols.insert(i, (name, typ, origin if origin is not None else name))
 
     def drop(self, name):
         del self.cols[self.names().index(name)]
 
+    def origin_of(self, name):
+        return self.cols[self.names().index(name)][2]
+
+    def types(self):
+        return [t for _, t, _ in self.cols]
+
+    def origins(self):
+        return tuple(o for _, _, o in self.cols)
+
     def snapshot(self):
-        return tuple(self.cols)
+        return tuple((n, t) for n, t, _ in self.cols)
 
 
 def _bt(name):
@@ -151,11 +198,36 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
     n_init = rng.randint(2, 6)
     init_cols = [(f"c{i}", rng.choice(TYPES)) for i in range(n_init)]
     for name, typ in init_cols:
-        model.insert(name, typ, None)
-    body = ", ".join(f"{_fmt_col(rng, n)} {t}" for n, t in init_cols)
-    reg.apply_sql("10000", f"CREATE TABLE db0.fz ({body}, PRIMARY KEY (c0))")
+        model.insert(name, typ, None, f"{name}@10000")
+    body = ", ".join(
+        f"{_fmt_col(rng, n)} {t}{_attrs(rng, t)}" for n, t in init_cols
+    )
+    # round-11 dimensions: inline FOREIGN KEY constraints and a top-level
+    # PARTITION BY RANGE/LIST (...) (PARTITION ... VALUES ...) tail — both
+    # must parse as non-columns
+    fk = ""
+    if rng.random() < 0.5:
+        fk = (", CONSTRAINT fk0 FOREIGN KEY (c1) REFERENCES rt (x)"
+              " ON DELETE CASCADE ON UPDATE SET NULL"
+              if rng.random() < 0.5
+              else ", FOREIGN KEY (c1) REFERENCES db1.rt (x, y)")
+    part_tail = rng.choice([
+        "",
+        " PARTITION BY RANGE (c0) (PARTITION p0 VALUES LESS THAN (100),"
+        " PARTITION p1 VALUES LESS THAN MAXVALUE)",
+        " PARTITION BY RANGE (YEAR(c0)) (PARTITION p0 VALUES LESS THAN"
+        " (2000), PARTITION p1 VALUES LESS THAN MAXVALUE)",
+        " PARTITION BY LIST (c0) (PARTITION pa VALUES IN (1, 2, 3),"
+        " PARTITION pb VALUES IN (4, 5))",
+    ])
+    reg.apply_sql(
+        "10000",
+        f"CREATE TABLE db0.fz ({body}, PRIMARY KEY (c0){fk}){part_tail}",
+    )
 
-    history: list[tuple[str, tuple]] = [("10000", model.snapshot())]
+    history: list[tuple[str, tuple, tuple]] = [
+        ("10000", model.snapshot(), model.origins())
+    ]
     next_col = n_init
     tso = 10000
 
@@ -176,9 +248,10 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
             sql = (
                 f"ALTER TABLE db0.fz {_kw(rng, 'add')} "
                 f"{_maybe_column_kw(rng)}{_fmt_col(rng, name)} {typ}"
-                f"{rng.choice(EXPR_DEFAULTS)}{rng.choice(_COMMENTS)}{tail}"
+                f"{rng.choice(EXPR_DEFAULTS)}{_attrs(rng, typ)}"
+                f"{rng.choice(_COMMENTS)}{tail}"
             )
-            model.insert(name, typ, pos)
+            model.insert(name, typ, pos, f"{name}@{tso}")
         elif kind < 0.4 and len(names) > 2:
             # DROP COLUMN (keep the PK c0 so the table stays plausible)
             victim = rng.choice([n for n in names if n != "c0"])
@@ -202,17 +275,18 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
             sql = (
                 f"ALTER TABLE db0.fz {_kw(rng, 'modify')} "
                 f"{_maybe_column_kw(rng)}{_fmt_col(rng, target)} {typ}"
-                f"{rng.choice(EXPR_DEFAULTS)}{tail}"
+                f"{rng.choice(EXPR_DEFAULTS)}{_attrs(rng, typ)}{tail}"
             )
+            origin = model.origin_of(target)  # retype keeps identity
             if pos:
                 # model replays drop-then-insert exactly like MySQL reorder:
                 # AFTER resolves against the list WITHOUT the moving column
                 model.drop(target)
-                model.insert(target, typ, pos)
+                model.insert(target, typ, pos, origin)
             else:
                 # no position clause → in-place retype
                 i = model.names().index(target)
-                model.cols[i] = (target, typ)
+                model.cols[i] = (target, typ, origin)
         elif kind < 0.7 and any(n != "c0" for n in names):
             # CHANGE: rename + retype, optionally reposition
             target = rng.choice([n for n in names if n != "c0"])
@@ -232,18 +306,21 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
                     f"ALTER TABLE db0.fz RENAME COLUMN "
                     f"{_fmt_col(rng, target)} TO {_fmt_col(rng, name)}"
                 )
-                typ = dict(model.cols)[target]
+                typ = {n: t for n, t, _ in model.cols}[target]
             else:
                 sql = (
                     f"ALTER TABLE db0.fz {_kw(rng, 'change')} "
                     f"{_maybe_column_kw(rng)}{_fmt_col(rng, target)} "
                     f"{_fmt_col(rng, name)} {typ}"
-                    f"{rng.choice(EXPR_DEFAULTS)}{tail}"
+                    f"{rng.choice(EXPR_DEFAULTS)}{_attrs(rng, typ)}{tail}"
                 )
+            origin = model.origin_of(target)  # rename keeps identity
             i = model.names().index(target)
             old_pos_prev = model.names()[i - 1] if i else "first"
             model.drop(target)
-            model.insert(name, typ, pos if pos else (old_pos_prev if i else "first"))
+            model.insert(name, typ,
+                         pos if pos else (old_pos_prev if i else "first"),
+                         origin)
         else:
             # schema-neutral DDL: index / partition / table options —
             # must parse, must not change the visible column set
@@ -252,21 +329,27 @@ def test_random_ddl_sequence_matches_analytic_model(seed):
             )
             sql = f"ALTER TABLE db0.fz {action}"
         reg.apply_sql(str(tso), sql)
-        history.append((str(tso), model.snapshot()))
+        history.append((str(tso), model.snapshot(), model.origins()))
 
     # final schema: columns AND order AND types all match the analytic model
     final = reg.find("db0", "fz", str(tso + 1))
     assert final is not None
     assert list(final.columns) == model.names()
-    assert [t.upper() for t in final.types] == [t.upper() for t, in
-        [(t,) for _, t in model.cols]]
+    assert [t.upper() for t in final.types] == [
+        t.upper() for t in model.types()
+    ]
+    # lineage: per-column birth identity survives the whole random
+    # RENAME/CHANGE/MODIFY/position walk (r10 verdict #8) — the surface
+    # the registry-typed wire decode matches columns by
+    assert final.origin_names() == model.origins()
 
     # time travel: 8 random historical positions replay exactly
-    for tso_at, snap in rng.sample(history, min(8, len(history))):
+    for tso_at, snap, origins in rng.sample(history, min(8, len(history))):
         s = reg.find("db0", "fz", tso_at + "50")
         assert s is not None, tso_at
         assert list(s.columns) == [c for c, _ in snap], tso_at
         assert [t.upper() for t in s.types] == [t.upper() for _, t in snap], tso_at
+        assert s.origin_names() == origins, tso_at
 
 
 def test_multi_statement_script_and_create_like():
@@ -537,7 +620,7 @@ def test_reference_generator_corpus_digests(seed):
     assert list(snap.columns) == model.names()
     assert snap.pks == ("id",)
     got_types = dict(zip(snap.columns, snap.types))
-    for name, typ in model.cols:
+    for name, typ, _o in model.cols:
         assert got_types[name].lower().split(" comment")[0].startswith(
             typ.split(" ")[0].lower().split("(")[0]
         ), (name, typ, got_types[name])
@@ -571,7 +654,7 @@ def test_reference_generator_corpus_digests(seed):
                 f"DEFAULT {rng.choice(dfls)}"
             )
             i = model.names().index(target)
-            model.cols[i] = (target, typ)
+            model.cols[i] = (target, typ, model.cols[i][2])
         reg.apply_sql(str(tso), sql, default_db="qa")
         history.append((str(tso), model.snapshot()))
 
@@ -670,7 +753,7 @@ def test_round9_alter_option_tails_and_multiop_chains(seed):
                 actions.append(
                     f"MODIFY {_maybe_column_kw(rng)}{tgt} bigint COMMENT 'r9, (t)'")
                 i = model.names().index(tgt)
-                model.cols[i] = (tgt, "bigint")
+                model.cols[i] = (tgt, "bigint", model.cols[i][2])
             elif roll < 0.85 and len(names) > 1:
                 old = rng.choice([n for n in names if n != "id"])
                 new = f"r{next_id}"
@@ -682,7 +765,7 @@ def test_round9_alter_option_tails_and_multiop_chains(seed):
                         f"CHANGE {_maybe_column_kw(rng)}{old} {new} varchar(64)")
                 i = model.names().index(old)
                 typ = model.cols[i][1] if "RENAME" in actions[-1] else "varchar(64)"
-                model.cols[i] = (new, typ)
+                model.cols[i] = (new, typ, model.cols[i][2])
             else:
                 tgt = rng.choice(model.names())
                 actions.append(rng.choice([
