@@ -1456,29 +1456,46 @@ def decode_events(buf: bytes, verify_crc: bool = True,
     ``tolerate_truncation``: stop cleanly at a torn tail (header cut
     short, body shorter than event_length, or CRC mismatch ON THE LAST
     event) instead of raising — the crash-recovery read mode
-    (BinlogFile.seekLastTso walks a possibly-torn file the same way)."""
+    (BinlogFile.seekLastTso walks a possibly-torn file the same way).
+
+    Checksum algorithm follows the stream's FDE (the real reader
+    contract): alg=CRC32 (the default, and what every in-repo writer
+    logs) verifies and trims a 4-byte trailer per event; alg=NONE/OFF
+    (a ``binlog_checksum=NONE`` master — e.g. a NONE-negotiated
+    MySQLDumpServer stream) carries no trailer at all. The FDE itself
+    discloses which: a CRC32 FDE's own trailer verifies; a NONE FDE
+    ends with its alg byte = 0."""
     events: list[dict] = []
     tables: dict[int, TableDef] = {}
     pos = 0
+    csum = CHECKSUM_LEN  # per-stream trailer width, set by each FDE
     while pos < len(buf):
         if tolerate_truncation and pos + HEADER_LEN > len(buf):
             break
         ts, tc, sid, elen, npos, flags = struct.unpack_from("<IBIIIH", buf, pos)
-        if elen < HEADER_LEN + CHECKSUM_LEN:
+        if elen < HEADER_LEN + csum:
             if tolerate_truncation:
                 break  # garbage header (e.g. zeroed tail from a crash)
             raise ValueError(f"invalid event length {elen} at offset {pos}")
         if tolerate_truncation and pos + elen > len(buf):
             break
         frame = buf[pos : pos + elen]
-        if verify_crc:
+        if tc == FORMAT_DESCRIPTION_EVENT and elen > HEADER_LEN + CHECKSUM_LEN:
+            # disambiguate by CRC validity (a CRC trailer can END in 0x00,
+            # so the last byte alone cannot decide)
             want = struct.unpack_from("<I", frame, elen - CHECKSUM_LEN)[0]
-            got = zlib.crc32(frame[: elen - CHECKSUM_LEN]) & 0xFFFFFFFF
+            if zlib.crc32(frame[: elen - CHECKSUM_LEN]) & 0xFFFFFFFF == want:
+                csum = CHECKSUM_LEN
+            elif frame[-1] == 0:  # BINLOG_CHECKSUM_ALG_OFF
+                csum = 0
+        if verify_crc and csum:
+            want = struct.unpack_from("<I", frame, elen - csum)[0]
+            got = zlib.crc32(frame[: elen - csum]) & 0xFFFFFFFF
             if want != got:
                 if tolerate_truncation and pos + elen >= len(buf):
                     break  # torn last event: garbage bytes under a "valid" length
                 raise ValueError(f"CRC mismatch at offset {pos}: {want:#x} != {got:#x}")
-        body = frame[HEADER_LEN : elen - CHECKSUM_LEN]
+        body = frame[HEADER_LEN : elen - csum]
         ev: dict = {"type": tc, "timestamp": ts, "server_id": sid}
         if tc == FORMAT_DESCRIPTION_EVENT:
             ev["binlog_version"] = struct.unpack_from("<H", body, 0)[0]

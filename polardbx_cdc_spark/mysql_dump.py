@@ -176,6 +176,18 @@ def _write_packet(wfile, seq: int, payload: bytes, flush: bool = True) -> int:
     return seq
 
 
+def _strip_frame_crc(frame: bytes) -> bytes:
+    """Stored CRC32 frame → NONE-wire frame (a binlog_checksum=NONE
+    master's stream): drop the 4-byte trailer, patch the header's
+    event_size, and flip an FDE's checksum_alg byte (its body's last
+    byte) to 0 so the replica's reader knows no trailers follow."""
+    out = bytearray(frame[: -W.CHECKSUM_LEN])
+    struct.pack_into("<I", out, 9, len(out))
+    if out[4] == W.FORMAT_DESCRIPTION_EVENT:
+        out[-1] = 0  # BINLOG_CHECKSUM_ALG_OFF
+    return bytes(out)
+
+
 def _read_packet(rfile) -> tuple[int, bytes] | None:
     head = rfile.read(4)
     if len(head) < 4:
@@ -372,11 +384,14 @@ class _Handler(socketserver.StreamRequestHandler):
             if cmd == COM_REGISTER_SLAVE:
                 _write_packet(self.wfile, 1, _ok_packet())
                 continue
-            if cmd in (COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID) and getattr(
-                self, "_checksum_mode", "CRC32"
-            ) not in ("CRC32", "@@GLOBAL.BINLOG_CHECKSUM"):
+            declared = getattr(self, "_checksum_mode", "CRC32")
+            if (cmd in (COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID)
+                    and srv.binlog_checksum == "CRC32"
+                    and declared not in ("CRC32", "@@GLOBAL.BINLOG_CHECKSUM")):
                 # replica declared a checksum mode it can verify that is
-                # NOT what the binlog carries — refuse like a real master
+                # NOT what the binlog carries — refuse like a real master.
+                # (A NONE-logging master streams trailer-less frames every
+                # replica can parse, so no refusal in that mode.)
                 _write_packet(self.wfile, 1, _err_packet(
                     1236,
                     "Slave can not handle replication events with the "
@@ -427,6 +442,15 @@ class _Handler(socketserver.StreamRequestHandler):
             )
             seq = _write_packet(self.wfile, seq, blob)
         _write_packet(self.wfile, seq, _eof_packet())
+
+    def _server_vars(self, srv: "MySQLDumpServer") -> dict:
+        """The module-level variable table with per-SERVER overrides
+        (binlog_checksum reflects what this master actually logs)."""
+        if srv.binlog_checksum == "CRC32":
+            return _SERVER_VARS
+        return {**_SERVER_VARS,
+                "binlog_checksum": srv.binlog_checksum,
+                "master_binlog_checksum": srv.binlog_checksum}
 
     def _answer_query(self, srv: "MySQLDumpServer", sql: str) -> None:
         """The replication-preamble SQL surface a stock client issues
@@ -491,7 +515,7 @@ class _Handler(socketserver.StreamRequestHandler):
         if m:
             pat = (m.group(1) or "%").replace("%", "*").replace("_", "?")
             rows = [
-                [k, v] for k, v in sorted(_SERVER_VARS.items())
+                [k, v] for k, v in sorted(self._server_vars(srv).items())
                 if fnmatch.fnmatch(k, pat.lower())
             ]
             self._send_result_set(["Variable_name", "Value"], rows)
@@ -512,7 +536,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 if ue.startswith("@@"):
                     var = e[2:].split(".")[-1].lower()
                     names.append(alias or e)
-                    vals.append(_SERVER_VARS.get(var))
+                    vals.append(self._server_vars(srv).get(var))
                 elif ue == "VERSION()":
                     names.append(alias or "VERSION()")
                     vals.append(_SERVER_VARS["version"])
@@ -568,8 +592,11 @@ class _Handler(socketserver.StreamRequestHandler):
                     break
                 # event packet: OK byte + raw event bytes (flush batched
                 # per FILE below — per-event flush = syscall per event)
+                frame = body[off : off + elen]
+                if srv.binlog_checksum == "NONE":
+                    frame = _strip_frame_crc(frame)
                 seq = _write_packet(
-                    self.wfile, seq, b"\x00" + body[off : off + elen],
+                    self.wfile, seq, b"\x00" + frame,
                     flush=False,
                 )
                 off += elen
@@ -628,6 +655,8 @@ class _Handler(socketserver.StreamRequestHandler):
                     )[0]
                     if _zlib.crc32(frame[: -W.CHECKSUM_LEN]) & 0xFFFFFFFF != want:
                         break  # torn/in-flight: retry next poll
+                    if srv.binlog_checksum == "NONE":
+                        frame = _strip_frame_crc(frame)
                     try:
                         seq = _write_packet(self.wfile, seq, b"\x00" + frame)
                     except OSError:
@@ -649,9 +678,11 @@ class _Handler(socketserver.StreamRequestHandler):
                 stable_size = size
                 if _time.monotonic() >= next_hb:
                     try:
+                        hb_frame = W.encode_heartbeat(cur)
+                        if srv.binlog_checksum == "NONE":
+                            hb_frame = _strip_frame_crc(hb_frame)
                         seq = _write_packet(
-                            self.wfile, seq,
-                            b"\x00" + W.encode_heartbeat(cur),
+                            self.wfile, seq, b"\x00" + hb_frame,
                         )
                     except OSError:
                         return seq
@@ -757,9 +788,13 @@ class _Handler(socketserver.StreamRequestHandler):
                     skip = False
                 if not skip:
                     for held in pending:
+                        if srv.binlog_checksum == "NONE":
+                            held = _strip_frame_crc(held)
                         seq = _write_packet(self.wfile, seq, b"\x00" + held,
                                             flush=False)
-                    seq = _write_packet(self.wfile, seq, b"\x00" + frame,
+                    out_frame = (_strip_frame_crc(frame)
+                                 if srv.binlog_checksum == "NONE" else frame)
+                    seq = _write_packet(self.wfile, seq, b"\x00" + out_frame,
                                         flush=False)
                 pending = []
                 if tc == W.XID_EVENT:
@@ -827,8 +862,17 @@ class MySQLDumpServer:
 
     def __init__(self, wire_dir: str, host: str = "127.0.0.1", port: int = 0,
                  live_idle_timeout: float = 10.0,
-                 heartbeat_interval: float = 0.5):
+                 heartbeat_interval: float = 0.5,
+                 binlog_checksum: str = "CRC32"):
         self.wire_dir = wire_dir
+        #: what this master LOGS (binlog_checksum): "CRC32" (default —
+        #: every in-repo wire file carries CRC32 trailers) or "NONE" (a
+        #: binlog_checksum=NONE master: frames stream WITHOUT trailers —
+        #: stored CRC32 bytes are stripped on the wire, FDE alg byte
+        #: flipped to 0, so the replica sees exactly what a NONE master
+        #: writes). The checksum negotiation (ERR 1236 for a replica
+        #: that cannot verify what we log) keys off this.
+        self.binlog_checksum = binlog_checksum.upper()
         #: blocking dumps (replica attach without BINLOG_DUMP_NON_BLOCK)
         #: end after this many idle seconds — a real master never ends;
         #: the slice bounds it so tests and ad-hoc consumers terminate
