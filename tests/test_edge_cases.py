@@ -66,16 +66,35 @@ def test_last_image_adaptive_gates_on_skew(spark):
     for threshold in (10 ** 9, 1_000):
         got = {tuple(r[k] for k in ("db", "tbl", "pk")): r.asDict()
                for r in apply_ops.last_image_adaptive(
-                   df, hot_rows_threshold=threshold).collect()}
+                   df, hot_rows_threshold=threshold,
+                   size_floor_bytes=0).collect()}
         assert got == plain, f"threshold={threshold}"
 
     # the gate itself: plan shape differs (salted = two-stage agg)
-    lo = apply_ops.last_image_adaptive(df, hot_rows_threshold=10 ** 9)
-    hi = apply_ops.last_image_adaptive(df, hot_rows_threshold=1_000)
+    lo = apply_ops.last_image_adaptive(df, hot_rows_threshold=10 ** 9,
+                                       size_floor_bytes=0)
+    hi = apply_ops.last_image_adaptive(df, hot_rows_threshold=1_000,
+                                       size_floor_bytes=0)
     lo_plan = lo._jdf.queryExecution().optimizedPlan().toString()
     hi_plan = hi._jdf.queryExecution().optimizedPlan().toString()
     assert "_salt" not in lo_plan
     assert "_salt" in hi_plan
+
+    # tier 1: under the plan-stats size floor (default 1 GiB) the probe
+    # itself is skipped — plain plan even with a hot threshold of 1.
+    # (Needs a KNOWN-stats plan: range-derived; the createDataFrame
+    # input above reports unknown stats → conservative probe.)
+    small = spark.range(1000).selectExpr(
+        "'d' AS db", "'t' AS tbl", "CAST(id % 3 AS STRING) AS pk",
+        "LPAD(CAST(id AS STRING), 6, '0') AS tso",
+        "'UPDATE' AS action", "CAST(id AS DOUBLE) AS value",
+    )
+    floored = apply_ops.last_image_adaptive(small, hot_rows_threshold=1)
+    assert "_salt" not in floored._jdf.queryExecution().optimizedPlan().toString()
+    # same frame, floor removed → probe sees hot chains over threshold 1
+    probed = apply_ops.last_image_adaptive(
+        small, hot_rows_threshold=1, sample_fraction=0.5, size_floor_bytes=0)
+    assert "_salt" in probed._jdf.queryExecution().optimizedPlan().toString()
 
 
 def test_big_transaction_assembly(spark):
