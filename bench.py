@@ -153,8 +153,8 @@ def _bench_streaming_x_pipeline(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _bench_streaming_steady(spark, sf_dir: str, copies: int = 8,
-                            files_per_trigger: int = 2) -> dict:
+def _bench_streaming_steady(spark, sf_dir: str, copies: int = 12,
+                            files_per_trigger: int = 3) -> dict:
     """Steady-state streaming throughput — the stream_events_per_sec
     source since round 11.
 
@@ -180,7 +180,7 @@ def _bench_streaming_steady(spark, sf_dir: str, copies: int = 8,
     sampling, stats collect, persist bookkeeping, scheduling) measured
     ~1.5 s regardless of rows — a 100k-row batch and a 200k-row batch
     cost the same wall (r11 A/B: 100k/batch → 40-59k eps; 200k/batch →
-    101-129k; 300k/batch → 132k). Two source files per trigger (200k
+    101-129k; 300k/batch → 132k). Three source files per trigger (300k
     rows) is the catch-up batch shape a backlogged production tail
     actually runs; per-batch row counts and durations are recorded in
     the payload so the number is auditable."""
@@ -263,6 +263,15 @@ def _bench_streaming_steady(spark, sf_dir: str, copies: int = 8,
 
 
 def main() -> None:
+    # global wall budget: the driver runs `timeout 580 python bench.py` —
+    # every optional section must yield before the hard kill or the JSON
+    # line never prints (r11: a clean-JVM stress re-measure overran it)
+    t_start = time.perf_counter()
+    wall_budget = float(os.environ.get("SPARK_GRAFT_WALL_BUDGET", "560"))
+
+    def wall_left() -> float:
+        return wall_budget - (time.perf_counter() - t_start)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("polardbx_cdc_spark-bench")
@@ -416,7 +425,7 @@ def main() -> None:
                 pass
             s_timings: dict[str, float] = {}
             s_ratio: dict[str, float] = {}
-            budget_s, t_sec0 = 300.0, time.perf_counter()
+            budget_s, t_sec0 = min(300.0, max(0.0, wall_left() - 120.0)), time.perf_counter()
             for name in STRESS_SET:
                 if time.perf_counter() - t_sec0 > budget_s:
                     print(f"# stress: wall budget hit, skipping from {name}", file=sys.stderr)
@@ -484,7 +493,8 @@ def main() -> None:
                     worst.append("orders_json_table_delta")
                 clean_t: dict[str, float] = {}
                 clean_ratio: dict[str, float] = {}
-                c_budget, c_t0 = 300.0, time.perf_counter()
+                # leave ~60s for the skew block + JSON emission
+                c_budget, c_t0 = min(300.0, max(0.0, wall_left() - 60.0)), time.perf_counter()
                 for name in worst:
                     if time.perf_counter() - c_t0 > c_budget:
                         print(f"# stress clean: wall budget hit at {name}", file=sys.stderr)
