@@ -390,10 +390,16 @@ def spool_segments(blob: bytes, spool_dir: str,
     the scale path between a network attach (one driver-side byte pump)
     and the executor-side decode. Splits ONLY at event boundaries; a
     split is forced before TABLE_MAP/QUERY/GTID/FDE so row events stay
-    with their table map and txns stay whole per segment. Returns the
-    number of segment files written (atomic .tmp → rename per file)."""
+    with their table map and txns stay whole per segment. Every segment
+    OPENS with the stream's FDE (carried forward across splits — the
+    relay-log writer contract: each relay file starts with its own FDE),
+    so a segment is self-describing down to the checksum algorithm: a
+    binlog_checksum=NONE master's trailer-less frames decode standalone
+    because the carried FDE discloses alg=0. Returns the number of
+    segment files written (atomic .tmp → rename per file)."""
     os.makedirs(spool_dir, exist_ok=True)
     seg, seg_n = bytearray(), 0
+    last_fde: bytes | None = None
 
     def _flush():
         nonlocal seg, seg_n
@@ -410,6 +416,10 @@ def spool_segments(blob: bytes, spool_dir: str,
             W.FORMAT_DESCRIPTION_EVENT,
         ):
             _flush()
+        if tc == W.FORMAT_DESCRIPTION_EVENT:
+            last_fde = bytes(frame)
+        elif not seg and last_fde is not None:
+            seg += last_fde  # fresh segment opens with the stream's FDE
         seg += frame
     _flush()
     return seg_n

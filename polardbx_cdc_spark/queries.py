@@ -7225,6 +7225,76 @@ def cdc_dump_attach_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_dump_none_checksum_decode",
+    oracle_cdc_query(
+        """
+        SELECT db, tbl, action,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+               CAST(sum(CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT)) AS BIGINT) AS pk_hash_sum
+        FROM cdc GROUP BY db, tbl, action
+        """
+    ),
+)
+def cdc_dump_none_checksum_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binlog_checksum=NONE master, graded end to end (r11 surface):
+    the SAME cached 32-file chain `cdc_dump_attach_decode` consumes is
+    served by a `MySQLDumpServer(binlog_checksum="NONE")` — every frame
+    streams WITHOUT its CRC trailer (stored CRC32 stripped on the wire,
+    event_size patched, FDE alg byte 0, exactly what a NONE-configured
+    real master logs) — over a plain COM_BINLOG_DUMP attach from the
+    chain head. The fetched bytes spool into standalone-decodable
+    segments (each opens with the carried FDE, which DISCLOSES alg=NONE
+    to the decoder — the relay-log writer contract) and a distributed
+    binaryFile scan decodes them back. The hash match against the same
+    raw-cdc oracle proves the strip/patch transform and the
+    trailer-less decode path are lossless down to pk strings and double
+    bits; any 4-byte mis-trim anywhere flips every value."""
+    import shutil
+    import tempfile
+
+    from polardbx_cdc_spark import binlog_wire
+    from polardbx_cdc_spark import dump_server as DS
+    from polardbx_cdc_spark import mysql_dump as MD
+
+    wire = _cdc_wire_fixture(spark, sf_dir)["wire"]
+    work = tempfile.mkdtemp(prefix="dump_none_")
+    try:
+        with MD.MySQLDumpServer(wire, binlog_checksum="NONE") as srv:
+            host, port = srv.address
+            blob = MD.binlog_dump_fetch(host, port, "", 4)
+        spool = os.path.join(work, "spool")
+        n_seg = DS.spool_segments(blob, spool, seg_limit=1 << 20)
+        if n_seg == 0:
+            raise RuntimeError("NONE-checksum dump fetched no events")
+        payload = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "segment_*.bin")
+            .load(spool)
+            .select(F.col("content").alias("payload"))
+        )
+        rows = (
+            binlog_wire.binlog_to_events(payload)
+            .groupBy("db", "tbl", "action")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .cast("long").alias("value_cents"),
+                F.sum(F.conv(F.substring(F.md5("pk"), 1, 8), 16, 10).cast("long"))
+                .cast("long").alias("pk_hash_sum"),
+            )
+            .collect()  # bounded: ≤ |db|×|tbl|×|action| = 45 rollup rows
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "db string, tbl string, action string, n long, "
+        "value_cents long, pk_hash_sum long",
+    )
+
+
 # --------------------------------------------------------------------------
 # BPE encode: apply trained merges to a corpus (SURVEY LLM-pipeline tier)
 # --------------------------------------------------------------------------

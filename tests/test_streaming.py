@@ -1919,6 +1919,45 @@ def test_spool_segments_splits_decode_standalone(tmpdir):
     assert total_rows == 200
 
 
+def test_spool_segments_carry_fde_and_decode_none_streams(tmpdir):
+    """r11: every segment OPENS with the stream's FDE (relay-log writer
+    contract), so segments are self-describing down to the checksum
+    algorithm — a binlog_checksum=NONE master's trailer-less frames
+    decode standalone because the carried FDE discloses alg=0."""
+    import os
+
+    from polardbx_cdc_spark import binlog_wire as W
+    from polardbx_cdc_spark.dump_server import spool_segments
+    from polardbx_cdc_spark.mysql_dump import _strip_frame_crc
+
+    td = W.TableDef("d", "t", [(W.TYPE_LONGLONG, None)])
+    frames = [W.encode_fde()]
+    for txn in range(40):
+        frames += [
+            W.encode_query("", "BEGIN"),
+            W.encode_table_map(3, td),
+            W.encode_rows_event(
+                W.WRITE_ROWS_EVENT, 3, td, [[txn * 10 + i] for i in range(5)]),
+            W.encode_xid(txn),
+        ]
+    # NONE-wire shape: strip every frame like the dump endpoint does
+    blob = b"".join(_strip_frame_crc(f) for f in frames)
+    spool = tmpdir + "/spool_none"
+    n = spool_segments(blob, spool, seg_limit=1500)
+    assert n > 1
+    total_rows = 0
+    for p in sorted(os.listdir(spool)):
+        seg = open(os.path.join(spool, p), "rb").read()
+        # self-describing: segment starts with the (stripped) FDE
+        assert seg[4] == W.FORMAT_DESCRIPTION_EVENT
+        evs = W.decode_events(seg)  # trailer-less decode must not raise
+        assert evs[0]["checksum_alg"] == 0
+        total_rows += sum(
+            len(e["rows"]) for e in evs if e["type"] == W.WRITE_ROWS_EVENT
+        )
+    assert total_rows == 200
+
+
 def test_emit_without_aqe_uses_source_width(spark, tmpdir):
     """ADVICE r9: with spark.sql.adaptive.enabled=false the dense-offset
     range exchange must size itself from the SOURCE's width, not default
