@@ -6645,6 +6645,11 @@ def cdc_ivm_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(work, "state"),
             os.path.join(work, "ckpt"),
             dim=dim,
+            # bucket layout sized to this deployment's write parallelism
+            # (one state-file write per bucket per touched batch — the 64
+            # default's extra 32 files were ~0.5s/batch of pure commit
+            # overhead at bench scale; a 100 TB deployment raises this)
+            n_buckets=spark.sparkContext.defaultParallelism,
         )
         if not q.awaitTermination(600):
             q.stop()

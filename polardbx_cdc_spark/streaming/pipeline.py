@@ -1381,6 +1381,7 @@ def run_materialized_view_pipeline(
     dim: DataFrame | None = None,
     dim_key: str = "dim_key",
     attr: str = "grp",
+    n_buckets: int | None = None,
 ):
     """CDC stream → durable incrementally-maintained aggregate view
     (AggViewSink), or — with ``dim`` — a fact⋈dim rollup (JoinViewSink).
@@ -1388,11 +1389,19 @@ def run_materialized_view_pipeline(
     trigger for continuous operation. Returns (query, sink); read the
     current view any time with ``sink.view(spark)``. The downstream-table
     pattern a reference replica serves its consumers from, kept current
-    without ever rescanning fact history."""
+    without ever rescanning fact history.
+
+    ``n_buckets`` sizes the durable pk-state hash layout — FIXED for the
+    sink's life (the bucket column is the pruning/carry-forward key).
+    Every bucket costs one parquet file write per touched batch (~17 ms
+    of commit-protocol overhead each at local scale, r11 profile), so
+    size it to the deployment: the cluster's write parallelism at the
+    small end, one-bucket-fits-an-executor at 100 TB. Default 64."""
     if dim is not None:
-        sink: AggViewSink = JoinViewSink(state_dir, dim, dim_key=dim_key, attr=attr)
+        sink: AggViewSink = JoinViewSink(state_dir, dim, dim_key=dim_key,
+                                         attr=attr, n_buckets=n_buckets)
     else:
-        sink = AggViewSink(state_dir)
+        sink = AggViewSink(state_dir, n_buckets=n_buckets)
     q = (
         cdc_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
