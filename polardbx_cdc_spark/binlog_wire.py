@@ -158,7 +158,11 @@ TYPE_GEOMETRY = 255  # opaque WKB bytes, BLOB-style length prefix
 
 HEADER_LEN = 19  # timestamp(4) type(1) server_id(4) event_len(4) next_pos(4) flags(2)
 CHECKSUM_LEN = 4
+BINLOG_CHECKSUM_ALG_OFF = 0  # LogEvent.java:224 (binlog_checksum=NONE)
 BINLOG_CHECKSUM_ALG_CRC32 = 1  # LogEvent.java:226
+#: first server version whose FDE carries the checksum-alg byte
+#: (LogHeader.java's checksum_version_product = 5.6.1)
+_CHECKSUM_VERSION = (5, 6, 1)
 
 #: post-header lengths for the FDE's per-type table (indexes are
 #: type_code-1; only the types we emit need truthful values)
@@ -499,19 +503,42 @@ def encode_event(type_code: int, payload: bytes, timestamp: int = 0,
     )
 
 
-def encode_fde(server_version: str = "5.7.0-polardbx-spark") -> bytes:
+def encode_fde(server_version: str = "5.7.0-polardbx-spark",
+               checksum_alg: int = BINLOG_CHECKSUM_ALG_CRC32) -> bytes:
     """FORMAT_DESCRIPTION: binlog_version(2)=4, server_version(50,
     NUL-padded), create_ts(4), header_len(1)=19, post-header-length table,
-    checksum_alg(1)=CRC32."""
+    checksum_alg(1). The FDE frame itself ALWAYS carries a CRC32 footer —
+    a real master stamps the FDE even under binlog_checksum=NONE (the
+    reader learns the alg FROM this event, so it must be verifiable;
+    LogHeader.java:191 reads checksumAlg at event_len-5)."""
     sv = server_version.encode()[:50].ljust(50, b"\x00")
     table = bytes(
         _POST_HEADER_LEN.get(t, 0) for t in range(1, _LAST_EVENT_TYPE + 1)
     )
     payload = (
         struct.pack("<H", 4) + sv + struct.pack("<I", 0)
-        + bytes([HEADER_LEN]) + table + bytes([BINLOG_CHECKSUM_ALG_CRC32])
+        + bytes([HEADER_LEN]) + table + bytes([checksum_alg])
     )
     return encode_event(FORMAT_DESCRIPTION_EVENT, payload)
+
+
+def _fde_has_checksum_alg(body: bytes) -> bool:
+    """Whether a v4 FDE's server_version (body[2:52]) is >= 5.6.1, i.e.
+    the event's last pre-footer byte is the checksum-alg descriptor
+    (LogHeader.java's version_product >= checksum_version_product)."""
+    sv = body[2:52].rstrip(b"\x00").decode(errors="replace")
+    nums = []
+    for part in sv.split(".", 2):
+        digits = ""
+        for ch in part:
+            if ch.isdigit():
+                digits += ch
+            else:
+                break
+        nums.append(int(digits) if digits else 0)
+    while len(nums) < 3:
+        nums.append(0)
+    return tuple(nums[:3]) >= _CHECKSUM_VERSION
 
 
 def _encode_col_meta(types: list[tuple[int, object]]) -> bytes:
@@ -1459,12 +1486,15 @@ def decode_events(buf: bytes, verify_crc: bool = True,
     (BinlogFile.seekLastTso walks a possibly-torn file the same way).
 
     Checksum algorithm follows the stream's FDE (the real reader
-    contract): alg=CRC32 (the default, and what every in-repo writer
-    logs) verifies and trims a 4-byte trailer per event; alg=NONE/OFF
-    (a ``binlog_checksum=NONE`` master — e.g. a NONE-negotiated
-    MySQLDumpServer stream) carries no trailer at all. The FDE itself
-    discloses which: a CRC32 FDE's own trailer verifies; a NONE FDE
-    ends with its alg byte = 0."""
+    contract, LogHeader.java:191): the alg byte sits at the FIXED offset
+    event_len-5 — the FDE frame itself is ALWAYS CRC32-stamped (a real
+    master writes the FDE checksummed even under binlog_checksum=NONE,
+    since the reader learns the alg from it). alg=CRC32 (the default,
+    and what every in-repo writer logs) verifies and trims a 4-byte
+    trailer per FOLLOWING event; alg=NONE/OFF (a ``binlog_checksum=NONE``
+    master — e.g. a NONE-negotiated MySQLDumpServer stream) means the
+    following events carry no trailer at all. Pre-5.6.1 FDEs (per their
+    server_version field) have no alg byte and imply no checksums."""
     events: list[dict] = []
     tables: dict[int, TableDef] = {}
     pos = 0
@@ -1480,22 +1510,26 @@ def decode_events(buf: bytes, verify_crc: bool = True,
         if tolerate_truncation and pos + elen > len(buf):
             break
         frame = buf[pos : pos + elen]
+        trail = csum  # this event's own trailer width
         if tc == FORMAT_DESCRIPTION_EVENT and elen > HEADER_LEN + CHECKSUM_LEN:
-            # disambiguate by CRC validity (a CRC trailer can END in 0x00,
-            # so the last byte alone cannot decide)
-            want = struct.unpack_from("<I", frame, elen - CHECKSUM_LEN)[0]
-            if zlib.crc32(frame[: elen - CHECKSUM_LEN]) & 0xFFFFFFFF == want:
-                csum = CHECKSUM_LEN
-            elif frame[-1] == 0:  # BINLOG_CHECKSUM_ALG_OFF
-                csum = 0
-        if verify_crc and csum:
-            want = struct.unpack_from("<I", frame, elen - csum)[0]
-            got = zlib.crc32(frame[: elen - csum]) & 0xFFFFFFFF
+            if _fde_has_checksum_alg(frame[HEADER_LEN:]):
+                # fixed offset, exactly like the reference reader
+                alg = frame[elen - CHECKSUM_LEN - 1]
+                if alg not in (BINLOG_CHECKSUM_ALG_OFF, BINLOG_CHECKSUM_ALG_CRC32):
+                    raise ValueError(
+                        f"unsupported FDE checksum_alg {alg} at offset {pos}")
+                trail = CHECKSUM_LEN  # the FDE itself is always stamped
+                csum = CHECKSUM_LEN if alg == BINLOG_CHECKSUM_ALG_CRC32 else 0
+            else:
+                trail = csum = 0  # pre-checksum server: no alg byte, no trailers
+        if verify_crc and trail:
+            want = struct.unpack_from("<I", frame, elen - trail)[0]
+            got = zlib.crc32(frame[: elen - trail]) & 0xFFFFFFFF
             if want != got:
                 if tolerate_truncation and pos + elen >= len(buf):
                     break  # torn last event: garbage bytes under a "valid" length
                 raise ValueError(f"CRC mismatch at offset {pos}: {want:#x} != {got:#x}")
-        body = frame[HEADER_LEN : elen - csum]
+        body = frame[HEADER_LEN : elen - trail]
         ev: dict = {"type": tc, "timestamp": ts, "server_id": sid}
         if tc == FORMAT_DESCRIPTION_EVENT:
             ev["binlog_version"] = struct.unpack_from("<H", body, 0)[0]

@@ -44,6 +44,7 @@ import socket
 import socketserver
 import struct
 import threading
+import zlib
 
 from . import binlog_wire as W
 
@@ -178,13 +179,23 @@ def _write_packet(wfile, seq: int, payload: bytes, flush: bool = True) -> int:
 
 def _strip_frame_crc(frame: bytes) -> bytes:
     """Stored CRC32 frame → NONE-wire frame (a binlog_checksum=NONE
-    master's stream): drop the 4-byte trailer, patch the header's
-    event_size, and flip an FDE's checksum_alg byte (its body's last
-    byte) to 0 so the replica's reader knows no trailers follow."""
+    master's stream). Non-FDE events: drop the 4-byte trailer and patch
+    the header's event_size. The FDE KEEPS its footer — a real master
+    stamps the FDE itself even under binlog_checksum=NONE (the replica
+    learns the alg FROM this event, so it must be verifiable) — with the
+    checksum_alg byte at its fixed event_size-5 offset flipped to 0 and
+    the CRC recomputed over the patched bytes. The reference reader
+    (LogHeader.java:191) reads checksumAlg at exactly that offset."""
+    if frame[4] == W.FORMAT_DESCRIPTION_EVENT:
+        out = bytearray(frame)
+        out[-W.CHECKSUM_LEN - 1] = W.BINLOG_CHECKSUM_ALG_OFF
+        struct.pack_into(
+            "<I", out, len(out) - W.CHECKSUM_LEN,
+            zlib.crc32(bytes(out[: -W.CHECKSUM_LEN])) & 0xFFFFFFFF,
+        )
+        return bytes(out)
     out = bytearray(frame[: -W.CHECKSUM_LEN])
     struct.pack_into("<I", out, 9, len(out))
-    if out[4] == W.FORMAT_DESCRIPTION_EVENT:
-        out[-1] = 0  # BINLOG_CHECKSUM_ALG_OFF
     return bytes(out)
 
 
@@ -867,11 +878,12 @@ class MySQLDumpServer:
         self.wire_dir = wire_dir
         #: what this master LOGS (binlog_checksum): "CRC32" (default —
         #: every in-repo wire file carries CRC32 trailers) or "NONE" (a
-        #: binlog_checksum=NONE master: frames stream WITHOUT trailers —
-        #: stored CRC32 bytes are stripped on the wire, FDE alg byte
-        #: flipped to 0, so the replica sees exactly what a NONE master
-        #: writes). The checksum negotiation (ERR 1236 for a replica
-        #: that cannot verify what we log) keys off this.
+        #: binlog_checksum=NONE master: non-FDE frames stream WITHOUT
+        #: trailers — stored CRC32 bytes are stripped on the wire — and
+        #: the FDE keeps its stamped footer with alg byte 0 at the fixed
+        #: event_size-5 offset, so the replica sees exactly what a NONE
+        #: master writes). The checksum negotiation (ERR 1236 for a
+        #: replica that cannot verify what we log) keys off this.
         self.binlog_checksum = binlog_checksum.upper()
         #: blocking dumps (replica attach without BINLOG_DUMP_NON_BLOCK)
         #: end after this many idle seconds — a real master never ends;

@@ -7245,10 +7245,12 @@ def cdc_dump_attach_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_dump_none_checksum_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The binlog_checksum=NONE master, graded end to end (r11 surface):
     the SAME cached 32-file chain `cdc_dump_attach_decode` consumes is
-    served by a `MySQLDumpServer(binlog_checksum="NONE")` — every frame
-    streams WITHOUT its CRC trailer (stored CRC32 stripped on the wire,
-    event_size patched, FDE alg byte 0, exactly what a NONE-configured
-    real master logs) — over a plain COM_BINLOG_DUMP attach from the
+    served by a `MySQLDumpServer(binlog_checksum="NONE")` — non-FDE
+    frames stream WITHOUT their CRC trailer (stored CRC32 stripped on
+    the wire, event_size patched) while the FDE keeps its stamped footer
+    with alg byte 0 at the fixed event_size-5 offset, exactly what a
+    NONE-configured real master logs (LogHeader.java:191 reads
+    checksumAlg there) — over a plain COM_BINLOG_DUMP attach from the
     chain head. The fetched bytes spool into standalone-decodable
     segments (each opens with the carried FDE, which DISCLOSES alg=NONE
     to the decoder — the relay-log writer contract) and a distributed

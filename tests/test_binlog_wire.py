@@ -2088,3 +2088,73 @@ def test_wire_frame_rows_surfaces_present_columns():
                               include_values=True)
     rows2 = [r for r in recs2 if r[2] == "INSERT"]
     assert rows2[0][9] == [0]
+
+
+# ---------------------------------------------------------------------------
+# FDE checksum-alg contract: fixed -5 offset, footer always stamped
+# (LogHeader.java:191; Format_description_log_event::write forces the
+# FDE checksum on even under binlog_checksum=NONE)
+# ---------------------------------------------------------------------------
+
+
+def _strip_trailer(frame: bytes) -> bytes:
+    out = bytearray(frame[: -W.CHECKSUM_LEN])
+    struct.pack_into("<I", out, 9, len(out))
+    return bytes(out)
+
+
+def test_none_stream_fde_keeps_stamped_footer_alg_at_minus5():
+    """A real NONE master's layout: the FDE carries its CRC32 footer with
+    alg byte 0 at event_len-5; every FOLLOWING event is trailer-less."""
+    fde = W.encode_fde(checksum_alg=W.BINLOG_CHECKSUM_ALG_OFF)
+    assert fde[-W.CHECKSUM_LEN - 1] == 0
+    import zlib as _z
+    assert (struct.unpack_from("<I", fde, len(fde) - W.CHECKSUM_LEN)[0]
+            == _z.crc32(fde[: -W.CHECKSUM_LEN]) & 0xFFFFFFFF)
+    body = (W.encode_table_map(7, TD)
+            + W.encode_rows_event(W.WRITE_ROWS_EVENT, 7, TD,
+                                  [[1, "a", 1.5, 2]])
+            + W.encode_xid(11))
+    frames, off = [], 0
+    while off < len(body):  # event_size walk over the stored frames
+        ln = struct.unpack_from("<I", body, off + 9)[0]
+        frames.append(body[off : off + ln])
+        off += ln
+    stream = fde + b"".join(_strip_trailer(f) for f in frames)
+    evs = W.decode_events(stream, verify_crc=True)
+    assert evs[0]["checksum_alg"] == 0
+    rows = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT
+            for r in e["rows"]]
+    assert rows == [[1, "a", 1.5, 2]]
+    assert any(e["type"] == W.XID_EVENT and e["xid"] == 11 for e in evs)
+
+
+def test_corrupted_fde_crc_with_zero_tail_raises_not_downgrades():
+    """Regression (r12 advice): a CRC32 FDE whose corrupted tail byte is
+    0x00 must RAISE under verify_crc — the old CRC-validity probe would
+    silently switch the stream to NONE and mis-trim every later event."""
+    fde = bytearray(W.encode_fde())
+    fde[-1] = 0x00 if fde[-1] != 0x00 else 0x01  # corrupt the CRC tail
+    stream = bytes(fde) + W.encode_xid(5)
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        W.decode_events(stream, verify_crc=True)
+    # the alg byte at -5 still reads CRC32, so even unverified decode
+    # keeps trimming 4-byte trailers (no silent NONE downgrade)
+    evs = W.decode_events(stream, verify_crc=False)
+    assert any(e["type"] == W.XID_EVENT and e["xid"] == 5 for e in evs)
+
+
+def test_pre_checksum_server_fde_implies_no_trailers():
+    """A pre-5.6.1 FDE has no checksum-alg byte at all (LogHeader.java's
+    version_product gate): the stream carries no trailers anywhere."""
+    sv = b"5.5.30-log".ljust(50, b"\x00")
+    payload = (struct.pack("<H", 4) + sv + struct.pack("<I", 0)
+               + bytes([W.HEADER_LEN])
+               + bytes(27))  # truncated post-header table, no alg byte
+    header = struct.pack(
+        "<IBIIIH", 0, W.FORMAT_DESCRIPTION_EVENT, 1,
+        W.HEADER_LEN + len(payload), 0, 0)
+    fde = header + payload  # no footer: pre-checksum servers never stamp
+    stream = fde + _strip_trailer(W.encode_xid(9))
+    evs = W.decode_events(stream, verify_crc=True)
+    assert any(e["type"] == W.XID_EVENT and e["xid"] == 9 for e in evs)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import struct
+import zlib
 
 import pytest
 
@@ -1340,10 +1341,13 @@ def test_vendored_client_mid_file_attach_across_rotation(served_wire):
 
 
 def test_none_checksum_master_streams_trailerless_frames(tmp_path):
-    """binlog_checksum=NONE master: frames stream WITHOUT CRC trailers
-    (stored CRC32 stripped on the wire, event_size patched, FDE alg byte
-    0), the variables surface reports NONE, and the standard decoder
-    parses the stream via the FDE's alg disclosure."""
+    """binlog_checksum=NONE master: non-FDE frames stream WITHOUT CRC
+    trailers (stored CRC32 stripped on the wire, event_size patched);
+    the FDE keeps its footer with alg byte 0 at the fixed event_size-5
+    offset and a recomputed CRC (a real master stamps the FDE even under
+    NONE — LogHeader.java:191 reads checksumAlg at that offset). The
+    variables surface reports NONE and the standard decoder parses the
+    stream via the FDE's alg disclosure."""
     from tests.vendored_repl_client import SpecReplicationClient
 
     wire = str(tmp_path / "wire")
@@ -1365,11 +1369,18 @@ def test_none_checksum_master_streams_trailerless_frames(tmp_path):
         with SpecReplicationClient(host, port) as cli:
             cli.set_binlog_checksum("NONE")  # NONE replica accepted here
             frames = list(cli.binlog_dump("binlog.000001", 4))
-    # every frame's header length equals the frame — no trailer anywhere
+    # every frame's header length equals the frame; non-FDE frames are
+    # trailer-less (their stored CRC32 width is gone), the FDE keeps its
+    # stamped footer with alg=0 at the fixed -5 offset and a valid CRC
     for f in frames:
         assert struct.unpack_from("<I", f, 9)[0] == len(f)
     fde = frames[0]
-    assert fde[4] == W.FORMAT_DESCRIPTION_EVENT and fde[-1] == 0
+    assert fde[4] == W.FORMAT_DESCRIPTION_EVENT
+    assert fde[-W.CHECKSUM_LEN - 1] == 0  # BINLOG_CHECKSUM_ALG_OFF at -5
+    assert (struct.unpack_from("<I", fde, len(fde) - W.CHECKSUM_LEN)[0]
+            == zlib.crc32(fde[: -W.CHECKSUM_LEN]) & 0xFFFFFFFF)
+    for f in frames[1:]:
+        assert f[4] != W.FORMAT_DESCRIPTION_EVENT or f[-W.CHECKSUM_LEN - 1] == 0
     evs = W.decode_events(b"".join(frames))
     got = [r for e in evs if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
     assert got == [[1, "a"], [2, "b"], [3, "c"]]
