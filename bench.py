@@ -242,7 +242,13 @@ def _bench_streaming_steady(spark, sf_dir: str, copies: int = 15,
             os.path.join(work, "out"),
             os.path.join(work, "ckpt"),
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
+        if not finished:
+            # timed out mid-drive: stop the query BEFORE reading progress
+            # or tearing down its checkpoint/sink dirs (a still-running
+            # stream would error against deleted paths), and flag the run
+            q.stop()
+            raise RuntimeError("steady drive exceeded 600s; timings invalid")
         wall = time.perf_counter() - t0
 
         progs = []
@@ -255,14 +261,14 @@ def _bench_streaming_steady(spark, sf_dir: str, copies: int = 15,
         rows = sum(p["numInputRows"] for p in steady)
         ms = sum(p["durationMs"].get("triggerExecution", 0) for p in steady)
         n_out = spark.read.parquet(os.path.join(work, "out")).count()
-        # steady-state rate = BEST steady batch — the same best-of-N
-        # doctrine every query timing in this file uses ("the min is the
-        # steady-state capability, the mean is scheduler noise"): a
-        # co-tenant burst inside one 3-4s batch is interference, not
-        # pipeline throughput, and bursts proved able to hit 2 of 4
-        # batches even in sub-1%-steal windows (PERF_R11 attempts log).
-        # Median and mean ride alongside and the full per-batch trace is
-        # in the payload, so the estimator is auditable.
+        # HEADLINE rate = MEDIAN steady batch (r12, advisor ask): the
+        # best-of-N doctrine fits repeated runs of one identical query,
+        # not one pass of heterogeneous micro-batches — taking the single
+        # fastest of 4-5 batches systematically overstates SUSTAINED
+        # throughput. The median damps both co-tenant bursts (slow
+        # outliers) and lucky batches (fast outliers); best/mean ride
+        # alongside and the full per-batch trace is in the payload, so
+        # the estimator is auditable.
         import statistics
 
         durs = [p["durationMs"].get("triggerExecution", 0) for p in steady]
@@ -270,8 +276,8 @@ def _bench_streaming_steady(spark, sf_dir: str, copies: int = 15,
         med_ms = statistics.median(durs) if durs else 0
         rpb = rows / len(steady) if steady else 0
         return {
-            "events_per_sec": round(rpb / (best_ms / 1000.0), 1) if best_ms else None,
-            "events_per_sec_median": round(rpb / (med_ms / 1000.0), 1) if med_ms else None,
+            "events_per_sec": round(rpb / (med_ms / 1000.0), 1) if med_ms else None,
+            "events_per_sec_best": round(rpb / (best_ms / 1000.0), 1) if best_ms else None,
             "events_per_sec_mean": round(rows / (ms / 1000.0), 1) if ms else None,
             "batches": len(batches),
             "steady_batches": len(steady),
@@ -415,19 +421,103 @@ def main() -> None:
             print(f"# stress: built 10x dataset in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             print(f"# stress: dataset build failed: {exc}", file=sys.stderr)
+    # ---- section ordering (r12, verdict ask #1): the skew probe and the
+    # sf1 stress tranche are the official record's 10x-scale evidence —
+    # they run BEFORE the clean-JVM re-measures, which are corroboration
+    # and clip first when wall runs short (r11: the old order clipped the
+    # stress tranche to 2 of 14 queries inside the driver's 580s).
+    # ---- skew block (hot-key dial) --------------------------------------
+    # Does the salted two-stage last-image collapse actually protect against
+    # a zipf head, and how hot do the LSH band buckets run on real text?
+    # synthetic_cdc_batch routes 90% of 2M events onto ONE (db,tbl,pk);
+    # worst reducer of the plain groupBy sees 1.8M rows, the salted path
+    # caps it at hot/16. lsh_bucket_stats measures the band shuffle the
+    # dedup actually performs (sf1 documents when the stress dataset
+    # exists, else sf0.1).
+    skew: dict | None = None
+    if os.environ.get("SPARK_GRAFT_NO_SKEW", "") != "1" and wall_left() > 45:
+        try:
+            from polardbx_cdc_spark.functions.dedupe import lsh_bucket_stats
+            from polardbx_cdc_spark.operators import apply as apply_ops
+            from polardbx_cdc_spark.stress import synthetic_cdc_batch
+
+            hot_pct, n_rows = 90, 2_000_000
+            hot_df = synthetic_cdc_batch(spark, n_rows, hot_key_pct=hot_pct)
+            uniform_df = synthetic_cdc_batch(spark, n_rows, hot_key_pct=0)
+            skew_t: dict[str, float] = {}
+            for label, fn, df_in in (
+                ("last_image_unsalted", apply_ops.last_image, hot_df),
+                ("last_image_salted", apply_ops.last_image_salted, hot_df),
+                # the PRODUCTION path since r12: collapse_ops and
+                # replay_to_state route through this gate (plan-stats
+                # floor → sampled probe → salt only at straggler-scale
+                # chains) — must sit at ratio ≤~1.0 on BOTH inputs
+                # (r10 verdict #6)
+                ("last_image_adaptive", apply_ops.last_image_adaptive, hot_df),
+                ("uniform_unsalted", apply_ops.last_image, uniform_df),
+                ("uniform_adaptive", apply_ops.last_image_adaptive, uniform_df),
+            ):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(df_in).count()
+                    best = min(best, time.perf_counter() - t0)
+                skew_t[label] = round(best, 3)
+            ratio = (
+                round(skew_t["last_image_salted"] / skew_t["last_image_unsalted"], 2)
+                if skew_t["last_image_unsalted"] > 0
+                else None
+            )
+            adaptive_ratio = (
+                round(skew_t["last_image_adaptive"] / skew_t["last_image_unsalted"], 2)
+                if skew_t["last_image_unsalted"] > 0
+                else None
+            )
+            adaptive_ratio_uniform = (
+                round(skew_t["uniform_adaptive"] / skew_t["uniform_unsalted"], 2)
+                if skew_t["uniform_unsalted"] > 0
+                else None
+            )
+            docs_dir = stress_dir if os.path.isdir(stress_dir) else sf_dir
+            docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
+            lsh_row = lsh_bucket_stats(docs).collect()[0].asDict()
+            lsh_row = {k: (float(v) if v is not None else None) for k, v in lsh_row.items()}
+            skew = {
+                "hot_key_pct": hot_pct,
+                "rows": n_rows,
+                "timings": skew_t,
+                "salted_over_unsalted": ratio,
+                "adaptive_over_unsalted": adaptive_ratio,
+                "adaptive_over_unsalted_uniform": adaptive_ratio_uniform,
+                "lsh_buckets": {"sf_dir": os.path.basename(docs_dir), **lsh_row},
+            }
+            print(
+                f"# skew: last_image unsalted={skew_t['last_image_unsalted']}s "
+                f"salted={skew_t['last_image_salted']}s (ratio {ratio}) | "
+                f"lsh worst_ratio_milli={lsh_row['worst_ratio_milli']} "
+                f"max={lsh_row['max_bucket']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"# skew block failed: {exc}", file=sys.stderr)
+
     if os.path.isdir(stress_dir) and os.environ.get("SPARK_GRAFT_NO_STRESS", "") != "1":
+        # MUST-HAVE tranche first (r11 verdict #1's minimum official
+        # 10x evidence): the TPC-H anchors, both dedup rows, and the
+        # skew-relevant collapse — if the wall clips, these survived
         STRESS_SET = [
             "q1_pricing_summary",
             "q3_shipping_priority",
+            "dedup_minhash_lsh",
+            "dedup_exact",
+            "cdc_last_image",
+            "dedup_cluster_groups",
+            # -- the rest, cheapest-information-first ----------------
             "q5_nation_revenue",
             "cdc_full_pipeline",
-            "cdc_last_image",
             "cdc_txn_assemble",
             "events_sessionize",
             "text_stats",
-            "dedup_exact",
-            "dedup_minhash_lsh",
-            "dedup_cluster_groups",
             "embed_cosine_topk",
             "curation_quality_filter",
             # round 4: kmeans is driver-planning-dominated at sf0.1 — the
@@ -454,7 +544,9 @@ def main() -> None:
                 pass
             s_timings: dict[str, float] = {}
             s_ratio: dict[str, float] = {}
-            budget_s, t_sec0 = min(300.0, max(0.0, wall_left() - 120.0)), time.perf_counter()
+            # skew already ran; only JSON emission (~0s) and the clean
+            # re-measures (which clip FIRST) remain — reserve 30s
+            budget_s, t_sec0 = min(300.0, max(0.0, wall_left() - 30.0)), time.perf_counter()
             for name in STRESS_SET:
                 if time.perf_counter() - t_sec0 > budget_s:
                     print(f"# stress: wall budget hit, skipping from {name}", file=sys.stderr)
@@ -522,16 +614,23 @@ def main() -> None:
                     worst.append("orders_json_table_delta")
                 clean_t: dict[str, float] = {}
                 clean_ratio: dict[str, float] = {}
-                # leave ~60s for the skew block + JSON emission
-                c_budget, c_t0 = min(300.0, max(0.0, wall_left() - 60.0)), time.perf_counter()
+                # the clean re-measures are corroboration, not primary
+                # evidence — they take whatever wall is left (minus JSON
+                # emission headroom) and are the FIRST section to clip
+                c_budget, c_t0 = min(300.0, max(0.0, wall_left() - 20.0)), time.perf_counter()
                 for name in worst:
                     if time.perf_counter() - c_t0 > c_budget:
                         print(f"# stress clean: wall budget hit at {name}", file=sys.stderr)
                         break
+                    # the subprocess must ALSO respect the remaining wall:
+                    # a 180s cap with 10s of wall left overruns the
+                    # driver's hard kill and loses the whole JSON line
+                    # (r12 attempt-1 rc=124 was exactly this)
+                    sub_timeout = min(180.0, max(5.0, wall_left() - 15.0))
                     try:
                         out = subprocess.run(
                             [sys.executable, tool, name, stress_dir, "2"],
-                            capture_output=True, text=True, timeout=180,
+                            capture_output=True, text=True, timeout=sub_timeout,
                         )
                         rec = json.loads(out.stdout.strip().splitlines()[-1])
                         clean_t[name] = rec["best"]
@@ -551,78 +650,6 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# stress section failed: {exc}", file=sys.stderr)
 
-    # ---- skew block (hot-key dial) --------------------------------------
-    # Does the salted two-stage last-image collapse actually protect against
-    # a zipf head, and how hot do the LSH band buckets run on real text?
-    # synthetic_cdc_batch routes 90% of 2M events onto ONE (db,tbl,pk);
-    # worst reducer of the plain groupBy sees 1.8M rows, the salted path
-    # caps it at hot/16. lsh_bucket_stats measures the band shuffle the
-    # dedup actually performs (sf1 documents when the stress dataset
-    # exists, else sf0.1).
-    skew: dict | None = None
-    if os.environ.get("SPARK_GRAFT_NO_SKEW", "") != "1":
-        try:
-            from polardbx_cdc_spark.functions.dedupe import lsh_bucket_stats
-            from polardbx_cdc_spark.operators import apply as apply_ops
-            from polardbx_cdc_spark.stress import synthetic_cdc_batch
-
-            hot_pct, n_rows = 90, 2_000_000
-            hot_df = synthetic_cdc_batch(spark, n_rows, hot_key_pct=hot_pct)
-            uniform_df = synthetic_cdc_batch(spark, n_rows, hot_key_pct=0)
-            skew_t: dict[str, float] = {}
-            for label, fn, df_in in (
-                ("last_image_unsalted", apply_ops.last_image, hot_df),
-                ("last_image_salted", apply_ops.last_image_salted, hot_df),
-                # the PRODUCTION path since r11: skew-gated (samples the
-                # batch, salts only above hot_rows_threshold) — must sit
-                # at ratio ≤~1.0 on BOTH inputs (r10 verdict #6)
-                ("last_image_adaptive", apply_ops.last_image_adaptive, hot_df),
-                ("uniform_unsalted", apply_ops.last_image, uniform_df),
-                ("uniform_adaptive", apply_ops.last_image_adaptive, uniform_df),
-            ):
-                best = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    fn(df_in).count()
-                    best = min(best, time.perf_counter() - t0)
-                skew_t[label] = round(best, 3)
-            ratio = (
-                round(skew_t["last_image_salted"] / skew_t["last_image_unsalted"], 2)
-                if skew_t["last_image_unsalted"] > 0
-                else None
-            )
-            adaptive_ratio = (
-                round(skew_t["last_image_adaptive"] / skew_t["last_image_unsalted"], 2)
-                if skew_t["last_image_unsalted"] > 0
-                else None
-            )
-            adaptive_ratio_uniform = (
-                round(skew_t["uniform_adaptive"] / skew_t["uniform_unsalted"], 2)
-                if skew_t["uniform_unsalted"] > 0
-                else None
-            )
-            docs_dir = stress_dir if os.path.isdir(stress_dir) else sf_dir
-            docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
-            lsh_row = lsh_bucket_stats(docs).collect()[0].asDict()
-            lsh_row = {k: (float(v) if v is not None else None) for k, v in lsh_row.items()}
-            skew = {
-                "hot_key_pct": hot_pct,
-                "rows": n_rows,
-                "timings": skew_t,
-                "salted_over_unsalted": ratio,
-                "adaptive_over_unsalted": adaptive_ratio,
-                "adaptive_over_unsalted_uniform": adaptive_ratio_uniform,
-                "lsh_buckets": {"sf_dir": os.path.basename(docs_dir), **lsh_row},
-            }
-            print(
-                f"# skew: last_image unsalted={skew_t['last_image_unsalted']}s "
-                f"salted={skew_t['last_image_salted']}s (ratio {ratio}) | "
-                f"lsh worst_ratio_milli={lsh_row['worst_ratio_milli']} "
-                f"max={lsh_row['max_bucket']}",
-                file=sys.stderr,
-            )
-        except Exception as exc:  # noqa: BLE001
-            print(f"# skew block failed: {exc}", file=sys.stderr)
     if skew is not None:
         if stress is not None:
             stress["skew"] = skew

@@ -162,8 +162,12 @@ def last_image_adaptive(
 def collapse_ops(df: DataFrame, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> DataFrame:
     """Last-image merge with action rewrite (MergeTransactionApplier.java:50-105):
     chain ends in DELETE → one DELETE; chain started with INSERT → one
-    INSERT carrying the final image; otherwise one UPDATE (final image)."""
-    li = last_image(df, keys)
+    INSERT carrying the final image; otherwise one UPDATE (final image).
+
+    Goes through the skew GATE (r12): below the plan-stats floor this is
+    exactly ``last_image`` — zero extra jobs; at straggler scale the
+    salted two-stage collapse engages. Result-identical either way."""
+    li = last_image_adaptive(df, keys)
     op = (
         F.when(F.col("last_action") == "DELETE", F.lit("DELETE"))
         .when(F.col("first_action") == "INSERT", F.lit("INSERT"))
@@ -175,8 +179,9 @@ def collapse_ops(df: DataFrame, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> 
 def replay_to_state(df: DataFrame, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> DataFrame:
     """Replay the full chain per PK → surviving final state
     (the semantics a downstream MERGE INTO / REPLACE applier produces —
-    ApplyHelper.java:553-601). Rows whose final action is DELETE vanish."""
-    li = last_image(df, keys)
+    ApplyHelper.java:553-601). Rows whose final action is DELETE vanish.
+    Skew-gated like ``collapse_ops`` (plain plan below the stats floor)."""
+    li = last_image_adaptive(df, keys)
     return li.filter(F.col("last_action") != "DELETE").select(
         *keys, F.col("last_tso"), F.col("value")
     )

@@ -113,71 +113,23 @@ def register(name: str, oracle: str | None):
 #: After this round's grading no oracle-backed query's latest official
 #: grade is older than r8, and only those 10 queue-head names remain
 #: at r8.
+#: ROUND-12 ROTATION (executed): the window leads with the ONE
+#: never-graded oracle-backed name — cdc_dump_none_checksum_decode
+#: (the binlog_checksum=NONE network dump capstone, oracle-backed
+#: since r11; the r11 verdict's ask #2) — then the 10 r8-graded names
+#: queued at _GRADE_DEFER's head last round (the oldest grades left),
+#: then the FIRST 38 of the r9-graded block, and the cdc_full_pipeline
+#: flagship anchor = exactly 50. The 11 r9-graded names that did not
+#: fit sit at _GRADE_DEFER's HEAD — positions 50-60 — as round 13's
+#: promotion queue, followed by the r10 block and the names graded
+#: r11. After this round's grading no oracle-backed query is ever
+#: ungraded, none's latest official grade is older than r9, and only
+#: those 11 queue-head names remain at r9.
 _GRADE_PRIORITY: tuple[str, ...] = (
-    # -- new this round: registry-typed streaming attach (wire_typed_
-    #    stream) with Binlog-X chain selection + MODIFY retype ---------
-    "orders_wire_typed_stream_evo",
-    # -- the 9 r7-graded defer-head names (r10 verdict promotion) ------
-    "events_sessionize",
-    "full_copy_chunks",
-    "media_features",
-    "media_stats",
-    "orders_wire_noblob_typed",
-    "parts_never_bulk_shipped",
-    "text_stats",
-    "text_token_stats",
-    "top_customers_per_nation",
-    # -- first 39 of the r8-graded block (oldest grades left) ----------
-    "cdc_binlog_wire_roundtrip",
-    "cdc_binlog_wire_zstd",
-    "cdc_flashback_by_time",
-    "cdc_last_image_salted",
-    "cdc_logical_ddl_emit",
-    "cdc_source_lag_report",
-    "cdc_stream_rebalance_plan",
-    "cdc_txn_integrity",
-    "curation_chunk_documents",
-    "curation_corpus_freq",
-    "curation_decontaminate",
-    "curation_keyword_extract",
-    "curation_lm_perplexity",
-    "curation_mixture_weights",
-    "curation_pack_sequences",
-    "curation_pii_scrub",
-    "curation_repetition_stats",
-    "curation_shard_shuffle",
-    "curation_stratified_sample",
-    "dedup_apply",
-    "dedup_chunk_spans",
-    "dedup_embed_clusters",
-    "dedup_rate_by_source",
-    "dedup_simhash_pairs",
-    "embed_ivf_topk_quantized",
-    "embed_kmeans_purity",
-    "embed_norm_stats",
-    "embed_pq_codes",
-    "embed_pq_topk",
-    "embed_quantize_int8",
-    "events_cohort_retention",
-    "events_type_day_cube",
-    "lineitem_wire_typed",
-    "media_real_decode",
-    "orders_price_quartiles",
-    "orders_weekly_moving_avg",
-    "orders_wire_partial_json",
-    "promo_large_common_suppliers",
-    "promo_only_suppliers",
-    # -- flagship anchor (green every graded round) --------------------
-    "cdc_full_pipeline",
-)
-
-#: Oracle-backed entries outside the round-11 window. HEAD = the 10
-#: r8-graded names that did not fit this round (round 12 promotes them
-#: first); then the r9-graded block, then the names graded r10. Every
-#: name is green in a prior CORRECTNESS_r*.json and re-verified each
-#: run by tests/test_oracle_parity.py (identical multiset compare).
-_GRADE_DEFER: tuple[str, ...] = (
-    # r8-graded remainder — round 12's promotion queue head:
+    # -- new this round: the binlog_checksum=NONE network dump capstone
+    #    (oracle-backed since r11, never driver-graded — r11 verdict #2) --
+    "cdc_dump_none_checksum_decode",
+    # -- the 10 r8-stale defer-head names (r11 verdict promotion) ------
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q16_supplier_part_count",
@@ -188,7 +140,7 @@ _GRADE_DEFER: tuple[str, ...] = (
     "rpl_reconcile_repair",
     "text_char_entropy",
     "text_winnow_fingerprint",
-    # last graded r9:
+    # -- first 38 of the r9-graded block (oldest grades left) ----------
     "orders_wire_latin1_typed",
     "orders_wire_named_attach",
     "orders_wire_json_diff_computed",
@@ -227,6 +179,17 @@ _GRADE_DEFER: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
+    # -- flagship anchor (green every graded round) --------------------
+    "cdc_full_pipeline",
+)
+
+#: Oracle-backed entries outside the round-12 window. HEAD = the 11
+#: r9-graded names that did not fit this round (round 13 promotes them
+#: first); then the r10-graded block, then the names graded r11. Every
+#: name is green in a prior CORRECTNESS_r*.json and re-verified each
+#: run by tests/test_oracle_parity.py (identical multiset compare).
+_GRADE_DEFER: tuple[str, ...] = (
+    # r9-graded remainder — round 13's promotion queue head:
     "q5_nation_revenue",
     "q8_market_share",
     "q9_profit_by_nation_year",
@@ -288,6 +251,56 @@ _GRADE_DEFER: tuple[str, ...] = (
     "events_daily_rollup",
     "events_date_format_roundtrip",
     "events_json_props",
+    # last graded r11:
+    "orders_wire_typed_stream_evo",
+    "events_sessionize",
+    "full_copy_chunks",
+    "media_features",
+    "media_stats",
+    "orders_wire_noblob_typed",
+    "parts_never_bulk_shipped",
+    "text_stats",
+    "text_token_stats",
+    "top_customers_per_nation",
+    "cdc_binlog_wire_roundtrip",
+    "cdc_binlog_wire_zstd",
+    "cdc_flashback_by_time",
+    "cdc_last_image_salted",
+    "cdc_logical_ddl_emit",
+    "cdc_source_lag_report",
+    "cdc_stream_rebalance_plan",
+    "cdc_txn_integrity",
+    "curation_chunk_documents",
+    "curation_corpus_freq",
+    "curation_decontaminate",
+    "curation_keyword_extract",
+    "curation_lm_perplexity",
+    "curation_mixture_weights",
+    "curation_pack_sequences",
+    "curation_pii_scrub",
+    "curation_repetition_stats",
+    "curation_shard_shuffle",
+    "curation_stratified_sample",
+    "dedup_apply",
+    "dedup_chunk_spans",
+    "dedup_embed_clusters",
+    "dedup_rate_by_source",
+    "dedup_simhash_pairs",
+    "embed_ivf_topk_quantized",
+    "embed_kmeans_purity",
+    "embed_norm_stats",
+    "embed_pq_codes",
+    "embed_pq_topk",
+    "embed_quantize_int8",
+    "events_cohort_retention",
+    "events_type_day_cube",
+    "lineitem_wire_typed",
+    "media_real_decode",
+    "orders_price_quartiles",
+    "orders_weekly_moving_avg",
+    "orders_wire_partial_json",
+    "promo_large_common_suppliers",
+    "promo_only_suppliers",
 )
 
 
