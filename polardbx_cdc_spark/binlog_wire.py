@@ -2913,6 +2913,103 @@ def decode_wire_with_registry(spark, wire_dir: str, registry, db: str, tbl: str,
     )
 
 
+#: MySQL temporal literal: date part with -, /, . or no separator; time
+#: part optional; fractional seconds optional (rounded to micros)
+_MYSQL_DT_RE = _re_mod.compile(
+    r"^\s*(\d{4})[-/.](\d{1,2})[-/.](\d{1,2})"
+    r"(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d+))?)?)?\s*$"
+)
+
+
+def _round_micros(frac_digits: str) -> tuple[int, int]:
+    """Fractional-second digits → (microseconds, carry_seconds) with
+    MySQL's ROUND-HALF-UP at the 6th digit (a DATETIME(6) column stores
+    micros; '…59.9999995' carries into the next second exactly like the
+    server — WL#946 rounding rules)."""
+    if len(frac_digits) <= 6:
+        return int(frac_digits.ljust(6, "0")), 0
+    micros = int(frac_digits[:6])
+    if frac_digits[6] >= "5":
+        micros += 1
+    if micros >= 1_000_000:
+        return 0, 1
+    return micros, 0
+
+
+def _mysql_cast_datetime(v):
+    """MySQL forward cast → DATETIME (the ALTER TABLE … MODIFY value
+    conversion, strict mode: unconvertible values raise — the non-strict
+    zero-date '0000-00-00' has no Python/Arrow form, so replay refuses
+    rather than fabricating NULLs). Accepts datetime/date passthrough,
+    MySQL string literals ('YYYY-MM-DD[ HH:MM:SS[.f]]', separators
+    - / . and compact digits), and MySQL's numeric interpretation
+    (YYYYMMDDHHMMSS / YYMMDDHHMMSS / YYYYMMDD / YYMMDD, 2-digit years
+    pivoting at 70 like the server)."""
+    if isinstance(v, _datetime_mod.datetime):
+        return v
+    if isinstance(v, _datetime_mod.date):
+        return _datetime_mod.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        m = _MYSQL_DT_RE.match(v)
+        if m:
+            y, mo, d, hh, mm, ss, frac = m.groups()
+            micros, carry = _round_micros(frac or "0")
+            dt = _datetime_mod.datetime(
+                int(y), int(mo), int(d),
+                int(hh or 0), int(mm or 0), int(ss or 0), micros,
+            )
+            return dt + _datetime_mod.timedelta(seconds=carry)
+        digits = v.strip()
+        if digits.isdigit():
+            return _mysql_cast_datetime(int(digits))
+        raise ValueError(f"cannot cast {v!r} to DATETIME")
+    if isinstance(v, bool):
+        raise ValueError(f"cannot cast {v!r} to DATETIME")
+    if isinstance(v, int):
+        s = str(v)
+        if len(s) in (6, 12):  # YYMMDD[HHMMSS]: 2-digit year, pivot 70
+            yy = int(s[:2])
+            s = f"{2000 + yy if yy < 70 else 1900 + yy}{s[2:]}"
+        if len(s) == 8:
+            return _datetime_mod.datetime(int(s[:4]), int(s[4:6]), int(s[6:8]))
+        if len(s) == 14:
+            return _datetime_mod.datetime(
+                int(s[:4]), int(s[4:6]), int(s[6:8]),
+                int(s[8:10]), int(s[10:12]), int(s[12:14]),
+            )
+        raise ValueError(f"cannot cast numeric {v!r} to DATETIME")
+    raise ValueError(
+        f"cannot cast {type(v).__name__} value {v!r} to DATETIME")
+
+
+def _mysql_cast_time_str(v) -> str:
+    """MySQL forward cast → TIME, rendered as the canonical 'HH:MM:SS[.f]'
+    string (the repo's Spark type for TIME — may exceed 24h). Numbers use
+    the server's right-anchored grouping: 123 → '00:01:23', 12345 →
+    '01:23:45'; minutes/seconds must be < 60; |hours| ≤ 838 like the
+    server's TIME range."""
+    if isinstance(v, str):
+        s = v.strip()
+        if _re_mod.match(r"^-?\d{1,3}:\d{1,2}(:\d{1,2}(\.\d+)?)?$", s):
+            return s
+        if _re_mod.match(r"^-?\d+$", s):
+            return _mysql_cast_time_str(int(s))
+        raise ValueError(f"cannot cast {v!r} to TIME")
+    if isinstance(v, _datetime_mod.datetime):
+        out = v.strftime("%H:%M:%S")
+        return out + (f".{v.microsecond:06d}" if v.microsecond else "")
+    if isinstance(v, bool):
+        raise ValueError(f"cannot cast {v!r} to TIME")
+    if isinstance(v, int):
+        sign, n = ("-", -v) if v < 0 else ("", v)
+        ss, n = n % 100, n // 100
+        mm, hh = n % 100, n // 100
+        if ss >= 60 or mm >= 60 or hh > 838:
+            raise ValueError(f"cannot cast numeric {v!r} to TIME")
+        return f"{sign}{hh:02d}:{mm:02d}:{ss:02d}"
+    raise ValueError(f"cannot cast {type(v).__name__} value {v!r} to TIME")
+
+
 def _retype_converter(src_decl: str, fin_decl: str, src_st, fin_st, col: str):
     """Cross-version MODIFY COLUMN retype: a row logged under *src_decl*
     decodes to that version's Python form, but the materialized output
@@ -2926,9 +3023,41 @@ def _retype_converter(src_decl: str, fin_decl: str, src_st, fin_st, col: str):
     serialization crash — ADVICE r10)."""
     from pyspark.sql import types as T
 
-    if src_st == fin_st:
+    def _ctx(fn):
+        def conv(v):
+            try:
+                return fn(v)
+            except ValueError as exc:
+                raise ValueError(
+                    f"column {col}: {exc} ({src_decl} -> {fin_decl})"
+                ) from None
+        return conv
+
+    fin_base = fin_decl.strip().lower().split("(")[0].split()[0]
+    if src_st == fin_st and fin_base != "time":
         return None
     tn = fin_st.typeName()
+    # temporal targets (r12, verdict ask #3): MySQL's ALTER … MODIFY
+    # forward-casts VARCHAR/INT → DATE/DATETIME/TIMESTAMP/TIME with
+    # defined parse/rounding semantics (RowsLogBuffer.java:128-144 type
+    # lattice; strict-mode: unconvertible raises, never a fabricated
+    # zero-date)
+    if fin_base == "time":
+        # TIME's Spark type is string, so an all-string chain can reach
+        # here with src_st == fin_st; normalize digits ('123' → '00:01:23')
+        if src_decl.strip().lower().split("(")[0].split()[0] == "time":
+            return None
+        return _ctx(_mysql_cast_time_str)
+    if tn == "date":
+        def _to_date(v):
+            if isinstance(v, _datetime_mod.datetime):
+                return v.date()  # MySQL truncates the time part
+            if isinstance(v, _datetime_mod.date):
+                return v
+            return _mysql_cast_datetime(v).date()
+        return _ctx(_to_date)
+    if tn in ("timestamp", "timestamp_ntz"):
+        return _ctx(_mysql_cast_datetime)
     if tn == "string":
         def conv(v):
             if isinstance(v, str):
@@ -3058,34 +3187,72 @@ def _registry_decode_plan(registry, db: str, tbl: str,
     # per version: source index + source decl for each FINAL column
     tkeys = [k for k, _st in timeline]
     tstates = [st for _k, st in timeline]
+    vidx = [
+        {o: i for i, o in enumerate(origs)} for _t, origs, _d, _w in versions
+    ]
+
+    def _norm_st(decl: str):
+        st = spark_type_for(decl)
+        if isinstance(st, (T.TimestampType, T.TimestampNTZType)):
+            st = T.TimestampNTZType()
+        return st
+
     vplans = []
-    for vtso, origs, decls, width in versions:
-        idx = {o: i for i, o in enumerate(origs)}
+    for vi, (vtso, origs, decls, width) in enumerate(versions):
+        idx = vidx[vi]
         src = [idx.get(o) for o in fin_origins]
         src_decls = [
             decls[idx[o]] if o in idx else fd
             for o, fd in zip(fin_origins, fin_decls)
         ]
         # per-column SOURCE-version Spark field (coercion must follow the
-        # type the row was LOGGED under) + forward retype converter to
-        # the FINAL field when a MODIFY COLUMN changed the Spark type
-        # between this version and the head (ADVICE r10: without it, an
-        # int logged under BIGINT reaching a VARCHAR output column dies
-        # as an opaque ArrowTypeError inside mapInPandas)
+        # type the row was LOGGED under) + forward retype converters to
+        # the FINAL field when MODIFY COLUMNs changed the type between
+        # this version and the head (ADVICE r10: without them, an int
+        # logged under BIGINT reaching a VARCHAR output column dies as
+        # an opaque ArrowTypeError inside mapInPandas). r12: converters
+        # COMPOSE through every intermediate retype, exactly like
+        # MySQL's sequential ALTER rewrites — BIGINT→DECIMAL(12,2)→
+        # VARCHAR materializes 123 as '123.00' (the decimal rewrite
+        # happened first), not '123'.
         sfields, convs = [], []
-        for sd, fd, f, col in zip(src_decls, fin_decls, vfields, fin_cols):
-            st = spark_type_for(sd)
-            if isinstance(st, (T.TimestampType, T.TimestampNTZType)):
-                st = T.TimestampNTZType()
+        for sd, fd, f, col, o in zip(
+            src_decls, fin_decls, vfields, fin_cols, fin_origins
+        ):
+            st = _norm_st(sd)
             sfields.append(T.StructField(col, st, True))
+            # decl chain for this origin across the later versions
+            chain = [sd]
+            for vj in range(vi + 1, len(versions)):
+                j = vidx[vj].get(o)
+                if j is not None and versions[vj][2][j] != chain[-1]:
+                    chain.append(versions[vj][2][j])
+            if chain[-1] != fd:
+                chain.append(fd)
+            steps = []
+            cur_decl, cur_st = chain[0], st
             try:
-                convs.append(
-                    _retype_converter(sd, fd, st, f.dataType, col)
-                )
+                for hop_i, nxt in enumerate(chain[1:], start=1):
+                    nst = (f.dataType if hop_i == len(chain) - 1
+                           else _norm_st(nxt))
+                    c = _retype_converter(cur_decl, nxt, cur_st, nst, col)
+                    if c is not None:
+                        steps.append(c)
+                    cur_decl, cur_st = nxt, nst
             except ValueError as exc:
                 raise ValueError(
                     f"{db}.{tbl} version @{vtso}: {exc}"
                 ) from None
+            if not steps:
+                convs.append(None)
+            elif len(steps) == 1:
+                convs.append(steps[0])
+            else:
+                def _composed(v, _steps=tuple(steps)):
+                    for c in _steps:
+                        v = c(v)
+                    return v
+                convs.append(_composed)
         vplans.append((width, src, _label_codecs(src_decls), sfields, convs))
 
     def decode_files(batches):

@@ -2013,25 +2013,90 @@ def test_decode_wire_with_registry_modify_retype(spark, tmp_path):
     assert rows2 == {1: Decimal("3.50"), 2: Decimal("9.25")}
 
 
-def test_decode_wire_with_registry_unsupported_retype_raises_at_plan(spark, tmp_path):
-    """A retype with no lossless forward cast (VARCHAR→DATETIME) raises a
-    CLEAR error at PLAN time — naming the column and both declarations —
-    instead of an Arrow serialization crash mid-stream."""
+def test_decode_wire_with_registry_temporal_retype_targets(spark, tmp_path):
+    """r12 (verdict ask #3): MODIFY COLUMN → DATE/DATETIME/TIME forward-
+    casts VARCHAR/INT-era values with MySQL's conversion semantics
+    (strict mode) instead of raising at plan time. Rows logged under the
+    old decl materialize under the head's temporal type."""
+    import datetime as dt
+    import os
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    wire = str(tmp_path / "tretype")
+    os.makedirs(wire)
+    td_v = W.TableDef.from_mysql_types(
+        "shop", "t", ["bigint", "varchar(26)", "varchar(10)", "bigint"])
+    td_fin = W.TableDef.from_mysql_types(
+        "shop", "t", ["bigint", "datetime(6)", "date", "time"])
+    W.write_binlog_file(wire + "/binlog.000001", [
+        W.encode_query("shop", (
+            "CREATE TABLE t (id BIGINT PRIMARY KEY, ts VARCHAR(26), "
+            "d VARCHAR(10), hms BIGINT)")),
+        W.encode_table_map(1, td_v),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td_v, [
+            [1, "2024-03-05 10:11:12.345678", "2024-03-05", 123],
+            [2, "2024-03-05 10:11:12", "2023-12-31", 93015],
+        ]),
+        W.encode_query("shop", "ALTER TABLE t MODIFY COLUMN ts DATETIME(6)"),
+        W.encode_query("shop", "ALTER TABLE t MODIFY COLUMN d DATE"),
+        W.encode_query("shop", "ALTER TABLE t MODIFY COLUMN hms TIME"),
+        W.encode_table_map(2, td_fin),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 2, td_fin, [
+            [3, dt.datetime(2025, 1, 2, 3, 4, 5), dt.date(2025, 1, 2),
+             dt.timedelta(hours=9, minutes=30, seconds=15)],
+        ]),
+    ])
+    reg = replay_wire_ddl(spark, wire)
+    out = W.decode_wire_with_registry(spark, wire, reg, "shop", "t")
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["ts"] == dt.datetime(2024, 3, 5, 10, 11, 12, 345678)
+    assert got[1]["d"] == dt.date(2024, 3, 5)
+    assert got[1]["hms"] == "00:01:23"  # MySQL numeric TIME grouping
+    assert got[2]["ts"] == dt.datetime(2024, 3, 5, 10, 11, 12)
+    assert got[2]["hms"] == "09:30:15"
+    assert got[3]["ts"] == dt.datetime(2025, 1, 2, 3, 4, 5)
+    assert got[3]["d"] == dt.date(2025, 1, 2)
+    assert got[3]["hms"] == "09:30:15"
+
+
+def test_decode_wire_with_registry_garbage_temporal_raises_clearly(spark, tmp_path):
+    """A VARCHAR-era value that MySQL strict mode could not convert
+    ('hello' → DATETIME) raises a CLEAR error naming the column and both
+    declarations — never a fabricated zero-date/NULL and never an opaque
+    Arrow crash."""
     import os
 
     import pytest
 
     from polardbx_cdc_spark.meta import replay_wire_ddl
 
-    wire = str(tmp_path / "badretype")
+    wire = str(tmp_path / "badtemporal")
     os.makedirs(wire)
+    td = W.TableDef.from_mysql_types("shop", "t", ["bigint", "varchar(19)"])
     W.write_binlog_file(wire + "/binlog.000001", [
         W.encode_query("shop", "CREATE TABLE t (id BIGINT PRIMARY KEY, v VARCHAR(19))"),
+        W.encode_table_map(1, td),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td, [[1, "hello"]]),
         W.encode_query("shop", "ALTER TABLE t MODIFY COLUMN v DATETIME"),
     ])
     reg = replay_wire_ddl(spark, wire)
+    out = W.decode_wire_with_registry(spark, wire, reg, "shop", "t")
+    with pytest.raises(Exception, match="column v.*DATETIME|cannot cast"):
+        out.collect()
+
+
+def test_retype_converter_unsupported_target_raises_at_plan():
+    """The plan-time guard survives for targets outside the MySQL decl
+    surface: an unmapped Spark type still raises the clear no-forward-
+    cast error (never an opaque Arrow serialization crash mid-stream)."""
+    import pytest
+    from pyspark.sql import types as T
+
     with pytest.raises(ValueError, match="no supported forward cast"):
-        W.decode_wire_with_registry(spark, wire, reg, "shop", "t")
+        W._retype_converter(
+            "varchar(8)", "weird", T.StringType(),
+            T.ArrayType(T.LongType()), "v")
 
 
 def test_decode_wire_with_registry_rejects_partial_images(spark, tmp_path):
@@ -2158,3 +2223,169 @@ def test_pre_checksum_server_fde_implies_no_trailers():
     stream = fde + _strip_trailer(W.encode_xid(9))
     evs = W.decode_events(stream, verify_crc=True)
     assert any(e["type"] == W.XID_EVENT and e["xid"] == 9 for e in evs)
+
+
+def test_decode_wire_with_registry_retype_lattice_fuzz(spark, tmp_path):
+    """r12 type-lattice retype fuzz (verdict ask #3): seeded-random
+    columns each walk a retype PATH over int/decimal/string/temporal
+    decls, with inserts interleaved at random points and random file
+    splits. The decode must equal an analytic model that casts each
+    inserted value through every LATER edge of its column's path — the
+    MySQL sequential-ALTER semantics (each MODIFY rewrites the stored
+    values; BIGINT→DECIMAL(12,2)→VARCHAR yields '123.00', not '123')."""
+    import datetime as dt
+    import os
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    def fmt_dt(v):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        return s + (f".{v.microsecond:06d}" if v.microsecond else "")
+
+    def fmt_td(v):
+        total = v.days * 86400 + v.seconds
+        h, rem = divmod(total, 3600)
+        m, s = divmod(rem, 60)
+        return f"{h:02d}:{m:02d}:{s:02d}"
+
+    # each path: (decl per era, value generator per era,
+    #             edge cast fns [era_i -> era_i+1])
+    PATHS = [
+        (["bigint", "varchar(16)"],
+         [lambda r: r.randrange(10_000), lambda r: f"s{r.randrange(1000)}"],
+         [str]),
+        (["bigint", "decimal(12,2)", "varchar(24)"],
+         [lambda r: r.randrange(10_000),
+          lambda r: Decimal(r.randrange(1_000_000)).scaleb(-2),
+          lambda r: f"x{r.randrange(1000)}"],
+         [lambda v: Decimal(v).quantize(Decimal("0.01")), str]),
+        (["varchar(26)", "datetime(6)"],
+         [lambda r: (f"20{r.randrange(40):02d}-{r.randrange(1, 13):02d}-"
+                     f"{r.randrange(1, 29):02d} {r.randrange(24):02d}:"
+                     f"{r.randrange(60):02d}:{r.randrange(60):02d}"),
+          lambda r: dt.datetime(2000 + r.randrange(40), r.randrange(1, 13),
+                                r.randrange(1, 29), r.randrange(24),
+                                r.randrange(60), r.randrange(60))],
+         [lambda v: dt.datetime.strptime(v, "%Y-%m-%d %H:%M:%S")]),
+        (["varchar(26)", "datetime(6)", "date"],
+         [lambda r: (f"20{r.randrange(40):02d}-{r.randrange(1, 13):02d}-"
+                     f"{r.randrange(1, 29):02d} {r.randrange(24):02d}:"
+                     f"{r.randrange(60):02d}:{r.randrange(60):02d}"),
+          lambda r: dt.datetime(2000 + r.randrange(40), r.randrange(1, 13),
+                                r.randrange(1, 29), r.randrange(24),
+                                r.randrange(60), r.randrange(60)),
+          lambda r: dt.date(2000 + r.randrange(40), r.randrange(1, 13),
+                            r.randrange(1, 29))],
+         [lambda v: dt.datetime.strptime(v, "%Y-%m-%d %H:%M:%S"),
+          lambda v: v.date()]),
+        (["bigint", "time"],
+         [lambda r: (r.randrange(100) * 10000 + r.randrange(60) * 100
+                     + r.randrange(60)),
+          lambda r: dt.timedelta(hours=r.randrange(100),
+                                 minutes=r.randrange(60),
+                                 seconds=r.randrange(60))],
+         [lambda v: f"{v // 10000:02d}:{v // 100 % 100:02d}:{v % 100:02d}"]),
+        (["varchar(10)", "date"],
+         [lambda r: (f"20{r.randrange(40):02d}-{r.randrange(1, 13):02d}-"
+                     f"{r.randrange(1, 29):02d}"),
+          lambda r: dt.date(2000 + r.randrange(40), r.randrange(1, 13),
+                            r.randrange(1, 29))],
+         [lambda v: dt.date.fromisoformat(v)]),
+        (["datetime(6)", "varchar(26)"],
+         [lambda r: dt.datetime(2000 + r.randrange(40), r.randrange(1, 13),
+                                r.randrange(1, 29), r.randrange(24),
+                                r.randrange(60), r.randrange(60),
+                                r.choice([0, 345678])),
+          lambda r: f"t{r.randrange(1000)}"],
+         [fmt_dt]),
+        (["decimal(10,3)", "bigint"],
+         [lambda r: Decimal(r.randrange(10_000_000)).scaleb(-3),
+          lambda r: r.randrange(10_000)],
+         [lambda v: int(v.quantize(Decimal(1), rounding=ROUND_HALF_UP))]),
+    ]
+
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        db, tbl = "shop", f"lat{seed}"
+        paths = [PATHS[i] for i in
+                 rng.sample(range(len(PATHS)), rng.randrange(2, 4))]
+        cols = [f"c{i}" for i in range(len(paths))]
+        era = [0] * len(paths)  # current step per column
+        events = []
+        expected = []  # (rid, {col: final_value})
+        rid = 0
+        col_defs = ", ".join(
+            f"{c} {p[0][0].upper()}" for c, p in zip(cols, paths))
+        events.append(W.encode_query(
+            db, f"CREATE TABLE {tbl} (rid BIGINT PRIMARY KEY, {col_defs})"))
+        # pending ALTER steps, consumed in random interleave with inserts
+        pending = [(ci, step) for ci, p in enumerate(paths)
+                   for step in range(1, len(p[0]))]
+        rng.shuffle(pending)
+        # keep per-column step order (step k before k+1)
+        pending.sort(key=lambda t: t[1])
+        while pending or rid < 6:
+            if pending and rng.random() < 0.4:
+                ci, step = pending.pop(0)
+                era[ci] = step
+                events.append(W.encode_query(
+                    db, f"ALTER TABLE {tbl} MODIFY COLUMN {cols[ci]} "
+                        f"{paths[ci][0][step].upper()}"))
+            else:
+                decls = ["bigint"] + [p[0][e] for p, e in zip(paths, era)]
+                td = W.TableDef.from_mysql_types(db, tbl, decls)
+                rows = []
+                for _ in range(rng.randrange(1, 3)):
+                    rid += 1
+                    vals = [p[1][e](rng) for p, e in zip(paths, era)]
+                    rows.append([rid] + list(vals))
+                    exp = {}
+                    for c, p, e, v in zip(cols, paths, era, vals):
+                        for edge in p[2][e:]:
+                            v = edge(v)
+                        # time-era timedeltas surface as MySQL text form
+                        if isinstance(v, dt.timedelta):
+                            v = fmt_td(v)
+                        exp[c] = v
+                    expected.append((rid, exp))
+                events.append(W.encode_table_map(1, td))
+                events.append(
+                    W.encode_rows_event(W.WRITE_ROWS_EVENT, 1, td, rows))
+
+        wire = str(tmp_path / f"lat{seed}")
+        os.makedirs(wire)
+        n_files = rng.randrange(1, 4)
+        # split at whole-event granularity is NOT legal (a ROWS event
+        # needs its TABLE_MAP in the same file) — legal split points are
+        # QUERY events and TABLE_MAP starts
+        starts = [0]
+        i = 1
+        while i < len(events):
+            # events list alternates QUERY | TABLE_MAP+ROWS pairs; a
+            # TABLE_MAP must stay with its ROWS event
+            tc = events[i][4]
+            if tc == W.TABLE_MAP_EVENT:
+                starts.append(i)
+                i += 2
+            else:
+                starts.append(i)
+                i += 1
+        bounds = sorted(rng.sample(starts[1:], min(n_files - 1,
+                                                   len(starts) - 1)))
+        parts, prev = [], 0
+        for b in bounds + [len(events)]:
+            parts.append(events[prev:b])
+            prev = b
+        for i, evs in enumerate(p for p in parts if p):
+            W.write_binlog_file(os.path.join(wire, f"binlog.{i + 1:06d}"), evs)
+
+        reg = replay_wire_ddl(spark, wire)
+        out = W.decode_wire_with_registry(spark, wire, reg, db, tbl)
+        got = {r["rid"]: r.asDict() for r in out.collect()}
+        assert len(got) == len(expected), seed
+        for rid_, exp in expected:
+            for c, want in exp.items():
+                assert got[rid_][c] == want, (
+                    seed, rid_, c, got[rid_][c], want)
