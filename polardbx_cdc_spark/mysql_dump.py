@@ -199,18 +199,39 @@ def _strip_frame_crc(frame: bytes) -> bytes:
     return bytes(out)
 
 
+#: reassembled-packet cap = 1 GiB, the MAX_MAX_ALLOWED_PACKET a real
+#: replication channel runs at (a slave I/O thread raises its
+#: max_allowed_packet to 1GB so >16MB row events fit). A client
+#: streaming endless continuation chunks hits ERR at the cap instead of
+#: holding unbounded buffer; legitimate >16MB event reassembly (shared
+#: by the client helpers below) stays untouched.
+_MAX_ALLOWED_PACKET = 1 << 30
+
+
 def _read_packet(rfile) -> tuple[int, bytes] | None:
     head = rfile.read(4)
     if len(head) < 4:
         return None
     ln = int.from_bytes(head[:3], "little")
     seq = head[3]
-    payload = rfile.read(ln)
-    if ln == _MAX_PACKET:  # continuation packets
-        nxt = _read_packet(rfile)
-        if nxt:
-            payload += nxt[1]
-    return seq, payload
+    chunks = []
+    total = 0
+    while True:
+        chunk = rfile.read(ln)
+        if len(chunk) < ln:
+            return None  # torn packet (client died mid-write): clean close
+        chunks.append(chunk)
+        total += ln
+        if total > _MAX_ALLOWED_PACKET:
+            raise ValueError(
+                f"packet exceeds max_allowed_packet ({total} bytes)")
+        if ln < _MAX_PACKET:
+            break
+        head = rfile.read(4)  # continuation packet
+        if len(head) < 4:
+            return None
+        ln = int.from_bytes(head[:3], "little")
+    return seq, b"".join(chunks)
 
 
 def _ok_packet() -> bytes:
@@ -352,6 +373,14 @@ def _eof_packet() -> bytes:
 
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):  # noqa: D102
+        try:
+            self._session()
+        except OSError:
+            # client vanished (RST mid-read, broken pipe mid-write):
+            # a clean close, never a crashed handler thread
+            return
+
+    def _session(self):
         srv: MySQLDumpServer = self.server.dump_server  # type: ignore[attr-defined]
         # HandshakeV10 greeting
         auth1, auth2 = b"12345678", b"901234567890\x00"
@@ -377,66 +406,102 @@ class _Handler(socketserver.StreamRequestHandler):
             + b"mysql_native_password\x00"
         )
         seq = _write_packet(self.wfile, 0, greeting)
-        resp = _read_packet(self.rfile)
+        try:
+            resp = _read_packet(self.rfile)
+        except ValueError:
+            resp = None  # oversized garbage during auth: close
         if resp is None:
             return
         _write_packet(self.wfile, resp[0] + 1, _ok_packet())  # auth OK
 
         while True:
-            pkt = _read_packet(self.rfile)
+            try:
+                pkt = _read_packet(self.rfile)
+            except ValueError:
+                # continuation chain past max_allowed_packet: the stock
+                # ER_NET_PACKET_TOO_LARGE answer, then drop the session
+                try:
+                    _write_packet(self.wfile, 1, _err_packet(
+                        1153, "Got a packet bigger than "
+                        "'max_allowed_packet' bytes"))
+                except OSError:
+                    pass
+                return
             if pkt is None:
                 return
             _seq, payload = pkt
             if not payload:
                 return
             cmd = payload[0]
-            if cmd == COM_QUIT:
-                return
-            if cmd == COM_REGISTER_SLAVE:
+            try:
+                if cmd == COM_QUIT:
+                    return
+                if cmd == COM_REGISTER_SLAVE:
+                    _write_packet(self.wfile, 1, _ok_packet())
+                    continue
+                declared = getattr(self, "_checksum_mode", "CRC32")
+                if (cmd in (COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID)
+                        and srv.binlog_checksum == "CRC32"
+                        and declared not in ("CRC32", "@@GLOBAL.BINLOG_CHECKSUM")):
+                    # replica declared a checksum mode it can verify that is
+                    # NOT what the binlog carries — refuse like a real master.
+                    # (A NONE-logging master streams trailer-less frames every
+                    # replica can parse, so no refusal in that mode.)
+                    _write_packet(self.wfile, 1, _err_packet(
+                        1236,
+                        "Slave can not handle replication events with the "
+                        "checksum that master is configured to log",
+                    ))
+                    return
+                if cmd == COM_BINLOG_DUMP:
+                    if len(payload) < 11:  # pos(4) flags(2) server_id(4)
+                        raise ValueError("truncated COM_BINLOG_DUMP")
+                    pos = struct.unpack_from("<I", payload, 1)[0]
+                    flags = struct.unpack_from("<H", payload, 5)[0]
+                    # server_id(4) @7, file @11
+                    fname = payload[11:].split(b"\x00")[0].decode() or None
+                    # flag 0x01 = BINLOG_DUMP_NON_BLOCK (mysqlbinlog's
+                    # default: EOF at end-of-chain). A real replica leaves
+                    # it CLEAR and the master keeps the stream open,
+                    # pushing appended events and heartbeats while idle.
+                    self._stream_dump(srv, fname, pos,
+                                      block=not (flags & 0x01))
+                    return  # dump holds the connection; done = close
+                if cmd == COM_BINLOG_DUMP_GTID:
+                    # flags(2) server_id(4) name_len(4) name pos(8)
+                    # data_len(4) data
+                    if len(payload) < 11:
+                        raise ValueError("truncated COM_BINLOG_DUMP_GTID")
+                    gflags = struct.unpack_from("<H", payload, 1)[0]
+                    name_len = struct.unpack_from("<I", payload, 7)[0]
+                    p = 11 + name_len
+                    p += 8  # pos — GTID attach resolves its own start
+                    data_len = struct.unpack_from("<I", payload, p)[0]
+                    executed = _parse_gtid_set(
+                        payload[p + 4 : p + 4 + data_len])
+                    self._stream_dump_gtid(srv, executed,
+                                           block=not (gflags & 0x01))
+                    return
+                if cmd == COM_QUERY:
+                    self._answer_query(
+                        srv, payload[1:].decode(errors="replace"))
+                    continue
+                # anything else: OK (catalog.py owns the full SQL surface)
                 _write_packet(self.wfile, 1, _ok_packet())
-                continue
-            declared = getattr(self, "_checksum_mode", "CRC32")
-            if (cmd in (COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID)
-                    and srv.binlog_checksum == "CRC32"
-                    and declared not in ("CRC32", "@@GLOBAL.BINLOG_CHECKSUM")):
-                # replica declared a checksum mode it can verify that is
-                # NOT what the binlog carries — refuse like a real master.
-                # (A NONE-logging master streams trailer-less frames every
-                # replica can parse, so no refusal in that mode.)
-                _write_packet(self.wfile, 1, _err_packet(
-                    1236,
-                    "Slave can not handle replication events with the "
-                    "checksum that master is configured to log",
-                ))
+            except OSError:
+                return  # client went away mid-answer: clean close
+            except Exception:  # noqa: BLE001
+                # malformed/adversarial payload (truncated fixed fields,
+                # oversized lengths, garbage GTID sets, unparseable
+                # filenames): a real master answers ERR and drops the
+                # session — never a crashed handler thread
+                # (ER_MALFORMED_PACKET discipline)
+                try:
+                    _write_packet(self.wfile, 1, _err_packet(
+                        1835, "Malformed communication packet"))
+                except OSError:
+                    pass
                 return
-            if cmd == COM_BINLOG_DUMP:
-                pos = struct.unpack_from("<I", payload, 1)[0]
-                flags = struct.unpack_from("<H", payload, 5)[0]
-                # server_id(4) @7, file @11
-                fname = payload[11:].split(b"\x00")[0].decode() or None
-                # flag 0x01 = BINLOG_DUMP_NON_BLOCK (mysqlbinlog's default:
-                # EOF at end-of-chain). A real replica leaves it CLEAR and
-                # the master keeps the stream open, pushing appended events
-                # and heartbeats while idle.
-                self._stream_dump(srv, fname, pos,
-                                  block=not (flags & 0x01))
-                return  # dump holds the connection; done = close
-            if cmd == COM_BINLOG_DUMP_GTID:
-                # flags(2) server_id(4) name_len(4) name pos(8) data_len(4) data
-                gflags = struct.unpack_from("<H", payload, 1)[0]
-                name_len = struct.unpack_from("<I", payload, 7)[0]
-                p = 11 + name_len
-                p += 8  # pos — GTID attach resolves its own start
-                data_len = struct.unpack_from("<I", payload, p)[0]
-                executed = _parse_gtid_set(payload[p + 4 : p + 4 + data_len])
-                self._stream_dump_gtid(srv, executed,
-                                       block=not (gflags & 0x01))
-                return
-            if cmd == COM_QUERY:
-                self._answer_query(srv, payload[1:].decode(errors="replace"))
-                continue
-            # anything else: OK (catalog.py owns the full SQL surface)
-            _write_packet(self.wfile, 1, _ok_packet())
 
     def _send_result_set(self, names: list[str],
                          rows: list[list[str | None]]) -> None:
@@ -867,6 +932,20 @@ class _Server(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
+    def handle_error(self, request, client_address):  # noqa: D102
+        # an exception ESCAPING a handler is a server bug (a real
+        # master answers garbage with ERR or a close, never a crashed
+        # session thread — CdcServer.java:154's error discipline).
+        # Record it where tests can assert emptiness instead of letting
+        # socketserver dump a traceback to stderr and carry on.
+        import traceback
+
+        ds = getattr(self, "dump_server", None)
+        if ds is not None:
+            ds.handler_errors.append(traceback.format_exc())
+        else:  # pragma: no cover - server wired without owner
+            super().handle_error(request, client_address)
+
 
 class MySQLDumpServer:
     """Serve a wire-binlog directory over the MySQL protocol."""
@@ -890,6 +969,11 @@ class MySQLDumpServer:
         #: the slice bounds it so tests and ad-hoc consumers terminate
         self.live_idle_timeout = live_idle_timeout
         self.heartbeat_interval = heartbeat_interval
+        #: tracebacks of exceptions that ESCAPED a handler thread — a
+        #: malformed/adversarial client must yield ERR or a clean close,
+        #: never an unhandled exception; the protocol fuzz asserts this
+        #: stays empty (test_mysql_dump.py)
+        self.handler_errors: list[str] = []
         self._srv = _Server((host, port), _Handler)
         self._srv.dump_server = self  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
