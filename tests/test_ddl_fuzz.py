@@ -81,6 +81,30 @@ NOOP_ACTIONS = [
     "ADD CONSTRAINT FOREIGN KEY fk_idx_{n} (`{col}`) REFERENCES rt{n} (rc)"
     " ON UPDATE NO ACTION",
     "DROP FOREIGN KEY fk_{n}",
+    # round-12: index options/hints, ALGORITHM=/LOCK= variants,
+    # PARTITION BY KEY ALGORITHM / COLUMNS re-partitioning, EXCHANGE
+    # PARTITION (r11 verdict #6) — all registry no-ops
+    "ADD INDEX bidx_{n} (`{col}`) USING BTREE KEY_BLOCK_SIZE=8",
+    "ADD UNIQUE INDEX hidx_{n} (`{col}` DESC) USING HASH COMMENT 'h'",
+    "ADD INDEX iidx_{n} (`{col}`) INVISIBLE",
+    "ADD FULLTEXT INDEX ftx_{n} (`{col}`) WITH PARSER ngram",
+    "ALTER INDEX bidx_{n} INVISIBLE",
+    "ALTER INDEX bidx_{n} VISIBLE",
+    "RENAME INDEX bidx_{n} TO bidy_{n}",
+    "ALGORITHM=INSTANT",
+    "ALGORITHM=COPY, LOCK=SHARED",
+    "LOCK=EXCLUSIVE, ALGORITHM=DEFAULT",
+    "PARTITION BY KEY ALGORITHM=2 (`{col}`) PARTITIONS 4",
+    "PARTITION BY RANGE COLUMNS(`{col}`)"
+    " (PARTITION rc{n} VALUES LESS THAN (MAXVALUE))",
+    "PARTITION BY LIST COLUMNS(`{col}`)"
+    " (PARTITION lc{n} VALUES IN (1, 2, 3))",
+    "EXCHANGE PARTITION px{n} WITH TABLE xt{n}",
+    "EXCHANGE PARTITION px{n} WITH TABLE db1.xt{n} WITHOUT VALIDATION",
+    "REORGANIZE PARTITION rc{n} INTO"
+    " (PARTITION ra{n} VALUES LESS THAN (10),"
+    " PARTITION rb{n} VALUES LESS THAN (MAXVALUE))",
+    "KEY_BLOCK_SIZE=4",
 ]
 
 #: column attributes riding random decls — registry must strip
@@ -1327,3 +1351,76 @@ def test_admin_statements_and_temporary_ddl_are_noops():
     # the non-TEMPORARY forms still apply normally after the no-ops
     reg.apply_sql("000500", "ALTER TABLE db0.t1 ADD COLUMN z INT")
     assert list(reg.find("db0", "t1", "999999").columns) == ["a", "c", "z"]
+
+
+def test_round12_index_options_algorithm_lock_partition_forms():
+    """r12 residual tranche (r11 verdict #6): index options/hints (USING
+    BTREE/HASH, KEY_BLOCK_SIZE, WITH PARSER, INVISIBLE), ALGORITHM=/LOCK=
+    ALTER clauses, PARTITION BY KEY ALGORITHM=n and RANGE/LIST COLUMNS
+    forms, REORGANIZE/EXCHANGE PARTITION — every form digests to the
+    correct visible column set (MemoryTableMeta digests all of these via
+    druid; the registry must match)."""
+    import itertools
+
+    from polardbx_cdc_spark.meta import SchemaRegistry
+
+    reg = SchemaRegistry()
+    tso = itertools.count(900000)
+
+    def apply(sql):
+        reg.apply_sql(f"{next(tso):048d}", sql, "db0")
+
+    cases = [
+        ("CREATE TABLE g1 (a INT, b VARCHAR(20), c INT, "
+         "PRIMARY KEY (a, c) USING BTREE COMMENT 'pk', "
+         "KEY kx (b(3) DESC, a ASC) USING BTREE)", "g1", ["a", "b", "c"]),
+        ("CREATE TABLE g2 (id BIGINT, k INT, KEY (k) USING BTREE) "
+         "PARTITION BY LIST COLUMNS(k) (PARTITION px VALUES IN (1))",
+         "g2", ["id", "k"]),
+        ("CREATE TABLE g3 (a INT, b INT, CONSTRAINT uq UNIQUE KEY (a) "
+         "USING HASH KEY_BLOCK_SIZE=4) ENGINE=InnoDB KEY_BLOCK_SIZE=8 "
+         "PARTITION BY KEY ALGORITHM=2 (a)", "g3", ["a", "b"]),
+        ("CREATE TABLE g4 (a INT, dt DATE, b INT) "
+         "PARTITION BY RANGE COLUMNS(dt) "
+         "SUBPARTITION BY KEY ALGORITHM=1 (b) SUBPARTITIONS 2 "
+         "(PARTITION p0 VALUES LESS THAN ('2020-01-01'), "
+         "PARTITION p1 VALUES LESS THAN (MAXVALUE))",
+         "g4", ["a", "dt", "b"]),
+        ("CREATE TABLE g5 (id BIGINT, doc TEXT, "
+         "FULLTEXT KEY ft (doc) WITH PARSER ngram, "
+         "KEY k2 (id) KEY_BLOCK_SIZE 4 COMMENT 'x' INVISIBLE)",
+         "g5", ["id", "doc"]),
+        ("ALTER TABLE g1 ADD COLUMN e INT AFTER a, "
+         "ADD KEY ke (e) USING BTREE, ALGORITHM=INPLACE, LOCK=NONE",
+         "g1", ["a", "e", "b", "c"]),
+        ("ALTER TABLE g1 ADD UNIQUE INDEX k4 (b(5)) USING BTREE, "
+         "ALGORITHM=INPLACE, LOCK=NONE", "g1", ["a", "e", "b", "c"]),
+        ("ALTER TABLE g1 ALGORITHM=INSTANT, ADD COLUMN f INT",
+         "g1", ["a", "e", "b", "c", "f"]),
+        ("ALTER TABLE g1 DROP COLUMN f, ALGORITHM=COPY, LOCK=EXCLUSIVE",
+         "g1", ["a", "e", "b", "c"]),
+        ("ALTER TABLE g3 DROP PRIMARY KEY, "
+         "ADD PRIMARY KEY (b) USING BTREE, ALGORITHM=COPY",
+         "g3", ["a", "b"]),
+        ("ALTER TABLE g4 EXCHANGE PARTITION p0 WITH TABLE db1.other "
+         "WITH VALIDATION", "g4", ["a", "dt", "b"]),
+        ("ALTER TABLE g4 EXCHANGE PARTITION p1 WITH TABLE g2 "
+         "WITHOUT VALIDATION", "g4", ["a", "dt", "b"]),
+        ("ALTER TABLE g2 REORGANIZE PARTITION px INTO "
+         "(PARTITION q1 VALUES IN (1), PARTITION q2 VALUES IN (2))",
+         "g2", ["id", "k"]),
+        ("ALTER TABLE g3 PARTITION BY KEY ALGORITHM=1 (a, b) PARTITIONS 8",
+         "g3", ["a", "b"]),
+        ("ALTER TABLE g5 ALTER INDEX k2 INVISIBLE", "g5", ["id", "doc"]),
+        ("ALTER TABLE g5 RENAME INDEX k2 TO k2x", "g5", ["id", "doc"]),
+        ("ALTER TABLE g5 DROP INDEX k2x, ADD INDEX k2y (id) USING BTREE",
+         "g5", ["id", "doc"]),
+        ("ALTER TABLE g5 ADD FULLTEXT INDEX ft2 (doc) WITH PARSER ngram "
+         "COMMENT 'f'", "g5", ["id", "doc"]),
+        ("ALTER TABLE g5 ADD COLUMN g VARCHAR(8) FIRST, LOCK=DEFAULT, "
+         "ALGORITHM=DEFAULT", "g5", ["g", "id", "doc"]),
+    ]
+    for sql, tbl, want in cases:
+        apply(sql)
+        got = list(reg.find("db0", tbl, f"{next(tso):048d}").columns)
+        assert got == want, (sql, got, want)
