@@ -6658,11 +6658,11 @@ def cdc_ivm_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(work, "state"),
             os.path.join(work, "ckpt"),
             dim=dim,
-            # bucket layout sized to this deployment's write parallelism
-            # (one state-file write per bucket per touched batch — the 64
-            # default's extra 32 files were ~0.5s/batch of pure commit
-            # overhead at bench scale; a 100 TB deployment raises this)
-            n_buckets=spark.sparkContext.defaultParallelism,
+            # bucket layout AUTO-sized from the first batch's observed
+            # volume (size_state_buckets: commit-cost floor vs executor-
+            # fit cap, write parallelism inside the band — r11 verdict
+            # #8); persisted in the state dir's LAYOUT file
+            n_buckets=None,
         )
         if not q.awaitTermination(600):
             q.stop()

@@ -1111,6 +1111,41 @@ def match_with_acks(
     )
 
 
+def size_state_buckets(
+    batch_rows: int,
+    parallelism: int,
+    rows_per_bucket_floor: int = 50_000,
+    rows_per_bucket_cap: int = 4_000_000,
+    max_buckets: int = 4096,
+) -> int:
+    """Bucket count for a durable hash-bucketed state table, derived
+    from the first observed batch volume (r11 verdict #8 — the honest
+    replacement for the n_buckets=64 constant; the reference sizes its
+    stream fan-out from configuration+load the same way,
+    RelayLogEventTransmitter stream-count sizing).
+
+    Two opposing costs set the band:
+    * every bucket is one parquet-file write + Hadoop commit per
+      touched batch (~17 ms each at local scale, PERF_R11) — buckets
+      holding fewer than ``rows_per_bucket_floor`` rows pay more in
+      commit protocol than in data, so the count SHRINKS below the
+      write parallelism when the volume is small;
+    * a bucket is also the carry-forward/pruning unit — past
+      ``rows_per_bucket_cap`` rows it stops fitting an executor
+      comfortably at rewrite time, so the count GROWS past the
+      parallelism when the volume is large (bounded by
+      ``max_buckets``, the file-count sanity cap).
+
+    Inside the band the write parallelism wins: one bucket per writer
+    core keeps the per-batch state rewrite one wave wide."""
+    n = max(1, parallelism)
+    if batch_rows < n * rows_per_bucket_floor:
+        return max(1, batch_rows // rows_per_bucket_floor)
+    if batch_rows > n * rows_per_bucket_cap:
+        return min(max_buckets, -(-batch_rows // rows_per_bucket_cap))
+    return n
+
+
 class AggViewSink:
     """Durable MATERIALIZED VIEW maintenance across micro-batches — the
     streaming twin of ``apply.maintain_agg_view``: each batch folds its
@@ -1135,16 +1170,55 @@ class AggViewSink:
     event OLDER than a key's already-folded history would regress that
     key, exactly as it would against a REPLACE-applied replica table."""
 
-    #: hash buckets for the pk-state table; at 100 TB size so one bucket
-    #: fits an executor comfortably (the constant only shapes file
-    #: layout — correctness is bucket-count independent)
-    n_buckets = 64
+    #: hash buckets for the pk-state table — sized from DATA at the
+    #: first batch when not given (size_state_buckets below), persisted
+    #: in a LAYOUT file so recovery and later attaches keep the same
+    #: physical layout (the bucket column is the pruning / carry-forward
+    #: key; correctness is bucket-count independent, only file layout
+    #: and commit cost depend on it)
+    n_buckets: int | None = None
 
     def __init__(self, state_dir: str, n_buckets: int | None = None) -> None:
         self.state_dir = state_dir
-        if n_buckets is not None:
-            self.n_buckets = n_buckets
         os.makedirs(state_dir, exist_ok=True)
+        persisted = self._read_layout()
+        if persisted is not None:
+            # the on-disk layout is physical truth: an existing state
+            # table's bucket hash can't change without a rewrite
+            self.n_buckets = persisted
+        elif n_buckets is not None:
+            self.n_buckets = n_buckets
+            self._write_layout(n_buckets)
+        # else: auto mode — sized from the first observed batch
+
+    # -- bucket-layout persistence -----------------------------------------
+    def _layout_path(self) -> str:
+        return os.path.join(self.state_dir, "LAYOUT")
+
+    def _read_layout(self) -> int | None:
+        try:
+            with open(self._layout_path()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _write_layout(self, n: int) -> None:
+        tmp = self._layout_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(n))
+        os.replace(tmp, self._layout_path())
+
+    def _ensure_layout(self, batch_df: DataFrame) -> None:
+        """AUTO bucket sizing (r11 verdict #8): derive the layout from
+        the FIRST batch's observed volume instead of a constant — one
+        count job, paid once per sink lifetime, then persisted."""
+        if self.n_buckets is not None:
+            return
+        spark = batch_df.sparkSession
+        self.n_buckets = size_state_buckets(
+            batch_df.count(), spark.sparkContext.defaultParallelism
+        )
+        self._write_layout(self.n_buckets)
 
     # -- version-pointer helpers -------------------------------------------
     def _current(self) -> int:
@@ -1221,6 +1295,7 @@ class AggViewSink:
         from polardbx_cdc_spark.operators import apply as apply_ops
 
         spark = batch_df.sparkSession
+        self._ensure_layout(batch_df)
         cur = self._current()
         pk_path, view_path = self._paths(cur)
         have_state = os.path.isdir(pk_path)
@@ -1392,11 +1467,13 @@ def run_materialized_view_pipeline(
     without ever rescanning fact history.
 
     ``n_buckets`` sizes the durable pk-state hash layout — FIXED for the
-    sink's life (the bucket column is the pruning/carry-forward key).
-    Every bucket costs one parquet file write per touched batch (~17 ms
-    of commit-protocol overhead each at local scale, r11 profile), so
-    size it to the deployment: the cluster's write parallelism at the
-    small end, one-bucket-fits-an-executor at 100 TB. Default 64."""
+    sink's life (the bucket column is the pruning/carry-forward key) and
+    persisted in the state dir's LAYOUT file. Every bucket costs one
+    parquet file write per touched batch (~17 ms of commit-protocol
+    overhead each at local scale, r11 profile). Default ``None`` =
+    AUTO: derived from the first observed batch volume by
+    ``size_state_buckets`` (commit-cost floor, executor-fit cap, write
+    parallelism inside the band)."""
     if dim is not None:
         sink: AggViewSink = JoinViewSink(state_dir, dim, dim_key=dim_key,
                                          attr=attr, n_buckets=n_buckets)

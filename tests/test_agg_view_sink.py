@@ -4,6 +4,8 @@ split, and replaying a batch after a simulated crash must be idempotent."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from polardbx_cdc_spark.model import derive_cdc_stream
@@ -217,3 +219,52 @@ def test_streaming_pipeline_wrapper_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     got = sink.view(spark).orderBy("db", "tbl").collect()
     assert got == _ground_truth(spark)
+
+
+def test_size_state_buckets_rule():
+    """r12 (verdict ask #8): the bucket count derives from observed
+    batch volume — commit-cost floor below the parallelism band,
+    executor-fit cap above it, write parallelism inside it."""
+    from polardbx_cdc_spark.streaming.pipeline import size_state_buckets
+
+    # tiny batch: shrink below parallelism (17ms/bucket-file commit
+    # would dominate) — 100k rows / 50k floor = 2 buckets
+    assert size_state_buckets(100_000, 32) == 2
+    assert size_state_buckets(0, 32) == 1
+    assert size_state_buckets(49_999, 32) == 1
+    # inside the band: write parallelism wins (one wave of writers)
+    assert size_state_buckets(32 * 50_000, 32) == 32
+    assert size_state_buckets(10_000_000, 32) == 32
+    # huge volume: grow past parallelism so a bucket stays executor-sized
+    assert size_state_buckets(32 * 4_000_001 + 7, 32) == 33
+    assert size_state_buckets(10**12, 32) == 4096  # file-count sanity cap
+    # degenerate parallelism never yields zero buckets
+    assert size_state_buckets(10, 0) == 1
+
+
+def test_auto_bucket_layout_persisted_and_recovered(spark, tmp_path):
+    """AUTO mode sizes the layout from the first batch, persists it in
+    LAYOUT, and a RE-ATTACHED sink (recovery) adopts the persisted
+    layout even when constructed with a different explicit count — the
+    on-disk bucket hash is physical truth."""
+    from polardbx_cdc_spark.streaming.pipeline import AggViewSink
+
+    state = str(tmp_path / "state")
+    sink = AggViewSink(state)  # auto
+    assert sink.n_buckets is None
+    rows = [("d", "t", f"pk{i}", f"{i:048d}", "INSERT", float(i))
+            for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "db string, tbl string, pk string, tso string, "
+              "action string, value double")
+    sink(df, batch_id=0)
+    assert sink.n_buckets == 1  # 500 rows << 50k floor
+    with open(os.path.join(state, "LAYOUT")) as fh:
+        assert fh.read().strip() == "1"
+    # recovery attach with a DIFFERENT explicit count: LAYOUT wins
+    sink2 = AggViewSink(state, n_buckets=64)
+    assert sink2.n_buckets == 1
+    sink2(df, batch_id=1)  # idempotent refold against the same layout
+    view = sink2.view(spark).collect()
+    assert len(view) == 1
+    assert view[0]["n_rows"] == 500
