@@ -450,11 +450,13 @@ def main() -> None:
             labels = (
                 ("last_image_unsalted", apply_ops.last_image, hot_df),
                 ("last_image_salted", apply_ops.last_image_salted, hot_df),
-                # the PRODUCTION path since r12: collapse_ops and
-                # replay_to_state route through this gate (plan-stats
+                # the PRODUCTION path since r12: ReplicaTableSink's
+                # per-batch replay routes through this gate (plan-stats
                 # floor → sampled probe → salt only at straggler-scale
-                # chains) — must sit at ratio ≤~1.0 on BOTH inputs
-                # (r10 verdict #6)
+                # chains) at the applier layer, where batches are
+                # MATERIALIZED; analytical pipelines stay ungated (the
+                # probe would re-execute their upstream — PERF_R12).
+                # Must sit at ratio ≤~1.0 on BOTH inputs (r10 verdict #6)
                 ("last_image_adaptive", apply_ops.last_image_adaptive, hot_df),
                 ("uniform_unsalted", apply_ops.last_image, uniform_df),
                 ("uniform_adaptive", apply_ops.last_image_adaptive, uniform_df),

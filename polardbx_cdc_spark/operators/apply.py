@@ -164,10 +164,15 @@ def collapse_ops(df: DataFrame, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> 
     chain ends in DELETE → one DELETE; chain started with INSERT → one
     INSERT carrying the final image; otherwise one UPDATE (final image).
 
-    Goes through the skew GATE (r12): below the plan-stats floor this is
-    exactly ``last_image`` — zero extra jobs; at straggler scale the
-    salted two-stage collapse engages. Result-identical either way."""
-    li = last_image_adaptive(df, keys)
+    Deliberately UNGATED: inside a composed analytical pipeline the skew
+    probe would re-execute the whole unmaterialized upstream (r12 A/B:
+    +2.5s on cdc_watermark_snapshot — join-inflated plan stats clear the
+    floor, then the sampled probe recomputes the derive). Partial
+    aggregation already absorbs moderate skew map-side; the adaptive
+    gate lives at the applier/sink layer, where batches are
+    MATERIALIZED and a probe re-scan is cheap (``replay_to_state(
+    adaptive=True)`` — ReplicaTableSink's per-batch replay)."""
+    li = last_image(df, keys)
     op = (
         F.when(F.col("last_action") == "DELETE", F.lit("DELETE"))
         .when(F.col("first_action") == "INSERT", F.lit("INSERT"))
@@ -176,12 +181,19 @@ def collapse_ops(df: DataFrame, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> 
     return li.select(*keys, F.col("last_tso"), op.alias("op"), "value", "n_changes")
 
 
-def replay_to_state(df: DataFrame, keys: tuple[str, ...] = ("db", "tbl", "pk")) -> DataFrame:
+def replay_to_state(df: DataFrame, keys: tuple[str, ...] = ("db", "tbl", "pk"),
+                    adaptive: bool = False) -> DataFrame:
     """Replay the full chain per PK → surviving final state
     (the semantics a downstream MERGE INTO / REPLACE applier produces —
     ApplyHelper.java:553-601). Rows whose final action is DELETE vanish.
-    Skew-gated like ``collapse_ops`` (plain plan below the stats floor)."""
-    li = last_image_adaptive(df, keys)
+
+    ``adaptive=True`` routes the collapse through the skew gate
+    (``last_image_adaptive``) — for MATERIALIZED inputs only (persisted
+    foreachBatch batches + parquet state, where the probe's re-scan is
+    cheap and plan stats are honest); composed analytical pipelines must
+    leave it off or the probe re-executes their whole upstream (r12 A/B
+    on cdc_watermark_snapshot: 2.3s plain vs 4.9s gated)."""
+    li = (last_image_adaptive if adaptive else last_image)(df, keys)
     return li.filter(F.col("last_action") != "DELETE").select(
         *keys, F.col("last_tso"), F.col("value")
     )

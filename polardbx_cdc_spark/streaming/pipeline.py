@@ -834,9 +834,13 @@ class ReplicaTableSink:
                 merged_src = as_events.unionByName(batch)
             else:
                 merged_src = batch
-            new_state = apply_ops.replay_to_state(merged_src, self.keys).select(
-                *self.keys, "last_tso", "value"
-            )
+            # adaptive=True: the batch is persisted and the state side is
+            # parquet — the skew gate's probe re-scan is cheap here, and
+            # a zipf-hot batch gets the salted collapse (the gate's
+            # designed home: materialized applier inputs)
+            new_state = apply_ops.replay_to_state(
+                merged_src, self.keys, adaptive=True
+            ).select(*self.keys, "last_tso", "value")
             staged = os.path.join(self.table_dir, f"staging_b{batch_id}")
             new_state.withColumn("_bucket", self._bucket_col()).write.mode(
                 "overwrite"
