@@ -105,6 +105,8 @@ HEADLINE = [
     # round 11 additions
     "orders_wire_typed_stream_evo",
     "cdc_dump_none_checksum_decode",
+    # round 12 additions
+    "orders_wire_temporal_retype",
 ]
 
 

@@ -6242,6 +6242,157 @@ def orders_wire_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_wire_temporal_retype",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS okey,
+             o_orderdate AS odate,
+             CAST(o_orderdate AS TIMESTAMP)
+               + to_microseconds(
+                   ((o_orderkey % 24) * 3600 + (o_orderkey % 60) * 60
+                    + (o_orderkey * 3) % 60) * 1000000
+                   + (o_orderkey % 1000) * 1000) AS entry,
+             (o_orderkey % 24) * 3600 + (o_orderkey % 60) * 60
+               + (o_orderkey * 3) % 60 AS tsec
+      FROM orders
+    )
+    SELECT CAST(EXTRACT(year FROM odate) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(okey) AS BIGINT) AS okey_sum,
+           CAST(min(CAST(odate AS DATE)) AS VARCHAR) AS min_date,
+           strftime(max(entry), '%Y-%m-%d %H:%M:%S.%f') AS max_entry,
+           CAST(sum(tsec) AS BIGINT) AS time_sec_sum
+    FROM src GROUP BY 1
+    """,
+)
+def orders_wire_temporal_retype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal MODIFY COLUMN retypes ON THE WIRE (r12): phase-A files
+    log orders rows under VARCHAR/INT declarations (ISO date strings,
+    'YYYY-MM-DD HH:MM:SS.ffffff' datetime literals, HHMMSS-packed TIME
+    ints); mid-stream ``ALTER TABLE … MODIFY`` QUERY events retype the
+    columns to DATE / DATETIME(6) / TIME; phase-B files log NATIVE
+    temporals under the new declarations. ``decode_wire_with_registry``
+    forward-casts phase-A values with MySQL's conversion semantics
+    (strict-mode parse, fractional-second micros, numeric-TIME
+    right-anchored grouping — RowsLogBuffer.java:128-144 +
+    MemoryTableMeta MODIFY handling), so BOTH phases must materialize
+    byte-identical temporals — the oracle derives the values analytically
+    with no phase logic at all, and any divergence between the cast path
+    and the native decode flips the hash."""
+    import datetime as _dt
+
+    from polardbx_cdc_spark import binlog_wire
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = o.agg(F.expr("max(o_orderkey) div 2").alias("c")).collect()[0]["c"]
+    half = _WIRE_FIXTURE_FILES // 2
+    okey = F.col("o_orderkey").cast("long")
+    date_s = F.date_format("o_orderdate", "yyyy-MM-dd")
+    hh, mm = okey % 24, okey % 60
+    ss, us = (okey * 3) % 60, (okey % 1000) * 1000
+    rows = o.select(
+        okey.alias("okey"),
+        date_s.alias("odate_s"),
+        F.format_string(
+            "%s %02d:%02d:%02d.%06d", date_s, hh, mm, ss, us
+        ).alias("entry_s"),
+        (hh * 10000 + mm * 100 + ss).cast("long").alias("hms"),
+        (
+            F.when(okey <= cut, F.pmod(okey, F.lit(half)) + 1)
+            .otherwise(F.pmod(okey, F.lit(half)) + half + 1)
+        ).cast("long").alias("file_seq"),
+    )
+    seqs = sorted(
+        r["file_seq"] for r in rows.select("file_seq").distinct().collect()
+    )  # bounded collect: ≤ _WIRE_FIXTURE_FILES buckets
+    create_seq = min(s for s in seqs if s <= half)
+    alter_seq = min(s for s in seqs if s > half)
+
+    def build(work: str) -> dict:
+        wire = os.path.join(work, "wire")
+        os.makedirs(wire)
+
+        def render(pdf):
+            import datetime as dt
+
+            import pandas as pd
+
+            from polardbx_cdc_spark import binlog_wire as W
+
+            seq = int(pdf["file_seq"].iloc[0])
+            phase_b = seq > half
+            events = []
+            if seq == create_seq:
+                events.append(W.encode_query(
+                    "tpch",
+                    "CREATE TABLE orders_tr (okey BIGINT PRIMARY KEY, "
+                    "odate VARCHAR(10), entry VARCHAR(26), hms BIGINT)",
+                ))
+            if seq == alter_seq:
+                events.append(W.encode_query(
+                    "tpch", "ALTER TABLE orders_tr MODIFY COLUMN odate DATE"))
+                events.append(W.encode_query(
+                    "tpch",
+                    "ALTER TABLE orders_tr MODIFY COLUMN entry DATETIME(6)"))
+                events.append(W.encode_query(
+                    "tpch", "ALTER TABLE orders_tr MODIFY COLUMN hms TIME"))
+            decls = (
+                ["bigint", "date", "datetime(6)", "time"]
+                if phase_b
+                else ["bigint", "varchar(10)", "varchar(26)", "bigint"]
+            )
+            td = W.TableDef.from_mysql_types("tpch", "orders_tr", decls)
+            events.append(W.encode_table_map(seq, td))
+            pdf = pdf.sort_values("okey")
+            vals = []
+            for k, ds, es, h in zip(
+                pdf["okey"], pdf["odate_s"], pdf["entry_s"], pdf["hms"]
+            ):
+                if phase_b:
+                    ent = dt.datetime.strptime(str(es), "%Y-%m-%d %H:%M:%S.%f")
+                    h = int(h)
+                    vals.append([
+                        int(k), dt.date.fromisoformat(str(ds)), ent,
+                        dt.timedelta(hours=h // 10000,
+                                     minutes=h // 100 % 100,
+                                     seconds=h % 100),
+                    ])
+                else:
+                    vals.append([int(k), str(ds), str(es), int(h)])
+            for i in range(0, len(vals), 500):
+                events.append(W.encode_rows_event(
+                    W.WRITE_ROWS_EVENT, seq, td, vals[i : i + 500]
+                ))
+            W.write_binlog_file(os.path.join(wire, f"binlog.{seq:06d}"), events)
+            return pd.DataFrame({"file_seq": [seq], "n": [len(vals)]})
+
+        rows.groupBy("file_seq").applyInPandas(
+            render, "file_seq long, n long"
+        ).collect()
+        return {"wire": wire, "reg": replay_wire_ddl(spark, wire)}
+
+    fx = _cached_fixture("orders_tr", sf_dir, build)
+    decoded = binlog_wire.decode_wire_with_registry(
+        spark, fx["wire"], fx["reg"], "tpch", "orders_tr"
+    )
+    t = F.split("hms", ":")
+    tsec = (t[0].cast("long") * 3600 + t[1].cast("long") * 60
+            + t[2].cast("long"))
+    _ = _dt  # imported for parity with the render closure
+    return decoded.groupBy(
+        F.year("odate").cast("long").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("okey").cast("long").alias("okey_sum"),
+        F.min("odate").cast("string").alias("min_date"),
+        F.date_format(F.max("entry"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("max_entry"),
+        F.sum(tsec).cast("long").alias("time_sec_sum"),
+    )
+
+
+@register(
     "orders_wire_typed_stream_evo",
     """
     WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
