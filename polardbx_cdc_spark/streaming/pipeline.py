@@ -683,12 +683,26 @@ class ReplicaTableSink:
         self,
         table_dir: str,
         keys: tuple[str, ...] = ("db", "tbl", "pk"),
-        n_buckets: int = 64,
+        n_buckets: int | None = None,
         keep_history: bool = False,
     ) -> None:
         self.table_dir = table_dir
         self.keys = keys
-        self.n_buckets = n_buckets
+        os.makedirs(table_dir, exist_ok=True)
+        # same layout contract as AggViewSink (r12): None = AUTO-size
+        # from the first batch via size_state_buckets; the persisted
+        # LAYOUT file is physical truth on re-attach (the bucket hash of
+        # existing state can't change without a rewrite)
+        layout_path = os.path.join(table_dir, "LAYOUT")
+        try:
+            with open(layout_path) as fh:
+                self.n_buckets: int | None = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            self.n_buckets = n_buckets
+            if n_buckets is not None:
+                with open(layout_path + ".tmp", "w") as fh:
+                    fh.write(str(n_buckets))
+                os.replace(layout_path + ".tmp", layout_path)
         #: with keep_history, superseded bucket versions are NOT GC'd on
         #: write; every batch appends its manifest to MANIFEST.log.jsonl,
         #: enabling ``as_of`` time travel until ``vacuum`` reclaims —
@@ -812,6 +826,14 @@ class ReplicaTableSink:
 
         spark = batch_df.sparkSession
         batch = batch_df.select(*self.keys, "tso", "action", "value").persist()
+        if self.n_buckets is None:  # AUTO: size from the first batch
+            self.n_buckets = size_state_buckets(
+                batch.count(), spark.sparkContext.defaultParallelism
+            )
+            layout_path = os.path.join(self.table_dir, "LAYOUT")
+            with open(layout_path + ".tmp", "w") as fh:
+                fh.write(str(self.n_buckets))
+            os.replace(layout_path + ".tmp", layout_path)
         try:
             touched = sorted(
                 r["_b"]
@@ -877,10 +899,12 @@ def run_replica_pipeline(
     checkpoint_dir: str,
     keys: tuple[str, ...] = ("db", "tbl", "pk"),
     max_files_per_trigger: int | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Replica/data-import pipeline (SURVEY §3.3): stream → continuously
-    maintained state table. Returns (query, sink)."""
+    maintained state table. Returns (query, sink). ``n_buckets`` None =
+    AUTO via ``size_state_buckets`` (persisted in the table dir's
+    LAYOUT file, like the view sinks)."""
     sink = ReplicaTableSink(table_dir, keys, n_buckets=n_buckets)
     writer = cdc_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
