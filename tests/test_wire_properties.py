@@ -326,3 +326,83 @@ def test_payload_wrap_of_partial_images(table, data):
     ev = [e for e in wrapped if e["type"] == W.WRITE_ROWS_EVENT][0]
     if not all(mask):
         assert ev["present_columns"] == [i for i, m in enumerate(mask) if m]
+
+
+# ---------------------------------------------------------------------------
+# r12 temporal forward-cast laws (MODIFY COLUMN … DATE/DATETIME/TIME)
+# ---------------------------------------------------------------------------
+
+
+@given(st.datetimes(datetime.datetime(1000, 1, 1),
+                    datetime.datetime(9999, 12, 28)))
+@settings(max_examples=200, deadline=None)
+def test_mysql_cast_datetime_roundtrips_its_own_string_form(dt):
+    """Law: rendering a datetime the way the string retype renders it,
+    then casting back, is the identity — the two directions of a
+    VARCHAR↔DATETIME retype pair can never drift."""
+    s = dt.strftime("%Y-%m-%d %H:%M:%S")
+    if dt.microsecond:
+        s += f".{dt.microsecond:06d}"
+    assert W._mysql_cast_datetime(s) == dt
+
+
+@given(st.datetimes(datetime.datetime(1000, 1, 1),
+                    datetime.datetime(9999, 12, 28)),
+       st.integers(0, 999), st.integers(0, 9))
+@settings(max_examples=200, deadline=None)
+def test_mysql_cast_datetime_rounds_extra_fraction_half_up(dt, nanos3, d7):
+    """Law: fractional digits past micros ROUND-HALF-UP (WL#946), with
+    carry into seconds when micros overflow."""
+    dt = dt.replace(microsecond=0)
+    frac = f"{nanos3:03d}999{d7}"  # 7 digits: micros=nanos3*1000+999, then d7
+    s = dt.strftime("%Y-%m-%d %H:%M:%S") + "." + frac
+    got = W._mysql_cast_datetime(s)
+    base_micros = nanos3 * 1000 + 999
+    want = (dt + datetime.timedelta(microseconds=base_micros + (1 if d7 >= 5 else 0)))
+    assert got == want
+
+
+def test_mysql_cast_datetime_carry_into_next_second():
+    import datetime as dt
+
+    got = W._mysql_cast_datetime("2024-12-31 23:59:59.9999995")
+    assert got == dt.datetime(2025, 1, 1, 0, 0, 0, 0)
+
+
+@given(st.integers(0, 99), st.integers(0, 59), st.integers(0, 59))
+@settings(max_examples=200, deadline=None)
+def test_mysql_cast_time_numeric_grouping(h, m, s):
+    """Law: MySQL's right-anchored HHMMSS grouping for numeric TIME."""
+    n = h * 10000 + m * 100 + s
+    assert W._mysql_cast_time_str(n) == f"{h:02d}:{m:02d}:{s:02d}"
+    if n:
+        assert W._mysql_cast_time_str(-n) == f"-{h:02d}:{m:02d}:{s:02d}"
+
+
+@given(st.integers(0, 59))
+@settings(max_examples=50, deadline=None)
+def test_mysql_cast_time_rejects_invalid_groups(s):
+    """Minutes/seconds >= 60 and hours > 838 are out of TIME range."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        W._mysql_cast_time_str(s * 100 + 60)  # seconds group = 60+
+    with pytest.raises(ValueError):
+        W._mysql_cast_time_str(839_00_00 + s)  # hours > 838
+
+
+@given(st.dates(datetime.date(1000, 1, 1), datetime.date(9999, 12, 31)),
+       st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_mysql_numeric_date_forms(d, short_year):
+    """Law: YYYYMMDD ints cast to the date; YYMMDD uses the 70 pivot."""
+    n = d.year * 10000 + d.month * 100 + d.day
+    assert W._mysql_cast_datetime(n) == datetime.datetime(
+        d.year, d.month, d.day)
+    if short_year and 1970 <= d.year <= 2069:
+        yy = d.year % 100
+        n6 = yy * 10000 + d.month * 100 + d.day
+        if len(str(n6)) in (6, 5):  # leading-zero years collapse below 6 digits
+            if len(str(n6)) == 6:
+                assert W._mysql_cast_datetime(n6) == datetime.datetime(
+                    d.year, d.month, d.day)
