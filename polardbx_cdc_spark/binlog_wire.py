@@ -1511,13 +1511,20 @@ def decode_events(buf: bytes, verify_crc: bool = True,
             break
         frame = buf[pos : pos + elen]
         trail = csum  # this event's own trailer width
+        fde_has_alg = False
         if tc == FORMAT_DESCRIPTION_EVENT and elen > HEADER_LEN + CHECKSUM_LEN:
             if _fde_has_checksum_alg(frame[HEADER_LEN:]):
                 # fixed offset, exactly like the reference reader
                 alg = frame[elen - CHECKSUM_LEN - 1]
                 if alg not in (BINLOG_CHECKSUM_ALG_OFF, BINLOG_CHECKSUM_ALG_CRC32):
+                    if tolerate_truncation and pos + elen >= len(buf):
+                        # a crashed file's garbage tail can parse as an
+                        # in-bounds "FDE" with a nonsense alg byte — the
+                        # torn-tail walk must break, not raise
+                        break
                     raise ValueError(
                         f"unsupported FDE checksum_alg {alg} at offset {pos}")
+                fde_has_alg = True
                 trail = CHECKSUM_LEN  # the FDE itself is always stamped
                 csum = CHECKSUM_LEN if alg == BINLOG_CHECKSUM_ALG_CRC32 else 0
             else:
@@ -1534,7 +1541,9 @@ def decode_events(buf: bytes, verify_crc: bool = True,
         if tc == FORMAT_DESCRIPTION_EVENT:
             ev["binlog_version"] = struct.unpack_from("<H", body, 0)[0]
             ev["server_version"] = body[2:52].rstrip(b"\x00").decode()
-            ev["checksum_alg"] = body[-1]
+            # pre-5.6.1 FDEs have NO alg byte — body[-1] would be a
+            # post-header-table width, not an algorithm
+            ev["checksum_alg"] = body[-1] if fde_has_alg else None
         elif tc == TABLE_MAP_EVENT:
             tid = int.from_bytes(body[0:6], "little")
             p = 8
@@ -2966,7 +2975,20 @@ def _mysql_cast_datetime(v):
     if isinstance(v, bool):
         raise ValueError(f"cannot cast {v!r} to DATETIME")
     if isinstance(v, int):
+        # MySQL's numeric interpretation ZERO-PADS to the nearest form
+        # (str2datetime): 101 → '000101' → 2000-01-01, 30102 → '030102'
+        # → 2003-01-02, 1010101 → '01010101' → year 101
         s = str(v)
+        if v < 0:
+            raise ValueError(f"cannot cast numeric {v!r} to DATETIME")
+        if len(s) <= 6:
+            s = s.zfill(6)
+        elif len(s) <= 8:
+            s = s.zfill(8)
+        elif len(s) <= 12:
+            s = s.zfill(12)
+        else:
+            s = s.zfill(14)
         if len(s) in (6, 12):  # YYMMDD[HHMMSS]: 2-digit year, pivot 70
             yy = int(s[:2])
             s = f"{2000 + yy if yy < 70 else 1900 + yy}{s[2:]}"
@@ -2990,8 +3012,26 @@ def _mysql_cast_time_str(v) -> str:
     server's TIME range."""
     if isinstance(v, str):
         s = v.strip()
-        if _re_mod.match(r"^-?\d{1,3}:\d{1,2}(:\d{1,2}(\.\d+)?)?$", s):
-            return s
+        m = _re_mod.match(
+            r"^(-?)(\d{1,3}):(\d{1,2})(?::(\d{1,2})(?:\.(\d+))?)?$", s)
+        if m:
+            sign, hh, mm, ss, frac = m.groups()
+            hh, mm, ss = int(hh), int(mm), int(ss or 0)
+            if mm >= 60 or ss >= 60 or hh > 838:
+                raise ValueError(f"cannot cast {v!r} to TIME")
+            micros, carry = _round_micros(frac or "0")
+            # fraction rounding can carry ':59.9999995' into the next
+            # second — renormalize the whole triple
+            ss += carry
+            mm += ss // 60
+            hh += mm // 60
+            ss, mm = ss % 60, mm % 60
+            if hh > 838:
+                raise ValueError(f"cannot cast {v!r} to TIME")
+            out = f"{sign}{hh:02d}:{mm:02d}:{ss:02d}"
+            if micros:
+                out += f".{micros:06d}".rstrip("0")
+            return out
         if _re_mod.match(r"^-?\d+$", s):
             return _mysql_cast_time_str(int(s))
         raise ValueError(f"cannot cast {v!r} to TIME")

@@ -433,75 +433,100 @@ class _Handler(socketserver.StreamRequestHandler):
             if not payload:
                 return
             cmd = payload[0]
-            try:
-                if cmd == COM_QUIT:
+            if cmd == COM_QUIT:
+                return
+            if cmd == COM_REGISTER_SLAVE:
+                _write_packet(self.wfile, 1, _ok_packet())
+                continue
+            declared = getattr(self, "_checksum_mode", "CRC32")
+            if (cmd in (COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID)
+                    and srv.binlog_checksum == "CRC32"
+                    and declared not in ("CRC32", "@@GLOBAL.BINLOG_CHECKSUM")):
+                # replica declared a checksum mode it can verify that is
+                # NOT what the binlog carries — refuse like a real master.
+                # (A NONE-logging master streams trailer-less frames every
+                # replica can parse, so no refusal in that mode.)
+                _write_packet(self.wfile, 1, _err_packet(
+                    1236,
+                    "Slave can not handle replication events with the "
+                    "checksum that master is configured to log",
+                ))
+                return
+            if cmd in (COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID):
+                # PARSE phase: malformed bytes (truncated fixed fields,
+                # oversized lengths, garbage GTID sets) answer ERR and
+                # drop the session — the ER_MALFORMED_PACKET discipline.
+                # The catch covers ONLY the field extraction: a bug in
+                # the streaming phase below must escape to handle_error/
+                # handler_errors, not be masked as a client error.
+                try:
+                    if cmd == COM_BINLOG_DUMP:
+                        if len(payload) < 11:  # pos(4) flags(2) server_id(4)
+                            raise ValueError("truncated COM_BINLOG_DUMP")
+                        pos = struct.unpack_from("<I", payload, 1)[0]
+                        flags = struct.unpack_from("<H", payload, 5)[0]
+                        # server_id(4) @7, file @11
+                        fname = payload[11:].split(b"\x00")[0].decode() or None
+                        args = (fname, pos)
+                    else:
+                        # flags(2) server_id(4) name_len(4) name pos(8)
+                        # data_len(4) data
+                        if len(payload) < 11:
+                            raise ValueError("truncated COM_BINLOG_DUMP_GTID")
+                        flags = struct.unpack_from("<H", payload, 1)[0]
+                        name_len = struct.unpack_from("<I", payload, 7)[0]
+                        p = 11 + name_len
+                        p += 8  # pos — GTID attach resolves its own start
+                        data_len = struct.unpack_from("<I", payload, p)[0]
+                        args = (_parse_gtid_set(payload[p + 4 : p + 4 + data_len]),)
+                except Exception:  # noqa: BLE001
+                    try:
+                        _write_packet(self.wfile, 1, _err_packet(
+                            1835, "Malformed communication packet"))
+                    except OSError:
+                        pass
                     return
-                if cmd == COM_REGISTER_SLAVE:
-                    _write_packet(self.wfile, 1, _ok_packet())
-                    continue
-                declared = getattr(self, "_checksum_mode", "CRC32")
-                if (cmd in (COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID)
-                        and srv.binlog_checksum == "CRC32"
-                        and declared not in ("CRC32", "@@GLOBAL.BINLOG_CHECKSUM")):
-                    # replica declared a checksum mode it can verify that is
-                    # NOT what the binlog carries — refuse like a real master.
-                    # (A NONE-logging master streams trailer-less frames every
-                    # replica can parse, so no refusal in that mode.)
-                    _write_packet(self.wfile, 1, _err_packet(
-                        1236,
-                        "Slave can not handle replication events with the "
-                        "checksum that master is configured to log",
-                    ))
-                    return
-                if cmd == COM_BINLOG_DUMP:
-                    if len(payload) < 11:  # pos(4) flags(2) server_id(4)
-                        raise ValueError("truncated COM_BINLOG_DUMP")
-                    pos = struct.unpack_from("<I", payload, 1)[0]
-                    flags = struct.unpack_from("<H", payload, 5)[0]
-                    # server_id(4) @7, file @11
-                    fname = payload[11:].split(b"\x00")[0].decode() or None
-                    # flag 0x01 = BINLOG_DUMP_NON_BLOCK (mysqlbinlog's
-                    # default: EOF at end-of-chain). A real replica leaves
-                    # it CLEAR and the master keeps the stream open,
-                    # pushing appended events and heartbeats while idle.
-                    self._stream_dump(srv, fname, pos,
-                                      block=not (flags & 0x01))
-                    return  # dump holds the connection; done = close
-                if cmd == COM_BINLOG_DUMP_GTID:
-                    # flags(2) server_id(4) name_len(4) name pos(8)
-                    # data_len(4) data
-                    if len(payload) < 11:
-                        raise ValueError("truncated COM_BINLOG_DUMP_GTID")
-                    gflags = struct.unpack_from("<H", payload, 1)[0]
-                    name_len = struct.unpack_from("<I", payload, 7)[0]
-                    p = 11 + name_len
-                    p += 8  # pos — GTID attach resolves its own start
-                    data_len = struct.unpack_from("<I", payload, p)[0]
-                    executed = _parse_gtid_set(
-                        payload[p + 4 : p + 4 + data_len])
-                    self._stream_dump_gtid(srv, executed,
-                                           block=not (gflags & 0x01))
-                    return
-                if cmd == COM_QUERY:
+                # STREAM phase: flag 0x01 = BINLOG_DUMP_NON_BLOCK
+                # (mysqlbinlog's default: EOF at end-of-chain). A real
+                # replica leaves it CLEAR and the master keeps the stream
+                # open, pushing appended events and heartbeats while idle.
+                # Client-addressable conditions (unknown file, bad
+                # position) surface as ValueError → ERR 1236 like a real
+                # master's ER_MASTER_FATAL_ERROR_READING_BINLOG; genuine
+                # server bugs escape to handle_error.
+                try:
+                    if cmd == COM_BINLOG_DUMP:
+                        self._stream_dump(srv, *args, block=not (flags & 0x01))
+                    else:
+                        self._stream_dump_gtid(srv, *args,
+                                               block=not (flags & 0x01))
+                except OSError:
+                    pass  # client went away mid-stream: clean close
+                except ValueError as exc:
+                    try:
+                        _write_packet(self.wfile, 1,
+                                      _err_packet(1236, str(exc)[:200]))
+                    except OSError:
+                        pass
+                return  # dump holds the connection; done = close
+            if cmd == COM_QUERY:
+                # unparseable SQL answers ERR 1064 (ER_PARSE_ERROR) like
+                # a real server; non-ValueError bugs escape to
+                # handle_error instead of masquerading as client errors
+                try:
                     self._answer_query(
                         srv, payload[1:].decode(errors="replace"))
-                    continue
-                # anything else: OK (catalog.py owns the full SQL surface)
-                _write_packet(self.wfile, 1, _ok_packet())
-            except OSError:
-                return  # client went away mid-answer: clean close
-            except Exception:  # noqa: BLE001
-                # malformed/adversarial payload (truncated fixed fields,
-                # oversized lengths, garbage GTID sets, unparseable
-                # filenames): a real master answers ERR and drops the
-                # session — never a crashed handler thread
-                # (ER_MALFORMED_PACKET discipline)
-                try:
-                    _write_packet(self.wfile, 1, _err_packet(
-                        1835, "Malformed communication packet"))
                 except OSError:
-                    pass
-                return
+                    return
+                except ValueError as exc:
+                    try:
+                        _write_packet(self.wfile, 1,
+                                      _err_packet(1064, str(exc)[:200]))
+                    except OSError:
+                        return
+                continue
+            # anything else: OK (catalog.py owns the full SQL surface)
+            _write_packet(self.wfile, 1, _ok_packet())
 
     def _send_result_set(self, names: list[str],
                          rows: list[list[str | None]]) -> None:

@@ -690,19 +690,22 @@ class ReplicaTableSink:
         self.keys = keys
         os.makedirs(table_dir, exist_ok=True)
         # same layout contract as AggViewSink (r12): None = AUTO-size
-        # from the first batch via size_state_buckets; the persisted
-        # LAYOUT file is physical truth on re-attach (the bucket hash of
-        # existing state can't change without a rewrite)
+        # from the first NON-EMPTY batch via size_state_buckets; the
+        # persisted LAYOUT file is physical truth on re-attach. A dir
+        # holding committed state but NO LAYOUT predates layout files —
+        # it was written under the old constant and MUST keep it, or
+        # every stored row would hash to the wrong bucket on re-attach.
         layout_path = os.path.join(table_dir, "LAYOUT")
-        try:
-            with open(layout_path) as fh:
-                self.n_buckets: int | None = int(fh.read().strip())
-        except (FileNotFoundError, ValueError):
+        persisted = _read_layout_file(layout_path)
+        if persisted is not None:
+            self.n_buckets: int | None = persisted
+        elif self._load_manifest():
+            self.n_buckets = _LEGACY_N_BUCKETS
+            _write_layout_file(layout_path, _LEGACY_N_BUCKETS)
+        else:
             self.n_buckets = n_buckets
             if n_buckets is not None:
-                with open(layout_path + ".tmp", "w") as fh:
-                    fh.write(str(n_buckets))
-                os.replace(layout_path + ".tmp", layout_path)
+                _write_layout_file(layout_path, n_buckets)
         #: with keep_history, superseded bucket versions are NOT GC'd on
         #: write; every batch appends its manifest to MANIFEST.log.jsonl,
         #: enabling ``as_of`` time travel until ``vacuum`` reclaims —
@@ -827,13 +830,16 @@ class ReplicaTableSink:
         spark = batch_df.sparkSession
         batch = batch_df.select(*self.keys, "tso", "action", "value").persist()
         if self.n_buckets is None:  # AUTO: size from the first batch
+            rows = batch.count()
+            if rows == 0:
+                batch.unpersist()
+                return  # empty batch is a state no-op: never lets a
+                # zero-row batch lock the layout at 1 bucket forever
             self.n_buckets = size_state_buckets(
-                batch.count(), spark.sparkContext.defaultParallelism
+                rows, spark.sparkContext.defaultParallelism
             )
-            layout_path = os.path.join(self.table_dir, "LAYOUT")
-            with open(layout_path + ".tmp", "w") as fh:
-                fh.write(str(self.n_buckets))
-            os.replace(layout_path + ".tmp", layout_path)
+            _write_layout_file(
+                os.path.join(self.table_dir, "LAYOUT"), self.n_buckets)
         try:
             touched = sorted(
                 r["_b"]
@@ -1139,6 +1145,29 @@ def match_with_acks(
     )
 
 
+def _read_layout_file(path: str) -> int | None:
+    """One shared LAYOUT protocol for every hash-bucketed durable sink
+    (the persisted bucket count is physical truth — existing state's
+    bucket hash can't change without a rewrite)."""
+    try:
+        with open(path) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _write_layout_file(path: str, n: int) -> None:
+    with open(path + ".tmp", "w") as fh:
+        fh.write(str(n))
+    os.replace(path + ".tmp", path)
+
+
+#: the bucket count every hash-bucketed sink used before LAYOUT files
+#: existed (r11 and earlier) — a state dir with committed state but no
+#: LAYOUT was written under this constant and must keep it
+_LEGACY_N_BUCKETS = 64
+
+
 def size_state_buckets(
     batch_rows: int,
     parallelism: int,
@@ -1209,44 +1238,44 @@ class AggViewSink:
     def __init__(self, state_dir: str, n_buckets: int | None = None) -> None:
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
-        persisted = self._read_layout()
+        persisted = _read_layout_file(self._layout_path())
         if persisted is not None:
             # the on-disk layout is physical truth: an existing state
             # table's bucket hash can't change without a rewrite
             self.n_buckets = persisted
+        elif os.path.isdir(self._paths(self._current())[0]):
+            # committed state but no LAYOUT: written before layout files
+            # existed, i.e. under the old constant — keep it or every
+            # stored row hashes to the wrong bucket
+            self.n_buckets = _LEGACY_N_BUCKETS
+            _write_layout_file(self._layout_path(), _LEGACY_N_BUCKETS)
         elif n_buckets is not None:
             self.n_buckets = n_buckets
-            self._write_layout(n_buckets)
-        # else: auto mode — sized from the first observed batch
+            _write_layout_file(self._layout_path(), n_buckets)
+        # else: auto mode — sized from the first non-empty batch
 
     # -- bucket-layout persistence -----------------------------------------
     def _layout_path(self) -> str:
         return os.path.join(self.state_dir, "LAYOUT")
 
-    def _read_layout(self) -> int | None:
-        try:
-            with open(self._layout_path()) as fh:
-                return int(fh.read().strip())
-        except (FileNotFoundError, ValueError):
-            return None
-
-    def _write_layout(self, n: int) -> None:
-        tmp = self._layout_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(n))
-        os.replace(tmp, self._layout_path())
-
-    def _ensure_layout(self, batch_df: DataFrame) -> None:
+    def _ensure_layout(self, batch_df: DataFrame) -> bool:
         """AUTO bucket sizing (r11 verdict #8): derive the layout from
-        the FIRST batch's observed volume instead of a constant — one
-        count job, paid once per sink lifetime, then persisted."""
+        the FIRST NON-EMPTY batch's observed volume instead of a
+        constant — one count job, paid once per sink lifetime, then
+        persisted. Returns False when the layout is still undecided
+        (empty batch in auto mode — a state no-op the caller skips, so a
+        zero-row batch can never lock the layout at 1 bucket)."""
         if self.n_buckets is not None:
-            return
+            return True
         spark = batch_df.sparkSession
+        rows = batch_df.count()
+        if rows == 0:
+            return False
         self.n_buckets = size_state_buckets(
-            batch_df.count(), spark.sparkContext.defaultParallelism
+            rows, spark.sparkContext.defaultParallelism
         )
-        self._write_layout(self.n_buckets)
+        _write_layout_file(self._layout_path(), self.n_buckets)
+        return True
 
     # -- version-pointer helpers -------------------------------------------
     def _current(self) -> int:
@@ -1323,7 +1352,8 @@ class AggViewSink:
         from polardbx_cdc_spark.operators import apply as apply_ops
 
         spark = batch_df.sparkSession
-        self._ensure_layout(batch_df)
+        if not self._ensure_layout(batch_df):
+            return  # empty batch while the layout is undecided: no-op
         cur = self._current()
         pk_path, view_path = self._paths(cur)
         have_state = os.path.isdir(pk_path)

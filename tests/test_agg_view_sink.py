@@ -268,3 +268,51 @@ def test_auto_bucket_layout_persisted_and_recovered(spark, tmp_path):
     view = sink2.view(spark).collect()
     assert len(view) == 1
     assert view[0]["n_rows"] == 500
+
+
+def test_legacy_state_dir_without_layout_adopts_64(spark, tmp_path):
+    """r12 review: a state dir with COMMITTED state but no LAYOUT file
+    predates layout persistence — it was hashed under the old 64-bucket
+    constant and must keep it (AUTO re-sizing would map every stored
+    row to the wrong bucket)."""
+    from polardbx_cdc_spark.streaming.pipeline import AggViewSink
+
+    state = str(tmp_path / "legacy")
+    sink = AggViewSink(state, n_buckets=64)
+    rows = [("d", "t", f"pk{i}", f"{i:048d}", "INSERT", float(i))
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "db string, tbl string, pk string, tso string, "
+              "action string, value double")
+    sink(df, batch_id=0)
+    os.remove(os.path.join(state, "LAYOUT"))  # simulate a pre-r12 dir
+    re_attached = AggViewSink(state)  # AUTO constructor on legacy state
+    assert re_attached.n_buckets == 64
+    with open(os.path.join(state, "LAYOUT")) as fh:
+        assert fh.read().strip() == "64"
+    re_attached(df, batch_id=1)  # idempotent refold against 64 buckets
+    view = re_attached.view(spark).collect()
+    assert view[0]["n_rows"] == 100
+
+
+def test_empty_first_batch_does_not_lock_auto_layout(spark, tmp_path):
+    """r12 review: an empty batch in AUTO mode is a state no-op — it
+    must NOT size the layout to 1 bucket forever."""
+    from polardbx_cdc_spark.streaming.pipeline import AggViewSink
+
+    state = str(tmp_path / "auto")
+    sink = AggViewSink(state)
+    empty = spark.createDataFrame(
+        [], "db string, tbl string, pk string, tso string, "
+            "action string, value double")
+    sink(empty, batch_id=0)
+    assert sink.n_buckets is None
+    assert not os.path.exists(os.path.join(state, "LAYOUT"))
+    rows = [("d", "t", f"pk{i}", f"{i:048d}", "INSERT", 1.0)
+            for i in range(200_000)]
+    df = spark.createDataFrame(
+        rows, "db string, tbl string, pk string, tso string, "
+              "action string, value double")
+    sink(df, batch_id=1)
+    assert sink.n_buckets == 4  # 200k rows / 50k floor
+    assert sink.view(spark).collect()[0]["n_rows"] == 200_000

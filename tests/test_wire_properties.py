@@ -400,9 +400,63 @@ def test_mysql_numeric_date_forms(d, short_year):
     assert W._mysql_cast_datetime(n) == datetime.datetime(
         d.year, d.month, d.day)
     if short_year and 1970 <= d.year <= 2069:
+        # MySQL zero-pads short numerics (str2datetime): 30102 reads as
+        # '030102' = 2003-01-02 — leading-zero years must NOT reject
         yy = d.year % 100
         n6 = yy * 10000 + d.month * 100 + d.day
-        if len(str(n6)) in (6, 5):  # leading-zero years collapse below 6 digits
-            if len(str(n6)) == 6:
-                assert W._mysql_cast_datetime(n6) == datetime.datetime(
-                    d.year, d.month, d.day)
+        assert W._mysql_cast_datetime(n6) == datetime.datetime(
+            d.year, d.month, d.day)
+
+
+def test_mysql_cast_time_string_normalizes_and_validates():
+    """r12 review: the string branch renders the CANONICAL MySQL form
+    (zero-padded) and validates groups like the numeric branch."""
+    import pytest
+
+    assert W._mysql_cast_time_str("9:5:0") == "09:05:00"
+    assert W._mysql_cast_time_str("-9:5") == "-09:05:00"
+    assert W._mysql_cast_time_str("101:02:03.5") == "101:02:03.5"
+    assert W._mysql_cast_time_str("10:00:59.9999995") == "10:01:00"
+    for bad in ("12:99:99", "12:00:60", "839:00:00"):
+        with pytest.raises(ValueError):
+            W._mysql_cast_time_str(bad)
+
+
+def test_mysql_cast_datetime_short_numeric_forms():
+    """r12 review: 101 → 2000-01-01, 30102 → 2003-01-02, 1010101 →
+    year 101 (the 7-digit form zero-pads to YYYYMMDD)."""
+    assert W._mysql_cast_datetime(101) == datetime.datetime(2000, 1, 1)
+    assert W._mysql_cast_datetime(30102) == datetime.datetime(2003, 1, 2)
+    assert W._mysql_cast_datetime(1010101) == datetime.datetime(101, 1, 1)
+
+
+def test_decode_events_reports_no_checksum_alg_for_pre_checksum_fde():
+    """r12 review: a pre-5.6.1 FDE has no alg byte — checksum_alg must
+    be None, never the last post-header-table width byte."""
+    import struct as _struct
+
+    sv = b"5.5.30-log".ljust(50, b"\x00")
+    payload = (_struct.pack("<H", 4) + sv + _struct.pack("<I", 0)
+               + bytes([W.HEADER_LEN]) + bytes([13, 8, 84, 0, 8, 2]))
+    header = _struct.pack(
+        "<IBIIIH", 0, W.FORMAT_DESCRIPTION_EVENT, 1,
+        W.HEADER_LEN + len(payload), 0, 0)
+    evs = W.decode_events(header + payload, verify_crc=True)
+    assert evs[0]["checksum_alg"] is None
+
+
+def test_decode_events_tolerates_garbage_fde_alg_at_torn_tail():
+    """r12 review: a crashed file's garbage tail that parses as an
+    in-bounds 'FDE' with a nonsense alg byte must BREAK under
+    tolerate_truncation, not raise."""
+    import pytest
+
+    good = W.encode_fde() + W.encode_xid(3)
+    # craft a garbage pseudo-FDE tail: valid header length, random body
+    fde = bytearray(W.encode_fde())
+    fde[-W.CHECKSUM_LEN - 1] = 0x77  # nonsense alg
+    torn = good + bytes(fde)
+    evs = W.decode_events(torn, verify_crc=True, tolerate_truncation=True)
+    assert any(e["type"] == W.XID_EVENT and e["xid"] == 3 for e in evs)
+    with pytest.raises(ValueError, match="unsupported FDE checksum_alg"):
+        W.decode_events(torn, verify_crc=True)
