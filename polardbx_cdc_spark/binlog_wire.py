@@ -511,6 +511,20 @@ def encode_fde(server_version: str = "5.7.0-polardbx-spark",
     a real master stamps the FDE even under binlog_checksum=NONE (the
     reader learns the alg FROM this event, so it must be verifiable;
     LogHeader.java:191 reads checksumAlg at event_len-5)."""
+    if _server_version_tuple(server_version) < _CHECKSUM_VERSION:
+        # Writer/reader symmetry (ADVICE r12): decode_events treats a
+        # pre-5.6.1 FDE as having NO alg byte and NO CRC footer, but
+        # this encoder always appends both — it would produce a stream
+        # its own decoder misparses (5 stray bytes absorbed into the
+        # FDE body, every later event keeping its CRC unverified).
+        # Pre-checksum wire emission is not a supported encode target;
+        # pre-5.6 *column payloads* (legacy temporals) remain encodable
+        # under a modern FDE via encode_table_map's legacy type codes.
+        raise ValueError(
+            f"encode_fde: server_version {server_version!r} predates the "
+            f"checksum-alg descriptor (5.6.1) — the encoder always stamps "
+            f"a CRC32 footer, so such a stream would misparse on read"
+        )
     sv = server_version.encode()[:50].ljust(50, b"\x00")
     table = bytes(
         _POST_HEADER_LEN.get(t, 0) for t in range(1, _LAST_EVENT_TYPE + 1)
@@ -522,11 +536,10 @@ def encode_fde(server_version: str = "5.7.0-polardbx-spark",
     return encode_event(FORMAT_DESCRIPTION_EVENT, payload)
 
 
-def _fde_has_checksum_alg(body: bytes) -> bool:
-    """Whether a v4 FDE's server_version (body[2:52]) is >= 5.6.1, i.e.
-    the event's last pre-footer byte is the checksum-alg descriptor
-    (LogHeader.java's version_product >= checksum_version_product)."""
-    sv = body[2:52].rstrip(b"\x00").decode(errors="replace")
+def _server_version_tuple(sv: str) -> tuple[int, int, int]:
+    """Leading-numeric (major, minor, patch) of a server-version string,
+    '5.7.0-polardbx-spark' → (5, 7, 0) — LogHeader.java's version_product
+    decomposition."""
     nums = []
     for part in sv.split(".", 2):
         digits = ""
@@ -538,7 +551,15 @@ def _fde_has_checksum_alg(body: bytes) -> bool:
         nums.append(int(digits) if digits else 0)
     while len(nums) < 3:
         nums.append(0)
-    return tuple(nums[:3]) >= _CHECKSUM_VERSION
+    return tuple(nums[:3])
+
+
+def _fde_has_checksum_alg(body: bytes) -> bool:
+    """Whether a v4 FDE's server_version (body[2:52]) is >= 5.6.1, i.e.
+    the event's last pre-footer byte is the checksum-alg descriptor
+    (LogHeader.java's version_product >= checksum_version_product)."""
+    sv = body[2:52].rstrip(b"\x00").decode(errors="replace")
+    return _server_version_tuple(sv) >= _CHECKSUM_VERSION
 
 
 def _encode_col_meta(types: list[tuple[int, object]]) -> bytes:
@@ -2975,31 +2996,54 @@ def _mysql_cast_datetime(v):
     if isinstance(v, bool):
         raise ValueError(f"cannot cast {v!r} to DATETIME")
     if isinstance(v, int):
-        # MySQL's numeric interpretation ZERO-PADS to the nearest form
-        # (str2datetime): 101 → '000101' → 2000-01-01, 30102 → '030102'
-        # → 2003-01-02, 1010101 → '01010101' → year 101
-        s = str(v)
-        if v < 0:
+        # MySQL's numeric interpretation follows number_to_datetime's
+        # ACCEPTANCE BANDS (my_time.cc) — NOT a naive zero-pad (ADVICE
+        # r12: 1010101 must error, it falls in the 991231 < nr <
+        # 10000101 rejection band):
+        #   nr ≤ 691231                 → YYMMDD, year 20YY
+        #   691231 < nr < 700101        → error
+        #   700101 ≤ nr ≤ 991231        → YYMMDD, year 19YY
+        #   991231 < nr < 10000101      → error
+        #   10000101 ≤ nr ≤ 99991231    → YYYYMMDD
+        #   99991231 < nr < 101000000   → error
+        #   101000000 ≤ nr ≤ 691231235959   → YYMMDDHHMMSS, year 20YY
+        #   691231235959 < nr < 700101000000 → error
+        #   700101000000 ≤ nr ≤ 991231235959 → YYMMDDHHMMSS, year 19YY
+        #   else                        → YYYYMMDDHHMMSS (≤ 99991231235959)
+        nr = v
+        if nr <= 0:
+            # 0 is MySQL's zero date — strict mode rejects it, and the
+            # repo refuses to fabricate it (no Python/Arrow form)
             raise ValueError(f"cannot cast numeric {v!r} to DATETIME")
-        if len(s) <= 6:
-            s = s.zfill(6)
-        elif len(s) <= 8:
-            s = s.zfill(8)
-        elif len(s) <= 12:
-            s = s.zfill(12)
-        else:
-            s = s.zfill(14)
-        if len(s) in (6, 12):  # YYMMDD[HHMMSS]: 2-digit year, pivot 70
-            yy = int(s[:2])
-            s = f"{2000 + yy if yy < 70 else 1900 + yy}{s[2:]}"
-        if len(s) == 8:
-            return _datetime_mod.datetime(int(s[:4]), int(s[4:6]), int(s[6:8]))
-        if len(s) == 14:
+        if nr <= 691231:
+            nr = (nr + 20000000) * 1000000
+        elif nr < 700101:
+            raise ValueError(f"cannot cast numeric {v!r} to DATETIME")
+        elif nr <= 991231:
+            nr = (nr + 19000000) * 1000000
+        elif nr < 10000101:
+            raise ValueError(f"cannot cast numeric {v!r} to DATETIME")
+        elif nr <= 99991231:
+            nr = nr * 1000000
+        elif nr < 101000000:
+            raise ValueError(f"cannot cast numeric {v!r} to DATETIME")
+        elif nr <= 691231235959:
+            nr = nr + 20000000000000
+        elif nr < 700101000000:
+            raise ValueError(f"cannot cast numeric {v!r} to DATETIME")
+        elif nr <= 991231235959:
+            nr = nr + 19000000000000
+        elif nr > 99991231235959:
+            raise ValueError(f"cannot cast numeric {v!r} to DATETIME")
+        s = f"{nr:014d}"
+        try:
             return _datetime_mod.datetime(
                 int(s[:4]), int(s[4:6]), int(s[6:8]),
                 int(s[8:10]), int(s[10:12]), int(s[12:14]),
             )
-        raise ValueError(f"cannot cast numeric {v!r} to DATETIME")
+        except ValueError:
+            raise ValueError(
+                f"cannot cast numeric {v!r} to DATETIME") from None
     raise ValueError(
         f"cannot cast {type(v).__name__} value {v!r} to DATETIME")
 
@@ -3064,10 +3108,16 @@ def _retype_converter(src_decl: str, fin_decl: str, src_st, fin_st, col: str):
     from pyspark.sql import types as T
 
     def _ctx(fn):
+        # EVERY converter goes through here (ADVICE r12): the numeric
+        # paths use Decimal(str(v)), whose failure mode is
+        # decimal.InvalidOperation (an ArithmeticError, NOT a
+        # ValueError) — and multi-hop composition makes those paths
+        # reachable from arbitrary upstream values, so an unwrapped
+        # converter would surface as an opaque in-executor crash.
         def conv(v):
             try:
                 return fn(v)
-            except ValueError as exc:
+            except (ValueError, ArithmeticError, TypeError) as exc:
                 raise ValueError(
                     f"column {col}: {exc} ({src_decl} -> {fin_decl})"
                 ) from None
@@ -3112,7 +3162,7 @@ def _retype_converter(src_decl: str, fin_decl: str, src_st, fin_st, col: str):
             if isinstance(v, _datetime_mod.date):
                 return v.isoformat()
             return str(v)
-        return conv
+        return _ctx(conv)
     if tn in ("long", "integer", "short", "byte"):
         def conv(v):
             if isinstance(v, (int, bool)):
@@ -3120,15 +3170,17 @@ def _retype_converter(src_decl: str, fin_decl: str, src_st, fin_st, col: str):
             # MySQL integer cast rounds half away from zero
             return int(_Decimal(str(v)).to_integral_value(
                 rounding="ROUND_HALF_UP"))
-        return conv
+        return _ctx(conv)
     if tn in ("double", "float"):
-        return lambda v: float(v)
+        return _ctx(float)
     if tn == "decimal":
         scale = fin_st.scale
         q = _Decimal(1).scaleb(-scale)
-        return lambda v: _Decimal(str(v)).quantize(q, rounding="ROUND_HALF_UP")
+        return _ctx(lambda v: _Decimal(str(v)).quantize(
+            q, rounding="ROUND_HALF_UP"))
     if tn == "boolean":
-        return lambda v: bool(int(v)) if not isinstance(v, bool) else v
+        return _ctx(
+            lambda v: bool(int(v)) if not isinstance(v, bool) else v)
     if tn == "binary":
         def conv(v):
             if isinstance(v, (bytes, bytearray)):
@@ -3136,10 +3188,9 @@ def _retype_converter(src_decl: str, fin_decl: str, src_st, fin_st, col: str):
             if isinstance(v, str):
                 return v.encode("utf-8")
             raise ValueError(
-                f"column {col}: cannot retype {type(v).__name__} value "
-                f"to binary ({src_decl} -> {fin_decl})"
+                f"cannot retype {type(v).__name__} value to binary"
             )
-        return conv
+        return _ctx(conv)
     _ = T  # imported for symmetry with callers; no other targets supported
     raise ValueError(
         f"column {col}: retype {src_decl} -> {fin_decl} has no supported "

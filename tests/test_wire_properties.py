@@ -423,11 +423,101 @@ def test_mysql_cast_time_string_normalizes_and_validates():
 
 
 def test_mysql_cast_datetime_short_numeric_forms():
-    """r12 review: 101 → 2000-01-01, 30102 → 2003-01-02, 1010101 →
-    year 101 (the 7-digit form zero-pads to YYYYMMDD)."""
+    """r13 (ADVICE r12): 101 → 2000-01-01, 30102 → 2003-01-02 — but
+    1010101 now RAISES, matching number_to_datetime's rejection band
+    (991231 < nr < 10000101 is not a valid numeric datetime form)."""
+    import pytest
+
     assert W._mysql_cast_datetime(101) == datetime.datetime(2000, 1, 1)
     assert W._mysql_cast_datetime(30102) == datetime.datetime(2003, 1, 2)
-    assert W._mysql_cast_datetime(1010101) == datetime.datetime(101, 1, 1)
+    with pytest.raises(ValueError):
+        W._mysql_cast_datetime(1010101)
+
+
+def test_mysql_cast_datetime_acceptance_bands():
+    """ADVICE r12: mirror number_to_datetime's bands exactly — each
+    boundary accepted, each gap rejected (my_time.cc)."""
+    import pytest
+
+    # YYMMDD 20xx band edge
+    assert W._mysql_cast_datetime(691231) == datetime.datetime(2069, 12, 31)
+    # gap (691231, 700101)
+    with pytest.raises(ValueError):
+        W._mysql_cast_datetime(691232)
+    with pytest.raises(ValueError):
+        W._mysql_cast_datetime(700100)
+    # YYMMDD 19xx band
+    assert W._mysql_cast_datetime(700101) == datetime.datetime(1970, 1, 1)
+    assert W._mysql_cast_datetime(991231) == datetime.datetime(1999, 12, 31)
+    # gap (991231, 10000101) — the ADVICE example lives here
+    for nr in (991232, 1010101, 9999999, 10000100):
+        with pytest.raises(ValueError):
+            W._mysql_cast_datetime(nr)
+    # YYYYMMDD band
+    assert W._mysql_cast_datetime(10000101) == datetime.datetime(1000, 1, 1)
+    assert W._mysql_cast_datetime(99991231) == datetime.datetime(9999, 12, 31)
+    # gap (99991231, 101000000)
+    with pytest.raises(ValueError):
+        W._mysql_cast_datetime(99991232)
+    with pytest.raises(ValueError):
+        W._mysql_cast_datetime(100999999)
+    # YYMMDDHHMMSS 20xx / 19xx bands and the gap between them
+    assert W._mysql_cast_datetime(101000000) == datetime.datetime(2000, 1, 1)
+    assert W._mysql_cast_datetime(691231235959) == datetime.datetime(
+        2069, 12, 31, 23, 59, 59)
+    with pytest.raises(ValueError):
+        W._mysql_cast_datetime(691231235960)
+    assert W._mysql_cast_datetime(700101000000) == datetime.datetime(1970, 1, 1)
+    assert W._mysql_cast_datetime(991231235959) == datetime.datetime(
+        1999, 12, 31, 23, 59, 59)
+    # full YYYYMMDDHHMMSS, and past the top of the range
+    assert W._mysql_cast_datetime(99991231235959) == datetime.datetime(
+        9999, 12, 31, 23, 59, 59)
+    with pytest.raises(ValueError):
+        W._mysql_cast_datetime(99991231235960)
+    with pytest.raises(ValueError):
+        W._mysql_cast_datetime(0)
+    # in-band but not a real calendar value (month 13)
+    with pytest.raises(ValueError):
+        W._mysql_cast_datetime(20241301)
+
+
+def test_encode_fde_rejects_pre_checksum_server_version():
+    """ADVICE r12 writer/reader symmetry: the encoder always stamps a
+    CRC footer + alg byte, so a pre-5.6.1 server_version (which the
+    decoder treats as having neither) must be refused at encode time."""
+    import pytest
+
+    for sv in ("5.5.62-log", "5.6.0", "4.1.22"):
+        with pytest.raises(ValueError):
+            W.encode_fde(server_version=sv)
+    # 5.6.1 and later encode fine and self-decode
+    for sv in ("5.6.1", "8.0.32", "5.7.0-polardbx-spark"):
+        evs = W.decode_events(W.encode_fde(server_version=sv))
+        assert evs[0]["type"] == W.FORMAT_DESCRIPTION_EVENT
+
+
+def test_retype_converter_wraps_arithmetic_errors():
+    """ADVICE r12: non-temporal hops (varchar→bigint/decimal) fail with
+    decimal.InvalidOperation on non-numeric input — _ctx must surface
+    that as a contextual ValueError, not an in-executor crash."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    conv = W._retype_converter(
+        "varchar(32)", "bigint", T.StringType(), T.LongType(), "c1")
+    with pytest.raises(ValueError, match="c1"):
+        conv("not-a-number")
+    conv = W._retype_converter(
+        "varchar(32)", "decimal(12,2)", T.StringType(),
+        T.DecimalType(12, 2), "c2")
+    with pytest.raises(ValueError, match="c2"):
+        conv("abc")
+    conv = W._retype_converter(
+        "varchar(32)", "double", T.StringType(), T.DoubleType(), "c3")
+    with pytest.raises(ValueError, match="c3"):
+        conv("abc")
 
 
 def test_decode_events_reports_no_checksum_alg_for_pre_checksum_fde():
