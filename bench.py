@@ -107,6 +107,9 @@ HEADLINE = [
     "cdc_dump_none_checksum_decode",
     # round 12 additions
     "orders_wire_temporal_retype",
+    # round 13 additions
+    "orders_wire_retype_reverse",
+    "orders_wire_gbk_typed",
 ]
 
 

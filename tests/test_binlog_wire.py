@@ -2241,14 +2241,18 @@ def test_decode_wire_with_registry_retype_lattice_fuzz(spark, tmp_path):
     from polardbx_cdc_spark.meta import replay_wire_ddl
 
     def fmt_dt(v):
-        s = v.strftime("%Y-%m-%d %H:%M:%S")
-        return s + (f".{v.microsecond:06d}" if v.microsecond else "")
+        # DATETIME(6) → VARCHAR renders the column's EXACT fsp — six
+        # fractional digits, zeros included (r13 reverse-lattice fix)
+        return v.strftime("%Y-%m-%d %H:%M:%S") + f".{v.microsecond:06d}"
 
     def fmt_td(v):
         total = v.days * 86400 + v.seconds
         h, rem = divmod(total, 3600)
         m, s = divmod(rem, 60)
-        return f"{h:02d}:{m:02d}:{s:02d}"
+        out = f"{h:02d}:{m:02d}:{s:02d}"
+        if v.microseconds:
+            out += f".{v.microseconds:06d}".rstrip("0")
+        return out
 
     # each path: (decl per era, value generator per era,
     #             edge cast fns [era_i -> era_i+1])
@@ -2304,6 +2308,59 @@ def test_decode_wire_with_registry_retype_lattice_fuzz(spark, tmp_path):
          [lambda r: Decimal(r.randrange(10_000_000)).scaleb(-3),
           lambda r: r.randrange(10_000)],
          [lambda v: int(v.quantize(Decimal(1), rounding=ROUND_HALF_UP))]),
+        # -- r13 reverse-lattice edges -------------------------------
+        (["datetime(6)", "bigint"],  # temporal → int: YYYYMMDDHHMMSS,
+         [lambda r: dt.datetime(2000 + r.randrange(40),  # micros round
+                                r.randrange(1, 13), r.randrange(1, 29),
+                                r.randrange(24), r.randrange(60),
+                                r.randrange(59), r.choice([0, 345678,
+                                                           700001])),
+          lambda r: r.randrange(10_000)],
+         [lambda v: (((v.year * 100 + v.month) * 100 + v.day) * 1000000
+                     + v.hour * 10000 + v.minute * 100 + v.second
+                     + (1 if v.microsecond >= 500000 else 0))]),
+        (["date", "bigint"],  # DATE → int: YYYYMMDD
+         [lambda r: dt.date(2000 + r.randrange(40), r.randrange(1, 13),
+                            r.randrange(1, 29)),
+          lambda r: r.randrange(10_000)],
+         [lambda v: v.year * 10000 + v.month * 100 + v.day]),
+        (["decimal(20,4)", "datetime(6)"],  # DECIMAL → temporal
+         [lambda r: (Decimal((((2000 + r.randrange(40)) * 100
+                               + r.randrange(1, 13)) * 100
+                              + r.randrange(1, 29)) * 1000000
+                             + r.randrange(24) * 10000
+                             + r.randrange(60) * 100 + r.randrange(60))
+                     + Decimal(r.choice([0, 2500])).scaleb(-4)),
+          lambda r: dt.datetime(2000 + r.randrange(40), r.randrange(1, 13),
+                                r.randrange(1, 29), r.randrange(24),
+                                r.randrange(60), r.randrange(60))],
+         [lambda v: dt.datetime.strptime(
+             f"{int(v):014d}", "%Y%m%d%H%M%S").replace(
+             microsecond=int((v - int(v)) * 1000000))]),
+        (["enum('red','green','blue')",  # ENUM label-set MODIFY: maps
+          "enum('blue','red','green','gray')"],  # by LABEL, not index
+         [lambda r: r.choice(["red", "green", "blue"]),
+          lambda r: r.choice(["blue", "red", "green", "gray"])],
+         [lambda v: v]),
+        (["set('a','b','c')", "set('c','b','a','d')"],  # SET re-canon:
+         [lambda r: ",".join(                           # new def order
+             sorted(r.sample(["a", "b", "c"], r.randrange(1, 4)),
+                    key="abc".index)),
+          lambda r: ",".join(
+              sorted(r.sample(["a", "b", "c", "d"], r.randrange(1, 5)),
+                     key="cbad".index))],
+         [lambda v: ",".join(sorted(v.split(","), key="cbad".index))]),
+        (["time(6)", "time(2)"],  # TIME fsp narrowing rounds half-up
+         [lambda r: dt.timedelta(hours=r.randrange(100),
+                                 minutes=r.randrange(60),
+                                 seconds=r.randrange(59),
+                                 microseconds=r.choice([125000, 675000])),
+          lambda r: dt.timedelta(hours=r.randrange(100),
+                                 minutes=r.randrange(60),
+                                 seconds=r.randrange(60),
+                                 microseconds=250000)],
+         [lambda v: (fmt_td(v - dt.timedelta(microseconds=v.microseconds))
+                     + {125000: ".13", 675000: ".68"}[v.microseconds])]),
     ]
 
     for seed in range(6):
@@ -2316,8 +2373,11 @@ def test_decode_wire_with_registry_retype_lattice_fuzz(spark, tmp_path):
         events = []
         expected = []  # (rid, {col: final_value})
         rid = 0
+        # decls go in VERBATIM (not .upper()): ENUM/SET label strings are
+        # case-sensitive identity — uppercasing them in the DDL would
+        # desync the registry's label sets from the wire's
         col_defs = ", ".join(
-            f"{c} {p[0][0].upper()}" for c, p in zip(cols, paths))
+            f"{c} {p[0][0]}" for c, p in zip(cols, paths))
         events.append(W.encode_query(
             db, f"CREATE TABLE {tbl} (rid BIGINT PRIMARY KEY, {col_defs})"))
         # pending ALTER steps, consumed in random interleave with inserts
@@ -2332,15 +2392,21 @@ def test_decode_wire_with_registry_retype_lattice_fuzz(spark, tmp_path):
                 era[ci] = step
                 events.append(W.encode_query(
                     db, f"ALTER TABLE {tbl} MODIFY COLUMN {cols[ci]} "
-                        f"{paths[ci][0][step].upper()}"))
+                        f"{paths[ci][0][step]}"))
             else:
                 decls = ["bigint"] + [p[0][e] for p, e in zip(paths, era)]
                 td = W.TableDef.from_mysql_types(db, tbl, decls)
+                # the wire speaks ENUM indexes / SET bitmasks; the model
+                # (and the decoded output) speak labels
+                wire_codecs = W._label_codecs(decls)
                 rows = []
                 for _ in range(rng.randrange(1, 3)):
                     rid += 1
                     vals = [p[1][e](rng) for p, e in zip(paths, era)]
-                    rows.append([rid] + list(vals))
+                    rows.append([
+                        cod[0](v) if cod else v
+                        for cod, v in zip(wire_codecs, [rid] + list(vals))
+                    ])
                     exp = {}
                     for c, p, e, v in zip(cols, paths, era, vals):
                         for edge in p[2][e:]:

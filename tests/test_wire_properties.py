@@ -520,6 +520,111 @@ def test_retype_converter_wraps_arithmetic_errors():
         conv("abc")
 
 
+def test_reverse_retype_temporal_to_numeric_and_string():
+    """r13 reverse lattice: temporal sources → INT/DECIMAL/VARCHAR with
+    MySQL's value images — YYYYMMDDHHMMSS numerics with TEMPORAL-domain
+    fraction rounding (59.6s rolls the minute, never a 60-second image),
+    fsp-exact string rendering, and ENUM/SET label-set MODIFYs that map
+    by label."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    dtv = datetime.datetime(2024, 3, 5, 23, 59, 59, 600000)
+    # datetime → bigint: temporal rounding carries through the day
+    conv = W._retype_converter("datetime(6)", "bigint",
+                               T.TimestampNTZType(), T.LongType(), "c")
+    assert conv(dtv) == 20240306000000
+    assert conv(datetime.datetime(2024, 3, 5, 1, 2, 3)) == 20240305010203
+    # date → bigint: YYYYMMDD
+    conv = W._retype_converter("date", "bigint",
+                               T.DateType(), T.LongType(), "c")
+    assert conv(datetime.date(1997, 12, 31)) == 19971231
+    # time → bigint: ±HHMMSS with temporal rounding
+    conv = W._retype_converter("time(6)", "bigint",
+                               T.StringType(), T.LongType(), "c")
+    assert conv("12:34:59.6") == 123500
+    assert conv("-00:00:00.6") == -1
+    assert conv("838:59:58") == 8385958
+    # datetime → decimal(20,2): fraction quantized at target scale in
+    # the temporal domain
+    conv = W._retype_converter("datetime(6)", "decimal(20,2)",
+                               T.TimestampNTZType(),
+                               T.DecimalType(20, 2), "c")
+    from decimal import Decimal
+    assert conv(dtv) == Decimal("20240305235959.60")
+    assert conv(datetime.datetime(2024, 3, 5, 23, 59, 59, 996000)) == \
+        Decimal("20240306000000.00")
+    # datetime(6) → varchar: fsp-exact (zeros kept); datetime(0) → none
+    conv = W._retype_converter("datetime(6)", "varchar(26)",
+                               T.TimestampNTZType(), T.StringType(), "c")
+    assert conv(datetime.datetime(2024, 3, 5, 1, 2, 3)) == \
+        "2024-03-05 01:02:03.000000"
+    conv = W._retype_converter("datetime", "varchar(26)",
+                               T.TimestampNTZType(), T.StringType(), "c")
+    assert conv(datetime.datetime(2024, 3, 5, 1, 2, 3)) == \
+        "2024-03-05 01:02:03"
+    # time(3) → varchar: fsp-exact padding of the canonical form
+    conv = W._retype_converter("time(3)", "varchar(16)",
+                               T.StringType(), T.StringType(), "c")
+    assert conv("10:01:00.5") == "10:01:00.500"
+    # decimal → datetime: fraction becomes micros
+    conv = W._retype_converter("decimal(20,4)", "datetime(6)",
+                               T.DecimalType(20, 4),
+                               T.TimestampNTZType(), "c")
+    assert conv(Decimal("20240305010203.2500")) == \
+        datetime.datetime(2024, 3, 5, 1, 2, 3, 250000)
+    # datetime(6) → datetime(2): fsp narrowing rounds half-up
+    conv = W._retype_converter("datetime(6)", "datetime(2)",
+                               T.TimestampNTZType(),
+                               T.TimestampNTZType(), "c")
+    assert conv(dtv) == datetime.datetime(2024, 3, 5, 23, 59, 59, 600000)
+    assert conv(datetime.datetime(2024, 1, 1, 0, 0, 0, 128000)) == \
+        datetime.datetime(2024, 1, 1, 0, 0, 0, 130000)
+
+
+def test_enum_set_label_retypes():
+    """ENUM/SET MODIFY converts by LABEL: reordered/extended sets keep
+    values, dropped labels raise (strict mode), SET members
+    re-canonicalize to the new definition order."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    conv = W._retype_converter(
+        "enum('red','green','blue')", "enum('blue','red','green','gray')",
+        T.StringType(), T.StringType(), "c")
+    assert conv("red") == "red"
+    assert conv("blue") == "blue"
+    assert conv("") == ""
+    conv = W._retype_converter(
+        "enum('red','green','blue')", "enum('red','green')",
+        T.StringType(), T.StringType(), "c")
+    with pytest.raises(ValueError, match="blue"):
+        conv("blue")
+    # identical label sets need no converter at all
+    assert W._retype_converter(
+        "enum('a','b')", "enum('a','b')",
+        T.StringType(), T.StringType(), "c") is None
+    # SET: members validate and re-canonicalize to the NEW order
+    conv = W._retype_converter(
+        "set('a','b','c')", "set('c','b','a','d')",
+        T.StringType(), T.StringType(), "c")
+    assert conv("a,c") == "c,a"
+    assert conv("") == ""
+    with pytest.raises(ValueError, match="absent"):
+        W._retype_converter(
+            "set('a','b','c')", "set('a','b')",
+            T.StringType(), T.StringType(), "c")("a,c")
+    # VARCHAR → ENUM validates membership too
+    conv = W._retype_converter(
+        "varchar(8)", "enum('x','y')",
+        T.StringType(), T.StringType(), "c")
+    assert conv("x") == "x"
+    with pytest.raises(ValueError):
+        conv("z")
+
+
 def test_decode_events_reports_no_checksum_alg_for_pre_checksum_fde():
     """r12 review: a pre-5.6.1 FDE has no alg byte — checksum_alg must
     be None, never the last post-header-table width byte."""
