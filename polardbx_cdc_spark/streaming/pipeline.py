@@ -695,17 +695,37 @@ class ReplicaTableSink:
         # holding committed state but NO LAYOUT predates layout files —
         # it was written under the old constant and MUST keep it, or
         # every stored row would hash to the wrong bucket on re-attach.
+        # layout precedence (r13): the MANIFEST's reserved __n_buckets__
+        # entry is authoritative — it commits ATOMICALLY with the bucket
+        # pointers, so a crash mid-migration can never leave the count
+        # and the layout disagreeing. The standalone LAYOUT file remains
+        # as a best-effort mirror (r12 dirs have only it) and the bare
+        # legacy constant covers pre-LAYOUT dirs.
         layout_path = os.path.join(table_dir, "LAYOUT")
+        manifest = self._load_manifest()
+        in_manifest = manifest.get(_N_BUCKETS_KEY)
         persisted = _read_layout_file(layout_path)
-        if persisted is not None:
-            self.n_buckets: int | None = persisted
-        elif self._load_manifest():
+        if in_manifest is not None:
+            self.n_buckets: int | None = in_manifest
+        elif persisted is not None:
+            self.n_buckets = persisted
+        elif self._bucket_items(manifest):
             self.n_buckets = _LEGACY_N_BUCKETS
             _write_layout_file(layout_path, _LEGACY_N_BUCKETS)
         else:
             self.n_buckets = n_buckets
             if n_buckets is not None:
                 _write_layout_file(layout_path, n_buckets)
+        #: cumulative batch-row upper bound on state size — the cheap
+        #: re-bucket trigger (exact sizing happens at migration time,
+        #: when the full state is read anyway)
+        self.rows_seen: int = manifest.get(_ROWS_SEEN_KEY, 0)
+        self.last_migration: tuple[int, int] | None = None  # (old_n, new_n)
+        #: sizing band knobs — instance-level so tests (and unusual
+        #: deployments) can scale the trigger without repatching the
+        #: module constants
+        self.rebucket_cap = _REBUCKET_ROWS_PER_BUCKET_CAP
+        self.bucket_floor = 50_000
         #: with keep_history, superseded bucket versions are NOT GC'd on
         #: write; every batch appends its manifest to MANIFEST.log.jsonl,
         #: enabling ``as_of`` time travel until ``vacuum`` reclaims —
@@ -729,9 +749,21 @@ class ReplicaTableSink:
         except FileNotFoundError:
             return {}
 
+    @staticmethod
+    def _bucket_items(manifest: dict[str, int]) -> list[tuple[str, int]]:
+        """(bucket, version) entries only — reserved __*__ keys carry
+        layout metadata, not bucket pointers."""
+        return [(k, v) for k, v in manifest.items()
+                if k not in _RESERVED_MANIFEST_KEYS]
+
     def _store_manifest(self, manifest: dict[str, int]) -> None:
         import json
 
+        # the layout metadata commits WITH the pointers (atomicity is
+        # the whole point of riding in the manifest)
+        if self.n_buckets is not None:
+            manifest[_N_BUCKETS_KEY] = self.n_buckets
+        manifest[_ROWS_SEEN_KEY] = self.rows_seen
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -770,8 +802,8 @@ class ReplicaTableSink:
         snaps = self.snapshots()
         if not snaps:
             return None
-        manifest = snaps[snapshot]
-        if not manifest:
+        buckets = self._bucket_items(snaps[snapshot])
+        if not buckets:
             # empty snapshot: borrow the schema from the live state; if the
             # live manifest is also empty there is no schema to borrow —
             # same "nothing to read" contract as an empty history
@@ -779,7 +811,7 @@ class ReplicaTableSink:
             if live is None:
                 return None
             return spark.createDataFrame([], live.schema)
-        paths = [self._bucket_dir(int(b), v) for b, v in manifest.items()]
+        paths = [self._bucket_dir(int(b), v) for b, v in buckets]
         return spark.read.parquet(*paths)
 
     def vacuum(self, retain_last: int = 1) -> int:
@@ -792,7 +824,9 @@ class ReplicaTableSink:
         snaps = self.snapshots()
         keep = snaps[-retain_last:] if retain_last > 0 else []
         keep.append(self._load_manifest())
-        referenced = {(str(b), v) for m in keep for b, v in m.items()}
+        referenced = {
+            (str(b), v) for m in keep for b, v in self._bucket_items(m)
+        }
         removed = 0
         import glob as _glob
 
@@ -811,10 +845,10 @@ class ReplicaTableSink:
         return removed
 
     def current(self, spark) -> DataFrame | None:
-        manifest = self._load_manifest()
-        if not manifest:
+        buckets = self._bucket_items(self._load_manifest())
+        if not buckets:
             return None
-        paths = [self._bucket_dir(int(b), v) for b, v in manifest.items()]
+        paths = [self._bucket_dir(int(b), v) for b, v in buckets]
         return spark.read.parquet(*paths)
 
     # -- merge --------------------------------------------------------------
@@ -829,28 +863,84 @@ class ReplicaTableSink:
 
         spark = batch_df.sparkSession
         batch = batch_df.select(*self.keys, "tso", "action", "value").persist()
+        rows = batch.count()  # one job on the persisted batch: feeds the
+        # AUTO first-layout sizing AND the re-bucket trigger below
+        if rows == 0:
+            batch.unpersist()
+            return  # empty batch is a state no-op: never lets a
+            # zero-row batch lock the layout at 1 bucket forever
+        par = spark.sparkContext.defaultParallelism
         if self.n_buckets is None:  # AUTO: size from the first batch
-            rows = batch.count()
-            if rows == 0:
-                batch.unpersist()
-                return  # empty batch is a state no-op: never lets a
-                # zero-row batch lock the layout at 1 bucket forever
             self.n_buckets = size_state_buckets(
-                rows, spark.sparkContext.defaultParallelism
-            )
+                rows, par, rows_per_bucket_floor=self.bucket_floor,
+                rows_per_bucket_cap=self.rebucket_cap)
             _write_layout_file(
                 os.path.join(self.table_dir, "LAYOUT"), self.n_buckets)
+        self.rows_seen += rows
         try:
-            touched = sorted(
-                r["_b"]
-                for r in batch.select(self._bucket_col().alias("_b")).distinct().collect()
-            )
-            if not touched:
-                return
             manifest = self._load_manifest()
-            state_paths = [
-                self._bucket_dir(b, manifest[str(b)]) for b in touched if str(b) in manifest
-            ]
+            # RE-BUCKET MIGRATION (r13, verdict ask #5): a LAYOUT sized
+            # from a small bootstrap batch is otherwise frozen while the
+            # workload grows 100× past it — rows-per-bucket breaching the
+            # executor-fit cap must trigger a rewrite to a wider layout.
+            # Trigger is the CHEAP upper bound (this batch's rows, or the
+            # cumulative batch-row count standing in for state size);
+            # sizing at migration time is EXACT — the full state is read
+            # anyway, so one count job prices the new layout from truth.
+            # The new bucket count commits atomically WITH the rewritten
+            # pointers (reserved manifest key), so a crash mid-migration
+            # leaves the old layout fully intact. Reference:
+            # RelayLogEventTransmitter stream re-sizing +
+            # StoreEngineManager rollover.
+            migrating = False
+            if (rows > self.n_buckets * self.rebucket_cap
+                    or self.rows_seen > self.n_buckets * self.rebucket_cap):
+                all_paths = [
+                    self._bucket_dir(int(b), v)
+                    for b, v in self._bucket_items(manifest)
+                ]
+                state_rows = (
+                    spark.read.parquet(*all_paths).count() if all_paths
+                    else 0
+                )
+                # exact knowledge: pin rows_seen to truth either way so
+                # an overcounting trigger (updates/deletes) stops firing
+                self.rows_seen = state_rows + rows
+                # migrate ONLY on a genuine cap breach — the cheap bound
+                # overfires on update-heavy streams, and a band-motivated
+                # resize (more rows, still under cap) is not worth a
+                # full-state rewrite
+                if state_rows + rows <= self.n_buckets * self.rebucket_cap:
+                    new_n = self.n_buckets
+                else:
+                    new_n = size_state_buckets(
+                        state_rows + rows, par,
+                        rows_per_bucket_floor=self.bucket_floor,
+                        rows_per_bucket_cap=self.rebucket_cap)
+                if new_n > self.n_buckets:
+                    self.last_migration = (self.n_buckets, new_n)
+                    self.n_buckets = new_n
+                    migrating = True
+                    _write_layout_file(
+                        os.path.join(self.table_dir, "LAYOUT"), new_n)
+            if migrating:
+                touched = None  # every bucket of the new layout is new
+                state_paths = [
+                    self._bucket_dir(int(b), v)
+                    for b, v in self._bucket_items(manifest)
+                ]
+            else:
+                touched = sorted(
+                    r["_b"]
+                    for r in batch.select(
+                        self._bucket_col().alias("_b")).distinct().collect()
+                )
+                if not touched:
+                    return
+                state_paths = [
+                    self._bucket_dir(b, manifest[str(b)])
+                    for b in touched if str(b) in manifest
+                ]
             if state_paths:
                 cur = spark.read.parquet(*state_paths)
                 as_events = cur.select(
@@ -874,19 +964,43 @@ class ReplicaTableSink:
                 "overwrite"
             ).partitionBy("_bucket").parquet(staged)
             old_dirs: list[str] = []
-            for b in touched:
-                part_dir = os.path.join(staged, f"_bucket={b}")
-                ver = manifest.get(str(b), 0) + 1
-                if os.path.isdir(part_dir):
+            if touched is None:
+                # migration commit: EVERY old bucket is superseded; the
+                # new manifest is rebuilt from the staged layout, with
+                # versions bumped past any same-id predecessor so no
+                # directory collides
+                old_dirs = [
+                    self._bucket_dir(int(b), v)
+                    for b, v in self._bucket_items(manifest)
+                ]
+                new_manifest: dict[str, int] = {}
+                for entry in sorted(os.listdir(staged)):
+                    if not entry.startswith("_bucket="):
+                        continue
+                    b = int(entry.split("=", 1)[1])
+                    ver = manifest.get(str(b), 0) + 1
                     target = self._bucket_dir(b, ver)
                     os.makedirs(os.path.dirname(target), exist_ok=True)
-                    os.rename(part_dir, target)
-                    if str(b) in manifest:
-                        old_dirs.append(self._bucket_dir(b, manifest[str(b)]))
-                    manifest[str(b)] = ver
-                elif str(b) in manifest:
-                    # every row of the bucket was deleted
-                    old_dirs.append(self._bucket_dir(b, manifest.pop(str(b))))
+                    os.rename(os.path.join(staged, entry), target)
+                    new_manifest[str(b)] = ver
+                manifest = new_manifest
+                touched = sorted(int(k) for k in new_manifest)
+            else:
+                for b in touched:
+                    part_dir = os.path.join(staged, f"_bucket={b}")
+                    ver = manifest.get(str(b), 0) + 1
+                    if os.path.isdir(part_dir):
+                        target = self._bucket_dir(b, ver)
+                        os.makedirs(os.path.dirname(target), exist_ok=True)
+                        os.rename(part_dir, target)
+                        if str(b) in manifest:
+                            old_dirs.append(
+                                self._bucket_dir(b, manifest[str(b)]))
+                        manifest[str(b)] = ver
+                    elif str(b) in manifest:
+                        # every row of the bucket was deleted
+                        old_dirs.append(
+                            self._bucket_dir(b, manifest.pop(str(b))))
             self._store_manifest(manifest)
             if self.keep_history:
                 self._append_snapshot(manifest)
@@ -1148,17 +1262,30 @@ def match_with_acks(
 def _read_layout_file(path: str) -> int | None:
     """One shared LAYOUT protocol for every hash-bucketed durable sink
     (the persisted bucket count is physical truth — existing state's
-    bucket hash can't change without a rewrite)."""
+    bucket hash can't change without a rewrite). v2 files carry a
+    second whitespace-separated field (cumulative rows_seen, the
+    re-bucket trigger) — this reader returns the count either way."""
     try:
         with open(path) as fh:
-            return int(fh.read().strip())
-    except (FileNotFoundError, ValueError):
+            return int(fh.read().split()[0])
+    except (FileNotFoundError, ValueError, IndexError):
         return None
 
 
-def _write_layout_file(path: str, n: int) -> None:
+def _read_layout_file2(path: str) -> tuple[int, int] | None:
+    """(n_buckets, rows_seen) from a LAYOUT file; rows_seen defaults to
+    0 for v1 single-field files."""
+    try:
+        with open(path) as fh:
+            parts = fh.read().split()
+        return int(parts[0]), (int(parts[1]) if len(parts) > 1 else 0)
+    except (FileNotFoundError, ValueError, IndexError):
+        return None
+
+
+def _write_layout_file(path: str, n: int, rows_seen: int | None = None) -> None:
     with open(path + ".tmp", "w") as fh:
-        fh.write(str(n))
+        fh.write(str(n) if rows_seen is None else f"{n} {rows_seen}")
     os.replace(path + ".tmp", path)
 
 
@@ -1167,12 +1294,28 @@ def _write_layout_file(path: str, n: int) -> None:
 #: LAYOUT was written under this constant and must keep it
 _LEGACY_N_BUCKETS = 64
 
+#: reserved ReplicaTableSink manifest keys (r13 re-bucket migration):
+#: the bucket count rides IN the manifest so it flips atomically with
+#: the bucket pointers; rows_seen is the cumulative batch-row upper
+#: bound that triggers a migration check. Both parse as ints like the
+#: bucket entries; every bucket iteration must go through
+#: _bucket_items.
+_N_BUCKETS_KEY = "__n_buckets__"
+_ROWS_SEEN_KEY = "__rows_seen__"
+_RESERVED_MANIFEST_KEYS = frozenset({_N_BUCKETS_KEY, _ROWS_SEEN_KEY})
+
+#: rows-per-bucket past which a bucket stops fitting an executor
+#: comfortably at rewrite time — the upper edge of size_state_buckets'
+#: band AND the re-bucket migration trigger (one constant, so the
+#: trigger can't drift from the sizing rule)
+_REBUCKET_ROWS_PER_BUCKET_CAP = 4_000_000
+
 
 def size_state_buckets(
     batch_rows: int,
     parallelism: int,
     rows_per_bucket_floor: int = 50_000,
-    rows_per_bucket_cap: int = 4_000_000,
+    rows_per_bucket_cap: int = _REBUCKET_ROWS_PER_BUCKET_CAP,
     max_buckets: int = 4096,
 ) -> int:
     """Bucket count for a durable hash-bucketed state table, derived
@@ -1238,8 +1381,25 @@ class AggViewSink:
     def __init__(self, state_dir: str, n_buckets: int | None = None) -> None:
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
+        self.rows_seen = 0  # cumulative touched-key upper bound — the
+        # re-bucket trigger; persisted in the versioned LAYOUT
+        self.last_migration: tuple[int, int] | None = None
+        self.rebucket_cap = _REBUCKET_ROWS_PER_BUCKET_CAP
+        self.bucket_floor = 50_000
+        # layout precedence (r13): the VERSIONED LAYOUT (inside
+        # pk_v{N}, written before the CURRENT pointer flips — so it
+        # commits atomically with the layout it describes) beats the
+        # state-dir mirror, which beats the pre-LAYOUT legacy constant.
+        versioned = _read_layout_file2(
+            self._versioned_layout_path(self._current()))
         persisted = _read_layout_file(self._layout_path())
-        if persisted is not None:
+        if versioned is not None:
+            self.n_buckets, self.rows_seen = versioned
+            if persisted != self.n_buckets:
+                # refresh the state-dir mirror (a pre-r13 reader or an
+                # operator inspecting the dir sees the live count)
+                _write_layout_file(self._layout_path(), self.n_buckets)
+        elif persisted is not None:
             # the on-disk layout is physical truth: an existing state
             # table's bucket hash can't change without a rewrite
             self.n_buckets = persisted
@@ -1258,6 +1418,12 @@ class AggViewSink:
     def _layout_path(self) -> str:
         return os.path.join(self.state_dir, "LAYOUT")
 
+    def _versioned_layout_path(self, version: int) -> str:
+        # leading underscore: Spark's parquet reader skips _-prefixed
+        # files, so the layout metadata can live INSIDE the versioned
+        # state dir (committing atomically with the CURRENT flip)
+        return os.path.join(self.state_dir, f"pk_v{version}", "_LAYOUT")
+
     def _ensure_layout(self, batch_df: DataFrame) -> bool:
         """AUTO bucket sizing (r11 verdict #8): derive the layout from
         the FIRST NON-EMPTY batch's observed volume instead of a
@@ -1272,7 +1438,9 @@ class AggViewSink:
         if rows == 0:
             return False
         self.n_buckets = size_state_buckets(
-            rows, spark.sparkContext.defaultParallelism
+            rows, spark.sparkContext.defaultParallelism,
+            rows_per_bucket_floor=self.bucket_floor,
+            rows_per_bucket_cap=self.rebucket_cap,
         )
         _write_layout_file(self._layout_path(), self.n_buckets)
         return True
@@ -1432,6 +1600,11 @@ class AggViewSink:
                         os.path.join(pk_path, entry),
                         os.path.join(pk_next, entry),
                     )
+        # touched distinct keys are a cheap (checkpointed) upper bound on
+        # state growth — accumulate it as the re-bucket trigger
+        self.rows_seen += new_touched.count()
+        _write_layout_file(self._versioned_layout_path(nxt),
+                           self.n_buckets, self.rows_seen)
         view_new.write.mode("overwrite").parquet(view_next)
         self._commit(nxt)
         if have_state:
@@ -1439,6 +1612,59 @@ class AggViewSink:
 
             shutil.rmtree(pk_path, ignore_errors=True)
             shutil.rmtree(view_path, ignore_errors=True)
+        self._maybe_rebucket(spark, nxt)
+
+    def _maybe_rebucket(self, spark, cur: int) -> None:
+        """RE-BUCKET MIGRATION (r13, verdict ask #5): when the cumulative
+        key volume breaches the executor-fit cap for the persisted
+        layout, rewrite the pk state into a wider bucket layout as a NEW
+        version under the existing version-pointer commit — the trigger
+        is the cheap upper bound, the new size comes from an EXACT count
+        of the just-written state, and the versioned LAYOUT rides inside
+        pk_v{N} so CURRENT flips count+layout atomically. A crash at any
+        point leaves the previous version fully intact. Reference:
+        RelayLogEventTransmitter stream re-sizing + StoreEngineManager
+        rollover."""
+        if self.rows_seen <= self.n_buckets * self.rebucket_cap:
+            return
+        pk_path, view_path = self._paths(cur)
+        if not os.path.isdir(pk_path):
+            return
+        pk_state = spark.read.parquet(pk_path)
+        exact = pk_state.count()
+        self.rows_seen = exact  # pin the trigger to truth either way
+        if exact <= self.n_buckets * self.rebucket_cap:
+            # cheap bound overfired (update-heavy stream): no genuine
+            # cap breach, no rewrite
+            new_n = self.n_buckets
+        else:
+            new_n = size_state_buckets(
+                exact, spark.sparkContext.defaultParallelism,
+                rows_per_bucket_floor=self.bucket_floor,
+                rows_per_bucket_cap=self.rebucket_cap)
+        if new_n <= self.n_buckets:
+            # overcounting trigger (updates/deletes): record the honest
+            # rows_seen so it stops firing every batch
+            _write_layout_file(self._versioned_layout_path(cur),
+                               self.n_buckets, self.rows_seen)
+            return
+        self.last_migration = (self.n_buckets, new_n)
+        self.n_buckets = new_n
+        nxt = cur + 1
+        pk_next, view_next = self._paths(nxt)
+        pk_state.drop("bucket").withColumn(
+            "bucket", self._bucket_col()
+        ).write.partitionBy("bucket").mode("overwrite").parquet(pk_next)
+        _write_layout_file(self._versioned_layout_path(nxt),
+                           new_n, self.rows_seen)
+        # the view is bucket-independent: carry it forward untouched
+        self._link_dir(view_path, view_next)
+        self._commit(nxt)
+        _write_layout_file(self._layout_path(), new_n)  # mirror
+        import shutil
+
+        shutil.rmtree(pk_path, ignore_errors=True)
+        shutil.rmtree(view_path, ignore_errors=True)
 
 
 class JoinViewSink(AggViewSink):
