@@ -619,49 +619,73 @@ def main() -> None:
                 # registry queries only: the pipeline stress names have no
                 # bisect_stress entry point (their clean twin is the
                 # fresh-JVM pipeline run itself)
+                # paired probes cost ~2× a single-sided one (both scales
+                # in the JVM), so the tranche is 3 deep — depth lives in
+                # the standalone adjudications (PERF_R13.md), the bench
+                # record carries the like-for-like corroboration
                 worst = [
                     n for n in sorted(s_ratio, key=lambda k: -s_ratio[k])
                     if n in registry
-                ][:5]
+                ][:3]
                 # round-9 newcomer: always clean-measure the delta
                 # operator until it has a cross-round clean baseline
                 if "orders_json_table_delta" in s_timings \
                         and "orders_json_table_delta" not in worst:
                     worst.append("orders_json_table_delta")
                 clean_t: dict[str, float] = {}
+                clean_base: dict[str, float] = {}
                 clean_ratio: dict[str, float] = {}
                 # the clean re-measures are corroboration, not primary
                 # evidence — they take whatever wall is left (minus JSON
                 # emission headroom) and are the FIRST section to clip
-                c_budget, c_t0 = min(300.0, max(0.0, wall_left() - 20.0)), time.perf_counter()
-                for name in worst:
-                    if time.perf_counter() - c_t0 > c_budget:
-                        print(f"# stress clean: wall budget hit at {name}", file=sys.stderr)
-                        break
-                    # the subprocess must ALSO respect the remaining wall:
-                    # a 180s cap with 10s of wall left overruns the
-                    # driver's hard kill and loses the whole JSON line
-                    # (r12 attempt-1 rc=124 was exactly this)
-                    sub_timeout = min(180.0, max(5.0, wall_left() - 15.0))
+                # the subprocess must ALSO respect the remaining wall:
+                # a cap exceeding the wall overruns the driver's hard
+                # kill and loses the whole JSON line (r12 attempt-1
+                # rc=124 was exactly this)
+                sub_timeout = min(240.0, max(5.0, wall_left() - 15.0))
+                try:
+                    # PAIRED clean/clean probes (r12 verdict ask #2): the
+                    # base dir rides along so the subprocess measures
+                    # both scales interleaved — clean_ratio_vs_base now
+                    # divides like-JVM by like-JVM (the mixed clean-sf1 /
+                    # shared-sf0.1 arithmetic manufactured the 8.7/7.8
+                    # outliers PERF_R12/R13 adjudicated). ALL probes
+                    # share ONE fresh JVM (comma-joined names): per-query
+                    # subprocesses spent ~15s/query on session start and
+                    # clipped against the wall. On timeout, already-
+                    # flushed per-query lines are still parsed.
+                    out = subprocess.run(
+                        [sys.executable, tool, ",".join(worst), stress_dir,
+                         "1", sf_dir],
+                        capture_output=True, text=True, timeout=sub_timeout,
+                    )
+                    lines = out.stdout.strip().splitlines()
+                except subprocess.TimeoutExpired as exc:
+                    lines = (exc.stdout or "").strip().splitlines()
+                    print("# stress clean: wall budget hit mid-batch",
+                          file=sys.stderr)
+                except Exception as exc:  # noqa: BLE001
+                    lines = []
+                    print(f"# stress clean: FAILED {exc}", file=sys.stderr)
+                for line in lines:
                     try:
-                        out = subprocess.run(
-                            [sys.executable, tool, name, stress_dir, "2"],
-                            capture_output=True, text=True, timeout=sub_timeout,
-                        )
-                        rec = json.loads(out.stdout.strip().splitlines()[-1])
+                        rec = json.loads(line)
+                        name = rec["query"]
                         clean_t[name] = rec["best"]
-                        if timings.get(name, 0) > 0:
-                            clean_ratio[name] = round(rec["best"] / timings[name], 1)
+                        clean_base[name] = rec["base_best"]
+                        clean_ratio[name] = rec["ratio_best"]
                         print(
                             f"# stress clean {name}: {rec['best']:.3f}s "
-                            f"(shared {s_timings[name]}s, "
-                            f"{clean_ratio.get(name, '?')}x sf0.1)",
+                            f"(clean base {rec['base_best']}s, shared "
+                            f"{s_timings.get(name)}s, {rec['ratio_best']}x "
+                            f"clean/clean, steal {rec.get('steal_ticks')})",
                             file=sys.stderr,
                         )
-                    except Exception as exc:  # noqa: BLE001
-                        print(f"# stress clean {name}: FAILED {exc}", file=sys.stderr)
+                    except (ValueError, KeyError):
+                        continue
                 if clean_t:
                     stress["clean"] = clean_t
+                    stress["clean_base"] = clean_base
                     stress["clean_ratio_vs_base"] = clean_ratio
         except Exception as exc:  # noqa: BLE001
             print(f"# stress section failed: {exc}", file=sys.stderr)

@@ -58,28 +58,65 @@ def _walk_events(body: bytes):
         pos += elen
 
 
+#: request-line bound (r13, verdict ask #6): one JSON command line —
+#: anything past this is an adversarial payload, not a command
+_MAX_REQUEST_LINE = 1 << 20
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):  # noqa: D102
+        srv: DumpServer = self.server.dump_server  # type: ignore[attr-defined]
         try:
-            req = json.loads(self.rfile.readline().decode())
+            self._dispatch(srv)
+        except (BrokenPipeError, ConnectionResetError, TimeoutError):
+            pass  # client vanished mid-answer: a clean outcome
+        except OSError:
+            pass  # socket-level teardown race
+        except Exception:  # noqa: BLE001 — fuzz gate: NOTHING may escape
+            import traceback
+
+            srv.handler_errors.append(traceback.format_exc())
+
+    def _dispatch(self, srv: "DumpServer") -> None:
+        line = self.rfile.readline(_MAX_REQUEST_LINE + 1)
+        if len(line) > _MAX_REQUEST_LINE:
+            self._meta({"ok": False, "error": "request too large"})
+            return
+        try:
+            req = json.loads(line.decode())
+            if not isinstance(req, dict):
+                raise ValueError("request must be an object")
         except (ValueError, UnicodeDecodeError):
             self._meta({"ok": False, "error": "bad request"})
             return
         cmd = req.get("cmd")
-        srv: DumpServer = self.server.dump_server  # type: ignore[attr-defined]
+        # adversarial field types (list/dict/None where scalars belong)
+        # must answer ERR, never raise out of the handler
+        try:
+            stream = req.get("stream") or None
+            if stream is not None:
+                stream = str(stream)
+            pos = int(req.get("pos", 4))
+            follow = float(req.get("follow", 0) or 0)
+            tso = str(req.get("tso", ""))
+        except (TypeError, ValueError, OverflowError):
+            # OverflowError: int(float("inf")) — JSON happily carries 1e999
+            self._meta({"ok": False, "error": "bad request"})
+            return
         if cmd == "list":
-            self._meta({"ok": True,
-                        "files": srv.list_files(req.get("stream") or None)})
+            self._meta({"ok": True, "files": srv.list_files(stream)})
         elif cmd == "streams":
             self._meta({"ok": True, "streams": srv.list_streams()})
         elif cmd == "seek_tso":
-            hit = srv.seek_tso(str(req.get("tso", "")),
-                               req.get("stream") or None)
+            try:
+                hit = srv.seek_tso(tso, stream)
+            except ValueError:
+                self._meta({"ok": False, "error": "bad tso"})
+                return
             self._meta({"ok": True, "position": hit})
         elif cmd == "dump":
-            name, pos = req.get("file"), int(req.get("pos", 4))
-            follow = float(req.get("follow", 0) or 0)
-            chain = srv.chain_from(name)
+            name = req.get("file")
+            chain = srv.chain_from(name if isinstance(name, str) else None)
             if not chain:
                 self._meta({"ok": False, "error": f"unknown file {name!r}"})
                 return
@@ -175,6 +212,10 @@ class DumpServer:
         self._srv = _Server((host, port), _Handler)
         self._srv.dump_server = self  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
+        #: tracebacks of exceptions that escaped a handler dispatch —
+        #: the fuzz gate asserts this stays empty (mysql_dump.py's
+        #: handler_errors discipline, r12)
+        self.handler_errors: list[str] = []
 
     @property
     def address(self) -> tuple[str, int]:

@@ -1424,3 +1424,159 @@ def test_round12_index_options_algorithm_lock_partition_forms():
         apply(sql)
         got = list(reg.find("db0", tbl, f"{next(tso):048d}").columns)
         assert got == want, (sql, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 extension (VERDICT r12 ask #7): COMPOSED-statement fuzz —
+# real migrations put 2-6 clauses in ONE ALTER (column ops + index
+# options + ALGORITHM/LOCK tails + partition maintenance drawn across
+# the r10-r12 pools), and online-migration tools emit multi-statement
+# QUERY events (';'-separated). MemoryTableMeta.apply digests both
+# natively via druid; the registry must match an analytic model that
+# applies every clause LEFT TO RIGHT.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_round13_composed_alter_fuzz(seed):
+    rng = random.Random(77_000 + seed)
+    reg = SchemaRegistry()
+    model = Model()
+
+    n_init = rng.randint(3, 6)
+    init_cols = [(f"c{i}", rng.choice(TYPES)) for i in range(n_init)]
+    for name, typ in init_cols:
+        model.insert(name, typ, None, f"{name}@100000")
+    body = ", ".join(
+        f"{_fmt_col(rng, n)} {t}{_attrs(rng, t)}" for n, t in init_cols
+    )
+    reg.apply_sql(
+        "100000", f"CREATE TABLE db0.cz ({body}, PRIMARY KEY (c0))"
+    )
+    history = [("100000", model.snapshot(), model.origins())]
+    next_col = [n_init]
+    uniq = [0]
+
+    def gen_clause():
+        """One ALTER clause + the matching model mutation. Resolves
+        names against the model AS IT STANDS — i.e. left-to-right
+        composition, exactly how a sequential digest sees it. Returns
+        (clause_sql, created_column_or_None) — the caller stamps the
+        created column's origin with the clause's SUB-OP tso (composed
+        statements version at tso, tso01, tso02, … — apply_sql's
+        strictly-increasing-TSO rule)."""
+        uniq[0] += 1
+        names = model.names()
+        kind = rng.random()
+        if kind < 0.25:
+            name, typ = _new_name(rng, next_col[0]), rng.choice(TYPES)
+            next_col[0] += 1
+            pos = rng.choice([None, "first", rng.choice(names)])
+            tail = (" FIRST" if pos == "first"
+                    else (f" AFTER {_fmt_col(rng, pos)}" if pos else ""))
+            model.insert(name, typ, pos, f"{name}@+")
+            return (f"{_kw(rng, 'add')} {_maybe_column_kw(rng)}"
+                    f"{_fmt_col(rng, name)} {typ}{_attrs(rng, typ)}{tail}",
+                    name)
+        if kind < 0.4 and sum(n != "c0" for n in names) > 1:
+            victim = rng.choice([n for n in names if n != "c0"])
+            model.drop(victim)
+            return (f"{_kw(rng, 'drop')} {_maybe_column_kw(rng)}"
+                    f"{_fmt_col(rng, victim)}", None)
+        if kind < 0.55:
+            target = rng.choice(names)
+            typ = rng.choice(TYPES)
+            pos = rng.choice([None, None, "first", rng.choice(names)])
+            if pos == target:
+                pos = None
+            tail = (" FIRST" if pos == "first"
+                    else (f" AFTER {_fmt_col(rng, pos)}" if pos else ""))
+            origin = model.origin_of(target)
+            if pos:
+                model.drop(target)
+                model.insert(target, typ, pos, origin)
+            else:
+                i = model.names().index(target)
+                model.cols[i] = (target, typ, origin)
+            return (f"{_kw(rng, 'modify')} {_maybe_column_kw(rng)}"
+                    f"{_fmt_col(rng, target)} {typ}{_attrs(rng, typ)}{tail}",
+                    None)
+        if kind < 0.7 and any(n != "c0" for n in names):
+            target = rng.choice([n for n in names if n != "c0"])
+            name, typ = _new_name(rng, next_col[0]), rng.choice(TYPES)
+            next_col[0] += 1
+            origin = model.origin_of(target)
+            if rng.random() < 0.3:
+                # RENAME COLUMN keeps type and position
+                typ = {n: t for n, t, _ in model.cols}[target]
+                i = model.names().index(target)
+                model.cols[i] = (name, typ, origin)
+                return (f"RENAME COLUMN {_fmt_col(rng, target)} TO "
+                        f"{_fmt_col(rng, name)}", None)
+            pos = rng.choice([None, None, "first", rng.choice(names)])
+            if pos == target:
+                pos = None
+            tail = (" FIRST" if pos == "first"
+                    else (f" AFTER {_fmt_col(rng, pos)}" if pos else ""))
+            i = model.names().index(target)
+            old_prev = model.names()[i - 1] if i else "first"
+            model.drop(target)
+            model.insert(name, typ,
+                         pos if pos else (old_prev if i else "first"),
+                         origin)
+            return (f"{_kw(rng, 'change')} {_maybe_column_kw(rng)}"
+                    f"{_fmt_col(rng, target)} {_fmt_col(rng, name)} "
+                    f"{typ}{_attrs(rng, typ)}{tail}", None)
+        action = rng.choice(NOOP_ACTIONS).format(
+            n=uniq[0], col=rng.choice(names).replace("`", "``"))
+        return action, None
+
+    from polardbx_cdc_spark import ddl as _ddl
+
+    tso = 100000
+    for _step in range(14):
+        tso += 100
+        stmts = []
+        op_idx = 0  # runs across the WHOLE multi-statement script
+        origin_by_col = {}
+        for _s in range(rng.randint(1, 3)):  # multi-statement events
+            clauses = []
+            for _c in range(rng.randint(2, 6)):
+                clause, created = gen_clause()
+                if created is not None:
+                    origin_by_col[created] = (
+                        str(tso) if op_idx == 0 else f"{tso}{op_idx:02d}")
+                # a clause can expand to >1 sub-op (e.g. the
+                # "ALGORITHM=COPY, LOCK=SHARED" pool entry) — count with
+                # the same parser apply_sql uses
+                op_idx += len(_ddl.parse_ddl(
+                    f"ALTER TABLE db0.cz {clause}", "db0"))
+                clauses.append(clause)
+            stmts.append(f"ALTER TABLE db0.cz {', '.join(clauses)}")
+        sql = "; ".join(stmts) + (";" if rng.random() < 0.3 else "")
+        for i, (n, t, o) in enumerate(model.cols):
+            if o.endswith("@+"):
+                # key by the BIRTH name inside the placeholder — the
+                # column may have been renamed by a later clause of the
+                # same statement
+                model.cols[i] = (
+                    n, t, f"{o[:-2]}@{origin_by_col[o[:-2]]}")
+        reg.apply_sql(str(tso), sql)
+        history.append((str(tso), model.snapshot(), model.origins()))
+
+    final = reg.find("db0", "cz", str(tso + 1))
+    assert final is not None, seed
+    assert list(final.columns) == model.names(), seed
+    assert [t.upper() for t in final.types] == [
+        t.upper() for t in model.types()
+    ], seed
+    assert final.origin_names() == model.origins(), seed
+
+    for tso_at, snap, origins in rng.sample(history, min(6, len(history))):
+        s = reg.find("db0", "cz", tso_at + "50")
+        assert s is not None, (seed, tso_at)
+        assert list(s.columns) == [c for c, _ in snap], (seed, tso_at)
+        assert [t.upper() for t in s.types] == [
+            t.upper() for _, t in snap
+        ], (seed, tso_at)
+        assert s.origin_names() == origins, (seed, tso_at)

@@ -643,3 +643,160 @@ def test_relay_copy_mixed_stage_tail_runs_never_lose_bytes(tmp_path):
         with open(src + "/binlog.000001", "rb") as a, \
              open(dst + "/binlog.000001", "rb") as b:
             assert a.read() == b.read()
+
+
+# ---------------------------------------------------------------------------
+# Protocol robustness fuzz (r13, verdict ask #6): the mysql_dump.py
+# endpoint got its 1000-session adversarial gate in r12; this is the
+# SAME discipline replayed against dump_server.py's JSON-line TCP
+# endpoint — every malformed / adversarially-typed / torn session must
+# end in an ERR meta or a clean close, no exception may escape a
+# handler thread, and the server must still serve byte-faithful dumps
+# afterwards (CdcServer.java:154 error discipline).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz_served():
+    """Spark-free wire fixture: three rotated files with GCN carriers,
+    served by a fresh DumpServer."""
+    import os
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="dumpfuzz")
+    td = W.TableDef.from_mysql_types(
+        "shop", "t", ["bigint", "varchar(8)"], col_names=["id", "s"], pk=[0])
+    for i in (1, 2, 3):
+        evs = [W.encode_gcn(i * 100)]
+        evs.append(W.encode_table_map(i, td))
+        evs.append(W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, i, td, [[i, f"v{i}"]]))
+        W.write_binlog_file(
+            os.path.join(tmpdir, f"binlog.{i:06d}"), evs)
+    srv = D.DumpServer(tmpdir)
+    host, port = srv.start()
+    yield {"host": host, "port": port, "srv": srv, "wire": tmpdir}
+    srv.stop()
+
+
+def _fz_connect(host, port, timeout=3.0):
+    import socket
+
+    s = socket.create_connection((host, port), timeout=timeout)
+    s.settimeout(timeout)
+    return s
+
+
+def _fz_drain(sock, limit=1 << 22):
+    import socket as _socket
+
+    got = 0
+    try:
+        while got < limit:
+            chunk = sock.recv(65536)
+            if not chunk:
+                return True
+            got += len(chunk)
+    except (_socket.timeout, OSError):
+        return False
+    return True
+
+
+def test_dump_server_fuzz_1000_sessions_never_crash_handler(fuzz_served):
+    import json as _json
+    import random
+
+    host, port = fuzz_served["host"], fuzz_served["port"]
+    rng = random.Random(0xD00D)
+    N = 1000
+    for i in range(N):
+        strategy = rng.randrange(9)
+        try:
+            s = _fz_connect(host, port)
+        except OSError as exc:  # pragma: no cover - env hiccup
+            raise AssertionError(f"session {i}: connect failed: {exc}")
+        try:
+            if strategy == 0:
+                # raw garbage, newline-terminated
+                s.sendall(rng.randbytes(rng.randrange(1, 128)) + b"\n")
+                _fz_drain(s)
+            elif strategy == 1:
+                # valid JSON, not an object / unknown cmd
+                req = rng.choice([
+                    b"[1,2,3]", b'"dump"', b"42", b"null",
+                    b'{"cmd": "nope"}', b'{"no_cmd": 1}',
+                ])
+                s.sendall(req + b"\n")
+                _fz_drain(s)
+            elif strategy == 2:
+                # adversarial field TYPES on real commands
+                req = {
+                    "cmd": rng.choice(["dump", "seek_tso", "list"]),
+                    "file": rng.choice([None, 7, ["binlog.000001"],
+                                        {"a": 1}, "binlog.000001"]),
+                    "pos": rng.choice(["abc", None, [4], {"p": 4}, 1e999,
+                                       -99, 1 << 80]),
+                    "follow": rng.choice(["x", [1], {"f": 1}, 1e999]),
+                    "tso": rng.choice([{"t": 1}, ["0"], "not-digits"]),
+                    "stream": rng.choice([7, ["s"], {"s": 1}, "nope"]),
+                }
+                s.sendall(_json.dumps(req).encode() + b"\n")
+                _fz_drain(s)
+            elif strategy == 3:
+                # oversized request line (past the 1 MiB bound)
+                s.sendall(b'{"cmd": "list", "pad": "'
+                          + b"x" * (1 << 20) + b'"}\n')
+                _fz_drain(s)
+            elif strategy == 4:
+                # no newline at all: send partial JSON, vanish
+                s.sendall(b'{"cmd": "du')
+            elif strategy == 5:
+                # real dump, read a sliver, vanish mid-stream
+                s.sendall(b'{"cmd": "dump", "file": "binlog.000001"}\n')
+                try:
+                    s.recv(rng.randrange(1, 64))
+                except OSError:
+                    pass
+            elif strategy == 6:
+                # follow-mode with a tiny idle timeout: must close itself
+                s.sendall(_json.dumps({
+                    "cmd": "dump", "file": "binlog.000003",
+                    "pos": 4, "follow": 0.1,
+                }).encode() + b"\n")
+                _fz_drain(s)
+            elif strategy == 7:
+                # seek_tso across adversarial tso strings
+                s.sendall(_json.dumps({
+                    "cmd": "seek_tso",
+                    "tso": rng.choice(["", "0" * 200, "999999", "x" * 19]),
+                }).encode() + b"\n")
+                _fz_drain(s)
+            else:
+                # non-UTF-8 bytes then newline
+                s.sendall(b"\xff\xfe\x80" * rng.randrange(1, 40) + b"\n")
+                _fz_drain(s)
+        except OSError:
+            pass  # server dropped us first — a clean outcome
+        finally:
+            try:
+                s.close()
+            except OSError:
+                pass
+
+    import time as _time
+
+    _time.sleep(0.3)
+    errs = fuzz_served["srv"].handler_errors
+    assert errs == [], f"{len(errs)} handler thread(s) crashed:\n{errs[0]}"
+    # and the endpoint still serves a byte-faithful dump + catalog
+    files = D.list_files(fuzz_served["host"], fuzz_served["port"])
+    assert [f["file_name"] for f in files] == [
+        "binlog.000001", "binlog.000002", "binlog.000003"]
+    blob = D.dump_fetch(fuzz_served["host"], fuzz_served["port"],
+                        "binlog.000001", 4)
+    rows = [r for e in W.decode_events(blob)
+            if e["type"] == W.WRITE_ROWS_EVENT for r in e["rows"]]
+    assert rows == [[1, "v1"], [2, "v2"], [3, "v3"]]
+    hit = D.seek_tso(fuzz_served["host"], fuzz_served["port"],
+                     "200".rjust(19, "0"))
+    assert hit and hit["file_name"] == "binlog.000002"
