@@ -110,6 +110,9 @@ HEADLINE = [
     # round 13 additions
     "orders_wire_retype_reverse",
     "orders_wire_gbk_typed",
+    "orders_wire_geometry_typed",
+    "spatial_cell_join",
+    "dedup_chunk_rewrite",
 ]
 
 

@@ -465,9 +465,15 @@ class TableDef:
                 types.append((TYPE_VARCHAR, m))
             elif t.startswith("json"):
                 types.append((TYPE_JSON, 4))  # 4-byte length prefix
-            elif t.startswith("geometry"):
+            elif t.startswith(("geometry", "point", "linestring", "polygon",
+                               "multipoint", "multilinestring",
+                               "multipolygon", "geometrycollection",
+                               "geomcollection")):
                 # SRID+WKB payload passes through opaque (GeometryField.java
-                # treats it as bytes; types.py maps it to BinaryType)
+                # treats it as bytes; types.py maps it to BinaryType).
+                # Spatial subtypes are GEOMETRY on the wire — MySQL keeps
+                # the subtype only in table metadata (the GEOMETRY_TYPE
+                # TLV carries it under FULL row metadata).
                 types.append((TYPE_GEOMETRY, 4))
             elif t.startswith(("blob", "tinyblob", "mediumblob", "longblob",
                                "binary", "varbinary")):

@@ -203,6 +203,74 @@ def chunk_span_dups(
     )
 
 
+def chunk_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """The REWRITE pass `chunk_span_dups` only reports on: remove every
+    corpus-wide duplicated chunk except its FIRST occurrence (ordered by
+    (id, chunk position)) and reassemble the scrubbed documents — the
+    chunk-granular form of Lee et al.'s exact-substring scrub, which
+    deletes repeated spans from the corpus rather than dropping whole
+    documents.
+
+    Split is EXACT single-space tokenization (no normalization): a
+    document whose chunks all survive rebuilds to its original bytes,
+    so the pass is lossless where nothing is duplicated.
+
+    Returns (id, text [rebuilt], n_chunks, n_kept) — one row per input
+    document; a document whose every chunk was scrubbed keeps an empty
+    text. Plan shape: one projection pass builds the chunk array
+    JVM-side (split + slice + concat_ws, whole-stage codegen), explode,
+    then ONE map-side-combined aggregate (min first-occurrence per
+    chunk) and a semi join back. The min-struct aggregate — not a
+    row_number window — keeps a hot chunk (e.g. a boilerplate header
+    repeated across half the corpus) as a combiner-friendly partial
+    min instead of a single-partition sort."""
+    toks = F.split(F.col(text_col), " ", -1)
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunk_arr).alias("pos", "chunk"),
+    )
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct("id", "pos")).alias("k")
+    )
+    kept = chunks.withColumn(
+        "k", F.struct("id", "pos")
+    ).join(first, ["chunk", "k"], "left_semi")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(chunk_arr).cast("long").alias("n_chunks")
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact near-identity dedup: normalize → fingerprint → keep the lowest
     id per fingerprint group. Returns (keeper id, group size)."""

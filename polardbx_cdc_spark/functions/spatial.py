@@ -1,0 +1,291 @@
+"""Spatial surface: MySQL GEOMETRY wire values + grid-cell joins.
+
+MySQL stores a GEOMETRY column value as a 4-byte little-endian SRID
+followed by OGC WKB (byte-order flag, uint32 geometry type, payload);
+the binlog ships those bytes opaquely with a BLOB-style length prefix
+(reference: polardbx-cdc-format GeometryField.java:24-30 documents the
+layout; polardbx-cdc-canal RowsLogBuffer treats MYSQL_TYPE_GEOMETRY as
+a blob). This module makes the bytes USABLE on the analytics side:
+
+* pure-Python WKB builders/parser for fixtures and row images
+  (`point_wkb` / `linestring_wkb` / `polygon_wkb` /
+  `parse_mysql_geometry`);
+* an Arrow-batched decode (`geometry_props`) that turns a binary
+  geometry column into typed integer-scaled properties — numpy
+  fast path for all-POINT batches (fixed 25-byte layout), struct
+  walk for the general case. Outputs are integers (coordinate ×
+  2^k), so both engines of an oracle pair reproduce them exactly;
+* JVM-side grid-cell math (`grid_cell`) and the scale path for
+  spatial joins: `cell_radius_join` buckets points into integer
+  cells and broadcast-joins probes against the 3×3 neighborhood —
+  never a cartesian product, one shuffle-free pass over the big
+  side. At 100 TB the points side stays partitioned; only the
+  (small) probe set explodes 9× and broadcasts.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
+WKB_MULTIPOLYGON = 6
+WKB_COLLECTION = 7
+
+#: fixed byte length of a MySQL POINT value: srid(4) + order(1) +
+#: type(4) + x(8) + y(8)
+_POINT_LEN = 25
+
+
+# ------------------------------------------------------------------
+# Pure-Python builders / parser (fixture + row-image side)
+# ------------------------------------------------------------------
+
+def point_wkb(x: float, y: float, srid: int = 0) -> bytes:
+    """MySQL internal geometry bytes for POINT(x y)."""
+    return struct.pack("<IBIdd", srid, 1, WKB_POINT, x, y)
+
+
+def linestring_wkb(coords, srid: int = 0) -> bytes:
+    """MySQL internal geometry bytes for a LINESTRING."""
+    out = bytearray(struct.pack("<IBII", srid, 1, WKB_LINESTRING,
+                                len(coords)))
+    for x, y in coords:
+        out += struct.pack("<dd", x, y)
+    return bytes(out)
+
+
+def polygon_wkb(rings, srid: int = 0) -> bytes:
+    """MySQL internal geometry bytes for a POLYGON (list of rings)."""
+    out = bytearray(struct.pack("<IBII", srid, 1, WKB_POLYGON,
+                                len(rings)))
+    for ring in rings:
+        out += struct.pack("<I", len(ring))
+        for x, y in ring:
+            out += struct.pack("<dd", x, y)
+    return bytes(out)
+
+
+def _parse_wkb(buf: bytes, pos: int):
+    """Parse one WKB geometry at ``pos``; return (gtype, coords, pos).
+
+    ``coords`` is the flat list of (x, y) vertices in storage order —
+    enough for envelopes, counts and point extraction; ring/part
+    structure is validated but not materialized.
+    """
+    order = buf[pos]
+    end = "<" if order == 1 else ">"
+    (gtype,) = struct.unpack_from(end + "I", buf, pos + 1)
+    pos += 5
+    coords = []
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from(end + "dd", buf, pos)
+        coords.append((x, y))
+        pos += 16
+    elif gtype in (WKB_LINESTRING, WKB_MULTIPOINT):
+        (n,) = struct.unpack_from(end + "I", buf, pos)
+        pos += 4
+        if gtype == WKB_MULTIPOINT:
+            # each member is a full WKB point (order + type + coords)
+            for _ in range(n):
+                _, sub, pos = _parse_wkb(buf, pos)
+                coords += sub
+        else:
+            for _ in range(n):
+                x, y = struct.unpack_from(end + "dd", buf, pos)
+                coords.append((x, y))
+                pos += 16
+    elif gtype == WKB_POLYGON:
+        (nr,) = struct.unpack_from(end + "I", buf, pos)
+        pos += 4
+        for _ in range(nr):
+            (n,) = struct.unpack_from(end + "I", buf, pos)
+            pos += 4
+            for _ in range(n):
+                x, y = struct.unpack_from(end + "dd", buf, pos)
+                coords.append((x, y))
+                pos += 16
+    elif gtype in (WKB_MULTILINESTRING, WKB_MULTIPOLYGON, WKB_COLLECTION):
+        (n,) = struct.unpack_from(end + "I", buf, pos)
+        pos += 4
+        for _ in range(n):
+            _, sub, pos = _parse_wkb(buf, pos)
+            coords += sub
+    else:
+        raise ValueError(f"unsupported WKB geometry type {gtype}")
+    return gtype, coords, pos
+
+
+def parse_mysql_geometry(b: bytes):
+    """Parse MySQL internal geometry bytes → (srid, gtype, coords)."""
+    (srid,) = struct.unpack_from("<I", b, 0)
+    gtype, coords, pos = _parse_wkb(b, 4)
+    if pos != len(b):
+        raise ValueError(
+            f"trailing bytes after geometry: {len(b) - pos}"
+        )
+    return srid, gtype, coords
+
+
+# ------------------------------------------------------------------
+# Arrow-batched decode (Spark side)
+# ------------------------------------------------------------------
+
+_PROPS_FIELDS = ("srid", "gtype", "npoints", "x", "y",
+                 "xmin", "ymin", "xmax", "ymax")
+
+
+def geometry_props(df: DataFrame, col: str, scale: int = 1 << 20,
+                   prefix: str = "geo_") -> DataFrame:
+    """Decode a binary MySQL-geometry column into typed properties.
+
+    Appends flat columns ``{prefix}srid`` (int), ``{prefix}gtype``
+    (int), ``{prefix}npoints`` (long), the POINT coordinates
+    ``{prefix}x``/``{prefix}y`` (NULL for non-points) and the envelope
+    ``{prefix}xmin``…``{prefix}ymax`` — every coordinate scaled by
+    ``scale`` (use a power of two so values representable at that
+    grain round-trip exactly) and rounded half-up to int64. Integer
+    outputs keep an oracle pair bit-comparable; the envelope is what
+    `grid_cell` buckets on for non-point geometries.
+
+    All-POINT batches take a vectorized numpy path (the 25-byte fixed
+    layout frombuffer-reshaped, no per-row Python); mixed batches fall
+    back to the struct walk. mapInPandas — Arrow batches in, never
+    row-at-a-time Python.
+    """
+    extra = ", ".join(
+        f"{prefix}{f} {'int' if f in ('srid', 'gtype') else 'bigint'}"
+        for f in _PROPS_FIELDS
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + extra
+
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            s = pdf[col]
+            n = len(s)
+            cols = {f: np.full(n, np.nan) for f in _PROPS_FIELDS}
+            valid = s.notna().to_numpy()
+            vals = [bytes(b) for b in s[valid]]
+            if vals and all(
+                len(b) == _POINT_LEN and b[4] == 1 for b in vals
+            ):
+                raw = np.frombuffer(b"".join(vals), dtype=np.uint8)
+                raw = raw.reshape(-1, _POINT_LEN)
+                srid = raw[:, 0:4].copy().view("<u4")[:, 0]
+                xy = raw[:, 9:25].copy().view("<f8")
+                cols["srid"][valid] = srid
+                cols["gtype"][valid] = WKB_POINT
+                cols["npoints"][valid] = 1
+                for name, v in (("x", xy[:, 0]), ("y", xy[:, 1]),
+                                ("xmin", xy[:, 0]), ("xmax", xy[:, 0]),
+                                ("ymin", xy[:, 1]), ("ymax", xy[:, 1])):
+                    cols[name][valid] = v
+            elif vals:
+                idx = np.nonzero(valid)[0]
+                for i, b in zip(idx, vals):
+                    srid, gtype, coords = parse_mysql_geometry(b)
+                    xs = [c[0] for c in coords]
+                    ys = [c[1] for c in coords]
+                    cols["srid"][i] = srid
+                    cols["gtype"][i] = gtype
+                    cols["npoints"][i] = len(coords)
+                    if gtype == WKB_POINT:
+                        cols["x"][i], cols["y"][i] = xs[0], ys[0]
+                    cols["xmin"][i], cols["xmax"][i] = min(xs), max(xs)
+                    cols["ymin"][i], cols["ymax"][i] = min(ys), max(ys)
+
+            out = pdf.copy()
+            for f in _PROPS_FIELDS:
+                a = cols[f]
+                if f in ("srid", "gtype", "npoints"):
+                    out[prefix + f] = pd.Series(a).astype(
+                        "Int32" if f != "npoints" else "Int64")
+                else:
+                    with np.errstate(invalid="ignore"):
+                        out[prefix + f] = pd.Series(
+                            np.floor(a * scale + 0.5)).astype("Int64")
+            yield out
+
+    return df.mapInPandas(_batches, out_schema)
+
+
+# ------------------------------------------------------------------
+# Grid-cell math (JVM-side) + the scale path for radius joins
+# ------------------------------------------------------------------
+
+#: cell coordinates must satisfy |floor(v / cell)| < 2^20; one packed
+#: int64 key = (cx + 2^20) * 2^21 + (cy + 2^20)
+_CELL_BOUND = 1 << 20
+
+
+def grid_cell(x: Column, y: Column, cell: int) -> Column:
+    """Pack integer coordinates into one int64 grid-cell key.
+
+    ``x``/``y`` are integer columns (e.g. microdegrees); ``cell`` the
+    cell edge in the same unit. Requires |v/cell| < 2^20 — with
+    microdegree longitudes that holds for any cell ≥ 350 µdeg. Pure
+    Catalyst arithmetic: stays in whole-stage codegen, identical
+    integer result on any engine that copies the formula.
+    """
+    cx = F.floor(x / F.lit(cell)).cast("long") + _CELL_BOUND
+    cy = F.floor(y / F.lit(cell)).cast("long") + _CELL_BOUND
+    return (cx * (2 * _CELL_BOUND) + cy).alias("cell")
+
+
+def cell_radius_join(points: DataFrame, probes: DataFrame,
+                     radius: int, cell: int | None = None,
+                     px: str = "x", py: str = "y",
+                     qx: str = "qx", qy: str = "qy") -> DataFrame:
+    """All (point, probe) pairs within ``radius`` (euclidean, integer
+    units) — via grid-cell co-location, never a cartesian product.
+
+    The big ``points`` side is bucketed once with `grid_cell`; the
+    small ``probes`` side explodes to its 3×3 cell neighborhood
+    (cell ≥ radius ⇒ any point within radius of a probe lands in an
+    adjacent cell) and BROADCASTS, so the points side never shuffles.
+    The exact refine keeps dx²+dy² ≤ r² in int64. Output: all point
+    columns + all probe columns + ``dist2``.
+
+    At 100 TB: cost = one scan of points + a |probes|·9 broadcast —
+    the same shape Spark gives a broadcast equi-join, with the cell
+    key as the equi-condition.
+    """
+    if cell is None:
+        cell = radius
+    if cell < radius:
+        raise ValueError("cell must be >= radius for 3x3 coverage")
+    p = points.withColumn("cell", grid_cell(F.col(px), F.col(py), cell))
+    off = F.explode(
+        F.expr("array(-1, 0, 1)")
+    )
+    cqx = F.floor(F.col(qx) / F.lit(cell)).cast("long") + _CELL_BOUND
+    cqy = F.floor(F.col(qy) / F.lit(cell)).cast("long") + _CELL_BOUND
+    q = (
+        probes
+        .withColumn("_dx", off)
+        .withColumn("_dy", F.explode(F.expr("array(-1, 0, 1)")))
+        .withColumn(
+            "cell",
+            (cqx + F.col("_dx")) * (2 * _CELL_BOUND)
+            + (cqy + F.col("_dy")),
+        )
+        .drop("_dx", "_dy")
+    )
+    dx = F.col(px) - F.col(qx)
+    dy = F.col(py) - F.col(qy)
+    return (
+        p.join(F.broadcast(q), "cell")
+        .withColumn("dist2", dx * dx + dy * dy)
+        .filter(F.col("dist2") <= F.lit(int(radius) * int(radius)))
+        .drop("cell")
+    )

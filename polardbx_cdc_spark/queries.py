@@ -150,26 +150,33 @@ _ROWS_ONLY_PERF_TWINS = frozenset({
 #: (orders_wire_temporal_retype shipped AFTER this window was pinned,
 #: so ONE oracle-backed query stayed never-graded through r12 — it
 #: leads the r13 window below.)
-#: ROUND-13 ROTATION (executed): the window leads with the THREE
+#: ROUND-13 ROTATION (executed): the window leads with the SIX
 #: never-graded oracle-backed names — orders_wire_temporal_retype
-#: (r12's late newcomer, the r12 verdict's ask #1) and this round's
-#: two newcomers orders_wire_retype_reverse (the reverse retype
-#: lattice on the wire — verdict ask #3) and orders_wire_gbk_typed
-#: (gbk + utf8mb4-supplementary charset fidelity — verdict ask #4) —
-#: then the 11 r9-graded names queued at _GRADE_DEFER's head last
-#: round (the oldest grades left), then the FIRST 35 of the r10-graded
-#: block, and the cdc_full_pipeline flagship anchor = exactly 50. The
-#: 14 r10-graded names that did not fit sit at _GRADE_DEFER's HEAD —
-#: positions 50-63 — as round 14's promotion queue, followed by the
+#: (r12's late newcomer, the r12 verdict's ask #1), this round's
+#: orders_wire_retype_reverse (the reverse retype lattice on the wire
+#: — verdict ask #3), orders_wire_gbk_typed (gbk +
+#: utf8mb4-supplementary charset fidelity — verdict ask #4), and the
+#: three shipped later the same round: orders_wire_geometry_typed
+#: (GEOMETRY/WKB wire fidelity), spatial_cell_join (grid-cell radius
+#: join, the no-cartesian spatial-join scale shape) and
+#: dedup_chunk_rewrite (corpus chunk-dedup REWRITE) — then the 11
+#: r9-graded names queued at _GRADE_DEFER's head last round (the
+#: oldest grades left), then the FIRST 32 of the r10-graded block,
+#: and the cdc_full_pipeline flagship anchor = exactly 50. The 17
+#: r10-graded names that did not fit sit at _GRADE_DEFER's HEAD —
+#: positions 50-66 — as round 14's promotion queue, followed by the
 #: r11 block and the names graded r12. After this round's grading no
 #: oracle-backed query is ever ungraded, none's latest official grade
-#: is older than r10, and only those 14 queue-head names remain at
+#: is older than r10, and only those 17 queue-head names remain at
 #: r10.
 _GRADE_PRIORITY: tuple[str, ...] = (
-    # -- never-graded: r12's late newcomer + this round's two ----------
+    # -- never-graded: r12's late newcomer + this round's five ---------
     "orders_wire_temporal_retype",
     "orders_wire_retype_reverse",
     "orders_wire_gbk_typed",
+    "orders_wire_geometry_typed",
+    "spatial_cell_join",
+    "dedup_chunk_rewrite",
     # -- the 11 r9-stale defer-head names (r12 verdict promotion) ------
     "q5_nation_revenue",
     "q8_market_share",
@@ -182,7 +189,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "supplier_running_revenue",
     "text_bm25_scores",
     "text_bpe_pair_stats",
-    # -- first 35 of the r10-graded block (oldest grades left) ---------
+    # -- first 32 of the r10-graded block (oldest grades left) ---------
     "text_bpe_encode_corpus",
     "cdc_wire_stream_x_tail",
     "cdc_dump_attach_decode",
@@ -215,20 +222,20 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "cdc_seek_by_timestamp",
     "cdc_stream_ordered_head",
     "cdc_stream_routing",
-    "cdc_txn_apply_order",
-    "cdc_txn_assemble",
-    "cdc_xa_parties",
     # -- flagship anchor (green every graded round) --------------------
     "cdc_full_pipeline",
 )
 
-#: Oracle-backed entries outside the round-13 window. HEAD = the 14
+#: Oracle-backed entries outside the round-13 window. HEAD = the 17
 #: r10-graded names that did not fit this round (round 14 promotes
 #: them first); then the r11-graded block, then the names graded r12.
 #: Every name is green in a prior CORRECTNESS_r*.json and re-verified
 #: each run by tests/test_oracle_parity.py (identical multiset compare).
 _GRADE_DEFER: tuple[str, ...] = (
     # r10-graded remainder — round 14's promotion queue head:
+    "cdc_txn_apply_order",
+    "cdc_txn_assemble",
+    "cdc_xa_parties",
     "checksum_all_types",
     "checksum_lineitem",
     "checksum_orders_chunked",
@@ -7940,4 +7947,250 @@ def cdc_wire_stream_x_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "db string, tbl string, action string, n long, "
         "value_cents long, pk_hash_sum long",
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 13 additions: GEOMETRY wire fidelity, grid-cell spatial join,
+# chunk-dedup REWRITE (SURVEY §2 scalar/wire surface + training-pipeline ops)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_wire_geometry_typed",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS okey,
+             o_orderkey % 4096 AS kx,
+             (o_orderkey * 7) % 4096 AS ky,
+             o_orderkey % 4096 AS x0,
+             (o_orderkey + 64) % 4096 AS x1,
+             (o_orderkey + 128) % 4096 AS x2,
+             (o_orderkey * 3) % 4096 AS y0,
+             (o_orderkey * 3 + 128) % 4096 AS y1,
+             (o_orderkey * 3 + 256) % 4096 AS y2
+      FROM orders
+    )
+    SELECT CAST(okey % 7 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(okey) AS BIGINT) AS okey_sum,
+           CAST(count(CASE WHEN okey % 97 <> 0 THEN 1 END) AS BIGINT)
+             AS pt_n,
+           CAST(sum(CASE WHEN okey % 97 <> 0 THEN kx END) AS BIGINT)
+             AS ptx_sum,
+           CAST(sum(CASE WHEN okey % 97 <> 0 THEN -ky END) AS BIGINT)
+             AS pty_sum,
+           CAST(sum(CASE WHEN okey % 97 <> 0 THEN 4326 END) AS BIGINT)
+             AS srid_sum,
+           CAST(sum(3) AS BIGINT) AS ls_np_sum,
+           CAST(sum(least(x0, x1, x2)) AS BIGINT) AS lsxmin_sum,
+           CAST(sum(greatest(x0, x1, x2)) AS BIGINT) AS lsxmax_sum,
+           CAST(sum(least(y0, y1, y2)) AS BIGINT) AS lsymin_sum,
+           CAST(sum(greatest(y0, y1, y2)) AS BIGINT) AS lsymax_sum
+    FROM src GROUP BY 1
+    """,
+)
+def orders_wire_geometry_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY columns ON THE WIRE (r13): a POINT SRID 4326 column
+    (NULL every 97th row — geometry rides the row-image null bitmap)
+    and a LINESTRING column travel as MySQL internal geometry bytes —
+    4-byte LE SRID + WKB (GeometryField.java:24-30; RowsLogBuffer
+    ships MYSQL_TYPE_GEOMETRY as a BLOB-style length-prefixed value).
+    The decode side parses the bytes with `spatial.geometry_props`
+    (numpy fast path for the fixed 25-byte all-POINT column, WKB walk
+    for the linestrings) into integer-scaled coordinates. Coordinates
+    are constructed on a 1/16-degree grid (exact in float64), so the
+    oracle derives every scaled value analytically from o_orderkey —
+    a byte-order slip, an SRID/envelope mix-up, or a lost NULL flips
+    the hash."""
+    from polardbx_cdc_spark import binlog_wire
+    from polardbx_cdc_spark.functions import spatial
+
+    o = load_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("long")
+    src = o.select(okey.alias("okey"))
+    # heavy per-row Python WKB builder + small parquet input = the
+    # single-partition single-core trap: fan out FIRST
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+
+    def build(batches):
+        import pandas as pd
+
+        from polardbx_cdc_spark.functions import spatial as SP
+
+        for pdf in batches:
+            out = {"okey": [], "pt": [], "path": []}
+            for k in pdf["okey"]:
+                k = int(k)
+                out["okey"].append(k)
+                out["pt"].append(
+                    None if k % 97 == 0 else SP.point_wkb(
+                        (k % 4096) / 16.0, -((k * 7) % 4096) / 16.0,
+                        srid=4326,
+                    )
+                )
+                out["path"].append(SP.linestring_wkb([
+                    (((k + 64 * j) % 4096) / 16.0,
+                     ((k * 3 + 128 * j) % 4096) / 16.0)
+                    for j in range(3)
+                ]))
+            yield pd.DataFrame(out)
+
+    geo = src.mapInPandas(build, "okey long, pt binary, path binary")
+    decls = ["bigint", "point srid 4326", "linestring"]
+    blobs = binlog_wire.table_to_binlog(geo, "tpch", "orders_geo", decls)
+    back = binlog_wire.binlog_to_table(
+        blobs, decls, ["okey", "pt", "path"]
+    )
+    props = spatial.geometry_props(back, "pt", scale=16, prefix="pt_")
+    props = spatial.geometry_props(props, "path", scale=16, prefix="ls_")
+    return props.groupBy(
+        F.pmod("okey", F.lit(7)).cast("long").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("okey").cast("long").alias("okey_sum"),
+        F.count("pt_x").cast("long").alias("pt_n"),
+        F.sum("pt_x").cast("long").alias("ptx_sum"),
+        F.sum("pt_y").cast("long").alias("pty_sum"),
+        F.sum("pt_srid").cast("long").alias("srid_sum"),
+        F.sum("ls_npoints").cast("long").alias("ls_np_sum"),
+        F.sum("ls_xmin").cast("long").alias("lsxmin_sum"),
+        F.sum("ls_xmax").cast("long").alias("lsxmax_sum"),
+        F.sum("ls_ymin").cast("long").alias("lsymin_sum"),
+        F.sum("ls_ymax").cast("long").alias("lsymax_sum"),
+    )
+
+
+@register(
+    "spatial_cell_join",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS ck,
+             (c_custkey * 7919) % 360000000 - 180000000 AS x,
+             (c_custkey * 104729) % 170000000 - 85000000 AS y
+      FROM customer
+    ), probes AS (
+      SELECT n_name,
+             (CAST(n_nationkey AS BIGINT) + 1) * 14400077 % 360000000
+               - 180000000 AS qx,
+             (CAST(n_nationkey AS BIGINT) + 1) * 6800033 % 170000000
+               - 85000000 AS qy
+      FROM nation
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(ck) AS BIGINT) AS ck_sum,
+           CAST(sum(((x - qx) * (x - qx) + (y - qy) * (y - qy))
+                    // 1000000) AS BIGINT) AS dist2_mm_sum
+    FROM pts, probes
+    WHERE (x - qx) * (x - qx) + (y - qy) * (y - qy)
+          <= CAST(20000000 AS BIGINT) * 20000000
+    GROUP BY 1
+    """,
+)
+def spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell radius join — the 100 TB spatial-join shape. Customer
+    points (microdegree integers derived from c_custkey) match the 25
+    nation probe centers within a 20°-radius via
+    `spatial.cell_radius_join`: the BIG side buckets into integer grid
+    cells once and never shuffles; only the probe set explodes to its
+    3×3 cell neighborhood and broadcasts; the exact dx²+dy² ≤ r²
+    refine runs in int64. The oracle is the brute-force cross join with
+    the same integer math — identical pairs, per-nation aggregates
+    hash-equal; the plan gate (tests) asserts no CartesianProduct.
+    All arithmetic integer end to end: both engines reproduce it
+    bit-exactly."""
+    from polardbx_cdc_spark.functions import spatial
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ck = F.col("c_custkey").cast("long")
+    pts = c.select(
+        ck.alias("ck"),
+        ((ck * 7919) % 360000000 - 180000000).alias("x"),
+        ((ck * 104729) % 170000000 - 85000000).alias("y"),
+    )
+    nk = F.col("n_nationkey").cast("long")
+    probes = n.select(
+        F.col("n_name"),
+        (((nk + 1) * 14400077) % 360000000 - 180000000).alias("qx"),
+        (((nk + 1) * 6800033) % 170000000 - 85000000).alias("qy"),
+    )
+    j = spatial.cell_radius_join(pts, probes, radius=20000000)
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("ck").cast("long").alias("ck_sum"),
+        F.sum(F.expr("dist2 div 1000000")).cast("long").alias("dist2_mm_sum"),
+    )
+
+
+@register(
+    "dedup_chunk_rewrite",
+    """
+    WITH sp AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), ch0 AS (
+      SELECT doc_id, source, w,
+             CAST(ceil(len(w) / 3.0) AS INT) AS nc
+      FROM sp
+    ), chunks AS (
+      SELECT doc_id, source, nc, i AS pos,
+             array_to_string(list_slice(w, i * 3 + 1, i * 3 + 3), ' ')
+               AS chunk
+      FROM (SELECT doc_id, source, nc, w, unnest(range(nc)) AS i FROM ch0)
+    ), keep AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, pos) AS rn
+        FROM chunks
+      ) WHERE rn = 1
+    ), reb AS (
+      SELECT c.doc_id,
+             string_agg(c.chunk, ' ' ORDER BY c.pos) AS txt,
+             count(*) AS n_kept
+      FROM chunks c JOIN keep k USING (doc_id, pos)
+      GROUP BY c.doc_id
+    ), docs AS (
+      SELECT doc_id, any_value(source) AS source,
+             any_value(nc) AS n_chunks
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT) AS chunks_sum,
+           CAST(sum(coalesce(n_kept, 0)) AS BIGINT) AS kept_sum,
+           CAST(sum(CAST(('0x' || substr(md5(coalesce(txt, '')), 1, 8))
+                AS BIGINT)) AS BIGINT) AS text_hash_sum
+    FROM docs LEFT JOIN reb USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk-dedup REWRITE (Lee et al. exact-substring
+    scrub at chunk granularity): 3-word chunks deduplicated across the
+    whole corpus keeping only the FIRST occurrence (by (doc_id, pos)),
+    documents reassembled from their surviving chunks. The oracle
+    replays the identical first-occurrence rule with a window; the
+    Spark path uses a map-side-combined min-struct aggregate + semi
+    join (`dedupe.chunk_dedup_rewrite`) so a boilerplate chunk
+    repeated across half the corpus stays combiner-friendly instead of
+    landing on one sort partition. Rebuilt text is md5-folded per doc
+    — one missing/extra/misordered chunk flips the hash."""
+    from polardbx_cdc_spark.functions.dedupe import chunk_dedup_rewrite
+
+    d = load_table(spark, sf_dir, "documents")
+    out = chunk_dedup_rewrite(
+        d.select("doc_id", "text"), chunk_tokens=3
+    )
+    src = d.select("doc_id", "source")
+    return out.join(src, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chunks").cast("long").alias("chunks_sum"),
+        F.sum("n_kept").cast("long").alias("kept_sum"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        ).cast("long").alias("text_hash_sum"),
     )

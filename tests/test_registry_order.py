@@ -69,7 +69,7 @@ def test_round13_rotation_window_holds_the_oldest_grades():
     """Round-13 rotation policy: every never-graded oracle-backed query
     sits INSIDE the 50-slot window (orders_wire_temporal_retype — the
     one query that stayed ungraded through r12, the r12 verdict's ask
-    #1 — leads it, followed by this round's two newcomers); the 11
+    #1 — leads it, followed by this round's five newcomers); the 11
     r9-graded names queued at round 12's _GRADE_DEFER head are all
     promoted (retiring r9 entirely); the remaining slots hold r10-graded
     veterans (the oldest grades left) plus the cdc_full_pipeline
@@ -98,7 +98,9 @@ def test_round13_rotation_window_holds_the_oldest_grades():
     )
     buried = [n for n in queue if names.index(n) > first_fresh]
     assert not buried, f"promotion-queue names buried behind fresher grades: {buried}"
-    assert len(queue) <= 15, f"promotion queue too deep for one round: {queue}"
+    # 17 = the 14 r10 names the original window displaced + 3 more
+    # bumped when the round's three late newcomers took their slots
+    assert len(queue) <= 17, f"promotion queue too deep for one round: {queue}"
     # r9-or-older grades must not exist anywhere outside the window
     stale = {n for n in oracles if last.get(n, 99) <= 9 and n not in wset}
     assert not stale, f"r9-stale grades left outside the window: {stale}"
