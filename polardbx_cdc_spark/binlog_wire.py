@@ -110,6 +110,9 @@ MARIA_ANNOTATE_ROWS_EVENT = 160
 MARIA_BINLOG_CHECKPOINT_EVENT = 161
 MARIA_GTID_EVENT = 162
 MARIA_GTID_LIST_EVENT = 163
+#: MariaDB binlog encryption marker (LogEvent.java:206): every event
+#: AFTER it in the file is AES-encrypted — undecodable without the key
+MARIA_START_ENCRYPTION_EVENT = 164
 XA_PREPARE_EVENT = 38  # XA branch prepare (XaPrepareLogEvent.java)
 SEQUENCE_EVENT = 80  # PolarDB-X sequence/TSO carrier (SequenceLogEvent.java)
 GCN_EVENT = 105  # PolarDB-X DN 8.0 commit-GCN carrier (GcnLogEvent.java)
@@ -1920,6 +1923,26 @@ def decode_events(buf: bytes, verify_crc: bool = True,
         elif tc == MARIA_ANNOTATE_ROWS_EVENT:
             # the original statement text, like ROWS_QUERY
             ev["rows_query"] = bytes(body).decode(errors="replace")
+        elif tc == MARIA_START_ENCRYPTION_EVENT:
+            # scheme(1) key_version(4) nonce(12) — everything after this
+            # event is AES-CTR ciphertext (MariaDB encrypt_binlog=ON).
+            # Decode the marker, then REFUSE the rest: parsing ciphertext
+            # as frames would surface garbage rows, not an error.
+            if len(body) < 17:
+                raise ValueError("truncated START_ENCRYPTION event body")
+            ev["crypto_scheme"] = body[0]
+            ev["key_version"] = struct.unpack_from("<I", body, 1)[0]
+            ev["nonce"] = bytes(body[5:17])
+            events.append(ev)
+            if pos + elen < len(buf):
+                raise ValueError(
+                    "encrypted binlog: events after START_ENCRYPTION "
+                    f"(scheme={body[0]}, key_version={ev['key_version']}) "
+                    "are AES ciphertext — decryption requires the server "
+                    "key file; re-dump with binlog encryption off"
+                )
+            pos += elen
+            continue
         elif tc == INTVAR_EVENT:
             # type(1): 1 = LAST_INSERT_ID, 2 = INSERT_ID; value(8)
             ev["intvar_type"] = body[0]

@@ -2455,3 +2455,26 @@ def test_decode_wire_with_registry_retype_lattice_fuzz(spark, tmp_path):
             for c, want in exp.items():
                 assert got[rid_][c] == want, (
                     seed, rid_, c, got[rid_][c], want)
+
+
+def test_start_encryption_event_decodes_then_refuses_ciphertext():
+    """MariaDB START_ENCRYPTION (LogEvent.java:206): the marker itself
+    decodes typed (scheme, key version, nonce); any bytes after it are
+    AES ciphertext, so the decoder must raise a clear error instead of
+    parsing garbage frames."""
+    import struct
+
+    import pytest
+
+    from polardbx_cdc_spark import binlog_wire as W
+
+    body = struct.pack("<BI", 1, 7) + b"N" * 12
+    enc = W.encode_event(W.MARIA_START_ENCRYPTION_EVENT, body)
+    evs = W.decode_events(W.encode_fde() + enc)
+    last = evs[-1]
+    assert last["type"] == W.MARIA_START_ENCRYPTION_EVENT
+    assert (last["crypto_scheme"], last["key_version"]) == (1, 7)
+    assert last["nonce"] == b"N" * 12
+    # trailing ciphertext (would otherwise misparse as a frame)
+    with pytest.raises(ValueError, match="encrypted binlog"):
+        W.decode_events(W.encode_fde() + enc + b"\x99" * 64)

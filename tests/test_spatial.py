@@ -202,3 +202,83 @@ def test_chunk_rewrite_aggregate_not_window(spark):
     plan = chunk_dedup_rewrite(df)._jdf.queryExecution().executedPlan(
     ).toString()
     assert "Window" not in plan
+
+
+# ------------------------------------------------------------------
+# Point-in-polygon refine
+# ------------------------------------------------------------------
+
+def test_pip_pure_python_square_and_hole():
+    square = [[(0, 0), (10, 0), (10, 10), (0, 10)]]
+    assert S.point_in_polygon_py(5, 5, square)
+    assert not S.point_in_polygon_py(15, 5, square)
+    donut = square + [[(4, 4), (6, 4), (6, 6), (4, 6)]]
+    assert not S.point_in_polygon_py(5, 5, donut)   # in the hole
+    assert S.point_in_polygon_py(2, 5, donut)
+
+
+def test_pip_concave_polygon():
+    # U-shape: the notch (5, 6) is outside, the arms are inside
+    u = [[(0, 0), (10, 0), (10, 10), (7, 10), (7, 3), (3, 3),
+          (3, 10), (0, 10)]]
+    assert not S.point_in_polygon_py(5, 6, u)
+    assert S.point_in_polygon_py(1, 8, u)
+    assert S.point_in_polygon_py(8, 8, u)
+    assert S.point_in_polygon_py(5, 1, u)
+
+
+def test_points_in_region_matches_pure_python(spark):
+    import random
+    rng = random.Random(13)
+    pts = [(i, rng.uniform(-2, 12), rng.uniform(-2, 12))
+           for i in range(500)]
+    rings = [[(0, 0), (10, 0), (10, 10), (0, 10)],
+             [(4, 4), (6, 4), (6, 6), (4, 6)]]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = sorted(r["id"] for r in
+                 S.points_in_region(df, rings).collect())
+    want = sorted(i for i, x, y in pts
+                  if S.point_in_polygon_py(x, y, rings))
+    assert got == want
+    assert 0 < len(got) < len(pts)
+
+
+def test_points_in_region_bbox_prefilter_is_catalyst(spark):
+    # the bbox stage must prune BEFORE the Python refine: the plan's
+    # scan-side filter carries the range predicates
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0)], "id long, x double, y double")
+    out = S.points_in_region(df, [[(0, 0), (10, 0), (10, 10), (0, 10)]])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "(x#" in plan or ">= 0.0" in plan
+
+
+# ------------------------------------------------------------------
+# Streaming parity: cell_radius_join on a readStream points source
+# ------------------------------------------------------------------
+
+def test_cell_radius_join_runs_unchanged_on_streams(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    pts = spark.range(500).select(
+        F.col("id"),
+        ((F.col("id") * 7919) % 2000000 - 1000000).alias("x"),
+        ((F.col("id") * 104729) % 2000000 - 1000000).alias("y"))
+    probes = spark.range(4).select(
+        F.col("id").alias("probe_id"),
+        ((F.col("id") * 399887) % 2000000 - 1000000).alias("qx"),
+        ((F.col("id") * 999983) % 2000000 - 1000000).alias("qy"))
+    src = str(tmp_path / "pts")
+    pts.write.parquet(src)
+    stream = spark.readStream.schema("id long, x long, y long").parquet(src)
+    joined = S.cell_radius_join(stream, probes, radius=250000)
+    out = str(tmp_path / "out")
+    q = (joined.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = sorted((r["probe_id"], r["id"])
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r["probe_id"], r["id"]) for r in
+                  S.cell_radius_join(pts, probes, radius=250000).collect())
+    assert got == want and len(got) > 0
