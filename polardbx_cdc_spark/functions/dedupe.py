@@ -203,6 +203,26 @@ def chunk_span_dups(
     )
 
 
+def _chunk_frame(df: DataFrame, text_col: str, id_col: str,
+                 chunk_tokens: int) -> DataFrame:
+    """(id, pos, chunk) rows: EXACT single-space tokenization sliced
+    into ``chunk_tokens``-word chunks — all JVM (split + slice +
+    concat_ws in whole-stage codegen). Shared by the batch rewrite and
+    the streaming sink so both scrub identical chunk boundaries."""
+    toks = F.split(F.col(text_col), " ", -1)
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunk_arr).alias("pos", "chunk"),
+    )
+
+
 def chunk_dedup_rewrite(
     df: DataFrame,
     text_col: str = "text",
@@ -229,18 +249,7 @@ def chunk_dedup_rewrite(
     row_number window — keeps a hot chunk (e.g. a boilerplate header
     repeated across half the corpus) as a combiner-friendly partial
     min instead of a single-partition sort."""
-    toks = F.split(F.col(text_col), " ", -1)
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
-        ),
-    )
-    chunks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(chunk_arr).alias("pos", "chunk"),
-    )
+    chunks = _chunk_frame(df, text_col, id_col, chunk_tokens)
     first = chunks.groupBy("chunk").agg(
         F.min(F.struct("id", "pos")).alias("k")
     )
@@ -258,7 +267,11 @@ def chunk_dedup_rewrite(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
     base = df.select(
-        F.col(id_col).alias("id"), F.size(chunk_arr).cast("long").alias("n_chunks")
+        F.col(id_col).alias("id"),
+        F.ceil(
+            F.size(F.split(F.col(text_col), " ", -1))
+            / F.lit(float(chunk_tokens))
+        ).cast("long").alias("n_chunks"),
     )
     return (
         base.join(rebuilt, "id", "left")
@@ -939,3 +952,146 @@ def streaming_near_dedup(
         .agg(F.count("*").alias("n_free_bands"))
         .filter(F.col("n_free_bands") == bands)
     )
+
+
+class StreamingChunkDedup:
+    """Streaming form of `chunk_dedup_rewrite`: scrub every chunk the
+    corpus has EVER seen (across the whole stream history, not a
+    watermark horizon) and land the rewritten documents — the
+    continuous-ingest counterpart of the Lee-et-al. batch scrub.
+
+    Durable seen-chunk store: 16-byte md5 digests under
+    ``state_dir/epochs/<epoch>.parquet``, one file set per committed
+    micro-batch, with a ``_COMMITS`` manifest written by atomic rename.
+    ``process_batch`` is idempotent — a crash-replayed epoch is a no-op
+    (the manifest says it already committed), and an epoch's OWN
+    digests are never in its anti-join input, so a replay cannot scrub
+    a batch against itself.
+
+    Per batch: within-batch first occurrence by (id, pos) — the same
+    min-struct + semi-join shape as the batch rewrite — then one
+    distributed anti-join against the committed digest store. State
+    I/O per batch ∝ distinct chunks ever seen (digests only, 16
+    bytes each), never corpus text. Cross-batch ordering is ARRIVAL
+    order: an earlier epoch's chunk beats any later arrival, whatever
+    its doc id (document ids order only WITHIN a batch).
+
+    Drive it as ``stream.writeStream.foreachBatch(sink.process_batch)``;
+    rewritten docs land under ``out_dir/epoch=<n>/`` with the batch
+    rewrite's output schema (id, text, n_chunks, n_kept).
+    """
+
+    def __init__(self, state_dir: str, out_dir: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 chunk_tokens: int = 20):
+        import os
+
+        self.state_dir = state_dir
+        self.out_dir = out_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.chunk_tokens = chunk_tokens
+        os.makedirs(os.path.join(state_dir, "epochs"), exist_ok=True)
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- commit manifest ------------------------------------------------
+    def _commits_path(self) -> str:
+        import os
+        return os.path.join(self.state_dir, "_COMMITS")
+
+    def _committed(self) -> list[int]:
+        import json
+        import os
+        p = self._commits_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, epoch_id: int) -> None:
+        import json
+        import os
+        done = self._committed() + [int(epoch_id)]
+        tmp = self._commits_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(done, f)
+        os.replace(tmp, self._commits_path())  # atomic flip
+
+    # -- the foreachBatch hook ------------------------------------------
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if int(epoch_id) in self._committed():
+            return  # crash-replayed epoch: already landed, no-op
+        spark = batch_df.sparkSession
+        chunks = _chunk_frame(
+            batch_df, self.text_col, self.id_col, self.chunk_tokens
+        ).withColumn("dg", F.unhex(F.md5("chunk")))
+
+        seen_files = [
+            os.path.join(self.state_dir, "epochs", f"{e}.parquet")
+            for e in self._committed()
+        ]
+        if seen_files:
+            seen = spark.read.parquet(*seen_files)
+            fresh = chunks.join(seen, "dg", "left_anti")
+        else:
+            fresh = chunks
+        fresh = fresh.persist()
+        try:
+            # within-batch first occurrence: (id, pos) unique → the
+            # chunk text rides the min struct for the rebuild
+            first = fresh.groupBy("dg").agg(
+                F.min(F.struct("id", "pos", "chunk")).alias("k")
+            )
+            kept = fresh.withColumn(
+                "k", F.struct("id", "pos", "chunk")
+            ).join(first, ["dg", "k"], "left_semi")
+            rebuilt = kept.groupBy("id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ).alias("text"),
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+            )
+            base = batch_df.select(
+                F.col(self.id_col).alias("id"),
+                F.ceil(
+                    F.size(F.split(F.col(self.text_col), " ", -1))
+                    / F.lit(float(self.chunk_tokens))
+                ).cast("long").alias("n_chunks"),
+            )
+            out = (
+                base.join(rebuilt, "id", "left")
+                .select(
+                    F.col("id").alias(self.id_col),
+                    F.coalesce("text", F.lit("")).alias("text"),
+                    "n_chunks",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                )
+            )
+            out.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, f"epoch={int(epoch_id)}"))
+            # every chunk PRESENT in this batch is corpus history now —
+            # kept or scrubbed, later epochs must not re-admit it
+            fresh.select("dg").distinct().write.mode("overwrite").parquet(
+                os.path.join(
+                    self.state_dir, "epochs", f"{int(epoch_id)}.parquet"))
+        finally:
+            fresh.unpersist()
+        self._commit(epoch_id)
+
+    def result(self, spark) -> DataFrame:
+        """Everything landed so far (committed epochs only)."""
+        import os
+        paths = [
+            os.path.join(self.out_dir, f"epoch={e}")
+            for e in self._committed()
+        ]
+        if not paths:
+            raise ValueError("no committed epochs yet")
+        return spark.read.parquet(*paths)

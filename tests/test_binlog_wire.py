@@ -2478,3 +2478,47 @@ def test_start_encryption_event_decodes_then_refuses_ciphertext():
     # trailing ciphertext (would otherwise misparse as a frame)
     with pytest.raises(ValueError, match="encrypted binlog"):
         W.decode_events(W.encode_fde() + enc + b"\x99" * 64)
+
+
+def test_registry_typed_decode_geometry_column_with_spatial_retype(
+    spark, tmp_path
+):
+    """Spatial columns through the FULL registry path: CREATE with a
+    GEOMETRY column, rows with SRID+WKB bytes (and a NULL — geometry
+    rides the null bitmap), a MODIFY to the POINT subtype (bytes are
+    unchanged on the wire — the subtype lives in metadata only:
+    GeometryField.java), more rows; decode_wire_with_registry must
+    surface every image as the original geometry bytes."""
+    import os
+
+    from polardbx_cdc_spark import binlog_wire as W
+    from polardbx_cdc_spark.functions import spatial as SP
+    from polardbx_cdc_spark.meta import replay_wire_ddl
+
+    work = str(tmp_path)
+    td_a = W.TableDef.from_mysql_types("db1", "geo", ["bigint", "geometry"])
+    td_b = W.TableDef.from_mysql_types(
+        "db1", "geo", ["bigint", "point srid 4326"])
+    events = [
+        W.encode_query(
+            "db1", "CREATE TABLE geo (id BIGINT PRIMARY KEY, pt GEOMETRY)"),
+        W.encode_table_map(5, td_a),
+        W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 5, td_a,
+            [[1, SP.point_wkb(1.5, 2.5, 4326)], [2, None]]),
+        W.encode_query(
+            "db1", "ALTER TABLE geo MODIFY COLUMN pt POINT SRID 4326"),
+        W.encode_table_map(5, td_b),
+        W.encode_rows_event(
+            W.WRITE_ROWS_EVENT, 5, td_b,
+            [[3, SP.point_wkb(-1.0, 0.5, 4326)]]),
+    ]
+    W.write_binlog_file(os.path.join(work, "binlog.000001"), events)
+    reg = replay_wire_ddl(spark, work)
+    out = W.decode_wire_with_registry(spark, work, reg, "db1", "geo")
+    rows = {r["id"]: r["pt"] for r in out.collect()}
+    assert SP.parse_mysql_geometry(bytes(rows[1])) == (
+        4326, SP.WKB_POINT, [(1.5, 2.5)])
+    assert rows[2] is None
+    assert SP.parse_mysql_geometry(bytes(rows[3])) == (
+        4326, SP.WKB_POINT, [(-1.0, 0.5)])

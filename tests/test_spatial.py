@@ -282,3 +282,67 @@ def test_cell_radius_join_runs_unchanged_on_streams(spark, tmp_path):
     want = sorted((r["probe_id"], r["id"]) for r in
                   S.cell_radius_join(pts, probes, radius=250000).collect())
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------------------
+# StreamingChunkDedup: arrival-order scrub with durable digest state
+# ------------------------------------------------------------------
+
+def test_streaming_chunk_dedup_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    from polardbx_cdc_spark.functions.dedupe import (StreamingChunkDedup,
+                                                     chunk_dedup_rewrite)
+
+    docs = [
+        (1, "a b c x y z"),
+        (2, "x y z d e f"),
+        (3, "g h i a b c"),
+        (4, "x y z g h i j k l"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    # two id-ordered files → arrival order == doc_id order, so the
+    # stream result must equal the batch rewrite exactly
+    df.filter("doc_id <= 2").coalesce(1).write.parquet(src)
+    df.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(src)
+    sink = StreamingChunkDedup(
+        str(tmp_path / "state"), str(tmp_path / "out"), chunk_tokens=3)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink.process_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    assert len(sink._committed()) == 2  # one epoch per file
+    got = {r["doc_id"]: (r["text"], r["n_chunks"], r["n_kept"])
+           for r in sink.result(spark).collect()}
+    want = {r["doc_id"]: (r["text"], r["n_chunks"], r["n_kept"])
+            for r in chunk_dedup_rewrite(df, chunk_tokens=3).collect()}
+    assert got == want
+    # cross-batch scrub actually happened: doc 4's "x y z"/"g h i" gone
+    assert got[4][0] == "j k l"
+    # crash-replay of a committed epoch is a NO-OP
+    before = sorted(sink.result(spark).collect())
+    sink.process_batch(df.filter("doc_id > 2"), 1)
+    assert sorted(sink.result(spark).collect()) == before
+
+
+def test_streaming_chunk_dedup_batch_never_scrubs_against_itself(
+    spark, tmp_path
+):
+    from polardbx_cdc_spark.functions.dedupe import StreamingChunkDedup
+
+    sink = StreamingChunkDedup(
+        str(tmp_path / "s"), str(tmp_path / "o"), chunk_tokens=3)
+    df = spark.createDataFrame(
+        [(1, "p q r"), (2, "p q r s t u")], "doc_id long, text string")
+    sink.process_batch(df, 0)
+    got = {r["doc_id"]: r["text"] for r in sink.result(spark).collect()}
+    # within-batch: doc 1 (lower id) keeps the shared chunk
+    assert got == {1: "p q r", 2: "s t u"}
+    # replaying epoch 0 after commit must not scrub doc 1 against the
+    # digests its own epoch landed
+    sink.process_batch(df, 0)
+    assert {r["doc_id"]: r["text"] for r in
+            sink.result(spark).collect()} == got
