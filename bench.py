@@ -551,6 +551,11 @@ def main() -> None:
             # round 9: the JSON changefeed's full-outer-join shape gets
             # the same 10x-data scrutiny as the dedup tier
             "orders_json_table_delta",
+            # round 13: the grid-cell spatial join (big side must stay
+            # one scan — a hidden rejoin would blow up at 10x) and the
+            # chunk-dedup rewrite (agg + semi join, linear in chunks)
+            "spatial_cell_join",
+            "dedup_chunk_rewrite",
         ]
         try:
             factor = 10.0
