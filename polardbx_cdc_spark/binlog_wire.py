@@ -246,6 +246,9 @@ _SET_STR_VALUE_TLV = 5
 _ENUM_STR_VALUE_TLV = 6
 _GEOMETRY_TYPE_TLV = 7
 _SIMPLE_PRIMARY_KEY_TLV = 8
+_PRIMARY_KEY_WITH_PREFIX_TLV = 9
+_ENUM_SET_DEFAULT_CHARSET_TLV = 10
+_ENUM_SET_COLUMN_CHARSET_TLV = 11
 _COLUMN_VISIBILITY_TLV = 12
 
 #: MySQL collation id → Python codec for CHAR/VARCHAR/TEXT value bytes.
@@ -333,7 +336,10 @@ class TableDef:
                  charsets: dict[int, int] | None = None,
                  default_charset: int | None = None,
                  geometry_types: dict[int, int] | None = None,
-                 invisible: set[int] | None = None):
+                 invisible: set[int] | None = None,
+                 pk_prefixes: dict[int, int] | None = None,
+                 enum_set_charsets: dict[int, int] | None = None,
+                 enum_set_default_charset: int | None = None):
         self.db = db
         self.tbl = tbl
         self.types = types
@@ -355,9 +361,22 @@ class TableDef:
         #: COLUMN_VISIBILITY TLV: indexes of INVISIBLE columns (8.0.23) —
         #: row images still carry their values; metadata only
         self.invisible = invisible or set()
+        #: PRIMARY_KEY_WITH_PREFIX TLV (9): pk column index → prefix
+        #: length in CHARACTERS for prefix-indexed key parts (0 = whole
+        #: column). Any non-zero prefix switches the PK TLV from 8 to 9,
+        #: exactly like the server (rows_event.cc).
+        self.pk_prefixes = pk_prefixes or {}
+        #: ENUM_AND_SET_{DEFAULT,COLUMN}_CHARSET TLVs (10/11): collation
+        #: of the ENUM/SET LABEL text — the label bytes in TLVs 5/6
+        #: encode with this charset, not the table default
+        self.enum_set_charsets = enum_set_charsets or {}
+        self.enum_set_default_charset = enum_set_default_charset
 
     def charset_of(self, i: int) -> int | None:
         return self.charsets.get(i, self.default_charset)
+
+    def enum_set_charset_of(self, i: int) -> int | None:
+        return self.enum_set_charsets.get(i, self.enum_set_default_charset)
 
     @classmethod
     def from_mysql_types(cls, db: str, tbl: str, decls: list[str],
@@ -655,21 +674,57 @@ def encode_table_map(table_id: int, td: TableDef, timestamp: int = 0) -> bytes:
         blob = b""
         for i in sorted(td.set_labels):  # column order
             labels = td.set_labels[i]
+            codec = _codec_for(td.enum_set_charset_of(i))
             blob += _lenenc(len(labels))
             for s in labels:
-                blob += _lenenc(len(s.encode())) + s.encode()
+                raw = s.encode(codec)
+                blob += _lenenc(len(raw)) + raw
         opt += bytes([_SET_STR_VALUE_TLV]) + _lenenc(len(blob)) + blob
     if td.enum_labels:
         blob = b""
         for i in sorted(td.enum_labels):
             labels = td.enum_labels[i]
+            codec = _codec_for(td.enum_set_charset_of(i))
             blob += _lenenc(len(labels))
             for s in labels:
-                blob += _lenenc(len(s.encode())) + s.encode()
+                raw = s.encode(codec)
+                blob += _lenenc(len(raw)) + raw
         opt += bytes([_ENUM_STR_VALUE_TLV]) + _lenenc(len(blob)) + blob
     if td.pk:
-        blob = b"".join(_lenenc(i) for i in td.pk)
-        opt += bytes([_SIMPLE_PRIMARY_KEY_TLV]) + _lenenc(len(blob)) + blob
+        if td.pk_prefixes:
+            # any prefix key part switches the TLV to 9 — (column,
+            # prefix-chars) pairs, 0 = whole column (rows_event.cc)
+            blob = b"".join(
+                _lenenc(i) + _lenenc(td.pk_prefixes.get(i, 0))
+                for i in td.pk
+            )
+            opt += (bytes([_PRIMARY_KEY_WITH_PREFIX_TLV])
+                    + _lenenc(len(blob)) + blob)
+        else:
+            blob = b"".join(_lenenc(i) for i in td.pk)
+            opt += (bytes([_SIMPLE_PRIMARY_KEY_TLV])
+                    + _lenenc(len(blob)) + blob)
+    # ENUM/SET label-text charset TLVs (10/11) — parallel to 2/3 but
+    # over the ENUM/SET column ordinal space
+    es_cols = [
+        i for i, (tc, m) in enumerate(td.types)
+        if tc == TYPE_STRING and isinstance(m, tuple)
+        and m[0] in (TYPE_ENUM, TYPE_SET)
+    ]
+    if td.enum_set_default_charset is not None:
+        blob = _lenenc(td.enum_set_default_charset)
+        for ordinal, col in enumerate(es_cols):
+            cs = td.enum_set_charsets.get(col)
+            if cs is not None and cs != td.enum_set_default_charset:
+                blob += _lenenc(ordinal) + _lenenc(cs)
+        opt += (bytes([_ENUM_SET_DEFAULT_CHARSET_TLV])
+                + _lenenc(len(blob)) + blob)
+    elif td.enum_set_charsets:
+        blob = b"".join(
+            _lenenc(td.enum_set_charsets.get(c, 255)) for c in es_cols
+        )
+        opt += (bytes([_ENUM_SET_COLUMN_CHARSET_TLV])
+                + _lenenc(len(blob)) + blob)
     # charset TLVs (rows_event.h): DEFAULT_CHARSET = default collation +
     # (char-column-ordinal, collation) overrides; COLUMN_CHARSET = one
     # collation per character column. Character columns here = CHAR/
@@ -1604,7 +1659,14 @@ def decode_events(buf: bytes, verify_crc: bool = True,
             geometry_types: dict[int, int] = {}
             invisible: set[int] = set()
 
-            def _read_label_lists(val: bytes, targets: list[int]) -> dict:
+            pk_prefixes: dict[int, int] = {}
+            es_charsets: dict[int, int] = {}
+            es_default_cs: int | None = None
+            raw_enum_labels: bytes | None = None
+            raw_set_labels: bytes | None = None
+
+            def _read_label_lists(val: bytes, targets: list[int],
+                                  codec_of) -> dict:
                 out: dict[int, list[str]] = {}
                 vp = 0
                 for col in targets:
@@ -1614,7 +1676,9 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                     labels = []
                     for _ in range(cnt):
                         ln, vp = _read_lenenc(val, vp)
-                        labels.append(val[vp : vp + ln].decode())
+                        labels.append(
+                            val[vp : vp + ln].decode(codec_of(col))
+                        )
                         vp += ln
                     out[col] = labels
                 return out
@@ -1639,25 +1703,50 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                         col_names.append(val[vp : vp + ln].decode())
                         vp += ln
                 elif tlv_type == _ENUM_STR_VALUE_TLV:
-                    targets = [
-                        i for i, (rt, m) in enumerate(types)
-                        if rt == TYPE_STRING and isinstance(m, tuple)
-                        and m[0] == TYPE_ENUM
-                    ]
-                    enum_labels = _read_label_lists(val, targets)
+                    # label TEXT charset rides TLV 10/11, which the
+                    # server writes AFTER this one — defer the decode
+                    raw_enum_labels = val
                 elif tlv_type == _SET_STR_VALUE_TLV:
-                    targets = [
-                        i for i, (rt, m) in enumerate(types)
-                        if rt == TYPE_STRING and isinstance(m, tuple)
-                        and m[0] == TYPE_SET
-                    ]
-                    set_labels = _read_label_lists(val, targets)
+                    raw_set_labels = val
                 elif tlv_type == _SIMPLE_PRIMARY_KEY_TLV:
                     pk = []
                     vp = 0
                     while vp < len(val):
                         idx, vp = _read_lenenc(val, vp)
                         pk.append(idx)
+                elif tlv_type == _PRIMARY_KEY_WITH_PREFIX_TLV:
+                    pk = []
+                    vp = 0
+                    while vp < len(val):
+                        idx, vp = _read_lenenc(val, vp)
+                        plen, vp = _read_lenenc(val, vp)
+                        pk.append(idx)
+                        if plen:
+                            pk_prefixes[idx] = plen
+                elif tlv_type == _ENUM_SET_DEFAULT_CHARSET_TLV:
+                    vp = 0
+                    es_default_cs, vp = _read_lenenc(val, vp)
+                    es_cols_d = [
+                        i for i, (rt, m) in enumerate(types)
+                        if rt == TYPE_STRING and isinstance(m, tuple)
+                        and m[0] in (TYPE_ENUM, TYPE_SET)
+                    ]
+                    while vp < len(val):
+                        ordinal, vp = _read_lenenc(val, vp)
+                        cs, vp = _read_lenenc(val, vp)
+                        if ordinal < len(es_cols_d):
+                            es_charsets[es_cols_d[ordinal]] = cs
+                elif tlv_type == _ENUM_SET_COLUMN_CHARSET_TLV:
+                    vp = 0
+                    for col in (
+                        i for i, (rt, m) in enumerate(types)
+                        if rt == TYPE_STRING and isinstance(m, tuple)
+                        and m[0] in (TYPE_ENUM, TYPE_SET)
+                    ):
+                        if vp >= len(val):
+                            break
+                        cs, vp = _read_lenenc(val, vp)
+                        es_charsets[col] = cs
                 elif tlv_type == _DEFAULT_CHARSET_TLV:
                     # default collation + (char-column-ordinal, collation)
                     # override pairs
@@ -1692,11 +1781,36 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                             val[i // 8] & (0x80 >> (i % 8))
                         ):
                             invisible.add(i)
+            def _es_codec(col: int) -> str:
+                return _codec_for(es_charsets.get(col, es_default_cs))
+
+            if raw_enum_labels is not None:
+                enum_labels = _read_label_lists(
+                    raw_enum_labels,
+                    [
+                        i for i, (rt, m) in enumerate(types)
+                        if rt == TYPE_STRING and isinstance(m, tuple)
+                        and m[0] == TYPE_ENUM
+                    ],
+                    _es_codec,
+                )
+            if raw_set_labels is not None:
+                set_labels = _read_label_lists(
+                    raw_set_labels,
+                    [
+                        i for i, (rt, m) in enumerate(types)
+                        if rt == TYPE_STRING and isinstance(m, tuple)
+                        and m[0] == TYPE_SET
+                    ],
+                    _es_codec,
+                )
             tables[tid] = TableDef(
                 db, tbl, types, unsigned, col_names=col_names, pk=pk,
                 enum_labels=enum_labels, set_labels=set_labels,
                 charsets=charsets, default_charset=default_cs,
                 geometry_types=geometry_types, invisible=invisible,
+                pk_prefixes=pk_prefixes, enum_set_charsets=es_charsets,
+                enum_set_default_charset=es_default_cs,
             )
             ev.update(table_id=tid, db=db, tbl=tbl, types=types, unsigned=unsigned)
             if charsets or default_cs is not None:
@@ -1711,10 +1825,16 @@ def decode_events(buf: bytes, verify_crc: bool = True,
                 ev["col_names"] = col_names
             if pk is not None:
                 ev["pk_columns"] = pk
+            if pk_prefixes:
+                ev["pk_prefixes"] = dict(pk_prefixes)
             if enum_labels:
                 ev["enum_labels"] = enum_labels
             if set_labels:
                 ev["set_labels"] = set_labels
+            if es_charsets or es_default_cs is not None:
+                ev["enum_set_charsets"] = dict(es_charsets)
+                if es_default_cs is not None:
+                    ev["enum_set_default_charset"] = es_default_cs
         elif tc in ROWS_EVENTS:
             tid = int.from_bytes(body[0:6], "little")
             td = tables[tid]

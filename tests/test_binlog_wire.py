@@ -2522,3 +2522,68 @@ def test_registry_typed_decode_geometry_column_with_spatial_retype(
     assert rows[2] is None
     assert SP.parse_mysql_geometry(bytes(rows[3])) == (
         4326, SP.WKB_POINT, [(-1.0, 0.5)])
+
+
+def test_prefix_primary_key_tlv_round_trip():
+    """PRIMARY_KEY_WITH_PREFIX (TLV 9): any prefix-indexed key part
+    switches the PK TLV from 8 to 9; (column, prefix-chars) pairs with
+    0 = whole column (rows_event.cc write side). Before this TLV was
+    understood the decoder skipped it — a prefix-PK table surfaced with
+    NO pk at all."""
+    td = W.TableDef.from_mysql_types(
+        "shop", "t", ["bigint", "varchar(64)"],
+        col_names=["id", "name"], pk=[0, 1],
+    )
+    td.pk_prefixes = {1: 10}  # PRIMARY KEY (id, name(10))
+    ev = W.decode_events(W.encode_table_map(11, td))[0]
+    assert ev["pk_columns"] == [0, 1]
+    assert ev["pk_prefixes"] == {1: 10}
+    # named decode still keys on the pk columns
+    blob = (
+        W.encode_table_map(7, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 7, td, [[5, "abcdef"]])
+    )
+    rows = W.decode_named_rows(blob)
+    assert rows[0]["pk"] == {"id": 5, "name": "abcdef"}
+
+
+def test_enum_set_charset_tlvs_label_text_round_trip():
+    """ENUM_AND_SET_DEFAULT_CHARSET / _COLUMN_CHARSET (TLVs 10/11):
+    the ENUM/SET LABEL text in TLVs 5/6 encodes with the enum/set
+    charset, not the table default — a gbk label set must survive the
+    wire even though the server writes the charset TLV AFTER the label
+    TLV (decode defers label parsing until the charsets are known)."""
+    labels = ["北京", "上海", "广州"]
+    td = W.TableDef(
+        "shop", "t",
+        [(W.TYPE_LONGLONG, None), (W.TYPE_STRING, (W.TYPE_ENUM, 1)),
+         (W.TYPE_STRING, (W.TYPE_SET, 1))],
+        col_names=["id", "city", "tags"], pk=[0],
+        enum_labels={1: labels}, set_labels={2: ["甲", "乙"]},
+        enum_set_charsets={1: 28, 2: 28},  # gbk_chinese_ci
+    )
+    ev = W.decode_events(W.encode_table_map(11, td))[0]
+    assert ev["enum_labels"] == {1: labels}
+    assert ev["set_labels"] == {2: ["甲", "乙"]}
+    assert ev["enum_set_charsets"] == {1: 28, 2: 28}
+    # default-charset form (TLV 10) with an override pair
+    td2 = W.TableDef(
+        "shop", "t2",
+        [(W.TYPE_STRING, (W.TYPE_ENUM, 1)),
+         (W.TYPE_STRING, (W.TYPE_ENUM, 1))],
+        col_names=["a", "b"],
+        enum_labels={0: ["x", "y"], 1: labels},
+        enum_set_charsets={1: 28},
+        enum_set_default_charset=255,  # utf8mb4, col 1 overridden to gbk
+    )
+    ev2 = W.decode_events(W.encode_table_map(12, td2))[0]
+    assert ev2["enum_labels"] == {0: ["x", "y"], 1: labels}
+    assert ev2["enum_set_default_charset"] == 255
+    assert ev2["enum_set_charsets"] == {1: 28}
+    # resolved labels flow through the registry-free named decode
+    blob = (
+        W.encode_table_map(7, td)
+        + W.encode_rows_event(W.WRITE_ROWS_EVENT, 7, td, [[1, 2, 0b11]])
+    )
+    rows = W.decode_named_rows(blob)
+    assert rows[0]["values"] == {"id": 1, "city": "上海", "tags": "甲,乙"}
