@@ -148,7 +148,15 @@ def _split_top_level(s: str) -> list[str]:
 
 _COL_DEF = re.compile(rf"^{_IDENT}\s+([A-Za-z]+(?:\s*\([^)]*\))?(?:\s+UNSIGNED)?(?:\s+ZEROFILL)?)", re.I)
 _PK_INLINE = re.compile(r"\bPRIMARY\s+KEY\b", re.I)
-_PK_CONSTRAINT = re.compile(r"^(?:CONSTRAINT\s+\S+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)", re.I)
+#: key-part list may nest one paren level per part — prefix lengths
+#: (``name(10)``), which a ``[^)]*`` capture would truncate mid-name
+_PK_CONSTRAINT = re.compile(
+    r"^(?:CONSTRAINT\s+\S+\s+)?PRIMARY\s+KEY\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)", re.I,
+)
+#: one key part → bare column: strip the prefix length and ASC/DESC
+_KEY_PART_TAIL = re.compile(
+    r"(?:\(\s*\d+\s*\))?\s*(?:\b(?:ASC|DESC))?\s*$", re.I)
 _KEY_DEF = re.compile(
     r"^(?:UNIQUE\s+)?(?:KEY|INDEX|CONSTRAINT|FULLTEXT|SPATIAL|FOREIGN|CHECK)\b", re.I
 )
@@ -462,7 +470,10 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
         for element in _split_top_level(body):
             pk_c = _PK_CONSTRAINT.match(element)
             if pk_c:
-                pks.extend(_ident(c) for c in pk_c.group(1).split(","))
+                pks.extend(
+                    _ident(_KEY_PART_TAIL.sub("", c.strip()))
+                    for c in pk_c.group(1).split(",")
+                )
                 continue
             if _KEY_DEF.match(element):
                 continue

@@ -1580,3 +1580,31 @@ def test_round13_composed_alter_fuzz(seed):
             t.upper() for _, t in snap
         ], (seed, tso_at)
         assert s.origin_names() == origins, (seed, tso_at)
+
+
+def test_prefix_key_parts_parse_to_bare_pk_columns():
+    """PRIMARY KEY (id, name(10) DESC): prefix lengths and ASC/DESC are
+    key-part attributes, not part of the column name — the old [^)]*
+    capture truncated at the prefix's close paren and surfaced a
+    phantom 'name(10' pk column (round-13 find, paired with the
+    PRIMARY_KEY_WITH_PREFIX wire TLV)."""
+    from polardbx_cdc_spark.ddl import parse_ddl
+
+    op = parse_ddl(
+        "CREATE TABLE t (id BIGINT, name VARCHAR(64), "
+        "PRIMARY KEY (id, name(10)))", "db")[0]
+    assert op["pks"] == ["id", "name"]
+    op2 = parse_ddl(
+        "CREATE TABLE t2 (id BIGINT, name VARCHAR(64), "
+        "PRIMARY KEY (name(10) DESC, id ASC))", "db")[0]
+    assert op2["pks"] == ["name", "id"]
+    # identifier whose SUFFIX spells a sort keyword stays intact
+    op3 = parse_ddl(
+        "CREATE TABLE t3 (descent BIGINT, PRIMARY KEY (descent))",
+        "db")[0]
+    assert op3["pks"] == ["descent"]
+    # backticked identifier + prefix
+    op4 = parse_ddl(
+        "CREATE TABLE t4 (`k ey` VARCHAR(32), PRIMARY KEY (`k ey`(5)))",
+        "db")[0]
+    assert op4["pks"] == ["k ey"]
