@@ -536,6 +536,25 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
                 # logical stream; MemoryTableMeta digests them intact)
                 ops.append({"db": db, "tbl": tbl, "op": "partition", "action": action})
                 continue
+            # ADD/DROP PRIMARY KEY change the registry's key metadata
+            # (MemoryTableMeta digests them; the column set is untouched)
+            mpk = re.match(
+                r"ADD\s+(?:CONSTRAINT\s+\S+\s+)?PRIMARY\s+KEY\s*"
+                r"(?:USING\s+\w+\s*)?\(((?:[^()]|\([^()]*\))*)\)",
+                action, re.I,
+            )
+            if mpk:
+                ops.append({
+                    "db": db, "tbl": tbl, "op": "add_pk",
+                    "columns": [
+                        _ident(_KEY_PART_TAIL.sub("", c.strip()))
+                        for c in mpk.group(1).split(",")
+                    ],
+                })
+                continue
+            if re.match(r"DROP\s+PRIMARY\s+KEY\s*$", action, re.I):
+                ops.append({"db": db, "tbl": tbl, "op": "drop_pk"})
+                continue
             if _INDEX_ACTION.match(action) or _TABLE_OPTION_ACTION.match(action):
                 # index/constraint/table-option DDL: registry no-op — the
                 # visible column set is unchanged (CINDEX/DINDEX in the

@@ -117,6 +117,24 @@ class SchemaRegistry:
             new = src
         elif op == "drop":
             new = TableSchema((), (), ())
+        elif op in ("add_pk", "drop_pk"):
+            # ALTER … ADD/DROP PRIMARY KEY: key metadata only — columns,
+            # types, origins all survive (MemoryTableMeta applies these;
+            # a dropped pk falls back to name identity downstream)
+            if cur is None or not cur.columns:
+                raise KeyError(f"{db}.{tbl} does not exist at {tso}")
+            missing = [
+                c for c in ddl.get("columns", ()) if c not in cur.columns
+            ] if op == "add_pk" else []
+            if missing:
+                raise ValueError(
+                    f"ADD PRIMARY KEY references unknown columns {missing}"
+                )
+            new = TableSchema(
+                cur.columns,
+                tuple(ddl["columns"]) if op == "add_pk" else (),
+                cur.hidden_pks, cur.types, cur.origins,
+            )
         elif op in ("truncate", "index", "partition"):
             # truncate clears rows, index DDL changes access paths,
             # partition maintenance changes placement — none touches the

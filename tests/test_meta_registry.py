@@ -118,7 +118,6 @@ _INDEX_DDL_ACTIONS = [
     "ADD FULLTEXT INDEX ft_a (a)",
     "ADD FULLTEXT KEY ft_a (a)",
     "ADD SPATIAL INDEX sp_a (a)",
-    "ADD PRIMARY KEY (id)",
     "ADD CONSTRAINT fk_x FOREIGN KEY (a) REFERENCES o (id)",
     "ADD FOREIGN KEY (a) REFERENCES o (id)",
     "ADD CONSTRAINT chk CHECK (a > 0)",
@@ -128,7 +127,6 @@ _INDEX_DDL_ACTIONS = [
     "ADD UNIQUE GLOBAL INDEX ugidx (a)",
     "DROP INDEX idx_a",
     "DROP KEY k_a",
-    "DROP PRIMARY KEY",
     "DROP FOREIGN KEY fk_x",
     "DROP CONSTRAINT chk",
     "RENAME INDEX idx_a TO idx_b",
@@ -241,3 +239,35 @@ def test_registry_save_load_round_trip_and_resume(tmp_path):
     assert back.find("app", "t2", f"{5:019d}" + "9" * 29).columns == ("pk", "x", "y")
     # original untouched
     assert reg.find("app", "t2", f"{5:019d}" + "9" * 29).columns == ("pk", "x")
+
+
+def test_add_drop_primary_key_tracks_key_metadata():
+    """ALTER … ADD/DROP PRIMARY KEY updates the registry's pk set
+    (MemoryTableMeta digests them — they were registry NO-OPS until
+    round 13) while the column set, types and origins survive; prefix
+    key parts strip to bare columns; a dropped pk time-travels back."""
+    r = SchemaRegistry()
+    r.apply_sql(_tso(10), "CREATE TABLE d.t (id BIGINT, a VARCHAR(32))")
+    assert r.find("d", "t", _tso(15)).pks == ()
+    r.apply_sql(_tso(20), "ALTER TABLE d.t ADD PRIMARY KEY (id, a(8))")
+    s = r.find("d", "t", _tso(25))
+    assert s.pks == ("id", "a")
+    assert s.columns == ("id", "a")
+    r.apply_sql(_tso(30), "ALTER TABLE d.t DROP PRIMARY KEY")
+    assert r.find("d", "t", _tso(35)).pks == ()
+    # time travel: the pk exists between its ADD and DROP
+    assert r.find("d", "t", _tso(25)).pks == ("id", "a")
+    # unknown column raises (strict, like the server)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown columns"):
+        r.apply_sql(_tso(40), "ALTER TABLE d.t ADD PRIMARY KEY (zz)")
+
+
+def test_drop_then_add_pk_in_one_composed_alter():
+    r = SchemaRegistry()
+    r.apply_sql(_tso(10), "CREATE TABLE d.t (id BIGINT PRIMARY KEY, b INT)")
+    r.apply_sql(
+        _tso(20),
+        "ALTER TABLE d.t DROP PRIMARY KEY, ADD PRIMARY KEY (b) USING BTREE",
+    )
+    assert r.find("d", "t", _tso(25)).pks == ("b",)
