@@ -140,6 +140,82 @@ _PROPS_FIELDS = ("srid", "gtype", "npoints", "x", "y",
                  "xmin", "ymin", "xmax", "ymax")
 
 
+def geometry_props_multi(df: DataFrame, specs, scale: int = 1 << 20
+                         ) -> DataFrame:
+    """`geometry_props` for SEVERAL binary columns in ONE Arrow pass —
+    ``specs`` is a list of (column, prefix) pairs. Chaining single-column
+    calls costs a full extra JVM↔Python roundtrip of every row per
+    column; this decodes them all per batch."""
+    extra = ", ".join(
+        f"{prefix}{f} {'int' if f in ('srid', 'gtype') else 'bigint'}"
+        for _, prefix in specs for f in _PROPS_FIELDS
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + extra
+
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = pdf.copy()
+            for col, prefix in specs:
+                cols = _decode_geometry_series(pdf[col], np)
+                _emit_props(out, cols, pdf[col].notna().to_numpy(),
+                            prefix, scale, np, pd)
+            yield out
+
+    return df.mapInPandas(_batches, out_schema)
+
+
+def _decode_geometry_series(s, np):
+    """Shared decode core: one pandas binary Series → dict of float64
+    property arrays (NaN where null)."""
+    n = len(s)
+    cols = {f: np.full(n, np.nan) for f in _PROPS_FIELDS}
+    valid = s.notna().to_numpy()
+    vals = [bytes(b) for b in s[valid]]
+    if vals and all(len(b) == _POINT_LEN and b[4] == 1 for b in vals):
+        raw = np.frombuffer(b"".join(vals), dtype=np.uint8)
+        raw = raw.reshape(-1, _POINT_LEN)
+        srid = raw[:, 0:4].copy().view("<u4")[:, 0]
+        xy = raw[:, 9:25].copy().view("<f8")
+        cols["srid"][valid] = srid
+        cols["gtype"][valid] = WKB_POINT
+        cols["npoints"][valid] = 1
+        for name, v in (("x", xy[:, 0]), ("y", xy[:, 1]),
+                        ("xmin", xy[:, 0]), ("xmax", xy[:, 0]),
+                        ("ymin", xy[:, 1]), ("ymax", xy[:, 1])):
+            cols[name][valid] = v
+    elif vals:
+        idx = np.nonzero(valid)[0]
+        for i, b in zip(idx, vals):
+            srid, gtype, coords = parse_mysql_geometry(b)
+            xs = [c[0] for c in coords]
+            ys = [c[1] for c in coords]
+            cols["srid"][i] = srid
+            cols["gtype"][i] = gtype
+            cols["npoints"][i] = len(coords)
+            if gtype == WKB_POINT:
+                cols["x"][i], cols["y"][i] = xs[0], ys[0]
+            cols["xmin"][i], cols["xmax"][i] = min(xs), max(xs)
+            cols["ymin"][i], cols["ymax"][i] = min(ys), max(ys)
+    return cols
+
+
+def _emit_props(out, cols, valid, prefix, scale, np, pd):
+    for f in _PROPS_FIELDS:
+        a = cols[f]
+        if f in ("srid", "gtype", "npoints"):
+            out[prefix + f] = pd.Series(a).astype(
+                "Int32" if f != "npoints" else "Int64")
+        else:
+            with np.errstate(invalid="ignore"):
+                out[prefix + f] = pd.Series(
+                    np.floor(a * scale + 0.5)).astype("Int64")
+
+
 def geometry_props(df: DataFrame, col: str, scale: int = 1 << 20,
                    prefix: str = "geo_") -> DataFrame:
     """Decode a binary MySQL-geometry column into typed properties.
@@ -158,65 +234,7 @@ def geometry_props(df: DataFrame, col: str, scale: int = 1 << 20,
     back to the struct walk. mapInPandas — Arrow batches in, never
     row-at-a-time Python.
     """
-    extra = ", ".join(
-        f"{prefix}{f} {'int' if f in ('srid', 'gtype') else 'bigint'}"
-        for f in _PROPS_FIELDS
-    )
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", " + extra
-
-    def _batches(it):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            s = pdf[col]
-            n = len(s)
-            cols = {f: np.full(n, np.nan) for f in _PROPS_FIELDS}
-            valid = s.notna().to_numpy()
-            vals = [bytes(b) for b in s[valid]]
-            if vals and all(
-                len(b) == _POINT_LEN and b[4] == 1 for b in vals
-            ):
-                raw = np.frombuffer(b"".join(vals), dtype=np.uint8)
-                raw = raw.reshape(-1, _POINT_LEN)
-                srid = raw[:, 0:4].copy().view("<u4")[:, 0]
-                xy = raw[:, 9:25].copy().view("<f8")
-                cols["srid"][valid] = srid
-                cols["gtype"][valid] = WKB_POINT
-                cols["npoints"][valid] = 1
-                for name, v in (("x", xy[:, 0]), ("y", xy[:, 1]),
-                                ("xmin", xy[:, 0]), ("xmax", xy[:, 0]),
-                                ("ymin", xy[:, 1]), ("ymax", xy[:, 1])):
-                    cols[name][valid] = v
-            elif vals:
-                idx = np.nonzero(valid)[0]
-                for i, b in zip(idx, vals):
-                    srid, gtype, coords = parse_mysql_geometry(b)
-                    xs = [c[0] for c in coords]
-                    ys = [c[1] for c in coords]
-                    cols["srid"][i] = srid
-                    cols["gtype"][i] = gtype
-                    cols["npoints"][i] = len(coords)
-                    if gtype == WKB_POINT:
-                        cols["x"][i], cols["y"][i] = xs[0], ys[0]
-                    cols["xmin"][i], cols["xmax"][i] = min(xs), max(xs)
-                    cols["ymin"][i], cols["ymax"][i] = min(ys), max(ys)
-
-            out = pdf.copy()
-            for f in _PROPS_FIELDS:
-                a = cols[f]
-                if f in ("srid", "gtype", "npoints"):
-                    out[prefix + f] = pd.Series(a).astype(
-                        "Int32" if f != "npoints" else "Int64")
-                else:
-                    with np.errstate(invalid="ignore"):
-                        out[prefix + f] = pd.Series(
-                            np.floor(a * scale + 0.5)).astype("Int64")
-            yield out
-
-    return df.mapInPandas(_batches, out_schema)
+    return geometry_props_multi(df, [(col, prefix)], scale)
 
 
 # ------------------------------------------------------------------

@@ -8016,27 +8016,40 @@ def orders_wire_geometry_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = src.repartition(par)
 
     def build(batches):
+        import struct as _st
+
+        import numpy as np
         import pandas as pd
 
-        from polardbx_cdc_spark.functions import spatial as SP
-
+        # vectorized MySQL-geometry assembly: fixed layouts (POINT = 25
+        # bytes, 3-point LINESTRING = 61 bytes) let numpy fill whole
+        # byte matrices — no per-row struct.pack
+        pt_hdr = _st.pack("<IBI", 4326, 1, 1)
+        ls_hdr = _st.pack("<IBII", 0, 1, 2, 3)
         for pdf in batches:
-            out = {"okey": [], "pt": [], "path": []}
-            for k in pdf["okey"]:
-                k = int(k)
-                out["okey"].append(k)
-                out["pt"].append(
-                    None if k % 97 == 0 else SP.point_wkb(
-                        (k % 4096) / 16.0, -((k * 7) % 4096) / 16.0,
-                        srid=4326,
-                    )
-                )
-                out["path"].append(SP.linestring_wkb([
-                    (((k + 64 * j) % 4096) / 16.0,
-                     ((k * 3 + 128 * j) % 4096) / 16.0)
-                    for j in range(3)
-                ]))
-            yield pd.DataFrame(out)
+            k = pdf["okey"].to_numpy(np.int64)
+            n = len(k)
+            pt = np.empty((n, 25), dtype=np.uint8)
+            pt[:, :9] = np.frombuffer(pt_hdr, dtype=np.uint8)
+            pt[:, 9:17] = ((k % 4096) / 16.0).view(np.uint8).reshape(n, 8)
+            pt[:, 17:25] = (-((k * 7) % 4096) / 16.0).view(
+                np.uint8).reshape(n, 8)
+            ls = np.empty((n, 61), dtype=np.uint8)
+            ls[:, :13] = np.frombuffer(ls_hdr, dtype=np.uint8)
+            for j in range(3):
+                o = 13 + 16 * j
+                ls[:, o : o + 8] = (((k + 64 * j) % 4096) / 16.0).view(
+                    np.uint8).reshape(n, 8)
+                ls[:, o + 8 : o + 16] = (
+                    ((k * 3 + 128 * j) % 4096) / 16.0
+                ).view(np.uint8).reshape(n, 8)
+            null = (k % 97) == 0
+            yield pd.DataFrame({
+                "okey": k,
+                "pt": [None if nl else bytes(r)
+                       for nl, r in zip(null, pt)],
+                "path": [bytes(r) for r in ls],
+            })
 
     geo = src.mapInPandas(build, "okey long, pt binary, path binary")
     decls = ["bigint", "point srid 4326", "linestring"]
@@ -8044,8 +8057,9 @@ def orders_wire_geometry_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = binlog_wire.binlog_to_table(
         blobs, decls, ["okey", "pt", "path"]
     )
-    props = spatial.geometry_props(back, "pt", scale=16, prefix="pt_")
-    props = spatial.geometry_props(props, "path", scale=16, prefix="ls_")
+    props = spatial.geometry_props_multi(
+        back, [("pt", "pt_"), ("path", "ls_")], scale=16
+    )
     return props.groupBy(
         F.pmod("okey", F.lit(7)).cast("long").alias("grp")
     ).agg(
