@@ -124,7 +124,10 @@ def _restore(obj, subs: dict[str, str]):
     if isinstance(obj, tuple):
         return tuple(_restore(v, subs) for v in obj)
     if isinstance(obj, dict):
-        return {k: _restore(v, subs) for k, v in obj.items()}
+        # KEYS can be identifiers too (pk_prefixes maps column → length)
+        return {
+            _restore(k, subs): _restore(v, subs) for k, v in obj.items()
+        }
     return obj
 
 
@@ -157,6 +160,26 @@ _PK_CONSTRAINT = re.compile(
 #: one key part → bare column: strip the prefix length and ASC/DESC
 _KEY_PART_TAIL = re.compile(
     r"(?:\(\s*\d+\s*\))?\s*(?:\b(?:ASC|DESC))?\s*$", re.I)
+_KEY_PART_PREFIX = re.compile(r"\(\s*(\d+)\s*\)")
+
+
+def _parse_key_parts(raw: str) -> tuple[list[str], dict[str, int]]:
+    """A key-part list (``id, name(10) DESC``) → (bare column names in
+    key order, {column: prefix length} for prefix-indexed parts) — the
+    registry keeps prefixes so a rendered CREATE round-trips and the
+    wire's PRIMARY_KEY_WITH_PREFIX TLV can be sourced from schema."""
+    names: list[str] = []
+    prefixes: dict[str, int] = {}
+    for part in raw.split(","):
+        part = part.strip()
+        name = _ident(_KEY_PART_TAIL.sub("", part))
+        names.append(name)
+        m = _KEY_PART_PREFIX.search(part)
+        if m:
+            prefixes[name] = int(m.group(1))
+    return names, prefixes
+
+
 _KEY_DEF = re.compile(
     r"^(?:UNIQUE\s+)?(?:KEY|INDEX|CONSTRAINT|FULLTEXT|SPATIAL|FOREIGN|CHECK)\b", re.I
 )
@@ -467,13 +490,13 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
         pks: list[str] = []
         hidden: list[str] = []
         generated: list[str] = []
+        pk_prefixes: dict[str, int] = {}
         for element in _split_top_level(body):
             pk_c = _PK_CONSTRAINT.match(element)
             if pk_c:
-                pks.extend(
-                    _ident(_KEY_PART_TAIL.sub("", c.strip()))
-                    for c in pk_c.group(1).split(",")
-                )
+                names, prefixes = _parse_key_parts(pk_c.group(1))
+                pks.extend(names)
+                pk_prefixes.update(prefixes)
                 continue
             if _KEY_DEF.match(element):
                 continue
@@ -493,6 +516,7 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
             "columns": cols,
             "types": types,
             "pks": list(dict.fromkeys(pks)),
+            "pk_prefixes": pk_prefixes,
             "hidden_pks": hidden,
             "generated": generated,
         }]
@@ -544,12 +568,10 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
                 action, re.I,
             )
             if mpk:
+                names, prefixes = _parse_key_parts(mpk.group(1))
                 ops.append({
                     "db": db, "tbl": tbl, "op": "add_pk",
-                    "columns": [
-                        _ident(_KEY_PART_TAIL.sub("", c.strip()))
-                        for c in mpk.group(1).split(",")
-                    ],
+                    "columns": names, "pk_prefixes": prefixes,
                 })
                 continue
             if re.match(r"DROP\s+PRIMARY\s+KEY\s*$", action, re.I):

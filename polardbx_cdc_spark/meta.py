@@ -40,6 +40,10 @@ class TableSchema:
     hidden_pks: tuple[str, ...] = ()  # implicit PK columns to drop on rebuild
     types: tuple[str, ...] = ()
     origins: tuple[str, ...] = ()
+    #: (pk column, prefix length) pairs for prefix-indexed key parts —
+    #: keeps a rendered CREATE faithful and sources the wire's
+    #: PRIMARY_KEY_WITH_PREFIX TLV; empty when the key has no prefixes
+    pk_prefixes: tuple[tuple[str, int], ...] = ()
 
     def column_types(self) -> dict[str, str]:
         return dict(zip(self.columns, self.types))
@@ -107,6 +111,9 @@ class SchemaRegistry:
                 tuple(ddl.get("hidden_pks", ())),
                 tuple(ddl.get("types", ())),
                 tuple(f"{c}@{tso}" for c in ddl["columns"]),
+                pk_prefixes=tuple(
+                    dict(ddl.get("pk_prefixes", {})).items()
+                ),
             )
         elif op == "create_like":
             src = self.find(ddl["src_db"], ddl["src_tbl"], tso)
@@ -134,6 +141,9 @@ class SchemaRegistry:
                 cur.columns,
                 tuple(ddl["columns"]) if op == "add_pk" else (),
                 cur.hidden_pks, cur.types, cur.origins,
+                pk_prefixes=tuple(
+                    dict(ddl.get("pk_prefixes", {})).items()
+                ) if op == "add_pk" else (),
             )
         elif op in ("truncate", "index", "partition"):
             # truncate clears rows, index DDL changes access paths,
@@ -154,6 +164,7 @@ class SchemaRegistry:
                     "op": "create",
                     "columns": list(cur.columns),
                     "pks": list(cur.pks),
+                    "pk_prefixes": dict(cur.pk_prefixes),
                     "hidden_pks": list(cur.hidden_pks),
                     "types": list(cur.types),
                 },
@@ -210,6 +221,7 @@ class SchemaRegistry:
                 tuple(cols), cur.pks, cur.hidden_pks,
                 tuple(types) if any(types) else (),
                 tuple(origins),
+                pk_prefixes=cur.pk_prefixes,
             )
         hist.tsos.append(tso)
         hist.schemas.append(new)
@@ -290,6 +302,7 @@ class SchemaRegistry:
                             "hidden_pks": list(s.hidden_pks),
                             "types": list(s.types),
                             "origins": list(s.origins),
+                            "pk_prefixes": [list(p) for p in s.pk_prefixes],
                         }
                         for t, s in zip(h.tsos, h.schemas)
                     ],
@@ -322,6 +335,9 @@ class SchemaRegistry:
                         types=tuple(v["types"]),
                         # absent on pre-round-10 snapshots: name fallback
                         origins=tuple(v.get("origins", ())),
+                        pk_prefixes=tuple(
+                            (c, int(n)) for c, n in v.get("pk_prefixes", ())
+                        ),
                     )
                 )
             reg._tables[(t["db"], t["tbl"])] = h

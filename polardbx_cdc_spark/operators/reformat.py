@@ -138,7 +138,12 @@ def render_create_sql(db: str, tbl: str, schema) -> str:
     (round-trips through ddl.parse_ddl)."""
     types = schema.types if schema.types else ("TEXT",) * len(schema.columns)
     cols = ", ".join(f"`{c}` {t}" for c, t in zip(schema.columns, types))
-    pk = f", PRIMARY KEY ({', '.join(f'`{c}`' for c in schema.pks)})" if schema.pks else ""
+    prefixes = dict(getattr(schema, "pk_prefixes", ()) or ())
+    parts = ", ".join(
+        f"`{c}`({prefixes[c]})" if c in prefixes else f"`{c}`"
+        for c in schema.pks
+    )
+    pk = f", PRIMARY KEY ({parts})" if schema.pks else ""
     return f"CREATE TABLE `{db}`.`{tbl}` ({cols}{pk})"
 
 

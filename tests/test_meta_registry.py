@@ -271,3 +271,42 @@ def test_drop_then_add_pk_in_one_composed_alter():
         "ALTER TABLE d.t DROP PRIMARY KEY, ADD PRIMARY KEY (b) USING BTREE",
     )
     assert r.find("d", "t", _tso(25)).pks == ("b",)
+
+
+def test_pk_prefixes_survive_registry_lifecycle(tmp_path):
+    """Prefix lengths from CREATE / ADD PRIMARY KEY key parts live in
+    TableSchema.pk_prefixes, survive save/load and rename, clear on
+    DROP PRIMARY KEY, and render back into the CREATE SQL (the SHOW
+    CREATE TABLE round trip keeps `name(10)`)."""
+    from polardbx_cdc_spark.meta import SchemaRegistry
+    from polardbx_cdc_spark.operators.reformat import render_create_sql
+
+    r = SchemaRegistry()
+    r.apply_sql(
+        _tso(10),
+        "CREATE TABLE d.t (id BIGINT, name VARCHAR(64), "
+        "PRIMARY KEY (id, name(10)))",
+    )
+    s = r.find("d", "t", _tso(15))
+    assert s.pks == ("id", "name")
+    assert s.pk_prefixes == (("name", 10),)
+    sql = render_create_sql("d", "t", s)
+    assert "PRIMARY KEY (`id`, `name`(10))" in sql
+    # ... and the rendered SQL parses back to the same key metadata
+    r2 = SchemaRegistry()
+    r2.apply_sql(_tso(10), sql)
+    s2 = r2.find("d", "t", _tso(15))
+    assert s2.pks == s.pks and s2.pk_prefixes == s.pk_prefixes
+    # column DDL preserves prefixes; DROP PRIMARY KEY clears them
+    r.apply_sql(_tso(20), "ALTER TABLE d.t ADD COLUMN v INT")
+    assert r.find("d", "t", _tso(25)).pk_prefixes == (("name", 10),)
+    r.apply_sql(_tso(30), "RENAME TABLE d.t TO d.t2")
+    assert r.find("d", "t2", _tso(35)).pk_prefixes == (("name", 10),)
+    r.apply_sql(_tso(40), "ALTER TABLE d.t2 DROP PRIMARY KEY")
+    assert r.find("d", "t2", _tso(45)).pk_prefixes == ()
+    # save/load round trip keeps the history intact
+    p = str(tmp_path / "reg.json")
+    r.save(p)
+    r3 = SchemaRegistry.load(p)
+    assert r3.find("d", "t2", _tso(35)).pk_prefixes == (("name", 10),)
+    assert r3.find("d", "t2", _tso(45)).pk_prefixes == ()
