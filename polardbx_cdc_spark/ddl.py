@@ -183,6 +183,33 @@ def _parse_key_parts(raw: str) -> tuple[list[str], dict[str, int]]:
 _KEY_DEF = re.compile(
     r"^(?:UNIQUE\s+)?(?:KEY|INDEX|CONSTRAINT|FULLTEXT|SPATIAL|FOREIGN|CHECK)\b", re.I
 )
+#: UNIQUE KEY table element / ALTER ADD clause — registry tracks unique
+#: keys because the reference's applier identity-key selection needs
+#: them (TableInfo.getIdentifyKeyList: pks + uks; DbMetaManager reads
+#: them from information_schema)
+_UNIQUE_DEF = re.compile(
+    r"^(?:CONSTRAINT\s+(?P<cname>[^\s(]+)\s+)?UNIQUE(?:\s+(?:KEY|INDEX))?"
+    r"(?:\s+(?!\()(?P<name>[^\s(]+))?\s*"
+    r"\((?P<parts>(?:[^()]|\([^()]*\))*)\)", re.I,
+)
+
+
+def _parse_unique_def(element: str):
+    """One UNIQUE element/clause → (key name, column tuple) or None.
+    The name is the index name, else the CONSTRAINT symbol, else
+    MySQL's convention seed (the first column name)."""
+    m = _UNIQUE_DEF.match(element.strip())
+    if not m:
+        return None
+    names, _ = _parse_key_parts(m.group("parts"))
+    # FUNCTIONAL key parts (UNIQUE KEY fuk ((LOWER(b)))) are expressions,
+    # not columns — the registry cannot attribute them; leave those keys
+    # as plain index no-ops
+    if any(not n or "(" in n or ")" in n for n in names):
+        return None
+    raw = m.group("name") or m.group("cname")
+    name = _ident(raw) if raw else names[0]
+    return name, tuple(names)
 
 
 # -- balanced-paren expression consumer --------------------------------------
@@ -491,12 +518,17 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
         hidden: list[str] = []
         generated: list[str] = []
         pk_prefixes: dict[str, int] = {}
+        uniques: list[list] = []
         for element in _split_top_level(body):
             pk_c = _PK_CONSTRAINT.match(element)
             if pk_c:
                 names, prefixes = _parse_key_parts(pk_c.group(1))
                 pks.extend(names)
                 pk_prefixes.update(prefixes)
+                continue
+            uq = _parse_unique_def(element)
+            if uq:
+                uniques.append([uq[0], list(uq[1])])
                 continue
             if _KEY_DEF.match(element):
                 continue
@@ -505,6 +537,10 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
             types.append(c["mysql_type"])
             if c["inline_pk"]:
                 pks.append(c["name"])
+            elif re.search(r"\bUNIQUE\b", element, re.I):
+                # inline column attribute: `v INT UNIQUE` = a single-
+                # column unique key named after the column
+                uniques.append([c["name"], [c["name"]]])
             if c["generated"]:
                 generated.append(c["name"])
             if c["name"] == IMPLICIT_PK:
@@ -517,6 +553,7 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
             "types": types,
             "pks": list(dict.fromkeys(pks)),
             "pk_prefixes": pk_prefixes,
+            "uniques": uniques,
             "hidden_pks": hidden,
             "generated": generated,
         }]
@@ -576,6 +613,38 @@ def _parse_ddl_sanitized(sql: str, default_db: str | None = None) -> list[dict]:
                 continue
             if re.match(r"DROP\s+PRIMARY\s+KEY\s*$", action, re.I):
                 ops.append({"db": db, "tbl": tbl, "op": "drop_pk"})
+                continue
+            # ADD UNIQUE / DROP INDEX / RENAME INDEX maintain the
+            # registry's unique-key metadata (TableInfo.getIdentifyKeyList
+            # consumes it); GLOBAL/CLUSTERED GSI forms stay no-ops
+            madd = re.match(r"ADD\s+(.*)$", action, re.I | re.S)
+            if madd and re.match(
+                r"(?:CONSTRAINT\s+\S+\s+)?UNIQUE\b", madd.group(1), re.I
+            ):
+                uq = _parse_unique_def(madd.group(1))
+                if uq:
+                    ops.append({
+                        "db": db, "tbl": tbl, "op": "add_uk",
+                        "name": uq[0], "columns": list(uq[1]),
+                    })
+                    continue
+            mdrop = re.match(
+                r"DROP\s+(?:INDEX|KEY)\s+([^\s(]+)\s*$", action, re.I)
+            if mdrop:
+                ops.append({
+                    "db": db, "tbl": tbl, "op": "drop_index",
+                    "name": _ident(mdrop.group(1)),
+                })
+                continue
+            mren = re.match(
+                r"RENAME\s+(?:INDEX|KEY)\s+([^\s(]+)\s+TO\s+([^\s(]+)\s*$",
+                action, re.I)
+            if mren:
+                ops.append({
+                    "db": db, "tbl": tbl, "op": "rename_index",
+                    "from": _ident(mren.group(1)),
+                    "to": _ident(mren.group(2)),
+                })
                 continue
             if _INDEX_ACTION.match(action) or _TABLE_OPTION_ACTION.match(action):
                 # index/constraint/table-option DDL: registry no-op — the

@@ -44,6 +44,27 @@ class TableSchema:
     #: keeps a rendered CREATE faithful and sources the wire's
     #: PRIMARY_KEY_WITH_PREFIX TLV; empty when the key has no prefixes
     pk_prefixes: tuple[tuple[str, int], ...] = ()
+    #: (key name, column tuple) per UNIQUE key — the applier's identity
+    #: key selection (TableInfo.getIdentifyKeyList) falls back to these
+    #: when a table has no pk-adjacent identity
+    uniques: tuple[tuple[str, tuple[str, ...]], ...] = ()
+
+    def identify_key_list(self) -> tuple[str, ...]:
+        """Applier identity columns, mirroring the reference's
+        TableInfo.getIdentifyKeyList (TableInfo.java:52-100): a pk-less
+        table identifies by ALL columns; otherwise the pks, extended by
+        every unique-key column not already present. (The reference also
+        appends db/tb shard keys — topology state outside this registry;
+        callers holding a LogicalTopology can append them the same
+        way.)"""
+        if not self.pks:
+            return tuple(self.columns)
+        out = list(self.pks)
+        for _, cols in self.uniques:
+            for c in cols:
+                if c not in out:
+                    out.append(c)
+        return tuple(out)
 
     def column_types(self) -> dict[str, str]:
         return dict(zip(self.columns, self.types))
@@ -114,6 +135,9 @@ class SchemaRegistry:
                 pk_prefixes=tuple(
                     dict(ddl.get("pk_prefixes", {})).items()
                 ),
+                uniques=tuple(
+                    (n, tuple(cs)) for n, cs in ddl.get("uniques", ())
+                ),
             )
         elif op == "create_like":
             src = self.find(ddl["src_db"], ddl["src_tbl"], tso)
@@ -144,6 +168,35 @@ class SchemaRegistry:
                 pk_prefixes=tuple(
                     dict(ddl.get("pk_prefixes", {})).items()
                 ) if op == "add_pk" else (),
+                uniques=cur.uniques,
+            )
+        elif op in ("add_uk", "drop_index", "rename_index"):
+            # unique-key metadata maintenance (DbMetaManager surface);
+            # DROP/RENAME of a non-unique index is a plain no-op version
+            if cur is None or not cur.columns:
+                raise KeyError(f"{db}.{tbl} does not exist at {tso}")
+            uqs = list(cur.uniques)
+            if op == "add_uk":
+                missing = [
+                    c for c in ddl["columns"] if c not in cur.columns
+                ]
+                if missing:
+                    raise ValueError(
+                        f"ADD UNIQUE references unknown columns {missing}"
+                    )
+                uqs = [u for u in uqs if u[0] != ddl["name"]]
+                uqs.append((ddl["name"], tuple(ddl["columns"])))
+            elif op == "drop_index":
+                uqs = [u for u in uqs if u[0] != ddl["name"]]
+            else:  # rename_index
+                uqs = [
+                    (ddl["to"], cols) if n == ddl["from"] else (n, cols)
+                    for n, cols in uqs
+                ]
+            new = TableSchema(
+                cur.columns, cur.pks, cur.hidden_pks, cur.types,
+                cur.origins, pk_prefixes=cur.pk_prefixes,
+                uniques=tuple(uqs),
             )
         elif op in ("truncate", "index", "partition"):
             # truncate clears rows, index DDL changes access paths,
@@ -165,6 +218,7 @@ class SchemaRegistry:
                     "columns": list(cur.columns),
                     "pks": list(cur.pks),
                     "pk_prefixes": dict(cur.pk_prefixes),
+                    "uniques": [[n, list(cs)] for n, cs in cur.uniques],
                     "hidden_pks": list(cur.hidden_pks),
                     "types": list(cur.types),
                 },
@@ -217,11 +271,34 @@ class SchemaRegistry:
                     types[i] = mysql_type
             else:
                 raise ValueError(f"unknown ddl op {op}")
+            live = set(cols)
+            renames = (
+                {ddl["from"]: ddl["to"]} if op == "rename_column" else {}
+            )
+            uqs2 = []
+            for n, cs in cur.uniques:
+                cs2 = tuple(
+                    renames.get(c, c) for c in cs
+                    if renames.get(c, c) in live
+                )
+                if cs2:  # a key whose every column is gone disappears
+                    uqs2.append((renames.get(n, n), cs2))
+            # key metadata follows column renames/drops the way the
+            # server rewrites index definitions (a key loses a dropped
+            # column; an all-columns-gone key disappears)
+            pks2 = tuple(
+                renames.get(c, c) for c in cur.pks
+                if renames.get(c, c) in live
+            )
             new = TableSchema(
-                tuple(cols), cur.pks, cur.hidden_pks,
+                tuple(cols), pks2, cur.hidden_pks,
                 tuple(types) if any(types) else (),
                 tuple(origins),
-                pk_prefixes=cur.pk_prefixes,
+                pk_prefixes=tuple(
+                    (renames.get(c, c), n) for c, n in cur.pk_prefixes
+                    if renames.get(c, c) in live
+                ),
+                uniques=tuple(uqs2),
             )
         hist.tsos.append(tso)
         hist.schemas.append(new)
@@ -303,6 +380,9 @@ class SchemaRegistry:
                             "types": list(s.types),
                             "origins": list(s.origins),
                             "pk_prefixes": [list(p) for p in s.pk_prefixes],
+                            "uniques": [
+                                [n, list(cs)] for n, cs in s.uniques
+                            ],
                         }
                         for t, s in zip(h.tsos, h.schemas)
                     ],
@@ -337,6 +417,9 @@ class SchemaRegistry:
                         origins=tuple(v.get("origins", ())),
                         pk_prefixes=tuple(
                             (c, int(n)) for c, n in v.get("pk_prefixes", ())
+                        ),
+                        uniques=tuple(
+                            (n, tuple(cs)) for n, cs in v.get("uniques", ())
                         ),
                     )
                 )

@@ -144,7 +144,11 @@ def render_create_sql(db: str, tbl: str, schema) -> str:
         for c in schema.pks
     )
     pk = f", PRIMARY KEY ({parts})" if schema.pks else ""
-    return f"CREATE TABLE `{db}`.`{tbl}` ({cols}{pk})"
+    uks = "".join(
+        f", UNIQUE KEY `{n}` ({', '.join(f'`{c}`' for c in cs)})"
+        for n, cs in getattr(schema, "uniques", ()) or ()
+    )
+    return f"CREATE TABLE `{db}`.`{tbl}` ({cols}{pk}{uks})"
 
 
 def repair_topology_record(

@@ -310,3 +310,67 @@ def test_pk_prefixes_survive_registry_lifecycle(tmp_path):
     r3 = SchemaRegistry.load(p)
     assert r3.find("d", "t2", _tso(35)).pk_prefixes == (("name", 10),)
     assert r3.find("d", "t2", _tso(45)).pk_prefixes == ()
+
+
+def test_unique_keys_track_through_registry_and_identify_list():
+    """Unique-key metadata (DbMetaManager.getTableUks surface) and the
+    applier identity selection (TableInfo.getIdentifyKeyList:52-100):
+    pk-less tables identify by ALL columns; otherwise pks + unique-key
+    columns; ADD UNIQUE / DROP INDEX / RENAME INDEX maintain the set;
+    keys follow column renames and lose dropped columns."""
+    from polardbx_cdc_spark.meta import SchemaRegistry
+
+    r = SchemaRegistry()
+    r.apply_sql(
+        _tso(10),
+        "CREATE TABLE d.t (id BIGINT PRIMARY KEY, a INT, b VARCHAR(32), "
+        "c INT UNIQUE, UNIQUE KEY uk_ab (a, b(8)))",
+    )
+    s = r.find("d", "t", _tso(15))
+    assert s.uniques == (("c", ("c",)), ("uk_ab", ("a", "b")))
+    assert s.identify_key_list() == ("id", "c", "a", "b")
+    # ALTER maintenance
+    r.apply_sql(_tso(20), "ALTER TABLE d.t ADD UNIQUE INDEX uk_b (b)")
+    r.apply_sql(_tso(30), "ALTER TABLE d.t DROP INDEX uk_ab")
+    r.apply_sql(_tso(40), "ALTER TABLE d.t RENAME INDEX uk_b TO uk_bb")
+    s = r.find("d", "t", _tso(45))
+    assert s.uniques == (("c", ("c",)), ("uk_bb", ("b",)))
+    # column rename/drop rewrite key definitions
+    r.apply_sql(_tso(50), "ALTER TABLE d.t CHANGE COLUMN b b2 VARCHAR(32)")
+    assert r.find("d", "t", _tso(55)).uniques == (
+        ("c", ("c",)), ("uk_bb", ("b2",)))
+    r.apply_sql(_tso(60), "ALTER TABLE d.t DROP COLUMN b2")
+    assert r.find("d", "t", _tso(65)).uniques == (("c", ("c",)),)
+    # DROP of a NON-unique index stays a no-op version
+    r.apply_sql(_tso(70), "ALTER TABLE d.t DROP INDEX some_plain_idx")
+    assert r.find("d", "t", _tso(75)).uniques == (("c", ("c",)),)
+
+
+def test_identify_key_list_pkless_table_and_pk_rename():
+    from polardbx_cdc_spark.meta import SchemaRegistry
+
+    r = SchemaRegistry()
+    r.apply_sql(_tso(10), "CREATE TABLE d.n (x INT, y INT)")
+    assert r.find("d", "n", _tso(15)).identify_key_list() == ("x", "y")
+    # pk follows a CHANGE COLUMN rename now (was a dead name before)
+    r2 = SchemaRegistry()
+    r2.apply_sql(_tso(10), "CREATE TABLE d.p (id BIGINT PRIMARY KEY, v INT)")
+    r2.apply_sql(_tso(20), "ALTER TABLE d.p CHANGE COLUMN id id2 BIGINT")
+    assert r2.find("d", "p", _tso(25)).pks == ("id2",)
+
+
+def test_render_create_sql_round_trips_unique_keys():
+    from polardbx_cdc_spark.meta import SchemaRegistry
+    from polardbx_cdc_spark.operators.reformat import render_create_sql
+
+    r = SchemaRegistry()
+    r.apply_sql(
+        _tso(10),
+        "CREATE TABLE d.t (id BIGINT PRIMARY KEY, a INT, b VARCHAR(16), "
+        "UNIQUE KEY uk_ab (a, b))",
+    )
+    sql = render_create_sql("d", "t", r.find("d", "t", _tso(15)))
+    assert "UNIQUE KEY `uk_ab` (`a`, `b`)" in sql
+    r2 = SchemaRegistry()
+    r2.apply_sql(_tso(10), sql)
+    assert r2.find("d", "t", _tso(15)).uniques == (("uk_ab", ("a", "b")),)
