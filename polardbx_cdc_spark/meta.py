@@ -184,11 +184,17 @@ class SchemaRegistry:
                     raise ValueError(
                         f"ADD UNIQUE references unknown columns {missing}"
                     )
-                uqs = [u for u in uqs if u[0] != ddl["name"]]
+                if any(n == ddl["name"] for n, _ in uqs):
+                    # ER_DUP_KEYNAME — the server refuses, so must we
+                    raise ValueError(f"duplicate key name {ddl['name']!r}")
                 uqs.append((ddl["name"], tuple(ddl["columns"])))
             elif op == "drop_index":
                 uqs = [u for u in uqs if u[0] != ddl["name"]]
             else:  # rename_index
+                if ddl["to"] != ddl["from"] and any(
+                    n == ddl["to"] for n, _ in uqs
+                ):
+                    raise ValueError(f"duplicate key name {ddl['to']!r}")
                 uqs = [
                     (ddl["to"], cols) if n == ddl["from"] else (n, cols)
                     for n, cols in uqs

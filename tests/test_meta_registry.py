@@ -374,3 +374,91 @@ def test_render_create_sql_round_trips_unique_keys():
     r2 = SchemaRegistry()
     r2.apply_sql(_tso(10), sql)
     assert r2.find("d", "t", _tso(15)).uniques == (("uk_ab", ("a", "b")),)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_unique_key_metadata_random_walk(seed):
+    """Key-metadata model fuzz (round-13 uniques tracking): a random
+    interleave of ADD UNIQUE / DROP INDEX / RENAME INDEX / column
+    ADD-RENAME-DROP must keep the registry's uniques equal to an
+    analytic dict model applying the same rewrite rules (keys follow
+    renames, lose dropped columns, vanish when empty)."""
+    import random
+
+    from polardbx_cdc_spark.meta import SchemaRegistry
+
+    rng = random.Random(400 + seed)
+    r = SchemaRegistry()
+    cols = [f"c{i}" for i in range(5)]
+    r.apply_sql(
+        _tso(1),
+        "CREATE TABLE f.t (" + ", ".join(f"{c} INT" for c in cols) + ")",
+    )
+    model: dict[str, tuple[str, ...]] = {}
+    order: list[str] = []  # registry keeps insertion order
+    next_col, tso = 5, 2
+    for _ in range(60):
+        roll = rng.random()
+        if roll < 0.30 and cols:
+            n = rng.randint(1, min(3, len(cols)))
+            kcols = rng.sample(cols, n)
+            name = f"uk{rng.randint(0, 9)}"
+            sql = (f"ALTER TABLE f.t ADD UNIQUE KEY {name} "
+                   f"({', '.join(kcols)})")
+            if name in model:  # ER_DUP_KEYNAME
+                with pytest.raises(ValueError, match="duplicate key"):
+                    r.apply_sql(_tso(tso), sql)
+            else:
+                r.apply_sql(_tso(tso), sql)
+                model[name] = tuple(kcols)
+                order.append(name)
+        elif roll < 0.45:
+            name = f"uk{rng.randint(0, 9)}"
+            r.apply_sql(_tso(tso), f"ALTER TABLE f.t DROP INDEX {name}")
+            if name in model:
+                del model[name]
+                order.remove(name)
+        elif roll < 0.55 and model:
+            src = rng.choice(order)
+            dst = f"uk{rng.randint(0, 9)}"
+            sql = f"ALTER TABLE f.t RENAME INDEX {src} TO {dst}"
+            if dst != src and dst in model:  # ER_DUP_KEYNAME
+                with pytest.raises(ValueError, match="duplicate key"):
+                    r.apply_sql(_tso(tso), sql)
+            else:
+                r.apply_sql(_tso(tso), sql)
+                if src != dst:
+                    model[dst] = model.pop(src)
+                    order[order.index(src)] = dst
+        elif roll < 0.70:
+            c = f"c{next_col}"
+            next_col += 1
+            r.apply_sql(_tso(tso), f"ALTER TABLE f.t ADD COLUMN {c} INT")
+            cols.append(c)
+        elif roll < 0.85 and len(cols) > 1:
+            src = rng.choice(cols)
+            dst = f"c{next_col}"
+            next_col += 1
+            r.apply_sql(
+                _tso(tso),
+                f"ALTER TABLE f.t CHANGE COLUMN {src} {dst} INT")
+            cols[cols.index(src)] = dst
+            for k in list(model):
+                model[k] = tuple(dst if c == src else c for c in model[k])
+        elif len(cols) > 1:
+            c = rng.choice(cols)
+            r.apply_sql(_tso(tso), f"ALTER TABLE f.t DROP COLUMN {c}")
+            cols.remove(c)
+            for k in list(model):
+                left = tuple(x for x in model[k] if x != c)
+                if left:
+                    model[k] = left
+                else:
+                    del model[k]
+                    order.remove(k)
+        tso += 1
+        got = r.find("f", "t", _tso(tso))
+        assert got.uniques == tuple((k, model[k]) for k in order), (
+            f"seed {seed} step tso {tso}"
+        )
+        assert got.columns == tuple(cols)
