@@ -937,128 +937,137 @@ def _encode_image(td: TableDef, values: list,
     for i, ((tc, m), v) in enumerate(zip(td.types, values)):
         if v is None:
             continue
-        u = i in td.unsigned
-        if tc == TYPE_TINY:
-            out += struct.pack("<B" if u else "<b", int(v))
-        elif tc == TYPE_SHORT:
-            out += struct.pack("<H" if u else "<h", int(v))
-        elif tc == TYPE_INT24:
-            out += (int(v) & 0xFFFFFF).to_bytes(3, "little")
-        elif tc == TYPE_LONG:
-            out += struct.pack("<I" if u else "<i", int(v))
-        elif tc == TYPE_LONGLONG:
-            out += struct.pack("<Q" if u else "<q", int(v))
-        elif tc == TYPE_FLOAT:
-            out += struct.pack("<f", float(v))
-        elif tc == TYPE_DOUBLE:
-            out += struct.pack("<d", float(v))
-        elif tc == TYPE_NEWDECIMAL:
-            out += _encode_decimal(v, m[0], m[1])
-        elif tc == TYPE_BIT:
-            out += int(v).to_bytes((m + 7) // 8, "big")
-        elif tc == TYPE_YEAR:
-            out += bytes([0 if int(v) == 0 else int(v) - 1900])
-        elif tc == TYPE_DATE:
-            out += (v.day | (v.month << 5) | (v.year << 9)).to_bytes(3, "little")
-        elif tc == TYPE_DATETIME2:
-            out += _encode_datetime2(v, m)
-        elif tc == TYPE_DATETIME:
-            # legacy packed-decimal: YYYYMMDDHHMMSS as one u64 LE
-            num = (
-                ((v.year * 100 + v.month) * 100 + v.day) * 1_000_000
-                + (v.hour * 100 + v.minute) * 100 + v.second
-            )
-            out += struct.pack("<Q", num)
-        elif tc == TYPE_TIMESTAMP:
-            if isinstance(v, (int, float)):
-                secs = int(v)
-            else:
-                import calendar
-
-                secs = calendar.timegm(v.timetuple())
-            out += struct.pack("<I", secs)
-        elif tc == TYPE_TIME:
-            # legacy signed int24 of HHMMSS decimal
-            total = v.days * 86400 + v.seconds
-            neg, a = total < 0, abs(v.days * 86400 + v.seconds)
-            h, rem = divmod(a, 3600)
-            mi, se = divmod(rem, 60)
-            num = h * 10_000 + mi * 100 + se
-            if neg:
-                num = (1 << 24) - num
-            out += num.to_bytes(3, "little")
-        elif tc == TYPE_TIMESTAMP2:
-            # v: aware/naive datetime treated as UTC, or raw epoch seconds
-            if isinstance(v, (int, float)):
-                secs, micros = int(v), 0
-            else:
-                import calendar
-
-                secs = calendar.timegm(v.timetuple())
-                micros = v.microsecond
-            out += secs.to_bytes(4, "big") + _encode_frac(micros, m)
-        elif tc == TYPE_TIME2:
-            # full signed TIME2 (RowsLogBuffer.java:665-760 decode,
-            # mirrored): 3-byte big-endian intpart biased by 0x800000;
-            # negative values with a fraction store intpart-1 and the
-            # fraction's complement; fsp 5-6 is ONE 48-bit biased
-            # quantity (TIMEF_OFS) — bit-identical to the 3+3 split for
-            # positives, diverging only on negatives (the borrow).
-            total_us = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
-            neg, a = total_us < 0, abs(total_us)
-            a_sec, frac_us = divmod(a, 1_000_000)
-            h, rem = divmod(a_sec, 3600)
-            mi, se = divmod(rem, 60)
-            intpart = (h << 12) | (mi << 6) | se
-            nb = _frac_bytes(m)
-            if nb == 3:
-                packed = (intpart << 24) | frac_us
-                out += ((-packed if neg else packed) + 0x800000000000).to_bytes(6, "big")
-            else:
-                frac_units = frac_us // (10 ** (6 - 2 * nb)) if nb else 0
-                si = -intpart if neg else intpart
-                if neg and frac_units > 0:
-                    si -= 1
-                    frac_units = (1 << (8 * nb)) - frac_units
-                out += (si + 0x800000).to_bytes(3, "big")
-                if nb:
-                    out += frac_units.to_bytes(nb, "big")
-        elif tc == TYPE_VARCHAR:
-            b = v if isinstance(v, bytes) else str(v).encode(
-                _codec_for(td.charset_of(i))
-            )
-            out += (bytes([len(b)]) if m < 256 else struct.pack("<H", len(b))) + b
-        elif tc == TYPE_BLOB:
-            b = bytes(v)
-            out += len(b).to_bytes(m, "little") + b
-        elif tc == TYPE_JSON:
-            # Python value (or pre-serialized document bytes) → binary
-            # JSON blob, BLOB-style length prefix; a JsonDiffVector is a
-            # partial-format value (type-39 after images only)
-            if isinstance(v, JsonDiffVector):
-                b: bytes | bytearray = encode_json_diffs(v)
-            elif isinstance(v, (bytes, bytearray)):
-                b = v
-            else:
-                b = json_serialize(v)
-            out += len(b).to_bytes(m, "little") + bytes(b)
-        elif tc == TYPE_GEOMETRY:
-            b = bytes(v)
-            out += len(b).to_bytes(m, "little") + b
-        elif tc == TYPE_STRING and m[0] in (TYPE_ENUM, TYPE_SET):
-            # ENUM index / SET bitmask: pack_len-byte little-endian
-            # unsigned (RowsLogBuffer.java:833-886 getUint8/16…48)
-            out += int(v).to_bytes(m[1], "little")
-        elif tc == TYPE_STRING:
-            # CHAR(n): stored unpadded with a length prefix sized by the
-            # declared max bytes (RowsLogBuffer STRING == VAR_STRING path)
-            b = v if isinstance(v, bytes) else str(v).encode(
-                _codec_for(td.charset_of(i))
-            )
-            out += (bytes([len(b)]) if m[1] < 256 else struct.pack("<H", len(b))) + b
-        else:
-            raise ValueError(f"unsupported wire type {tc}")
+        _encode_cell_into(out, td, i, tc, m, v)
     return bytes(out)
+
+
+def _encode_cell_into(out: bytearray, td: TableDef, i: int, tc: int, m,
+                      v) -> None:
+    """Append ONE non-null wire cell to ``out`` — the per-value body of
+    ``_encode_image``, split out so the vectorized encode fast path
+    (``_vector_cells`` fallback columns) and the row-at-a-time path share
+    byte-identical cell encoding."""
+    u = i in td.unsigned
+    if tc == TYPE_TINY:
+        out += struct.pack("<B" if u else "<b", int(v))
+    elif tc == TYPE_SHORT:
+        out += struct.pack("<H" if u else "<h", int(v))
+    elif tc == TYPE_INT24:
+        out += (int(v) & 0xFFFFFF).to_bytes(3, "little")
+    elif tc == TYPE_LONG:
+        out += struct.pack("<I" if u else "<i", int(v))
+    elif tc == TYPE_LONGLONG:
+        out += struct.pack("<Q" if u else "<q", int(v))
+    elif tc == TYPE_FLOAT:
+        out += struct.pack("<f", float(v))
+    elif tc == TYPE_DOUBLE:
+        out += struct.pack("<d", float(v))
+    elif tc == TYPE_NEWDECIMAL:
+        out += _encode_decimal(v, m[0], m[1])
+    elif tc == TYPE_BIT:
+        out += int(v).to_bytes((m + 7) // 8, "big")
+    elif tc == TYPE_YEAR:
+        out += bytes([0 if int(v) == 0 else int(v) - 1900])
+    elif tc == TYPE_DATE:
+        out += (v.day | (v.month << 5) | (v.year << 9)).to_bytes(3, "little")
+    elif tc == TYPE_DATETIME2:
+        out += _encode_datetime2(v, m)
+    elif tc == TYPE_DATETIME:
+        # legacy packed-decimal: YYYYMMDDHHMMSS as one u64 LE
+        num = (
+            ((v.year * 100 + v.month) * 100 + v.day) * 1_000_000
+            + (v.hour * 100 + v.minute) * 100 + v.second
+        )
+        out += struct.pack("<Q", num)
+    elif tc == TYPE_TIMESTAMP:
+        if isinstance(v, (int, float)):
+            secs = int(v)
+        else:
+            import calendar
+
+            secs = calendar.timegm(v.timetuple())
+        out += struct.pack("<I", secs)
+    elif tc == TYPE_TIME:
+        # legacy signed int24 of HHMMSS decimal
+        total = v.days * 86400 + v.seconds
+        neg, a = total < 0, abs(v.days * 86400 + v.seconds)
+        h, rem = divmod(a, 3600)
+        mi, se = divmod(rem, 60)
+        num = h * 10_000 + mi * 100 + se
+        if neg:
+            num = (1 << 24) - num
+        out += num.to_bytes(3, "little")
+    elif tc == TYPE_TIMESTAMP2:
+        # v: aware/naive datetime treated as UTC, or raw epoch seconds
+        if isinstance(v, (int, float)):
+            secs, micros = int(v), 0
+        else:
+            import calendar
+
+            secs = calendar.timegm(v.timetuple())
+            micros = v.microsecond
+        out += secs.to_bytes(4, "big") + _encode_frac(micros, m)
+    elif tc == TYPE_TIME2:
+        # full signed TIME2 (RowsLogBuffer.java:665-760 decode,
+        # mirrored): 3-byte big-endian intpart biased by 0x800000;
+        # negative values with a fraction store intpart-1 and the
+        # fraction's complement; fsp 5-6 is ONE 48-bit biased
+        # quantity (TIMEF_OFS) — bit-identical to the 3+3 split for
+        # positives, diverging only on negatives (the borrow).
+        total_us = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
+        neg, a = total_us < 0, abs(total_us)
+        a_sec, frac_us = divmod(a, 1_000_000)
+        h, rem = divmod(a_sec, 3600)
+        mi, se = divmod(rem, 60)
+        intpart = (h << 12) | (mi << 6) | se
+        nb = _frac_bytes(m)
+        if nb == 3:
+            packed = (intpart << 24) | frac_us
+            out += ((-packed if neg else packed) + 0x800000000000).to_bytes(6, "big")
+        else:
+            frac_units = frac_us // (10 ** (6 - 2 * nb)) if nb else 0
+            si = -intpart if neg else intpart
+            if neg and frac_units > 0:
+                si -= 1
+                frac_units = (1 << (8 * nb)) - frac_units
+            out += (si + 0x800000).to_bytes(3, "big")
+            if nb:
+                out += frac_units.to_bytes(nb, "big")
+    elif tc == TYPE_VARCHAR:
+        b = v if isinstance(v, bytes) else str(v).encode(
+            _codec_for(td.charset_of(i))
+        )
+        out += (bytes([len(b)]) if m < 256 else struct.pack("<H", len(b))) + b
+    elif tc == TYPE_BLOB:
+        b = bytes(v)
+        out += len(b).to_bytes(m, "little") + b
+    elif tc == TYPE_JSON:
+        # Python value (or pre-serialized document bytes) → binary
+        # JSON blob, BLOB-style length prefix; a JsonDiffVector is a
+        # partial-format value (type-39 after images only)
+        if isinstance(v, JsonDiffVector):
+            b: bytes | bytearray = encode_json_diffs(v)
+        elif isinstance(v, (bytes, bytearray)):
+            b = v
+        else:
+            b = json_serialize(v)
+        out += len(b).to_bytes(m, "little") + bytes(b)
+    elif tc == TYPE_GEOMETRY:
+        b = bytes(v)
+        out += len(b).to_bytes(m, "little") + b
+    elif tc == TYPE_STRING and m[0] in (TYPE_ENUM, TYPE_SET):
+        # ENUM index / SET bitmask: pack_len-byte little-endian
+        # unsigned (RowsLogBuffer.java:833-886 getUint8/16…48)
+        out += int(v).to_bytes(m[1], "little")
+    elif tc == TYPE_STRING:
+        # CHAR(n): stored unpadded with a length prefix sized by the
+        # declared max bytes (RowsLogBuffer STRING == VAR_STRING path)
+        b = v if isinstance(v, bytes) else str(v).encode(
+            _codec_for(td.charset_of(i))
+        )
+        out += (bytes([len(b)]) if m[1] < 256 else struct.pack("<H", len(b))) + b
+    else:
+        raise ValueError(f"unsupported wire type {tc}")
 
 
 def _decode_image(td: TableDef, buf: bytes, pos: int,
@@ -2869,6 +2878,410 @@ def _label_codecs(mysql_types: list[str]):
     return codecs
 
 
+def fan_out(df, par: int | None = None):
+    """Spread a narrow frame across the cluster ahead of a heavy Python
+    stage. The driver testdata parquet is ONE row group per file, so the
+    scan can never exceed one task per file — an exchange is the only
+    fan-out. A keyless ``repartition(n)`` would pay a full local sort of
+    its input first (``spark.sql.execution.sortBeforeRepartition``, kept
+    ON for retry safety — SPARK-23207/38388); hashing a DETERMINISTIC
+    synthetic key is retry-safe without the sort and measured 0.88s vs
+    1.28s on the sf0.1 lineitem exchange. 50×par distinct key values keep
+    the hash spread even (guide §2.5). No-op when the input is already at
+    cluster parallelism (the 100 TB case — wide scans never re-shuffle)."""
+    if par is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    from pyspark.sql import functions as _F
+
+    key = _F.pmod(_F.xxhash64(*[_F.col(c) for c in df.columns]),
+                  _F.lit(50 * par))
+    return df.repartition(par, key)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized WRITE-rows encode (optimization round 13, guide §4.2)
+#
+# ``table_to_binlog`` is the hot half of every wire query: profiled at sf0.1
+# lineitem, the per-row/per-value Python encode was 1.34s of the 2.18s query
+# (scan 0.14s, decode 0.47s). The fast path below computes each COLUMN's wire
+# cells as one numpy pass (int views, packed-decimal group arithmetic,
+# pandas ``str.encode``), then assembles all row images of an Arrow batch
+# into a single uint8 buffer with two vectorized ragged scatters. Columns
+# with no vectorized encoder fall back PER COLUMN to ``_encode_cell_into`` —
+# the same bytes the row path produces — so mixed tables still gain.
+# ---------------------------------------------------------------------------
+
+
+def _vec_fixed_le(vals, w, np):
+    """(n, w) little-endian low-byte matrix of an int64 array — matches
+    ``struct.pack('<q/<i/<h/<b', v)`` (two's complement) and the int24
+    ``(v & 0xFFFFFF).to_bytes(3, 'little')`` masks."""
+    m = np.ascontiguousarray(vals.astype("<i8", copy=False))
+    return m.view(np.uint8).reshape(-1, 8)[:, :w]
+
+
+def _vec_fixed_be(vals, w, np):
+    """(n, w) big-endian low-byte matrix (``v.to_bytes(w, 'big')``)."""
+    m = np.ascontiguousarray(vals.astype(">u8"))
+    return m.view(np.uint8).reshape(-1, 8)[:, 8 - w:]
+
+
+def _vec_decimal_cells(col_nn, prec, scale, np, pd, prescaled=False):
+    """NEWDECIMAL packed cells. ``prescaled``: the column already carries
+    the unscaled int64 (``table_to_binlog`` shifts decimals JVM-side —
+    exact, and it halves the exchange bytes vs decimal128). Otherwise
+    non-null Decimal values at uniform Arrow scale, prec ≤ 15, so the
+    unscaled integer < 10^15 < 2^51 — the float64 round trip (value →
+    ×10^scale → rint) is exact (abs error < 0.5) and rint's tie mode
+    never fires. Returns an (n, width) byte matrix or None (fallback)."""
+    if prescaled:
+        unscaled = col_nn.to_numpy(np.int64)
+    else:
+        if prec > 15 or prec - scale > 15:
+            return None
+        first = col_nn.iloc[0]
+        if not isinstance(first, _Decimal) or first.as_tuple().exponent != -scale:
+            return None  # non-uniform scale: the row path's quantize matters
+        vals = pd.to_numeric(col_nn, errors="coerce").to_numpy(np.float64)
+        if np.isnan(vals).any():
+            return None
+        unscaled = np.rint(vals * float(10 ** scale)).astype(np.int64)
+    neg = unscaled < 0
+    a = np.abs(unscaled)
+    intg = prec - scale
+    int_part = a // (10 ** scale) if scale else a
+    frac = a % (10 ** scale) if scale else np.zeros_like(a)
+    if intg:
+        int_part = int_part % (10 ** intg)
+    cols = []
+    part, full = intg % 9, intg // 9  # full ≤ 1 under the prec ≤ 15 guard
+    if part or full:
+        if full:
+            hi, lo = np.divmod(int_part, np.int64(10 ** (9 * full)))
+        else:
+            hi, lo = int_part, None
+        if part:
+            cols.append(_vec_fixed_be(hi, _DIG2BYTES[part], np))
+        if full:
+            cols.append(_vec_fixed_be(lo, 4, np))
+    part, full = scale % 9, scale // 9
+    if full or part:
+        lo = frac
+        if full:  # ≤ 1 full group under the guard
+            g, lo = np.divmod(lo, np.int64(10 ** (scale - 9)))
+            cols.append(_vec_fixed_be(g, 4, np))
+        if part:
+            cols.append(_vec_fixed_be(lo, _DIG2BYTES[part], np))
+    if not cols:
+        cols.append(np.zeros((len(a), 1), np.uint8))
+    mat = np.hstack(cols)
+    mat[neg] ^= 0xFF
+    mat[:, 0] ^= 0x80
+    return mat
+
+
+def _vec_datetime_index(col_nn, pd):
+    """DatetimeIndex over non-null datetime/date values, or None when the
+    values do not fit pandas' ns range (year > 2262 → per-row path)."""
+    try:
+        idx = pd.DatetimeIndex(pd.to_datetime(col_nn.to_numpy()))
+    except Exception:  # noqa: BLE001 — out-of-range / mixed types
+        return None
+    if idx.tz is not None:
+        return None
+    return idx
+
+
+def _vec_frac_cols(us, fsp, np):
+    """Fractional-second tail columns (``_encode_frac``): big-endian
+    ``_frac_bytes(fsp)`` bytes of micros // 10^(6-2nb)."""
+    nbf = _frac_bytes(fsp)
+    if nbf == 0:
+        return None
+    units = (us // (10 ** (6 - 2 * nbf))).astype(np.int64)
+    return _vec_fixed_be(units, nbf, np)
+
+
+def _vector_cells(td, i, tc, m, col, np, pd, prescaled=False):
+    """One column's wire cells, vectorized: returns ``(data, lens,
+    nulls)`` — ``data`` the uint8 concatenation of the non-null cells in
+    row order, ``lens`` per-row byte lengths (0 at nulls) — or None when
+    this column shape has no vectorized encoder (caller falls back to
+    ``_encode_cell_into`` per row, same interface, same bytes)."""
+    nulls = pd.isna(col).to_numpy()
+    nn = ~nulls
+    col_nn = col[nn]
+    n = len(col)
+
+    def fixed(mat, w):
+        lens = np.where(nulls, 0, w).astype(np.int64)
+        return np.ascontiguousarray(mat).reshape(-1), lens, nulls
+
+    def ragged(payloads, prefix_w, np=np):
+        """Length-prefixed cells (VARCHAR/CHAR/BLOB/JSON/GEOMETRY):
+        little-endian prefix + payload bytes, two vectorized scatters."""
+        P = np.fromiter((len(b) for b in payloads), np.int64, len(payloads))
+        cell = prefix_w + P
+        starts = np.concatenate(([0], np.cumsum(cell)))
+        buf = np.zeros(int(starts[-1]), np.uint8)
+        for b in range(prefix_w):
+            buf[starts[:-1] + b] = ((P >> (8 * b)) & 0xFF).astype(np.uint8)
+        data = np.frombuffer(b"".join(payloads), np.uint8)
+        if len(data):
+            pay_starts = starts[:-1] + prefix_w
+            src_breaks = np.cumsum(P) - P
+            idx = np.repeat(pay_starts - src_breaks, P) + np.arange(len(data))
+            buf[idx] = data
+        lens = np.zeros(n, np.int64)
+        lens[nn] = cell
+        return buf, lens, nulls
+
+    def ints_nn():
+        if pd.api.types.is_integer_dtype(col_nn):
+            return col_nn.to_numpy(np.int64)  # no to_numeric pass needed
+        return pd.to_numeric(col_nn, errors="raise").to_numpy(np.int64)
+
+    u = i in td.unsigned
+    if tc == TYPE_LONGLONG:
+        return fixed(_vec_fixed_le(ints_nn(), 8, np), 8)
+    if tc in (TYPE_TINY, TYPE_SHORT, TYPE_INT24, TYPE_LONG):
+        w = {TYPE_TINY: 1, TYPE_SHORT: 2, TYPE_INT24: 3, TYPE_LONG: 4}[tc]
+        v = ints_nn()
+        if tc != TYPE_INT24 and len(v):  # struct.pack raises out-of-range
+            lo = 0 if u else -(1 << (8 * w - 1))
+            hi = (1 << (8 * w)) - 1 if u else (1 << (8 * w - 1)) - 1
+            if v.min() < lo or v.max() > hi:
+                return None
+        return fixed(_vec_fixed_le(v, w, np), w)
+    if tc == TYPE_YEAR:
+        v = ints_nn()
+        adj = np.where(v == 0, 0, v - 1900)
+        if len(adj) and (adj.min() < 0 or adj.max() > 255):
+            return None
+        return fixed(_vec_fixed_le(adj, 1, np), 1)
+    if tc == TYPE_FLOAT:
+        vals = pd.to_numeric(col_nn, errors="raise").to_numpy(np.float64)
+        mat = np.ascontiguousarray(vals.astype("<f4")).view(np.uint8)
+        return fixed(mat.reshape(-1, 4), 4)
+    if tc == TYPE_DOUBLE:
+        vals = pd.to_numeric(col_nn, errors="raise").to_numpy(np.float64)
+        mat = np.ascontiguousarray(vals.astype("<f8")).view(np.uint8)
+        return fixed(mat.reshape(-1, 8), 8)
+    if tc == TYPE_NEWDECIMAL:
+        mat = _vec_decimal_cells(col_nn, m[0], m[1], np, pd, prescaled) \
+            if len(col_nn) else np.zeros((0, _decimal_byte_len(m[0], m[1])),
+                                         np.uint8)
+        if mat is None:
+            return None
+        return fixed(mat, _decimal_byte_len(m[0], m[1]))
+    if tc == TYPE_DATE:
+        idx = _vec_datetime_index(col_nn, pd) if len(col_nn) else None
+        if idx is None and len(col_nn):
+            return None
+        if idx is None:
+            return fixed(np.zeros((0, 3), np.uint8), 3)
+        packed = (idx.day.to_numpy(np.int64)
+                  | (idx.month.to_numpy(np.int64) << 5)
+                  | (idx.year.to_numpy(np.int64) << 9))
+        return fixed(_vec_fixed_le(packed, 3, np), 3)
+    if tc in (TYPE_DATETIME2, TYPE_DATETIME, TYPE_TIMESTAMP2, TYPE_TIMESTAMP):
+        if len(col_nn) == 0:
+            w = {TYPE_DATETIME: 8, TYPE_TIMESTAMP: 4,
+                 TYPE_DATETIME2: 5 + _frac_bytes(m or 0),
+                 TYPE_TIMESTAMP2: 4 + _frac_bytes(m or 0)}[tc]
+            return fixed(np.zeros((0, w), np.uint8), w)
+        if pd.api.types.is_numeric_dtype(col_nn) and tc in (
+                TYPE_TIMESTAMP, TYPE_TIMESTAMP2):
+            secs = pd.to_numeric(col_nn).to_numpy(np.int64)
+            us = np.zeros_like(secs)
+        else:
+            idx = _vec_datetime_index(col_nn, pd)
+            if idx is None:
+                return None
+            ns = idx.asi8
+            secs = np.floor_divide(ns, 1_000_000_000)
+            us = (ns - secs * 1_000_000_000) // 1000
+        if tc == TYPE_TIMESTAMP2:
+            if secs.min() < 0 or secs.max() >= 1 << 32:
+                return None
+            head = _vec_fixed_be(secs, 4, np)
+            tail = _vec_frac_cols(us, m, np)
+            mat = np.hstack([head, tail]) if tail is not None else head
+            return fixed(mat, mat.shape[1])
+        if tc == TYPE_TIMESTAMP:
+            if secs.min() < 0 or secs.max() >= 1 << 32:
+                return None
+            return fixed(_vec_fixed_le(secs, 4, np), 4)
+        y = idx.year.to_numpy(np.int64)
+        mo = idx.month.to_numpy(np.int64)
+        d = idx.day.to_numpy(np.int64)
+        h = idx.hour.to_numpy(np.int64)
+        mi = idx.minute.to_numpy(np.int64)
+        s = idx.second.to_numpy(np.int64)
+        if tc == TYPE_DATETIME:
+            num = (((y * 100 + mo) * 100 + d) * 1_000_000
+                   + (h * 100 + mi) * 100 + s)
+            return fixed(_vec_fixed_le(num, 8, np), 8)
+        packed = ((1 << 39) | ((y * 13 + mo) << 22) | (d << 17)
+                  | (h << 12) | (mi << 6) | s)
+        head = _vec_fixed_be(packed, 5, np)
+        tail = _vec_frac_cols(us, m, np)
+        mat = np.hstack([head, tail]) if tail is not None else head
+        return fixed(mat, mat.shape[1])
+    if tc == TYPE_TIME:
+        # legacy TIME from the MySQL text form — the table_to_binlog
+        # pre-transform parses strings; non-negative HH:MM:SS vectorizes
+        it = pd.api.types.infer_dtype(col_nn, skipna=True) \
+            if len(col_nn) else "string"
+        if it != "string" or (len(col_nn)
+                              and not col_nn.str.fullmatch(
+                                  r"\d{1,3}:\d{2}:\d{2}").all()):
+            return None
+        parts = col_nn.str.split(":", expand=True) if len(col_nn) else None
+        if parts is None:
+            return fixed(np.zeros((0, 3), np.uint8), 3)
+        h = parts[0].astype(np.int64).to_numpy()
+        mi = parts[1].astype(np.int64).to_numpy()
+        se = parts[2].astype(np.int64).to_numpy()
+        num = h * 10_000 + mi * 100 + se
+        return fixed(_vec_fixed_le(num, 3, np), 3)
+    if tc == TYPE_STRING and isinstance(m, tuple) and m[0] in (
+            TYPE_ENUM, TYPE_SET):
+        return fixed(_vec_fixed_le(ints_nn(), m[1], np), m[1])
+    if tc == TYPE_BIT:
+        w = (m + 7) // 8
+        if w > 8:
+            return None
+        v = ints_nn()
+        if len(v) and (v.min() < 0 or (w < 8 and v.max() >= 1 << (8 * w))):
+            return None
+        return fixed(_vec_fixed_be(v, w, np), w)
+    if tc in (TYPE_VARCHAR, TYPE_STRING, TYPE_BLOB, TYPE_JSON, TYPE_GEOMETRY):
+        it = pd.api.types.infer_dtype(col_nn, skipna=True) \
+            if len(col_nn) else "bytes"
+        if tc in (TYPE_VARCHAR, TYPE_STRING):
+            maxlen = m if tc == TYPE_VARCHAR else m[1]
+            prefix_w = 1 if maxlen < 256 else 2
+            if it == "string":
+                payloads = col_nn.str.encode(
+                    _codec_for(td.charset_of(i))).to_numpy()
+            elif it == "bytes":
+                payloads = col_nn.to_numpy()
+            else:
+                return None
+        else:
+            if it != "bytes":
+                return None  # JSON documents / diff vectors: row path
+            prefix_w = m
+            payloads = col_nn.to_numpy()
+        return ragged(payloads, prefix_w)
+    return None
+
+
+def _fallback_cells(td, i, tc, m, col, pre, np, pd):
+    """Per-row cells for one column the vector path does not cover —
+    identical bytes via ``_encode_cell_into``; feeds the same vectorized
+    image assembly. ``pre`` is the row-path pre-transform."""
+    nulls = pd.isna(col).to_numpy()
+    lens = np.zeros(len(col), np.int64)
+    chunks = []
+    for r, v in enumerate(col):
+        if nulls[r]:
+            continue
+        ba = bytearray()
+        _encode_cell_into(ba, td, i, tc, m, pre(v))
+        lens[r] = len(ba)
+        chunks.append(bytes(ba))
+    data = np.frombuffer(b"".join(chunks), np.uint8)
+    return data, lens, nulls
+
+
+def _encode_write_images(td, pdf, cols, codecs, is_bool, is_time, present,
+                         np, pd, prescaled=frozenset()):
+    """All row images of one Arrow batch as ``(buf, row_off)`` — buf the
+    uint8 concatenation of every image, ``row_off`` the n+1 row-boundary
+    offsets. Byte-identical to ``_encode_image`` over the same rows.
+    ``prescaled``: NEWDECIMAL columns already shifted to unscaled int64
+    JVM-side (see ``table_to_binlog``)."""
+    if present is not None and not all(present):
+        keep = [j for j, p in enumerate(present) if p]
+    else:
+        keep = list(range(len(td.types)))
+    if len(keep) > 64:
+        return None  # bitmap packing below assumes ≤ 64 image columns
+    n = len(pdf)
+    datas, lens_l, nulls_l = [], [], []
+    for j in keep:
+        tc, m = td.types[j]
+        col = pdf[cols[j]]
+        if is_bool[j]:
+            nulls = pd.isna(col).to_numpy()
+            vals = col.where(~nulls, other=False).astype(bool)
+            cells = _vector_cells(
+                td, j, tc, m, vals.astype(np.int64).where(~nulls), np, pd)
+        elif is_time[j] or (codecs[j] is not None and tc == TYPE_JSON):
+            cells = _vector_cells(td, j, tc, m, col, np, pd) \
+                if is_time[j] else None
+        elif codecs[j] is not None:
+            # ENUM/SET label→index/mask: map over the distinct labels
+            nulls = pd.isna(col).to_numpy()
+            it = pd.api.types.infer_dtype(col, skipna=True)
+            if it == "integer":
+                cells = _vector_cells(td, j, tc, m, col, np, pd)
+            elif it == "string":
+                uniq = col.dropna().unique()
+                to_wire = codecs[j][0]
+                mapping = {s: to_wire(s) for s in uniq}  # raises like row path
+                cells = _vector_cells(td, j, tc, m, col.map(mapping), np, pd)
+            else:
+                cells = None
+        else:
+            cells = _vector_cells(td, j, tc, m, col, np, pd,
+                                  prescaled=j in prescaled)
+        if cells is None:
+            if is_bool[j]:
+                pre = lambda v: int(bool(v))  # noqa: E731
+            elif is_time[j]:
+                pre = lambda v: _parse_time_str(v) if isinstance(v, str) else v  # noqa: E731
+            elif codecs[j] is not None:
+                pre = codecs[j][0]
+            elif j in prescaled:
+                # unscaled int64 → Decimal at declared scale (exact)
+                pre = lambda v, s=td.types[j][1][1]: _Decimal(int(v)).scaleb(-s)  # noqa: E731
+            else:
+                pre = lambda v: v  # noqa: E731
+            cells = _fallback_cells(td, j, tc, m, col, pre, np, pd)
+        data_j, lens_j, nulls_j = cells
+        datas.append(np.ascontiguousarray(data_j, dtype=np.uint8).reshape(-1))
+        lens_l.append(lens_j)
+        nulls_l.append(nulls_j)
+    nb = (len(keep) + 7) // 8
+    W = np.stack(lens_l, axis=1) if keep else np.zeros((n, 0), np.int64)
+    bits = np.zeros(n, np.uint64)
+    for j, nulls_j in enumerate(nulls_l):
+        bits |= nulls_j.astype(np.uint64) << np.uint64(j)
+    row_len = nb + W.sum(axis=1)
+    row_off = np.zeros(n + 1, np.int64)
+    np.cumsum(row_len, out=row_off[1:])
+    buf = np.zeros(int(row_off[-1]), np.uint8)
+    for b in range(nb):
+        buf[row_off[:-1] + b] = ((bits >> np.uint64(8 * b))
+                                 & np.uint64(0xFF)).astype(np.uint8)
+    cum = np.cumsum(W, axis=1)
+    ar = np.arange(max((len(d) for d in datas), default=0), dtype=np.int64)
+    for j, data_j in enumerate(datas):
+        L = W[:, j]
+        if not len(data_j):
+            continue
+        starts = row_off[:-1] + nb + (cum[:, j] - L)
+        src_breaks = np.cumsum(L) - L
+        idx = np.repeat(starts - src_breaks, L) + ar[:len(data_j)]
+        buf[idx] = data_j
+    return buf, row_off
+
+
 def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
                     rows_per_event: int = 256,
                     rows_event_type: int = WRITE_ROWS_EVENT,
@@ -2890,9 +3303,6 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
     ``present``: partial-row-image column mask (binlog_row_image=NOBLOB
     omits blob/text columns from every image; MINIMAL trims further) —
     masked columns never hit the wire and decode as NULL."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
     cols = list(df.columns)
     is_bool = [t.strip().lower().startswith(("bool", "tinyint(1)")) and
                "unsigned" not in t.lower() for t in mysql_types]
@@ -2900,16 +3310,72 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
                not t.strip().lower().startswith("timestamp")
                for t in mysql_types]
     codecs = _label_codecs(mysql_types)
+    use_vec = rows_event_type in (WRITE_ROWS_EVENT, WRITE_ROWS_EVENT_V1)
+    # pre-shift NEWDECIMAL columns to their unscaled int64 JVM-side
+    # (exact: Spark decimal(p,s) × 10^s is integral, and p ≤ 18 fits a
+    # long): the exchange and the Arrow hop carry 8-byte ints instead of
+    # decimal128 + per-object Decimal→bytes work in the Python encoder
+    prescaled: set[int] = set()
+    if use_vec:
+        from pyspark.sql import functions as _F
+        from pyspark.sql import types as _T
+
+        sch = df.schema
+        for j, decl in enumerate(mysql_types):
+            t = decl.strip().lower()
+            if not t.startswith(("decimal", "numeric")):
+                continue
+            if "(" in t:
+                inner = t[t.find("(") + 1 : t.find(")")]
+                p, _, s = inner.partition(",")
+                prec, scale = int(p), int(s or 0)
+            else:
+                prec, scale = 10, 0
+            if prec > 18 or not isinstance(sch[j].dataType, _T.DecimalType):
+                continue
+            dt = sch[j].dataType
+            if dt.scale != scale or dt.precision > 18:
+                continue  # row path would quantize; keep its semantics
+            df = df.withColumn(
+                cols[j],
+                (_F.col(cols[j]) * _F.lit(10 ** scale)).cast("long"),
+            )
+            prescaled.add(j)
+    df = fan_out(df)
 
     def encode_partition(batches):
+        import numpy as np
         import pandas as pd
 
         td = TableDef.from_mysql_types(db, tbl, mysql_types)
         tid = zlib.crc32(f"{db}.{tbl}".encode()) & 0x7FFFFFFF
+        # vectorized fast path (WRITE framing only — the shape this
+        # function emits in production; UPDATE pairs keep the row path)
+        post = struct.pack("<Q", tid)[:6] + struct.pack("<H", 0)
+        if rows_event_type == WRITE_ROWS_EVENT:
+            post += struct.pack("<H", 2)  # v2 extra-data length
+        pb = present if present is not None else [True] * len(td.types)
+        ev_head = post + _lenenc(len(td.types)) + _bitmap(pb)
         for pdf in batches:
             if pdf.empty:
                 continue
             blob = bytearray(encode_table_map(tid, td))
+            if use_vec:
+                enc = _encode_write_images(
+                    td, pdf, cols, codecs, is_bool, is_time, present, np, pd,
+                    prescaled=prescaled,
+                )
+                if enc is not None:
+                    buf, row_off = enc
+                    nb_rows = len(pdf)
+                    for k0 in range(0, nb_rows, rows_per_event):
+                        k1 = min(k0 + rows_per_event, nb_rows)
+                        body = ev_head + buf[row_off[k0]:row_off[k1]].tobytes()
+                        blob += encode_event(rows_event_type, body)
+                    yield pd.DataFrame(
+                        [(nb_rows, bytes(blob))], columns=["n_rows", "payload"]
+                    )
+                    continue
             rows = []
             for rec in pdf[cols].itertuples(index=False):
                 vals = []
@@ -2922,6 +3388,12 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
                         vals.append(_parse_time_str(v))
                     elif codecs[i] is not None:
                         vals.append(codecs[i][0](v))
+                    elif i in prescaled:
+                        # >64-column batch fallback: undo the JVM-side
+                        # unscaled-int shift (exact)
+                        vals.append(
+                            _Decimal(int(v)).scaleb(-td.types[i][1][1])
+                        )
                     else:
                         vals.append(v)
                 rows.append(vals)

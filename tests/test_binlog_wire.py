@@ -2587,3 +2587,62 @@ def test_enum_set_charset_tlvs_label_text_round_trip():
     )
     rows = W.decode_named_rows(blob)
     assert rows[0]["values"] == {"id": 1, "city": "上海", "tags": "甲,乙"}
+
+
+# ---------------------------------------------------------------------------
+# Vectorized encode fast path (r13 optimization): byte-identity vs row path
+# ---------------------------------------------------------------------------
+
+
+def test_vectorized_write_encode_is_byte_identical_to_row_path(spark):
+    """`table_to_binlog`'s vectorized image assembly must produce the
+    EXACT bytes of the row-at-a-time `_encode_image` path over a frame
+    exercising every vectorized type class (ints incl. null, decimal
+    via the JVM-side unscaled prescale, date, datetime2(6)/timestamp2(3),
+    legacy temporals, char/varchar with charset, enum/set labels, year,
+    bit, float/double, geometry blobs with nulls) — forced-fallback A/B
+    on identical single-partition input."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for k in range(600):
+        rows.append((
+            None if k % 11 == 0 else k * 977,
+            k % 120,
+            decimal.Decimal(f"{(k * 37) % 100000}.{k % 100:02d}")
+            * (1 if k % 3 else -1),
+            None if k % 7 == 0 else f"v{k}-éß",
+            datetime.date(1992 + k % 8, 1 + k % 12, 1 + k % 28),
+            datetime.datetime(2021, 1 + k % 12, 1 + k % 28,
+                              k % 24, k % 60, k % 60, (k * 1001) % 1000000),
+            f"{k % 24:02d}:{k % 60:02d}:{k % 60:02d}",
+            ["F", "O", "P"][k % 3],
+            ["a", "b", "a,b", ""][k % 4],
+            1990 + k % 60,
+            k % 4000,
+            float(k) / 7.0,
+            None if k % 13 == 0 else bytes([k % 256]) * (k % 50),
+        ))
+    schema = ("nk long, lnum int, qty decimal(12,2), name string, d date, "
+              "dt timestamp_ntz, tm string, status string, flags string, "
+              "yr int, bits long, fl double, geo binary")
+    decls = ["bigint", "int", "decimal(12,2)", "varchar(64) charset latin1",
+             "date", "datetime(6)", "time legacy", "enum('F','O','P')",
+             "set('a','b')", "year", "bit(12)", "double", "geometry"]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+
+    def blobs(frame):
+        got = W.table_to_binlog(frame, "db0", "vec", decls).collect()
+        return sorted((r["n_rows"], bytes(r["payload"])) for r in got)
+
+    new = blobs(df)
+    orig = W._encode_write_images
+    W._encode_write_images = lambda *a, **k: None  # force the row path
+    try:
+        old = blobs(df)
+    finally:
+        W._encode_write_images = orig
+    assert new == old
