@@ -1070,181 +1070,259 @@ def _encode_cell_into(out: bytearray, td: TableDef, i: int, tc: int, m,
         raise ValueError(f"unsupported wire type {tc}")
 
 
+def _compile_cell_decoders(td: TableDef):
+    """Per-column decoder closures for one TableDef — the r13 decode fast
+    path. ``_decode_image`` previously re-dispatched a ~20-branch elif
+    chain (plus per-value charset/signedness lookups) for EVERY value;
+    compiling the dispatch once per table cuts the row walk to a tuple
+    unpack + one call per cell. Each entry is ``(null_byte, null_mask,
+    fn)`` with ``fn(buf, pos, json_partial) -> (value, new_pos)`` —
+    byte/semantics-identical to the old chain (pinned by the wire test
+    suite and the oracle-parity replica)."""
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    timedelta = datetime.timedelta
+    date = datetime.date
+    dtdt = datetime.datetime
+    decoders = []
+    for i, (tc, m) in enumerate(td.types):
+        u = i in td.unsigned
+        if tc == TYPE_TINY:
+            s = struct.Struct("<B" if u else "<b").unpack_from
+
+            def fn(buf, pos, jp, s=s):
+                return s(buf, pos)[0], pos + 1
+        elif tc == TYPE_SHORT:
+            s = struct.Struct("<H" if u else "<h").unpack_from
+
+            def fn(buf, pos, jp, s=s):
+                return s(buf, pos)[0], pos + 2
+        elif tc == TYPE_INT24:
+            if u:
+                def fn(buf, pos, jp):
+                    return int.from_bytes(buf[pos:pos + 3], "little"), pos + 3
+            else:
+                def fn(buf, pos, jp):
+                    v = int.from_bytes(buf[pos:pos + 3], "little")
+                    if v >= 1 << 23:
+                        v -= 1 << 24
+                    return v, pos + 3
+        elif tc == TYPE_LONG:
+            s = struct.Struct("<I" if u else "<i").unpack_from
+
+            def fn(buf, pos, jp, s=s):
+                return s(buf, pos)[0], pos + 4
+        elif tc == TYPE_LONGLONG:
+            s = struct.Struct("<Q" if u else "<q").unpack_from
+
+            def fn(buf, pos, jp, s=s):
+                return s(buf, pos)[0], pos + 8
+        elif tc == TYPE_FLOAT:
+            s = struct.Struct("<f").unpack_from
+
+            def fn(buf, pos, jp, s=s):
+                return s(buf, pos)[0], pos + 4
+        elif tc == TYPE_DOUBLE:
+            s = struct.Struct("<d").unpack_from
+
+            def fn(buf, pos, jp, s=s):
+                return s(buf, pos)[0], pos + 8
+        elif tc == TYPE_NEWDECIMAL:
+            prec, scale = m
+            w = _decimal_byte_len(prec, scale)
+            if prec <= 18 and w > 0:
+                # integer-arithmetic fast path: one from_bytes + masked
+                # group extraction; Decimal(unscaled).scaleb(-scale) is
+                # exact below the 28-digit context and value/exponent-
+                # identical to the text form the generic path parses
+                intg = prec - scale
+                segs: list[tuple[int, int, int]] = []
+                off = 0
+                for digs, cnt in ((intg % 9, 1), (9, intg // 9)):
+                    for _ in range(cnt):
+                        if digs:
+                            wd = _DIG2BYTES[digs] if digs < 9 else 4
+                            segs.append((off, wd, digs))
+                            off += wd
+                for digs, cnt in ((9, scale // 9), (scale % 9, 1)):
+                    for _ in range(cnt):
+                        if digs:
+                            wd = _DIG2BYTES[digs] if digs < 9 else 4
+                            segs.append((off, wd, digs))
+                            off += wd
+                shifts = tuple(
+                    (8 * (w - o - wd), (1 << (8 * wd)) - 1, 10 ** digs)
+                    for o, wd, digs in segs
+                )
+                top_flip = 0x80 << (8 * (w - 1))
+                allmask = (1 << (8 * w)) - 1
+
+                def fn(buf, pos, jp, w=w, shifts=shifts, top_flip=top_flip,
+                       allmask=allmask, scale=scale, D=_Decimal):
+                    iv = int.from_bytes(buf[pos:pos + w], "big")
+                    neg = not (iv & top_flip)
+                    iv ^= top_flip
+                    if neg:
+                        iv ^= allmask
+                    uns = 0
+                    for sh, mk, mul in shifts:
+                        uns = uns * mul + ((iv >> sh) & mk)
+                    d = D(uns).scaleb(-scale) if scale else D(uns)
+                    return (-d if neg else d), pos + w
+            else:
+                def fn(buf, pos, jp, p=prec, sc=scale):
+                    v, ln = _decode_decimal(buf, pos, p, sc)
+                    return v, pos + ln
+        elif tc == TYPE_BIT:
+            w = (m + 7) // 8
+
+            def fn(buf, pos, jp, w=w):
+                return int.from_bytes(buf[pos:pos + w], "big"), pos + w
+        elif tc == TYPE_YEAR:
+            def fn(buf, pos, jp):
+                b = buf[pos]
+                return (0 if b == 0 else b + 1900), pos + 1
+        elif tc == TYPE_DATE:
+            def fn(buf, pos, jp, date=date):
+                v = int.from_bytes(buf[pos:pos + 3], "little")
+                return date(v >> 9, (v >> 5) & 0xF, v & 0x1F), pos + 3
+        elif tc == TYPE_DATETIME2:
+            def fn(buf, pos, jp, m=m):
+                return _decode_datetime2(buf, pos, m)
+        elif tc == TYPE_DATETIME:
+            s = struct.Struct("<Q").unpack_from
+
+            def fn(buf, pos, jp, s=s, dtdt=dtdt):
+                num = s(buf, pos)[0]
+                d, t = divmod(num, 1_000_000)
+                return dtdt(
+                    d // 10_000, (d // 100) % 100, d % 100,
+                    t // 10_000, (t // 100) % 100, t % 100,
+                ), pos + 8
+        elif tc == TYPE_TIMESTAMP:
+            s = struct.Struct("<I").unpack_from
+
+            def fn(buf, pos, jp, s=s, epoch=epoch, timedelta=timedelta):
+                return epoch + timedelta(seconds=s(buf, pos)[0]), pos + 4
+        elif tc == TYPE_TIME:
+            def fn(buf, pos, jp, timedelta=timedelta):
+                num = int.from_bytes(buf[pos:pos + 3], "little")
+                neg = num >= 1 << 23
+                if neg:
+                    num = (1 << 24) - num
+                delta = timedelta(
+                    hours=num // 10_000, minutes=(num // 100) % 100,
+                    seconds=num % 100,
+                )
+                return (-delta if neg else delta), pos + 3
+        elif tc == TYPE_TIMESTAMP2:
+            def fn(buf, pos, jp, m=m, epoch=epoch, timedelta=timedelta):
+                secs = int.from_bytes(buf[pos:pos + 4], "big")
+                micros, pos2 = _decode_frac(buf, pos + 4, m)
+                return epoch + timedelta(seconds=secs, microseconds=micros), pos2
+        elif tc == TYPE_TIME2:
+            nbf = _frac_bytes(m)
+
+            def fn(buf, pos, jp, nbf=nbf, timedelta=timedelta):
+                if nbf == 3:
+                    stored = int.from_bytes(buf[pos:pos + 6], "big")
+                    pos += 6
+                    packed = stored - 0x800000000000
+                    neg, a = packed < 0, abs(packed)
+                    intpart, frac_us = a >> 24, a & 0xFFFFFF
+                else:
+                    si = int.from_bytes(buf[pos:pos + 3], "big") - 0x800000
+                    pos += 3
+                    frac_units = int.from_bytes(buf[pos:pos + nbf], "big") \
+                        if nbf else 0
+                    pos += nbf
+                    if si < 0 and frac_units > 0:
+                        si += 1
+                        frac_units -= 1 << (8 * nbf)
+                    total_frac = frac_units * (10 ** (6 - 2 * nbf)) if nbf else 0
+                    neg = si < 0 or total_frac < 0
+                    intpart, frac_us = abs(si), abs(total_frac)
+                delta = timedelta(
+                    hours=(intpart >> 12) & 0x3FF,
+                    minutes=(intpart >> 6) & 0x3F,
+                    seconds=intpart & 0x3F,
+                    microseconds=frac_us,
+                )
+                return (-delta if neg else delta), pos
+        elif tc == TYPE_VARCHAR or (
+            tc == TYPE_STRING
+            and not (isinstance(m, tuple) and m[0] in (TYPE_ENUM, TYPE_SET))
+        ):
+            maxlen = m if tc == TYPE_VARCHAR else m[1]
+            codec = _codec_for(td.charset_of(i))
+            if maxlen < 256:
+                def fn(buf, pos, jp, codec=codec):
+                    ln = buf[pos]
+                    pos += 1
+                    return buf[pos:pos + ln].decode(codec), pos + ln
+            else:
+                s = struct.Struct("<H").unpack_from
+
+                def fn(buf, pos, jp, codec=codec, s=s):
+                    ln = s(buf, pos)[0]
+                    pos += 2
+                    return buf[pos:pos + ln].decode(codec), pos + ln
+        elif tc in (TYPE_BLOB, TYPE_GEOMETRY):
+            def fn(buf, pos, jp, m=m):
+                ln = int.from_bytes(buf[pos:pos + m], "little")
+                pos += m
+                return bytes(buf[pos:pos + ln]), pos + ln
+        elif tc == TYPE_JSON:
+            def fn(buf, pos, jp, m=m, i=i):
+                ln = int.from_bytes(buf[pos:pos + m], "little")
+                pos += m
+                raw = bytes(buf[pos:pos + ln])
+                return (
+                    decode_json_diffs(raw) if i in jp else json_parse(raw)
+                ), pos + ln
+        elif tc == TYPE_STRING:  # ENUM index / SET bitmask
+            def fn(buf, pos, jp, w=m[1]):
+                return int.from_bytes(buf[pos:pos + w], "little"), pos + w
+        else:
+            raise ValueError(f"unsupported wire type {tc}")
+        decoders.append((i >> 3, 1 << (i & 7), fn))
+    return decoders
+
+
 def _decode_image(td: TableDef, buf: bytes, pos: int,
                   present: list[bool] | None = None,
                   json_partial: frozenset | set = frozenset()
                   ) -> tuple[list, int]:
     if present is not None and not all(present):
-        sub, idx = _sub_def(td, present)
+        # cache the projected TableDef per present-mask: building it per
+        # ROW would also recompile the sub-def's cell decoders per row
+        cache = td.__dict__.setdefault("_sub_cache", {})
+        key = tuple(present)
+        entry = cache.get(key)
+        if entry is None:
+            entry = cache[key] = _sub_def(td, present)
+        sub, idx = entry
         sub_partial = {j for j, i in enumerate(idx) if i in json_partial}
         compact, pos = _decode_image(sub, buf, pos, json_partial=sub_partial)
         full: list = [None] * len(td.types)
         for j, i in enumerate(idx):
             full[i] = compact[j]
         return full, pos
-    n = len(td.types)
-    nb = (n + 7) // 8
-    nulls, pos = buf[pos : pos + nb], pos + nb
+    decs = td.__dict__.get("_cell_decoders")
+    if decs is None:
+        decs = td._cell_decoders = _compile_cell_decoders(td)
+    nb = (len(td.types) + 7) // 8
+    nulls = buf[pos:pos + nb]
+    pos += nb
     values: list = []
-    for i, (tc, m) in enumerate(td.types):
-        if _bit_at(nulls, i):
-            values.append(None)
-            continue
-        u = i in td.unsigned
-        if tc == TYPE_TINY:
-            values.append(struct.unpack_from("<B" if u else "<b", buf, pos)[0])
-            pos += 1
-        elif tc == TYPE_SHORT:
-            values.append(struct.unpack_from("<H" if u else "<h", buf, pos)[0])
-            pos += 2
-        elif tc == TYPE_INT24:
-            v = int.from_bytes(buf[pos : pos + 3], "little")
-            if not u and v >= 1 << 23:
-                v -= 1 << 24
-            values.append(v)
-            pos += 3
-        elif tc == TYPE_LONG:
-            values.append(struct.unpack_from("<I" if u else "<i", buf, pos)[0])
-            pos += 4
-        elif tc == TYPE_LONGLONG:
-            values.append(struct.unpack_from("<Q" if u else "<q", buf, pos)[0])
-            pos += 8
-        elif tc == TYPE_FLOAT:
-            values.append(struct.unpack_from("<f", buf, pos)[0])
-            pos += 4
-        elif tc == TYPE_DOUBLE:
-            values.append(struct.unpack_from("<d", buf, pos)[0])
-            pos += 8
-        elif tc == TYPE_NEWDECIMAL:
-            v, ln = _decode_decimal(buf, pos, m[0], m[1])
-            values.append(v)
-            pos += ln
-        elif tc == TYPE_BIT:
-            w = (m + 7) // 8
-            values.append(int.from_bytes(buf[pos : pos + w], "big"))
-            pos += w
-        elif tc == TYPE_YEAR:
-            b = buf[pos]
-            values.append(0 if b == 0 else b + 1900)
-            pos += 1
-        elif tc == TYPE_DATE:
-            import datetime
-
-            v = int.from_bytes(buf[pos : pos + 3], "little")
-            values.append(datetime.date(v >> 9, (v >> 5) & 0xF, v & 0x1F))
-            pos += 3
-        elif tc == TYPE_DATETIME2:
-            v, pos = _decode_datetime2(buf, pos, m)
-            values.append(v)
-        elif tc == TYPE_DATETIME:
-            import datetime
-
-            num = struct.unpack_from("<Q", buf, pos)[0]
-            pos += 8
-            d, t = divmod(num, 1_000_000)
-            values.append(datetime.datetime(
-                d // 10_000, (d // 100) % 100, d % 100,
-                t // 10_000, (t // 100) % 100, t % 100,
-            ))
-        elif tc == TYPE_TIMESTAMP:
-            import datetime
-
-            secs = struct.unpack_from("<I", buf, pos)[0]
-            pos += 4
-            values.append(
-                datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=secs)
-            )
-        elif tc == TYPE_TIME:
-            import datetime
-
-            num = int.from_bytes(buf[pos : pos + 3], "little")
-            pos += 3
-            neg = num >= 1 << 23
-            if neg:
-                num = (1 << 24) - num
-            h, mi, se = num // 10_000, (num // 100) % 100, num % 100
-            delta = datetime.timedelta(hours=h, minutes=mi, seconds=se)
-            values.append(-delta if neg else delta)
-        elif tc == TYPE_TIMESTAMP2:
-            import datetime
-
-            secs = int.from_bytes(buf[pos : pos + 4], "big")
-            pos += 4
-            micros, pos = _decode_frac(buf, pos, m)
-            values.append(
-                datetime.datetime(1970, 1, 1) + datetime.timedelta(
-                    seconds=secs, microseconds=micros
-                )
-            )
-        elif tc == TYPE_TIME2:
-            import datetime
-
-            nb = _frac_bytes(m)
-            if nb == 3:
-                stored = int.from_bytes(buf[pos : pos + 6], "big")
-                pos += 6
-                packed = stored - 0x800000000000
-                neg, a = packed < 0, abs(packed)
-                intpart, frac_us = a >> 24, a & 0xFFFFFF
-            else:
-                si = int.from_bytes(buf[pos : pos + 3], "big") - 0x800000
-                pos += 3
-                frac_units = int.from_bytes(buf[pos : pos + nb], "big") if nb else 0
-                pos += nb
-                if si < 0 and frac_units > 0:
-                    si += 1
-                    frac_units -= 1 << (8 * nb)
-                total_frac = frac_units * (10 ** (6 - 2 * nb)) if nb else 0
-                neg = si < 0 or total_frac < 0
-                intpart, frac_us = abs(si), abs(total_frac)
-            delta = datetime.timedelta(
-                hours=(intpart >> 12) & 0x3FF,
-                minutes=(intpart >> 6) & 0x3F,
-                seconds=intpart & 0x3F,
-                microseconds=frac_us,
-            )
-            values.append(-delta if neg else delta)
-        elif tc == TYPE_VARCHAR:
-            if m < 256:
-                ln, pos = buf[pos], pos + 1
-            else:
-                ln, pos = struct.unpack_from("<H", buf, pos)[0], pos + 2
-            values.append(
-                buf[pos : pos + ln].decode(_codec_for(td.charset_of(i)))
-            )
-            pos += ln
-        elif tc == TYPE_BLOB:
-            ln = int.from_bytes(buf[pos : pos + m], "little")
-            pos += m
-            values.append(bytes(buf[pos : pos + ln]))
-            pos += ln
-        elif tc == TYPE_JSON:
-            ln = int.from_bytes(buf[pos : pos + m], "little")
-            pos += m
-            raw = bytes(buf[pos : pos + ln])
-            values.append(
-                decode_json_diffs(raw) if i in json_partial else json_parse(raw)
-            )
-            pos += ln
-        elif tc == TYPE_GEOMETRY:
-            ln = int.from_bytes(buf[pos : pos + m], "little")
-            pos += m
-            values.append(bytes(buf[pos : pos + ln]))
-            pos += ln
-        elif tc == TYPE_STRING and m[0] in (TYPE_ENUM, TYPE_SET):
-            values.append(int.from_bytes(buf[pos : pos + m[1]], "little"))
-            pos += m[1]
-        elif tc == TYPE_STRING:
-            if m[1] < 256:
-                ln, pos = buf[pos], pos + 1
-            else:
-                ln, pos = struct.unpack_from("<H", buf, pos)[0], pos + 2
-            values.append(
-                buf[pos : pos + ln].decode(_codec_for(td.charset_of(i)))
-            )
-            pos += ln
+    ap = values.append
+    for bi, mask, fn in decs:
+        if nulls[bi] & mask:
+            ap(None)
         else:
-            raise ValueError(f"unsupported wire type {tc}")
+            v, pos = fn(buf, pos, json_partial)
+            ap(v)
     return values, pos
 
 
