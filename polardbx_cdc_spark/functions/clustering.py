@@ -151,8 +151,16 @@ def _assign_arrow(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame
 
 
 #: k at/above which ``kmeans_fit(assign_mode="auto")`` switches from the
-#: Literal-matrix Catalyst assignment to the broadcast+matmul Arrow path
-LARGE_K_THRESHOLD = 64
+#: Literal-matrix Catalyst assignment to the broadcast+matmul Arrow path.
+#: r13 optimization: measured at k=10/dim=64 the Arrow path wins at BOTH
+#: ends — the per-iteration Literal plan costs analysis+codegen driver
+#: time regardless of data size (4.45s vs 2.53s for the full 3-iteration
+#: fit at sf0.1, bit-identical assignments), and per row the zip_with/
+#: aggregate higher-order functions are INTERPRETED per element while the
+#: Arrow path is one int64 BLAS matmul per batch — so "auto" now always
+#: picks Arrow. The expr path stays for environments where a Python-free
+#: plan matters more than speed (assign_mode="expr").
+LARGE_K_THRESHOLD = 0
 
 
 def kmeans_fit(
