@@ -3013,8 +3013,15 @@ def fan_out(df, par: int | None = None):
     if df.rdd.getNumPartitions() >= par:
         return df
     from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
 
-    key = _F.pmod(_F.xxhash64(*[_F.col(c) for c in df.columns]),
+    hashable = [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, _T.MapType)  # hash() rejects maps
+    ]
+    if not hashable:
+        return df.repartition(par)
+    key = _F.pmod(_F.xxhash64(*[_F.col(c) for c in hashable]),
                   _F.lit(50 * par))
     return df.repartition(par, key)
 

@@ -4258,9 +4258,8 @@ def cdc_binlog_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single-file parquet source arrives as ONE partition; fan out so
     # the Python byte codec uses every core (order is irrelevant here —
     # the sink's offset assignment owns ordering, this query aggregates)
-    par = spark.sparkContext.defaultParallelism
-    if cdc.rdd.getNumPartitions() < par:
-        cdc = cdc.repartition(par)
+    # deterministic-hash fan-out (no sort-before-repartition; guide §2.5)
+    cdc = binlog_wire.fan_out(cdc)
     blobs = binlog_wire.events_to_binlog(cdc)
     decoded = binlog_wire.binlog_to_events(blobs)
     return decoded.groupBy("db", "tbl", "action").agg(
@@ -4297,9 +4296,8 @@ def cdc_binlog_wire_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = derive_cdc_stream(spark, sf_dir).select(
         "db", "tbl", "action", "pk", "value", "tso"
     )
-    par = spark.sparkContext.defaultParallelism
-    if cdc.rdd.getNumPartitions() < par:
-        cdc = cdc.repartition(par)
+    # deterministic-hash fan-out (no sort-before-repartition; guide §2.5)
+    cdc = binlog_wire.fan_out(cdc)
     blobs = binlog_wire.events_to_binlog(cdc)
 
     @F.pandas_udf("binary")
@@ -4346,9 +4344,8 @@ def cdc_binlog_wire_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = derive_cdc_stream(spark, sf_dir).select(
         "db", "tbl", "action", "pk", "value", "tso"
     )
-    par = spark.sparkContext.defaultParallelism
-    if cdc.rdd.getNumPartitions() < par:
-        cdc = cdc.repartition(par)
+    # deterministic-hash fan-out (no sort-before-repartition; guide §2.5)
+    cdc = binlog_wire.fan_out(cdc)
     blobs = binlog_wire.events_to_binlog(cdc)
 
     @F.pandas_udf("binary")
@@ -4440,9 +4437,8 @@ def orders_wire_partial_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("custkey"),
         F.col("o_orderpriority").cast("string").alias("prio"),
     )
-    par = spark.sparkContext.defaultParallelism
-    if o.rdd.getNumPartitions() < par:
-        o = o.repartition(par)
+    # deterministic-hash fan-out (no sort-before-repartition; guide §2.5)
+    o = BW.fan_out(o)
 
     def build_pair(r):
         before = [
@@ -4650,9 +4646,8 @@ def orders_wire_named_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("status_idx"),  # 1-based, like ENUM
         F.concat(F.col("o_orderpriority"), F.lit("é")).alias("prio"),
     )
-    par = spark.sparkContext.defaultParallelism
-    if o.rdd.getNumPartitions() < par:
-        o = o.repartition(par)
+    # deterministic-hash fan-out (no sort-before-repartition; guide §2.5)
+    o = BW.fan_out(o)
 
     def encode_part(batches):
         import pandas as pd
@@ -4738,9 +4733,8 @@ def orders_wire_json_diff_computed(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
         F.col("o_orderpriority").cast("string").alias("prio"),
     )
-    par = spark.sparkContext.defaultParallelism
-    if o.rdd.getNumPartitions() < par:
-        o = o.repartition(par)
+    # deterministic-hash fan-out (no sort-before-repartition; guide §2.5)
+    o = BW.fan_out(o)
 
     def build_pair(r):
         before = {
@@ -6158,9 +6152,8 @@ def events_json_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polardbx_cdc_spark import binlog_wire
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "props")
-    par = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < par:
-        ev = ev.repartition(par)
+    # deterministic-hash fan-out (no sort-before-repartition; guide §2.5)
+    ev = binlog_wire.fan_out(ev)
 
     def roundtrip(batches):
         import pandas as pd
@@ -8011,9 +8004,8 @@ def orders_wire_geometry_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = o.select(okey.alias("okey"))
     # heavy per-row Python WKB builder + small parquet input = the
     # single-partition single-core trap: fan out FIRST
-    par = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    # deterministic-hash fan-out (no sort-before-repartition; guide §2.5)
+    src = binlog_wire.fan_out(src)
 
     def build(batches):
         import struct as _st
