@@ -34,6 +34,17 @@ def get_spark(app_name: str = "polardbx_cdc_spark", cpus: int | None = None) -> 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # joins (optimization guide §3.1/§9): let the planner choose a
+        # shuffled-hash join when its size conditions hold instead of
+        # defaulting to sort-merge, and let AQE rewrite SMJ→SHJ when every
+        # post-shuffle partition is small. Paired A/B at sf0.1 (r13): the
+        # 8 join-heavy bench queries total 10.6s→9.1s (0.86×), wins on all
+        # 8. Scale posture: AQE skew-splitting + the advisory partition
+        # size bound the per-partition build side; SMJ remains the
+        # fallback whenever the planner can't prove the hash map fits.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
