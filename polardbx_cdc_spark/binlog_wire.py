@@ -3593,11 +3593,38 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
     vfields = fields[1:] if include_action else fields
     codecs = _label_codecs(mysql_types)
 
+    # per-column coercers compiled once (r13): `_coerce_typed` per VALUE
+    # (codec test + typeName() string compares + timedelta isinstance) was
+    # as expensive as the wire decode itself. Identity columns (ints,
+    # strings, dates, datetimes — everything but label codecs, booleans,
+    # decimals and TIME) skip coercion entirely; the rest run one bound
+    # closure per column over a zipped column tuple.
+    def _coercer(field, codec, decl):
+        tn = field.dataType.typeName()
+        t = decl.strip().lower()
+        if codec is not None:
+            return lambda v, c=codec[1]: None if v is None else c(v)
+        if tn == "boolean":
+            return lambda v: None if v is None else bool(v)
+        if tn.startswith("decimal"):
+            return lambda v: v if v is None or isinstance(v, _Decimal) \
+                else _Decimal(v)
+        if t.startswith("time") and not t.startswith("timestamp"):
+            return lambda v: _format_time(v) \
+                if isinstance(v, _datetime_mod.timedelta) else v
+        return None  # identity
+
+    coercers = [
+        _coercer(f, c, d) for f, c, d in zip(vfields, codecs, mysql_types)
+    ]
+
     def decode_partition(batches):
         import pandas as pd
 
+        out_cols = (["action"] + columns) if include_action else columns
         for pdf in batches:
             out = []
+            acts = [] if include_action else None
             for blob in pdf[payload_col]:
                 for ev in expand_payload_events(decode_events(bytes(blob))):
                     if include_action:
@@ -3625,14 +3652,16 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
                                     if isinstance(v, JsonDiffVector) else v
                                     for b, v in zip(before, row)
                                 ]
-                        rec = [act] if include_action else []
-                        for v, f, codec in zip(row, vfields, codecs):
-                            rec.append(_coerce_typed(v, f, codec))
-                        out.append(rec)
-            yield pd.DataFrame(
-                out,
-                columns=(["action"] + columns) if include_action else columns,
-            )
+                        out.append(row)
+                        if include_action:
+                            acts.append(act)
+            data: dict = {}
+            if include_action:
+                data["action"] = acts
+            cols_t = list(zip(*out)) if out else [[]] * len(columns)
+            for name, colvals, co in zip(columns, cols_t, coercers):
+                data[name] = [co(v) for v in colvals] if co else list(colvals)
+            yield pd.DataFrame(data, columns=out_cols)
 
     return blobs.mapInPandas(decode_partition, out_schema)
 
