@@ -221,18 +221,32 @@ def _bench_streaming_steady(spark, sf_dir: str, copies: int = 36,
         ev_dir = os.path.join(staged, "events.parquet")
         os.makedirs(ev_dir)
         now = time.time()
+        # stage all copies in ONE Spark job (r13 bench hygiene): the
+        # previous per-copy coalesce(1) loop ran 36 sequential
+        # single-file writes (~20s of untimed wall that pushed the sf1
+        # stress tranche out of the driver's 580s budget). The staged
+        # bytes are identical — same rows per file, same file
+        # boundaries, same mtime-pinned arrival order — only the write
+        # parallelizes. (`_copy` is repartition-keyed so each copy
+        # lands as exactly one file under its partition dir.)
+        copies_df = spark.range(copies).select(F.col("id").cast("int").alias("_copy"))
+        shifted = (
+            ev.crossJoin(F.broadcast(copies_df))
+            .withColumn("event_id",
+                        F.col("event_id") + F.col("_copy") * F.lit(id_span))
+            # exact integer-microsecond shift (same math as the old
+            # per-copy INTERVAL ... MICROSECOND loop)
+            .withColumn("ts", F.timestamp_micros(
+                F.unix_micros("ts") + F.col("_copy") * F.lit(span_us)))
+        )
+        part = os.path.join(work, "parts")
+        shifted.repartition(copies, "_copy").write.partitionBy("_copy").parquet(part)
         for i in range(copies):
-            shifted = (
-                ev.withColumn("event_id", F.col("event_id") + F.lit(i * id_span))
-                .withColumn(
-                    "ts", F.col("ts") + F.expr(f"INTERVAL {i * span_us} MICROSECOND")
-                )
-            )
-            part = os.path.join(work, f"part_{i}")
-            shifted.coalesce(1).write.parquet(part)
-            src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            pdir = os.path.join(part, f"_copy={i}")
+            srcs = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            assert len(srcs) == 1, f"copy {i}: expected 1 file, got {srcs}"
             dst = os.path.join(ev_dir, f"copy_{i:02d}.parquet")
-            os.rename(os.path.join(part, src), dst)
+            os.rename(os.path.join(pdir, srcs[0]), dst)
             # the file source picks files oldest-mtime-first: pin arrival order
             os.utime(dst, (now + i, now + i))
 
