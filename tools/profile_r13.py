@@ -58,11 +58,14 @@ def main() -> None:
                 n = fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
             with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as fh:
-                fh.write(plan)
+                fh.write(buf.getvalue())
             print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
