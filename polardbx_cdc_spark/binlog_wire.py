@@ -3561,6 +3561,30 @@ def _coerce_typed(v, field, codec):
     return v
 
 
+def _compile_coercer(field, codec, decl):
+    """Per-COLUMN compiled form of `_coerce_typed` (r13): the per-value
+    call (codec test + typeName() string compares + timedelta isinstance)
+    cost as much as the wire decode itself. Identity columns (ints,
+    strings, dates, datetimes — everything but label codecs, booleans,
+    decimals and TIME) return None so callers skip coercion entirely;
+    semantics are `_coerce_typed`'s exactly (timedeltas only ever come
+    from the TIME decoders, so keying the text-form branch on the decl
+    is equivalent)."""
+    tn = field.dataType.typeName()
+    t = decl.strip().lower()
+    if codec is not None:
+        return lambda v, c=codec[1]: None if v is None else c(v)
+    if tn == "boolean":
+        return lambda v: None if v is None else bool(v)
+    if tn.startswith("decimal"):
+        return lambda v: v if v is None or isinstance(v, _Decimal) \
+            else _Decimal(v)
+    if t.startswith("time") and not t.startswith("timestamp"):
+        return lambda v: _format_time(v) \
+            if isinstance(v, _datetime_mod.timedelta) else v
+    return None  # identity
+
+
 def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
                     payload_col: str = "payload",
                     include_action: bool = False):
@@ -3593,29 +3617,9 @@ def binlog_to_table(blobs, mysql_types: list[str], columns: list[str],
     vfields = fields[1:] if include_action else fields
     codecs = _label_codecs(mysql_types)
 
-    # per-column coercers compiled once (r13): `_coerce_typed` per VALUE
-    # (codec test + typeName() string compares + timedelta isinstance) was
-    # as expensive as the wire decode itself. Identity columns (ints,
-    # strings, dates, datetimes — everything but label codecs, booleans,
-    # decimals and TIME) skip coercion entirely; the rest run one bound
-    # closure per column over a zipped column tuple.
-    def _coercer(field, codec, decl):
-        tn = field.dataType.typeName()
-        t = decl.strip().lower()
-        if codec is not None:
-            return lambda v, c=codec[1]: None if v is None else c(v)
-        if tn == "boolean":
-            return lambda v: None if v is None else bool(v)
-        if tn.startswith("decimal"):
-            return lambda v: v if v is None or isinstance(v, _Decimal) \
-                else _Decimal(v)
-        if t.startswith("time") and not t.startswith("timestamp"):
-            return lambda v: _format_time(v) \
-                if isinstance(v, _datetime_mod.timedelta) else v
-        return None  # identity
-
     coercers = [
-        _coercer(f, c, d) for f, c, d in zip(vfields, codecs, mysql_types)
+        _compile_coercer(f, c, d)
+        for f, c, d in zip(vfields, codecs, mysql_types)
     ]
 
     def decode_partition(batches):
@@ -4310,7 +4314,12 @@ def _registry_decode_plan(registry, db: str, tbl: str,
                         v = c(v)
                     return v
                 convs.append(_composed)
-        vplans.append((width, src, _label_codecs(src_decls), sfields, convs))
+        v_codecs = _label_codecs(src_decls)
+        v_coerce = [
+            _compile_coercer(sf, c, sd)
+            for sf, c, sd in zip(sfields, v_codecs, src_decls)
+        ]
+        vplans.append((width, src, v_coerce, convs))
 
     def decode_files(batches):
         import os
@@ -4359,7 +4368,7 @@ def _registry_decode_plan(registry, db: str, tbl: str,
                             f"(binlog_row_image=FULL); apply last-image "
                             f"merge before materializing"
                         )
-                    width, src, codecs, sfields, convs = vplans[state]
+                    width, src, coercers, convs = vplans[state]
                     if len(values) != width:
                         raise ValueError(
                             f"{name} pos {rec[1]}: wire row width "
@@ -4367,11 +4376,13 @@ def _registry_decode_plan(registry, db: str, tbl: str,
                             f"{width} for {db}.{tbl} (registry drift)"
                         )
                     row = [None] * len(fin_cols)
-                    for o, (si, sf, codec, conv) in enumerate(
-                        zip(src, sfields, codecs, convs)
+                    for o, (si, co, conv) in enumerate(
+                        zip(src, coercers, convs)
                     ):
                         if si is not None:
-                            v = _coerce_typed(values[si], sf, codec)
+                            v = values[si]
+                            if co is not None:
+                                v = co(v)
                             if conv is not None and v is not None:
                                 v = conv(v)
                             row[o] = v
