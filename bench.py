@@ -322,6 +322,18 @@ def _bench_streaming_steady(spark, sf_dir: str, copies: int = 36,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _section_gc(spark) -> None:
+    """Untimed old-gen cleanup at section boundaries (r13 backlog #6 /
+    guide §1 hygiene): ~80 queries of accumulated garbage otherwise
+    inflates late-section timings with GC pauses charged to whichever
+    query runs next. Called strictly BETWEEN sections, never inside a
+    timed region — the steady drive already does its own."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — hygiene only, never break the bench
+        pass
+
+
 def main() -> None:
     # global wall budget: the driver runs `timeout 580 python bench.py` —
     # every optional section must yield before the hard kill or the JSON
@@ -370,6 +382,8 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+
+    _section_gc(spark)  # headline loop's garbage must not bill streaming
 
     # same steady-state methodology as the batch queries: one warm-up run
     # (streaming-plan codegen + state-store init are first-run costs, ~5x
@@ -422,6 +436,8 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["stream_binlog_x_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# stream_binlog_x_pipeline: FAILED {errors['stream_binlog_x_pipeline']}", file=sys.stderr)
+
+    _section_gc(spark)  # streaming sections' garbage must not bill stress
 
     # ---- sf1 stress section (scale-sensitivity check) -------------------
     # If tools/build_stress_sf1.py has materialized the 10x-scaled dataset,
@@ -580,6 +596,7 @@ def main() -> None:
                             factor = float(line.strip().split("=", 1)[1])
             except OSError:
                 pass
+            _section_gc(spark)  # skew probe's 2M-row garbage, untimed
             s_timings: dict[str, float] = {}
             s_ratio: dict[str, float] = {}
             # skew already ran; only JSON emission (~0s) and the clean
@@ -718,8 +735,15 @@ def main() -> None:
         else:
             stress = {"skew": skew}
 
+    families_full: dict[str, float] = {}
+    for _fn, _ft in timings.items():
+        _fam = "tpch" if _fn[0] == "q" and _fn[1].isdigit() else _fn.split("_", 1)[0]
+        families_full[_fam] = round(families_full.get(_fam, 0.0) + _ft, 3)
     payload = {
         "metric": "headline_queries_total_time",
+        # per-family sums moved here from the summary line (r14): the
+        # summary's budget now carries per-query timings instead
+        "families": families_full,
         # end-to-end streaming throughput (events/sec through the full
         # watermarked merge + ordered rotated binlog sink) — the axis the
         # reference is judged on (throughput/delay, BASELINE.md)
@@ -759,11 +783,6 @@ def main() -> None:
     except OSError as exc:
         print(f"# BENCH_full.json write failed: {exc}", file=sys.stderr)
 
-    families: dict[str, float] = {}
-    for name, t in timings.items():
-        fam = "tpch" if name[0] == "q" and name[1].isdigit() else name.split("_", 1)[0]
-        families[fam] = round(families.get(fam, 0.0) + t, 3)
-    worst5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     summary = {
         "metric": payload["metric"],
         "value": payload["value"],
@@ -772,8 +791,6 @@ def main() -> None:
         "n_queries_timed": len(timings),
         "n_queries_expected": payload["n_queries_expected"],
         "stream_events_per_sec": stream_eps,
-        "families": families,
-        "worst5": worst5,
         "full_payload": "BENCH_full.json",
     }
     if stress and stress.get("queries"):
@@ -794,10 +811,40 @@ def main() -> None:
     if errors:
         summary["errors_n"] = len(errors)
         summary["value_with_failure_penalty"] = payload["value_with_failure_penalty"]
+        # failed-query names + truncated messages in the parsed line so
+        # the driver's comparator can list newly-failing queries without
+        # the full payload
+        summary["errors"] = {k: str(v)[:60] for k, v in errors.items()}
+
+    # Per-query timings IN the final (parsed) line — r13 harness-contract
+    # gap: the driver parses JSON only from the last 2000 chars of stdout
+    # (round-5 artifact: a >2000-char line truncates head-first and parses
+    # as nothing), and the 86 full query names alone cost 2129 chars, so
+    # the COMPLETE dict cannot fit by arithmetic. Include as many entries
+    # as fit a 1950-char line, largest time first (deterministic
+    # tie-break by name) — covering >90% of total seconds — and make the
+    # omission explicit so the totals still reconcile. The complete dict
+    # is in the full-payload line above and in BENCH_full.json.
+    ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    included: dict[str, float] = {}
+    omitted_n, omitted_sec = len(ordered), sum(t for _, t in ordered)
+    summary["queries"] = included
+    summary["queries_omitted_n"] = omitted_n
+    summary["queries_omitted_sec"] = round(omitted_sec, 2)
+    for name, t in ordered:
+        trial = dict(summary)
+        trial["queries"] = {**included, name: round(t, 2)}
+        trial["queries_omitted_n"] = omitted_n - 1
+        trial["queries_omitted_sec"] = round(omitted_sec - t, 2)
+        if len(json.dumps(trial, separators=(",", ":"))) > 1950:
+            break
+        included[name] = round(t, 2)
+        omitted_n -= 1
+        omitted_sec -= t
+    summary["queries_omitted_n"] = omitted_n
+    summary["queries_omitted_sec"] = round(omitted_sec, 2)
+
     line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1500:  # keep the tail contract even if families bloat
-        summary.pop("families", None)
-        line = json.dumps(summary, separators=(",", ":"))
     print(line)
     spark.stop()
 

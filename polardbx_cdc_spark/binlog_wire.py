@@ -2622,6 +2622,7 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
     }
 
     def render_file(key, pdf):
+        import numpy as np
         import pandas as pd
 
         seq = int(key[0])
@@ -2650,18 +2651,68 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
             if row_metadata_full else {}
         )
 
-        def flush_run():
-            nonlocal run_type, run_rows
-            if run_rows:
-                td = TableDef.from_mysql_types(
-                    *current_table, CDC_TABLE_TYPES, **meta_kw
-                )
-                tid = zlib.crc32(".".join(current_table).encode()) & 0x7FFFFFFF
-                sink_list().append(encode_rows_event(run_type, tid, td, run_rows))
-                run_rows = []
-            run_type = None
+        # vectorized image pass (r14, guide §4.2): ALL row images of the
+        # file in one numpy pass up front — image bytes depend only on
+        # CDC_TABLE_TYPES, not on (db,tbl)/meta_kw (those shape the
+        # TABLE_MAP, emitted separately below) — then each run flush
+        # slices its rows from the shared buffer. UPDATE rows duplicate
+        # their identical before/after image with the same ragged
+        # scatter as events_to_binlog. Byte identity vs the row path is
+        # pinned by test_export_wire_files_vectorized_byte_identical.
+        row_mask = pdf["action"].isin(_ROW_TYPE).to_numpy()
+        img_enc = None
+        if row_mask.any():
+            img_enc = _encode_write_images(
+                TableDef.from_mysql_types("x", "x", CDC_TABLE_TYPES),
+                pdf[row_mask], ["pk", "value"], [None, None],
+                [False, False], [False, False], None, np, pd,
+            )
+        img_pos = row_mask.cumsum() - 1  # image index per sorted position
+        run_i0 = run_n = 0
 
-        for r in pdf.itertuples(index=False):
+        if img_enc is not None:
+            buf_img, off_img = img_enc
+            post2 = struct.pack("<H", 0) + struct.pack("<H", 2)
+            head2 = _lenenc(2) + _bitmap([True, True])
+
+            def flush_run():
+                nonlocal run_type, run_n
+                if run_n:
+                    tid = zlib.crc32(
+                        ".".join(current_table).encode()) & 0x7FFFFFFF
+                    i0, i1 = run_i0, run_i0 + run_n
+                    seg = buf_img[off_img[i0]:off_img[i1]]
+                    ev_head = struct.pack("<Q", tid)[:6] + post2 + head2
+                    if run_type == UPDATE_ROWS_EVENT:
+                        L = np.diff(off_img[i0:i1 + 1])
+                        src = off_img[i0:i1] - off_img[i0]
+                        base = np.concatenate(([0], np.cumsum(2 * L)))[:-1]
+                        dup = np.empty(2 * seg.size, np.uint8)
+                        idx = np.repeat(base - src, L) + np.arange(seg.size)
+                        dup[idx] = seg
+                        dup[idx + np.repeat(L, L)] = seg
+                        body = (ev_head + _bitmap([True, True])
+                                + dup.tobytes())
+                    else:
+                        body = ev_head + seg.tobytes()
+                    sink_list().append(encode_event(run_type, body))
+                    run_n = 0
+                run_type = None
+        else:
+            def flush_run():
+                nonlocal run_type, run_rows
+                if run_rows:
+                    td = TableDef.from_mysql_types(
+                        *current_table, CDC_TABLE_TYPES, **meta_kw
+                    )
+                    tid = zlib.crc32(
+                        ".".join(current_table).encode()) & 0x7FFFFFFF
+                    sink_list().append(
+                        encode_rows_event(run_type, tid, td, run_rows))
+                    run_rows = []
+                run_type = None
+
+        for p, r in enumerate(pdf.itertuples(index=False)):
             if r.action == "BEGIN":
                 flush_run()
                 if framed and isinstance(r.txn_commit_tso, str):
@@ -2704,9 +2755,16 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
                 sink_list().append(encode_table_map(tid, td))
             elif tc != run_type:
                 flush_run()
-            vals = [r.pk, None if pd.isna(r.value) else float(r.value)]
-            run_type = tc
-            run_rows.append((vals, vals) if tc == UPDATE_ROWS_EVENT else vals)
+            if img_enc is not None:
+                if run_n == 0:
+                    run_i0 = img_pos[p]
+                run_type = tc
+                run_n += 1
+            else:
+                vals = [r.pk, None if pd.isna(r.value) else float(r.value)]
+                run_type = tc
+                run_rows.append(
+                    (vals, vals) if tc == UPDATE_ROWS_EVENT else vals)
         if txn_buf is not None:  # torn tail: flush an open txn uncompressed
             flush_run()
             events.extend(txn_buf)
@@ -2741,6 +2799,130 @@ def export_wire_files(spark, sink_dir: str, wire_dir: str,
     return spark.createDataFrame(rows, out_schema)
 
 
+_FRAME_ACTION = {
+    WRITE_ROWS_EVENT: "INSERT",
+    UPDATE_ROWS_EVENT: "UPDATE",
+    DELETE_ROWS_EVENT: "DELETE",
+    WRITE_ROWS_EVENT_V1: "INSERT",
+    UPDATE_ROWS_EVENT_V1: "UPDATE",
+    DELETE_ROWS_EVENT_V1: "DELETE",
+    PARTIAL_UPDATE_ROWS_EVENT: "UPDATE",
+}
+
+
+def wire_frame_cols(name: str, buf: bytes,
+                    tolerate_truncation: bool = False) -> dict[str, list]:
+    """Columnar twin of ``wire_frame_rows(include_values=False)``: the
+    SAME event walk and position assignment, materialized as a dict of 8
+    equal-length column lists (file_name, pos, kind, db, tbl, pk, value,
+    xid). The batch attach and the streaming attach build their Arrow
+    batches straight from these columns — the per-row 8-tuple build plus
+    pandas' row→column transpose was the stream-tail family's biggest
+    remaining Python-boundary cost after the compiled decoders (guide
+    §4.2; r14). Constant-per-event columns (kind/db/tbl) extend by list
+    multiplication instead of one append per row.
+
+    ``wire_frame_rows(include_values=False)`` delegates here, so batch,
+    stream and registry consumers keep ONE position recipe; parity with
+    the ``include_values=True`` walk is pinned by
+    test_binlog_wire.test_wire_frame_cols_matches_rows."""
+    if buf[:4] == MAGIC:
+        buf = buf[4:]
+    elif not tolerate_truncation:
+        raise ValueError(f"{name}: not a binlog file (bad magic)")
+    kinds: list = []
+    dbs: list = []
+    tbls: list = []
+    pks: list = []
+    vals: list = []
+    xids: list = []
+    for ev in expand_payload_events(
+        decode_events(buf, tolerate_truncation=tolerate_truncation)
+    ):
+        tc = ev["type"]
+        if tc in _FRAME_ACTION:
+            rows = ev["rows"]
+            n = len(rows)
+            if tc in UPDATE_EVENTS:
+                for row in rows:
+                    img = row[1]
+                    # MINIMAL after-images omit the unchanged pk — the
+                    # before-image carries it (same rule as the row walk)
+                    pk_img = img if img and img[0] is not None else row[0]
+                    pks.append(
+                        str(pk_img[0])
+                        if pk_img and pk_img[0] is not None
+                        else None
+                    )
+                    v = img[1] if len(img) > 1 else None
+                    vals.append(v if isinstance(v, float) else None)
+            else:
+                for img in rows:
+                    pks.append(
+                        str(img[0])
+                        if img and img[0] is not None
+                        else None
+                    )
+                    v = img[1] if len(img) > 1 else None
+                    vals.append(v if isinstance(v, float) else None)
+            kinds.extend([_FRAME_ACTION[tc]] * n)
+            dbs.extend([ev["db"]] * n)
+            tbls.extend([ev["tbl"]] * n)
+            xids.extend([None] * n)
+        elif tc == QUERY_EVENT:
+            q = ev.get("query", "")
+            if q.strip().upper() == "BEGIN":
+                kinds.append("BEGIN")
+                dbs.append(None)
+                pks.append(None)
+            else:
+                kinds.append("DDL")
+                dbs.append(ev.get("db"))
+                pks.append(q)
+            tbls.append(None)
+            vals.append(None)
+            xids.append(None)
+        elif tc == XID_EVENT:
+            kinds.append("COMMIT")
+            dbs.append(None)
+            tbls.append(None)
+            pks.append(None)
+            vals.append(None)
+            xids.append(ev["xid"])
+        elif tc == ROWS_QUERY_EVENT:
+            kinds.append("TRACE")
+            dbs.append(None)
+            tbls.append(None)
+            pks.append(ev["rows_query"])
+            vals.append(None)
+            xids.append(None)
+        elif tc == GCN_EVENT:
+            kinds.append("GCN")
+            dbs.append(None)
+            tbls.append(None)
+            pks.append(None)
+            vals.append(None)
+            xids.append(ev["gcn"])
+        elif tc == INCIDENT_EVENT:
+            kinds.append("INCIDENT")
+            dbs.append(None)
+            tbls.append(None)
+            pks.append(ev.get("incident_message") or "")
+            vals.append(None)
+            xids.append(ev.get("incident_number"))
+    n_total = len(kinds)
+    return {
+        "file_name": [name] * n_total,
+        "pos": list(range(n_total)),
+        "kind": kinds,
+        "db": dbs,
+        "tbl": tbls,
+        "pk": pks,
+        "value": vals,
+        "xid": xids,
+    }
+
+
 def wire_frame_rows(name: str, buf: bytes,
                     tolerate_truncation: bool = False,
                     include_values: bool = False) -> list[tuple]:
@@ -2765,16 +2947,14 @@ def wire_frame_rows(name: str, buf: bytes,
     were PADDED to None by the decoder, indistinguishable from real
     NULLs by value alone) or ``None`` for full images. Both are ``None``
     on non-row kinds — keeping position assignment and typed decode in
-    ONE implementation so they can never drift."""
-    _ACTION = {
-        WRITE_ROWS_EVENT: "INSERT",
-        UPDATE_ROWS_EVENT: "UPDATE",
-        DELETE_ROWS_EVENT: "DELETE",
-        WRITE_ROWS_EVENT_V1: "INSERT",
-        UPDATE_ROWS_EVENT_V1: "UPDATE",
-        DELETE_ROWS_EVENT_V1: "DELETE",
-        PARTIAL_UPDATE_ROWS_EVENT: "UPDATE",
-    }
+    ONE implementation so they can never drift. (The value-free form
+    delegates to the columnar walk — zip of its columns — so the hot
+    consumers and this surface share one recipe there too.)"""
+    if not include_values:
+        c = wire_frame_cols(name, buf, tolerate_truncation)
+        return list(zip(c["file_name"], c["pos"], c["kind"], c["db"],
+                        c["tbl"], c["pk"], c["value"], c["xid"]))
+    _ACTION = _FRAME_ACTION
     if buf[:4] == MAGIC:
         buf = buf[4:]
     elif not tolerate_truncation:
@@ -2892,17 +3072,15 @@ def read_wire_binlog(spark, wire_dir: str, glob: str = "binlog.*"):
 
         import pandas as pd
 
+        cols = ["file_name", "pos", "kind", "db", "tbl", "pk",
+                "value", "xid"]
         for pdf in batches:
-            out = []
+            out: dict[str, list] = {k: [] for k in cols}
             for path, content in zip(pdf["path"], pdf["content"]):
-                out.extend(
-                    wire_frame_rows(os.path.basename(path), bytes(content))
-                )
-            yield pd.DataFrame(
-                out,
-                columns=["file_name", "pos", "kind", "db", "tbl", "pk",
-                         "value", "xid"],
-            )
+                c = wire_frame_cols(os.path.basename(path), bytes(content))
+                for k in cols:
+                    out[k].extend(c[k])
+            yield pd.DataFrame(out)
 
     return (
         spark.read.format("binaryFile")
@@ -2997,6 +3175,27 @@ def _label_codecs(mysql_types: list[str]):
     return codecs
 
 
+def fan_out_key(df, par: int):
+    """Deterministic synthetic shuffle key for a fan-out exchange (guide
+    §2.5): ``pmod(xxhash64(all hashable cols), 50*par)`` — retry-safe
+    (same row → same partition on task re-run, unlike rand()-derived
+    keys, SPARK-38388) and sort-free (keyless round-robin pays a full
+    local sort first, SPARK-23207). 50×par distinct values keep the hash
+    spread even. Returns None when no column is hashable (maps). Works
+    for BATCH and STREAMING frames — it only reads the schema."""
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
+
+    hashable = [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, _T.MapType)  # hash() rejects maps
+    ]
+    if not hashable:
+        return None
+    return _F.pmod(_F.xxhash64(*[_F.col(c) for c in hashable]),
+                   _F.lit(50 * par))
+
+
 def fan_out(df, par: int | None = None):
     """Spread a narrow frame across the cluster ahead of a heavy Python
     stage. The driver testdata parquet is ONE row group per file, so the
@@ -3012,17 +3211,9 @@ def fan_out(df, par: int | None = None):
         par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
         return df
-    from pyspark.sql import functions as _F
-    from pyspark.sql import types as _T
-
-    hashable = [
-        f.name for f in df.schema.fields
-        if not isinstance(f.dataType, _T.MapType)  # hash() rejects maps
-    ]
-    if not hashable:
+    key = fan_out_key(df, par)
+    if key is None:
         return df.repartition(par)
-    key = _F.pmod(_F.xxhash64(*[_F.col(c) for c in hashable]),
-                  _F.lit(50 * par))
     return df.repartition(par, key)
 
 
@@ -3058,18 +3249,30 @@ def _vec_decimal_cells(col_nn, prec, scale, np, pd, prescaled=False):
     """NEWDECIMAL packed cells. ``prescaled``: the column already carries
     the unscaled int64 (``table_to_binlog`` shifts decimals JVM-side —
     exact, and it halves the exchange bytes vs decimal128). Otherwise
-    non-null Decimal values at uniform Arrow scale, prec ≤ 15, so the
-    unscaled integer < 10^15 < 2^51 — the float64 round trip (value →
-    ×10^scale → rint) is exact (abs error < 0.5) and rint's tie mode
-    never fires. Returns an (n, width) byte matrix or None (fallback)."""
+    non-null Decimal values at uniform scale. BOTH paths require prec ≤ 15:
+    (a) each side (intg, scale) then has at most ONE full 9-digit group,
+    which is what the group assembly below emits; (b) the unscaled integer
+    < 10^15 < 2^50, so the float64 hops are exact — the non-prescaled
+    round trip (value → ×10^scale → rint, abs error < 0.5, rint's tie mode
+    never fires) AND the prescaled path's Arrow int64+null → pandas
+    float64 promotion. Returns an (n, width) byte matrix or None
+    (per-row fallback — identical bytes)."""
+    if prec > 15 or prec - scale > 15:
+        return None  # 2 full groups a side / float64-inexact: row path
     if prescaled:
         unscaled = col_nn.to_numpy(np.int64)
     else:
-        if prec > 15 or prec - scale > 15:
-            return None
         first = col_nn.iloc[0]
         if not isinstance(first, _Decimal) or first.as_tuple().exponent != -scale:
             return None  # non-uniform scale: the row path's quantize matters
+        if not all(
+            isinstance(v, _Decimal) and v.as_tuple().exponent == -scale
+            for v in col_nn
+        ):
+            # a mixed-exponent column whose FIRST element matches must not
+            # slip onto the float path (rint half-to-even vs the row
+            # path's ROUND_HALF_UP quantize on ties)
+            return None
         vals = pd.to_numeric(col_nn, errors="coerce").to_numpy(np.float64)
         if np.isnan(vals).any():
             return None
@@ -3147,8 +3350,13 @@ def _vector_cells(td, i, tc, m, col, np, pd, prescaled=False):
 
     def ragged(payloads, prefix_w, np=np):
         """Length-prefixed cells (VARCHAR/CHAR/BLOB/JSON/GEOMETRY):
-        little-endian prefix + payload bytes, two vectorized scatters."""
+        little-endian prefix + payload bytes, two vectorized scatters.
+        Returns None (→ row path) when a payload is longer than the
+        prefix can express — masking low bytes there would silently
+        corrupt the stream where the row path raises."""
         P = np.fromiter((len(b) for b in payloads), np.int64, len(payloads))
+        if len(P) and int(P.max()) >= 1 << (8 * prefix_w):
+            return None  # fail-loud path: _encode_cell_into raises
         cell = prefix_w + P
         starts = np.concatenate(([0], np.cumsum(cell)))
         buf = np.zeros(int(starts[-1]), np.uint8)
@@ -3438,9 +3646,14 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
     codecs = _label_codecs(mysql_types)
     use_vec = rows_event_type in (WRITE_ROWS_EVENT, WRITE_ROWS_EVENT_V1)
     # pre-shift NEWDECIMAL columns to their unscaled int64 JVM-side
-    # (exact: Spark decimal(p,s) × 10^s is integral, and p ≤ 18 fits a
-    # long): the exchange and the Arrow hop carry 8-byte ints instead of
-    # decimal128 + per-object Decimal→bytes work in the Python encoder
+    # (exact: Spark decimal(p,s) × 10^s is integral, and p ≤ 15 keeps the
+    # unscaled value < 2^50 — exact through the float64 that Arrow
+    # int64+null batches become in pandas): the exchange and the Arrow
+    # hop carry 8-byte ints instead of decimal128 + per-object
+    # Decimal→bytes work in the Python encoder. p of 16..18 stays
+    # decimal128 end-to-end: prescaling those would (a) need TWO full
+    # 9-digit groups per side in the vector encoder and (b) round
+    # unscaled values above 2^53 in the float64 hop.
     prescaled: set[int] = set()
     if use_vec:
         from pyspark.sql import functions as _F
@@ -3457,10 +3670,10 @@ def table_to_binlog(df, db: str, tbl: str, mysql_types: list[str],
                 prec, scale = int(p), int(s or 0)
             else:
                 prec, scale = 10, 0
-            if prec > 18 or not isinstance(sch[j].dataType, _T.DecimalType):
+            if prec > 15 or not isinstance(sch[j].dataType, _T.DecimalType):
                 continue
             dt = sch[j].dataType
-            if dt.scale != scale or dt.precision > 18:
+            if dt.scale != scale or dt.precision > 15:
                 continue  # row path would quantize; keep its semantics
             df = df.withColumn(
                 cols[j],
@@ -4979,6 +5192,7 @@ def export_wire_files_x(spark, sink_dir: str, wire_dir: str,
         df = df.filter(cond)
 
     def render_file(key, pdf):
+        import numpy as np
         import pandas as pd
 
         sid, seq = int(key[0]), int(key[1])
@@ -4987,16 +5201,63 @@ def export_wire_files_x(spark, sink_dir: str, wire_dir: str,
         current_table = None
         run_type, run_rows = None, []
 
-        def flush_run():
-            nonlocal run_type, run_rows
-            if run_rows:
-                td = TableDef.from_mysql_types(*current_table, CDC_TABLE_TYPES)
-                tid = zlib.crc32(".".join(current_table).encode()) & 0x7FFFFFFF
-                events.append(encode_rows_event(run_type, tid, td, run_rows))
-                run_rows = []
-            run_type = None
+        # vectorized image pass (r14) — same shape as export_wire_files:
+        # all images up front (independent of db/tbl), run flushes slice
+        # the shared buffer; per-stream frames are rows-only so the whole
+        # frame vectorizes
+        row_mask = pdf["action"].isin(_ROW_TYPE).to_numpy()
+        img_enc = None
+        if row_mask.any():
+            img_enc = _encode_write_images(
+                TableDef.from_mysql_types("x", "x", CDC_TABLE_TYPES),
+                pdf[row_mask], ["pk", "value"], [None, None],
+                [False, False], [False, False], None, np, pd,
+            )
+        img_pos = row_mask.cumsum() - 1
+        run_i0 = run_n = 0
 
-        for r in pdf.itertuples(index=False):
+        if img_enc is not None:
+            buf_img, off_img = img_enc
+            post2 = struct.pack("<H", 0) + struct.pack("<H", 2)
+            head2 = _lenenc(2) + _bitmap([True, True])
+
+            def flush_run():
+                nonlocal run_type, run_n
+                if run_n:
+                    tid = zlib.crc32(
+                        ".".join(current_table).encode()) & 0x7FFFFFFF
+                    i0, i1 = run_i0, run_i0 + run_n
+                    seg = buf_img[off_img[i0]:off_img[i1]]
+                    ev_head = struct.pack("<Q", tid)[:6] + post2 + head2
+                    if run_type == UPDATE_ROWS_EVENT:
+                        L = np.diff(off_img[i0:i1 + 1])
+                        src = off_img[i0:i1] - off_img[i0]
+                        base = np.concatenate(([0], np.cumsum(2 * L)))[:-1]
+                        dup = np.empty(2 * seg.size, np.uint8)
+                        idx = np.repeat(base - src, L) + np.arange(seg.size)
+                        dup[idx] = seg
+                        dup[idx + np.repeat(L, L)] = seg
+                        body = (ev_head + _bitmap([True, True])
+                                + dup.tobytes())
+                    else:
+                        body = ev_head + seg.tobytes()
+                    events.append(encode_event(run_type, body))
+                    run_n = 0
+                run_type = None
+        else:
+            def flush_run():
+                nonlocal run_type, run_rows
+                if run_rows:
+                    td = TableDef.from_mysql_types(
+                        *current_table, CDC_TABLE_TYPES)
+                    tid = zlib.crc32(
+                        ".".join(current_table).encode()) & 0x7FFFFFFF
+                    events.append(
+                        encode_rows_event(run_type, tid, td, run_rows))
+                    run_rows = []
+                run_type = None
+
+        for p, r in enumerate(pdf.itertuples(index=False)):
             tc = _ROW_TYPE[r.action]
             if current_table != (r.db, r.tbl):
                 flush_run()
@@ -5006,9 +5267,16 @@ def export_wire_files_x(spark, sink_dir: str, wire_dir: str,
                 events.append(encode_table_map(tid, td))
             elif tc != run_type:
                 flush_run()
-            vals = [r.pk, None if pd.isna(r.value) else float(r.value)]
-            run_type = tc
-            run_rows.append((vals, vals) if tc == UPDATE_ROWS_EVENT else vals)
+            if img_enc is not None:
+                if run_n == 0:
+                    run_i0 = img_pos[p]
+                run_type = tc
+                run_n += 1
+            else:
+                vals = [r.pk, None if pd.isna(r.value) else float(r.value)]
+                run_type = tc
+                run_rows.append(
+                    (vals, vals) if tc == UPDATE_ROWS_EVENT else vals)
         flush_run()
         name = f"binlog-x-{sid}.{seq + 1:06d}"
         nxt = f"binlog-x-{sid}.{seq + 2:06d}" if seq < max_seq[sid] else None

@@ -308,11 +308,12 @@ def _fan_out(df: DataFrame) -> DataFrame:
     """Small parquet inputs arrive as ONE partition, and every media op
     downstream is a heavy Python codec — spread to the cluster's
     parallelism first (same rule as the wire codecs: one cheap shuffle
-    of ids buys an n_cores speedup on the per-row work)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    of ids buys an n_cores speedup on the per-row work). Delegates to
+    the shared deterministic-hash fan-out (guide §2.5: no
+    sort-before-repartition, retry-safe)."""
+    from polardbx_cdc_spark.binlog_wire import fan_out
+
+    return fan_out(df)
 
 
 def synth_real_media(docs: DataFrame) -> DataFrame:

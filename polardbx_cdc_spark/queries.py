@@ -4989,11 +4989,11 @@ def orders_wire_change_stream_typed(spark: SparkSession, sf_dir: str) -> DataFra
     from polardbx_cdc_spark import binlog_wire as BW
 
     o = load_table(spark, sf_dir, "orders")
-    par = spark.sparkContext.defaultParallelism
-    typed = o.select(
+    # deterministic-hash fan-out (no sort-before-repartition; guide §2.5)
+    typed = BW.fan_out(o.select(
         F.col("o_orderkey").cast("long").alias("okey"),
         (F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
-    ).repartition(par)
+    ))
     decls = ["bigint", "decimal(14,2)"]
 
     def encode_part(batches):

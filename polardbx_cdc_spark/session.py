@@ -42,6 +42,13 @@ def get_spark(app_name: str = "polardbx_cdc_spark", cpus: int | None = None) -> 
         # 8. Scale posture: AQE skew-splitting + the advisory partition
         # size bound the per-partition build side; SMJ remains the
         # fallback whenever the planner can't prove the hash map fits.
+        # MEMORY POSTURE: a shuffled-hash join has no spill-to-sort
+        # fallback — if size stats underestimate a post-shuffle build
+        # side, the task OOMs instead of spilling. The 64MB AQE rewrite
+        # threshold keeps runtime rewrites conservative; deployments with
+        # badly-estimated inputs can restore the default per query with
+        # spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        # (it is a runtime-mutable SQL conf).
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 "64MB")

@@ -56,8 +56,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     """events parquet as an unbounded stream (schema pinned from the batch
     read; nanos ts handled identically to session.load_table).
 
-    ``fan_out`` (default on) inserts a round-robin exchange on the RAW
-    rows before any derivation: a micro-batch whose files are few or
+    ``fan_out`` (default on) inserts a deterministic-hash exchange on the
+    RAW rows before any derivation: a micro-batch whose files are few or
     unsplittable (single row-group parquet, a fresh relay file) otherwise
     runs the whole derive + sink pipeline on as many cores as it has
     files (r9 profile: 0.7s of a 2.2s batch was single-task derive).
@@ -92,7 +92,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         width = spark.sparkContext.defaultParallelism
         n_files = sum(1 for f in os.listdir(src_dir) if f.endswith(".parquet"))
         if not (static_source and n_files >= width):
-            stream = stream.repartition(width)
+            # deterministic-hash exchange, not keyless round-robin: the
+            # latter pays a full local sort of every micro-batch
+            # (sortBeforeRepartition, SPARK-23207); hashing the raw
+            # columns is retry-safe without it (guide §2.5) and works on
+            # a streaming frame (schema-only)
+            from polardbx_cdc_spark.binlog_wire import fan_out_key
+
+            key = fan_out_key(stream, width)
+            stream = (stream.repartition(width, key)
+                      if key is not None else stream.repartition(width))
     return normalize_event_ts(stream)
 
 
@@ -282,20 +291,18 @@ def wire_stream(spark: SparkSession, wire_dir: str,
 
         import pandas as pd
 
+        cols = ["file_name", "pos", "kind", "db", "tbl", "pk",
+                "value", "xid"]
         for pdf in batches:
-            out = []
+            out: dict[str, list] = {k: [] for k in cols}
             for path, content in zip(pdf["path"], pdf["content"]):
-                out.extend(
-                    W.wire_frame_rows(
-                        os.path.basename(path), bytes(content),
-                        tolerate_truncation=True,
-                    )
+                c = W.wire_frame_cols(
+                    os.path.basename(path), bytes(content),
+                    tolerate_truncation=True,
                 )
-            yield pd.DataFrame(
-                out,
-                columns=["file_name", "pos", "kind", "db", "tbl",
-                         "pk", "value", "xid"],
-            )
+                for k in cols:
+                    out[k].extend(c[k])
+            yield pd.DataFrame(out)
 
     return blobs.mapInPandas(decode_files, W.WIRE_FRAME_SCHEMA)
 

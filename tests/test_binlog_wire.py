@@ -2589,6 +2589,138 @@ def test_enum_set_charset_tlvs_label_text_round_trip():
     assert rows[0]["values"] == {"id": 1, "city": "上海", "tags": "甲,乙"}
 
 
+def test_export_wire_files_vectorized_byte_identical(spark, tmp_path):
+    """export_wire_files' vectorized image pass (r14) must render
+    byte-identical wire files to the row path (forced-fallback A/B, the
+    r13 harness pattern) across txn framing, GCN/GTID carriers, trace
+    markers, payload compression, FULL row metadata, null values and
+    multi-table interleaves."""
+    import os
+
+    rows = []
+    for seq in range(2):
+        off = 0
+        for t in range(3):
+            txn = seq * 10 + t
+            tso = f"{7000000000000000000 + txn:019d}" + "0" * 29
+            rows.append((seq, off, "BEGIN", None, None, None, None,
+                         txn, tso))
+            off += 1
+            for i in range(40):
+                act = ["INSERT", "INSERT", "UPDATE", "DELETE"][i % 4]
+                db, tbl = ("d1", "ta") if i % 5 else ("d2", "tb")
+                rows.append((
+                    seq, off, act, db, tbl, f"pk{txn}-{i}",
+                    None if i % 7 == 0 else float(i) * 1.25, txn, tso,
+                ))
+                off += 1
+            rows.append((seq, off, "COMMIT", None, None, None, None,
+                         txn, tso))
+            off += 1
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame(
+        rows,
+        "file_seq long, offset long, action string, db string, "
+        "tbl string, pk string, value double, txn_id long, "
+        "txn_commit_tso string",
+    ).write.parquet(sink)
+
+    def render(dst, **kw):
+        W.export_wire_files(spark, sink, dst, **kw).collect()
+        return {
+            f: open(os.path.join(dst, f), "rb").read()
+            for f in os.listdir(dst) if not f.startswith("_")
+        }
+
+    variants = [
+        dict(),
+        dict(trace_markers=True, emit_gtid=True, compress_txns=True),
+        dict(row_metadata_full=True),
+    ]
+    for vi, kw in enumerate(variants):
+        new = render(str(tmp_path / f"v{vi}"), **kw)
+        orig = W._encode_write_images
+        W._encode_write_images = lambda *a, **k: None  # force the row path
+        try:
+            old = render(str(tmp_path / f"o{vi}"), **kw)
+        finally:
+            W._encode_write_images = orig
+        assert set(new) == set(old) and len(new) == 2
+        assert all(new[f] == old[f] for f in new), f"variant {kw}"
+
+    # same A/B for the per-stream Binlog-X renderer (rows-only frames)
+    xsink = str(tmp_path / "xsink")
+    spark.createDataFrame(
+        [(r[0] % 2, r[0], r[1], r[2], r[3], r[4], r[5], r[6])
+         for r in rows if r[2] not in ("BEGIN", "COMMIT")],
+        "stream_id long, file_seq long, offset long, action string, "
+        "db string, tbl string, pk string, value double",
+    ).write.parquet(xsink)
+
+    def render_x(dst):
+        W.export_wire_files_x(spark, xsink, dst).collect()
+        return {
+            f: open(os.path.join(dst, f), "rb").read()
+            for f in os.listdir(dst) if not f.startswith("_")
+        }
+
+    new_x = render_x(str(tmp_path / "xv"))
+    orig = W._encode_write_images
+    W._encode_write_images = lambda *a, **k: None
+    try:
+        old_x = render_x(str(tmp_path / "xo"))
+    finally:
+        W._encode_write_images = orig
+    assert new_x and new_x == old_x
+
+
+def test_wire_frame_cols_matches_rows():
+    """The columnar frame walk (wire_frame_cols, r14 optimization behind
+    the batch + streaming attach) assigns positions and surfaces
+    pk/value/xid identically to the independent include_values row walk
+    across EVERY surfaced kind — rows (INSERT / UPDATE incl. the MINIMAL
+    pk fallback / DELETE, null pks, non-float values), BEGIN/COMMIT,
+    DDL, TRACE, GCN, INCIDENT, and TRANSACTION_PAYLOAD-compressed
+    frames."""
+    import struct
+
+    td = W.TableDef.from_mysql_types("shop", "t", ["bigint", "double"])
+    ev = [
+        W.encode_query("shop", "BEGIN"),
+        W.encode_table_map(9, td),
+        W.encode_rows_event(W.WRITE_ROWS_EVENT, 9, td,
+                            [[1, 1.5], [None, 2.5], [3, None]]),
+        W.encode_rows_event(W.UPDATE_ROWS_EVENT, 9, td,
+                            [([1, 1.5], [1, 9.5])]),
+        W.encode_rows_event(W.UPDATE_ROWS_EVENT, 9, td,
+                            [([2, 1.0], [None, 8.0])],
+                            present_after=[False, True]),
+        W.encode_rows_event(W.DELETE_ROWS_EVENT, 9, td, [[3, None]]),
+        W.encode_rows_query("::TRACE::abc"),
+        W.encode_xid(77),
+        W.encode_gcn(123456),
+        W.encode_event(W.INCIDENT_EVENT,
+                       struct.pack("<H", 1) + bytes([4]) + b"gone", 0),
+        W.encode_query("shop", "ALTER TABLE t ADD COLUMN x INT"),
+        W.encode_transaction_payload([
+            W.encode_table_map(9, td),
+            W.encode_rows_event(W.WRITE_ROWS_EVENT, 9, td, [[5, 5.5]]),
+        ]),
+    ]
+    blob = W.MAGIC + b"".join(ev)
+    cols = W.wire_frame_cols("binlog.000001", blob)
+    order = ["file_name", "pos", "kind", "db", "tbl", "pk", "value", "xid"]
+    as_rows = list(zip(*[cols[k] for k in order]))
+    ref = [t[:8] for t in W.wire_frame_rows("binlog.000001", blob,
+                                            include_values=True)]
+    assert as_rows == ref
+    # the value-free rows surface delegates to the columnar walk
+    assert W.wire_frame_rows("binlog.000001", blob) == as_rows
+    for k in ("INSERT", "UPDATE", "DELETE", "BEGIN", "COMMIT", "DDL",
+              "TRACE", "GCN", "INCIDENT"):
+        assert k in cols["kind"]
+
+
 # ---------------------------------------------------------------------------
 # Vectorized encode fast path (r13 optimization): byte-identity vs row path
 # ---------------------------------------------------------------------------
@@ -2625,13 +2757,28 @@ def test_vectorized_write_encode_is_byte_identical_to_row_path(spark):
             k % 4000,
             float(k) / 7.0,
             None if k % 13 == 0 else bytes([k % 256]) * (k % 50),
+            # decimal precision boundary cases (r14, ADVICE): p=18 needs
+            # TWO full 9-digit groups per side — must NOT ride the
+            # single-group vector path or the int64 prescale; p=16 with
+            # nulls trips the Arrow int64+null → float64 rounding above
+            # 2^53 if prescaled; p=15 is the exact prescale boundary
+            # (unscaled < 2^50, float64-exact)
+            None if k % 5 == 0 else
+            decimal.Decimal(999999999999999999 - k * 7)
+            * (1 if k % 2 else -1),
+            None if k % 6 == 0 else
+            (decimal.Decimal("99999999999999.75") - k) * (1 if k % 4 else -1),
+            None if k % 9 == 0 else
+            decimal.Decimal(10 ** 15 - 1 - k * 3) * (1 if k % 2 else -1),
         ))
     schema = ("nk long, lnum int, qty decimal(12,2), name string, d date, "
               "dt timestamp_ntz, tm string, status string, flags string, "
-              "yr int, bits long, fl double, geo binary")
+              "yr int, bits long, fl double, geo binary, "
+              "d18 decimal(18,0), d16 decimal(16,2), d15 decimal(15,0)")
     decls = ["bigint", "int", "decimal(12,2)", "varchar(64) charset latin1",
              "date", "datetime(6)", "time legacy", "enum('F','O','P')",
-             "set('a','b')", "year", "bit(12)", "double", "geometry"]
+             "set('a','b')", "year", "bit(12)", "double", "geometry",
+             "decimal(18,0)", "decimal(16,2)", "decimal(15,0)"]
     df = spark.createDataFrame(rows, schema).coalesce(1)
 
     def blobs(frame):
