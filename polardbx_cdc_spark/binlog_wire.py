@@ -2457,29 +2457,48 @@ def binlog_to_events(df, payload_col: str = "payload",
         import pandas as pd
 
         for pdf in batches:
-            out = []
+            # columnar build (r14, guide §4.2): constant-per-event
+            # db/tbl/action extend by list multiplication; pk/value via
+            # one comprehension per event — no per-row 5-tuple +
+            # row→column transpose in pandas
+            dbs: list = []
+            tbls: list = []
+            acts: list = []
+            pks: list = []
+            vals: list = []
             for blob in pdf[payload_col]:
                 for ev in expand_payload_events(decode_events(bytes(blob))):
-                    if ev["type"] not in _ACTION:
+                    tc = ev["type"]
+                    if tc not in _ACTION:
                         continue
-                    for row in ev["rows"]:
-                        img = row[1] if ev["type"] in UPDATE_EVENTS else row
-                        val = img[1]
-                        if isinstance(val, JsonDiffVector):
+                    rows = ev["rows"]
+                    if tc in UPDATE_EVENTS:
+                        imgs = [r[1] for r in rows]
+                        if tc == PARTIAL_UPDATE_ROWS_EVENT:
                             # partial JSON (type 39): never surface raw
                             # JsonDiff objects into the double column —
                             # materialize against the before image and
                             # keep only a numeric result
-                            doc = apply_json_diffs(row[0][1], val)
-                            val = float(doc) if isinstance(
-                                doc, (int, float)
-                            ) else None
-                        out.append(
-                            (ev["db"], ev["tbl"], _ACTION[ev["type"]],
-                             img[0], val)
-                        )
+                            for r, img in zip(rows, imgs):
+                                v = img[1]
+                                if isinstance(v, JsonDiffVector):
+                                    doc = apply_json_diffs(r[0][1], v)
+                                    v = (float(doc) if isinstance(
+                                        doc, (int, float)) else None)
+                                vals.append(v)
+                        else:
+                            vals.extend(i[1] for i in imgs)
+                    else:
+                        imgs = rows
+                        vals.extend(i[1] for i in imgs)
+                    pks.extend(i[0] for i in imgs)
+                    n = len(rows)
+                    dbs.extend([ev["db"]] * n)
+                    tbls.extend([ev["tbl"]] * n)
+                    acts.extend([_ACTION[tc]] * n)
             yield pd.DataFrame(
-                out, columns=["db", "tbl", "action", "pk", "value"]
+                {"db": dbs, "tbl": tbls, "action": acts,
+                 "pk": pks, "value": vals}
             )
 
     return df.mapInPandas(decode_partition, out_schema)
@@ -3175,18 +3194,24 @@ def _label_codecs(mysql_types: list[str]):
     return codecs
 
 
-def fan_out_key(df, par: int):
+def fan_out_key(df, par: int, key_cols: list[str] | None = None):
     """Deterministic synthetic shuffle key for a fan-out exchange (guide
     §2.5): ``pmod(xxhash64(all hashable cols), 50*par)`` — retry-safe
     (same row → same partition on task re-run, unlike rand()-derived
     keys, SPARK-38388) and sort-free (keyless round-robin pays a full
     local sort first, SPARK-23207). 50×par distinct values keep the hash
     spread even. Returns None when no column is hashable (maps). Works
-    for BATCH and STREAMING frames — it only reads the schema."""
+    for BATCH and STREAMING frames — it only reads the schema.
+
+    ``key_cols``: hash only these columns — for frames carrying a wide
+    payload (documents, blobs) next to a high-cardinality id, hashing
+    the id alone costs O(8 bytes/row) instead of O(payload); callers
+    must pick columns whose combination is near-unique or the 50×par
+    spread collapses (guide §2.5 synthetic-key pitfall)."""
     from pyspark.sql import functions as _F
     from pyspark.sql import types as _T
 
-    hashable = [
+    hashable = key_cols if key_cols is not None else [
         f.name for f in df.schema.fields
         if not isinstance(f.dataType, _T.MapType)  # hash() rejects maps
     ]
@@ -3196,7 +3221,7 @@ def fan_out_key(df, par: int):
                    _F.lit(50 * par))
 
 
-def fan_out(df, par: int | None = None):
+def fan_out(df, par: int | None = None, key_cols: list[str] | None = None):
     """Spread a narrow frame across the cluster ahead of a heavy Python
     stage. The driver testdata parquet is ONE row group per file, so the
     scan can never exceed one task per file — an exchange is the only
@@ -3211,7 +3236,7 @@ def fan_out(df, par: int | None = None):
         par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
         return df
-    key = fan_out_key(df, par)
+    key = fan_out_key(df, par, key_cols)
     if key is None:
         return df.repartition(par)
     return df.repartition(par, key)

@@ -21,7 +21,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from polardbx_cdc_spark.binlog_wire import fan_out
 from polardbx_cdc_spark.functions.text import fingerprint, tokens
 
 
@@ -361,7 +360,15 @@ def _band_frame(
         sig_col = _md5_signature_udf(num_hashes, shingle_n)(F.col(text_col))
     else:
         sig_col = minhash_signature(F.col(text_col), num_hashes, shingle_n, False)
-    sig_df = fan_out(df, n_part).select(
+    # keyless round-robin KEPT here (r14 measured): these are small doc
+    # frames (~5k rows) feeding a HEAVY per-doc Python/expr stage, where
+    # round-robin's perfect balance beats a hash spread's +-8% partition
+    # tails and the sort-before-repartition of one tiny input partition
+    # costs ~nothing - alternating-JVM A/B read fan_out 5-25% SLOWER
+    # (minhash best-of-3 1.97s vs 2.46s); at 100 TB the input arrives
+    # already partitioned and this exchange should be dropped by the
+    # caller, not keyed
+    sig_df = df.repartition(n_part).select(
         F.col(id_col).alias("id"), sig_col.alias("sig")
     ).localCheckpoint(eager=True)
 
@@ -555,7 +562,8 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sh_df = (
-        fan_out(df.join(ids, df[id_col] == ids["_cid"], "left_semi"), n_part)
+        df.join(ids, df[id_col] == ids["_cid"], "left_semi")
+        .repartition(n_part)  # round-robin kept: see sig_df note
         .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
         .localCheckpoint(eager=True)
     )
@@ -606,7 +614,7 @@ def simhash_dedup(
     """Group docs by SimHash signature; same-signature docs are near-dups."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
     return (
-        fan_out(df, n_part)
+        df.repartition(n_part)  # round-robin kept: see minhash sig_df note
         .select(F.col(id_col), simhash(F.col(text_col), use_md5=use_md5).alias("sig"))
         .groupBy("sig")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
@@ -641,7 +649,7 @@ def simhash_near_pairs(
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     sig_df = (
-        fan_out(df, n_part)
+        df.repartition(n_part)  # round-robin kept: see minhash sig_df note
         .select(
             F.col(id_col).alias("id"),
             simhash(F.col(text_col), bits=bits, use_md5=use_md5).alias("sig"),
