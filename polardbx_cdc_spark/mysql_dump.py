@@ -687,20 +687,45 @@ class _Handler(socketserver.StreamRequestHandler):
             start = max(pos, 4) if name == fname else 4
             body = buf[4:]
             off = start - 4
+            # per-FILE batched framing (r14): frame every event packet
+            # into a parts list and hit the socket ONCE per file — the
+            # old per-event _write_packet (memoryview loop + small
+            # buffered writes) was ~0.2s of the sf0.1 chain's 1.0s
+            # localhost fetch. Wire bytes identical: same packet
+            # boundaries, same seq progression, >16MB events still split.
+            parts: list[bytes] = []
+            mview = memoryview(body)
             while off + W.HEADER_LEN <= len(body):
                 elen = struct.unpack_from("<I", body, off + 9)[0]
                 if elen < W.HEADER_LEN + W.CHECKSUM_LEN or off + elen > len(body):
                     break
-                # event packet: OK byte + raw event bytes (flush batched
-                # per FILE below — per-event flush = syscall per event)
-                frame = body[off : off + elen]
+                # event packet: OK byte + raw event bytes
                 if srv.binlog_checksum == "NONE":
-                    frame = _strip_frame_crc(frame)
-                seq = _write_packet(
-                    self.wfile, seq, b"\x00" + frame,
-                    flush=False,
-                )
+                    frame = _strip_frame_crc(body[off : off + elen])
+                else:
+                    frame = mview[off : off + elen]
+                pl = len(frame) + 1  # OK byte + frame (NONE strips 4)
+                if pl < _MAX_PACKET:
+                    # header + seq + OK byte in one small bytes object,
+                    # the frame itself joins zero-copy from the memoryview
+                    parts.append(pl.to_bytes(3, "little")
+                                 + bytes((seq & 0xFF, 0)))
+                    parts.append(frame)
+                    seq += 1
+                else:  # >16MB event: split exactly like _write_packet
+                    view = memoryview(b"\x00" + bytes(frame))
+                    while True:
+                        chunk = view[:_MAX_PACKET]
+                        parts.append(len(chunk).to_bytes(3, "little")
+                                     + bytes([seq & 0xFF]))
+                        parts.append(bytes(chunk))
+                        seq += 1
+                        view = view[_MAX_PACKET:]
+                        if len(chunk) < _MAX_PACKET:
+                            break
                 off += elen
+            if parts:
+                self.wfile.write(b"".join(parts))
             self.wfile.flush()
             cur, cur_off = name, off + 4
         if block:
@@ -1014,7 +1039,16 @@ class MySQLDumpServer:
         return self._srv.server_address[:2]
 
     def start(self) -> tuple[str, int]:
-        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        # poll_interval: socketserver's serve_forever only notices
+        # shutdown() between selector timeouts — the 0.5s default put a
+        # constant ~1s of pure wait inside every `with MySQLDumpServer`
+        # attach (r14 profile: the sf0.1 dump fetch read EXACTLY 1.004s
+        # regardless of bytes); 20ms bounds the shutdown wait without
+        # measurable idle cost (one selector wake per 20ms, accept path
+        # unchanged)
+        self._thread = threading.Thread(
+            target=lambda: self._srv.serve_forever(poll_interval=0.02),
+            daemon=True)
         self._thread.start()
         return self.address
 
@@ -1178,6 +1212,13 @@ def query(host: str, port: int, sql: str
 
 
 def _collect_event_packets(rf) -> bytes:
+    # NOTE (r14): a chunked read1+offset-arithmetic rewrite of this loop
+    # was tried and MEASURED SLOWER (interleaved A/B: 0.80-0.90s old vs
+    # 0.92-1.02s chunked for the 190k-packet sf0.1 fetch) — the two
+    # BufferedReader.read(n) calls per packet are C-level and beat
+    # Python-side buffer slicing; reverted. The fetch's former constant
+    # 1.0s was the server's serve_forever poll_interval, fixed in
+    # MySQLDumpServer.start.
     out = bytearray()
     while True:
         pkt = _read_packet(rf)
