@@ -222,7 +222,12 @@ class DumpServer:
         return self._srv.server_address[:2]
 
     def start(self) -> tuple[str, int]:
-        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        # 20ms poll: shutdown() waits out serve_forever's selector
+        # timeout — the 0.5s default costs half a second per with-block
+        # (same fix as MySQLDumpServer.start, r14)
+        self._thread = threading.Thread(
+            target=lambda: self._srv.serve_forever(poll_interval=0.02),
+            daemon=True)
         self._thread.start()
         return self.address
 
